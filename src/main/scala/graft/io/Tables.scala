@@ -1,0 +1,33 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the star-schema parquet tables under a scale-factor
+  * directory (see /root/repo/TESTDATA.md). Each accessor is a plain
+  * `spark.read.parquet` so Catalyst sees the scan directly — filters and
+  * projections written downstream push into the parquet reader (verified
+  * via `.explain`: `PushedFilters`/`ReadSchema`).
+  *
+  * Scale posture: at 100 TB these would be partitioned/bucketed parquet
+  * directories; nothing here assumes single-file layout — the path is a
+  * directory-or-file glob that Spark resolves to any number of splits.
+  *
+  * Data model mirrors the reference warehouse (Sakila star; see
+  * /root/reference/sql/sakila-schema.sql:44-345 for the source DDL):
+  * customer geo chain customer->nation->region plays address->city->country,
+  * orders+lineitem play rental+payment, part.p_type plays category.name.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame    = t("region")
+  def nation: DataFrame    = t("nation")
+  def customer: DataFrame  = t("customer")
+  def supplier: DataFrame  = t("supplier")
+  def part: DataFrame      = t("part")
+  def orders: DataFrame    = t("orders")
+  def lineitem: DataFrame  = t("lineitem")
+  def events: DataFrame    = t("events")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
