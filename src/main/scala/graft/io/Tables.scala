@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Typed access to the star-schema parquet tables under a scale-factor
   * directory (see /root/repo/TESTDATA.md). Each accessor is a plain
@@ -27,7 +28,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = t("part")
   def orders: DataFrame    = t("orders")
   def lineitem: DataFrame  = t("lineitem")
-  def events: DataFrame    = t("events")
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default. We read nanos as long (legacy flag) and truncate to
+    * micros with integer division — `ts div 1000`, NOT `/1000` (double
+    * division is lossy above 2^52; epoch-nanos ≈ 1.7e18). This matches
+    * DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) truncation bit-for-bit, which
+    * the oracles rely on.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
