@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each in its
+  * scalable Spark shape:
+  *
+  *   - exact:   one hash-groupBy (shuffle on the content hash only)
+  *   - MinHash: signature pass (explode shingles → k min-aggregates),
+  *              LSH banding (join on band key — never an O(n²) cross join),
+  *              then exact-Jaccard verification on the tiny candidate set
+  *   - SimHash: one explode + 16 conditional sums per doc
+  *   - n-gram Jaccard: inverted-index self-join on shingles (the exact
+  *              path; candidate generation at 100 TB uses the LSH variant)
+  *
+  * Hashes are MD5 (SQL-portable, so the DuckDB oracles replay them
+  * exactly); at production scale substitute xxhash64 for ~10× cheaper
+  * hashing — every plan shape stays the same.
+  */
+object Dedup {
+
+  /** Number of MinHash functions and LSH band width (r=2 → 8 bands). */
+  val MinHashK = 16
+  val BandRows = 2
+  val NumBands: Int = MinHashK / BandRows
+
+  /** Exact dedup: annotate every document with its content-hash group —
+    * group size and whether this row is the canonical (min doc_id)
+    * representative. A filter on is_canonical is the "drop dupes" action.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
+  /** Distinct word-bigram shingles per document: (doc_id, shingle) rows.
+    * The explode is the scan-shaped part; everything downstream is
+    * aggregates and key joins.
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val ts = TextAnalysis.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(ts) - 1, lit(1))),
+      i => array_join(slice(ts, i, lit(2)), " "))
+    docs.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** MinHash signatures: per doc, k independent min-hashes
+    * (min over shingles of md5(j || "|" || shingle)), banded into
+    * NumBands LSH keys. One shuffle (groupBy doc_id).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val mhs = (0 until MinHashK).map { j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")).cast("binary"))).as(s"mh$j")
+    }
+    val sigs = shingles(docs).groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
+    val bands = (0 until NumBands).map { b =>
+      md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}")).cast("binary"))
+        .as(s"band$b")
+    }
+    sigs.select((col("doc_id") +: bands): _*)
+  }
+
+  /** LSH candidate pairs verified by exact Jaccard: docs sharing any band
+    * bucket are candidates (equi-join on the band key — the whole point of
+    * LSH at scale); each candidate pair is then verified against the real
+    * shingle-set Jaccard and kept if >= threshold.
+    */
+  def lshDedupPairs(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map(b => col(s"band$b"))
+    val exploded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val a = exploded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
+    val candidates = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    val sets = shingles(docs).groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 16-bit SimHash over tokens (with multiplicity): bit b of a token's
+    * MD5 votes ±1; the document bit is the sign of the vote sum. Documents
+    * within small Hamming distance are near-duplicates; block_hi/block_lo
+    * are the two 8-bit blocking keys (any pair within Hamming distance 1
+    * of 16 bits shares at least one block).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val h = md5(col("tok").cast("binary"))
+    val contribs = (0 until 16).map { bit =>
+      val d = bit / 4 + 1          // hex char index (1-based)
+      val k = bit % 4              // bit within the hex digit
+      val hv = conv(substring(h, d, 1), 16, 10).cast("int")
+      sum(shiftright(hv, k).bitwiseAND(lit(1)) * 2 - 1).as(s"s$bit")
+    }
+    val sums = tok.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+    val sim = (0 until 16).map { bit =>
+      when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+      .withColumn("block_hi", (col("simhash") / 256).cast("long"))
+      .withColumn("block_lo", col("simhash") % 256)
+  }
+
+  /** Exact n-gram Jaccard similar pairs via inverted-index self-join on
+    * shingles — intersection counts come from the join, never a cross
+    * join. At 100 TB the candidate set comes from lshDedupPairs instead,
+    * and high-document-frequency shingles (stop-shingles) get dropped
+    * before the join to cap the join fan-out; see shingleDfCapped.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Scale guard for the inverted-index join: drop shingles present in
+    * more than `maxDocFrac` of documents (stop-shingles dominate join
+    * fan-out and carry no dedup signal). Not oracle-bound — it changes
+    * semantics — but it is the switch a 100 TB run flips.
+    */
+  def shingleDfCapped(docs: DataFrame, maxDocFrac: Double): DataFrame = {
+    val sh = shingles(docs)
+    val nDocs = docs.select(approx_count_distinct("doc_id")).first().getLong(0)
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(maxDocFrac * nDocs))
+      .select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an ARRAY<FLOAT> column:
+  *
+  *   - brute-force cosine top-k (the correctness baseline — broadcast the
+  *     query set, never a full cross join of the corpus with itself)
+  *   - threshold near-duplicate pairs
+  *   - random-hyperplane LSH bucketing (the scale path: equi-join on the
+  *     16-bit bucket instead of O(n²) pair enumeration)
+  *
+  * Dot products are computed in double via zip_with + aggregate — a
+  * sequential left fold, which DuckDB's list_dot_product reproduces
+  * bit-for-bit (verified empirically), so these are oracle-checkable.
+  * The embeddings table carries unit-normalized vectors (norms verified
+  * in the test suite), so dot product == cosine.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 16
+
+  /** embedding ARRAY<FLOAT> -> ARRAY<DOUBLE>, so all arithmetic is double. */
+  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine for possibly-unnormalized vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k neighbors for a bounded query set. The query side
+    * is broadcast (it must be small — that is the contract of brute force);
+    * the corpus streams once. Returns (qid, rank, neighbor_id).
+    */
+  def bruteKnn(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("neighbor_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"), dot(col("qemb"), col("emb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "neighbor_id")
+  }
+
+  /** All pairs with cosine >= threshold. Quadratic by definition — the
+    * honest exact baseline; production runs go through lshBuckets first
+    * and only score within-bucket pairs.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplanes: weight (p,d) is +1 iff
+    * the low bit of the first hex digit of md5("p_d") is set. Derived from
+    * MD5 so the DuckDB oracle can embed the identical literal matrix.
+    */
+  lazy val planes: Array[Array[Double]] = {
+    Array.tabulate(NumPlanes, Dim) { (p, d) =>
+      val digest = MessageDigest.getInstance("MD5")
+        .digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+      val firstHexDigit = (digest(0) >> 4) & 0xf
+      if ((firstHexDigit & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** 16-bit random-hyperplane signature per vector: bit p = sign of the
+    * projection onto plane p. Vectors in the same bucket are ANN
+    * candidates; at scale, pair scoring happens per-bucket (equi-join),
+    * turning O(n²) into O(Σ bucket²).
+    */
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val bucket = (0 until NumPlanes).map { p =>
+      val w = array(planes(p).map(lit): _*)
+      when(dot(col("emb"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** ANN via LSH: score only within-bucket pairs. Recall is bounded by the
+    * bucketing (documented trade-off); the oracle-bound query keeps the
+    * exact variants as ground truth.
+    */
+  def annPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val withBuckets = embeddings.join(lshBuckets(embeddings), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), asDouble(col("embedding")).as("emb"))
+    val a = withBuckets.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = withBuckets.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The hyperplane matrix as a DuckDB list-literal, for oracle SQL. */
+  def planesSqlLiteral(p: Int): String =
+    planes(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+}

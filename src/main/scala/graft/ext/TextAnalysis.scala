@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, all expressed as
+  * codegen-friendly built-in column expressions (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with the corpus — the
+  * shapes a 100 TB document cleanse needs: token statistics, quality
+  * scoring, language ID, content fingerprinting.
+  *
+  * Every function is deterministic and has an ANSI-SQL twin used by the
+  * DuckDB oracles (see graft.queries.Extensions).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Common-word list used by the quality score and language ID. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "is", "to", "in")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-document token statistics: whitespace tokens, a BPE-ish regex
+    * token count (letter runs / digit runs / single punctuation — the
+    * pre-tokenizer shape of GPT-style BPE), and average token length.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(ts).as("n_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"),
+      (length(col("text")).cast("double") / size(ts)).as("avg_token_len"))
+  }
+
+  /** Heuristic quality score in [0,1]: stopword density (real prose has
+    * some), low special-character noise, and a length prior. The weights
+    * are arbitrary but fixed; what matters at scale is that the whole
+    * score is one projection over the scan.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val nTok = size(ts)
+    val stopRatio = countIn(ts, EnStopwords).cast("double") / nTok
+    val specialRatio = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(col("text")), lit(1))
+    val lengthPrior = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      specialRatio.as("special_ratio"),
+      (lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - specialRatio) + lit(0.3) * lengthPrior)
+        .as("quality_score"))
+  }
+
+  /** Marker-token language ID (n-gram-heuristic family). Scores each
+    * language by counting its marker tokens; deterministic arg-max with a
+    * fixed preference order on ties. A real deployment would use charset
+    * ranges + larger marker sets; the operator shape (k counts + a CASE
+    * chain, single pass) is what scales.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "fr" -> Seq("le", "la", "et", "un", "est"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "ein"),
+    "zh" -> Seq.empty) // CJK is detected by charset, not tokens
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> (if (lang == "zh") regexp_count(col("text"), lit("[\\u4e00-\\u9fff]"))
+               else countIn(ts, words))
+    }
+    val withScores = docs.select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +:
+        scores.map { case (l, c) => c.as(s"score_$l") }): _*)
+    // Deterministic arg-max: first language (in LangMarkers order) whose
+    // score equals the row maximum.
+    val maxScore = greatest(scores.map { case (l, _) => col(s"score_$l") }: _*)
+    val predicted = scores.foldRight(lit("und"): Column) { case ((l, _), rest) =>
+      when(col(s"score_$l") === maxScore && maxScore > 0, l).otherwise(rest)
+    }
+    withScores
+      .withColumn("predicted_lang", predicted)
+      .withColumn("is_match", col("predicted_lang") === col("labeled_lang"))
+  }
+
+  /** Content fingerprint: minimum MD5 over word 5-grams — the 1-hash
+    * degenerate of MinHash, the winnowing-style "pick a stable
+    * representative gram" trick. Two documents sharing a fingerprint are
+    * near-certain near-duplicates. MD5 (not xxhash) so the DuckDB oracle
+    * can reproduce it; at production scale swap in xxhash64 — the plan
+    * shape is identical.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(ts) - 4, lit(1))),
+      i => array_join(slice(ts, i, lit(5)), " "))
+    docs.select(
+      col("doc_id"),
+      array_min(transform(grams, g => md5(g.cast("binary")))).as("fingerprint"))
+  }
+}

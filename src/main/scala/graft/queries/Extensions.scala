@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (BASELINE.json north star) bound
+  * to the driver contract: dedup (exact / MinHash+LSH / SimHash / n-gram
+  * Jaccard / embedding cosine), similarity search (brute-force kNN +
+  * hyperplane-LSH buckets), text analysis (token stats, quality, lang-ID,
+  * fingerprint), multimodal metadata, and the events-table time ops.
+  *
+  * Implementations live in graft.ext.*; these bindings pin parameters,
+  * add deterministic output ordering, and carry the DuckDB oracle twins.
+  */
+object Extensions {
+
+  /** Shared oracle CTE: distinct word-bigram shingles per document
+    * (mirrors Dedup.shingles). */
+  private val ShingleCtes =
+    raw"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(generate_series(1, greatest(length(ts)-1, 1)),
+         |                i -> array_to_string(ts[i:i+1], ' '))) AS shingle
+         |  FROM tok
+         |)""".stripMargin
+
+  /** Oracle CTE for MinHash signatures (mirrors Dedup.minhashSignatures). */
+  private val SigCte = {
+    val mins = (0 until Dedup.MinHashK)
+      .map(j => s"min(md5('$j|' || shingle)) AS mh$j").mkString(",\n         ")
+    s""", sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM sh GROUP BY 1
+       |)""".stripMargin
+  }
+
+  private def bandExpr(b: Int) = s"md5(mh${2 * b} || '|' || mh${2 * b + 1})"
+
+  private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis -------------------------------------------------
+    QueryDef(
+      "x01_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+                |  length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                |  length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                |  length(text) AS n_chars,
+                |  CAST(length(text) AS DOUBLE) / length(string_split_regex(trim(text), '\s+')) AS avg_token_len
+                |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "x02_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(raw"""WITH t AS (
+                |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), m AS (
+                |  SELECT doc_id, length(ts) AS n_tokens,
+                |    CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts) AS stopword_ratio,
+                |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) AS special_ratio
+                |  FROM t
+                |)
+                |SELECT doc_id, n_tokens, stopword_ratio, special_ratio,
+                |  0.4 * stopword_ratio + 0.3 * (1.0 - special_ratio) +
+                |  0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality_score
+                |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "x03_lang_id",
+      (s, dir) => TextAnalysis.languageId(Tables(s, dir).documents).orderBy("doc_id"),
+      Some {
+        val markers = TextAnalysis.LangMarkers
+        val scoreExprs = markers.map { case (l, words) =>
+          if (l == "zh") raw"length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS score_$l"
+          else s"length(list_filter(ts, x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS score_$l"
+        }.mkString(",\n    ")
+        val maxExpr = markers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+        val caseExpr = markers.map { case (l, _) =>
+          s"WHEN score_$l = m AND m > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        raw"""WITH t AS (
+             |  SELECT doc_id, lang AS labeled_lang, text,
+             |         string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents
+             |), sc AS (
+             |  SELECT doc_id, labeled_lang,
+             |    $scoreExprs
+             |  FROM t
+             |), mx AS (
+             |  SELECT *, $maxExpr AS m FROM sc
+             |)
+             |SELECT doc_id, labeled_lang, score_en, score_fr, score_es, score_de, score_zh,
+             |       $caseExpr AS predicted_lang,
+             |       ($caseExpr) = labeled_lang AS is_match
+             |FROM mx ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef(
+      "x04_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(raw"""WITH tok AS (
+                |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |)
+                |SELECT doc_id,
+                |  list_min(list_transform(generate_series(1, greatest(length(ts)-4, 1)),
+                |           i -> md5(array_to_string(ts[i:i+4], ' ')))) AS fingerprint
+                |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup ---------------------------------------------------------
+    QueryDef(
+      "x05_dedup_exact",
+      (s, dir) => Dedup.exact(Tables(s, dir).documents).orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS content_hash,
+             |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+             |  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "x06_minhash_signatures",
+      (s, dir) => Dedup.minhashSignatures(Tables(s, dir).documents).orderBy("doc_id"),
+      Some {
+        val bands = (0 until Dedup.NumBands).map(b => s"${bandExpr(b)} AS band$b").mkString(", ")
+        s"$ShingleCtes $SigCte SELECT doc_id, $bands FROM sig ORDER BY doc_id"
+      }),
+
+    QueryDef(
+      "x07_lsh_dedup_pairs",
+      (s, dir) => Dedup.lshDedupPairs(Tables(s, dir).documents, 0.3).orderBy("doc_a", "doc_b"),
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""$ShingleCtes $SigCte, bands AS (
+           |  $bandUnion
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2
+           |)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT doc_a, doc_b,
+           |         CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           |  FROM inter
+           |  JOIN sizes na ON na.doc_id = doc_a
+           |  JOIN sizes nb ON nb.doc_id = doc_b) j
+           |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+      },
+      bench = false),
+
+    QueryDef(
+      "x08_simhash",
+      (s, dir) => Dedup.simhash(Tables(s, dir).documents).orderBy("doc_id"),
+      Some {
+        val sums = (0 until 16).map { bit =>
+          val d = bit / 4 + 1
+          val k = bit % 4
+          s"SUM((((strpos('0123456789abcdef', substring(hx, $d, 1)) - 1) >> $k) & 1) * 2 - 1) AS s$bit"
+        }.mkString(",\n    ")
+        val sim = (0 until 16).map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
+          .mkString(" + ")
+        raw"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
+             |), h AS (
+             |  SELECT doc_id, md5(tk) AS hx FROM tok
+             |), s AS (
+             |  SELECT doc_id,
+             |    $sums
+             |  FROM h GROUP BY 1
+             |), sim AS (
+             |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM s
+             |)
+             |SELECT doc_id, simhash, simhash // 256 AS block_hi, simhash % 256 AS block_lo
+             |FROM sim ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef(
+      "x09_ngram_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables(s, dir).documents, 0.3).orderBy("doc_a", "doc_b"),
+      Some(s"""$ShingleCtes, sizes AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+              |), inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+              |  FROM inter
+              |  JOIN sizes na ON na.doc_id = doc_a
+              |  JOIN sizes nb ON nb.doc_id = doc_b) j
+              |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin),
+      bench = false),
+
+    // ---- embedding similarity -----------------------------------------
+    QueryDef(
+      "x10_embedding_knn",
+      (s, dir) => Similarity.bruteKnn(Tables(s, dir).embeddings, 0L until 10L, 5)
+        .orderBy("qid", "rank"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+             |), scored AS (
+             |  SELECT q.qid, e.vec_id AS neighbor_id,
+             |         list_dot_product(q.qemb, e.emb) AS score
+             |  FROM q, e WHERE e.vec_id <> q.qid
+             |)
+             |SELECT qid, rank, neighbor_id FROM (
+             |  SELECT qid, neighbor_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id ASC) AS rank
+             |  FROM scored) r
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef(
+      "x11_embedding_neardup_pairs",
+      (s, dir) => Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.4)
+        .orderBy("vec_a", "vec_b"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |)
+             |SELECT vec_a, vec_b, cosine FROM (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |         list_dot_product(a.emb, b.emb) AS cosine
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
+             |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    QueryDef(
+      "x12_hyperplane_lsh_buckets",
+      (s, dir) => Similarity.lshBuckets(Tables(s, dir).embeddings).orderBy("vec_id"),
+      Some {
+        val bucket = (0 until Similarity.NumPlanes).map { p =>
+          s"CASE WHEN list_dot_product(emb, ${Similarity.planesSqlLiteral(p)}) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           |)
+           |SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM e ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- multimodal ----------------------------------------------------
+    QueryDef(
+      "x13_multimodal_metadata",
+      (s, dir) => Multimodal.metadata(Multimodal.asMedia(Tables(s, dir).documents))
+        .orderBy("doc_id"),
+      // DuckDB's sha256 takes VARCHAR and hashes its UTF-8 bytes — the
+      // same bytes Spark's sha2(encode(text,'UTF-8'), 256) digests.
+      Some("""SELECT doc_id, 'text/plain' AS media_type,
+             |  octet_length(encode(text)) AS byte_len,
+             |  sha256(text) AS content_sha256
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- event-stream batch analogs -----------------------------------
+    QueryDef(
+      "x14_events_hourly",
+      (s, dir) => Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy("hour"),
+      Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+              |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+              |  ${sqlMoneySum("value")} AS total_value
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "x15_sessionization",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        Tables(s, dir).events
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+          .withColumn("new_session",
+            when(col("tus") - lag(col("tus"), 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (sum(col("new_session")) + 1).as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+             |), flg AS (
+             |  SELECT user_id,
+             |         CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+             |              THEN 1 ELSE 0 END AS f
+             |  FROM ev
+             |)
+             |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(f) + 1 AS BIGINT) AS n_sessions
+             |FROM flg GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -5,7 +5,8 @@ package graft.queries
   * the driver's CORRECTNESS report is keyed by them.
   */
 object Registry {
-  def all: Seq[QueryDef] = Warehouse.defs ++ Report.defs ++ Service.defs ++ Procs.defs
+  def all: Seq[QueryDef] =
+    Warehouse.defs ++ Report.defs ++ Service.defs ++ Procs.defs ++ Extensions.defs
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap
