@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the warehouse's time-series
+  * surface (SURVEY.md §2.10 — green-field; the reference is batch-only).
+  * The batch queries r02 (monthly trend) and x14 (hourly rollup) become
+  * incrementally-maintained aggregates over an event stream; the
+  * per-customer running CLV becomes explicit keyed state.
+  *
+  * Scale posture: watermarks bound state (late events beyond the
+  * watermark are dropped, so state size is O(active windows × keys), not
+  * O(history)); the stateful CLV keeps one small case class per user and
+  * emits deltas append-only. Both shapes run identically on a cluster
+  * sink (kafka/delta) — the memory sink is only the test harness.
+  */
+object Streams {
+
+  /** One event row as the stream sees it (events.parquet schema with the
+    * ns timestamp already converted to TimestampType). */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Running per-user lifetime value emitted after each update. */
+  final case class UserClv(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Windowed rollup: tumbling window per event type, watermarked so
+    * state is bounded. Mirrors the batch x14_events_hourly semantics on
+    * the aggregate columns.
+    */
+  def windowedRollup(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stateful running CLV: one state record per user, updated per
+    * micro-batch, emitting the new running totals (append mode). This is
+    * the flatMapGroupsWithState shape a per-customer lifetime aggregate
+    * needs when the output must be a change stream rather than a
+    * replaceable aggregate.
+    */
+  def runningClv(spark: SparkSession, events: Dataset[Event]): Dataset[UserClv] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserClv]) =>
+          val prev = state.getOption.getOrElse(UserClv(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserClv(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against the in-memory
+    * sink and return the materialized result (test/local harness; a
+    * production run would write to a real sink with the same plan).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String = "update"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

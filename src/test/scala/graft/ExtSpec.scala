@@ -1,0 +1,111 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the training-data-pipeline operators on hand-built
+  * frames (the oracle gate covers the real-data path; these pin the edge
+  * semantics).
+  */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("exact dedup: identical texts share a group, min doc_id is canonical") {
+    val d = Dedup.exact(docs(1L -> "a b c", 2L -> "a b c", 3L -> "different text"))
+      .orderBy("doc_id").collect()
+    assert(d(0).getAs[Long]("group_size") === 2)
+    assert(d(0).getAs[Boolean]("is_canonical"))
+    assert(!d(1).getAs[Boolean]("is_canonical"))
+    assert(d(2).getAs[Long]("group_size") === 1)
+  }
+
+  test("ngram jaccard: near-identical docs found, disjoint docs not") {
+    val pairs = Dedup.ngramJaccardPairs(docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "entirely unrelated words appear in this one"), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("lsh dedup agrees with exact on identical documents") {
+    val d = docs(1L -> "w1 w2 w3 w4 w5 w6", 2L -> "w1 w2 w3 w4 w5 w6", 3L -> "x1 x2 x3")
+    val lsh = Dedup.lshDedupPairs(d, 0.9).select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(lsh.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs identical hash; blocks decompose the hash") {
+    val s = Dedup.simhash(docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma"))
+      .orderBy("doc_id").collect()
+    assert(s(0).getAs[Long]("simhash") === s(1).getAs[Long]("simhash"))
+    val h = s(0).getAs[Long]("simhash")
+    assert(s(0).getAs[Long]("block_hi") === h / 256)
+    assert(s(0).getAs[Long]("block_lo") === h % 256)
+  }
+
+  test("token stats: counts and BPE-ish splitting") {
+    val r = TextAnalysis.tokenStats(docs(1L -> "hello world, 42 times!"))
+      .first()
+    assert(r.getAs[Int]("n_tokens") === 4)
+    // hello / world / , / 42 / times / ! -> 6 BPE-ish tokens
+    assert(r.getAs[Int]("n_bpe_tokens") === 6)
+  }
+
+  test("quality score stays in [0,1] on real data") {
+    val q = TextAnalysis.qualityScore(spark.read.parquet(s"$Sf/documents.parquet"))
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+  }
+
+  test("language id picks the marker language deterministically") {
+    val r = TextAnalysis.languageId(
+      Seq((1L, "le chat et la porte", "fr"), (2L, "the dog and the door", "en"))
+        .toDF("doc_id", "text", "lang")).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("predicted_lang") === "fr")
+    assert(r(1).getAs[String]("predicted_lang") === "en")
+  }
+
+  test("fingerprint: shared 5-gram window => shared fingerprint candidates") {
+    val fp = TextAnalysis.fingerprint(docs(
+      1L -> "a b c d e f", 2L -> "a b c d e f")).select("fingerprint").distinct()
+    assert(fp.count() === 1)
+  }
+
+  test("embeddings are unit-normalized (dot == cosine contract)") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(Similarity.asDouble(col("embedding")).as("emb"))
+    val bad = e.select(abs(Similarity.dot(col("emb"), col("emb")) - 1.0).as("d"))
+      .filter(col("d") > 1e-6)
+    assert(bad.count() === 0)
+  }
+
+  test("brute kNN ranks the exact nearest vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteKnn(vecs, Seq(0L), 2).orderBy("rank")
+      .select("neighbor_id").as[Long].collect()
+    assert(r.toSeq === Seq(1L, 2L))
+  }
+
+  test("identical vectors land in the same LSH bucket") {
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
+    val b = Similarity.lshBuckets(Seq((0L, v), (1L, v)).toDF("vec_id", "embedding"))
+      .select("bucket").distinct()
+    assert(b.count() === 1)
+  }
+
+  test("multimodal: features are fixed-width and deterministic; partition count respected") {
+    val media = Multimodal.asMedia(docs(1L -> "abc", 2L -> "abcd"))
+    val f = Multimodal.extractFeatures(spark, media, parallelism = 3)
+    assert(f.rdd.getNumPartitions === 3)
+    val rows = f.orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    assert(rows.forall(_._2.length === Multimodal.FeatureDim))
+    assert(rows(0)._2.head === 3.0) // byte length of "abc"
+    val again = Multimodal.extractFeatures(spark, media).orderBy("doc_id")
+      .as[(Long, Seq[Double])].collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+}

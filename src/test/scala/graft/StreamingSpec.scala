@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, UserClv}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs driven through MemoryStream — the streaming
+  * plans are the real ones; only the source/sink are test harness.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, v: Double) =
+    Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
+
+  test("windowed rollup aggregates per hour and event type") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(
+      ev(1, "2024-01-01 00:10:00", 1, 10.0),
+      ev(2, "2024-01-01 00:20:00", 2, 5.0),
+      ev(3, "2024-01-01 01:05:00", 1, 2.5))
+    val out = Streams.runToMemory(spark,
+      Streams.windowedRollup(src.toDF()), "rollup_test")
+    val rows = out.orderBy("window_start")
+      .select("n_events", "total_value").as[(Long, Double)].collect()
+    assert(rows.toSeq === Seq((2L, 15.0), (1L, 2.5)))
+  }
+
+  test("stateful running CLV accumulates across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.runningClv(spark, src.toDS())
+      .writeStream.format("memory").queryName("clv_test").outputMode("append").start()
+    src.addData(ev(1, "2024-01-01 00:00:00", 7, 10.0))
+    q.processAllAvailable()
+    src.addData(ev(2, "2024-01-01 00:05:00", 7, 4.0), ev(3, "2024-01-01 00:06:00", 8, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val states = spark.table("clv_test").as[UserClv].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    assert(states(7L).n_events === 2 && states(7L).total_value === 14.0)
+    assert(states(8L).n_events === 1 && states(8L).total_value === 1.0)
+  }
+
+  test("streaming rollup matches the batch x14 aggregate on the same rows") {
+    implicit val sc = spark.sqlContext
+    val batch = graft.io.Tables(spark, Sf).events
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val src = MemoryStream[Event]
+    src.addData(batch.collect().toSeq)
+    val streamed = Streams.runToMemory(spark,
+      Streams.windowedRollup(src.toDF()), "rollup_vs_batch")
+      .groupBy().agg(sum("n_events"), sum(col("total_value").cast("decimal(18,4)")))
+      .first()
+    val expected = graft.io.Tables(spark, Sf).events
+      .groupBy().agg(count(lit(1)), sum(col("value").cast("decimal(18,4)")))
+      .first()
+    assert(streamed.getLong(0) === expected.getLong(0))
+    assert(streamed.getDecimal(1).compareTo(expected.getDecimal(1)) === 0)
+  }
+}
