@@ -1,5 +1,26 @@
 package graft
+
+import graft.queries.Registry
+import graft.warehouse.View
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times the headline query set at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Methodology:
+  *   - queries run in sorted-name order (stable across JVMs; Map order
+  *     would charge warmup noise to an arbitrary query)
+  *   - a warmup pass first materializes the cached revenue-summary view
+  *     and exercises codegen, so per-query numbers measure the query,
+  *     not JVM/session warmup (the warmup cost is reported separately
+  *     inside the JSON as "_warmup" and included in the total, since a
+  *     cold engine is part of end-to-end wall-clock)
+  *   - results are materialized through the noop sink: count() lets
+  *     Catalyst drop sorts/projections, under-measuring ORDER BY queries;
+  *     noop forces the full physical plan
+  *   - O(n²) diagnostic queries are excluded via QueryDef.bench
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +28,35 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def materialize(name: String): Double = timed {
+      try Registry.queryMap(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+    }
+
+    // Warmup: build + cache the view (counts as engine cost, reported).
+    val warmup = timed { View.dw(spark, sfDir).count() }
+
+    val names = Registry.benchSet.map(_.name).sorted
+    val results = names.map(n => n -> materialize(n))
+    val total = warmup + results.map(_._2).sum
+    val qs = (("_warmup" -> warmup) +: results)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

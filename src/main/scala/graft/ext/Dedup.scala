@@ -26,6 +26,13 @@ object Dedup {
   val BandRows = 2
   val NumBands: Int = MinHashK / BandRows
 
+  // Several dedup operators share the shingle explode (signatures, LSH
+  // pairs, exact Jaccard). Cache it per (session, source-plan) so a run
+  // that uses three of them tokenizes once — the dedup-family analog of
+  // the warehouse's materialized view reuse.
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), DataFrame]
+
   /** Exact dedup: annotate every document with its content-hash group —
     * group size and whether this row is the canonical (min doc_id)
     * representative. A filter on is_canonical is the "drop dupes" action.
@@ -42,13 +49,18 @@ object Dedup {
     * The explode is the scan-shaped part; everything downstream is
     * aggregates and key joins.
     */
-  def shingles(docs: DataFrame): DataFrame = {
-    val ts = TextAnalysis.tokens(col("text"))
-    val grams = transform(
-      sequence(lit(1), greatest(size(ts) - 1, lit(1))),
-      i => array_join(slice(ts, i, lit(2)), " "))
-    docs.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
-  }
+  def shingles(docs: DataFrame): DataFrame =
+    shingleCache.getOrElseUpdate(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash()),
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), greatest(size(col("ts")) - 1, lit(1)))).as("i"))
+        .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(2)), " ").as("shingle"))
+        .distinct()
+        .cache())
+  // Explode-index + row distinct rather than array_distinct(transform(...)):
+  // interpreted array lambdas cost ~10x vs the codegen'd exploded form; the
+  // distinct shuffles only (doc_id, shingle) pairs.
 
   /** MinHash signatures: per doc, k independent min-hashes
     * (min over shingles of md5(j || "|" || shingle)), banded into

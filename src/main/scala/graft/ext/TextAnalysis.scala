@@ -98,13 +98,16 @@ object TextAnalysis {
     * can reproduce it; at production scale swap in xxhash64 — the plan
     * shape is identical.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val ts = tokens(col("text"))
-    val grams = transform(
-      sequence(lit(1), greatest(size(ts) - 4, lit(1))),
-      i => array_join(slice(ts, i, lit(5)), " "))
-    docs.select(
-      col("doc_id"),
-      array_min(transform(grams, g => md5(g.cast("binary")))).as("fingerprint"))
-  }
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - 4, lit(1)))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("ts"), col("i"), lit(5)), " ").cast("binary")).as("g"))
+      .groupBy("doc_id")
+      .agg(min(col("g")).as("fingerprint"))
+  // Explode + min-aggregate rather than array_min(transform(...)): the
+  // higher-order array lambdas run interpreted (no codegen) and cost ~10x
+  // at bench scale; the exploded md5 is codegen'd. The extra shuffle
+  // carries only (doc_id, 32-byte hash) — negligible next to the text scan.
 }
