@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.io.Tables
+import graft.service.QueryService
 import org.apache.spark.sql.functions._
 
 /** The interactive app surface (/root/reference/data-mgmt-streamlit.py):
@@ -18,12 +19,7 @@ object Service {
     // (data-mgmt-streamlit.py:56-62). Term pinned to "spark".
     QueryDef(
       "s01_any_column_search",
-      (s, dir) => {
-        val docs = Tables(s, dir).documents
-        val hay = lower(concat_ws("|",
-          docs.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
-        docs.filter(hay.contains("spark")).orderBy("doc_id")
-      },
+      (s, dir) => QueryService.search(Tables(s, dir).documents, "spark").orderBy("doc_id"),
       Some("""SELECT * FROM documents
              |WHERE contains(lower(concat_ws('|',
              |  COALESCE(CAST(doc_id AS VARCHAR), ''), COALESCE(text, ''),
@@ -34,8 +30,8 @@ object Service {
     // P7: numeric range filter (slider analog), plus an equality filter.
     QueryDef(
       "s02_numeric_range_filter",
-      (s, dir) => Tables(s, dir).events
-        .filter(col("value").between(100, 200) && col("event_type") === "click")
+      (s, dir) => QueryService.rangeFilter(Tables(s, dir).events, "value", 100, 200)
+        .filter(col("event_type") === "click")
         .select("event_id", "ts", "event_type", "value")
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
@@ -47,7 +43,7 @@ object Service {
     // so the oracle can compare (the app's head(100) has no order contract).
     QueryDef(
       "s03_preview",
-      (s, dir) => Tables(s, dir).documents.orderBy("doc_id").limit(100),
+      (s, dir) => QueryService.preview(Tables(s, dir).documents.orderBy("doc_id"), 100),
       Some("SELECT * FROM documents ORDER BY doc_id LIMIT 100")),
 
     // O7: chart cardinality cap — keep the 10 most-used part types
@@ -72,6 +68,44 @@ object Service {
       "s05_distinct_segments",
       (s, dir) => Tables(s, dir).customer
         .select("c_mktsegment").distinct().orderBy("c_mktsegment"),
-      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // Scalar-function coverage (SURVEY.md §2.8 F11-F17): IF / UCASE /
+    // LCASE / SUBSTR / LENGTH / YEAR / MONTH / LAST_DAY / month-trunc /
+    // TO_DAYS-as-datediff / STR_TO_DATE round-trip, in one projection.
+    QueryDef(
+      "s06_scalar_functions",
+      (s, dir) => Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        // Date results travel as yyyy-MM-dd strings: Spark's DATE arrives
+        // in pandas as datetime.date while DuckDB's arrives as Timestamp,
+        // so a raw DATE column can never hash-match across the bridge.
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+          .as("days_since_window_start"),
+        date_format(to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd"),
+          "yyyy-MM-dd").as("parsed_date"),
+        when(col("o_totalprice") > 200000, "BIG").otherwise("SMALL").as("size_class"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  upper(o_orderpriority) AS prio_upper,
+             |  lower(o_orderstatus) AS status_lower,
+             |  substring(o_orderpriority, 1, 1) AS prio_code,
+             |  length(o_orderpriority) AS prio_len,
+             |  year(o_orderdate) AS order_year,
+             |  month(o_orderdate) AS order_month,
+             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_window_start,
+             |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y-%m-%d') AS parsed_date,
+             |  CASE WHEN o_totalprice > 200000 THEN 'BIG' ELSE 'SMALL' END AS size_class
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }

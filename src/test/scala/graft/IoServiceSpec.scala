@@ -1,0 +1,101 @@
+package graft
+
+import graft.io.Csv
+import graft.sakila.{Sakila, SakilaTables}
+import graft.service.{QueryService, SqlCatalog}
+import org.apache.spark.sql.functions._
+
+/** CSV conventions, the parameterized app-service API, and the SQL-file
+  * catalog parser.
+  */
+class IoServiceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("golden-style CSV export matches the reference's q9.csv byte content") {
+    val fixtures = getClass.getResource("/sakila").getPath
+    val dw = Sakila.revenueView(SakilaTables(spark, fixtures))
+    val q9 = Sakila.queries(dw)("q9")
+    val out = java.nio.file.Files.createTempDirectory("csv-golden").toString
+    Csv.writeGolden(q9, out)
+    val written = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv")).head
+    // The reference's exporter quotes any field containing a space; Spark
+    // quotes minimally (only comma/quote). Compare parsed fields — the
+    // values (incl. 12.50-style decimal rendering and UTF-8) must be
+    // identical; the quoting style is tool cosmetics.
+    def fields(line: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      val sb = new StringBuilder
+      var inQ = false
+      line.foreach {
+        case '"' => inQ = !inQ
+        case ',' if !inQ => out += sb.result(); sb.clear()
+        case c => sb.append(c)
+      }
+      (out += sb.result()).toList
+    }
+    val ours = scala.io.Source.fromFile(written)("UTF-8").getLines().map(fields).toList
+    val gold = scala.io.Source.fromFile("/root/reference/data/q9.csv")("UTF-8").getLines().map(fields).toList
+    assert(ours.head === gold.head)                                   // identical header
+    assert(ours.map(_.mkString("")).sorted === gold.map(_.mkString("")).sorted)
+  }
+
+  test("CSV read round-trips types (header + inferSchema)") {
+    val df = Seq((1L, "a,b", 2.5), (2L, "plain", 3.0)).toDF("id", "s", "v")
+    val out = java.nio.file.Files.createTempDirectory("csv-rt").toString
+    Csv.writeGolden(df, out)
+    val back = Csv.readInferred(spark, out).orderBy("id")
+    assert(back.as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a,b", 2.5), (2L, "plain", 3.0)))
+  }
+
+  test("search matches any column, case-insensitively; empty term is identity") {
+    val df = Seq((1, "Alpha", "x"), (2, "beta", "ALPHA"), (3, "gamma", "z"))
+      .toDF("id", "a", "b")
+    assert(QueryService.search(df, "alpha").select("id").as[Int].collect().sorted
+      === Array(1, 2))
+    assert(QueryService.search(df, "  ").count() === 3)
+  }
+
+  test("rangeFilter coerces errors to NULL and drops them (pandas semantics)") {
+    val df = Seq(("1", "10"), ("2", "oops"), ("3", "30")).toDF("id", "v")
+    assert(QueryService.rangeFilter(df, "v", 5, 35).select("id").as[String].collect().sorted
+      === Array("1", "3"))
+  }
+
+  test("topNCategories keeps only rows in the n most frequent categories") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    assert(QueryService.topNCategories(df, "k", 2).count() === 5)
+  }
+
+  test("chartData aggregates like the app's chart builder") {
+    val df = Seq(("x", 1.0), ("x", 3.0), ("y", 10.0)).toDF("k", "v")
+    val sums = QueryService.chartData(df, "k", "v", "sum").as[(String, Double)].collect().toMap
+    assert(sums === Map("x" -> 4.0, "y" -> 10.0))
+    intercept[IllegalArgumentException] {
+      QueryService.chartData(df, "k", "v", "median")
+    }
+  }
+
+  test("SqlCatalog parses titled query blocks; malformed headers ignored") {
+    val sql =
+      """-- preamble
+        |CREATE VIEW v AS SELECT 1;
+        |-- Query 1: First Query
+        |SELECT * FROM v;
+        |-- Query Two: not numbered
+        |SELECT 2;
+        |-- Query 2: Second Query
+        |SELECT 3;
+        |""".stripMargin
+    val metas = SqlCatalog.parse(sql)
+    assert(metas.map(m => (m.number, m.title)) === Seq((1, "First Query"), (2, "Second Query")))
+    assert(metas.head.sql.contains("SELECT * FROM v"))
+    assert(metas(1).sql === "SELECT 3")
+  }
+
+  test("the reference's own queries_shan.sql parses into the 11 published queries") {
+    val metas = SqlCatalog.parseFile("/root/reference/queries_shan.sql")
+    assert(metas.map(_.number) === (1 to 11))
+    assert(metas.head.title === "Top 10 Revenue-Generating Customers")
+  }
+}
