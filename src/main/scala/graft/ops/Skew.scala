@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins (SURVEY.md §7.4.5): when a join key's value
+  * distribution is heavy-tailed (one nation holds half the customers, one
+  * document id dominates a shingle bucket), the hash partition owning the
+  * hot key becomes the straggler. AQE's skew-join handles sort-merge
+  * cases at runtime; this helper is the explicit salting form for when
+  * the planner must be forced — e.g. a broadcast-ineligible dimension
+  * with a known hot key.
+  *
+  * Shape: the big side gets a deterministic salt in [0, n) derived from
+  * its whole row; the small side is replicated n times (one copy per
+  * salt). The join key becomes (key, salt), splitting each hot key's
+  * rows across n reducers. Cost: small side inflates n× — pick n ≈
+  * (hot-key rows / target partition rows), not a blanket large value.
+  */
+object Skew {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      numSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    val saltCol = "__graft_salt"
+    val bigCols = big.columns.map(col)
+    val saltedBig = big.withColumn(saltCol,
+      pmod(hash(bigCols: _*), lit(numSalts)))
+    val saltedSmall = small.withColumn(saltCol,
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    saltedBig.join(saltedSmall, keys :+ saltCol, joinType).drop(saltCol)
+  }
+}

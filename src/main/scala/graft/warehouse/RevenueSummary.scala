@@ -67,19 +67,19 @@ object RevenueSummary {
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"),
         sum(lateFeeExpr(GraceDays)).cast("double").as("total_late_fees"))
 
-    // Grain 3: categories. part is a small dim -> broadcast.
+    // Grain 3: categories. part is a small dim -> broadcast. The
+    // most-frequent-category uses the typed DeterministicMode aggregator
+    // (graft.functions): ONE shuffle on custkey computes both the distinct
+    // count and the tie-pinned mode — the window-rank formulation (kept in
+    // sakila.Sakila for the W1 pattern) would add a second shuffle plus a
+    // per-partition sort.
     val withCat = liOrders.join(broadcast(t.part.select("p_partkey", "p_type")),
       col("l_partkey") === col("p_partkey"))
-    val catCounts = withCat
-      .groupBy(col("o_custkey").as("custkey"), col("p_type"))
-      .agg(count(lit(1)).as("cnt"))
-    val ncat = catCounts.groupBy("custkey")
-      .agg(count(lit(1)).as("n_categories")) // counts distinct p_type by construction
-    val w = Window.partitionBy(col("custkey")).orderBy(col("cnt").desc, col("p_type").asc)
-    val topCat = catCounts
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("custkey"), col("p_type").as("top_category"))
+    val catAgg = withCat
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        countDistinct(col("p_type")).as("n_categories"),
+        graft.functions.DeterministicMode(col("p_type")).as("top_category"))
 
     // Geo chain: tiny dims, broadcast the whole chain.
     val geo = t.customer
@@ -92,8 +92,7 @@ object RevenueSummary {
     geo
       .join(ord, col("c_custkey") === ord("custkey")).drop("custkey")
       .join(rev, col("c_custkey") === rev("custkey")).drop("custkey")
-      .join(ncat, col("c_custkey") === ncat("custkey")).drop("custkey")
-      .join(topCat, col("c_custkey") === topCat("custkey")).drop("custkey")
+      .join(catAgg, col("c_custkey") === catAgg("custkey")).drop("custkey")
       .select(
         col("c_custkey").as("customer_id"),
         col("c_name").as("customer_name"),

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{DeterministicMode, VectorFunctions}
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expression / typed aggregator / skew helper specs. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dot_product (codegen) equals the interpreted zip_with/aggregate fold bit-for-bit") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val a = e.filter(col("vec_id") < 20).select(col("vec_id").as("ida"), col("emb").as("ea"))
+    val b = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("vec_id").as("idb"), col("emb").as("eb"))
+    val both = a.crossJoin(b).select(
+      VectorFunctions.dotProduct(col("ea"), col("eb")).as("native"),
+      aggregate(zip_with(col("ea"), col("eb"), _ * _), lit(0.0), (acc, x) => acc + x)
+        .as("interpreted"))
+    assert(both.filter(col("native") =!= col("interpreted")).count() === 0)
+    assert(both.count() === 400)
+  }
+
+  test("dot_product works on raw float arrays and via SQL") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    e.createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      "SELECT dot_product(embedding, embedding) AS n FROM emb_t ORDER BY vec_id LIMIT 5")
+      .as[Double].collect()
+    viaSql.foreach(n => assert(math.abs(n - 1.0) < 1e-6)) // unit-norm vectors
+  }
+
+  test("dot_product rejects mismatched input types") {
+    VectorFunctions.register(spark)
+    val err = intercept[Exception] {
+      Seq((Array(1.0f), Array(1.0))).toDF("a", "b")
+        .select(VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.contains("dot_product") || err.getMessage.contains("DATATYPE"))
+  }
+
+  test("deterministic mode: max count wins, ties break to smallest value") {
+    val df = Seq((1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"), (2, "z"))
+      .toDF("k", "v")
+    val m = df.groupBy("k").agg(DeterministicMode(col("v")).as("mode"))
+      .as[(Int, String)].collect().toMap
+    assert(m(1) === "a") // a and b tie at 2 -> a
+    assert(m(2) === "z")
+  }
+
+  test("deterministic mode ignores nulls and returns null on empty") {
+    val df = Seq((1, Option("x")), (1, None), (2, None)).toDF("k", "v")
+    val m = df.groupBy("k").agg(DeterministicMode(col("v")).as("mode"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m(1) === "x")
+    assert(m(2) === null)
+  }
+
+  test("saltedJoin equals the plain join (inner and left)") {
+    val big = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // key 0/1/2, skewed-ish
+    val small = Seq((0, "zero"), (1, "one"), (9, "nine")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+      val salted = Skew.saltedJoin(big, small, Seq("k"), numSalts = 8, joinType = jt)
+      assert(salted.count() === plain.count(), jt)
+      assert(salted.exceptAll(plain).count() === 0, jt)
+      assert(plain.exceptAll(salted).count() === 0, jt)
+    }
+  }
+}
