@@ -277,6 +277,27 @@ object Extensions {
               |  ${sqlMoneySum("value")} AS total_value
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Semi-structured props: JSON path extraction over the events
+    // payload column (get_json_object is codegen'd; at 100 TB prefer
+    // from_json with an explicit schema once the shape is known, so the
+    // parse happens once per row, not per path).
+    QueryDef(
+      "x16_json_props",
+      (s, dir) => Tables(s, dir).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             |    / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef(
       "x15_sessionization",
       (s, dir) => {

@@ -120,6 +120,26 @@ object Procs {
               |    AND l.l_shipdate >= TIMESTAMP '$StaleSince 00:00:00')
               |ORDER BY p_partkey""".stripMargin)),
 
+    // U4 film_in_stock complement of p03: left-semi join — parts WITH
+    // recent shipments (EXISTS probe, J10's other half).
+    QueryDef(
+      "p06_active_parts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val recent = t.lineitem
+          .filter(col("l_shipdate") >= lit(StaleSince).cast("timestamp"))
+          .select("l_partkey")
+        t.part.join(recent, col("p_partkey") === col("l_partkey"), "left_semi")
+          .select("p_partkey", "p_name", "p_type")
+          .orderBy("p_partkey")
+      },
+      Some(s"""SELECT p_partkey, p_name, p_type FROM part p
+              |WHERE EXISTS (
+              |  SELECT 1 FROM lineitem l
+              |  WHERE l.l_partkey = p.p_partkey
+              |    AND l.l_shipdate >= TIMESTAMP '$StaleSince 00:00:00')
+              |ORDER BY p_partkey""".stripMargin)),
+
     // A13 GROUP_CONCAT (ordered): per nation, the alphabetized list of its
     // top-5 revenue customers. collect_list order is nondeterministic in
     // Spark, hence the explicit array_sort (SURVEY.md §2.4 A13).
