@@ -63,6 +63,28 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: watermark-bounded duplicate drop on a key
+    * (the streaming face of ext.Dedup.exact). State holds one entry per
+    * key seen within the watermark horizon — bounded, unlike a plain
+    * dropDuplicates which would accumulate forever on an infinite
+    * stream.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast per micro-batch — no streaming state at all;
+    * this is the scale-correct way to attach dimensions to a stream).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey), "left")
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

@@ -1,0 +1,55 @@
+package graft
+
+import graft.io.Tables
+import graft.model.{Schemas, Validate}
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Constraint validation + streaming dedup/enrich additions. */
+class ValidateSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("the synthetic star data satisfies every declared constraint") {
+    val violations = Validate.validateStar(Tables(spark, Sf))
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
+
+  test("injected violations are counted, not silently passed") {
+    val bad = Seq((1L, "x"), (1L, "y"), (3L, null)).toDF("c_custkey", "c_name")
+    assert(Validate.unique(bad, "t", Seq("c_custkey")).head.count === 1)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("c_name", StringType, nullable = false)))
+    assert(Validate.notNull(bad, "t", schema).head.count === 1)
+    val parent = Seq(1L).toDF("c_custkey")
+    val child = Seq(1L, 2L, 2L).toDF("o_custkey")
+    assert(Validate.foreignKey(child, "c", "o_custkey", parent, "c_custkey").head.count === 2)
+  }
+
+  private def ev(id: Long, t: String, user: Long, v: Double) =
+    Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
+
+  test("streaming dedup drops within-watermark duplicates") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(
+      ev(1, "2024-01-01 00:00:00", 1, 5.0),
+      ev(1, "2024-01-01 00:00:01", 1, 5.0), // duplicate event_id
+      ev(2, "2024-01-01 00:01:00", 2, 7.0))
+    val out = Streams.runToMemory(spark,
+      Streams.dedupStream(src.toDF(), Seq("event_id")), "dedup_test", "append")
+    assert(out.count() === 2)
+  }
+
+  test("stream-static enrichment attaches dimension rows per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_key", "tier")
+    val src = MemoryStream[Event]
+    src.addData(ev(1, "2024-01-01 00:00:00", 1, 5.0), ev(2, "2024-01-01 00:00:30", 9, 1.0))
+    val out = Streams.runToMemory(spark,
+      Streams.enrich(src.toDF(), dim, "user_id", "user_key"), "enrich_test", "append")
+    val rows = out.select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(rows(1L) === Some("GOLD"))
+    assert(rows(2L) === None) // unmatched user preserved by the left join
+  }
+}
