@@ -143,4 +143,55 @@ object Similarity {
   /** The hyperplane matrix as a DuckDB list-literal, for oracle SQL. */
   def planesSqlLiteral(p: Int): String =
     planes(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  /** IVF cell assignment: each vector joins the centroid with the highest
+    * dot product (deterministic pinning: centroids are the vectors with
+    * vec_id < numCentroids — a real deployment would k-means them; the
+    * assignment/probe machinery is identical). Centroids broadcast; one
+    * pass over the corpus.
+    */
+  def ivfAssign(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val c = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("s").desc, col("cid").asc)
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cid"), dot(col("emb"), col("cemb")).as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  /** IVF search: rank cells by query→centroid similarity, probe the top
+    * `nprobe` cells, brute-force only within them. At scale this is the
+    * standard recall/cost dial: the scored candidate set shrinks from the
+    * corpus to nprobe/numCentroids of it.
+    */
+  def ivfSearch(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val assigned = embeddings.join(ivfAssign(embeddings, numCentroids), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), asDouble(col("embedding")).as("emb"))
+    val q = assigned.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val c = assigned.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid").asc)
+    val probed = q.crossJoin(broadcast(c))
+      .select(col("qid"), col("qemb"), col("cid"), dot(col("qemb"), col("cemb")).as("cs"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("cid").as("cluster"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("neighbor_id").asc)
+    probed.join(assigned.select(col("cluster"), col("vec_id").as("neighbor_id"), col("emb")),
+        Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"), dot(col("qemb"), col("emb")).as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "neighbor_id")
+  }
 }

@@ -250,6 +250,36 @@ object Extensions {
            |SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM e ORDER BY vec_id""".stripMargin
       }),
 
+    QueryDef(
+      "x17_ivf_assignment",
+      (s, dir) => Similarity.ivfAssign(Tables(s, dir).embeddings, 16).orderBy("vec_id"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), c AS (
+             |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16
+             |), scored AS (
+             |  SELECT e.vec_id, c.cid, list_dot_product(e.emb, c.cemb) AS s FROM e, c
+             |)
+             |SELECT vec_id, cluster FROM (
+             |  SELECT vec_id, cid AS cluster,
+             |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+             |  FROM scored) r
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // A6's documented scale option: sketch-based distinct counting next to
+    // the exact value. HLL internals differ between engines, so this entry
+    // has no oracle — the driver records the weaker rows-only check; the
+    // accuracy contract is asserted in the test suite instead.
+    QueryDef(
+      "x19_approx_distinct",
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ---- multimodal ----------------------------------------------------
     QueryDef(
       "x13_multimodal_metadata",

@@ -113,6 +113,59 @@ object Report {
               |       total_revenue / (date_diff('day', CAST(first_order_date AS DATE), CAST(last_order_date AS DATE)) + 1) AS revenue_per_day
               |FROM dw ORDER BY revenue_per_day DESC, customer_name ASC""".stripMargin)),
 
+    // Running analytics over the monthly trend: cumulative revenue +
+    // month-over-month delta (window frame + lag — the W-family surface
+    // beyond top-1 ranking). Window sums go through the exact-decimal
+    // round-trip so the running values are order-exact on both engines.
+    QueryDef(
+      "r07_running_revenue",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val monthly = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("order_month")
+        monthly
+          .withColumn("cumulative_revenue",
+            sum(money(col("total_revenue")))
+              .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+              .cast("double"))
+          .withColumn("mom_delta",
+            col("total_revenue") - lag(col("total_revenue"), 1).over(w))
+          .orderBy("order_month")
+      },
+      Some(s"""WITH monthly AS (
+              |  SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+              |         ${sqlMoneySum("l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue
+              |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |  GROUP BY 1)
+              |SELECT order_month, total_revenue,
+              |  CAST(SUM(CAST(total_revenue AS DECIMAL(18,4)))
+              |       OVER (ORDER BY order_month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue,
+              |  total_revenue - LAG(total_revenue) OVER (ORDER BY order_month) AS mom_delta
+              |FROM monthly ORDER BY order_month""".stripMargin)),
+
+    // Hierarchical ROLLUP over the geo dimensions (region -> nation ->
+    // grand total) — the subtotal surface Tableau derives interactively.
+    // Expressed through the spark.sql entry point over the registered
+    // customer_revenue_summary temp view (the DataFrame rollup over the
+    // view's join lineage trips the ambiguous-self-join analyzer check;
+    // the SQL path resolves cleanly and exercises the SQL surface).
+    QueryDef(
+      "r08_geo_rollup",
+      (s, dir) => {
+        View.dw(s, dir) // ensures the temp view is registered + cached
+        s.sql("""SELECT region, nation, COUNT(*) AS total_customers,
+                |  CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                |FROM customer_revenue_summary
+                |GROUP BY ROLLUP(region, nation)
+                |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)
+      },
+      Some(s"""$V SELECT region, nation, COUNT(*) AS total_customers,
+              |       CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+              |FROM dw GROUP BY ROLLUP(region, nation)
+              |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)),
+
     // Tableau worksheet "Global Market Performance & Late Fee Impact":
     // per-nation revenue vs late-fee burden.
     QueryDef(

@@ -90,6 +90,22 @@ class ExtSpec extends SparkSuite {
     assert(r.toSeq === Seq(1L, 2L))
   }
 
+  test("IVF search: every vector lands in one cell; full-probe recovers brute-force exactly") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val assigned = Similarity.ivfAssign(emb, 16)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("cluster").distinct().count() <= 16)
+    // With nprobe = numCentroids the candidate set is the whole corpus ->
+    // results must equal brute force; with nprobe=4 it is a subset ranking.
+    val brute = Similarity.bruteKnn(emb, Seq(0L, 1L), 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.ivfSearch(emb, Seq(0L, 1L), 5, 16, 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === brute)
+    val probed = Similarity.ivfSearch(emb, Seq(0L, 1L), 5, 16, 4)
+    assert(probed.groupBy("qid").count().select("count").as[Long].collect().forall(_ === 5))
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
     val b = Similarity.lshBuckets(Seq((0L, v), (1L, v)).toDF("vec_id", "embedding"))
