@@ -32,6 +32,9 @@ object SakilaDemo {
     q("q1").show(3, truncate = false)
     println("[sakila] q9 Revenue by country:")
     q("q9").show(3, truncate = false)
+    val rq = SakilaReport.queries(SakilaTables(spark, dir), dw)
+    println("[sakila] rq6 Peak rental days:")
+    rq("rq6_peak_rental_days").show(3, truncate = false)
     spark.stop()
   }
 }
