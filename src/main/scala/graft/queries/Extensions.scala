@@ -280,6 +280,55 @@ object Extensions {
         .orderBy("l_returnflag"),
       None),
 
+    // Ordered-set aggregates: exact interpolated percentiles (Spark's
+    // sort-based percentile() matches DuckDB's quantile_cont bit-for-bit —
+    // verified; the approx_percentile sketch is the documented scale
+    // option, like x19 for distinct counts).
+    QueryDef(
+      "x20_percentiles",
+      (s, dir) => Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  quantile_cont(o_totalprice, 0.25) AS p25,
+             |  quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.75) AS p75,
+             |  quantile_cont(o_totalprice, 0.9) AS p90
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // NTILE decile segmentation of customers by lifetime revenue (the
+    // "VIP tiers" cut — window bucketing over a deterministic total
+    // order; min/max boundaries avoid order-dependent sums).
+    QueryDef(
+      "x21_revenue_deciles",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_revenue").desc, col("customer_id").asc)
+        graft.warehouse.View.dw(s, dir)
+          .select(col("customer_id"), col("total_revenue"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("decile")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            max(col("total_revenue")).as("max_revenue"),
+            min(col("total_revenue")).as("min_revenue"))
+          .orderBy("decile")
+      },
+      Some(s"""${graft.warehouse.RevenueSummary.oracleCtes}
+              |SELECT decile, COUNT(*) AS n_customers,
+              |       MAX(total_revenue) AS max_revenue, MIN(total_revenue) AS min_revenue
+              |FROM (
+              |  SELECT customer_id, total_revenue,
+              |         NTILE(10) OVER (ORDER BY total_revenue DESC, customer_id ASC) AS decile
+              |  FROM dw) t
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- multimodal ----------------------------------------------------
     QueryDef(
       "x13_multimodal_metadata",
