@@ -34,8 +34,11 @@ object DeterministicMode extends Aggregator[String, Map[String, Long], String] {
     if (b.isEmpty) null
     else b.minBy { case (k, v) => (-v, k) }._1
 
+  // Catalyst map encoder, not Kryo: the buffer serializes per partial-agg
+  // row exchange, and the native MapType codec is both faster and gives
+  // the shuffle a real schema.
   override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 
   override def outputEncoder: Encoder[String] = Encoders.STRING
 

@@ -26,6 +26,13 @@ class ValidateSpec extends SparkSuite {
     assert(Validate.foreignKey(child, "c", "o_custkey", parent, "c_custkey").head.count === 2)
   }
 
+  test("typed Dataset surface: compile-checked fields, same rows as the frames") {
+    val o = graft.model.Typed.orders(spark, Sf)
+    assert(o.filter(_.o_totalprice > 0).count() === o.count())
+    val byStatus = o.groupByKey(_.o_orderstatus).count().collect().toMap
+    assert(byStatus.values.sum === Tables(spark, Sf).orders.count())
+  }
+
   private def ev(id: Long, t: String, user: Long, v: Double) =
     Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
 
