@@ -150,6 +150,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate clusters: connected components over the near-duplicate
+    * pair graph — the actionable output of a dedup pipeline ("keep the
+    * min-id document of every cluster"). Distributed min-label
+    * propagation: every doc starts as its own label; each round, labels
+    * flow across edges and every node keeps the minimum seen. Converges
+    * in O(component diameter) rounds (near-dup clusters are shallow);
+    * each round is one join + one aggregate — no driver-side graph. The
+    * only driver action per round is a changed-row count for the
+    * convergence check.
+    *
+    * Deterministic: the final label of a component is its minimum doc_id,
+    * independent of execution order — which is what lets a recursive-CTE
+    * SQL oracle reproduce it.
+    */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.3,
+      maxIterations: Int = 20): DataFrame = {
+    val pairs = lshDedupPairs(docs, threshold).select("doc_a", "doc_b")
+    val sym = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      val incoming = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster")).as("incoming"))
+      val next = labels.join(incoming, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("incoming"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+  }
+
   /** Scale guard for the inverted-index join: drop shingles present in
     * more than `maxDocFrac` of documents (stop-shingles dominate join
     * fan-out and carry no dedup signal). Not oracle-bound — it changes

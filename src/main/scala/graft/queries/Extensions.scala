@@ -204,6 +204,52 @@ object Extensions {
               |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin),
       bench = false),
 
+    // Duplicate clusters: distributed min-label propagation on the Spark
+    // side vs a recursive-CTE transitive closure in DuckDB — both resolve
+    // every document to its component's minimum doc_id, so the iterative
+    // distributed algorithm is oracle-checkable against set-based SQL.
+    QueryDef(
+      "x22_duplicate_clusters",
+      (s, dir) => Dedup.duplicateClusters(Tables(s, dir).documents, 0.3).orderBy("doc_id"),
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        val base = s"""$ShingleCtes $SigCte, bands AS (
+           |  $bandUnion
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2
+           |), dup_pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           |    FROM inter
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b) j
+           |  WHERE jaccard >= 0.3
+           |), sym AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM dup_pairs
+           |), reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+           |)
+           |SELECT a AS doc_id, MIN(b) AS cluster, MIN(b) = a AS is_canonical
+           |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      }),
+
     // ---- embedding similarity -----------------------------------------
     QueryDef(
       "x10_embedding_knn",

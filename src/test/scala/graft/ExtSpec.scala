@@ -37,6 +37,20 @@ class ExtSpec extends SparkSuite {
     assert(lsh.toSeq === Seq((1L, 2L)))
   }
 
+  test("duplicate clusters: transitive chains collapse to the min-id component") {
+    // 1~2 and 2~3 are near-dups; 1~3 are NOT directly similar enough —
+    // the component must still merge all three (transitivity), label 1.
+    val d = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 zz",
+      3L -> "yy w2 w3 w4 w5 w6 w7 zz",
+      9L -> "a1 a2 a3 a4 a5 a6 a7 a8")
+    val c = Dedup.duplicateClusters(d, 0.5).orderBy("doc_id")
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(c(1L) === 1L && c(2L) === 1L && c(3L) === 1L)
+    assert(c(9L) === 9L)
+  }
+
   test("simhash: identical docs identical hash; blocks decompose the hash") {
     val s = Dedup.simhash(docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma"))
       .orderBy("doc_id").collect()
