@@ -27,17 +27,24 @@ object Extensions {
          |  FROM tok
          |)""".stripMargin
 
-  /** Oracle CTE for MinHash signatures (mirrors Dedup.minhashSignatures). */
+  /** Oracle CTE for MinHash signatures (mirrors Dedup.minhashSignatures:
+    * Kirsch-Mitzenmacher h_j = (h1 + j*h2) mod 2^32 from one md5). */
   private val SigCte = {
     val mins = (0 until Dedup.MinHashK)
-      .map(j => s"min(md5('$j|' || shingle)) AS mh$j").mkString(",\n         ")
-    s""", sig AS (
+      .map(j => s"min((h1 + $j * h2) % 4294967296) AS mh$j").mkString(",\n         ")
+    s""", hashed AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+       |         CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) AS h2
+       |  FROM sh
+       |), sig AS (
        |  SELECT doc_id, $mins
-       |  FROM sh GROUP BY 1
+       |  FROM hashed GROUP BY 1
        |)""".stripMargin
   }
 
-  private def bandExpr(b: Int) = s"md5(mh${2 * b} || '|' || mh${2 * b + 1})"
+  private def bandExpr(b: Int) =
+    s"md5(CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR))"
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
 
@@ -248,7 +255,8 @@ object Extensions {
            |SELECT a AS doc_id, MIN(b) AS cluster, MIN(b) = a AS is_canonical
            |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
         "WITH RECURSIVE" + base.stripPrefix("WITH")
-      }),
+      },
+      bench = false), // iterative driver-synced loop; correctness-gated at sf0.01
 
     // ---- embedding similarity -----------------------------------------
     QueryDef(
