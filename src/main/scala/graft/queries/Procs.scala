@@ -163,6 +163,29 @@ object Procs {
               |SELECT nation, string_agg(customer_name, ', ' ORDER BY customer_name) AS top_customers
               |FROM ranked WHERE rn <= 5 GROUP BY nation ORDER BY nation""".stripMargin)),
 
+    // Set operation (EXCEPT): customers who ordered in 2000 but not in
+    // 2001 — churned-cohort shape. (The reference itself uses no set ops,
+    // SURVEY §2.7; this completes the engine surface.)
+    QueryDef(
+      "p07_churned_customers",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        def activeIn(year: Int) = o
+          .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("customer_id"))
+          .distinct()
+        activeIn(2000).except(activeIn(2001)).orderBy("customer_id")
+      },
+      Some("""SELECT DISTINCT o_custkey AS customer_id FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+             |EXCEPT
+             |SELECT DISTINCT o_custkey FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00'
+             |ORDER BY customer_id""".stripMargin)),
+
     // J2 LEFT OUTER + F3 COALESCE: every customer's activity in a window,
     // zeros preserved for the inactive ones.
     QueryDef(

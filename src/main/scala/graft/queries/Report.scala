@@ -166,6 +166,46 @@ object Report {
               |FROM dw GROUP BY ROLLUP(region, nation)
               |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)),
 
+    // PIVOT: revenue by region across order years as columns (the
+    // crosstab shape every BI tool derives). Pinned year list keeps the
+    // output schema static; the oracle is the portable conditional-
+    // aggregation form of the same pivot.
+    QueryDef(
+      "r09_region_year_pivot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val years = (1995 to 2001).toList
+        t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name").as("region"), year(col("o_orderdate")).as("yr"),
+            money(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .groupBy("region")
+          .pivot("yr", years)
+          .agg(sum(col("rev")).cast("double"))
+          .toDF("region" :: years.map(y => s"rev_$y"): _*)
+          // Spark pivot yields NULL for an empty cell; the oracle's
+          // CASE-sum yields 0 — normalize so sparse cells can't diverge.
+          .na.fill(0.0, years.map(y => s"rev_$y"))
+          .orderBy("region")
+      },
+      Some {
+        val cols = (1995 to 2001).map { y =>
+          s"""CAST(SUM(CASE WHEN year(o.o_orderdate) = $y
+             |    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_$y""".stripMargin
+        }.mkString(",\n  ")
+        s"""SELECT r.r_name AS region,
+           |  $cols
+           |FROM lineitem l
+           |JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |JOIN region r ON n.n_regionkey = r.r_regionkey
+           |GROUP BY 1 ORDER BY region""".stripMargin
+      }),
+
     // Tableau worksheet "Global Market Performance & Late Fee Impact":
     // per-nation revenue vs late-fee burden.
     QueryDef(
