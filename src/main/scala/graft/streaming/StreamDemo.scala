@@ -52,6 +52,10 @@ object StreamDemo {
     val clvOut = Streams.runToMemory(spark, clv.toDF(), "demo_clv", "append")
     println(s"[demo] clv states: ${clvOut.count()}")
     clvOut.orderBy(desc("total_value")).show(5, truncate = false)
+
+    val attributed = Streams.runToMemory(spark,
+      Streams.clickAttribution(stream, 30), "demo_attr", "append")
+    println(s"[demo] purchases attributed to a click within 30 min: ${attributed.count()}")
     spark.stop()
   }
 }

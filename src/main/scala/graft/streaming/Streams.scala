@@ -85,6 +85,27 @@ object Streams {
       org.apache.spark.sql.functions.broadcast(dim),
       col(eventKey) === col(dimKey), "left")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered rows — the state-bounding contract every
+    * production stream-stream join needs (an unbounded-condition join
+    * would buffer both streams forever).
+    */
+  def clickAttribution(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("value"), col("click_ts"))
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

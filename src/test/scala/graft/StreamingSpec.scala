@@ -44,6 +44,20 @@ class StreamingSpec extends SparkSuite {
     assert(states(8L).n_events === 1 && states(8L).total_value === 1.0)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks only") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(
+      Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1, "purchase", 50.0), // within 30m of click
+      Event(3, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1, "purchase", 70.0), // no recent click
+      Event(4, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2, "purchase", 9.0))  // other user, no click
+    val out = Streams.runToMemory(spark,
+      Streams.clickAttribution(src.toDF(), 30), "attr_test", "append")
+    val rows = out.select("user_id", "value").as[(Long, Double)].collect()
+    assert(rows.toSeq === Seq((1L, 50.0)))
+  }
+
   test("streaming rollup matches the batch x14 aggregate on the same rows") {
     implicit val sc = spark.sqlContext
     val batch = graft.io.Tables(spark, Sf).events
