@@ -212,8 +212,24 @@ object Dedup {
       labels = next
       i += 1
     }
+    sym.unpersist(blocking = false) // labels is cached+materialized; edges no longer needed
     labels
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
+  }
+
+  /** Release every cached intermediate this module holds for a session —
+    * call when a document corpus is done (long-lived drivers would
+    * otherwise pin shingle/signature/pair blocks indefinitely).
+    */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Seq(shingleCache, sigCache, setCache).foreach { c =>
+      c.keys.filter(_._1 == spark).foreach { k =>
+        c.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
+    pairCache.keys.filter(_._1 == spark).foreach { k =>
+      pairCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Scale guard for the inverted-index join: drop shingles present in

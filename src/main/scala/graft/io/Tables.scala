@@ -34,9 +34,17 @@ final case class Tables(spark: SparkSession, dir: String) {
     * division is lossy above 2^52; epoch-nanos ≈ 1.7e18). This matches
     * DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) truncation bit-for-bit, which
     * the oracles rely on.
+    *
+    * The legacy flag is session-wide SQLConf (no per-read option exists);
+    * the engine's own entry points (Verify/Bench/demos/test suite) set it
+    * in their builders, and this defensive set covers externally-built
+    * sessions. Side effect on other NANOS tables: they read as longs
+    * instead of erroring — acceptable for this engine, documented here.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame = t("documents")

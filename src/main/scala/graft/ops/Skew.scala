@@ -19,9 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types where replicating the small side is semantics-preserving:
+    * the big side carries exactly one salt per row, so inner/left/semi/
+    * anti behave identically to the unsalted join. Right/full outer are
+    * NOT — an unmatched small-side row would surface once per replica.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       numSalts: Int, joinType: String = "inner"): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")) ||
+      SafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${SafeJoinTypes.mkString("/")}; '$joinType' would " +
+        "duplicate unmatched replicated-side rows")
     val saltCol = "__graft_salt"
     val bigCols = big.columns.map(col)
     val saltedBig = big.withColumn(saltCol,

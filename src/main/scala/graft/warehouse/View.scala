@@ -14,10 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object View {
   private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def dw(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir), {
-      val df = RevenueSummary(Tables(spark, dir)).cache()
-      df.createOrReplaceTempView("customer_revenue_summary")
-      df
-    })
+  def dw(spark: SparkSession, dir: String): DataFrame = {
+    val df = cache.getOrElseUpdate((spark, dir),
+      RevenueSummary(Tables(spark, dir)).cache())
+    // Re-register on EVERY call, not just cache miss: with two data dirs
+    // in one session, a cache hit after the other dir registered would
+    // leave the temp view pointing at the wrong dataset for SQL-path
+    // consumers (r08_geo_rollup) while DataFrame consumers stayed right.
+    df.createOrReplaceTempView("customer_revenue_summary")
+    df
+  }
 }

@@ -59,6 +59,15 @@ class FunctionsSpec extends SparkSuite {
     assert(m(2) === null)
   }
 
+  test("saltedJoin rejects join types that would duplicate replicated rows") {
+    val big = Seq((1, "x")).toDF("k", "v")
+    val small = Seq((1, "y")).toDF("k", "w")
+    val err = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), numSalts = 4, joinType = "right")
+    }
+    assert(err.getMessage.contains("duplicate"))
+  }
+
   test("saltedJoin equals the plain join (inner and left)") {
     val big = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // key 0/1/2, skewed-ish
     val small = Seq((0, "zero"), (1, "one"), (9, "nine")).toDF("k", "name")

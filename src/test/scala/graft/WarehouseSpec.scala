@@ -77,6 +77,13 @@ class WarehouseSpec extends SparkSuite {
     assert(one.count() > 0) // fan-out exists in the data and didn't inflate orders
   }
 
+  test("temp view tracks the requested dir even after another dir was cached") {
+    View.dw(spark, Sf)                         // sf0.001 -> 150 customers
+    View.dw(spark, "/root/testdata/sf0.01")    // re-registers for sf0.01
+    View.dw(spark, Sf)                         // cache hit MUST still re-register
+    assert(spark.table("customer_revenue_summary").count() === dw.count())
+  }
+
   test("every registered query returns a stable schema and rows >= 0") {
     Registry.all.foreach { q =>
       val df = q.fn(spark, Sf)
