@@ -153,6 +153,25 @@ object Dedup {
       .withColumn("block_lo", col("simhash") % 256)
   }
 
+  /** SimHash near-duplicate pairs: candidates share either 8-bit block
+    * (any pair within Hamming distance 1 per half must collide on one
+    * block; the two-block scheme is the k=16, d≤3-ish pigeonhole
+    * blocking), verified by exact Hamming distance over the 16-bit
+    * hashes. Equi-join on blocks — never all-pairs.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("block_hi").as("hi"), col("block_lo").as("lo"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("block_hi").as("bhi"), col("block_lo").as("blo"))
+    a.join(b, col("doc_a") < col("doc_b") &&
+        (col("hi") === col("bhi") || col("lo") === col("blo")))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard similar pairs via inverted-index self-join on
     * shingles — intersection counts come from the join, never a cross
     * join. At 100 TB the candidate set comes from lshDedupPairs instead,

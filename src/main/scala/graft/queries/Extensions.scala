@@ -194,6 +194,41 @@ object Extensions {
       }),
 
     QueryDef(
+      "x23_simhash_neardup_pairs",
+      (s, dir) => Dedup.simhashNearDupPairs(Tables(s, dir).documents, 3)
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        // Rebuild the simhash CTE (same as x08), then block-join + hamming.
+        val sums = (0 until 16).map { bit =>
+          val d = bit / 4 + 1
+          val k = bit % 4
+          s"SUM((((strpos('0123456789abcdef', substring(hx, $d, 1)) - 1) >> $k) & 1) * 2 - 1) AS s$bit"
+        }.mkString(",\n    ")
+        val sim = (0 until 16).map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
+          .mkString(" + ")
+        raw"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
+             |), h AS (
+             |  SELECT doc_id, md5(tk) AS hx FROM tok
+             |), s AS (
+             |  SELECT doc_id,
+             |    $sums
+             |  FROM h GROUP BY 1
+             |), sim AS (
+             |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash,
+             |         CAST($sim AS BIGINT) // 256 AS hi, CAST($sim AS BIGINT) % 256 AS lo
+             |  FROM s
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+             |FROM sim a JOIN sim b
+             |  ON a.doc_id < b.doc_id AND (a.hi = b.hi OR a.lo = b.lo)
+             |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      bench = false),
+
+    QueryDef(
       "x09_ngram_jaccard_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(Tables(s, dir).documents, 0.3).orderBy("doc_a", "doc_b"),
       Some(s"""$ShingleCtes, sizes AS (
