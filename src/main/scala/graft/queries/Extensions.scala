@@ -418,6 +418,44 @@ object Extensions {
               |  FROM dw) t
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Generator/explode surface: corpus vocabulary statistics — every
+    // dedup shingle pipeline starts with exactly this explode; here it is
+    // the user-facing top-k token frequency table.
+    QueryDef(
+      "x24_vocabulary",
+      (s, dir) => Tables(s, dir).documents
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("token").asc)
+        .limit(20),
+      Some(raw"""SELECT token, COUNT(*) AS occurrences FROM (
+                |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+                |  FROM documents) t
+                |GROUP BY 1 ORDER BY occurrences DESC, token ASC LIMIT 20""".stripMargin)),
+
+    // UNION ALL across heterogeneous sources: one activity timeline from
+    // orders + events, tagged by kind and bucketed by month — the
+    // "combine feeds" shape of a multi-source pipeline.
+    QueryDef(
+      "x25_activity_feed",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val orderFeed = t.orders.select(lit("order").as("kind"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        val eventFeed = t.events.select(lit("event").as("kind"),
+          date_format(col("ts"), "yyyy-MM").as("month"))
+        orderFeed.unionAll(eventFeed)
+          .groupBy("kind", "month")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("kind", "month")
+      },
+      Some("""SELECT kind, month, COUNT(*) AS n FROM (
+             |  SELECT 'order' AS kind, strftime(o_orderdate, '%Y-%m') AS month FROM orders
+             |  UNION ALL
+             |  SELECT 'event' AS kind, strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month FROM events) t
+             |GROUP BY 1, 2 ORDER BY kind, month""".stripMargin)),
+
     // ---- multimodal ----------------------------------------------------
     QueryDef(
       "x13_multimodal_metadata",

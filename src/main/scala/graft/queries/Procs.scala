@@ -186,6 +186,28 @@ object Procs {
              |  AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00'
              |ORDER BY customer_id""".stripMargin)),
 
+    // Set operation (INTERSECT): customers active in BOTH years —
+    // retained-cohort complement of p07.
+    QueryDef(
+      "p08_retained_customers",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        def activeIn(year: Int) = o
+          .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("customer_id"))
+          .distinct()
+        activeIn(2000).intersect(activeIn(2001)).orderBy("customer_id")
+      },
+      Some("""SELECT DISTINCT o_custkey AS customer_id FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+             |INTERSECT
+             |SELECT DISTINCT o_custkey FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00'
+             |ORDER BY customer_id""".stripMargin)),
+
     // J2 LEFT OUTER + F3 COALESCE: every customer's activity in a window,
     // zeros preserved for the inactive ones.
     QueryDef(
