@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSession
   *     Catalyst drop sorts/projections, under-measuring ORDER BY queries;
   *     noop forces the full physical plan
   *   - O(n²) diagnostic queries are excluded via QueryDef.bench
+  *   - a failed query records the sentinel -1 and lands in "failed", so a
+  *     broken query can never silently improve the headline total
+  *   - the metric JSON is BOTH printed as the last stdout line (after
+  *     spark.stop(), past sbt's log noise) and written to bench.json in
+  *     the CWD, so the driver's parser has a log-free copy
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,12 +45,22 @@ object Bench {
       f
       (System.nanoTime() - t0) / 1e9
     }
-    def materialize(name: String): Double = timed {
-      try Registry.queryMap(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // A query that throws records the -1 sentinel (and its name in
+    // "failed") instead of its near-zero elapsed time — a broken query
+    // must never make the headline number look better.
+    def materialize(name: String): Double = {
+      var ok = true
+      val t = timed {
+        try Registry.queryMap(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          ok = false
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       }
+      if (ok) t else -1.0
     }
 
     // Warmup: build + cache the view (counts as engine cost, reported).
@@ -53,11 +68,19 @@ object Bench {
 
     val names = Registry.benchSet.map(_.name).sorted
     val results = names.map(n => n -> materialize(n))
-    val total = warmup + results.map(_._2).sum
+    val total = warmup + results.collect { case (_, t) if t >= 0 => t }.sum
     val qs = (("_warmup" -> warmup) +: results)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    graft.ext.Dedup.clearCaches(spark)
     spark.stop()
+    // Printed after spark.stop() so no executor/log line can interleave;
+    // sbt's [info] prefix is stripped by the driver, but bench.json above
+    // is the canonical machine-readable copy either way.
+    println(json)
   }
 }

@@ -128,11 +128,18 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Number of 4-bit SimHash blocking bands (16 bits / 4 bands). By the
+    * pigeonhole principle, a pair within Hamming distance d <= NumSimBands-1
+    * (= 3) differs in at most 3 bands, so at least one band matches — the
+    * banding has FULL recall for the default maxHamming=3 contract.
+    */
+  val NumSimBands = 4
+
   /** 16-bit SimHash over tokens (with multiplicity): bit b of a token's
     * MD5 votes ±1; the document bit is the sign of the vote sum. Documents
-    * within small Hamming distance are near-duplicates; block_hi/block_lo
-    * are the two 8-bit blocking keys (any pair within Hamming distance 1
-    * of 16 bits shares at least one block).
+    * within small Hamming distance are near-duplicates; block0..block3 are
+    * the four 4-bit blocking keys (any pair within Hamming distance 3 of
+    * 16 bits shares at least one block — pigeonhole over 4 bands).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
@@ -148,25 +155,36 @@ object Dedup {
     val sim = (0 until 16).map { bit =>
       when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
-      .withColumn("block_hi", (col("simhash") / 256).cast("long"))
-      .withColumn("block_lo", col("simhash") % 256)
+    (0 until NumSimBands).foldLeft(sums.select(col("doc_id"), sim.as("simhash"))) {
+      (d, b) => d.withColumn(s"block$b",
+        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)))
+    }
   }
 
-  /** SimHash near-duplicate pairs: candidates share either 8-bit block
-    * (any pair within Hamming distance 1 per half must collide on one
-    * block; the two-block scheme is the k=16, d≤3-ish pigeonhole
-    * blocking), verified by exact Hamming distance over the 16-bit
-    * hashes. Equi-join on blocks — never all-pairs.
+  /** SimHash near-duplicate pairs: candidates share at least one of the
+    * four 4-bit blocks (pigeonhole: d<=3 differing bits can dirty at most
+    * 3 of 4 bands, so recall is complete for the default contract),
+    * verified by exact Hamming distance over the 16-bit hashes.
+    *
+    * The candidate join is a true equi-join on (band_idx, band_key) over
+    * the band-exploded table — an OR of block equalities would compile to
+    * a nested-loop cross join, which is exactly what blocking exists to
+    * avoid. Shared-multiple-bands pairs are de-duplicated before verify.
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= NumSimBands - 1,
+      s"banding guarantees recall only for hamming <= ${NumSimBands - 1}")
     val sh = simhash(docs)
-    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-      col("block_hi").as("hi"), col("block_lo").as("lo"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-      col("block_hi").as("bhi"), col("block_lo").as("blo"))
-    a.join(b, col("doc_a") < col("doc_b") &&
-        (col("hi") === col("bhi") || col("lo") === col("blo")))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until NumSimBands).map(b => col(s"block$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("band_idx"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "sim_a", "doc_b", "sim_b").distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

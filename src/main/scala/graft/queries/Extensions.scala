@@ -189,7 +189,9 @@ object Extensions {
              |), sim AS (
              |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM s
              |)
-             |SELECT doc_id, simhash, simhash // 256 AS block_hi, simhash % 256 AS block_lo
+             |SELECT doc_id, simhash,
+             |       simhash % 16 AS block0, (simhash // 16) % 16 AS block1,
+             |       (simhash // 256) % 16 AS block2, (simhash // 4096) % 16 AS block3
              |FROM sim ORDER BY doc_id""".stripMargin
       }),
 
@@ -198,7 +200,8 @@ object Extensions {
       (s, dir) => Dedup.simhashNearDupPairs(Tables(s, dir).documents, 3)
         .orderBy("doc_a", "doc_b"),
       Some {
-        // Rebuild the simhash CTE (same as x08), then block-join + hamming.
+        // Rebuild the simhash CTE (same as x08), then 4x4-bit band
+        // equi-join (full recall for hamming<=3 by pigeonhole) + verify.
         val sums = (0 until 16).map { bit =>
           val d = bit / 4 + 1
           val k = bit % 4
@@ -206,6 +209,9 @@ object Extensions {
         }.mkString(",\n    ")
         val sim = (0 until 16).map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
           .mkString(" + ")
+        val bandUnion = (0 until graft.ext.Dedup.NumSimBands)
+          .map(b => s"SELECT doc_id, simhash, $b AS band_idx, (simhash // ${1 << (4 * b)}) % 16 AS band_key FROM sim")
+          .mkString("\n  UNION ALL ")
         raw"""WITH tok AS (
              |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
              |), h AS (
@@ -215,15 +221,19 @@ object Extensions {
              |    $sums
              |  FROM h GROUP BY 1
              |), sim AS (
-             |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash,
-             |         CAST($sim AS BIGINT) // 256 AS hi, CAST($sim AS BIGINT) % 256 AS lo
-             |  FROM s
+             |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM s
+             |), bands AS (
+             |  $bandUnion
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+             |                  b.doc_id AS doc_b, b.simhash AS sim_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
              |)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |       bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
-             |FROM sim a JOIN sim b
-             |  ON a.doc_id < b.doc_id AND (a.hi = b.hi OR a.lo = b.lo)
-             |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+             |SELECT doc_a, doc_b,
+             |       bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS hamming
+             |FROM cand
+             |WHERE bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin
       },
       bench = false),
@@ -313,18 +323,40 @@ object Extensions {
              |  FROM scored) r
              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Banded hyperplane-LSH candidates + exact cosine verification — the
+    // scale path IS the registered query (the brute all-pairs loop is a
+    // test-suite recall baseline only). The oracle replays the identical
+    // banding with the planes as list literals, so the ~97%-recall
+    // candidate set is deterministic and hash-matched, and every emitted
+    // cosine is exact.
     QueryDef(
       "x11_embedding_neardup_pairs",
-      (s, dir) => Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.4)
+      (s, dir) => Similarity.annPairs(Tables(s, dir).embeddings, 0.4)
         .orderBy("vec_a", "vec_b"),
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-             |)
-             |SELECT vec_a, vec_b, cosine FROM (
-             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |         list_dot_product(a.emb, b.emb) AS cosine
-             |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
-             |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
+      Some {
+        val bandSelects = (0 until Similarity.AnnBands).map { b =>
+          val key = (0 until Similarity.AnnBandBits).map { j =>
+            val lit = Similarity.planesSqlLiteral(b * Similarity.AnnBandBits + j)
+            s"CASE WHEN list_dot_product(emb, $lit) > 0 THEN ${1 << j} ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, emb, $b AS band_idx, $key AS band_key FROM e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           |), bands AS (
+           |  $bandSelects
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+           |)
+           |SELECT vec_a, vec_b, cosine FROM (
+           |  SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+           |  FROM cand c
+           |  JOIN e ea ON ea.vec_id = c.vec_a
+           |  JOIN e eb ON eb.vec_id = c.vec_b) p
+           |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+      }),
 
     QueryDef(
       "x12_hyperplane_lsh_buckets",
@@ -355,10 +387,54 @@ object Extensions {
              |  FROM scored) r
              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
+    // The IVF *search* path (the scale dial of the family: probe the
+    // nprobe best cells per query, brute-force only inside them). Fully
+    // deterministic given the pinned centroids, so the oracle replays
+    // assignment, probe ranking, and in-cell ranking as window CTEs.
+    QueryDef(
+      "x18_ivf_search",
+      (s, dir) => Similarity.ivfSearch(Tables(s, dir).embeddings, 0L until 10L, 5, 16, 4)
+        .orderBy("qid", "rank"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), c AS (
+             |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16
+             |), scored AS (
+             |  SELECT e.vec_id, c.cid, list_dot_product(e.emb, c.cemb) AS s FROM e, c
+             |), assigned AS (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cid AS cluster,
+             |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+             |    FROM scored) r
+             |  WHERE rn = 1
+             |), q AS (
+             |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+             |), probe AS (
+             |  SELECT qid, qemb, cluster FROM (
+             |    SELECT q.qid, q.qemb, c.cid AS cluster,
+             |           ROW_NUMBER() OVER (PARTITION BY q.qid
+             |             ORDER BY list_dot_product(q.qemb, c.cemb) DESC, c.cid ASC) AS rn
+             |    FROM q, c) r
+             |  WHERE rn <= 4
+             |), cand AS (
+             |  SELECT p.qid, e.vec_id AS neighbor_id, list_dot_product(p.qemb, e.emb) AS score
+             |  FROM probe p
+             |  JOIN assigned a ON a.cluster = p.cluster
+             |  JOIN e ON e.vec_id = a.vec_id
+             |  WHERE e.vec_id <> p.qid
+             |)
+             |SELECT qid, rank, neighbor_id FROM (
+             |  SELECT qid, neighbor_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id ASC) AS rank
+             |  FROM cand) r
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // A6's documented scale option: sketch-based distinct counting next to
-    // the exact value. HLL internals differ between engines, so this entry
-    // has no oracle — the driver records the weaker rows-only check; the
-    // accuracy contract is asserted in the test suite instead.
+    // the exact value. HLL internals differ between engines, so the sketch
+    // estimate itself cannot be hash-compared — instead the query emits
+    // the sketch's accuracy CONTRACT as a boolean (relative error <= 5%,
+    // the documented default rsd for approx_count_distinct), which the
+    // oracle pins to TRUE. The exact column is oracle-checked bit-for-bit.
     QueryDef(
       "x19_approx_distinct",
       (s, dir) => Tables(s, dir).lineitem
@@ -366,8 +442,14 @@ object Extensions {
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("sketch_within_5pct"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS sketch_within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Ordered-set aggregates: exact interpolated percentiles (Spark's
     // sort-based percentile() matches DuckDB's quantile_cont bit-for-bit —
@@ -391,17 +473,28 @@ object Extensions {
              |  quantile_cont(o_totalprice, 0.9) AS p90
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // NTILE decile segmentation of customers by lifetime revenue (the
-    // "VIP tiers" cut — window bucketing over a deterministic total
-    // order; min/max boundaries avoid order-dependent sums).
+    // Decile segmentation of customers by lifetime revenue (the "VIP
+    // tiers" cut). Scale shape: a global NTILE window would move every
+    // customer row through ONE partition (WindowExec with no
+    // partitionBy); instead compute the 9 exact percentile boundaries
+    // (one partial-aggregate pass), broadcast the single boundary row,
+    // and assign deciles by comparison — embarrassingly parallel, no
+    // global sort. Decile 1 is the top tier: revenue above the 90th
+    // percentile. percentile() is bit-identical to DuckDB quantile_cont
+    // (proven by x20), so boundary comparisons match exactly.
     QueryDef(
       "x21_revenue_deciles",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("total_revenue").desc, col("customer_id").asc)
+        val taus = (1 to 9).map(_ / 10.0)
+        val bounds = graft.warehouse.View.dw(s, dir)
+          .agg(expr(s"percentile(total_revenue, array(${taus.mkString(",")}))").as("bs"))
+        val above = (0 until 9)
+          .map(i => when(col("total_revenue") > col("bs").getItem(i), 1).otherwise(0))
+          .reduce(_ + _)
         graft.warehouse.View.dw(s, dir)
           .select(col("customer_id"), col("total_revenue"))
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .crossJoin(broadcast(bounds))
+          .withColumn("decile", (lit(10) - above).cast("long"))
           .groupBy("decile")
           .agg(
             count(lit(1)).as("n_customers"),
@@ -409,14 +502,23 @@ object Extensions {
             min(col("total_revenue")).as("min_revenue"))
           .orderBy("decile")
       },
-      Some(s"""${graft.warehouse.RevenueSummary.oracleCtes}
-              |SELECT decile, COUNT(*) AS n_customers,
-              |       MAX(total_revenue) AS max_revenue, MIN(total_revenue) AS min_revenue
-              |FROM (
-              |  SELECT customer_id, total_revenue,
-              |         NTILE(10) OVER (ORDER BY total_revenue DESC, customer_id ASC) AS decile
-              |  FROM dw) t
-              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some {
+        val above = (1 to 9)
+          .map(i => s"CASE WHEN total_revenue > bs[$i] THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""${graft.warehouse.RevenueSummary.oracleCtes},
+           |bounds AS (
+           |  SELECT quantile_cont(total_revenue, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+           |  FROM dw
+           |)
+           |SELECT decile, COUNT(*) AS n_customers,
+           |       MAX(total_revenue) AS max_revenue, MIN(total_revenue) AS min_revenue
+           |FROM (
+           |  SELECT customer_id, total_revenue,
+           |         CAST(10 - ($above) AS BIGINT) AS decile
+           |  FROM dw, bounds) t
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // Generator/explode surface: corpus vocabulary statistics — every
     // dedup shingle pipeline starts with exactly this explode; here it is

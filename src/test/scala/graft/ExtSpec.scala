@@ -56,8 +56,23 @@ class ExtSpec extends SparkSuite {
       .orderBy("doc_id").collect()
     assert(s(0).getAs[Long]("simhash") === s(1).getAs[Long]("simhash"))
     val h = s(0).getAs[Long]("simhash")
-    assert(s(0).getAs[Long]("block_hi") === h / 256)
-    assert(s(0).getAs[Long]("block_lo") === h % 256)
+    (0 until Dedup.NumSimBands).foreach { b =>
+      assert(s(0).getAs[Long](s"block$b") === ((h >> (4 * b)) & 15L))
+    }
+  }
+
+  test("simhash banding has full recall at hamming<=3 (vs all-pairs verify)") {
+    // 12 short docs; compute all-pairs hamming ground truth and check the
+    // banded join finds every pair with distance <= 3.
+    val d = docs((1L to 12L).map(i => i -> s"w${i % 4} common tokens here x${i % 3} y${i % 2}"): _*)
+    val sh = Dedup.simhash(d).select("doc_id", "simhash").as[(Long, Long)].collect()
+    val truth = (for {
+      (ida, ha) <- sh; (idb, hb) <- sh if ida < idb
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashNearDupPairs(d, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === truth)
   }
 
   test("token stats: counts and BPE-ish splitting") {
@@ -118,6 +133,18 @@ class ExtSpec extends SparkSuite {
     assert(full === brute)
     val probed = Similarity.ivfSearch(emb, Seq(0L, 1L), 5, 16, 4)
     assert(probed.groupBy("qid").count().select("count").as[Long].collect().forall(_ === 5))
+  }
+
+  test("annPairs: high-recall exact-cosine subset of the brute-force ground truth") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val exact = Similarity.bruteNearDupPairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ann = Similarity.annPairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // Every banded pair is a true pair with the bit-identical cosine...
+    ann.foreach { case (k, c) => assert(exact.get(k).contains(c)) }
+    // ...and banding recall stays high at the corpus' near-dup range.
+    assert(ann.size >= (exact.size * 0.8).toInt, s"recall ${ann.size}/${exact.size}")
   }
 
   test("identical vectors land in the same LSH bucket") {
