@@ -37,6 +37,10 @@ final case class SakilaTables(spark: SparkSession, dir: String) {
   def payment: DataFrame = t("payment")
   def filmCategory: DataFrame = t("film_category")
   def category: DataFrame = t("category")
+  def actor: DataFrame = t("actor")
+  def filmActor: DataFrame = t("film_actor")
+  def staff: DataFrame = t("staff")
+  def store: DataFrame = t("store")
 }
 
 object Sakila {

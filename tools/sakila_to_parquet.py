@@ -40,6 +40,18 @@ TABLES = {
     "rental": [("rental_id", "i"), ("rental_date", "t"), ("inventory_id", "i"),
                ("customer_id", "i"), ("return_date", "t"), ("staff_id", "i"),
                ("last_update", "t")],
+    # The four stock-view-only tables (film_list/staff_list/sales_by_*/
+    # actor_info). staff.picture is a hex BLOB literal — parsed as a bare
+    # token and dropped (type "x"); nothing downstream reads it.
+    "actor": [("actor_id", "i"), ("first_name", "s"), ("last_name", "s"),
+              ("last_update", "t")],
+    "film_actor": [("actor_id", "i"), ("film_id", "i"), ("last_update", "t")],
+    "staff": [("staff_id", "i"), ("first_name", "s"), ("last_name", "s"),
+              ("address_id", "i"), ("picture", "x"), ("email", "s"),
+              ("store_id", "i"), ("active", "i"), ("username", "s"),
+              ("password", "s"), ("last_update", "t")],
+    "store": [("store_id", "i"), ("manager_staff_id", "i"),
+              ("address_id", "i"), ("last_update", "t")],
 }
 
 
@@ -126,6 +138,8 @@ def main():
         assert not bad, f"{table}: arity mismatch, e.g. {bad[0][:3]} len={len(bad[0])}"
         arrays, fields = [], []
         for ci, (name, typ) in enumerate(cols):
+            if typ == "x":               # parsed for arity, not exported
+                continue
             vals = [convert(r[ci], typ) for r in rows]
             arrays.append(pa.array(vals, type=arrow_type(typ)))
             fields.append(pa.field(name, arrow_type(typ)))
