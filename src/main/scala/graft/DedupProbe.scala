@@ -18,7 +18,12 @@ object DedupProbe {
     timed("shingles again (cache hit)") { graft.ext.Dedup.shingles(docs).count() }
     timed("signatures (cached build)") { graft.ext.Dedup.minhashSignatures(docs).count() }
     timed("lsh pairs") { graft.ext.Dedup.lshDedupPairs(docs, 0.3).count() }
-    timed("clusters") { graft.ext.Dedup.duplicateClusters(docs, 0.3).count() }
+    timed("clusters") {
+      val (labels, rounds) = graft.ext.Dedup.duplicateClustersWithRounds(docs, 0.3)
+      val n = labels.count()
+      println(s"[dprobe] cluster rounds to convergence: $rounds")
+      n
+    }
     spark.stop()
   }
 }

@@ -213,12 +213,14 @@ object Dedup {
 
   /** Duplicate clusters: connected components over the near-duplicate
     * pair graph — the actionable output of a dedup pipeline ("keep the
-    * min-id document of every cluster"). Distributed min-label
-    * propagation: every doc starts as its own label; each round, labels
-    * flow across edges and every node keeps the minimum seen. Converges
-    * in O(component diameter) rounds (near-dup clusters are shallow);
-    * each round is one join + one aggregate — no driver-side graph. The
-    * only driver action per round is a changed-row count for the
+    * min-id document of every cluster"). Two-phase star contraction
+    * (alternating large-star / small-star, the textbook MapReduce CC
+    * algorithm — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): each round rewires every node toward its neighborhood
+    * minimum, contracting components into stars in O(log diameter)
+    * rounds versus min-label propagation's O(diameter). Each phase is
+    * one per-key window over the (small) edge set; the only driver
+    * action per round is the symmetric-difference count for the
     * convergence check.
     *
     * Deterministic: the final label of a component is its minimum doc_id,
@@ -226,32 +228,73 @@ object Dedup {
     * SQL oracle reproduce it.
     */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.3,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20): DataFrame =
+    duplicateClustersWithRounds(docs, threshold, maxIterations)._1
+
+  /** [[duplicateClusters]] plus the number of large+small rounds the loop
+    * ran — the convergence diagnostic DedupProbe reports.
+    */
+  def duplicateClustersWithRounds(docs: DataFrame, threshold: Double = 0.3,
+      maxIterations: Int = 20): (DataFrame, Int) = {
+    val spark = docs.sparkSession
     val pairs = lshDedupPairs(docs, threshold).select("doc_a", "doc_b")
-    val sym = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIterations) {
-      val incoming = sym.join(labels, sym("src") === labels("doc_id"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("cluster")).as("incoming"))
-      val next = labels.join(incoming, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("incoming"), col("cluster"))).as("cluster"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      i += 1
+    // Invariant orientation: (u, v) with u > v ("point to the smaller").
+    // Lineage is truncated each round via localCheckpoint: `sym` embeds
+    // the edge plan twice, so chained lazy plans double per round and an
+    // O(log n)-round run would OOM the driver on plan strings alone long
+    // before data is the problem. (A cluster deployment with a
+    // checkpoint dir would use reliable checkpoint() instead.)
+    var edges = pairs.select(
+      greatest(col("doc_a"), col("doc_b")).as("u"),
+      least(col("doc_a"), col("doc_b")).as("v")).distinct().localCheckpoint()
+    var rounds = 0
+    var changed = edges.count()
+    // The rounds shuffle only the edge set — orders of magnitude smaller
+    // than the corpus. Size the loop's shuffle width to the measured edge
+    // count (~100k edges per partition) instead of the session default:
+    // caching pins plans pre-AQE, so adaptive coalescing never sees these
+    // stages, and at toy scale a 32-wide shuffle per phase makes the loop
+    // scheduling-bound. Restored after the loop.
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth = math.max(1L, math.min(sessionWidth.toLong, changed / 100000L + 1L))
+    def runStarRounds(): Unit = while (changed > 0 && rounds < maxIterations) {
+      // Large-star: every node's strictly-larger neighbors attach to the
+      // minimum of its neighborhood (including itself).
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val large = sym
+        .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star: every node's smaller neighbors (and the node itself)
+      // attach to the minimum of that smaller-neighborhood.
+      val withMin = large
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+      val small = withMin.select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // Converged when the edge multiset is unchanged (symmetric
+      // difference empty) — one count job via a parity aggregate.
+      changed = small.unionAll(edges).groupBy("u", "v").count()
+        .filter(col("count") === 1).count()
+      edges.unpersist()
+      edges = small
+      rounds += 1
     }
-    sym.unpersist(blocking = false) // labels is cached+materialized; edges no longer needed
-    labels
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+      runStarRounds()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
+    // At convergence edges are stars (node -> component min); the min-agg
+    // also yields the best-known label if maxIterations cut the loop.
+    val stars = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("cluster"))
+    val labels = docs.select(col("doc_id"))
+      .join(stars, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
+    (labels, rounds)
   }
 
   /** Release every cached intermediate this module holds for a session —

@@ -51,6 +51,22 @@ class ExtSpec extends SparkSuite {
     assert(c(9L) === 9L)
   }
 
+  test("duplicate clusters: long chain converges in O(log diameter) star rounds") {
+    // 24 docs in a sliding-window chain of 12-word docs: consecutive docs
+    // share 10 of 12 bigrams (J=0.83 >= 0.75, LSH band hit prob ~0.9999),
+    // skip-pairs only 9 of 13 (0.69 < 0.75) — the pair graph is a 23-edge
+    // path. Min-label propagation needs ~24 rounds (and would hit the
+    // 20-round cap); two-phase star contraction must collapse it in
+    // O(log 23) rounds.
+    val words = (0 until 40).map(i => s"w$i")
+    val chain = docs((1L to 24L).map(i =>
+      i -> words.slice(i.toInt - 1, i.toInt + 11).mkString(" ")): _*)
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain, 0.75)
+    val c = labels.select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert((1L to 24L).forall(c(_) === 1L), s"labels $c")
+    assert(rounds <= 10, s"took $rounds rounds")
+  }
+
   test("simhash: identical docs identical hash; blocks decompose the hash") {
     val s = Dedup.simhash(docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma"))
       .orderBy("doc_id").collect()
