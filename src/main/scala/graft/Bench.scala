@@ -25,6 +25,12 @@ import org.apache.spark.sql.SparkSession
   *   - the metric JSON is BOTH printed as the last stdout line (after
   *     spark.stop(), past sbt's log noise) and written to bench.json in
   *     the CWD, so the driver's parser has a log-free copy
+  *   - a physical-layout demo runs after the query set: the orderkey
+  *     fact⋈fact aggregate is timed twice — plain parquet (shuffles both
+  *     sides) vs Layout.writeBucketed tables (bucket join, no Exchange —
+  *     plan proven in LayoutSpec, wall-clock shown here). Reported as
+  *     "_fact_join_shuffled" / "_bucket_write" / "_fact_join_bucketed";
+  *     layout prep is a one-time cost, so these do NOT enter the total
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,6 +42,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,7 +76,30 @@ object Bench {
     val names = Registry.benchSet.map(_.name).sorted
     val results = names.map(n => n -> materialize(n))
     val total = warmup + results.collect { case (_, t) if t >= 0 => t }.sum
-    val qs = (("_warmup" -> warmup) +: results)
+
+    // Layout demo (excluded from total — see scaladoc).
+    val layoutTimes = {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      val t = graft.io.Tables(spark, sfDir)
+      def factAgg(l: DataFrame, o: DataFrame): DataFrame =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      def run(df: DataFrame): Double =
+        timed(df.write.format("noop").mode("overwrite").save())
+      val shuffled = run(factAgg(t.lineitem, t.orders))
+      val prep = timed {
+        graft.io.Layout.writeBucketed(t.orders, "bench_orders_bkt", "o_orderkey")
+        graft.io.Layout.writeBucketed(t.lineitem, "bench_lineitem_bkt", "l_orderkey")
+      }
+      val bucketed = run(factAgg(spark.table("bench_lineitem_bkt"), spark.table("bench_orders_bkt")))
+      Seq("_fact_join_shuffled" -> shuffled, "_bucket_write" -> prep,
+        "_fact_join_bucketed" -> bucketed)
+    }
+
+    val qs = (("_warmup" -> warmup) +: (results ++ layoutTimes))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
