@@ -151,16 +151,8 @@ object Similarity {
     * and the verify set is the candidates only.
     */
   def annPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val bandKeys = (0 until AnnBands).map { b =>
-      (0 until AnnBandBits).map { j =>
-        val w = array(planes(b * AnnBandBits + j).map(lit): _*)
-        when(dot(col("emb"), w) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    val bands = e.select(col("vec_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    val bands = annBands(embeddings)
     val a = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_a"))
     val b = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_b"))
     a.join(b, Seq("band_idx", "band_key"))
@@ -170,6 +162,49 @@ object Similarity {
       .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** The banded signature table: (vec_id, band_idx, band_key), AnnBands
+    * rows per vector — the shared candidate-generation core of
+    * [[annPairs]] and [[annTopK]].
+    */
+  def annBands(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val bandKeys = (0 until AnnBands).map { b =>
+      (0 until AnnBandBits).map { j =>
+        val w = array(planes(b * AnnBandBits + j).map(lit): _*)
+        when(dot(col("emb"), w) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    e.select(col("vec_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** ANN top-k similarity JOIN: the k most similar candidates for EVERY
+    * vector at once (vs [[bruteKnn]]'s bounded query set) — the "attach
+    * nearest neighbors to the whole corpus" shape of a dedup/retrieval
+    * pipeline. Candidates come from the same banded hyperplane LSH as
+    * [[annPairs]] (both directions, since neighbor lists are asymmetric),
+    * scored exactly, ranked per vector. Vectors whose bands collide with
+    * nothing have no rows — at banding this dense that means "no
+    * near-neighbor above the LSH floor", the honest ANN answer.
+    */
+  def annTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val bands = annBands(embeddings)
+    val a = bands.select(col("band_idx"), col("band_key"), col("vec_id"))
+    val b = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("neighbor_id"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id").distinct()
+      .join(e, Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("nemb")), Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), dot(col("emb"), col("nemb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "score")
   }
 
   /** The hyperplane matrix as a DuckDB list-literal, for oracle SQL. */

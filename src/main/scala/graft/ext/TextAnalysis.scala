@@ -98,6 +98,47 @@ object TextAnalysis {
     * can reproduce it; at production scale swap in xxhash64 — the plan
     * shape is identical.
     */
+  /** Text normalization — the first transform of every training-data
+    * cleanse: lowercase, strip non-alphanumerics (whitespace kept),
+    * collapse whitespace runs, trim. One codegen'd projection; emits the
+    * normalized text plus before/after size stats so the downstream
+    * filter ("dropped >x% of chars → suspicious") is a column predicate.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      length(col("text")).as("raw_chars"),
+      length(norm).as("norm_chars"),
+      (lit(1.0) - length(norm).cast("double") / greatest(length(col("text")), lit(1)))
+        .as("dropped_frac"))
+  }
+
+  /** Per-document top-k terms by tf·idf. The idf here is the raw ratio
+    * N/df (no log dampening): every operation (int→double cast, one
+    * multiply, one divide) is exactly rounded IEEE, so scores are
+    * bit-deterministic cross-engine — a log-based idf is monotone per
+    * term but engine-library-dependent in the last ulp. A deployment
+    * wanting dampening swaps in log1p; the plan (explode → tf groupBy →
+    * df groupBy → key join → per-doc top-k window) is unchanged.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

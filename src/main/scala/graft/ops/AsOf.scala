@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left as-of join — an operator Spark lacks natively (DuckDB: ASOF JOIN,
+  * kdb: aj, Flink: temporal join): for every left row, attach the latest
+  * right row whose time is <= the left row's time, per key.
+  *
+  * Spark-first shape: NOT a join + filter + rank (which materializes the
+  * full left×right-within-key product before pruning — quadratic per key)
+  * but the sort-merge/streaming shape: union both sides, one window pass
+  * ordered by (time, side) carrying the right payload forward with
+  * last(ignoreNulls). One shuffle on the key, linear in |left|+|right|,
+  * and the per-key window is the same partitioned window every
+  * sessionization uses — no global ordering anywhere.
+  */
+object AsOf {
+
+  /** @param key       equi-join key column (present on both sides)
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param rightTieBreak optional right column ordering simultaneous
+    *   right rows (the later wins); without it, ties on (key, time) pick
+    *   an arbitrary — but value-identical if payloads agree — row
+    * @param prefix    prepended to every right column in the output
+    *
+    * Output: every `left` row + `prefix`-named right payload columns
+    * (NULL when no right row precedes the left row's time).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: Option[String] = None, prefix: String = "asof_"): DataFrame = {
+    val rPayload = right.columns.filterNot(_ == key)
+    require(!rPayload.map(prefix + _).exists(left.columns.contains),
+      s"prefix '$prefix' collides with a left column")
+    val r = right.select(col(key) +: rPayload.map(c => col(c).as(prefix + c)): _*)
+      .withColumn("__t", col(prefix + rightTime))
+      .withColumn("__side", lit(0))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    // Right rows sort before left rows at equal time => inclusive (<=).
+    val order = Seq(col("__t").asc, col("__side").asc) ++
+      rightTieBreak.map(c => col(prefix + c).asc)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rPayload.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      (d, c) => d.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

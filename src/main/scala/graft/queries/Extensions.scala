@@ -558,6 +558,150 @@ object Extensions {
              |  SELECT 'event' AS kind, strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month FROM events) t
              |GROUP BY 1, 2 ORDER BY kind, month""".stripMargin)),
 
+    // Deterministic train/val/test split: content-stable md5 uniform +
+    // threshold comparison — reproducible across runs/engines, stable
+    // under corpus growth (randomSplit is neither). The uniform is
+    // h/2^32 (exact in double), so the oracle's comparisons agree bitwise.
+    QueryDef(
+      "x26_train_split",
+      (s, dir) => graft.ext.Pipeline.trainSplit(Tables(s, dir).documents, 0.8, 0.1)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, u,
+             |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |FROM (
+             |  SELECT doc_id,
+             |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |           / 4294967296.0 AS u
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ANN top-k similarity join over the whole corpus (every vector gets
+    // its k best banded candidates, exactly scored) — same banding as
+    // x11, both directions, per-vector ranking.
+    QueryDef(
+      "x27_ann_topk",
+      (s, dir) => Similarity.annTopK(Tables(s, dir).embeddings, 3)
+        .orderBy("vec_id", "rank"),
+      Some {
+        val bandSelects = (0 until Similarity.AnnBands).map { b =>
+          val key = (0 until Similarity.AnnBandBits).map { j =>
+            val lit = Similarity.planesSqlLiteral(b * Similarity.AnnBandBits + j)
+            s"CASE WHEN list_dot_product(emb, $lit) > 0 THEN ${1 << j} ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, $b AS band_idx, $key AS band_key FROM e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           |), bands AS (
+           |  $bandSelects
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id <> b.vec_id
+           |), scored AS (
+           |  SELECT c.vec_id, c.neighbor_id, list_dot_product(ea.emb, eb.emb) AS score
+           |  FROM cand c
+           |  JOIN e ea ON ea.vec_id = c.vec_id
+           |  JOIN e eb ON eb.vec_id = c.neighbor_id
+           |)
+           |SELECT vec_id, rank, neighbor_id, score FROM (
+           |  SELECT vec_id, neighbor_id, score,
+           |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           |  FROM scored) r
+           |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+      }),
+
+    // Text normalization — the cleanse-front transform (lowercase, strip
+    // non-alphanumerics, collapse whitespace) plus the dropped-fraction
+    // stat a quality filter keys on.
+    QueryDef(
+      "x28_normalize",
+      (s, dir) => TextAnalysis.normalize(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(raw"""WITH n AS (
+                |  SELECT doc_id, length(text) AS raw_chars,
+                |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                |         '\s+', ' ', 'g')) AS norm_text
+                |  FROM documents)
+                |SELECT doc_id, norm_text, raw_chars, length(norm_text) AS norm_chars,
+                |  1.0 - CAST(length(norm_text) AS DOUBLE) / greatest(raw_chars, 1) AS dropped_frac
+                |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // CUBE over (lang, length-bucket): the full subtotal lattice in one
+    // pass (r08 covers ROLLUP; this is the remaining grouping-set shape).
+    QueryDef(
+      "x29_doc_stats_cube",
+      (s, dir) => Tables(s, dir).documents
+        .select(col("lang"), expr("length(text) div 200").cast("long").as("len_bucket"),
+          length(col("text")).as("n_chars"))
+        .cube("lang", "len_bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("len_bucket").asc_nulls_first),
+      Some("""WITH d AS (
+             |  SELECT lang, length(text) // 200 AS len_bucket, length(text) AS n_chars
+             |  FROM documents)
+             |SELECT lang, len_bucket, COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+             |FROM d GROUP BY CUBE(lang, len_bucket)
+             |ORDER BY lang ASC NULLS FIRST, len_bucket ASC NULLS FIRST""".stripMargin)),
+
+    // Per-document top-3 tf-idf terms (ratio idf — see TextAnalysis
+    // scaladoc for the determinism argument).
+    QueryDef(
+      "x30_tfidf",
+      (s, dir) => TextAnalysis.tfidfTopK(Tables(s, dir).documents, 3)
+        .orderBy("doc_id", "rank"),
+      Some(raw"""WITH tok AS (
+                |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+                |), tf AS (
+                |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+                |), df AS (
+                |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+                |), n AS (
+                |  SELECT COUNT(*) AS n_docs FROM documents
+                |), scored AS (
+                |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                |         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+                |  FROM tf JOIN df USING (token), n
+                |)
+                |SELECT doc_id, rank, token, tf, df, score FROM (
+                |  SELECT doc_id, token, tf, df, score,
+                |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+                |  FROM scored) r
+                |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // As-of join (purchase -> latest preceding click per user): the
+    // operator Spark lacks natively, in its linear union+window shape
+    // (ops/AsOf). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a
+    // genuinely independent implementation of the semantics.
+    QueryDef(
+      "x31_asof_attribution",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+          .select(col("event_id"), col("user_id"), col("ts"), col("asof_click_ts"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_click_ts"))).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'
+             |), c AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+             |  FROM events WHERE event_type = 'click'
+             |)
+             |SELECT p.event_id, p.user_id, p.ts, c.click_ts AS asof_click_ts,
+             |       epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- multimodal ----------------------------------------------------
     QueryDef(
       "x13_multimodal_metadata",

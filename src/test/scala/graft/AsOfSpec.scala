@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.AsOf
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the generic as-of join (ops/AsOf): inclusive ties,
+  * NULL when nothing precedes, per-key isolation, tie-break ordering.
+  * (The oracle gate cross-checks the operator against DuckDB's native
+  * ASOF JOIN on real data — x31; these pin the corners.)
+  */
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")),
+    (2L, 10L, ts("2024-01-01 12:00:00")),
+    (3L, 20L, ts("2024-01-01 09:00:00")),
+    (4L, 30L, ts("2024-01-01 09:00:00"))
+  ).toDF("id", "k", "t")
+
+  private val right = Seq(
+    (10L, ts("2024-01-01 09:30:00"), "a"),
+    (10L, ts("2024-01-01 12:00:00"), "b"), // == left id=2's time: inclusive
+    (20L, ts("2024-01-01 11:00:00"), "late") // after left id=3: excluded
+  ).toDF("k", "rt", "v")
+
+  private lazy val joined =
+    AsOf.asofJoin(left, right, "k", "t", "rt", rightTieBreak = Some("rt"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+
+  test("latest right row at or before the left time is attached") {
+    assert(joined(1L).contains("a"))
+  }
+
+  test("a right row at exactly the left time wins (inclusive)") {
+    assert(joined(2L).contains("b"))
+  }
+
+  test("no preceding right row -> NULL payload") {
+    assert(joined(3L).isEmpty) // right row exists but is later
+    assert(joined(4L).isEmpty) // key has no right rows at all
+  }
+
+  test("every left row survives exactly once") {
+    val all = AsOf.asofJoin(left, right, "k", "t", "rt")
+    assert(all.count() === 4)
+    assert(all.select("id").distinct().count() === 4)
+    assert(all.columns.toSet === Set("id", "k", "t", "asof_rt", "asof_v"))
+  }
+
+  test("simultaneous right rows: tie-break column decides (later wins)") {
+    val r2 = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1L, "first"),
+      (10L, ts("2024-01-01 09:30:00"), 2L, "second")
+    ).toDF("k", "rt", "seq", "v")
+    val out = AsOf.asofJoin(left.filter($"id" === 1L), r2, "k", "t", "rt",
+      rightTieBreak = Some("seq"))
+    assert(out.select("asof_v").as[String].head() === "second")
+  }
+
+  test("prefix collision is rejected") {
+    val bad = left.withColumnRenamed("id", "asof_rt")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(bad, right, "k", "t", "rt")
+    }
+  }
+}

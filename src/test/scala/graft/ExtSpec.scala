@@ -170,6 +170,57 @@ class ExtSpec extends SparkSuite {
     assert(b.count() === 1)
   }
 
+  test("train split: deterministic, stable under corpus growth, fractions roughly honored") {
+    val d = spark.read.parquet(s"$Sf/documents.parquet")
+    val s1 = graft.ext.Pipeline.trainSplit(d).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    // Re-run = identical assignment (content-stable hash, no seed state).
+    val s2 = graft.ext.Pipeline.trainSplit(d).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 === s2)
+    // Dropping half the corpus must not move any surviving document.
+    val shrunk = graft.ext.Pipeline.trainSplit(d.filter(col("doc_id") < 250))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    shrunk.foreach { case (id, sp) => assert(s1(id) === sp) }
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size.toDouble / s1.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08)
+    assert(frac.keySet === Set("train", "val", "test"))
+    // Sampling is the same primitive: the 0.8 sample IS the train split.
+    val sampled = graft.ext.Pipeline.sampleByHash(d, 0.8).select("doc_id")
+      .as[Long].collect().toSet
+    assert(sampled === s1.collect { case (id, "train") => id }.toSet)
+  }
+
+  test("annTopK agrees with brute-force ranking on the candidates it surfaces") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val brute = Similarity.bruteKnn(emb, 0L until 50L, 1)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val top = Similarity.annTopK(emb, 1)
+      .filter(col("vec_id") < 50)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // ANN's top-1 either IS the true nearest neighbor or the true one was
+    // outside the banded candidate set — it can never rank a worse
+    // candidate above a surfaced better one. Require high agreement.
+    val agree = top.count { case (q, n) => brute(q) === n }
+    assert(agree >= (top.size * 0.7).toInt, s"$agree/${top.size} top-1 agreement")
+  }
+
+  test("normalize strips case/punctuation and reports the dropped fraction") {
+    val r = TextAnalysis.normalize(docs(1L -> "  Hello, WORLD!!  42  ")).first()
+    assert(r.getAs[String]("norm_text") === "hello world 42")
+    assert(r.getAs[Int]("raw_chars") === 22)
+    assert(r.getAs[Int]("norm_chars") === 14)
+  }
+
+  test("tfidf ranks a document's rare term above its common term") {
+    val r = TextAnalysis.tfidfTopK(docs(
+      1L -> "shared shared rare1",
+      2L -> "shared other other",
+      3L -> "shared words here"), 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(r(1L) === "rare1") // df=1 beats 'shared' (df=3) despite tf=2
+  }
+
   test("multimodal: features are fixed-width and deterministic; partition count respected") {
     val media = Multimodal.asMedia(docs(1L -> "abc", 2L -> "abcd"))
     val f = Multimodal.extractFeatures(spark, media, parallelism = 3)
