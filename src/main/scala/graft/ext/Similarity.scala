@@ -152,17 +152,38 @@ object Similarity {
     */
   def annPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val bands = annBands(embeddings)
-    val a = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_a"))
-    val b = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    candidatePairs(embeddings)
       .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // annPairs and annTopK share the banded candidate set (x11 + x27 in one
+  // run would otherwise band + distinct the corpus twice). Cached per
+  // (session, source plan) like the Dedup family's shingle frames;
+  // released via clearCaches from the entry points' teardown.
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), DataFrame]
+
+  /** Distinct undirected banded candidate pairs (vec_a < vec_b). */
+  def candidatePairs(embeddings: DataFrame): DataFrame =
+    candCache.getOrElseUpdate(
+      (embeddings.sparkSession, embeddings.queryExecution.analyzed.semanticHash()), {
+        val bands = annBands(embeddings)
+        val a = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_a"))
+        val b = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_b"))
+        a.join(b, Seq("band_idx", "band_key"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+          .cache()
+      })
+
+  /** Release cached candidate frames for a session. */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    candCache.keys.filter(_._1 == spark).foreach { k =>
+      candCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
 
   /** The banded signature table: (vec_id, band_idx, band_key), AnnBands
     * rows per vector — the shared candidate-generation core of
@@ -192,13 +213,11 @@ object Similarity {
     */
   def annTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val bands = annBands(embeddings)
-    val a = bands.select(col("band_idx"), col("band_key"), col("vec_id"))
-    val b = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("neighbor_id"))
+    val und = candidatePairs(embeddings)
+    val directed = und.select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"))
+      .union(und.select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("neighbor_id").asc)
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select("vec_id", "neighbor_id").distinct()
+    directed
       .join(e, Seq("vec_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("nemb")), Seq("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"), dot(col("emb"), col("nemb")).as("score"))
@@ -206,6 +225,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("vec_id", "rank", "neighbor_id", "score")
   }
+
+  /** Symmetric int8 quantization of the embedding column — the memory/
+    * bandwidth lever of a vector store (4 bytes -> 1 per dimension):
+    * per-vector scale = max|x|/127, q_i = floor(x_i·127/max + 0.5).
+    * Every step (multiply, divide, add, floor) is exactly rounded IEEE,
+    * so the quantized codes AND the reconstruction-error stat are
+    * bit-deterministic cross-engine. Codes are emitted CSV-joined (a
+    * portable, hashable rendering of the array).
+    */
+  def quantize(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
+      .withColumn("scale", col("mx") / lit(127.0))
+      .withColumn("q", transform(col("emb"),
+        x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("int")))
+      .select(
+        col("vec_id"), col("scale"),
+        array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"),
+        array_max(zip_with(col("emb"), col("q"),
+          (x, q) => abs(x - q.cast("double") * col("scale")))).as("max_abs_err"))
 
   /** The hyperplane matrix as a DuckDB list-literal, for oracle SQL. */
   def planesSqlLiteral(p: Int): String =

@@ -702,6 +702,49 @@ object Extensions {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
              |ORDER BY event_id""".stripMargin)),
 
+    // Skew-safe salted join as a GATED query (not just a tested utility):
+    // the salted plan must produce byte-identical results to the plain
+    // join the oracle runs — the exact semantics-preservation contract
+    // ops/Skew promises. numSalts=8 splits any hot custkey across 8
+    // reducers; the aggregate re-merges.
+    QueryDef(
+      "x32_salted_segment_revenue",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val big = t.orders.select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val small = t.customer.select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.ops.Skew.saltedJoin(big, small, Seq("custkey"), numSalts = 8)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("total_value"))
+          .orderBy("segment")
+      },
+      Some(s"""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+              |       ${sqlMoneySum("o.o_totalprice")} AS total_value
+              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Symmetric int8 embedding quantization + exact reconstruction-error
+    // stat (see Similarity.quantize for the bit-determinism argument).
+    QueryDef(
+      "x33_quantize",
+      (s, dir) => Similarity.quantize(Tables(s, dir).embeddings).orderBy("vec_id"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), m AS (
+             |  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS mx FROM e
+             |), q AS (
+             |  SELECT vec_id, emb, mx, mx / 127.0 AS scale,
+             |         list_transform(emb, x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER)) AS qv
+             |  FROM m
+             |)
+             |SELECT vec_id, scale,
+             |       array_to_string(qv, ',') AS q_csv,
+             |       list_max(list_transform(generate_series(1, length(emb)),
+             |                i -> abs(emb[i] - qv[i] * scale))) AS max_abs_err
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // ---- multimodal ----------------------------------------------------
     QueryDef(
       "x13_multimodal_metadata",
@@ -729,15 +772,18 @@ object Extensions {
               |  ${sqlMoneySum("value")} AS total_value
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Semi-structured props: JSON path extraction over the events
-    // payload column (get_json_object is codegen'd; at 100 TB prefer
-    // from_json with an explicit schema once the shape is known, so the
-    // parse happens once per row, not per path).
+    // Semi-structured props: JSON extraction over the events payload via
+    // from_json with an explicit schema — ONE parse per row feeding every
+    // downstream field (get_json_object re-parses per path; with a known
+    // shape the schema'd parse is the 100 TB form, and Catalyst prunes
+    // unreferenced fields from it).
     QueryDef(
       "x16_json_props",
       (s, dir) => Tables(s, dir).events
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_events"),
