@@ -121,6 +121,7 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     graft.ext.Dedup.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
+    graft.queries.Report.clearCaches(spark)
     spark.stop()
     // Printed after spark.stop() so no executor/log line can interleave;
     // sbt's [info] prefix is stripped by the driver, but bench.json above

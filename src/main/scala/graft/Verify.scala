@@ -40,6 +40,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.ext.Dedup.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
+    graft.queries.Report.clearCaches(spark)
     spark.stop()
   }
 }

@@ -251,20 +251,27 @@ object Dedup {
     var changed = edges.count()
     // The rounds shuffle only the edge set — orders of magnitude smaller
     // than the corpus. Size the loop's shuffle width to the measured edge
-    // count (~100k edges per partition) instead of the session default:
-    // caching pins plans pre-AQE, so adaptive coalescing never sees these
-    // stages, and at toy scale a 32-wide shuffle per phase makes the loop
-    // scheduling-bound. Restored after the loop.
-    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopWidth = math.max(1L, math.min(sessionWidth.toLong, changed / 100000L + 1L))
-    def runStarRounds(): Unit = while (changed > 0 && rounds < maxIterations) {
+    // count (~100k edges per partition, capped at the session width):
+    // caching/checkpointing pins plans pre-AQE, so adaptive coalescing
+    // never sees these stages, and at toy scale a session-wide shuffle
+    // per phase makes the loop scheduling-bound. The width is applied via
+    // explicit repartition(width, u) — hash(u) satisfies every downstream
+    // per-u window and (u,v) aggregate, so each phase plans exactly one
+    // exchange at the chosen width and the session conf is never touched
+    // (a conf set/restore would leak to concurrent queries).
+    val loopWidth = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (changed / 100000L + 1L).toInt))
+    while (changed > 0 && rounds < maxIterations) {
       // Large-star: every node's strictly-larger neighbors attach to the
       // minimum of its neighborhood (including itself).
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(loopWidth, col("u"))
       val large = sym
         .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        .repartition(loopWidth, col("u"))
         .distinct()
       // Small-star: every node's smaller neighbors (and the node itself)
       // attach to the minimum of that smaller-neighborhood.
@@ -273,20 +280,18 @@ object Dedup {
       val small = withMin.select(col("v").as("u"), col("m").as("v"))
         .union(withMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
+        .repartition(loopWidth, col("u"))
         .distinct()
         .localCheckpoint()
       // Converged when the edge multiset is unchanged (symmetric
       // difference empty) — one count job via a parity aggregate.
-      changed = small.unionAll(edges).groupBy("u", "v").count()
+      changed = small.unionAll(edges).repartition(loopWidth, col("u"))
+        .groupBy("u", "v").count()
         .filter(col("count") === 1).count()
       edges.unpersist()
       edges = small
       rounds += 1
     }
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
-      runStarRounds()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
     // At convergence edges are stars (node -> component min); the min-agg
     // also yields the best-known label if maxIterations cut the loop.
     val stars = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("cluster"))

@@ -23,12 +23,15 @@ object Pipeline {
 
   /** Deterministic train/val/test split by id hash: train < trainFrac <=
     * val < trainFrac+valFrac <= test. Stable under corpus growth —
-    * adding documents never moves an existing one between splits.
+    * adding documents never moves an existing one between splits. All
+    * input columns ride along (this ANNOTATES the corpus; filtering on
+    * `split` is the select-a-partition action, symmetric with
+    * [[sampleByHash]]).
     */
   def trainSplit(docs: DataFrame, trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       "fractions must leave room for a test split")
-    docs.select(col("doc_id"), hashUniform(col("doc_id")).as("u"))
+    docs.withColumn("u", hashUniform(col("doc_id")))
       .withColumn("split",
         when(col("u") < trainFrac, "train")
           .when(col("u") < trainFrac + valFrac, "val")

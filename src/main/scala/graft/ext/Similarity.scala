@@ -238,8 +238,12 @@ object Similarity {
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
       .withColumn("scale", col("mx") / lit(127.0))
+      // Zero-vector guard: mx=0 would make x*127/mx NaN and the ANSI
+      // int cast a runtime error; an all-zero vector quantizes to all
+      // zero codes (scale 0, error 0) by definition.
       .withColumn("q", transform(col("emb"),
-        x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("int")))
+        x => when(col("mx") === 0, lit(0))
+          .otherwise(floor(x * lit(127.0) / col("mx") + lit(0.5))).cast("int")))
       .select(
         col("vec_id"), col("scale"),
         array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"),

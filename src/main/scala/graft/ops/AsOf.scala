@@ -35,20 +35,31 @@ object AsOf {
     val rPayload = right.columns.filterNot(_ == key)
     require(!rPayload.map(prefix + _).exists(left.columns.contains),
       s"prefix '$prefix' collides with a left column")
-    val r = right.select(col(key) +: rPayload.map(c => col(c).as(prefix + c)): _*)
-      .withColumn("__t", col(prefix + rightTime))
+    val reserved = Seq("__t", "__side", "__p")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"columns ${reserved.mkString("/")} are reserved by asofJoin")
+    // The whole right payload travels as ONE struct, so the attached row
+    // is atomic: a NULL field in the latest right row stays NULL instead
+    // of being backfilled per-column from an older row (per-column
+    // last(ignoreNulls) would stitch a chimera of several right rows —
+    // not what ASOF means). The struct itself is never NULL for right
+    // rows, so last(ignoreNulls) skips exactly the left rows.
+    val r = right.select(col(key),
+        struct(rPayload.map(col): _*).as("__p"))
+      .withColumn("__t", col("__p").getField(rightTime))
       .withColumn("__side", lit(0))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
     // Right rows sort before left rows at equal time => inclusive (<=).
     val order = Seq(col("__t").asc, col("__side").asc) ++
-      rightTieBreak.map(c => col(prefix + c).asc)
+      rightTieBreak.map(c => col("__p").getField(c).asc)
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rPayload.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-      (d, c) => d.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rPayload.map(c => col("__p").getField(c).as(prefix + c)): _*)
   }
 }

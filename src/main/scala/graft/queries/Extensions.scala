@@ -431,10 +431,11 @@ object Extensions {
 
     // A6's documented scale option: sketch-based distinct counting next to
     // the exact value. HLL internals differ between engines, so the sketch
-    // estimate itself cannot be hash-compared — instead the query emits
-    // the sketch's accuracy CONTRACT as a boolean (relative error <= 5%,
-    // the documented default rsd for approx_count_distinct), which the
-    // oracle pins to TRUE. The exact column is oracle-checked bit-for-bit.
+    // estimate itself cannot be hash-compared — instead the query emits an
+    // accuracy boolean the oracle pins to TRUE. The default rsd 0.05 is
+    // one STANDARD DEVIATION, not a bound, so the pinned threshold is
+    // three rsd (15%) — an estimate outside 3 sigma means the sketch is
+    // broken, not unlucky. The exact column is oracle-checked bit-for-bit.
     QueryDef(
       "x19_approx_distinct",
       (s, dir) => Tables(s, dir).lineitem
@@ -444,11 +445,11 @@ object Extensions {
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double")
-            / col("exact_parts") <= 0.05).as("sketch_within_5pct"))
+            / col("exact_parts") <= 0.15).as("sketch_within_3rsd"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  COUNT(DISTINCT l_partkey) AS exact_parts,
-             |  TRUE AS sketch_within_5pct
+             |  TRUE AS sketch_within_3rsd
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Ordered-set aggregates: exact interpolated percentiles (Spark's
@@ -565,6 +566,7 @@ object Extensions {
     QueryDef(
       "x26_train_split",
       (s, dir) => graft.ext.Pipeline.trainSplit(Tables(s, dir).documents, 0.8, 0.1)
+        .select("doc_id", "u", "split")
         .orderBy("doc_id"),
       Some("""SELECT doc_id, u,
              |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
@@ -736,7 +738,8 @@ object Extensions {
              |  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS mx FROM e
              |), q AS (
              |  SELECT vec_id, emb, mx, mx / 127.0 AS scale,
-             |         list_transform(emb, x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER)) AS qv
+             |         list_transform(emb, x -> CASE WHEN mx = 0 THEN 0
+             |           ELSE CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER) END) AS qv
              |  FROM m
              |)
              |SELECT vec_id, scale,

@@ -34,6 +34,15 @@ object Report {
         .cache()
     })
 
+  /** Release this module's cached frames for a session (same teardown
+    * contract as Dedup/Similarity.clearCaches; inputs are assumed
+    * immutable for the life of a session, like every cache here).
+    */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    monthlyCache.keys.filter(_._1 == spark).foreach { k =>
+      monthlyCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   val defs: Seq[QueryDef] = Seq(
     // Report Query 2: ROUND(AVG(Avg_Spending_Per_Rental),2) by country.
     // Expressed as the weighted form sum(revenue)/sum(orders) so the

@@ -60,6 +60,20 @@ class AsOfSpec extends SparkSuite {
     assert(out.select("asof_v").as[String].head() === "second")
   }
 
+  test("attached right row is atomic: a NULL field in the latest row stays NULL") {
+    // Older right row has v='x'; latest has v=NULL. Per-column carry
+    // would stitch (a from latest, v from older) — the attached row must
+    // be exactly the latest one, NULLs included.
+    val r = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some("x"), 1L),
+      (10L, ts("2024-01-01 09:30:00"), None: Option[String], 2L)
+    ).toDF("k", "rt", "v", "a")
+    val out = AsOf.asofJoin(left.filter($"id" === 1L), r, "k", "t", "rt")
+      .select("asof_v", "asof_a").collect().head
+    assert(out.isNullAt(0))
+    assert(out.getLong(1) === 2L)
+  }
+
   test("prefix collision is rejected") {
     val bad = left.withColumnRenamed("id", "asof_rt")
     intercept[IllegalArgumentException] {
