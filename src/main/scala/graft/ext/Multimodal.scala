@@ -77,4 +77,56 @@ object Multimodal {
       col("doc_id"), col("media_type"),
       length(col("content")).as("byte_len"),
       sha2(col("content"), 256).as("content_sha256"))
+
+  /** Frame sampling: n evenly-spaced fixed-width byte windows per payload
+    * — the video-frame / audio-clip extraction shape (1 row → n rows,
+    * the cardinality-governing step of a media pipeline). Pure column
+    * expressions (posexplode + binary substring), fully codegen'd; the
+    * "frame" is a byte range because the container has no codecs — a
+    * real build points the same windows at decoded frame offsets.
+    * Payloads shorter than one frame yield their whole content as frame
+    * 0. (Test-gated, not oracle-gated: DuckDB cannot slice or hash BLOBs,
+    * so no SQL twin exists for binary windows.)
+    */
+  def frameSample(media: DataFrame, nFrames: Int, frameLen: Int): DataFrame = {
+    val total = length(col("content"))
+    // Even spacing over the slice-able range; 1-based substring offsets.
+    val stride = greatest((total - frameLen).cast("double") /
+      math.max(nFrames - 1, 1), lit(0.0))
+    media
+      .select(col("doc_id"), col("content"), total.as("byte_len"),
+        posexplode(sequence(lit(0), lit(nFrames - 1))).as(Seq("frame_idx", "_f")))
+      // Drop frames whose window start did not advance past the previous
+      // frame's (short payloads): stride 0 keeps only frame 0, fractional
+      // strides keep the distinct windows.
+      .filter(col("frame_idx") === 0 ||
+        floor(col("frame_idx") * stride) =!= floor((col("frame_idx") - 1) * stride))
+      .select(col("doc_id"), col("frame_idx"),
+        substring(col("content"),
+          (floor(col("frame_idx") * stride) + 1).cast("int"), lit(frameLen)).as("frame"))
+      .withColumn("frame_len", length(col("frame")))
+  }
+
+  /** "Resize" stage: deterministic byte-stride downsample of each payload
+    * to at most targetBytes (every ceil(len/target)-th byte) — standing in
+    * for image resize the way decodeStub stands in for decode. Runs in
+    * the same mapPartitions batch shape as [[extractFeatures]] (resize is
+    * a decode-adjacent CPU stage, not a column expression): peak memory
+    * is one partition of payloads, parallelism set independently of file
+    * splits.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, targetBytes: Int,
+      parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    val rows: Dataset[MediaRow] = media.as[MediaRow]
+    val repart = if (parallelism > 0) rows.repartition(parallelism) else rows
+    repart.mapPartitions { it =>
+      it.map { r =>
+        val step = math.max(1, (r.content.length + targetBytes - 1) / targetBytes)
+        val out = Array.range(0, r.content.length, step).map(r.content)
+        (r.doc_id, r.media_type, out, r.content.length, out.length)
+      }
+    }.toDF("doc_id", "media_type", "content", "orig_len", "resized_len")
+  }
 }

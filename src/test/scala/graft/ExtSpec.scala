@@ -221,6 +221,33 @@ class ExtSpec extends SparkSuite {
     assert(r(1L) === "rare1") // df=1 beats 'shared' (df=3) despite tf=2
   }
 
+  test("multimodal frame sampling: even windows, short payloads yield one frame") {
+    val media = Multimodal.asMedia(docs(
+      1L -> ("abcdefghij" * 10),     // 100 bytes
+      2L -> "tiny"))                 // shorter than one frame
+    val frames = Multimodal.frameSample(media, nFrames = 4, frameLen = 10)
+      .orderBy("doc_id", "frame_idx").collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).length === 4)
+    assert(byDoc(1L).forall(_.getAs[Int]("frame_len") === 10))
+    // First frame starts at the payload head; last covers the tail window.
+    assert(new String(byDoc(1L).head.getAs[Array[Byte]]("frame")) === "abcdefghij")
+    assert(byDoc(2L).length === 1)
+    assert(new String(byDoc(2L).head.getAs[Array[Byte]]("frame")) === "tiny")
+  }
+
+  test("multimodal resize: byte-stride downsample respects target and keeps heads") {
+    val media = Multimodal.asMedia(docs(1L -> ("x" * 1000), 2L -> "ab"))
+    val out = Multimodal.resizeStub(spark, media, targetBytes = 100, parallelism = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("orig_len") === 1000)
+    assert(out(0).getAs[Int]("resized_len") === 100)
+    assert(out(1).getAs[Int]("resized_len") === 2) // already under target
+    val again = Multimodal.resizeStub(spark, media, 100).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Array[Byte]]("content").toSeq).toSeq ===
+      again.map(_.getAs[Array[Byte]]("content").toSeq).toSeq)
+  }
+
   test("multimodal: features are fixed-width and deterministic; partition count respected") {
     val media = Multimodal.asMedia(docs(1L -> "abc", 2L -> "abcd"))
     val f = Multimodal.extractFeatures(spark, media, parallelism = 3)

@@ -71,6 +71,36 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("asofJoin matches a brute-force per-key scan on random event sets") {
+    import spark.implicits._
+    // Small timestamp domain forces plenty of key and time collisions —
+    // the cases where as-of semantics (inclusive <=, tie-break, NULL when
+    // nothing precedes) actually bite.
+    val leftGen = Gen.listOf(Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L)))
+    val rightGen = Gen.listOf(Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L), Gen.choose(1L, 99L)))
+    check(Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      ls.isEmpty || {
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("id", "k", "t")
+        val right = rs.zipWithIndex.map { case ((k, rt, v), i) => (k, rt, v, i.toLong) }
+          .toDF("k", "rt", "v", "seq")
+        val got = graft.ops.AsOf.asofJoin(left, right, "k", "t", "rt",
+            rightTieBreak = Some("seq"))
+          .select("id", "asof_v").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+          val candidates = rs.zipWithIndex
+            .filter { case ((rk, rt, _), _) => rk == k && rt <= t }
+          val best = candidates
+            .sortBy { case ((_, rt, _), seq) => (rt, seq) } // max (rt, seq) wins
+            .lastOption.map(_._1._3)
+          i.toLong -> best
+        }.toMap
+        got == expected
+      }
+    }, minTests = 30)
+  }
+
   test("conservation on real data: revenue total invariant across all regroupings") {
     import org.apache.spark.sql.functions._
     val dw = graft.warehouse.View.dw(spark, Sf)
