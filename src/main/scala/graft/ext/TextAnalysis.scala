@@ -139,6 +139,61 @@ object TextAnalysis {
       .select("doc_id", "rank", "token", "tf", "df", "score")
   }
 
+  /** Repetition statistics — the Gopher-family quality filters that catch
+    * degenerate/templated text: fraction of duplicated word trigrams and
+    * the share of the single most frequent token. Both are ratios of
+    * exact counts (one IEEE division), so they are bit-deterministic
+    * cross-engine. Two explode+aggregate passes joined at doc grain.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val tri = base
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - 2, lit(1)))).as("i"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(3)), " ").as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), countDistinct(col("g")).as("n_distinct_trigrams"))
+      .withColumn("dup_trigram_frac",
+        lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+    val tok = base.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_token_count"), sum(col("c")).as("n_tokens"))
+      .withColumn("top_token_frac",
+        col("top_token_count").cast("double") / col("n_tokens"))
+    tri.join(tok, "doc_id")
+      .select("doc_id", "n_trigrams", "n_distinct_trigrams", "dup_trigram_frac",
+        "n_tokens", "top_token_count", "top_token_frac")
+  }
+
+  /** Compression-ratio quality signal (deflate bytes / raw bytes): highly
+    * repetitive or templated text compresses far below prose — the cheap
+    * whole-document counterpart of [[repetitionStats]]. Runs as a
+    * mapPartitions batch stage (one Deflater per partition, reused across
+    * rows — not per-row allocation). Test-gated: no SQL engine exposes a
+    * deflate twin, so there is no DuckDB oracle; determinism within a JVM
+    * is pinned by fixed level/strategy.
+    */
+  def compressionRatio(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            if (raw.length == 0) 1.0 else compressed.toDouble / raw.length)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "compression_ratio")
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

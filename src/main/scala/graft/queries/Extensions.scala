@@ -748,6 +748,40 @@ object Extensions {
              |                i -> abs(emb[i] - qv[i] * scale))) AS max_abs_err
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // Gopher-style repetition filters: duplicated-trigram fraction + top-
+    // token share (degenerate/templated text detectors). Ratios of exact
+    // counts — bit-deterministic cross-engine.
+    QueryDef(
+      "x34_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(raw"""WITH t AS (
+                |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), tri AS (
+                |  SELECT doc_id,
+                |         CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                |         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+                |  FROM (
+                |    SELECT doc_id,
+                |           unnest(list_transform(generate_series(1, greatest(length(ts)-2, 1)),
+                |                  i -> array_to_string(ts[i:i+2], ' '))) AS g
+                |    FROM t) x
+                |  GROUP BY 1
+                |), tok AS (
+                |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count,
+                |         CAST(SUM(c) AS BIGINT) AS n_tokens
+                |  FROM (
+                |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+                |      SELECT doc_id, unnest(ts) AS tok FROM t) u
+                |    GROUP BY 1, 2) cc
+                |  GROUP BY 1
+                |)
+                |SELECT tri.doc_id AS doc_id, n_trigrams, n_distinct_trigrams,
+                |       1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams AS dup_trigram_frac,
+                |       n_tokens, top_token_count,
+                |       CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac
+                |FROM tri JOIN tok ON tri.doc_id = tok.doc_id
+                |ORDER BY 1""".stripMargin)),
+
     // ---- multimodal ----------------------------------------------------
     QueryDef(
       "x13_multimodal_metadata",

@@ -221,6 +221,32 @@ class ExtSpec extends SparkSuite {
     assert(r(1L) === "rare1") // df=1 beats 'shared' (df=3) despite tf=2
   }
 
+  test("repetition stats: degenerate text scores high, varied text low") {
+    val r = TextAnalysis.repetitionStats(docs(
+      1L -> "spam spam spam spam spam spam",
+      2L -> "one two three four five six"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_trigram_frac") > 0.7) // 4 trigrams, 1 distinct
+    assert(r(0).getAs[Double]("top_token_frac") === 1.0)
+    assert(r(1).getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(r(1).getAs[Long]("n_tokens") === 6L)
+  }
+
+  test("compression ratio: repetitive text compresses far below unique text") {
+    val r = TextAnalysis.compressionRatio(spark, docs(
+      1L -> ("spam " * 200),
+      2L -> (1 to 200).map(i => s"u$i${i * 7919}").mkString(" ")))
+      .orderBy("doc_id").collect()
+    val repetitive = r(0).getAs[Double]("compression_ratio")
+    val varied = r(1).getAs[Double]("compression_ratio")
+    assert(repetitive < 0.1, s"repetitive=$repetitive")
+    assert(varied > repetitive * 3, s"varied=$varied vs $repetitive")
+    // Deterministic re-run
+    val again = TextAnalysis.compressionRatio(spark, docs(1L -> ("spam " * 200)))
+      .collect().head.getAs[Long]("deflate_bytes")
+    assert(again === r(0).getAs[Long]("deflate_bytes"))
+  }
+
   test("multimodal frame sampling: even windows, short payloads yield one frame") {
     val media = Multimodal.asMedia(docs(
       1L -> ("abcdefghij" * 10),     // 100 bytes
