@@ -256,11 +256,79 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
+  /** Distributed spherical k-means over the embedding column — the
+    * training step that turns [[ivfAssign]]'s pinned-id centroids into
+    * learned ones. Spherical (centroid = normalized mean) because the
+    * corpus is unit vectors and assignment maximizes dot product: with
+    * unit centroids max-dot IS the optimal assignment and the objective
+    * sum(1 - x·c) is non-increasing per Lloyd step — the invariant the
+    * test suite pins. Spark shape per iteration: broadcast the k
+    * centroids, one corpus pass scores all k (codegen'd dot products),
+    * per-dimension means via a (cluster, dim) aggregate; the k×Dim
+    * centroid model collects to the driver between iterations (a bounded
+    * model, the same contract as any broadcast-side build — MLlib's
+    * KMeans does the identical driver-side update).
+    *
+    * Deterministic: init is the first k vectors by vec_id, assignment
+    * tie-breaks on the lower cluster id, iteration count is fixed. Means
+    * sum doubles in partition order, so centroids are NOT cross-engine
+    * bit-stable — the operator is test-gated (objective monotonicity,
+    * determinism within a session) rather than oracle-gated; ivfAssign/
+    * ivfSearch with pinned centroids remain the oracle-gated paths.
+    *
+    * Returns (centroids, assignments): the learned k×Dim model and the
+    * per-vector cluster labels under it.
+    */
+  def kMeans(embeddings: DataFrame, k: Int, iterations: Int = 5)
+      : (Array[Array[Double]], DataFrame) = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")).cache()
+    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+    def assign(cs: Array[Array[Double]]): DataFrame = {
+      // Deterministic argmax over k cosine scores: strictly-greater
+      // comparison keeps the lowest cluster id on ties.
+      val scores = cs.zipWithIndex.map { case (c, i) =>
+        (dot(col("emb"), array(c.map(lit): _*)), i)
+      }
+      val best = scores.tail.foldLeft(
+        struct(scores.head._1.as("s"), lit(0).as("c"))) { case (acc, (s, i)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(i).as("c"))).otherwise(acc)
+      }
+      e.select(col("vec_id"), col("emb"), best.getField("c").as("cluster"),
+        best.getField("s").as("score"))
+    }
+
+    var assigned = assign(centroids)
+    (0 until iterations).foreach { _ =>
+      val means = assigned
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster"), transform(col("dm"), _.getField("m")).as("centroid"))
+        .collect()
+        .map { r =>
+          val m = r.getSeq[Double](1).toArray
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          r.getInt(0) -> (if (norm > 0) m.map(_ / norm) else m)
+        }.toMap
+      // Empty clusters keep their previous centroid.
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      assigned = assign(centroids)
+    }
+    (centroids, assigned.select("vec_id", "cluster", "score"))
+  }
+
   /** IVF cell assignment: each vector joins the centroid with the highest
-    * dot product (deterministic pinning: centroids are the vectors with
-    * vec_id < numCentroids — a real deployment would k-means them; the
-    * assignment/probe machinery is identical). Centroids broadcast; one
-    * pass over the corpus.
+    * dot product. Centroids here are deterministically pinned (the
+    * vectors with vec_id < numCentroids) so the DuckDB oracle can replay
+    * the assignment exactly; [[kMeans]] is the training path that learns
+    * them (test-gated — floating means are not cross-engine bit-stable).
+    * The assignment/probe machinery is identical either way. Centroids
+    * broadcast; one pass over the corpus.
     */
   def ivfAssign(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)

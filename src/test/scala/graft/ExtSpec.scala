@@ -135,6 +135,26 @@ class ExtSpec extends SparkSuite {
     assert(r.toSeq === Seq(1L, 2L))
   }
 
+  test("spherical k-means: objective improves monotonically; deterministic; valid labels") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    def meanScore(iters: Int): Double = {
+      val (_, assigned) = Similarity.kMeans(emb, 8, iters)
+      assigned.agg(avg("score")).head().getDouble(0)
+    }
+    val s0 = meanScore(0)
+    val s3 = meanScore(3)
+    val s6 = meanScore(6)
+    assert(s3 >= s0 - 1e-12 && s6 >= s3 - 1e-12, s"objective regressed: $s0 -> $s3 -> $s6")
+    assert(s3 > s0, "training never improved on the pinned-id init")
+    val (c1, a1) = Similarity.kMeans(emb, 8, 3)
+    val (c2, a2) = Similarity.kMeans(emb, 8, 3)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val l1 = a1.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(l1 === a2.select("vec_id", "cluster").as[(Long, Int)].collect().toMap)
+    assert(l1.values.forall(c => c >= 0 && c < 8))
+    assert(a1.count() === emb.count())
+  }
+
   test("IVF search: every vector lands in one cell; full-probe recovers brute-force exactly") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val assigned = Similarity.ivfAssign(emb, 16)
