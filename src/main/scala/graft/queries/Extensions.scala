@@ -782,6 +782,40 @@ object Extensions {
                 |FROM tri JOIN tok ON tri.doc_id = tok.doc_id
                 |ORDER BY 1""".stripMargin)),
 
+    // SCD type-1 MERGE gated end-to-end: apply an update set (segment
+    // promotions) plus an insert set (new keys) to the customer dimension
+    // via ops/Upsert, then aggregate the merged table. The oracle builds
+    // the identical merged relation with UNION ALL + NOT EXISTS — update
+    // wins, non-updated rows retained, new keys present.
+    QueryDef(
+      "x35_upsert_segments",
+      (s, dir) => {
+        val c = Tables(s, dir).customer
+        val promos = c.filter(col("c_acctbal") > 9000)
+          .withColumn("c_mktsegment", lit("PLATINUM"))
+        val inserts = c.filter(col("c_custkey") <= 5)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L)
+          .withColumn("c_mktsegment", lit("SYNTH"))
+        graft.ops.Upsert.upsert(c, promos.unionByName(inserts), Seq("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("total_balance"))
+          .orderBy("segment")
+      },
+      Some(s"""WITH updates AS (
+              |  SELECT * REPLACE ('PLATINUM' AS c_mktsegment) FROM customer WHERE c_acctbal > 9000
+              |  UNION ALL
+              |  SELECT * REPLACE (c_custkey + 10000000 AS c_custkey, 'SYNTH' AS c_mktsegment)
+              |  FROM customer WHERE c_custkey <= 5
+              |), merged AS (
+              |  SELECT * FROM updates
+              |  UNION ALL
+              |  SELECT * FROM customer c
+              |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+              |)
+              |SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+              |       ${sqlMoneySum("c_acctbal")} AS total_balance
+              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- multimodal ----------------------------------------------------
     QueryDef(
       "x13_multimodal_metadata",

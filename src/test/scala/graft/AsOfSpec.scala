@@ -80,4 +80,15 @@ class AsOfSpec extends SparkSuite {
       AsOf.asofJoin(bad, right, "k", "t", "rt")
     }
   }
+
+  test("upsert: update wins, untouched rows survive, new keys insert") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n")
+    val updates = Seq((2L, "B!", 99), (9L, "new", 1)).toDF("k", "v", "n")
+    val merged = graft.ops.Upsert.upsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(merged === Seq((1L, "a", 10), (2L, "B!", 99), (3L, "c", 30), (9L, "new", 1)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Upsert.upsert(target, updates.select("v", "k", "n"), Seq("k"))
+    }
+  }
 }
