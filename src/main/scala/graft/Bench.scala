@@ -87,7 +87,9 @@ object Bench {
         import org.apache.spark.sql.DataFrame
         import org.apache.spark.sql.functions._
         import scala.reflect.io.Directory
-        new Directory(new java.io.File("/tmp/graft-bench-warehouse")).deleteRecursively()
+        val warehouse = java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        new Directory(new java.io.File(warehouse)).deleteRecursively()
         spark.sql("DROP TABLE IF EXISTS bench_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_bkt")
         val t = graft.io.Tables(spark, sfDir)

@@ -25,9 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
+      // 5-arg form (className, db, name, usage, extended): the 3-arg
+      // overload is (className, DB, name) — passing usage there would
+      // register the usage string as the function's NAME.
       new ExpressionInfo(
-        classOf[DotProduct].getName, "dot_product",
-        "dot_product(a, b) - left-to-right double-fold dot product of two float/double arrays"),
+        classOf[DotProduct].getName, null, "dot_product",
+        "dot_product(a, b) - left-to-right double-fold dot product of two float/double arrays",
+        ""),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"dot_product expects 2 arguments, got ${exprs.length}")
         DotProduct(exprs.head, exprs(1))

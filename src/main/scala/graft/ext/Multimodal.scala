@@ -89,6 +89,8 @@ object Multimodal {
     * so no SQL twin exists for binary windows.)
     */
   def frameSample(media: DataFrame, nFrames: Int, frameLen: Int): DataFrame = {
+    require(nFrames > 0, "nFrames must be positive")
+    require(frameLen > 0, "frameLen must be positive")
     val total = length(col("content"))
     // Even spacing over the slice-able range; 1-based substring offsets.
     val stride = greatest((total - frameLen).cast("double") /

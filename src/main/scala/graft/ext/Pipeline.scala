@@ -31,6 +31,8 @@ object Pipeline {
   def trainSplit(docs: DataFrame, trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       "fractions must leave room for a test split")
+    require(!docs.columns.contains("u") && !docs.columns.contains("split"),
+      "columns 'u'/'split' are reserved by trainSplit (withColumn would clobber them)")
     docs.withColumn("u", hashUniform(col("doc_id")))
       .withColumn("split",
         when(col("u") < trainFrac, "train")

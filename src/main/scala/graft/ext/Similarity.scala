@@ -319,7 +319,11 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
       assigned = assign(centroids)
     }
-    (centroids, assigned.select("vec_id", "cluster", "score"))
+    // Materialize the final assignment so the pinned corpus cache can be
+    // released (the returned frame no longer depends on `e`'s lineage).
+    val result = assigned.select("vec_id", "cluster", "score").localCheckpoint()
+    e.unpersist(blocking = false)
+    (centroids, result)
   }
 
   /** IVF cell assignment: each vector joins the centroid with the highest

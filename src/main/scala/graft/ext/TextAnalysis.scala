@@ -179,6 +179,11 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // Deflater holds native zlib state — release it at task end
+        // (finalization is too late on long-lived executors), including
+        // tasks that abandon the iterator early (limit/take).
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
