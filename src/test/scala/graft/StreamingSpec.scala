@@ -44,6 +44,31 @@ class StreamingSpec extends SparkSuite {
     assert(states(8L).n_events === 1 && states(8L).total_value === 1.0)
   }
 
+  test("streaming upsert sink: target table converges to latest row per key across batches") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-").toString
+    val target = s"$dir/users"
+    val src = MemoryStream[Event]
+    val q = Streams.upsertSink(spark,
+      src.toDF().select(col("user_id"), col("ts"), col("value")),
+      keys = Seq("user_id"), orderCol = "ts", targetPath = target)
+    // Batch 1: two users; user 7 appears twice -> within-batch latest wins.
+    src.addData(
+      ev(1, "2024-01-01 00:00:00", 7, 10.0),
+      ev(2, "2024-01-01 00:05:00", 7, 20.0),
+      ev(3, "2024-01-01 00:01:00", 8, 1.0))
+    q.processAllAvailable()
+    // Batch 2: update user 8, insert user 9.
+    src.addData(
+      ev(4, "2024-01-01 01:00:00", 8, 99.0),
+      ev(5, "2024-01-01 01:01:00", 9, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(target)
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    assert(rows === Map(7L -> 20.0, 8L -> 99.0, 9L -> 5.0))
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks only") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Event]

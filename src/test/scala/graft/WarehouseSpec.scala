@@ -91,4 +91,15 @@ class WarehouseSpec extends SparkSuite {
       assert(df.count() >= 0, s"${q.name} failed to execute")
     }
   }
+
+  test("driver contract invariants: unique names, full oracle coverage, live entry") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query names")
+    // Every registered query is oracle-gated — a missing oracle would
+    // silently downgrade the driver's check to rows-only.
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.entry(spark).count() > 0, "flagship entry must return rows")
+  }
 }
