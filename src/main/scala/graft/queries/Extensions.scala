@@ -867,6 +867,60 @@ object Extensions {
              |    / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Ordered-sequence funnel (signup -> first click AFTER signup ->
+    // first purchase AFTER that click): the MATCH_RECOGNIZE-family shape
+    // every product-analytics stack needs, decomposed into three
+    // stage-anchored min-aggregates chained by time-bound joins — each
+    // stage is one groupBy + one key join, no per-user iteration.
+    QueryDef(
+      "x36_funnel",
+      (s, dir) => {
+        val e = Tables(s, dir).events.select("user_id", "event_type", "ts")
+        def firstAfter(kind: String, anchor: org.apache.spark.sql.DataFrame,
+            anchorCol: String, out: String) =
+          e.filter(col("event_type") === kind)
+            .join(anchor, Seq("user_id"))
+            .filter(col("ts") >= col(anchorCol))
+            .groupBy("user_id").agg(min(col("ts")).as(out))
+        val signup = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+        val click = firstAfter("click", signup, "signup_ts", "click_ts")
+        val purchase = firstAfter("purchase", click, "click_ts", "purchase_ts")
+        e.select("user_id").distinct()
+          .join(signup, Seq("user_id"), "left")
+          .join(click, Seq("user_id"), "left")
+          .join(purchase, Seq("user_id"), "left")
+          .withColumn("funnel_stage",
+            when(col("purchase_ts").isNotNull, 3)
+              .when(col("click_ts").isNotNull, 2)
+              .when(col("signup_ts").isNotNull, 1)
+              .otherwise(0))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |), s AS (
+             |  SELECT user_id, MIN(ts) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY 1
+             |), c AS (
+             |  SELECT e.user_id, MIN(e.ts) AS click_ts
+             |  FROM e JOIN s ON s.user_id = e.user_id AND e.ts >= s.signup_ts
+             |  WHERE e.event_type = 'click' GROUP BY 1
+             |), p AS (
+             |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+             |  FROM e JOIN c ON c.user_id = e.user_id AND e.ts >= c.click_ts
+             |  WHERE e.event_type = 'purchase' GROUP BY 1
+             |)
+             |SELECT u.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+             |       CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+             |            WHEN c.click_ts IS NOT NULL THEN 2
+             |            WHEN s.signup_ts IS NOT NULL THEN 1
+             |            ELSE 0 END AS funnel_stage
+             |FROM (SELECT DISTINCT user_id FROM e) u
+             |LEFT JOIN s USING (user_id)
+             |LEFT JOIN c USING (user_id)
+             |LEFT JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     QueryDef(
       "x15_sessionization",
       (s, dir) => {
