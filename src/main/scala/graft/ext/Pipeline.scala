@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-assembly operators: deterministic splitting and sampling — the
@@ -17,8 +18,14 @@ object Pipeline {
     * double, so the value — and every threshold comparison on it — is
     * bit-identical in any engine that can md5 a string.
     */
-  private def hashUniform(id: org.apache.spark.sql.Column) =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+  private def hashUniform(id: Column): Column = saltedUniform(id, "")
+
+  /** [[hashUniform]] with a salt prefix, so independent sampling decisions
+    * (split vs subsample vs stratified sample) draw from independent
+    * hash streams over the same ids.
+    */
+  def saltedUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long").cast("double") / lit(4294967296.0)
 
   /** Deterministic train/val/test split by id hash: train < trainFrac <=
@@ -46,4 +53,58 @@ object Pipeline {
     */
   def sampleByHash(docs: DataFrame, fraction: Double): DataFrame =
     docs.filter(hashUniform(col("doc_id")) < fraction)
+
+  /** Stratified deterministic sampling: keep a row iff its salted id-hash
+    * uniform falls below the row's per-stratum rate (any Column
+    * expression — typically a CASE over the stratum). The LLM-data use is
+    * source/language rebalancing: downsample over-represented strata at
+    * fixed, reproducible rates instead of `sampleBy`'s seed-dependent
+    * draw. One codegen'd filter over the scan — no shuffle, no state.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, rate: Column,
+      salt: String = "strat|"): DataFrame =
+    docs.withColumn("u", saltedUniform(col(idCol), salt)).filter(col("u") < rate)
+
+  /** Split each document into token windows of `size` tokens every
+    * `stride` tokens (overlapping when stride < size) — the
+    * context-window chunking step of a RAG / training pipeline. Start
+    * positions are 1, 1+stride, ... while <= token count, so every token
+    * is covered and trailing windows may be short. Pure explode +
+    * array-slice projection: linear, no shuffle.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 40, stride: Int = 30): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_idx"),
+        array_join(slice(col("ts"), col("start"), lit(chunkSize)), " ").as("chunk_text"),
+        size(slice(col("ts"), col("start"), lit(chunkSize))).as("n_tokens"))
+  }
+
+  /** Greedy context-window packing: within each `source` partition, docs
+    * (in doc_id order) are assigned to consecutive bins of `budget`
+    * tokens — bin = tokens-before-this-doc DIV budget, so a doc starts in
+    * the bin its running offset falls into (documents are not split; a
+    * doc may run past the boundary, the standard "pack then truncate at
+    * the consumer" contract). The sequence-packing step that turns a
+    * corpus into fixed-budget training batches.
+    *
+    * Scale shape: the running sum is a window per source — parallel
+    * across sources, never a global single-partition window. At 100 TB
+    * the partition key is whatever unit packing must respect (shard,
+    * source, language); a finer pre-bucketing (hash of doc ranges) keeps
+    * any one source from skewing.
+    */
+  def packBudget(docs: DataFrame, budget: Int = 2000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $budget"))
+  }
 }

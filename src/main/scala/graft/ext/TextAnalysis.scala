@@ -199,6 +199,59 @@ object TextAnalysis {
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "compression_ratio")
   }
 
+  /** Cross-document boilerplate detector: word `n`-gram spans appearing in
+    * at least `minDf` distinct documents, ranked by document frequency —
+    * the signal behind C4/RefinedWeb-style "drop spans repeated across the
+    * corpus" cleaning (license headers, navigation chrome, templates).
+    * Distinct grams per doc (explode) → one count aggregate → top-k, so
+    * the cost is the shingle explode; at 100 TB the gram would be a
+    * 64-bit hash instead of the text (identical plan, 10× less shuffle).
+    */
+  def boilerplateNgrams(docs: DataFrame, n: Int = 5, minDf: Long = 3,
+      k: Int = 20): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+      .distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(k)
+
+  /** Corpus-adaptive stopword scrub: tokens whose document frequency
+    * exceeds `dfFrac` of the corpus are dropped from every document,
+    * preserving the surviving tokens' order — vocabulary pruning before
+    * tokenizer training / index building. Two passes over the token
+    * explode: a distinct-df aggregate discovers the stop list (broadcast
+    * — it is vocabulary-sized), then a broadcast anti-join + per-doc
+    * ordered reassembly (sort by original position inside collect_list).
+    * Documents scrubbed to nothing stay present with empty text — the
+    * left join keeps corpus cardinality stable for downstream joins.
+    */
+  def stopwordScrub(docs: DataFrame, dfFrac: Double = 0.4): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val df = tok.select(col("doc_id"), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val stop = df.crossJoin(broadcast(nDocs))
+      .filter(col("df") > lit(dfFrac) * col("n_docs"))
+      .select("tok")
+    val kept = tok.join(broadcast(stop), Seq("tok"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join without an equi key — the shape Spark's
+  * planner turns into a BroadcastNestedLoopJoin if written naively, which
+  * is the classic 100 TB range-join trap. The scalable form used here is
+  * time-axis binning (the standard trick in Spark range-join literature,
+  * also what Databricks' range-join optimization does under the hood):
+  *
+  *   1. each interval explodes into the fixed-width bins it overlaps
+  *      (linear in interval length / bin width);
+  *   2. each point computes its single bin;
+  *   3. candidates come from a plain hash EQUI-join on the bin id — a
+  *      shuffle join, never a nested loop;
+  *   4. the exact `start <= t < end` predicate filters candidates.
+  *
+  * Each point lands in exactly one bin and every overlapping interval
+  * covers that bin, so the candidate set is complete and pair-unique — no
+  * dedup pass is needed. Bin width is the recall/fan-out dial: it should
+  * be on the order of the typical interval length, so each interval
+  * explodes into O(1) bins and each bin holds a bounded slice of points.
+  *
+  * Analog of a native engine's interval-index range scan, re-expressed as
+  * the explode + equi-join Spark actually executes well at scale.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval of `intervals` containing them
+    * (half-open: start <= ts < end). Column sets must be disjoint; the
+    * output carries all columns of both inputs, one row per (point,
+    * containing interval). Timestamps are compared at 1-second
+    * granularity bins (the exact predicate still runs at full
+    * timestamp precision).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointTs: String, start: String, end: String,
+      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val overlap = points.columns.toSet intersect intervals.columns.toSet
+    require(overlap.isEmpty, s"inputs share columns: $overlap")
+
+    // Interval [s, e) covers bins bin(s) .. bin(e - 1s): the end bin is
+    // excluded when the interval ends exactly on a bin boundary.
+    val binned = intervals.withColumn("_bins",
+      sequence(
+        expr(s"unix_timestamp($start) div $binSeconds"),
+        expr(s"unix_timestamp($end - interval 1 second) div $binSeconds")))
+      .withColumn("_bin", explode(col("_bins"))).drop("_bins")
+
+    points.withColumn("_bin", expr(s"unix_timestamp($pointTs) div $binSeconds"))
+      .join(binned, "_bin")
+      .filter(col(pointTs) >= col(start) && col(pointTs) < col(end))
+      .drop("_bin")
+  }
+}

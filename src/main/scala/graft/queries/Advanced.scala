@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.ext.{Pipeline, TextAnalysis}
+import graft.io.Tables
+import graft.ops.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** Round-3 operator batch: range joins, statistical aggregates, spine
+  * gap-fill, grouping sets, and the corpus-assembly half of a training
+  * pipeline (boilerplate detection, adaptive stopword scrub, stratified
+  * sampling, context-window chunking, sequence packing). Implementations
+  * live in graft.ops / graft.ext; bindings here pin parameters and carry
+  * the DuckDB oracle twins.
+  */
+object Advanced {
+
+  /** Shared oracle CTE: tokens array per document. */
+  private val TokCte =
+    raw"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+         |)""".stripMargin
+
+  /** The correlation formula evaluated identically by Spark and DuckDB
+    * from the exact sufficient statistics (n, sx, sy, sxx, sxy, syy) —
+    * the sums are exact (BIGINT / decimal-cast-before-sum), so casting
+    * them to double and running the same IEEE expression tree yields
+    * identical bits in both engines. Degenerate variance → NULL.
+    */
+  private val CorrFormula =
+    """CASE WHEN (n*sxx - sx*sx) <= 0 OR (n*syy - sy*sy) <= 0 THEN NULL
+      |     ELSE (n*sxy - sx*sy) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(n*syy - sy*sy)) END""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Range join without an equi key: purchases attributed to error-burst
+    // "incident" windows (hours with >= 3 errors, window = that hour).
+    // The Spark side goes through ops.RangeJoin's bin trick — an EQUI-join
+    // on half-hour time bins plus the exact containment predicate — never
+    // a BroadcastNestedLoopJoin; incidents with zero purchases survive
+    // via the final left join.
+    QueryDef(
+      "x37_incident_attribution",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val incidents = ev.filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_errors"))
+          .filter(col("n_errors") >= 3)
+        val windows = incidents
+          .select(col("hour").as("inc_hour"), col("hour").as("inc_start"),
+            (col("hour") + expr("interval 1 hour")).as("inc_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("ts").as("p_ts"), col("user_id"), col("value"))
+        val hits = RangeJoin.pointInInterval(
+            purchases, windows, "p_ts", "inc_start", "inc_end", binSeconds = 1800L)
+          .groupBy(col("inc_hour").as("hour"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_buyers"),
+            moneySum(col("value")).as("purchase_value"))
+        incidents.join(hits, Seq("hour"), "left")
+          .select(col("hour"), col("n_errors"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+            coalesce(col("n_buyers"), lit(0L)).as("n_buyers"),
+            coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+          .orderBy("hour")
+      },
+      Some("""WITH inc AS (
+             |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |         CAST(COUNT(*) AS BIGINT) AS n_errors
+             |  FROM events WHERE event_type = 'error'
+             |  GROUP BY 1 HAVING COUNT(*) >= 3
+             |), pur AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS p_ts, user_id, value
+             |  FROM events WHERE event_type = 'purchase'
+             |)
+             |SELECT i.hour, i.n_errors,
+             |  CAST(COUNT(p.user_id) AS BIGINT) AS n_purchases,
+             |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+             |  coalesce(CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS purchase_value
+             |FROM inc i LEFT JOIN pur p
+             |  ON p.p_ts >= i.hour AND p.p_ts < i.hour + INTERVAL 1 HOUR
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Cross-document boilerplate: 5-gram spans shared by >= 3 documents.
+    QueryDef(
+      "x38_boilerplate_ngrams",
+      (s, dir) => TextAnalysis.boilerplateNgrams(Tables(s, dir).documents),
+      Some(s"""$TokCte, sh AS (
+              |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+              |  FROM tok, unnest(generate_series(1, greatest(length(ts)-4, 1))) t(i)
+              |)
+              |SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+              |FROM sh GROUP BY 1 HAVING COUNT(*) >= 3
+              |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin)),
+
+    // Corpus-adaptive stopword removal, order-preserving reassembly.
+    QueryDef(
+      "x39_stopword_scrub",
+      (s, dir) => TextAnalysis.stopwordScrub(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(s"""$TokCte, pos AS (
+              |  SELECT doc_id, i, ts[i] AS tok
+              |  FROM tok, unnest(generate_series(1, length(ts))) t(i)
+              |), df AS (
+              |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY 1
+              |), stop AS (
+              |  SELECT tok FROM df, (SELECT COUNT(*) AS n FROM documents)
+              |  WHERE df > 0.4 * n
+              |), kept AS (
+              |  SELECT doc_id, i, tok FROM pos
+              |  WHERE tok NOT IN (SELECT tok FROM stop)
+              |)
+              |SELECT d.doc_id, CAST(length(t.ts) AS BIGINT) AS n_tokens,
+              |  CAST(COUNT(k.tok) AS BIGINT) AS n_kept,
+              |  coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text
+              |FROM documents d JOIN tok t USING (doc_id)
+              |LEFT JOIN kept k USING (doc_id)
+              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Dimension × time-spine gap fill: every (nation, month) cell of the
+    // orders date range, zero-filled where no orders exist — the missing-
+    // period repair every monthly-trend dashboard needs (r02 only shows
+    // months that HAVE orders). The spine is sequence()-generated from
+    // the data's own min/max month; a broadcast cross join builds the
+    // 25×80 grid, the fact aggregate left-joins in.
+    QueryDef(
+      "x40_revenue_spine",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val bounds = t.orders.agg(
+          min(trunc(col("o_orderdate"), "month")).as("mn"),
+          max(trunc(col("o_orderdate"), "month")).as("mx"))
+        val months = bounds
+          .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("m"))
+          .select(date_format(col("m"), "yyyy-MM").as("order_month"))
+        val spine = t.nation.select(col("n_name").as("nation"))
+          .crossJoin(broadcast(months))
+        val actual = t.orders
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+        spine.join(actual, Seq("nation", "order_month"), "left")
+          .select(col("nation"), col("order_month"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+          .orderBy("nation", "order_month")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT date_trunc('month', MIN(o_orderdate)) AS mn,
+              |         date_trunc('month', MAX(o_orderdate)) AS mx
+              |  FROM orders
+              |), months AS (
+              |  SELECT strftime(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)), '%Y-%m') AS order_month
+              |  FROM b
+              |), spine AS (
+              |  SELECT n_name AS nation, order_month FROM nation, months
+              |), actual AS (
+              |  SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+              |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |         ${sqlMoneySum("o_totalprice")} AS revenue
+              |  FROM orders o
+              |  JOIN customer c ON o.o_custkey = c.c_custkey
+              |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+              |  GROUP BY 1, 2
+              |)
+              |SELECT s.nation, s.order_month,
+              |  CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+              |  coalesce(a.revenue, 0.0) AS revenue
+              |FROM spine s LEFT JOIN actual a USING (nation, order_month)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // Pearson correlation (order count vs lifetime spend per customer,
+    // by nation) from EXACT sufficient statistics: integer and decimal
+    // sums are order-independent, the final formula is one shared IEEE
+    // expression tree over those exact inputs — the only way a
+    // distributed corr and a single-threaded oracle corr can bit-match
+    // (engine-native corr() aggregates sum doubles in partition order).
+    QueryDef(
+      "x41_nation_order_revenue_corr",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val per = t.orders.groupBy("o_custkey")
+          .agg(count(lit(1)).as("x"),
+            sum(money(col("o_totalprice"))).cast("decimal(17,4)").as("yd"))
+        val st = per
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("yd")).cast("double").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x").cast("decimal(9,0)") * col("yd")).cast("double").as("sxy"),
+            sum(col("yd") * col("yd")).cast("double").as("syy"))
+        st.selectExpr("nation", "n", s"$CorrFormula AS corr_orders_revenue")
+          .orderBy("nation")
+      },
+      Some(s"""WITH per AS (
+              |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+              |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS yd
+              |  FROM orders GROUP BY 1
+              |), st AS (
+              |  -- decimal→double via VARCHAR: DuckDB's direct wide-decimal
+              |  -- cast is off by 1 ulp when the raw integer exceeds 2^53
+              |  -- (measured), while string→double parsing is correctly
+              |  -- rounded — matching Spark's correctly-rounded cast.
+              |  SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(x) AS BIGINT) AS sx,
+              |    CAST(CAST(SUM(yd) AS VARCHAR) AS DOUBLE) AS sy,
+              |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+              |    CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * yd) AS VARCHAR) AS DOUBLE) AS sxy,
+              |    CAST(CAST(SUM(yd * yd) AS VARCHAR) AS DOUBLE) AS syy
+              |  FROM per p
+              |  JOIN customer c ON p.o_custkey = c.c_custkey
+              |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+              |  GROUP BY 1
+              |)
+              |SELECT nation, n, $CorrFormula AS corr_orders_revenue
+              |FROM st ORDER BY 1""".stripMargin)),
+
+    // Fixed-width histogram of order totals: 20 × 25k buckets, top bucket
+    // open-ended. floor(double/const) and the bucket compare are single
+    // exactly-rounded IEEE ops — bit-stable cross-engine — and the whole
+    // histogram is one codegen'd projection + one aggregate.
+    QueryDef(
+      "x42_price_histogram",
+      (s, dir) => Tables(s, dir).orders
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / 25000.0), lit(19.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+        .select(col("bucket"), (col("bucket") * 25000).cast("double").as("bucket_lo"),
+          col("n_orders"), col("revenue"))
+        .orderBy("bucket"),
+      Some(s"""SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS bucket_lo,
+              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${sqlMoneySum("o_totalprice")} AS revenue
+              |FROM (
+              |  SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+              |         o_totalprice
+              |  FROM orders) t
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Stratified deterministic sampling: per-source keep rates (50% /
+    // 25% / 10% / 5% by source tier), salted id-hash uniform.
+    QueryDef(
+      "x43_stratified_sample",
+      (s, dir) => {
+        val tier = substring(col("source"), 4, 10).cast("int")
+        val rate = when(tier < 5, 0.5).when(tier < 10, 0.25)
+          .when(tier < 15, 0.1).otherwise(0.05)
+        Pipeline.stratifiedSample(Tables(s, dir).documents, "doc_id", rate)
+          .select("doc_id", "source", "u")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, u FROM (
+             |  SELECT doc_id, source,
+             |    CAST(('0x' || substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      / 4294967296.0 AS u,
+             |    CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 0.5
+             |         WHEN CAST(substring(source, 4) AS INT) < 10 THEN 0.25
+             |         WHEN CAST(substring(source, 4) AS INT) < 15 THEN 0.1
+             |         ELSE 0.05 END AS rate
+             |  FROM documents) t
+             |WHERE u < rate ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking: 40-token windows every 30 tokens.
+    QueryDef(
+      "x44_chunking",
+      (s, dir) => Pipeline.chunk(Tables(s, dir).documents).orderBy("doc_id", "chunk_idx"),
+      Some(s"""$TokCte
+              |SELECT doc_id, CAST((i - 1) // 30 AS BIGINT) AS chunk_idx,
+              |  array_to_string(ts[i:i+39], ' ') AS chunk_text,
+              |  CAST(length(ts[i:i+39]) AS BIGINT) AS n_tokens
+              |FROM tok, unnest(generate_series(1, greatest(length(ts), 1), 30)) t(i)
+              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Sequence packing into 2000-token bins per source.
+    QueryDef(
+      "x45_context_packing",
+      (s, dir) => Pipeline.packBudget(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(raw"""SELECT doc_id, source, n_tokens, cum_before,
+                |  cum_before // 2000 AS bin
+                |FROM (
+                |  SELECT doc_id, source,
+                |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                |    CAST(coalesce(SUM(length(string_split_regex(trim(text), '\s+'))) OVER (
+                |      PARTITION BY source ORDER BY doc_id
+                |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                |  FROM documents) t
+                |ORDER BY doc_id""".stripMargin)),
+
+    // GROUPING SETS with grouping_id — the explicit-subtotal form that
+    // completes the ROLLUP (r08) / CUBE (x29) family: per-(region,nation),
+    // per-region, and grand-total rows in one aggregate pass.
+    QueryDef(
+      "x46_grouping_sets",
+      (s, dir) => {
+        graft.warehouse.View.dw(s, dir)
+        s.sql("""SELECT coalesce(region, 'ALL') AS region,
+                |  coalesce(nation, 'ALL') AS nation,
+                |  CAST(grouping_id(region, nation) AS BIGINT) AS gid,
+                |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+                |  CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                |FROM customer_revenue_summary
+                |GROUP BY GROUPING SETS ((region, nation), (region), ())
+                |ORDER BY region, nation""".stripMargin)
+      },
+      Some(s"""${graft.warehouse.RevenueSummary.oracleCtes}
+              |SELECT coalesce(region, 'ALL') AS region,
+              |  coalesce(nation, 'ALL') AS nation,
+              |  CAST(GROUPING(region, nation) AS BIGINT) AS gid,
+              |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+              |  CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+              |FROM dw
+              |GROUP BY GROUPING SETS ((region, nation), (region), ())
+              |ORDER BY region, nation""".stripMargin))
+  )
+}
