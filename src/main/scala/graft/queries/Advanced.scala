@@ -317,6 +317,59 @@ object Advanced {
               |  CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
               |FROM dw
               |GROUP BY GROUPING SETS ((region, nation), (region), ())
-              |ORDER BY region, nation""".stripMargin))
+              |ORDER BY region, nation""".stripMargin)),
+
+    // approx_percentile beside the exact percentile, gated via the same
+    // in-query accuracy-contract pattern as x19. The sketch value itself
+    // is merge-order-dependent (GK summaries) AND uninterpolated (it
+    // returns an actual element, so a value-relative tolerance breaks
+    // where adjacent order totals are far apart); the honest contract is
+    // RANK-based — GK at accuracy 10000 bounds rank error by n/10000, so
+    // the sketch median must land inside the exact [p45, p55] band. The
+    // oracle pins the exact median and the boolean. This is the scale
+    // path x20's scaladoc promises, now under the gate.
+    QueryDef(
+      "x47_percentile_contract",
+      (s, dir) => Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+          expr("percentile(o_totalprice, 0.45)").as("p45"),
+          expr("percentile(o_totalprice, 0.55)").as("p55"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"))
+        .select(col("o_orderpriority"), col("n_orders"), col("exact_median"),
+          (col("approx") >= col("p45") && col("approx") <= col("p55"))
+            .as("sketch_in_rank_band"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  quantile_cont(o_totalprice, 0.5) AS exact_median,
+             |  TRUE AS sketch_in_rank_band
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Distribution-position windows: percent_rank + cume_dist of each
+    // customer's lifetime revenue WITHIN its region — the peer-relative
+    // "where does this customer sit" cut. Values depend only on the
+    // revenue ordering (ties share peer groups identically in both
+    // engines) and are single IEEE divisions of exact ranks — bit-stable.
+    // Partitioned by region: parallel, never a global window.
+    QueryDef(
+      "x48_revenue_position",
+      (s, dir) => {
+        graft.warehouse.View.dw(s, dir)
+        s.sql("""SELECT customer_id, region, total_revenue,
+                |  percent_rank() OVER w AS pct_rank,
+                |  cume_dist() OVER w AS cume
+                |FROM customer_revenue_summary
+                |WINDOW w AS (PARTITION BY region ORDER BY total_revenue)
+                |ORDER BY customer_id""".stripMargin)
+      },
+      Some(s"""${graft.warehouse.RevenueSummary.oracleCtes}
+              |SELECT customer_id, region, total_revenue,
+              |  percent_rank() OVER w AS pct_rank,
+              |  cume_dist() OVER w AS cume
+              |FROM dw
+              |WINDOW w AS (PARTITION BY region ORDER BY total_revenue)
+              |ORDER BY customer_id""".stripMargin))
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the queries' PHYSICAL plans are part of
+  * the contract, not an accident. Each assertion pins a property that
+  * matters at 100 TB and that a refactor could silently lose — binned
+  * range joins staying hash joins, windows staying partitioned, scans
+  * staying pruned, dimensions staying broadcast.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def executed(name: String): String =
+    queries.Registry.queryMap(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("x37 range join plans as a hash equi-join on the bin, not a nested loop") {
+    val plan = executed("x37_incident_attribution")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"binned range join degenerated to a nested loop:\n$plan")
+    // The naive theta-join spelling of the same query DOES nested-loop —
+    // the structural difference RangeJoin exists to provide.
+    val ev = Tables(spark, Sf).events
+    val inc = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_errors")).filter(col("n_errors") >= 3)
+    val pur = ev.filter(col("event_type") === "purchase").select(col("ts").as("p_ts"))
+    val naive = pur.join(inc,
+      col("p_ts") >= col("hour") && col("p_ts") < col("hour") + expr("interval 1 hour"))
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x21 deciles plan has no window operator at all (boundary broadcast instead)") {
+    val plan = executed("x21_revenue_deciles")
+    assert(!plan.contains("Window"), s"x21 regressed to a window:\n$plan")
+  }
+
+  test("x45 packing and x48 position windows are partitioned, never global") {
+    for (name <- Seq("x45_context_packing", "x48_revenue_position")) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+      // AdaptiveSparkPlanExec whose inner tree collect() cannot see.
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name lost its window operator")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name has an UNPARTITIONED window (single-task at scale)"))
+    }
+  }
+
+  test("x42 histogram scan prunes to the single needed column") {
+    val plan = executed("x42_price_histogram")
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("o_totalprice"), s"scan line: $scanLine")
+    assert(!scanLine.contains("o_orderpriority") && !scanLine.contains("o_custkey"),
+      s"histogram reads columns it never uses: $scanLine")
+  }
+
+  test("filter pushdown reaches the parquet scan (q06 date threshold)") {
+    val plan = executed("q06_inactive_customers")
+    assert(plan.contains("PushedFilters: [") &&
+      plan.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("o_orderdate")),
+      s"date filter not pushed:\n${plan.linesIterator.filter(_.contains("Scan")).mkString("\n")}")
+  }
+
+  test("the revenue view broadcasts its dimension joins") {
+    val plan = graft.warehouse.View.dw(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "geo dimension chain should broadcast, not shuffle")
+  }
+
+  test("binned range join handles empty interval side without degenerating") {
+    import spark.implicits._
+    val points = Seq((1L, "2024-01-01 00:10:00")).toDF("pid", "s")
+      .select(col("pid"), col("s").cast("timestamp").as("p_ts"))
+    val empty = Seq.empty[(Long, String, String)].toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp").as("i_s"), col("b").cast("timestamp").as("i_e"))
+    assert(RangeJoin.pointInInterval(points, empty, "p_ts", "i_s", "i_e").count() === 0)
+  }
+}
