@@ -17,12 +17,19 @@ import graft.functions.DotProduct
   * Installs the codegen'd `dot_product` expression as a persistent-style
   * builtin (visible to pure SQL: `SELECT dot_product(a, b)`), the same
   * function the imperative VectorFunctions.register provides per-session
-  * for the library's own entry points. Extension-injected functions
-  * survive `spark.sql(...)` from any thread and need no per-caller
-  * registration — the deployment shape for a shared cluster.
+  * for the library's own entry points, plus the MergePercentiles
+  * optimizer rule (N same-column percentiles → one sort buffer).
+  * Extension-injected functions survive `spark.sql(...)` from any thread
+  * and need no per-caller registration — the deployment shape for a
+  * shared cluster. The library's own Verify/Bench sessions install these
+  * extensions too, so the custom Catalyst surface runs under the driver
+  * correctness gate end-to-end.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer depth: N same-column percentile aggregates → one
+    // array-percentile buffer (see graft.plans.MergePercentiles).
+    ext.injectOptimizerRule(_ => graft.plans.MergePercentiles)
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       // 5-arg form (className, db, name, usage, extended): the 3-arg

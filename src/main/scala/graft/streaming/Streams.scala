@@ -41,6 +41,26 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Native session-window sessionization: Spark's session_window merges
+    * each user's events closer than `gap` into one growing window —
+    * the streaming twin of the batch LAG sessionization (x15), with the
+    * merge handled by the engine's session-state machinery instead of a
+    * sort+lag pass. Watermarked so closed sessions finalize and their
+    * state is evicted; state is O(open sessions), not O(history).
+    */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Stateful running CLV: one state record per user, updated per
     * micro-batch, emitting the new running totals (append mode). This is
     * the flatMapGroupsWithState shape a per-customer lifetime aggregate

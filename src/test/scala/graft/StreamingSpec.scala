@@ -28,6 +28,41 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq === Seq((2L, 15.0), (1L, 2.5)))
   }
 
+  test("session windows merge within gap, split across it, and merge across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.sessionRollup(src.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_test").outputMode("complete").start()
+    // user 1: 10-min gap (same session) then 40-min gap (new session);
+    // user 2: two isolated events; user 3: split across micro-batches but
+    // within the gap — must merge into ONE session.
+    src.addData(
+      ev(1, "2024-01-01 00:00:00", 1, 1.0),
+      ev(2, "2024-01-01 00:10:00", 1, 2.0),
+      ev(3, "2024-01-01 00:50:00", 1, 4.0),
+      ev(4, "2024-01-01 00:00:00", 2, 8.0),
+      ev(5, "2024-01-01 01:00:00", 2, 16.0),
+      ev(6, "2024-01-01 00:00:00", 3, 32.0))
+    q.processAllAvailable()
+    src.addData(ev(7, "2024-01-01 00:20:00", 3, 64.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("session_test")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"), col("session_value"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(sessions === Set(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:40:00", 2L, 3.0),
+      (1L, "2024-01-01 00:50:00", "2024-01-01 01:20:00", 1L, 4.0),
+      (2L, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 1L, 8.0),
+      (2L, "2024-01-01 01:00:00", "2024-01-01 01:30:00", 1L, 16.0),
+      (3L, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 2L, 96.0)))
+    // Batch equivalence: per-user session counts match the LAG-based
+    // batch sessionization (x15's shape) on the same rows.
+    val batchCounts = sessions.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(batchCounts === Map(1L -> 2, 2L -> 2, 3L -> 1))
+  }
+
   test("stateful running CLV accumulates across micro-batches") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Event]
