@@ -370,6 +370,90 @@ object Advanced {
               |  cume_dist() OVER w AS cume
               |FROM dw
               |WINDOW w AS (PARTITION BY region ORDER BY total_revenue)
-              |ORDER BY customer_id""".stripMargin))
+              |ORDER BY customer_id""".stripMargin)),
+
+    // Tokenizer-vocabulary coverage: per-document in-vocab token share
+    // against the corpus' top-k vocabulary (deterministic count-desc,
+    // token-asc ranking) — the OOV-rate diagnostic run before committing
+    // to a tokenizer vocab. Vocabulary is broadcast (it is top-k sized by
+    // construction); the membership count is a broadcast semi join that
+    // keeps per-token multiplicity.
+    QueryDef(
+      "x49_vocab_coverage",
+      (s, dir) => {
+        val t = Tables(s, dir).documents
+        val tok = t.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok").asc).limit(10).select("tok")
+        val inv = tok.join(broadcast(vocab), Seq("tok"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
+        t.select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(inv, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+            (lit(1.0) - coalesce(col("n_in_vocab"), lit(0L)).cast("double") / col("n_tokens"))
+              .as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$TokCte, pos AS (
+              |  SELECT doc_id, unnest(ts) AS tok FROM tok
+              |), vocab AS (
+              |  SELECT tok FROM pos GROUP BY tok
+              |  ORDER BY COUNT(*) DESC, tok ASC LIMIT 10
+              |), inv AS (
+              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_vocab
+              |  FROM pos WHERE tok IN (SELECT tok FROM vocab) GROUP BY 1
+              |)
+              |SELECT d.doc_id, CAST(length(t.ts) AS BIGINT) AS n_tokens,
+              |  CAST(coalesce(i.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+              |  1.0 - CAST(coalesce(i.n_in_vocab, 0) AS DOUBLE) / length(t.ts) AS oov_rate
+              |FROM documents d JOIN tok t USING (doc_id)
+              |LEFT JOIN inv i USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Weekly retention cohort matrix: users bucketed by first-seen week,
+    // per-(cohort, week-offset) distinct active users and retention
+    // rate — the product-analytics lifecycle cut. Two aggregates and a
+    // key join; offsets are integer day-diffs DIV 7 (exact both engines).
+    QueryDef(
+      "x50_retention_cohorts",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val fw = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        val sizes = fw.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+        val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+        fw.join(act, "user_id")
+          .withColumn("week_offset", expr("datediff(w, cohort_week) div 7"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .join(sizes, "cohort_week")
+          .select(
+            date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+            col("week_offset"), col("n_users"),
+            (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH fw AS (
+             |  SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+             |  FROM events GROUP BY 1
+             |), sizes AS (
+             |  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+             |  FROM fw GROUP BY 1
+             |), act AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+             |  FROM events
+             |)
+             |SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort,
+             |  CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_offset,
+             |  CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+             |  CAST(COUNT(DISTINCT f.user_id) AS DOUBLE) / ANY_VALUE(s.cohort_size) AS retention
+             |FROM fw f
+             |JOIN act a USING (user_id)
+             |JOIN sizes s USING (cohort_week)
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -172,6 +172,25 @@ class AdvancedSpec extends SparkSuite {
     assert(grand.head._4 === cells.map(_._4).sum)
   }
 
+  test("x49 vocab coverage bounds; x50 retention anchors at 1.0 for week 0") {
+    val cov = queries.Registry.queryMap("x49_vocab_coverage")(spark, Sf)
+      .select("n_tokens", "n_in_vocab", "oov_rate")
+      .as[(Long, Long, Double)].collect()
+    assert(cov.nonEmpty)
+    assert(cov.forall { case (n, inV, oov) =>
+      inV <= n && oov >= 0.0 && oov <= 1.0 })
+    // 31-token corpus vocabulary, top-10 cut: coverage must be partial,
+    // not degenerate (all-in or all-out).
+    assert(cov.exists(_._3 > 0.0) && cov.exists(_._3 < 1.0))
+
+    val ret = queries.Registry.queryMap("x50_retention_cohorts")(spark, Sf)
+      .select("week_offset", "retention").as[(Long, Double)].collect()
+    assert(ret.nonEmpty)
+    // Every user is active in their own first week by definition.
+    assert(ret.filter(_._1 == 0L).forall(_._2 === 1.0))
+    assert(ret.forall(r => r._2 > 0.0 && r._2 <= 1.0))
+  }
+
   test("x37 incident attribution: incidents survive with zero purchases") {
     val inc = queries.Registry.queryMap("x37_incident_attribution")(spark, Sf)
       .select("n_errors", "n_purchases").as[(Long, Long)].collect()
