@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSuite {
     assert(batchCounts === Map(1L -> 2, 2L -> 2, 3L -> 1))
   }
 
+  test("stateless corpus ops (chunk, stratified sample) run unchanged on a stream") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    src.addData((1L, "a b c d e f", "keep"), (2L, "x y", "drop"))
+    def docs = src.toDF().toDF("doc_id", "text", "source")
+    // The SAME operator builders used by the batch queries, applied to a
+    // streaming frame: pure projections/filters are streaming-safe by
+    // construction (no aggregation state, append mode).
+    val chunkRows = Streams.runToMemory(spark,
+      graft.ext.Pipeline.chunk(docs, chunkSize = 4, stride = 4), "chunk_stream", "append")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(chunkRows === Set((1L, 0L, "a b c d"), (1L, 1L, "e f"), (2L, 0L, "x y")))
+    val sampleRows = Streams.runToMemory(spark,
+      graft.ext.Pipeline.stratifiedSample(docs, "doc_id",
+        when(col("source") === "keep", 1.0).otherwise(0.0)),
+      "sample_stream", "append")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampleRows === Set(1L))
+  }
+
   test("stateful running CLV accumulates across micro-batches") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Event]
