@@ -454,6 +454,46 @@ object Advanced {
              |JOIN act a USING (user_id)
              |JOIN sizes s USING (cohort_week)
              |GROUP BY 1, 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // r04's top-3-categories-per-nation re-expressed through the
+    // k-bounded BoundedTopK aggregator: ONE aggregation with a ≤k buffer
+    // and map-side combine, versus the window form's full shuffle + sort
+    // (see functions/BoundedTopK scaladoc for the 100 TB argument). Same
+    // rows, same oracle shape as r04 — the gate proves the two plans
+    // semantically equivalent.
+    QueryDef(
+      "x51_topk_categories_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val catRev = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.part.select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("n_name").as("nation"), col("p_type").as("category"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        catRev
+          .groupBy("nation")
+          .agg(graft.functions.BoundedTopK(3)(col("revenue"), col("category")).as("top"))
+          .select(col("nation"), posexplode(col("top")).as(Seq("r0", "e")))
+          .select(col("nation"), col("e._2").as("category"), col("e._1").as("revenue"),
+            (col("r0") + 1).cast("long").as("rnk"))
+          .orderBy("nation", "rnk")
+      },
+      Some(s"""WITH cat_rev AS (
+              |  SELECT n.n_name AS nation, p.p_type AS category,
+              |         ${sqlMoneySum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+              |  FROM lineitem l
+              |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |  JOIN customer c ON o.o_custkey = c.c_custkey
+              |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+              |  JOIN part p ON l.l_partkey = p.p_partkey
+              |  GROUP BY 1, 2)
+              |SELECT nation, category, revenue, rnk FROM (
+              |  SELECT nation, category, revenue,
+              |         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY revenue DESC, category ASC) AS rnk
+              |  FROM cat_rev) ranked
+              |WHERE rnk <= 3 ORDER BY nation, rnk""".stripMargin))
   )
 }

@@ -172,6 +172,38 @@ class AdvancedSpec extends SparkSuite {
     assert(grand.head._4 === cells.map(_._4).sum)
   }
 
+  test("BoundedTopK: buffer laws and bit-equality with the window formulation") {
+    val t = graft.functions.BoundedTopK(2)
+    // reduce keeps order (score desc, payload asc), bounds at k, fast-rejects.
+    val b = Seq((5.0, "b"), (1.0, "z")).foldLeft(t.zero)(t.reduce)
+    assert(t.reduce(b, (5.0, "a")) === Seq((5.0, "a"), (5.0, "b")))
+    assert(t.reduce(b, (0.5, "q")) === b)       // below cutoff, full buffer
+    assert(t.reduce(b, (1.0, "z")) === b)       // tie with last, not better
+    // merge == global sort-take, regardless of split.
+    val all = Seq((3.0, "x"), (5.0, "b"), (5.0, "a"), (1.0, "z"))
+    val expect = Seq((5.0, "a"), (5.0, "b"))
+    for (i <- 0 to all.length) {
+      val (l, r) = all.splitAt(i)
+      assert(t.merge(l.foldLeft(t.zero)(t.reduce), r.foldLeft(t.zero)(t.reduce)) === expect)
+    }
+
+    // Distributed equality vs the window row_number plan, duplicates and
+    // ties included.
+    val data = (1 to 400).map(i => ((i % 11).toLong, (i * 13 % 50).toDouble, s"p${i % 23}"))
+    val df = data.toDF("g", "score", "payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("payload").asc)
+    val ref = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("g", "payload", "score").as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    val got = df.groupBy("g")
+      .agg(graft.functions.BoundedTopK(5)(col("score"), col("payload")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("g"), col("e._2"), col("e._1")).as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    assert(got === ref)
+  }
+
   test("x49 vocab coverage bounds; x50 retention anchors at 1.0 for week 0") {
     val cov = queries.Registry.queryMap("x49_vocab_coverage")(spark, Sf)
       .select("n_tokens", "n_in_vocab", "oov_rate")
