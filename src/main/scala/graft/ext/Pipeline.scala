@@ -62,14 +62,19 @@ object Pipeline {
     * draw. One codegen'd filter over the scan — no shuffle, no state.
     */
   def stratifiedSample(docs: DataFrame, idCol: String, rate: Column,
-      salt: String = "strat|"): DataFrame =
+      salt: String = "strat|"): DataFrame = {
+    require(!docs.columns.contains("u"),
+      "column 'u' is reserved by stratifiedSample (withColumn would clobber it)")
     docs.withColumn("u", saltedUniform(col(idCol), salt)).filter(col("u") < rate)
+  }
 
-  /** Split each document into token windows of `size` tokens every
-    * `stride` tokens (overlapping when stride < size) — the
+  /** Split each document into token windows of `chunkSize` tokens every
+    * `stride` tokens (overlapping when stride < chunkSize) — the
     * context-window chunking step of a RAG / training pipeline. Start
-    * positions are 1, 1+stride, ... while <= token count, so every token
-    * is covered and trailing windows may be short. Pure explode +
+    * positions are 1, 1+stride, ... while <= token count, so trailing
+    * windows may be short; every token is covered iff stride <=
+    * chunkSize (stride > chunkSize is the spaced-sample-windows mode and
+    * deliberately skips the tokens between windows). Pure explode +
     * array-slice projection: linear, no shuffle.
     */
   def chunk(docs: DataFrame, chunkSize: Int = 40, stride: Int = 30): DataFrame = {
@@ -81,7 +86,7 @@ object Pipeline {
         col("doc_id"),
         expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_idx"),
         array_join(slice(col("ts"), col("start"), lit(chunkSize)), " ").as("chunk_text"),
-        size(slice(col("ts"), col("start"), lit(chunkSize))).as("n_tokens"))
+        size(slice(col("ts"), col("start"), lit(chunkSize))).cast("long").as("n_tokens"))
   }
 
   /** Greedy context-window packing: within each `source` partition, docs

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions.udaf
   * input-partition) and no sort of the full data ever happens — the
   * per-group generalization of TakeOrderedAndProject.
   *
-  * Ordering contract: score descending, payload ascending on ties —
-  * the same deterministic tie-break every ranked query here pins, so a
-  * ROW_NUMBER window oracle reproduces it exactly (x51 vs r04).
+  * Ordering contract: score descending, payload ascending on ties,
+  * with SPARK SQL's double semantics — NaN sorts as the LARGEST value
+  * and -0.0 equals 0.0 (java.lang.Double.compare would put them apart;
+  * Spark's `ORDER BY score DESC` does not) — so a ROW_NUMBER window
+  * oracle reproduces the result exactly (x51 vs r04), NaNs and signed
+  * zeros included. NULL scores are not part of the contract (the typed
+  * input is a primitive double); filter them upstream or coalesce to a
+  * sentinel — the window form defaults to NULLS LAST under DESC, which
+  * no double sentinel can imitate next to real -Infinity scores.
   *
   * The buffer is a sorted Seq (insertion into ≤ k elements): for ranking
   * k's (top-3, top-100) linear insertion beats heap constant factors;
@@ -30,25 +36,37 @@ final case class BoundedTopK(k: Int)
     extends Aggregator[(Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
   require(k > 0, "k must be positive")
 
-  /** (score desc, payload asc) — smaller sorts first == ranks higher. */
-  private def rankKey(e: (Double, String)): (Double, String) = (-e._1, e._2)
+  /** Rank order: score desc (NaN largest, -0.0 == 0.0 — Spark SQL
+    * semantics), payload asc. `lt(a, b)` == "a ranks strictly higher".
+    */
+  private object RankOrdering extends Ordering[(Double, String)] {
+    override def compare(x: (Double, String), y: (Double, String)): Int = {
+      // Normalize -0.0 to 0.0 so the zeros tie (Double.compare splits
+      // them); Double.compare already puts NaN above +Infinity, matching
+      // Spark's sort order for DESC-largest-first.
+      val xs = if (x._1 == 0.0) 0.0 else x._1
+      val ys = if (y._1 == 0.0) 0.0 else y._1
+      val c = java.lang.Double.compare(ys, xs) // descending
+      if (c != 0) c else x._2.compareTo(y._2)
+    }
+  }
 
   override def zero: Seq[(Double, String)] = Vector.empty
 
   override def reduce(b: Seq[(Double, String)], a: (Double, String)): Seq[(Double, String)] =
     if (a._2 == null) b
     else {
-      // Fast reject: full buffer and `a` ranks below the current cutoff.
-      if (b.length == k && Ordering[(Double, String)].gteq(rankKey(a), rankKey(b.last))) b
+      // Fast reject: full buffer and `a` ranks at-or-below the cutoff.
+      if (b.length == k && RankOrdering.gteq(a, b.last)) b
       else {
-        val i = b.indexWhere(e => Ordering[(Double, String)].lt(rankKey(a), rankKey(e)))
+        val i = b.indexWhere(e => RankOrdering.lt(a, e))
         val at = if (i < 0) b.length else i
         (b.take(at) :+ a) ++ b.drop(at).take(k - at - 1)
       }
     }
 
   override def merge(b1: Seq[(Double, String)], b2: Seq[(Double, String)]): Seq[(Double, String)] =
-    (b1 ++ b2).sortBy(rankKey).take(k)
+    (b1 ++ b2).sorted(RankOrdering).take(k)
 
   override def finish(b: Seq[(Double, String)]): Seq[(Double, String)] = b
 

@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Each point lands in exactly one bin and every overlapping interval
   * covers that bin, so the candidate set is complete and pair-unique — no
-  * dedup pass is needed. Bin width is the recall/fan-out dial: it should
-  * be on the order of the typical interval length, so each interval
-  * explodes into O(1) bins and each bin holds a bounded slice of points.
+  * dedup pass is needed. Bin widths are measured in seconds but bin
+  * membership is computed at MICROSECOND precision (Spark's timestamp
+  * resolution): an interval ending at 01:00:00.500 covers the bin that
+  * holds 01:00:00.200 — a whole-second bin computation would miss the
+  * final fractional-second slice. Bin width is the recall/fan-out dial:
+  * it should be on the order of the typical interval length, so each
+  * interval explodes into O(1) bins and each bin holds a bounded slice
+  * of points.
   *
   * Analog of a native engine's interval-index range scan, re-expressed as
   * the explode + equi-join Spark actually executes well at scale.
@@ -28,11 +33,13 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join `points` to every interval of `intervals` containing them
-    * (half-open: start <= ts < end). Column sets must be disjoint; the
+    * (half-open: start <= ts < end). Column sets must be disjoint and
+    * neither input may carry the reserved `_bin`/`_bins` names; the
     * output carries all columns of both inputs, one row per (point,
-    * containing interval). Timestamps are compared at 1-second
-    * granularity bins (the exact predicate still runs at full
-    * timestamp precision).
+    * containing interval). Empty or reversed intervals (end <= start)
+    * contain nothing by definition and are dropped before binning — a
+    * corrupt far-past/far-future end would otherwise explode into one
+    * bin row per binSeconds of the gap.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointTs: String, start: String, end: String,
@@ -40,16 +47,22 @@ object RangeJoin {
     require(binSeconds > 0, "binSeconds must be positive")
     val overlap = points.columns.toSet intersect intervals.columns.toSet
     require(overlap.isEmpty, s"inputs share columns: $overlap")
+    val reserved = (points.columns ++ intervals.columns).toSet intersect Set("_bin", "_bins")
+    require(reserved.isEmpty,
+      s"columns $reserved are reserved by pointInInterval (withColumn would clobber them)")
+    val binMicros = binSeconds * 1000000L
 
-    // Interval [s, e) covers bins bin(s) .. bin(e - 1s): the end bin is
+    // Interval [s, e) covers bins bin(s) .. bin(e - 1µs): the end bin is
     // excluded when the interval ends exactly on a bin boundary.
-    val binned = intervals.withColumn("_bins",
-      sequence(
-        expr(s"unix_timestamp($start) div $binSeconds"),
-        expr(s"unix_timestamp($end - interval 1 second) div $binSeconds")))
+    val binned = intervals
+      .filter(col(end) > col(start))
+      .withColumn("_bins",
+        sequence(
+          expr(s"unix_micros($start) div $binMicros"),
+          expr(s"(unix_micros($end) - 1) div $binMicros")))
       .withColumn("_bin", explode(col("_bins"))).drop("_bins")
 
-    points.withColumn("_bin", expr(s"unix_timestamp($pointTs) div $binSeconds"))
+    points.withColumn("_bin", expr(s"unix_micros($pointTs) div $binMicros"))
       .join(binned, "_bin")
       .filter(col(pointTs) >= col(start) && col(pointTs) < col(end))
       .drop("_bin")

@@ -45,11 +45,48 @@ class AdvancedSpec extends SparkSuite {
     }
   }
 
-  test("range join rejects overlapping column names") {
+  test("range join rejects overlapping and reserved column names") {
     val a = Seq((1L, "2024-01-01 00:00:00")).toDF("id", "ts")
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(a, a, "ts", "ts", "ts")
     }
+    val withBin = Seq((1L, "2024-01-01 00:00:00", 7L)).toDF("id", "ts", "_bin")
+    val b = Seq((2L, "2024-01-01 00:00:00", "2024-01-01 01:00:00")).toDF("iid", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(withBin, b, "ts", "s", "e")
+    }
+  }
+
+  test("range join is exact for sub-second interval ends and drops reversed intervals") {
+    val points = Seq((1L, "2024-01-01 01:00:00.2"), (2L, "2024-01-01 01:00:00.6"))
+      .toDF("pid", "s").select(col("pid"), col("s").cast("timestamp").as("p_ts"))
+    val intervals = Seq(
+      (10L, "2024-01-01 00:30:00", "2024-01-01 01:00:00.5"),   // sub-second end
+      (11L, "2024-01-01 02:00:00", "2024-01-01 01:00:00"))     // reversed: empty
+      .toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp").as("i_s"),
+        col("b").cast("timestamp").as("i_e"))
+    val got = RangeJoin.pointInInterval(points, intervals, "p_ts", "i_s", "i_e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // Point 1 at 01:00:00.2 < end 01:00:00.5 must match (a whole-second
+    // bin computation would miss it); point 2 at .6 must not.
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("BoundedTopK orders NaN largest and treats -0.0 == 0.0, like the window plan") {
+    val df = Seq((1L, Double.NaN, "nan"), (1L, 1.0, "one"),
+      (2L, 0.0, "z"), (2L, -0.0, "a"))
+      .toDF("g", "score", "payload")
+    val got = df.groupBy("g")
+      .agg(graft.functions.BoundedTopK(1)(col("score"), col("payload")).as("top"))
+      .select(col("g"), col("top").getItem(0).getField("_2").as("p"))
+      .as[(Long, String)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("payload").asc)
+    val ref = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("g", "payload").as[(Long, String)].collect().toMap
+    assert(got === ref)
+    assert(got === Map(1L -> "nan", 2L -> "a"))
   }
 
   test("boilerplate ngrams: only cross-document spans above minDf surface") {
@@ -83,9 +120,9 @@ class AdvancedSpec extends SparkSuite {
     val chunks = Pipeline.chunk(docs(1L -> text), chunkSize = 40, stride = 40)
       .orderBy("chunk_idx")
       .select("chunk_idx", "chunk_text", "n_tokens")
-      .as[(Long, String, Int)].collect()
+      .as[(Long, String, Long)].collect()
     assert(chunks.map(_._1).toSeq === Seq(0L, 1L, 2L))
-    assert(chunks.map(_._3).toSeq === Seq(40, 40, 15))
+    assert(chunks.map(_._3).toSeq === Seq(40L, 40L, 15L))
     assert(chunks.map(_._2).mkString(" ") === text)
     // Overlapping: consecutive 40/30 windows share 10 tokens.
     val over = Pipeline.chunk(docs(1L -> text), chunkSize = 40, stride = 30)
