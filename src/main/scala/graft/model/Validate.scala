@@ -37,6 +37,46 @@ object Validate {
     if (orphans > 0) Seq(Violation(childTable, s"FK $childKey", orphans)) else Nil
   }
 
+  /** The constraint audit as ONE DataFrame — every check emits its row
+    * (violations = 0 when clean), so the result is a fixed-shape report
+    * rather than driver-side assertions: the form a data-quality
+    * dashboard reads, and the form the driver's DuckDB oracle can gate
+    * (x52). Each check is a tiny aggregate/anti-join subplan unioned at
+    * the end; nothing collects to the driver.
+    */
+  def auditFrame(t: Tables): DataFrame = {
+    def check(tbl: String, rule: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(tbl).as("tbl"), lit(rule).as("rule"), col("violations"))
+    def nulls(df: DataFrame, tbl: String, c: String): DataFrame =
+      check(tbl, s"not_null_$c",
+        df.agg(count(when(col(c).isNull, 1)).as("violations")))
+    def pk(df: DataFrame, tbl: String, key: String): DataFrame =
+      check(tbl, s"pk_unique_$key",
+        df.groupBy(key).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(count(lit(1)).as("violations")))
+    def fk(child: DataFrame, tbl: String, ck: String,
+        parent: DataFrame, pk_ : String): DataFrame =
+      check(tbl, s"fk_$ck",
+        child.select(col(ck))
+          .join(parent.select(col(pk_)), col(ck) === col(pk_), "left_anti")
+          .agg(count(lit(1)).as("violations")))
+    Seq(
+      nulls(t.orders, "orders", "o_custkey"),
+      nulls(t.lineitem, "lineitem", "l_orderkey"),
+      nulls(t.customer, "customer", "c_custkey"),
+      pk(t.customer, "customer", "c_custkey"),
+      pk(t.orders, "orders", "o_orderkey"),
+      pk(t.nation, "nation", "n_nationkey"),
+      pk(t.region, "region", "r_regionkey"),
+      fk(t.orders, "orders", "o_custkey", t.customer, "c_custkey"),
+      fk(t.lineitem, "lineitem", "l_orderkey", t.orders, "o_orderkey"),
+      fk(t.lineitem, "lineitem", "l_partkey", t.part, "p_partkey"),
+      fk(t.customer, "customer", "c_nationkey", t.nation, "n_nationkey"),
+      fk(t.nation, "nation", "n_regionkey", t.region, "r_regionkey"))
+      .reduce(_.unionAll(_))
+      .orderBy("tbl", "rule")
+  }
+
   /** The star schema's full constraint set in one pass. */
   def validateStar(t: Tables): Seq[Violation] =
     notNull(t.customer, "customer", Schemas.customer) ++

@@ -494,6 +494,46 @@ object Advanced {
               |  SELECT nation, category, revenue,
               |         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY revenue DESC, category ASC) AS rnk
               |  FROM cat_rev) ranked
-              |WHERE rnk <= 3 ORDER BY nation, rnk""".stripMargin))
+              |WHERE rnk <= 3 ORDER BY nation, rnk""".stripMargin)),
+
+    // Constraint audit as a fixed-shape report (closes SURVEY §2.1 S1 to
+    // the oracle gate): NOT NULL / PK-unique / FK checks each emit a
+    // violations count (0 = clean — the oracle proves the zeros too, so
+    // a generator drift or loader bug flips a gated row, not a silent
+    // assumption). Every check is an aggregate or anti-join subplan;
+    // nothing collects to the driver.
+    QueryDef(
+      "x52_constraint_audit",
+      (s, dir) => graft.model.Validate.auditFrame(Tables(s, dir)),
+      Some {
+        def sub(tbl: String, rule: String, q: String) =
+          s"SELECT '$tbl' AS tbl, '$rule' AS rule, CAST(($q) AS BIGINT) AS violations"
+        Seq(
+          sub("orders", "not_null_o_custkey",
+            "SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL"),
+          sub("lineitem", "not_null_l_orderkey",
+            "SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL"),
+          sub("customer", "not_null_c_custkey",
+            "SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL"),
+          sub("customer", "pk_unique_c_custkey",
+            "SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)"),
+          sub("orders", "pk_unique_o_orderkey",
+            "SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)"),
+          sub("nation", "pk_unique_n_nationkey",
+            "SELECT COUNT(*) FROM (SELECT n_nationkey FROM nation GROUP BY 1 HAVING COUNT(*) > 1)"),
+          sub("region", "pk_unique_r_regionkey",
+            "SELECT COUNT(*) FROM (SELECT r_regionkey FROM region GROUP BY 1 HAVING COUNT(*) > 1)"),
+          sub("orders", "fk_o_custkey",
+            "SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+          sub("lineitem", "fk_l_orderkey",
+            "SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"),
+          sub("lineitem", "fk_l_partkey",
+            "SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"),
+          sub("customer", "fk_c_nationkey",
+            "SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)"),
+          sub("nation", "fk_n_regionkey",
+            "SELECT COUNT(*) FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, rule")
+      })
   )
 }
