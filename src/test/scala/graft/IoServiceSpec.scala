@@ -48,6 +48,40 @@ class IoServiceSpec extends SparkSuite {
       Seq((1L, "a,b", 2.5), (2L, "plain", 3.0)))
   }
 
+  test("JSONL round-trips the documents table with pinned schema and shard count") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+    graft.io.Jsonl.write(docs, dir, shards = 3)
+    val shardFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+    assert(shardFiles.length === 3)
+    // Spark disallows corrupt-record-only queries on a raw file scan
+    // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the
+    // parsed frame first, as the quarantine workflow would.
+    val back = graft.io.Jsonl.read(spark, dir, docs.schema).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() === 0)
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.drop("_corrupt_record").select(docs.columns.map(col): _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("JSONL quarantines malformed lines in _corrupt_record instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad-").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.json"),
+      """{"doc_id": 1, "text": "ok"}
+        |not json at all
+        |{"doc_id": 2, "text": "fine"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val back = graft.io.Jsonl.read(spark, dir, schema).cache()
+    assert(back.count() === 3)
+    assert(back.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(back.filter(col("_corrupt_record").isNull).count() === 2)
+  }
+
   test("search matches any column, case-insensitively; empty term is identity") {
     val df = Seq((1, "Alpha", "x"), (2, "beta", "ALPHA"), (3, "gamma", "z"))
       .toDF("id", "a", "b")
