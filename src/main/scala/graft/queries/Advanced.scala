@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Pipeline, TextAnalysis}
+import graft.ext.{Pipeline, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.RangeJoin
 import org.apache.spark.sql.functions._
@@ -534,6 +534,92 @@ object Advanced {
           sub("nation", "fk_n_regionkey",
             "SELECT COUNT(*) FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, rule")
-      })
+      }),
+
+    // Sparse-banded ANN near-dup pairs — the scale-corrected twin of x11.
+    // x11's pinned 12×3-bit banding cuts each band into only 8 buckets
+    // (candidate volume ~N²/8 per band: all-pairs in disguise, the round-3
+    // `weak`); at a realistic dedup threshold (cos >= 0.8) per-plane
+    // agreement is ~0.80, so 8-bit bands keep band-level recall p^8 while
+    // cutting each band into 256 buckets, and the 64-wide hot-bucket cap
+    // bounds candidate volume at N·cap/2 per band BY CONSTRUCTION. The
+    // oracle replays the identical banding + cap + verify, so the
+    // candidate set is deterministic and hash-matched. (The testdata's
+    // max off-diagonal cosine is ~0.51, so the verified pair set is
+    // empty — the gate then proves the *absence* of >=0.8 pairs through
+    // the full banded plan on both engines; x54 exercises the same
+    // candidate core with non-empty output.)
+    QueryDef(
+      "x53_ann_pairs_sparse",
+      (s, dir) => Similarity.annPairs(Tables(s, dir).embeddings, 0.8,
+          Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
+        .orderBy("vec_a", "vec_b"),
+      Some(sparseCandSql +
+        s"""
+           |SELECT vec_a, vec_b, cosine FROM (
+           |  SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+           |  FROM cand c
+           |  JOIN e ea ON ea.vec_id = c.vec_a
+           |  JOIN e eb ON eb.vec_id = c.vec_b) p
+           |WHERE cosine >= 0.8 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Sparse-banded ANN top-1 neighbor join over the whole corpus — the
+    // non-empty proof of the same candidate core: every vector that
+    // collides with anything in any 256-bucket band gets its single best
+    // candidate, exactly scored and deterministically ranked. Candidate
+    // volume is sub-quadratic (~N²/256 per band before the cap, vs
+    // x27's N²/8), so this is the shape that survives 100 TB.
+    QueryDef(
+      "x54_ann_topk_sparse",
+      (s, dir) => Similarity.annTopK(Tables(s, dir).embeddings, 1,
+          Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
+        .orderBy("vec_id", "rank"),
+      Some(sparseCandSql +
+        s""", directed AS (
+           |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
+           |  UNION ALL
+           |  SELECT vec_b, vec_a FROM cand
+           |), scored AS (
+           |  SELECT d.vec_id, d.neighbor_id, list_dot_product(ea.emb, eb.emb) AS score
+           |  FROM directed d
+           |  JOIN e ea ON ea.vec_id = d.vec_id
+           |  JOIN e eb ON eb.vec_id = d.neighbor_id
+           |)
+           |SELECT vec_id, rank, neighbor_id, score FROM (
+           |  SELECT vec_id, neighbor_id, score,
+           |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           |  FROM scored) r
+           |WHERE rank <= 1 ORDER BY vec_id, rank""".stripMargin))
   )
+
+  /** Shared oracle CTE chain for the sparse-banded ANN family (x53/x54):
+    * band keys from the MD5-derived plane literals, the hot-bucket cap as
+    * a HAVING filter, and the capped candidate self-join — the exact SQL
+    * replay of [[graft.ext.Similarity.candidatePairs]] at the sparse
+    * preset.
+    */
+  private lazy val sparseCandSql: String = {
+    val bands = Similarity.SparseBands
+    val bits = Similarity.SparseBandBits
+    val cap = Similarity.SparseBucketCap
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until bits).map { j =>
+        val lit = Similarity.planesSqlLiteral(b * bits + j)
+        s"CASE WHEN list_dot_product(emb, $lit) > 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, emb, $b AS band_idx, $key AS band_key FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), bands AS (
+       |  $bandSelects
+       |), kept AS (
+       |  SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $cap
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a
+       |  JOIN kept k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+       |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+       |)""".stripMargin
+  }
 }

@@ -71,6 +71,41 @@ class PlanSpec extends SparkSuite {
       "geo dimension chain should broadcast, not shuffle")
   }
 
+  test("x53/x54 sparse ANN candidate join stays an equi-join on (band_idx, band_key)") {
+    for (name <- Seq("x53_ann_pairs_sparse", "x54_ann_topk_sparse")) {
+      val plan = executed(name)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name candidate generation degenerated to all-pairs:\n$plan")
+      assert(plan.contains("band_idx") && plan.contains("band_key"),
+        s"$name lost the banded equi-join keys:\n$plan")
+    }
+  }
+
+  test("sparse banding generates far fewer candidates than the dense x11 preset") {
+    import graft.ext.Similarity
+    val emb = Tables(spark, Sf).embeddings
+    val dense = Similarity.candidatePairs(emb).count()
+    val sparse = Similarity.candidatePairs(emb,
+      Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap).count()
+    // 8-bit bands cut each band into 256 buckets vs 8 — candidate volume
+    // should drop by well over an order of magnitude on this corpus.
+    assert(sparse * 10 < dense,
+      s"sparse banding is not sparse: dense=$dense sparse=$sparse")
+  }
+
+  test("bucket cap drops hot buckets: capped candidates never exceed N*cap/2 per band") {
+    import graft.ext.Similarity
+    val emb = Tables(spark, Sf).embeddings
+    val n = emb.count()
+    val cap = 8
+    // A deliberately hot configuration (1 band × 2 bits = 4 buckets) so
+    // the cap must bite: every bucket of width > cap vanishes from the
+    // candidate set, bounding volume by construction.
+    val capped = Similarity.candidatePairs(emb, 1, 2, cap).count()
+    assert(capped <= n * cap / 2,
+      s"cap violated: $capped candidates from $n vectors at cap=$cap")
+  }
+
   test("binned range join handles empty interval side without degenerating") {
     import spark.implicits._
     val points = Seq((1L, "2024-01-01 00:10:00")).toDF("pid", "s")
