@@ -305,4 +305,69 @@ class ExtSpec extends SparkSuite {
       .as[(Long, Seq[Double])].collect()
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("PPM decode: full header grammar — comments, arbitrary whitespace, exact raster") {
+    import Multimodal.{RasterImage, decodePpm, encodePpm}
+    // Hand-authored header with comments interleaved and mixed whitespace;
+    // raster bytes deliberately include values that LOOK like whitespace
+    // (0x0a, 0x20) to prove the parser switches to raw mode after the
+    // single separator byte.
+    val raster = Array[Byte](10, 32, 9, 0, -1, 127)
+    val bytes = "P6 # c1\n# full comment line\n 2\t1 # dims\n255\n"
+      .getBytes("US-ASCII") ++ raster
+    val img = decodePpm(bytes)
+    assert(img.width === 2 && img.height === 1 && img.maxval === 255)
+    assert(img.rgb.toSeq === raster.toSeq)
+    assert(img.pixel(0, 0) === ((10, 32, 9)))
+    // Round trip through our own encoder (which emits a comment line).
+    val rt = decodePpm(encodePpm(RasterImage(2, 1, 255, raster)))
+    assert(rt.width === 2 && rt.rgb.toSeq === raster.toSeq)
+    // Truncated raster and bad magic fail loudly, never half-decode.
+    intercept[IllegalArgumentException](decodePpm(bytes.dropRight(1)))
+    intercept[IllegalArgumentException](decodePpm("P5 2 1 255 ".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      decodePpm("P6 2 1 65535 ".getBytes("US-ASCII") ++ new Array[Byte](12)))
+  }
+
+  test("BMP decode: bottom-up BGR rows with 4-byte padding normalize to top-left RGB") {
+    import Multimodal.{RasterImage, decodeBmp, encodeBmp}
+    // 3x2 image: rowSize 3*3=9 pads to 12 — padding is exercised.
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7 + 1).toByte)
+    val img = RasterImage(3, 2, 255, rgb)
+    val rt = decodeBmp(encodeBmp(img))
+    assert(rt.width === 3 && rt.height === 2)
+    assert(rt.rgb.toSeq === rgb.toSeq, "round-trip must undo BGR + bottom-up + padding")
+    // Top-down variant (negative height) decodes to the same raster.
+    val enc = encodeBmp(img)
+    val topDown = enc.clone()
+    // rows already bottom-up in enc; flip height sign and swap rows
+    val rowSize = 12
+    topDown(22) = (-2 & 0xff).toByte; topDown(23) = -1; topDown(24) = -1; topDown(25) = -1
+    Array.copy(enc, 54, topDown, 54 + rowSize, rowSize)
+    Array.copy(enc, 54 + rowSize, topDown, 54, rowSize)
+    assert(decodeBmp(topDown).rgb.toSeq === rgb.toSeq)
+    intercept[IllegalArgumentException](decodeBmp(enc.dropRight(1)))
+    intercept[IllegalArgumentException](decodeBmp("BMnot-a-real-bmp-header".getBytes ++ new Array[Byte](54)))
+  }
+
+  test("image stats: PPM and BMP pipelines agree exactly (same pixels, two decoders)") {
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c")
+    def stats(fmt: String) =
+      Multimodal.imageStats(spark, Multimodal.syntheticImages(d, fmt = fmt))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val ppm = stats(Multimodal.PpmType)
+    val bmp = stats(Multimodal.BmpType)
+    assert(ppm === bmp)
+    // Channel sums are bounded by 255 * 64 pixels and hist covers all 64.
+    ppm.foreach { r =>
+      assert(r(1) === 8 && r(2) === 8 && r(3) === 255)
+      assert(r(7).asInstanceOf[String].split(",").map(_.toLong).sum === 64L)
+    }
+    // extractFeatures takes the real-decode path for rasters: feature 0/1
+    // are image dims, not byte length.
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.syntheticImages(d, fmt = Multimodal.PpmType))
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    assert(feats.forall(f => f._2(0) === 8.0 && f._2(1) === 8.0 && f._2(3) === 255.0))
+  }
 }
