@@ -5,8 +5,12 @@ import graft.warehouse.View
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times the headline query set at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR, writes the full metric JSON to bench.json, and
+  * prints it plus a SHORT headline line
+  * {"metric":"total","value":N,"unit":"sec","sf":...} as the FINAL
+  * stdout line — the driver's tail capture truncates long lines from the
+  * front, so the headline stays parseable even when the per-query map
+  * does not (three rounds of BENCH "parsed": null were exactly this).
   *
   * Methodology:
   *   - queries run in sorted-name order (stable across JVMs; Map order
@@ -16,15 +20,23 @@ import org.apache.spark.sql.SparkSession
   *     not JVM/session warmup (the warmup cost is reported separately
   *     inside the JSON as "_warmup" and included in the total, since a
   *     cold engine is part of end-to-end wall-clock)
+  *   - "queries"/"value" record each query's FIRST (cold) run — the
+  *     series comparable to earlier rounds. Queries whose cold run beats
+  *     [[RepeatThresholdSec]] then run twice more, and
+  *     "queries_median"/"median_total" carry the median of the three —
+  *     the noise-robust series (this host shows ±4s VM noise; r3's
+  *     x10/x12/q04/r01 "regressions" were it). Repeats may hit frames
+  *     cached by the first run, so medians measure steady-state, not
+  *     cold engine cost — that is what makes them stable.
   *   - results are materialized through the noop sink: count() lets
   *     Catalyst drop sorts/projections, under-measuring ORDER BY queries;
   *     noop forces the full physical plan
-  *   - O(n²) diagnostic queries are excluded via QueryDef.bench
+  *   - O(n²) diagnostic queries are excluded via QueryDef.bench from the
+  *     headline, but timed once at bounded scale (the sibling sf0.01
+  *     dir) into bench_diag.json, so the "diagnostic, not scale path"
+  *     claim carries wall-clock numbers
   *   - a failed query records the sentinel -1 and lands in "failed", so a
   *     broken query can never silently improve the headline total
-  *   - the metric JSON is BOTH printed as the last stdout line (after
-  *     spark.stop(), past sbt's log noise) and written to bench.json in
-  *     the CWD, so the driver's parser has a log-free copy
   *   - a physical-layout demo runs after the query set: the orderkey
   *     fact⋈fact aggregate is timed twice — plain parquet (shuffles both
   *     sides) vs Layout.writeBucketed tables (bucket join, no Exchange —
@@ -33,6 +45,11 @@ import org.apache.spark.sql.SparkSession
   *     layout prep is a one-time cost, so these do NOT enter the total
   */
 object Bench {
+
+  /** Cold runs at or above this cost skip the median re-runs: VM noise is
+    * a small fraction of them, and tripling an 18s query would dominate
+    * the bench's wall-clock for no stability gain. */
+  val RepeatThresholdSec = 15.0
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,10 +74,10 @@ object Bench {
     // A query that throws records the -1 sentinel (and its name in
     // "failed") instead of its near-zero elapsed time — a broken query
     // must never make the headline number look better.
-    def materialize(name: String): Double = {
+    def materialize(name: String, dir: String): Double = {
       var ok = true
       val t = timed {
-        try Registry.queryMap(name)(spark, sfDir)
+        try Registry.queryMap(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           ok = false
@@ -71,12 +88,27 @@ object Bench {
       if (ok) t else -1.0
     }
 
+    /** (cold, median-of-3) — see scaladoc; failures and expensive colds
+      * report the cold value in both slots. */
+    def measure(name: String): (Double, Double) = {
+      val cold = materialize(name, sfDir)
+      if (cold < 0 || cold >= RepeatThresholdSec) (cold, cold)
+      else {
+        val reruns = Seq(materialize(name, sfDir), materialize(name, sfDir)).filter(_ >= 0)
+        val sorted = (cold +: reruns).sorted
+        (cold, sorted(sorted.length / 2))
+      }
+    }
+
     // Warmup: build + cache the view (counts as engine cost, reported).
     val warmup = timed { View.dw(spark, sfDir).count() }
 
     val names = Registry.benchSet.map(_.name).sorted
-    val results = names.map(n => n -> materialize(n))
+    val measured = names.map(n => n -> measure(n))
+    val results = measured.map { case (n, (cold, _)) => n -> cold }
+    val medians = measured.map { case (n, (_, med)) => n -> med }
     val total = warmup + results.collect { case (_, t) if t >= 0 => t }.sum
+    val medianTotal = warmup + medians.collect { case (_, t) if t >= 0 => t }.sum
 
     // Layout demo (excluded from total — see scaladoc). A stale managed-
     // table location from a previous run (fresh session, same /tmp
@@ -115,20 +147,50 @@ object Bench {
         Seq.empty
       }
 
-    val qs = (("_warmup" -> warmup) +: (results ++ layoutTimes))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def timesJson(ts: Seq[(String, Double)]): String =
+      ts.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+
+    // Snapshot before the diag pass: a diag-only failure shows up as a -1
+    // in bench_diag.json, not in the headline's "failed" list.
+    val headlineFailed = failed.toList
+
+    // Bounded-scale timing of the declared-diagnostic (bench=false)
+    // queries — the O(n²) diagnostics carry a wall-clock number at the
+    // sibling sf0.01 instead of silently never being measured. Fenced so
+    // a diag failure cannot cost the round its bench.json.
+    val diagJson =
+      try {
+        val diagDir = sys.env.getOrElse("SPARK_GRAFT_DIAG_DIR",
+          java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01").toString)
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(diagDir))) None
+        else {
+          val diagNames = Registry.all.filterNot(_.bench).map(_.name).sorted
+          val diag = diagNames.map(n => n -> materialize(n, diagDir))
+          val diagTotal = diag.collect { case (_, t) if t >= 0 => t }.sum
+          Some(
+            f"""{"metric":"diag_total","value":$diagTotal%.3f,"unit":"sec","queries":${timesJson(diag)},"sf":"$diagDir"}""")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] diag pass failed: ${e.getMessage}")
+        None
+      }
+    diagJson.foreach(j => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_diag.json"), j + "\n"))
+
+    val failedJson = headlineFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${timesJson(("_warmup" -> warmup) +: (results ++ layoutTimes))},"median_total":$medianTotal%.3f,"queries_median":${timesJson(medians)},"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     graft.ext.Dedup.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
     graft.queries.Report.clearCaches(spark)
     spark.stop()
-    // Printed after spark.stop() so no executor/log line can interleave;
-    // sbt's [info] prefix is stripped by the driver, but bench.json above
-    // is the canonical machine-readable copy either way.
+    // Printed after spark.stop() so no executor/log line can interleave.
+    // The full JSON first, then the SHORT headline as the very last line:
+    // the driver's tail capture truncates long lines from the front, so
+    // only a line this small is guaranteed to reach its parser intact;
+    // bench.json above is the canonical machine-readable copy.
     println(json)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","median_total":$medianTotal%.3f,"sf":"$sfDir"}""")
   }
 }

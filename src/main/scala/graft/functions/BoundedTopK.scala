@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions.udaf
   * input is a primitive double); filter them upstream or coalesce to a
   * sentinel — the window form defaults to NULLS LAST under DESC, which
   * no double sentinel can imitate next to real -Infinity scores.
+  * NULL PAYLOADS are likewise excluded: `reduce` DROPS any row whose
+  * payload is null (a window formulation would rank it — NULLS FIRST
+  * under payload ASC — so the two forms diverge on null payloads; the
+  * window-oracle equivalence claim holds only for non-null payloads).
+  * Filter or coalesce null payloads upstream if they must rank.
   *
   * The buffer is a sorted Seq (insertion into ≤ k elements): for ranking
   * k's (top-3, top-100) linear insertion beats heap constant factors;

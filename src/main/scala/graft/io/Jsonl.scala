@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.StructType
   *   - explicit shard count on write (`repartition(shards)`) — training
   *     loaders want many same-sized shards, not one file per upstream
   *     partition; at scale, drop to the natural partitioning
-  *   - timestamps in ISO-instant form so re-reads are lossless
+  *   - timestamps in ISO-instant form at MICROSECOND precision — Spark's
+  *     full timestamp resolution, so re-reads are lossless (millisecond
+  *     formats silently truncate the low three digits)
   *   - reads take an EXPLICIT schema: schema inference over a 100 TB
   *     corpus is a full extra pass, and silently widens types (a doc_id
   *     that happens to look numeric in shard 1 must not change type when
@@ -26,7 +28,7 @@ object Jsonl {
   def write(df: DataFrame, path: String, shards: Int = 0): Unit = {
     val out = if (shards > 0) df.repartition(shards) else df
     out.write.mode(SaveMode.Overwrite)
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
   }
 
@@ -40,7 +42,7 @@ object Jsonl {
       .schema(schema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
 
   /** Inference read for ad-hoc exploration only (extra full pass). */

@@ -51,20 +51,25 @@ object RangeJoin {
     require(reserved.isEmpty,
       s"columns $reserved are reserved by pointInInterval (withColumn would clobber them)")
     val binMicros = binSeconds * 1000000L
+    // Column names are interpolated into SQL expressions (`div` has no
+    // Column-API form and double division would lose microseconds at
+    // 1.7e18) — backtick-quote them so dots/spaces/hyphens in a name
+    // resolve as the column, not as a path expression.
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
 
     // Interval [s, e) covers bins bin(s) .. bin(e - 1µs): the end bin is
     // excluded when the interval ends exactly on a bin boundary.
     val binned = intervals
-      .filter(col(end) > col(start))
+      .filter(col(q(end)) > col(q(start)))
       .withColumn("_bins",
         sequence(
-          expr(s"unix_micros($start) div $binMicros"),
-          expr(s"(unix_micros($end) - 1) div $binMicros")))
+          expr(s"unix_micros(${q(start)}) div $binMicros"),
+          expr(s"(unix_micros(${q(end)}) - 1) div $binMicros")))
       .withColumn("_bin", explode(col("_bins"))).drop("_bins")
 
-    points.withColumn("_bin", expr(s"unix_micros($pointTs) div $binMicros"))
+    points.withColumn("_bin", expr(s"unix_micros(${q(pointTs)}) div $binMicros"))
       .join(binned, "_bin")
-      .filter(col(pointTs) >= col(start) && col(pointTs) < col(end))
+      .filter(col(q(pointTs)) >= col(q(start)) && col(q(pointTs)) < col(q(end)))
       .drop("_bin")
   }
 }

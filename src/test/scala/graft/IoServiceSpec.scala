@@ -66,6 +66,20 @@ class IoServiceSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("JSONL round-trips microsecond timestamps losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-ts-").toString
+    // Sub-millisecond digits would be silently truncated by a .SSS format.
+    val src = Seq((1L, "2024-03-01 12:34:56.123456"), (2L, "2024-03-01 00:00:00.000001"))
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    graft.io.Jsonl.write(src, dir)
+    val back = graft.io.Jsonl.read(spark, dir, src.schema)
+      .drop("_corrupt_record").orderBy("id")
+    assert(back.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].collect().toSeq ===
+      Seq("2024-03-01 12:34:56.123456", "2024-03-01 00:00:00.000001"))
+  }
+
   test("JSONL quarantines malformed lines in _corrupt_record instead of failing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad-").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.json"),

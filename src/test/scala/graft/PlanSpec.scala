@@ -106,6 +106,17 @@ class PlanSpec extends SparkSuite {
       s"cap violated: $capped candidates from $n vectors at cap=$cap")
   }
 
+  test("range join resolves column names that need backticks (dots, spaces, hyphens)") {
+    import spark.implicits._
+    val points = Seq((1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 03:00:00")).toDF("pid", "s")
+      .select(col("pid"), col("s").cast("timestamp").as("p.ts"))
+    val ivals = Seq((10L, "2024-01-01 00:00:00", "2024-01-01 01:00:00")).toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp").as("win start"),
+        col("b").cast("timestamp").as("win-end"))
+    val out = RangeJoin.pointInInterval(points, ivals, "p.ts", "win start", "win-end")
+    assert(out.select("pid").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("binned range join handles empty interval side without degenerating") {
     import spark.implicits._
     val points = Seq((1L, "2024-01-01 00:10:00")).toDF("pid", "s")
