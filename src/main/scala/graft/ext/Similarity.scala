@@ -316,16 +316,26 @@ object Similarity {
     *
     * Deterministic: init is the first k vectors by vec_id, assignment
     * tie-breaks on the lower cluster id, iteration count is fixed. Means
-    * sum doubles in partition order, so centroids are NOT cross-engine
-    * bit-stable — the operator is test-gated (objective monotonicity,
-    * determinism within a session) rather than oracle-gated; ivfAssign/
-    * ivfSearch with pinned centroids remain the oracle-gated paths.
+    * sum doubles in partition order, so raw centroids are NOT cross-
+    * engine bit-stable; `snapScale > 0` makes them so by snapping every
+    * centroid coordinate to a fixed decimal grid after each Lloyd step —
+    * snap(x) = floor(x·scale + 0.5)/scale, each step an exactly-rounded
+    * IEEE op, so identical inputs give identical bits in any engine, and
+    * the ~1-ulp summation-order noise in the means vanishes unless a
+    * mean sits within ~1e-15 of a grid midpoint (measure-zero). The
+    * snapped train→assign loop is oracle-gated (x57/x58: DuckDB replays
+    * the full unrolled Lloyd iteration in SQL); the unsnapped path stays
+    * test-gated (objective monotonicity, within-session determinism).
+    * Snap order per step: snap(mean) → normalize by the snapped fold
+    * norm → snap again, so the SQL twin can reproduce each intermediate.
     *
     * Returns (centroids, assignments): the learned k×Dim model and the
     * per-vector cluster labels under it.
     */
-  def kMeans(embeddings: DataFrame, k: Int, iterations: Int = 5)
+  def kMeans(embeddings: DataFrame, k: Int, iterations: Int = 5, snapScale: Double = 0)
       : (Array[Array[Double]], DataFrame) = {
+    def snap(x: Double): Double =
+      if (snapScale > 0) math.floor(x * snapScale + 0.5) / snapScale else x
     VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")).cache()
     var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
@@ -356,9 +366,10 @@ object Similarity {
         .select(col("cluster"), transform(col("dm"), _.getField("m")).as("centroid"))
         .collect()
         .map { r =>
-          val m = r.getSeq[Double](1).toArray
+          val m = r.getSeq[Double](1).toArray.map(snap)
+          // Left-to-right fold, the list_dot_product order.
           val norm = math.sqrt(m.map(x => x * x).sum)
-          r.getInt(0) -> (if (norm > 0) m.map(_ / norm) else m)
+          r.getInt(0) -> (if (norm > 0) m.map(x => snap(x / norm)) else m)
         }.toMap
       // Empty clusters keep their previous centroid.
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
@@ -402,12 +413,40 @@ object Similarity {
     VectorFunctions.register(embeddings.sparkSession)
     val assigned = embeddings.join(ivfAssign(embeddings, numCentroids), Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), asDouble(col("embedding")).as("emb"))
-    val q = assigned.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val c = assigned.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    probeSearch(assigned, c, queryIds, k, nprobe)
+  }
+
+  /** IVF search over LEARNED centroids — the full train→assign→search
+    * loop: [[kMeans]] with `snapScale` trains cross-engine-stable
+    * centroids, the probe/rank machinery is identical to [[ivfSearch]].
+    * Oracle-gated (x58): DuckDB replays the unrolled Lloyd iterations
+    * and the probe in SQL.
+    */
+  def ivfSearchLearned(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      numCentroids: Int = 8, nprobe: Int = 4, iterations: Int = 2,
+      snapScale: Double = 1e6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (centroids, labels) = kMeans(embeddings, numCentroids, iterations, snapScale)
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "cemb")
+    val assigned = embeddings.join(labels.select("vec_id", "cluster"), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), asDouble(col("embedding")).as("emb"))
+    probeSearch(assigned, cdf, queryIds, k, nprobe)
+  }
+
+  /** Shared probe machinery: rank cells by query→centroid similarity,
+    * brute-force only inside the top `nprobe` cells. `assigned` carries
+    * (vec_id, cluster, emb); `centroids` carries (cid, cemb) and is tiny
+    * (broadcast). */
+  private def probeSearch(assigned: DataFrame, centroids: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val q = assigned.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid").asc)
-    val probed = q.crossJoin(broadcast(c))
+    val probed = q.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qemb"), col("cid"), dot(col("qemb"), col("cemb")).as("cs"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)

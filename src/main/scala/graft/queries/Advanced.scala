@@ -30,6 +30,13 @@ object Advanced {
     """CASE WHEN (n*sxx - sx*sx) <= 0 OR (n*syy - sy*sy) <= 0 THEN NULL
       |     ELSE (n*sxy - sx*sy) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(n*syy - sy*sy)) END""".stripMargin
 
+  /** k-means pinned parameters for x57/x58: k=8 cells, 2 Lloyd steps
+    * (each unrolled iteration is a CTE block in the oracle). Declared
+    * BEFORE `defs`, which forces the oracle strings at object init.
+    */
+  private val KmK = 8
+  private val KmIters = 2
+
   val defs: Seq[QueryDef] = Seq(
 
     // Range join without an equi key: purchases attributed to error-burst
@@ -612,8 +619,103 @@ object Advanced {
       (s, dir) => graft.ext.Multimodal.imageStats(s,
         graft.ext.Multimodal.syntheticImages(Tables(s, dir).documents,
           fmt = graft.ext.Multimodal.BmpType)).orderBy("doc_id"),
-      Some(imageStatsOracle))
+      Some(imageStatsOracle)),
+
+    // LEARNED-centroid IVF under the gate (closes the round-3 "test-gated
+    // only" carve-out): spherical k-means with grid-snapped centroids —
+    // snap(x) = floor(x·1e6 + 0.5)/1e6 after each Lloyd step, every op
+    // exactly-rounded IEEE, so Spark's distributed means and DuckDB's
+    // single-threaded means land on the same grid point and the whole
+    // train→assign loop is cross-engine bit-stable. The oracle unrolls
+    // both Lloyd iterations as CTEs (assign → snapped means → normalize
+    // → re-snap → re-assign), empty clusters keeping their previous
+    // centroid via LEFT JOIN.
+    QueryDef(
+      "x57_kmeans_train_assign",
+      (s, dir) => {
+        val (_, labels) = Similarity.kMeans(Tables(s, dir).embeddings,
+          KmK, KmIters, snapScale = 1e6)
+        labels.select("vec_id", "cluster").orderBy("vec_id")
+      },
+      Some(kmeansCteSql +
+        s"""
+           |SELECT vec_id, cluster FROM a$KmIters ORDER BY vec_id""".stripMargin)),
+
+    // ...and the search half over the learned cells: probe the nprobe
+    // best centroids per query, brute-force only inside them — the full
+    // train→assign→search IVF loop, all under one oracle.
+    QueryDef(
+      "x58_ivf_search_learned",
+      (s, dir) => Similarity.ivfSearchLearned(Tables(s, dir).embeddings,
+          0L until 10L, 5, KmK, 4, KmIters, 1e6)
+        .orderBy("qid", "rank"),
+      Some(kmeansCteSql +
+        s""", q AS (
+           |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+           |), probe AS (
+           |  SELECT qid, qemb, cluster FROM (
+           |    SELECT q.qid, q.qemb, c.cid AS cluster,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |             ORDER BY list_dot_product(q.qemb, c.cemb) DESC, c.cid ASC) AS rn
+           |    FROM q, c$KmIters c) r
+           |  WHERE rn <= 4
+           |), cand AS (
+           |  SELECT p.qid, a.vec_id AS neighbor_id, list_dot_product(p.qemb, a.emb) AS score
+           |  FROM probe p JOIN a$KmIters a ON a.cluster = p.cluster
+           |  WHERE a.vec_id <> p.qid
+           |)
+           |SELECT qid, rank, neighbor_id FROM (
+           |  SELECT qid, neighbor_id,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id ASC) AS rank
+           |  FROM cand) r
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
   )
+
+  /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the
+    * first k vectors, then per iteration i — per-dim snapped means of
+    * the previous assignment (m_i), re-normalized re-snapped centroids
+    * (c_i, empty clusters keep c_{i-1}'s row), re-assignment (a_i).
+    * Exact SQL replay of [[graft.ext.Similarity.kMeans]] at snapScale
+    * 1e6: FLOOR(x*1000000 + 0.5)/1000000 is the engine-neutral snap.
+    */
+  private lazy val kmeansCteSql: String = {
+    def argmax(csrc: String): String =
+      s"""  SELECT vec_id, emb, cluster FROM (
+         |    SELECT e.vec_id, e.emb, c.cid AS cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_dot_product(e.emb, c.cemb) DESC, c.cid ASC) AS rn
+         |    FROM e, $csrc c) r
+         |  WHERE rn = 1""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              |), c0 AS (
+              |  SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e WHERE vec_id < $KmK
+              |), a0 AS (
+              |${argmax("c0")}
+              |)""".stripMargin
+    for (i <- 1 to KmIters) {
+      sb ++= s""", m$i AS (
+                |  SELECT a.cluster, u.i AS dim,
+                |         FLOOR(AVG(a.emb[u.i]) * 1000000 + 0.5) / 1000000 AS m
+                |  FROM a${i - 1} a, (SELECT unnest(generate_series(1, ${Similarity.Dim})) AS i) u
+                |  GROUP BY 1, 2
+                |), ml$i AS (
+                |  SELECT cluster, list(m ORDER BY dim) AS ml FROM m$i GROUP BY cluster
+                |), c$i AS (
+                |  SELECT c.cid,
+                |         CASE WHEN ml.ml IS NULL THEN c.cemb
+                |              WHEN sqrt(list_dot_product(ml.ml, ml.ml)) > 0 THEN
+                |                list_transform(ml.ml, x ->
+                |                  FLOOR(x / sqrt(list_dot_product(ml.ml, ml.ml)) * 1000000 + 0.5) / 1000000)
+                |              ELSE ml.ml END AS cemb
+                |  FROM c${i - 1} c LEFT JOIN ml$i ml ON ml.cluster = c.cid
+                |), a$i AS (
+                |${argmax(s"c$i")}
+                |)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** Oracle for x55/x56: the md5 pixel generator replayed in SQL — RGB =
     * first three bytes of md5("img_<doc_id>_<y>_<x>"), integer Rec.601

@@ -155,6 +155,21 @@ class ExtSpec extends SparkSuite {
     assert(a1.count() === emb.count())
   }
 
+  test("snapped k-means: centroids on the 1e-6 grid; snapping barely moves the objective") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val (cs, labels) = Similarity.kMeans(emb, 8, 2, snapScale = 1e6)
+    // Every coordinate is a fixed point of the snap (it IS on the grid).
+    cs.flatten.foreach(x => assert(x === math.floor(x * 1e6 + 0.5) / 1e6))
+    // Snapping is a 1e-6 perturbation: labels still valid, objective
+    // within noise of the unsnapped run.
+    val snapped = labels.agg(avg("score")).head().getDouble(0)
+    val raw = Similarity.kMeans(emb, 8, 2)._2.agg(avg("score")).head().getDouble(0)
+    assert(math.abs(snapped - raw) < 1e-4, s"snap changed objective: $raw vs $snapped")
+    // Learned-centroid search returns k rows per query like the pinned path.
+    val out = Similarity.ivfSearchLearned(emb, 0L until 3L, 4, 8, 4, 2, 1e6)
+    assert(out.count() === 12)
+  }
+
   test("IVF search: every vector lands in one cell; full-probe recovers brute-force exactly") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val assigned = Similarity.ivfAssign(emb, 16)
