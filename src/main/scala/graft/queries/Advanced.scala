@@ -668,7 +668,37 @@ object Advanced {
            |  SELECT qid, neighbor_id,
            |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id ASC) AS rank
            |  FROM cand) r
-           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // JSONL interchange under the gate: the documents table writes to
+    // sharded JSON-Lines, re-reads under the EXPLICIT schema with
+    // _corrupt_record quarantine, and reduces to a per-document content
+    // digest. The oracle computes the same digest straight from the
+    // parquet — so a lossy escape, a truncated shard, a type widened by
+    // the reader, or a quarantined line all flip rows or hashes. (The
+    // write is an eager side effect into a fresh temp dir per run, like
+    // the x35 MERGE sink.)
+    QueryDef(
+      "x59_jsonl_roundtrip",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-gate-").toString
+        graft.io.Jsonl.write(docs, tmp, shards = 4)
+        // The doc_id conjunct keeps a DATA column referenced even when a
+        // downstream count() prunes the projection — Spark disallows raw
+        // JSON scans whose only referenced column is _corrupt_record.
+        // Semantics unchanged: corrupt lines have doc_id NULL anyway.
+        graft.io.Jsonl.read(s, tmp, docs.schema)
+          .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            length(col("text")).cast("long").as("text_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+             |       CAST(length(text) AS BIGINT) AS text_chars,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the

@@ -171,6 +171,114 @@ object Streams {
       .start()
   }
 
+  // ---- incrementally-maintained customer_revenue_summary -----------------
+
+  /** One tagged changelog record feeding [[revenueSummaryStream]]:
+    * "order" rows carry the order date, "item" rows carry exact scale-4
+    * money as longs (computed by Catalyst BEFORE the stateful operator,
+    * so the per-row double→decimal rounding is byte-identical to the
+    * batch view's) plus the part category. */
+  final case class RevenueChange(custkey: Long, kind: String, order_ms: Long,
+      money_scaled: Long, fee_scaled: Long, p_type: String)
+
+  /** Per-customer state: every aggregate of the batch view in exact
+    * integer form (scale-4 longs for money — addition is exact and
+    * order-independent, the streaming analog of decimal-before-sum) plus
+    * the category count map (bounded by the category domain, the same
+    * contract as functions.DeterministicMode) and a monotone version for
+    * last-write-wins upserts. */
+  final case class RevenueState(n_orders: Long, first_ms: Long, last_ms: Long,
+      n_items: Long, rev_scaled: Long, fee_scaled: Long,
+      cats: Map[String, Long], version: Long)
+
+  /** One emitted update: the batch view's aggregate columns for one
+    * customer (geo attributes join statically downstream — they are
+    * dimension lookups, not state). */
+  final case class RevenueUpdate(customer_id: Long, total_orders: Long,
+      total_items: Long, total_revenue: Double, avg_order_value: Double,
+      total_late_fees: Double, first_order_date: java.sql.Timestamp,
+      last_order_date: java.sql.Timestamp, n_categories: Long,
+      top_category: String, version: Long)
+
+  /** The north-star composition (SURVEY §2.10): the batch
+    * `customer_revenue_summary` view as ONE incrementally-maintained
+    * stream. Order and lineitem change streams are tagged and unioned
+    * into a per-customer changelog (items enrich stream-static against
+    * the orders keys and broadcast part dim — stateless), then a single
+    * flatMapGroupsWithState keeps every aggregate of the view as exact
+    * integers per customer and emits the updated row each micro-batch.
+    * Convergence contract (pinned in StreamingSpec): once both streams
+    * drain, the latest emission per customer joined to the static geo
+    * chain equals batch `View.dw` EXACTLY — money to the bit (scale-4
+    * longs replay decimal-before-sum), mode ties to DeterministicMode's
+    * pinned order, avg as the same one double division.
+    *
+    * Scale posture: state is one bounded record per customer (the
+    * category map is bounded by the category domain); emissions are a
+    * change stream fit for [[upsertSink]] / MERGE INTO; nothing
+    * re-reads history.
+    */
+  def revenueSummaryStream(spark: SparkSession, orderStream: DataFrame,
+      itemStream: DataFrame, staticOrders: DataFrame, staticPart: DataFrame,
+      graceDays: Int = 30): Dataset[RevenueUpdate] = {
+    import spark.implicits._
+    import graft.queries.{lateFeeExpr, money}
+
+    val orderChanges = orderStream.select(
+      col("o_custkey").as("custkey"), lit("order").as("kind"),
+      expr("unix_millis(o_orderdate)").as("order_ms"),
+      lit(0L).as("money_scaled"), lit(0L).as("fee_scaled"), lit("").as("p_type"))
+
+    val itemChanges = itemStream
+      .join(staticOrders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(staticPart.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("o_custkey").as("custkey"), lit("item").as("kind"), lit(0L).as("order_ms"),
+        (money(col("l_extendedprice") * (lit(1) - col("l_discount"))) * lit(10000))
+          .cast("long").as("money_scaled"),
+        (lateFeeExpr(graceDays) * lit(10000)).cast("long").as("fee_scaled"),
+        col("p_type"))
+
+    orderChanges.unionByName(itemChanges).as[RevenueChange]
+      .groupByKey(_.custkey)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (custkey: Long, batch: Iterator[RevenueChange], state: GroupState[RevenueState]) =>
+          var s = state.getOption.getOrElse(
+            RevenueState(0L, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, Map.empty, 0L))
+          batch.foreach { c =>
+            if (c.kind == "order")
+              s = s.copy(n_orders = s.n_orders + 1,
+                first_ms = math.min(s.first_ms, c.order_ms),
+                last_ms = math.max(s.last_ms, c.order_ms))
+            else
+              s = s.copy(n_items = s.n_items + 1,
+                rev_scaled = s.rev_scaled + c.money_scaled,
+                fee_scaled = s.fee_scaled + c.fee_scaled,
+                cats = s.cats.updated(c.p_type, s.cats.getOrElse(c.p_type, 0L) + 1L))
+          }
+          s = s.copy(version = s.version + 1)
+          state.update(s)
+          // Exact emissions: K/10000.0 is the correctly-rounded double of
+          // the same rational the batch's CAST(SUM(decimal) AS DOUBLE)
+          // rounds — identical bits (K stays far below 2^53 here).
+          val rev = s.rev_scaled / 10000.0
+          Iterator.single(RevenueUpdate(
+            custkey, s.n_orders, s.n_items, rev,
+            if (s.n_orders > 0) rev / s.n_orders.toDouble else 0.0,
+            s.fee_scaled / 10000.0,
+            // No orders yet → the min/max sentinels are not dates; emit
+            // NULL (a raw sentinel would overflow the micros encoder).
+            if (s.n_orders > 0) new java.sql.Timestamp(s.first_ms) else null,
+            if (s.n_orders > 0) new java.sql.Timestamp(s.last_ms) else null,
+            s.cats.size.toLong,
+            // DeterministicMode's pinned tie-break: count desc, name asc.
+            if (s.cats.isEmpty) null else s.cats.minBy { case (k, v) => (-v, k) }._1,
+            s.version))
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

@@ -139,6 +139,63 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq === Seq((1L, 50.0)))
   }
 
+  test("revenueSummaryStream converges to the batch view exactly (money to the bit)") {
+    implicit val sc = spark.sqlContext
+    val t = graft.io.Tables(spark, Sf)
+    val orders = t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val items = t.lineitem
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .as[(Long, Long, Double, Double, java.sql.Timestamp)].collect()
+
+    val ordSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val itmSrc = MemoryStream[(Long, Long, Double, Double, java.sql.Timestamp)]
+    val updates = Streams.revenueSummaryStream(spark,
+      ordSrc.toDF().toDF("o_orderkey", "o_custkey", "o_orderdate")
+        .select("o_custkey", "o_orderdate"),
+      itmSrc.toDF().toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"),
+      t.orders, t.part)
+    val target = java.nio.file.Files.createTempDirectory("graft-crs-").toString + "/state"
+    val q = Streams.upsertSink(spark, updates.toDF(),
+      keys = Seq("customer_id"), orderCol = "version", targetPath = target)
+
+    // Two uneven halves so customers' orders and items straddle
+    // micro-batches: state must merge increments, not see whole groups.
+    val (o1, o2) = orders.splitAt(orders.length / 3)
+    val (i1, i2) = items.splitAt(2 * items.length / 3)
+    ordSrc.addData(o1.toSeq); itmSrc.addData(i1.toSeq)
+    q.processAllAvailable()
+    ordSrc.addData(o2.toSeq); itmSrc.addData(i2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val geo = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name").as("customer_name"),
+        col("c_mktsegment").as("segment"),
+        col("n_name").as("nation"), col("r_name").as("region"))
+    // Dates canonicalize to strings: the parquet tables read as
+    // TIMESTAMP_NTZ while the stream state emits TIMESTAMP — same
+    // instants (UTC session), different JVM classes on collect.
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("customer_id"), col("customer_name"), col("segment"),
+        col("nation"), col("region"), col("total_orders"), col("total_items"),
+        col("total_revenue"), col("avg_order_value"), col("total_late_fees"),
+        col("first_order_date").cast("string").as("first_order_date"),
+        col("last_order_date").cast("string").as("last_order_date"),
+        col("n_categories"), col("top_category"))
+      .orderBy("customer_id").collect().map(_.toSeq)
+    val streamView = canon(spark.read.parquet(target)
+      .filter(col("total_orders") > 0 && col("total_items") > 0)
+      .join(geo, col("customer_id") === col("c_custkey")))
+    val batchView = canon(graft.warehouse.View.dw(spark, Sf))
+    assert(streamView.length === batchView.length)
+    // EXACT equality, doubles included — the scale-4-long state replays
+    // the batch view's decimal-before-sum contract bit-for-bit.
+    streamView.zip(batchView).foreach { case (s, b) => assert(s === b) }
+  }
+
   test("streaming rollup matches the batch x14 aggregate on the same rows") {
     implicit val sc = spark.sqlContext
     val batch = graft.io.Tables(spark, Sf).events
