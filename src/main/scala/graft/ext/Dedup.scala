@@ -235,9 +235,21 @@ object Dedup {
     * ran — the convergence diagnostic DedupProbe reports.
     */
   def duplicateClustersWithRounds(docs: DataFrame, threshold: Double = 0.3,
+      maxIterations: Int = 20): (DataFrame, Int) =
+    componentsFromEdges(lshDedupPairs(docs, threshold).select("doc_a", "doc_b"),
+      docs.select(col("doc_id")), maxIterations)
+
+  /** Generic two-phase large-star/small-star connected components over an
+    * undirected edge list (`doc_a`/`doc_b` columns) — the loop behind
+    * [[duplicateClusters]], reusable for ANY similarity-pair source
+    * (n-gram LSH here, embedding ANN in Similarity.annClusters).
+    * `nodes` (one `doc_id` column) supplies the isolated vertices, which
+    * label themselves. Returns (doc_id, cluster, is_canonical) and the
+    * round count.
+    */
+  def componentsFromEdges(pairs: DataFrame, nodes: DataFrame,
       maxIterations: Int = 20): (DataFrame, Int) = {
-    val spark = docs.sparkSession
-    val pairs = lshDedupPairs(docs, threshold).select("doc_a", "doc_b")
+    val spark = pairs.sparkSession
     // Invariant orientation: (u, v) with u > v ("point to the smaller").
     // Lineage is truncated each round via localCheckpoint: `sym` embeds
     // the edge plan twice, so chained lazy plans double per round and an
@@ -295,7 +307,7 @@ object Dedup {
     // At convergence edges are stars (node -> component min); the min-agg
     // also yields the best-known label if maxIterations cut the loop.
     val stars = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("cluster"))
-    val labels = docs.select(col("doc_id"))
+    val labels = nodes
       .join(stars, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))

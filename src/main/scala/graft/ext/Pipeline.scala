@@ -68,6 +68,37 @@ object Pipeline {
     docs.withColumn("u", saltedUniform(col(idCol), salt)).filter(col("u") < rate)
   }
 
+  /** Temperature-based source mixing (the multilingual/source-rebalance
+    * move of LLM corpus assembly, temperature α = 0.5 via sqrt — chosen
+    * over pow() because sqrt is exactly-rounded IEEE in every engine):
+    * sampling weight w_s = sqrt(count_s), a target sample size T
+    * distributed ∝ w, per-source keep rate min(1, T·w_s / (wsum·c_s)).
+    * The rate snaps to a 1e-9 grid (floor(x·1e9 + 0.5)/1e9) so the ±ulp
+    * summation-order noise in wsum vanishes cross-engine; kept rows are
+    * chosen by the salted id-hash uniform, so the sample is reproducible
+    * and stable under reshuffling. Relative to proportional sampling the
+    * sqrt temperature upsamples rare sources — the point of the op.
+    *
+    * Plan shape: one small aggregate (source cardinality), broadcast of
+    * the rate table, one codegen'd filter over the corpus scan — no
+    * corpus shuffle.
+    */
+  def temperatureMix(docs: DataFrame, targetSize: Long,
+      salt: String = "mix|"): DataFrame = {
+    require(targetSize > 0, "targetSize must be positive")
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    val weighted = counts.withColumn("w", sqrt(col("c")))
+    val wsum = weighted.agg(sum(col("w")).as("wsum"))
+    val rates = weighted.crossJoin(broadcast(wsum))
+      .withColumn("rate", snap9(least(lit(1.0),
+        lit(targetSize.toDouble) * col("w") / (col("wsum") * col("c")))))
+      .select("source", "rate")
+    docs.join(broadcast(rates), "source")
+      .filter(saltedUniform(col("doc_id"), salt) < col("rate"))
+      .select(col("doc_id"), col("source"), col("rate"))
+  }
+
   /** Split each document into token windows of `chunkSize` tokens every
     * `stride` tokens (overlapping when stride < chunkSize) — the
     * context-window chunking step of a RAG / training pipeline. Start

@@ -220,11 +220,13 @@ object Similarity {
           .cache()
       })
 
-  /** Release cached candidate frames for a session. */
-  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Release cached candidate frames and trained models for a session. */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     candCache.keys.filter(_._1 == spark).foreach { k =>
       candCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    kmCache.keys.filter(_._1 == spark).foreach(kmCache.remove(_))
+  }
 
   /** The banded signature table: (vec_id, band_idx, band_key), AnnBands
     * rows per vector — the shared candidate-generation core of
@@ -269,6 +271,25 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("vec_id", "rank", "neighbor_id", "score")
+  }
+
+  /** End-to-end embedding near-dup DEDUP: banded ANN pairs → two-phase
+    * large-star/small-star connected components → canonical
+    * representative per cluster (minimum vec_id) — the embedding-side
+    * twin of Dedup.duplicateClusters, sharing its generic component loop
+    * (Dedup.componentsFromEdges). Vectors with no near-dup label
+    * themselves. Same scale posture as both parents: banded equi-join
+    * candidates (never all-pairs), log-round edge contraction over the
+    * pair set only.
+    */
+  def annClusters(embeddings: DataFrame, threshold: Double,
+      bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0,
+      maxIterations: Int = 20): DataFrame = {
+    val pairs = annPairs(embeddings, threshold, bands, bandBits, bucketCap)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val (labels, _) = Dedup.componentsFromEdges(pairs,
+      embeddings.select(col("vec_id").as("doc_id")), maxIterations)
+    labels.select(col("doc_id").as("vec_id"), col("cluster"), col("is_canonical"))
   }
 
   /** Symmetric int8 quantization of the embedding column — the memory/
@@ -332,8 +353,22 @@ object Similarity {
     * Returns (centroids, assignments): the learned k×Dim model and the
     * per-vector cluster labels under it.
     */
+  // Trained models cache per (session, source plan, hyperparams): x57 and
+  // x58 share one training run (labels are localCheckpointed, so reuse is
+  // a lineage-free read); released via clearCaches.
+  private val kmCache = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession, Int, Int, Int, Double),
+    (Array[Array[Double]], DataFrame)]
+
   def kMeans(embeddings: DataFrame, k: Int, iterations: Int = 5, snapScale: Double = 0)
-      : (Array[Array[Double]], DataFrame) = {
+      : (Array[Array[Double]], DataFrame) =
+    kmCache.getOrElseUpdate(
+      (embeddings.sparkSession, embeddings.queryExecution.analyzed.semanticHash(),
+        k, iterations, snapScale),
+      kMeansUncached(embeddings, k, iterations, snapScale))
+
+  private def kMeansUncached(embeddings: DataFrame, k: Int, iterations: Int,
+      snapScale: Double): (Array[Array[Double]], DataFrame) = {
     def snap(x: Double): Double =
       if (snapScale > 0) math.floor(x * snapScale + 0.5) / snapScale else x
     VectorFunctions.register(embeddings.sparkSession)

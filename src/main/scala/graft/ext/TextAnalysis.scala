@@ -252,6 +252,29 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Conservative regex shared by Java (Spark) and RE2-ish (DuckDB)
+    * dialects: char classes, bounded quantifiers, no lookaround. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** 7-plus digit runs — the phone/account-number-shaped spans a corpus
+    * scrub masks. */
+  val LongNumberPattern = "[0-9]{7,}"
+
+  /** PII-style scrub pass: count and mask email-shaped and long-number
+    * spans (emails first, so a digit-bearing local part is consumed as
+    * an email, pinning the order cross-engine). Emits match counts and
+    * the md5 of the redacted text — the gate proves the REPLACEMENT
+    * byte-exact, not just the counts. Pure codegen'd projections over
+    * the scan, no shuffle; the patterns avoid every Java/RE2 dialect
+    * divergence (no lookaround, no backrefs, no lazy quantifiers).
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(LongNumberPattern)).cast("long").as("n_long_numbers"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        LongNumberPattern, "<NUM>").cast("binary")).as("redacted_md5"))
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -698,7 +698,83 @@ object Advanced {
       Some("""SELECT doc_id, lang, source, n_chars,
              |       CAST(length(text) AS BIGINT) AS text_chars,
              |       md5(text) AS text_md5
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // End-to-end embedding DEDUP: the x11 banded pair set contracted to
+    // connected components (generic large-star/small-star loop shared
+    // with x22) with the minimum vec_id canonical — "which vectors to
+    // keep" rather than "which pairs collide". Oracle: recursive-CTE
+    // transitive closure over the identical banded+verified pair SQL.
+    // Iterative driver-synced loop → bench=false (timed in bench_diag
+    // like x22).
+    QueryDef(
+      "x60_ann_clusters",
+      (s, dir) => Similarity.annClusters(Tables(s, dir).embeddings, 0.4)
+        .orderBy("vec_id"),
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          s""", dup AS (
+             |  SELECT vec_a, vec_b FROM (
+             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+             |    FROM cand c
+             |    JOIN e ea ON ea.vec_id = c.vec_a
+             |    JOIN e eb ON eb.vec_id = c.vec_b) p
+             |  WHERE cosine >= 0.4
+             |), sym AS (
+             |  SELECT vec_a AS src, vec_b AS dst FROM dup
+             |  UNION ALL
+             |  SELECT vec_b, vec_a FROM dup
+             |), reach(a, b) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+             |)
+             |SELECT a AS vec_id, MIN(b) AS cluster, MIN(b) = a AS is_canonical
+             |FROM reach GROUP BY 1 ORDER BY vec_id""".stripMargin
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      },
+      bench = false),
+
+    // Temperature-based source mixing (alpha = 0.5 via sqrt — exactly-
+    // rounded IEEE, unlike pow): per-source keep rate
+    // min(1, T*sqrt(c)/(sum sqrt(c) * c)) snapped to a 1e-9 grid (kills
+    // the summation-order ulp in the weight sum), rows kept by the
+    // salted id-hash uniform. Upsamples rare sources vs proportional —
+    // the corpus-rebalance move of multilingual training-data assembly.
+    QueryDef(
+      "x61_temperature_mix",
+      (s, dir) => Pipeline.temperatureMix(Tables(s, dir).documents, 200)
+        .orderBy("doc_id"),
+      Some("""WITH counts AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1
+             |), weighted AS (
+             |  SELECT source, c, sqrt(c) AS w FROM counts
+             |), s AS (
+             |  SELECT SUM(w) AS wsum FROM weighted
+             |), rates AS (
+             |  SELECT source,
+             |         FLOOR(LEAST(1.0, 200.0 * w / (wsum * c)) * 1000000000.0 + 0.5)
+             |           / 1000000000.0 AS rate
+             |  FROM weighted, s
+             |)
+             |SELECT d.doc_id, d.source, r.rate
+             |FROM documents d JOIN rates r USING (source)
+             |WHERE CAST(('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |        / 4294967296.0 < r.rate
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // PII-style scrub: count + mask email-shaped and 7-plus-digit spans;
+    // the md5 of the redacted text proves the replacement byte-exact.
+    // Patterns stay inside the Java/RE2 common dialect.
+    QueryDef(
+      "x62_redaction",
+      (s, dir) => TextAnalysis.redact(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |       CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+              |       CAST(len(regexp_extract_all(text, '${TextAnalysis.LongNumberPattern}')) AS BIGINT) AS n_long_numbers,
+              |       md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+              |                          '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g')) AS redacted_md5
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the
@@ -780,10 +856,12 @@ object Advanced {
     * replay of [[graft.ext.Similarity.candidatePairs]] at the sparse
     * preset.
     */
-  private lazy val sparseCandSql: String = {
-    val bands = Similarity.SparseBands
-    val bits = Similarity.SparseBandBits
-    val cap = Similarity.SparseBucketCap
+  private lazy val sparseCandSql: String = bandCandSql(
+    Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
+
+  /** Same chain at any banding density; cap <= 0 skips the kept filter
+    * (the dense x11 preset). */
+  private def bandCandSql(bands: Int, bits: Int, cap: Int): String = {
     val bandSelects = (0 until bands).map { b =>
       val key = (0 until bits).map { j =>
         val lit = Similarity.planesSqlLiteral(b * bits + j)
@@ -791,17 +869,26 @@ object Advanced {
       }.mkString(" + ")
       s"SELECT vec_id, emb, $b AS band_idx, $key AS band_key FROM e"
     }.mkString("\n  UNION ALL ")
+    val keptCtes =
+      if (cap <= 0)
+        s"""cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a
+           |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+           |)""".stripMargin
+      else
+        s"""kept AS (
+           |  SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $cap
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a
+           |  JOIN kept k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+           |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+           |)""".stripMargin
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
        |), bands AS (
        |  $bandSelects
-       |), kept AS (
-       |  SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $cap
-       |), cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bands a
-       |  JOIN kept k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
-       |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
-       |)""".stripMargin
+       |), $keptCtes""".stripMargin
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Unit specs for the training-data-pipeline operators on hand-built
@@ -147,6 +147,9 @@ class ExtSpec extends SparkSuite {
     assert(s3 >= s0 - 1e-12 && s6 >= s3 - 1e-12, s"objective regressed: $s0 -> $s3 -> $s6")
     assert(s3 > s0, "training never improved on the pinned-id init")
     val (c1, a1) = Similarity.kMeans(emb, 8, 3)
+    // Drop the model cache so the second run actually retrains —
+    // determinism of the computation, not of a map lookup.
+    Similarity.clearCaches(spark)
     val (c2, a2) = Similarity.kMeans(emb, 8, 3)
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
     val l1 = a1.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
@@ -319,6 +322,45 @@ class ExtSpec extends SparkSuite {
     val again = Multimodal.extractFeatures(spark, media).orderBy("doc_id")
       .as[(Long, Seq[Double])].collect()
     assert(rows.toSeq === again.toSeq)
+  }
+
+  test("redaction masks emails and long numbers byte-exactly") {
+    val d = docs(
+      1L -> "mail me at john.doe@example.com or call 12345678 now",
+      2L -> "no pii here 123456")  // 6 digits: below the 7-digit floor
+    val r = TextAnalysis.redact(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_emails") === 1L)
+    assert(r(0).getAs[Long]("n_long_numbers") === 1L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("mail me at <EMAIL> or call <NUM> now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(0).getAs[String]("redacted_md5") === expected)
+    assert(r(1).getAs[Long]("n_emails") === 0L)
+    assert(r(1).getAs[Long]("n_long_numbers") === 0L)
+  }
+
+  test("temperature mix upsamples rare sources at the sqrt ratio; deterministic") {
+    val d = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val rates = Pipeline.temperatureMix(d, 100).select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // rate_small/rate_big = (w_s/c_s)/(w_b/c_b) = sqrt(c_b/c_s) = 3.
+    assert(math.abs(rates("small") / rates("big") - 3.0) < 1e-6,
+      s"sqrt temperature ratio off: $rates")
+    assert(Pipeline.temperatureMix(d, 100).count() ===
+      Pipeline.temperatureMix(d, 100).count())
+  }
+
+  test("annClusters: pairs share clusters transitively, min id canonical, full coverage") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val pairs = Similarity.annPairs(emb, 0.4).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val labels = Similarity.annClusters(emb, 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(labels(a) === labels(b)) }
+    labels.groupBy(_._2).foreach { case (c, m) => assert(m.keys.min === c) }
+    assert(labels.size.toLong === emb.count())
   }
 
   test("PPM decode: full header grammar — comments, arbitrary whitespace, exact raster") {
