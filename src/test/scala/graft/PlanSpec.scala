@@ -106,6 +106,23 @@ class PlanSpec extends SparkSuite {
       s"cap violated: $capped candidates from $n vectors at cap=$cap")
   }
 
+  test("x61 mixing joins the corpus to broadcast rates — no corpus-side shuffle join") {
+    val plan = executed("x61_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for a dim-sized rate table:\n$plan")
+  }
+
+  test("x62 redaction is a pure projection over a pruned scan — no join, no aggregate") {
+    val df = queries.Registry.queryMap("x62_redaction")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"redaction should be scan+project only:\n$plan")
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text") &&
+      !scanLine.contains("lang"), s"scan not pruned: $scanLine")
+  }
+
   test("range join resolves column names that need backticks (dots, spaces, hyphens)") {
     import spark.implicits._
     val points = Seq((1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 03:00:00")).toDF("pid", "s")
