@@ -774,7 +774,67 @@ object Advanced {
               |       CAST(len(regexp_extract_all(text, '${TextAnalysis.LongNumberPattern}')) AS BIGINT) AS n_long_numbers,
               |       md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
               |                          '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g')) AS redacted_md5
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Zone maps: the data-skipping metadata a 100 TB layout maintains
+    // beside the data — per-zone (1000-key ranges here; row groups /
+    // files in production) min/max/count for the prunable columns. A
+    // reader answering `o_totalprice > X` or a date-range predicate
+    // skips every zone whose bounds exclude it; io/Layout covers the
+    // bucketing half of physical design, this is the statistics half.
+    // One map-side-combined aggregate, no joins.
+    QueryDef(
+      "x63_zone_maps",
+      (s, dir) => Tables(s, dir).orders
+        .groupBy(expr("o_orderkey div 1000").as("zone"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+        .orderBy("zone"),
+      Some("""SELECT o_orderkey // 1000 AS zone,
+             |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       MIN(o_totalprice) AS min_price,
+             |       MAX(o_totalprice) AS max_price,
+             |       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+             |       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+             |FROM orders GROUP BY 1 ORDER BY zone""".stripMargin)),
+
+    // Rolling 7-day active users (the DAU/WAU series): each event
+    // contributes to the 7 window-days it falls inside — a bounded
+    // explode (x7) plus ONE distinct aggregate, the linear spelling of
+    // sliding-window COUNT DISTINCT (a per-day self-join would rescan
+    // the fact 7x; a global window cannot express distinct). Window days
+    // clamp to the observed date range via a broadcast bounds row.
+    QueryDef(
+      "x64_rolling_wau",
+      (s, dir) => {
+        val ev = Tables(s, dir).events.select(to_date(col("ts")).as("d"), col("user_id"))
+        val bounds = ev.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+        ev.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("window_day"),
+            col("user_id"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("window_day").between(col("mn"), col("mx")))
+          .groupBy("window_day")
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .select(date_format(col("window_day"), "yyyy-MM-dd").as("window_day"), col("wau"))
+          .orderBy("window_day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events
+             |), bounds AS (
+             |  SELECT MIN(d) AS mn, MAX(d) AS mx FROM ev
+             |), contrib AS (
+             |  SELECT d + CAST(i.i AS INTEGER) AS window_day, user_id
+             |  FROM ev, (SELECT unnest(generate_series(0, 6)) AS i) i
+             |)
+             |SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+             |FROM contrib, bounds
+             |WHERE window_day BETWEEN mn AND mx
+             |GROUP BY 1 ORDER BY window_day""".stripMargin))
   )
 
   /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the
