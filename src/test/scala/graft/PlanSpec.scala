@@ -123,6 +123,14 @@ class PlanSpec extends SparkSuite {
       !scanLine.contains("lang"), s"scan not pruned: $scanLine")
   }
 
+  test("x64 rolling distinct: bounds broadcast, no shuffle join of the fact") {
+    val plan = executed("x64_rolling_wau")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounds clamp shuffled the exploded fact:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"bounds row should broadcast:\n$plan")
+  }
+
   test("range join resolves column names that need backticks (dots, spaces, hyphens)") {
     import spark.implicits._
     val points = Seq((1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 03:00:00")).toDF("pid", "s")
