@@ -88,15 +88,28 @@ object Bench {
       if (ok) t else -1.0
     }
 
-    /** (cold, median-of-3) — see scaladoc; failures and expensive colds
-      * report the cold value in both slots. */
+    // Rerun timing for the median series: a rerun failure must NOT mark a
+    // cold-successful query as failed in the headline (nor enter it twice),
+    // so reruns record nothing — they only contribute a sample or don't.
+    def timeQuiet(name: String): Double =
+      try timed(Registry.queryMap(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name rerun failed (median falls back): ${e.getMessage}")
+        -1.0
+      }
+
+    /** (cold, median-of-3) — see scaladoc. Failures and expensive colds
+      * report the cold value in both slots; if any rerun fails, the
+      * median also falls back to cold (a 2-sample "median" would just
+      * pick an arbitrary one of them). */
     def measure(name: String): (Double, Double) = {
       val cold = materialize(name, sfDir)
       if (cold < 0 || cold >= RepeatThresholdSec) (cold, cold)
       else {
-        val reruns = Seq(materialize(name, sfDir), materialize(name, sfDir)).filter(_ >= 0)
-        val sorted = (cold +: reruns).sorted
-        (cold, sorted(sorted.length / 2))
+        val reruns = Seq(timeQuiet(name), timeQuiet(name))
+        if (reruns.exists(_ < 0)) (cold, cold)
+        else (cold, (cold +: reruns).sorted.apply(1))
       }
     }
 

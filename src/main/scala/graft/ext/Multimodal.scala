@@ -50,9 +50,12 @@ object Multimodal {
 
   /** REAL binary-PPM (P6) decoder — netpbm's published format: ASCII
     * header (magic, width, height, maxval, each separated by whitespace,
-    * '#' comments running to end-of-line allowed anywhere in the header),
+    * '#' comments running to end-of-line allowed BETWEEN header tokens),
     * then a single whitespace byte, then width*height*3 raw sample bytes.
-    * maxval > 255 (two-byte samples) is rejected rather than half-read.
+    * A comment cannot follow maxval: the byte after the single separator
+    * is raster by definition ('#' is a valid pixel value), matching
+    * netpbm's own one-terminating-character parse. maxval > 255
+    * (two-byte samples) is rejected rather than half-read.
     */
   def decodePpm(content: Array[Byte]): RasterImage = {
     var pos = 0
@@ -86,13 +89,20 @@ object Multimodal {
     val maxval = readInt()
     if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
     if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
-    // Exactly ONE whitespace byte separates header and raster (a raster
-    // byte may itself look like whitespace, so no skipWs here).
+    // Exactly ONE whitespace byte separates header and raster. No
+    // comment handling here, and none is possible: raster bytes are
+    // arbitrary (0x23 '#' and 0x0a '\n' are valid pixel values), so
+    // anything after that single byte is pixel data by definition —
+    // netpbm's own pm_getuint consumes exactly one terminating
+    // character the same way. Comments are only unambiguous BETWEEN
+    // header tokens, where readInt's skipWs handles them.
     if (pos >= content.length || !isWs(content(pos))) fail("missing raster separator")
     pos += 1
-    val need = w * h * 3
-    if (content.length - pos < need) fail(s"truncated raster: need $need, have ${content.length - pos}")
-    RasterImage(w, h, maxval, java.util.Arrays.copyOfRange(content, pos, pos + need))
+    // Long arithmetic: readInt caps each dim at 2^23, so w*h*3 can still
+    // overflow Int and wrap the truncation guard into accepting.
+    val need = w.toLong * h * 3L
+    if (need > content.length.toLong - pos) fail(s"truncated raster: need $need, have ${content.length - pos}")
+    RasterImage(w, h, maxval, java.util.Arrays.copyOfRange(content, pos, pos + need.toInt))
   }
 
   /** REAL 24-bit uncompressed BMP (BITMAPINFOHEADER) decoder: little-
@@ -119,8 +129,12 @@ object Multimodal {
     if (bpp != 24) fail(s"unsupported bit depth $bpp (want 24)")
     if (i32(30) != 0) fail("compressed BMP not supported")
     if (w <= 0 || h == 0) fail(s"bad dimensions ${w}x$rawH")
+    // A crafted negative/huge dataOffset would pass a subtraction-based
+    // truncation check and then index out of (or before) the buffer.
+    if (dataOffset < 54 || dataOffset > content.length) fail(s"bad data offset $dataOffset")
+    if (w.toLong * h * 3L > Int.MaxValue - 64) fail(s"image too large: ${w}x$h")
     val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (content.length - dataOffset < rowSize.toLong * h) fail("truncated raster")
+    if (content.length.toLong - dataOffset < rowSize.toLong * h) fail("truncated raster")
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

@@ -94,9 +94,11 @@ object Pipeline {
       .withColumn("rate", snap9(least(lit(1.0),
         lit(targetSize.toDouble) * col("w") / (col("wsum") * col("c")))))
       .select("source", "rate")
+    // Annotate-and-keep like trainSplit/sampleByHash: every input column
+    // rides along plus the stratum's rate — no re-join needed to recover
+    // the text of the sampled corpus.
     docs.join(broadcast(rates), "source")
       .filter(saltedUniform(col("doc_id"), salt) < col("rate"))
-      .select(col("doc_id"), col("source"), col("rate"))
   }
 
   /** Split each document into token windows of `chunkSize` tokens every

@@ -225,7 +225,12 @@ object Similarity {
     candCache.keys.filter(_._1 == spark).foreach { k =>
       candCache.remove(k).foreach(_.unpersist(blocking = false))
     }
-    kmCache.keys.filter(_._1 == spark).foreach(kmCache.remove(_))
+    kmCache.keys.filter(_._1 == spark).foreach { k =>
+      // Best-effort: unpersist drops any cached lineage; the
+      // localCheckpoint RDD blocks themselves are released by the
+      // ContextCleaner once this last reference is dropped.
+      kmCache.remove(k).foreach(_._2.unpersist(blocking = false))
+    }
   }
 
   /** The banded signature table: (vec_id, band_idx, band_key), AnnBands

@@ -268,12 +268,17 @@ object TextAnalysis {
     * the scan, no shuffle; the patterns avoid every Java/RE2 dialect
     * divergence (no lookaround, no backrefs, no lazy quantifiers).
     */
-  def redact(docs: DataFrame): DataFrame =
+  def redact(docs: DataFrame): DataFrame = {
+    // Long-number counting runs on the email-masked text so every count
+    // corresponds to a mask actually applied — a digit run inside an
+    // email local-part is consumed by <EMAIL>, not double-reported.
+    val emailMasked = regexp_replace(col("text"), EmailPattern, "<EMAIL>")
     docs.select(col("doc_id"),
       regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(col("text"), lit(LongNumberPattern)).cast("long").as("n_long_numbers"),
-      md5(regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-        LongNumberPattern, "<NUM>").cast("binary")).as("redacted_md5"))
+      regexp_count(emailMasked, lit(LongNumberPattern)).cast("long").as("n_long_numbers"),
+      md5(regexp_replace(emailMasked, LongNumberPattern, "<NUM>").cast("binary"))
+        .as("redacted_md5"))
+  }
 
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))

@@ -42,7 +42,11 @@ object Jsonl {
       .schema(schema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      // No explicit timestampFormat on READ: Spark's default ISO-8601
+      // parser accepts variable fraction lengths, so shards written with
+      // millisecond precision (or by other producers) parse instead of
+      // quarantining — a pinned .SSSSSS pattern here would disable the
+      // lenient fallback and silently _corrupt_record every older shard.
       .json(path)
 
   /** Inference read for ad-hoc exploration only (extra full pass). */

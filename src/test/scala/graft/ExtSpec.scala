@@ -324,10 +324,11 @@ class ExtSpec extends SparkSuite {
     assert(rows.toSeq === again.toSeq)
   }
 
-  test("redaction masks emails and long numbers byte-exactly") {
+  test("redaction masks emails and long numbers byte-exactly; counts match masks") {
     val d = docs(
       1L -> "mail me at john.doe@example.com or call 12345678 now",
-      2L -> "no pii here 123456")  // 6 digits: below the 7-digit floor
+      2L -> "no pii here 123456",  // 6 digits: below the 7-digit floor
+      3L -> "digits 98765432@corp.com inside an email")
     val r = TextAnalysis.redact(d).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("n_emails") === 1L)
     assert(r(0).getAs[Long]("n_long_numbers") === 1L)
@@ -337,6 +338,10 @@ class ExtSpec extends SparkSuite {
     assert(r(0).getAs[String]("redacted_md5") === expected)
     assert(r(1).getAs[Long]("n_emails") === 0L)
     assert(r(1).getAs[Long]("n_long_numbers") === 0L)
+    // A digit run consumed by <EMAIL> is not double-counted as a number —
+    // every reported count corresponds to a mask actually applied.
+    assert(r(2).getAs[Long]("n_emails") === 1L)
+    assert(r(2).getAs[Long]("n_long_numbers") === 0L)
   }
 
   test("temperature mix upsamples rare sources at the sqrt ratio; deterministic") {
@@ -347,8 +352,15 @@ class ExtSpec extends SparkSuite {
     // rate_small/rate_big = (w_s/c_s)/(w_b/c_b) = sqrt(c_b/c_s) = 3.
     assert(math.abs(rates("small") / rates("big") - 3.0) < 1e-6,
       s"sqrt temperature ratio off: $rates")
-    assert(Pipeline.temperatureMix(d, 100).count() ===
-      Pipeline.temperatureMix(d, 100).count())
+    // Determinism of the SELECTION, not just its size: two independently
+    // built plans must keep the exact same ids (a seed-based sampler
+    // would keep different rows with a possibly-equal count).
+    def kept() = Pipeline.temperatureMix(d, 100).select("doc_id")
+      .as[Long].collect().toSet
+    val k1 = kept()
+    assert(k1.nonEmpty && k1 === kept())
+    // Annotate-and-keep: input columns survive.
+    assert(Pipeline.temperatureMix(d, 100).columns.toSet === Set("source", "doc_id", "rate"))
   }
 
   test("annClusters: pairs share clusters transitively, min id canonical, full coverage") {
@@ -379,11 +391,20 @@ class ExtSpec extends SparkSuite {
     // Round trip through our own encoder (which emits a comment line).
     val rt = decodePpm(encodePpm(RasterImage(2, 1, 255, raster)))
     assert(rt.width === 2 && rt.rgb.toSeq === raster.toSeq)
+    // After maxval's single separator, '#' is PIXEL data, not a comment
+    // (raster bytes are arbitrary — the strict netpbm read).
+    val hashRaster = Array[Byte]('#', 'x', 'y', 1, 2, 3)
+    assert(decodePpm("P6 2 1 255 ".getBytes("US-ASCII") ++ hashRaster)
+      .rgb.toSeq === hashRaster.toSeq)
     // Truncated raster and bad magic fail loudly, never half-decode.
     intercept[IllegalArgumentException](decodePpm(bytes.dropRight(1)))
     intercept[IllegalArgumentException](decodePpm("P5 2 1 255 ".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](
       decodePpm("P6 2 1 65535 ".getBytes("US-ASCII") ++ new Array[Byte](12)))
+    // Dimensions whose product overflows Int must fail the truncation
+    // guard, not wrap it.
+    intercept[IllegalArgumentException](
+      decodePpm("P6 40000 40000 255 ".getBytes("US-ASCII") ++ new Array[Byte](64)))
   }
 
   test("BMP decode: bottom-up BGR rows with 4-byte padding normalize to top-left RGB") {
@@ -405,6 +426,11 @@ class ExtSpec extends SparkSuite {
     assert(decodeBmp(topDown).rgb.toSeq === rgb.toSeq)
     intercept[IllegalArgumentException](decodeBmp(enc.dropRight(1)))
     intercept[IllegalArgumentException](decodeBmp("BMnot-a-real-bmp-header".getBytes ++ new Array[Byte](54)))
+    // Corrupt data offsets fail the named check, not a raw index error.
+    val badOffset = enc.clone()
+    badOffset(10) = -1; badOffset(11) = -1; badOffset(12) = -1; badOffset(13) = -1
+    val e1 = intercept[IllegalArgumentException](decodeBmp(badOffset))
+    assert(e1.getMessage.contains("data offset"))
   }
 
   test("image stats: PPM and BMP pipelines agree exactly (same pixels, two decoders)") {
