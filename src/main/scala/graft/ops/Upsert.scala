@@ -28,4 +28,64 @@ object Upsert {
     updates.unionByName(
       target.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
+
+  /** SCD type-2 MERGE — history-preserving dimension maintenance: the
+    * history table carries one row per (key, validity interval) with
+    * `valid_from`/`valid_to` date-string columns (`valid_to` NULL =
+    * current). Applying a key-unique `updates` batch effective at
+    * `effectiveDate`:
+    *
+    *   - a current row whose payload differs from its update CLOSES
+    *     (valid_to = effectiveDate) and the update OPENS a new current
+    *     row (valid_from = effectiveDate, valid_to NULL);
+    *   - a current row with an identical payload is untouched (no
+    *     churn rows — re-applying the same batch is a no-op);
+    *   - an update for an unseen key opens its first row;
+    *   - already-closed rows pass through unchanged.
+    *
+    * Spark shape: already-closed history passes through without touching
+    * the join at all; the open slice full-outer-joins the (small,
+    * typically broadcast) update batch once, and each side of the
+    * output union is a projection of that single join — no per-column
+    * coalesce pyramid, no second shuffle. On a transactional store this
+    * whole function is the canonical MERGE INTO ... WHEN MATCHED AND
+    * payload-differs template; payload NULLs compare with null-safe
+    * equality so NULL→value transitions close rows correctly.
+    */
+  def scd2(history: DataFrame, updates: DataFrame, key: String,
+      payload: Seq[String], effectiveDate: String): DataFrame = {
+    require(payload.nonEmpty, "payload columns required")
+    require((Seq(key) ++ payload ++ Seq("valid_from", "valid_to"))
+      .forall(history.columns.contains), "history must carry key, payload, valid_from, valid_to")
+    require((key +: payload).forall(updates.columns.contains),
+      "updates must carry key and payload")
+
+    val closed = history.filter(col("valid_to").isNotNull)
+    val open = history.filter(col("valid_to").isNull)
+    val u = updates.select(
+      (col(key).as("_u_key") +: payload.map(c => col(c).as(s"_u_$c"))): _*)
+    val j = open.join(u, col(key) === col("_u_key"), "full_outer")
+    val samePayload = payload.map(c => col(c) <=> col(s"_u_$c")).reduce(_ && _)
+    val histCols = history.columns.map(col)
+
+    // Open rows with no update, or with an identical payload: unchanged.
+    // (The key-not-null guard keeps an unseen-key update whose payload is
+    // entirely NULL — null-safe-equal to the absent history side — from
+    // materializing a phantom all-null history row here.)
+    val keep = j.filter(col(key).isNotNull && (col("_u_key").isNull || samePayload))
+      .select(histCols: _*)
+    // Changed: the old row closes at the effective date...
+    val close = j.filter(col(key).isNotNull && col("_u_key").isNotNull && !samePayload)
+      .select(history.columns.map(c =>
+        if (c == "valid_to") org.apache.spark.sql.functions.lit(effectiveDate).as(c)
+        else col(c)): _*)
+    // ...and the update (changed or brand-new key) opens the new row.
+    val openNew = j.filter(col("_u_key").isNotNull && (col(key).isNull || !samePayload))
+      .select(history.columns.map(c =>
+        if (c == key) col("_u_key").as(c)
+        else if (payload.contains(c)) col(s"_u_$c").as(c)
+        else if (c == "valid_from") org.apache.spark.sql.functions.lit(effectiveDate).as(c)
+        else org.apache.spark.sql.functions.lit(null).cast("string").as(c)): _*)
+    closed.unionByName(keep).unionByName(close).unionByName(openNew)
+  }
 }

@@ -842,7 +842,58 @@ object Advanced {
              |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
              |FROM contrib, bounds
              |WHERE window_day BETWEEN mn AND mx
-             |GROUP BY 1 ORDER BY window_day""".stripMargin))
+             |GROUP BY 1 ORDER BY window_day""".stripMargin)),
+
+    // SCD type-2 MERGE (ops/Upsert.scd2) — history-preserving dimension
+    // maintenance, the missing sibling of x35's last-write-wins SCD-1:
+    // post-2000 big spenders get segment PREMIUM effective 2001-06-01;
+    // their old rows CLOSE at that date, new current rows open, same-
+    // payload updates are no-ops (no churn rows), inactive customers
+    // pass through. One full-outer join of the open slice against the
+    // update batch; closed history never touches the join.
+    QueryDef(
+      "x65_scd2_segments",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val hist = t.customer.select(col("c_custkey").as("cust_id"),
+          col("c_mktsegment").as("segment"),
+          lit("2000-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+        val rev = t.orders.filter(col("o_orderdate") >= "2000-01-01")
+          .groupBy(col("o_custkey").as("cust_id"))
+          .agg(moneySum(col("o_totalprice")).as("rev"))
+        val upd = rev.join(t.customer, col("cust_id") === col("c_custkey"))
+          .select(col("cust_id"),
+            when(col("rev") >= 1000000.0, lit("PREMIUM"))
+              .otherwise(col("c_mktsegment")).as("segment"))
+        graft.ops.Upsert.scd2(hist, upd, "cust_id", Seq("segment"), "2001-06-01")
+          .orderBy("cust_id", "valid_from")
+      },
+      Some("""WITH hist AS (
+             |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+             |         '2000-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+             |  FROM customer
+             |), upd AS (
+             |  SELECT r.cust_id,
+             |         CASE WHEN r.rev >= 1000000.0 THEN 'PREMIUM' ELSE c.c_mktsegment END AS segment
+             |  FROM (SELECT o_custkey AS cust_id,
+             |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+             |        FROM orders WHERE o_orderdate >= '2000-01-01' GROUP BY 1) r
+             |  JOIN customer c ON c.c_custkey = r.cust_id
+             |)
+             |SELECT cust_id, segment, valid_from, valid_to FROM (
+             |  SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
+             |  FROM hist h LEFT JOIN upd u ON u.cust_id = h.cust_id
+             |  WHERE u.cust_id IS NULL OR u.segment IS NOT DISTINCT FROM h.segment
+             |  UNION ALL
+             |  SELECT h.cust_id, h.segment, h.valid_from, '2001-06-01'
+             |  FROM hist h JOIN upd u ON u.cust_id = h.cust_id
+             |  WHERE u.segment IS DISTINCT FROM h.segment
+             |  UNION ALL
+             |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
+             |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
+             |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
+             |) ORDER BY cust_id, valid_from""".stripMargin))
   )
 
   /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the

@@ -91,4 +91,29 @@ class AsOfSpec extends SparkSuite {
       graft.ops.Upsert.upsert(target, updates.select("v", "k", "n"), Seq("k"))
     }
   }
+
+  test("scd2: changed rows close+reopen, same payload no-ops, new keys open, closed rows pass") {
+    val hist = Seq(
+      (1L, "A", "2000-01-01", null.asInstanceOf[String]), // payload changes
+      (2L, "B", "2000-01-01", null.asInstanceOf[String]), // same payload -> no-op
+      (3L, "C", "2000-01-01", "2000-06-01"),              // already closed
+      (3L, "D", "2000-06-01", null.asInstanceOf[String])  // current for 3, no update
+    ).toDF("k", "seg", "valid_from", "valid_to")
+    val upd = Seq((1L, "Z"), (2L, "B"), (9L, "N")).toDF("k", "seg")
+    val out = graft.ops.Upsert.scd2(hist, upd, "k", Seq("seg"), "2001-01-01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(rows(out) === Seq(
+      (1L, "A", "2000-01-01", "2001-01-01"),
+      (1L, "Z", "2001-01-01", null),
+      (2L, "B", "2000-01-01", null),
+      (3L, "C", "2000-01-01", "2000-06-01"),
+      (3L, "D", "2000-06-01", null),
+      (9L, "N", "2001-01-01", null)))
+    // Idempotence: re-applying the same batch later changes nothing —
+    // the every-row-identical payload comparison yields only no-ops.
+    val again = graft.ops.Upsert.scd2(out, upd, "k", Seq("seg"), "2002-01-01")
+    assert(rows(again) === rows(out))
+  }
 }
