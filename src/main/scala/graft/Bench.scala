@@ -22,9 +22,10 @@ import org.apache.spark.sql.SparkSession
   *     cold engine is part of end-to-end wall-clock)
   *   - "queries"/"value" record each query's FIRST (cold) run — the
   *     series comparable to earlier rounds. Queries whose cold run beats
-  *     [[RepeatThresholdSec]] then run twice more, and
-  *     "queries_median"/"median_total" carry the median of the three —
-  *     the noise-robust series (this host shows ±4s VM noise; r3's
+  *     [[RepeatThresholdSec]] then rerun — twice for most, four times
+  *     when cold beat [[FiveRunThresholdSec]] — and "queries_median"/
+  *     "median_total" carry the 3- or 5-sample median — the noise-robust
+  *     series (this host shows ±4s VM noise; r3's
   *     x10/x12/q04/r01 "regressions" were it). Repeats may hit frames
   *     cached by the first run, so medians measure steady-state, not
   *     cold engine cost — that is what makes them stable.
@@ -50,6 +51,12 @@ object Bench {
     * a small fraction of them, and tripling an 18s query would dominate
     * the bench's wall-clock for no stability gain. */
   val RepeatThresholdSec = 15.0
+
+  /** Queries colder than this get a 5-sample median instead of 3: the
+    * host's ±1s VM noise is the same order as a sub-2s query's cost, so
+    * 3-sample medians still flapped round-over-round (r3's x10/x12, r4's
+    * x21/s06); 5 samples of a fast query are cheap by definition. */
+  val FiveRunThresholdSec = 2.0
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -99,17 +106,22 @@ object Bench {
         -1.0
       }
 
-    /** (cold, median-of-3) — see scaladoc. Failures and expensive colds
-      * report the cold value in both slots; if any rerun fails, the
-      * median also falls back to cold (a 2-sample "median" would just
-      * pick an arbitrary one of them). */
+    /** (cold, median) — see scaladoc. Sub-[[FiveRunThresholdSec]] colds
+      * take a 5-sample median, the rest of the sub-threshold range a
+      * 3-sample one. Failures and expensive colds report the cold value
+      * in both slots; if any rerun fails, the median also falls back to
+      * cold (an even-sample "median" would just pick an arbitrary one). */
     def measure(name: String): (Double, Double) = {
       val cold = materialize(name, sfDir)
       if (cold < 0 || cold >= RepeatThresholdSec) (cold, cold)
       else {
-        val reruns = Seq(timeQuiet(name), timeQuiet(name))
+        val nReruns = if (cold < FiveRunThresholdSec) 4 else 2
+        val reruns = Seq.fill(nReruns)(timeQuiet(name))
         if (reruns.exists(_ < 0)) (cold, cold)
-        else (cold, (cold +: reruns).sorted.apply(1))
+        else {
+          val all = (cold +: reruns).sorted
+          (cold, all(all.size / 2))
+        }
       }
     }
 

@@ -93,24 +93,48 @@ object Dedup {
   private val setCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), DataFrame]
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int, Double), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int, Double, Int), DataFrame]
 
   /** LSH candidate pairs verified by exact Jaccard: docs sharing any band
     * bucket are candidates (equi-join on the band key — the whole point of
     * LSH at scale); each candidate pair is then verified against the real
     * shingle-set Jaccard and kept if >= threshold.
+    *
+    * `bucketCap > 0` drops every (band_idx, band_key) bucket wider than
+    * the cap from candidate generation — the hot-bucket guard. Without it
+    * a cluster of m exact-duplicate or boilerplate documents emits m²
+    * candidates per band before distinct(), making the self-join quadratic
+    * in shuffle volume under skew; with the cap, per-band candidate volume
+    * is bounded by N·cap/2 REGARDLESS of the key distribution. Recall loss
+    * is confined to the dropped buckets, whose members collide on a
+    * non-selective signature anyway (and any pair that ALSO agrees on a
+    * cold band still surfaces through that band). Unlike the cosine twin
+    * (Similarity.candidatePairs, whose key space is bands·2^bits and thus
+    * broadcastable), MinHash band keys are md5 values with O(N·bands)
+    * cardinality — so the width filter rides a window over the SAME
+    * (band_idx, band_key) hash partitioning the self-join needs: one
+    * exchange, no broadcast, no driver-side state.
     */
-  def lshDedupPairs(docs: DataFrame, threshold: Double = 0.3): DataFrame =
+  def lshDedupPairs(docs: DataFrame, threshold: Double = 0.3,
+      bucketCap: Int = 0): DataFrame =
     pairCache.getOrElseUpdate(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), threshold),
-      lshDedupPairsUncached(docs, threshold).cache())
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), threshold, bucketCap),
+      lshDedupPairsUncached(docs, threshold, bucketCap).cache())
 
-  private def lshDedupPairsUncached(docs: DataFrame, threshold: Double): DataFrame = {
+  private def lshDedupPairsUncached(docs: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
     val sigs = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map(b => col(s"band$b"))
     val exploded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
-    val a = exploded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-    val b = exploded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
+    val kept =
+      if (bucketCap <= 0) exploded
+      else exploded
+        .withColumn("_bucket_width",
+          count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+        .filter(col("_bucket_width") <= bucketCap)
+        .drop("_bucket_width")
+    val a = kept.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
     val candidates = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

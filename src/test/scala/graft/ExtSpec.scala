@@ -37,6 +37,21 @@ class ExtSpec extends SparkSuite {
     assert(lsh.toSeq === Seq((1L, 2L)))
   }
 
+  test("lsh bucketCap drops hot-bucket pairs, keeps cold-bucket pairs") {
+    // 10 identical clones collide in ALL 8 bands (bucket width 10 each):
+    // the quadratic case the guard exists for. Docs 11/12 are near-dups of
+    // each other only — width-2 buckets, untouched by the cap.
+    val clones = (1L to 10L).map(_ -> "c1 c2 c3 c4 c5 c6 c7 c8")
+    val d = docs(clones :+ (11L -> "n1 n2 n3 n4 n5 n6 n7 n8")
+      :+ (12L -> "n1 n2 n3 n4 n5 n6 n7 zz"): _*)
+    val uncapped = Dedup.lshDedupPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 45 + 1, s"got $uncapped")
+    val capped = Dedup.lshDedupPairs(d, 0.5, bucketCap = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((11L, 12L)), s"got $capped")
+  }
+
   test("duplicate clusters: transitive chains collapse to the min-id component") {
     // 1~2 and 2~3 are near-dups; 1~3 are NOT directly similar enough —
     // the component must still merge all three (transitivity), label 1.
