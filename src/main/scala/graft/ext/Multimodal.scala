@@ -133,7 +133,12 @@ object Multimodal {
     // truncation check and then index out of (or before) the buffer.
     if (dataOffset < 54 || dataOffset > content.length) fail(s"bad data offset $dataOffset")
     if (w.toLong * h * 3L > Int.MaxValue - 64) fail(s"image too large: ${w}x$h")
-    val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    // Long arithmetic: the size guard above bounds w*h*3, not w*3 itself —
+    // at h=1 a near-Int.MaxValue/3 width must reach the named failure, not
+    // wrap the padded row width negative.
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (rowSizeL > Int.MaxValue) fail(s"row too wide: $w")
+    val rowSize = rowSizeL.toInt
     if (content.length.toLong - dataOffset < rowSize.toLong * h) fail("truncated raster")
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
@@ -234,18 +239,31 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content"))
 
   /** The mapInPandas-shaped stage: decode every payload in a partition,
-    * emit (doc_id, features). `parallelism` controls decode fan-out
-    * independently of upstream file splits — at scale this is where you
-    * match partition count to codec cost. Raster payloads go through the
-    * REAL decoders; everything else through [[byteFeatures]].
+    * emit (doc_id, features, decode_ok). `parallelism` controls decode
+    * fan-out independently of upstream file splits — at scale this is
+    * where you match partition count to codec cost. Raster payloads go
+    * through the REAL decoders; everything else through [[byteFeatures]].
+    *
+    * Per-record quarantine: a MALFORMED payload of a known raster type
+    * degrades to [[byteFeatures]] with decode_ok=false instead of
+    * throwing — one corrupt record out of 100 TB must not fail its whole
+    * stage (the same contract Jsonl.read keeps via _corrupt_record; the
+    * flag is the filter for a quarantine sink).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame, parallelism: Int = 0): DataFrame = {
     import spark.implicits._
     val rows: Dataset[MediaRow] = media.as[MediaRow]
     val repart = if (parallelism > 0) rows.repartition(parallelism) else rows
     repart
-      .mapPartitions { it => it.map(r => (r.doc_id, decode(r.media_type, r.content))) }
-      .toDF("doc_id", "features")
+      .mapPartitions { it =>
+        it.map { r =>
+          try (r.doc_id, decode(r.media_type, r.content), true)
+          catch { case _: IllegalArgumentException =>
+            (r.doc_id, byteFeatures(r.content), false)
+          }
+        }
+      }
+      .toDF("doc_id", "features", "decode_ok")
   }
 
   /** Synthetic raster per document: pixel (x,y)'s RGB is the first three

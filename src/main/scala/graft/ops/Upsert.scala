@@ -85,7 +85,11 @@ object Upsert {
         if (c == key) col("_u_key").as(c)
         else if (payload.contains(c)) col(s"_u_$c").as(c)
         else if (c == "valid_from") org.apache.spark.sql.functions.lit(effectiveDate).as(c)
-        else org.apache.spark.sql.functions.lit(null).cast("string").as(c)): _*)
+        // Non-payload extras (valid_to, audit columns, ...) null out in
+        // the HISTORY column's own type: a string-typed null would make
+        // unionByName silently coerce e.g. a long audit column to string.
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(history.schema(c).dataType).as(c)): _*)
     closed.unionByName(keep).unionByName(close).unionByName(openNew)
   }
 }

@@ -684,8 +684,13 @@ object Advanced {
         val docs = Tables(s, dir).documents
         // Fixed per-sf path + overwrite mode: repeated runs (bench
         // medians, verify) reuse one directory instead of leaking a
-        // corpus-sized temp copy per invocation.
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-gate-${dir.hashCode.abs}"
+        // corpus-sized temp copy per invocation. md5 of the dir, not
+        // String.hashCode: 32-bit hashCode collisions would let two sf
+        // dirs share (and race on) one gate directory, and .abs is
+        // negative at Int.MinValue.
+        val dirTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-gate-$dirTag"
         graft.io.Jsonl.write(docs, tmp, shards = 4)
         // The doc_id conjunct keeps a DATA column referenced even when a
         // downstream count() prunes the projection — Spark disallows raw

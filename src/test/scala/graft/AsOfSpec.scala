@@ -116,4 +116,18 @@ class AsOfSpec extends SparkSuite {
     val again = graft.ops.Upsert.scd2(out, upd, "k", Seq("seg"), "2002-01-01")
     assert(rows(again) === rows(out))
   }
+
+  test("scd2: non-string extra history columns keep their type (null, not coerced)") {
+    // An audit column OUTSIDE key/payload/validity must survive the merge
+    // with its own dataType — new rows carry a typed null, and unionByName
+    // must not widen the long column to string.
+    val hist = Seq((1L, "A", 42L, "2000-01-01", null.asInstanceOf[String]))
+      .toDF("k", "seg", "audit_id", "valid_from", "valid_to")
+    val out = graft.ops.Upsert.scd2(hist, Seq((1L, "Z")).toDF("k", "seg"),
+      "k", Seq("seg"), "2001-01-01")
+    assert(out.schema("audit_id").dataType === org.apache.spark.sql.types.LongType)
+    val byFrom = out.orderBy("valid_from").collect()
+    assert(byFrom(0).getAs[Long]("audit_id") === 42L)   // closed row keeps value
+    assert(byFrom(1).isNullAt(byFrom(1).fieldIndex("audit_id"))) // new row: typed null
+  }
 }

@@ -331,12 +331,27 @@ class ExtSpec extends SparkSuite {
     val media = Multimodal.asMedia(docs(1L -> "abc", 2L -> "abcd"))
     val f = Multimodal.extractFeatures(spark, media, parallelism = 3)
     assert(f.rdd.getNumPartitions === 3)
-    val rows = f.orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    val rows = f.orderBy("doc_id").as[(Long, Seq[Double], Boolean)].collect()
     assert(rows.forall(_._2.length === Multimodal.FeatureDim))
     assert(rows(0)._2.head === 3.0) // byte length of "abc"
     val again = Multimodal.extractFeatures(spark, media).orderBy("doc_id")
-      .as[(Long, Seq[Double])].collect()
+      .as[(Long, Seq[Double], Boolean)].collect()
     assert(rows.toSeq === again.toSeq)
+  }
+
+  test("multimodal: corrupt raster-typed payload quarantines per record, not per stage") {
+    val good = Multimodal.encodePpm(Multimodal.RasterImage(2, 2, 255, Array.fill(12)(7.toByte)))
+    val media = Seq(
+      (1L, Multimodal.PpmType, good),
+      (2L, Multimodal.PpmType, "P6 not really a ppm".getBytes("UTF-8")),
+      (3L, Multimodal.BmpType, Array[Byte](66, 77, 1, 2, 3))) // truncated BMP
+      .toDF("doc_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(spark, media).orderBy("doc_id")
+      .as[(Long, Seq[Double], Boolean)].collect()
+    assert(f(0)._3 && f(0)._2(0) === 2.0) // real decode: width
+    assert(!f(1)._3 && !f(2)._3)          // corrupt: flagged, stage alive
+    // Fallback features are byteFeatures of the raw payload.
+    assert(f(2)._2(0) === 5.0)
   }
 
   test("redaction masks emails and long numbers byte-exactly; counts match masks") {
@@ -465,7 +480,7 @@ class ExtSpec extends SparkSuite {
     // are image dims, not byte length.
     val feats = Multimodal.extractFeatures(spark,
       Multimodal.syntheticImages(d, fmt = Multimodal.PpmType))
-      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
-    assert(feats.forall(f => f._2(0) === 8.0 && f._2(1) === 8.0 && f._2(3) === 255.0))
+      .orderBy("doc_id").as[(Long, Seq[Double], Boolean)].collect()
+    assert(feats.forall(f => f._2(0) === 8.0 && f._2(1) === 8.0 && f._2(3) === 255.0 && f._3))
   }
 }
