@@ -128,7 +128,12 @@ object Bench {
     // Warmup: build + cache the view (counts as engine cost, reported).
     val warmup = timed { View.dw(spark, sfDir).count() }
 
-    val names = Registry.benchSet.map(_.name).sorted
+    // Local-iteration filter (the driver never sets it): restrict the
+    // headline set to comma-separated name prefixes, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=x21,s06 for a targeted noise check.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(','))
+    val names = Registry.benchSet.map(_.name)
+      .filter(n => only.forall(_.exists(n.startsWith))).sorted
     val measured = names.map(n => n -> measure(n))
     val results = measured.map { case (n, (cold, _)) => n -> cold }
     val medians = measured.map { case (n, (_, med)) => n -> med }

@@ -34,6 +34,22 @@ class PlanSpec extends SparkSuite {
   test("x21 deciles plan has no window operator at all (boundary broadcast instead)") {
     val plan = executed("x21_revenue_deciles")
     assert(!plan.contains("Window"), s"x21 regressed to a window:\n$plan")
+    // The single boundary row must BROADCAST onto the customer rows
+    // (the view's internal fact joins legitimately sort-merge; the pin
+    // is on the bounds join only).
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"decile bounds not broadcast:\n$plan")
+  }
+
+  test("s06 scalar functions stay a pure projection: one pruned scan, no join/agg/window") {
+    val plan = executed("s06_scalar_functions")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+      !plan.contains("Window"),
+      s"s06 should be scan+project+sort only:\n$plan")
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("o_orderkey") && scanLine.contains("o_orderdate") &&
+      !scanLine.contains("o_custkey") && !scanLine.contains("o_comment"),
+      s"scan not pruned to the projected columns: $scanLine")
   }
 
   test("x45 packing and x48 position windows are partitioned, never global") {
