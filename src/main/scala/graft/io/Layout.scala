@@ -34,4 +34,22 @@ object Layout {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Zone-clustered parquet — the READER half of zone-map statistics
+    * (x63 computes the stats; this layout makes them selective): a global
+    * sort on the cluster key before writing gives every parquet row group
+    * a tight min/max on that key, so a pushed range predicate skips whole
+    * groups without touching their bytes. `rowGroupBytes` sets zone
+    * granularity (smaller groups = finer skipping = more footer overhead;
+    * the 128 MB default is the production setting, tests shrink it so a
+    * toy file still carries many zones). Skipping is proven from the scan
+    * node's own metrics in LayoutSpec and wall-clocked in Bench's layout
+    * demo.
+    */
+  def writeZoneClustered(df: DataFrame, path: String, clusterCol: String,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit =
+    df.sort(clusterCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
 }

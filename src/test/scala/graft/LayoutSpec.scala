@@ -43,6 +43,46 @@ class LayoutSpec extends SparkSuite {
       s"expected a shuffle or broadcast in the unbucketed plan:\n$plan")
   }
 
+  test("zone-clustered parquet actually SKIPS row groups for a selective predicate") {
+    // The reader half of x63's zone-map statistics: parquet keeps min/max
+    // per row group (the zone map), and the vectorized reader drops whole
+    // groups whose bounds exclude a pushed predicate. Clustering is what
+    // makes the bounds selective — the A/B below runs ONE query against
+    // two layouts of the same rows and reads the scan node's own
+    // numOutputRows metric: clustered skips, scrambled reads everything.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val orders = Tables(spark, Sf).orders
+    val total = orders.count()
+    val clustered = "/tmp/graft-zone-clustered"
+    val scrambled = "/tmp/graft-zone-scrambled"
+    // Tiny row groups (the writer checks the block budget every ~100
+    // records) so even the sf0.001 file carries many zones.
+    orders.orderBy("o_orderkey").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(clustered)
+    orders.orderBy(md5(col("o_orderkey").cast("string"))).coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(scrambled)
+    def scanRows(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(col("o_orderkey") <= 100)
+      // collect(), not count(): count() builds a NEW aggregate plan whose
+      // metrics live elsewhere — the skip proof must read the metric of
+      // the exact plan instance that executed.
+      val result = df.collect().length.toLong
+      val scanned = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (result, scanned)
+    }
+    val (hitC, scanC) = scanRows(clustered)
+    val (hitS, scanS) = scanRows(scrambled)
+    assert(hitC === hitS, "same rows must match under both layouts")
+    assert(scanS === total,
+      s"scrambled layout should read every row (no skippable zones), scanned $scanS of $total")
+    assert(scanC < total / 2,
+      s"clustered layout skipped nothing: scanned $scanC of $total")
+  }
+
   test("partition filter prunes at the scan (PartitionFilters, not post-filter)") {
     val out = java.nio.file.Files.createTempDirectory("layout-part").toString
     Layout.writePartitioned(Tables(spark, Sf).events, out, "event_type")
