@@ -171,6 +171,56 @@ object Streams {
       .start()
   }
 
+  /** Streaming SCD-2 sink: maintain a HISTORY-PRESERVING dimension from a
+    * change stream via foreachBatch + ops.Upsert.scd2 — the history twin
+    * of [[upsertSink]]'s last-write-wins merge. Each micro-batch reduces
+    * to its latest row per key (by `orderCol` descending), takes its
+    * effective date as the batch's max `effDateCol` date (a deterministic
+    * function of the data, so a replayed batch closes/opens the same
+    * rows), and merges: changed payloads close the current row and open a
+    * new one, identical payloads no-op (idempotent replays), new keys
+    * open their first row. First batch bootstraps the history with every
+    * row open. Same write-then-swap durability note as [[upsertSink]];
+    * on a transactional store the body is one MERGE INTO with an
+    * identical stream plan. Batch-equivalence pinned in StreamingSpec.
+    */
+  def scd2Sink(spark: SparkSession, updates: DataFrame, key: String,
+      payload: Seq[String], orderCol: String, effDateCol: String,
+      targetPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select((key +: payload).map(col) :+
+            date_format(col(effDateCol), "yyyy-MM-dd").as("__eff"): _*)
+        if (!latest.isEmpty) {
+          val eff = latest.agg(max(col("__eff"))).first().getString(0)
+          val upd = latest.drop("__eff")
+          val spark2 = batch.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
+          val targetP = new org.apache.hadoop.fs.Path(targetPath)
+          val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+          val merged =
+            if (fs.exists(targetP))
+              graft.ops.Upsert.scd2(spark2.read.parquet(targetPath), upd,
+                key, payload, eff)
+            else upd
+              .withColumn("valid_from", lit(eff))
+              .withColumn("valid_to", lit(null).cast("string"))
+          merged.write.mode("overwrite").parquet(tmpP.toString)
+          fs.delete(targetP, true)
+          fs.rename(tmpP, targetP)
+        }
+        ()
+      }
+      .start()
+  }
+
   // ---- incrementally-maintained customer_revenue_summary -----------------
 
   /** One tagged changelog record feeding [[revenueSummaryStream]]:

@@ -125,6 +125,52 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Map(7L -> 20.0, 8L -> 99.0, 9L -> 5.0))
   }
 
+  test("streaming SCD-2 sink: history equals sequential batch scd2 application") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-").toString
+    val target = s"$dir/segments"
+    val src = MemoryStream[Event]
+    // value stands in for the payload (segment); ts orders within-batch
+    // duplicates and dates the batch's effective day.
+    val q = Streams.scd2Sink(spark,
+      src.toDF().select(col("user_id"), col("ts"), col("value").cast("string").as("seg")),
+      key = "user_id", payload = Seq("seg"), orderCol = "ts", effDateCol = "ts",
+      targetPath = target)
+    // Batch 1 (bootstrap, all open at 2024-01-01): user 7 twice — latest
+    // wins; user 8 once.
+    src.addData(
+      ev(1, "2024-01-01 00:00:00", 7, 10.0),
+      ev(2, "2024-01-01 00:05:00", 7, 20.0),
+      ev(3, "2024-01-01 00:01:00", 8, 1.0))
+    q.processAllAvailable()
+    // Batch 2 (2024-02-01): user 7 changes (close+reopen), user 8 same
+    // payload (no-op), user 9 new (open).
+    src.addData(
+      ev(4, "2024-02-01 01:00:00", 7, 30.0),
+      ev(5, "2024-02-01 01:01:00", 8, 1.0),
+      ev(6, "2024-02-01 01:02:00", 9, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(target)
+      .select("user_id", "seg", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    // The batch twin: bootstrap + one scd2 application of batch 2's rows.
+    val boot = Seq((7L, "20.0", "2024-01-01", null.asInstanceOf[String]),
+      (8L, "1.0", "2024-01-01", null.asInstanceOf[String]))
+      .toDF("user_id", "seg", "valid_from", "valid_to")
+    val batch2 = Seq((7L, "30.0"), (8L, "1.0"), (9L, "5.0")).toDF("user_id", "seg")
+    val expected = graft.ops.Upsert.scd2(boot, batch2, "user_id", Seq("seg"), "2024-02-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(streamed === expected)
+    assert(streamed === Set(
+      (7L, "20.0", "2024-01-01", "2024-02-01"),
+      (7L, "30.0", "2024-02-01", null),
+      (8L, "1.0", "2024-01-01", null),
+      (9L, "5.0", "2024-02-01", null)))
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks only") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Event]
