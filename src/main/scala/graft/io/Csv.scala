@@ -19,6 +19,10 @@ object Csv {
     out.write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      // Parquet timestamp[ms] columns surface as TIMESTAMP_NTZ, which the
+      // CSV writer formats via its OWN option — without it NTZ columns
+      // render ISO-8601 and break golden parity.
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
       .option("encoding", "UTF-8")
       .csv(path)
   }

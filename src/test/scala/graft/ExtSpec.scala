@@ -82,6 +82,26 @@ class ExtSpec extends SparkSuite {
     assert(rounds <= 10, s"took $rounds rounds")
   }
 
+  test("componentsFromEdges maxIterations cutoff: partial labels stay valid, resume converges") {
+    // A 40-node path (diameter 39) cut after ONE round cannot have
+    // converged — the contract is that the cut loop still returns the
+    // BEST-KNOWN labels: every node points at a smaller node of its own
+    // component (or itself), never at a node from elsewhere, so a capped
+    // production run degrades to coarser clusters, not to garbage.
+    val nodes = (1L to 40L).toDF("doc_id")
+    val edges = (1L to 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (cut, rounds1) = Dedup.componentsFromEdges(edges, nodes, maxIterations = 1)
+    assert(rounds1 === 1)
+    val cutLabels = cut.select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(cutLabels.forall { case (n, c) => c <= n && c >= 1L })
+    assert(cutLabels.values.toSet.size > 1, "one round cannot collapse diameter 39")
+    // Uncut: the same graph converges to the single min label in
+    // O(log diameter) rounds.
+    val (full, rounds2) = Dedup.componentsFromEdges(edges, nodes, maxIterations = 20)
+    assert(full.select("cluster").as[Long].collect().forall(_ === 1L))
+    assert(rounds2 > 1 && rounds2 <= 10, s"took $rounds2 rounds")
+  }
+
   test("simhash: identical docs identical hash; blocks decompose the hash") {
     val s = Dedup.simhash(docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma"))
       .orderBy("doc_id").collect()

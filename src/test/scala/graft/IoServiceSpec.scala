@@ -11,32 +11,57 @@ import org.apache.spark.sql.functions._
 class IoServiceSpec extends SparkSuite {
   import spark.implicits._
 
-  test("golden-style CSV export matches the reference's q9.csv byte content") {
+  test("golden-style CSV export is field-identical to data/*.csv for every query and dw") {
     val fixtures = getClass.getResource("/sakila").getPath
-    val dw = Sakila.revenueView(SakilaTables(spark, fixtures))
-    val q9 = Sakila.queries(dw)("q9")
-    val out = java.nio.file.Files.createTempDirectory("csv-golden").toString
-    Csv.writeGolden(q9, out)
-    val written = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv")).head
+    val t = SakilaTables(spark, fixtures)
+    val dw = Sakila.revenueView(t).cache()
+    val q = Sakila.queries(dw)
     // The reference's exporter quotes any field containing a space; Spark
     // quotes minimally (only comma/quote). Compare parsed fields — the
-    // values (incl. 12.50-style decimal rendering and UTF-8) must be
-    // identical; the quoting style is tool cosmetics.
+    // values (incl. 12.50-style decimal rendering, yyyy-MM-dd HH:mm:ss
+    // timestamps, and UTF-8) must be identical; the quoting style is tool
+    // cosmetics. ""-escape-aware split.
     def fields(line: String): List[String] = {
       val out = scala.collection.mutable.ListBuffer.empty[String]
       val sb = new StringBuilder
       var inQ = false
-      line.foreach {
-        case '"' => inQ = !inQ
-        case ',' if !inQ => out += sb.result(); sb.clear()
-        case c => sb.append(c)
+      var i = 0
+      while (i < line.length) {
+        val c = line(i)
+        if (inQ) {
+          if (c == '"' && i + 1 < line.length && line(i + 1) == '"') { sb.append('"'); i += 1 }
+          else if (c == '"') inQ = false
+          else sb.append(c)
+        } else if (c == '"') inQ = true
+        else if (c == ',') { out += sb.result(); sb.clear() }
+        else sb.append(c)
+        i += 1
       }
       (out += sb.result()).toList
     }
-    val ours = scala.io.Source.fromFile(written)("UTF-8").getLines().map(fields).toList
-    val gold = scala.io.Source.fromFile("/root/reference/data/q9.csv")("UTF-8").getLines().map(fields).toList
-    assert(ours.head === gold.head)                                   // identical header
-    assert(ours.map(_.mkString("")).sorted === gold.map(_.mkString("")).sorted)
+    def exported(df: org.apache.spark.sql.DataFrame): List[List[String]] = {
+      val out = java.nio.file.Files.createTempDirectory("csv-golden").toString
+      Csv.writeGolden(df, out)
+      val written = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".csv")).head
+      scala.io.Source.fromFile(written)("UTF-8").getLines().map(fields).toList
+    }
+    def goldenOf(name: String): List[List[String]] =
+      scala.io.Source.fromFile(s"/root/reference/data/$name.csv")("UTF-8")
+        .getLines().map(fields).toList
+    def assertParity(ours: List[List[String]], gold: List[List[String]], what: String): Unit = {
+      assert(ours.head === gold.head, s"$what: header differs")
+      assert(ours.tail.map(_.mkString("\u0001")).sorted ===
+        gold.tail.map(_.mkString("\u0001")).sorted, s"$what: row fields differ")
+    }
+    // q6 and dw's Most_Frequent_Category depend on MySQL's arbitrary mode
+    // tie pick (233/599 customers tie) — their VALUE semantics are pinned
+    // tie-tolerantly in SakilaGoldenSpec; the presentational loop here
+    // covers every tie-free surface.
+    for (n <- Seq("q1", "q2", "q3", "q4", "q5", "q7", "q8", "q9", "q10", "q11"))
+      assertParity(exported(q(n)), goldenOf(n), n)
+    def dropMode(rows: List[List[String]]) = rows.map(r => r.patch(6, Nil, 1))
+    assertParity(dropMode(exported(dw)), dropMode(goldenOf("dw")), "dw")
   }
 
   test("CSV read round-trips types (header + inferSchema)") {
