@@ -101,6 +101,32 @@ object Pipeline {
       .filter(saltedUniform(col("doc_id"), salt) < col("rate"))
   }
 
+  /** Per-source quota cap — the third mixing primitive beside
+    * [[stratifiedSample]] (rate per stratum) and [[temperatureMix]]
+    * (rate from counts): keep AT MOST `quota` documents per source,
+    * chosen by salted id-hash rank so the kept subset is uniform,
+    * reproducible, and stable under file order and repartitioning
+    * (ingestion-order rank would bias toward old data). Emits
+    * `quota_rank` (1-based within source) for auditability.
+    *
+    * Scale shape: one window per source — parallel across sources. A
+    * mega-source that dwarfs its siblings makes that source's sort wide;
+    * at that scale flip to the O(1)-state spelling: keep rows with
+    * saltedUniform < quota/count_s (a broadcast rate join like
+    * [[temperatureMix]]), which holds the quota in expectation instead
+    * of exactly. Exact rank is the right default: training mixtures are
+    * usually specified as hard caps.
+    */
+  def sourceQuota(docs: DataFrame, quota: Int, salt: String = "quota|"): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    require(!docs.columns.contains("quota_rank"),
+      "column 'quota_rank' is reserved by sourceQuota")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(saltedUniform(col("doc_id"), salt), col("doc_id"))
+    docs.withColumn("quota_rank", row_number().over(w).cast("long"))
+      .filter(col("quota_rank") <= quota)
+  }
+
   /** Split each document into token windows of `chunkSize` tokens every
     * `stride` tokens (overlapping when stride < chunkSize) — the
     * context-window chunking step of a RAG / training pipeline. Start

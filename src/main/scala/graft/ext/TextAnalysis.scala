@@ -280,6 +280,42 @@ object TextAnalysis {
         .as("redacted_md5"))
   }
 
+  /** Benchmark decontamination — the train/eval overlap check every
+    * serious training-data pipeline runs before a corpus ships: for each
+    * training document, how many of its distinct word `n`-grams occur
+    * ANYWHERE in the evaluation corpus, plus the contamination flag. A
+    * flagged document either contains eval material verbatim or shares
+    * enough boilerplate to be suspect; the flag drives the drop/quarantine
+    * decision.
+    *
+    * Spark shape: both corpora explode to distinct (doc, gram) rows; the
+    * probe is ONE equi-join on the gram string (inverted-index shape,
+    * never doc×doc) aggregated back per training document. Eval grams
+    * dedup to one row per gram, so join fan-out per training gram is at
+    * most 1 — candidate volume is linear in the training gram count
+    * regardless of eval-corpus size. Documents shorter than `n` tokens
+    * contribute their whole token sequence as one gram (the x04
+    * fingerprint convention).
+    */
+  def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "contamination n-grams need n >= 2")
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+      .distinct()
+    val evalGrams = grams(evalDocs).select("gram").distinct()
+      .withColumn("hit", lit(1))
+    grams(train)
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_eval_grams"),
+        (count(col("hit")) > 0).as("contaminated"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -898,7 +898,60 @@ object Advanced {
              |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
              |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
              |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
-             |) ORDER BY cust_id, valid_from""".stripMargin))
+             |) ORDER BY cust_id, valid_from""".stripMargin)),
+
+    // Benchmark decontamination (TextAnalysis.contamination): every
+    // training document's distinct-8-gram overlap with the held-out eval
+    // slice (doc_id % 10 = 7 stands in for the benchmark table). One
+    // inverted-index equi-join on the gram string — never doc×doc; eval
+    // grams dedup to one row per gram so per-gram fan-out is <= 1.
+    QueryDef(
+      "x67_contamination",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        TextAnalysis.contamination(
+          docs.filter(col("doc_id") % 10 =!= 7),
+          docs.filter(col("doc_id") % 10 === 7), n = 8)
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH tok AS (
+                |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), g AS (
+                |  SELECT DISTINCT doc_id,
+                |         unnest(list_transform(generate_series(1, greatest(length(ts)-7, 1)),
+                |                i -> array_to_string(ts[i:i+7], ' '))) AS gram
+                |  FROM tok
+                |), eg AS (
+                |  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7
+                |), tr AS (
+                |  SELECT * FROM g WHERE doc_id % 10 <> 7
+                |)
+                |SELECT tr.doc_id,
+                |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+                |       CAST(COUNT(eg.gram) AS BIGINT) AS n_eval_grams,
+                |       COUNT(eg.gram) > 0 AS contaminated
+                |FROM tr LEFT JOIN eg ON tr.gram = eg.gram
+                |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Per-source quota cap (Pipeline.sourceQuota): keep at most 15 docs
+    // per source by salted-hash rank — the hard-cap mixing primitive
+    // beside x43's stratified rates and x61's temperature rates. The
+    // oracle replays the rank (same md5-uniform, same tiebreak) with a
+    // window + filter.
+    QueryDef(
+      "x68_source_quota",
+      (s, dir) => Pipeline.sourceQuota(Tables(s, dir).documents, 15)
+        .select("doc_id", "source", "quota_rank")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, quota_rank FROM (
+             |  SELECT doc_id, source,
+             |         CAST(ROW_NUMBER() OVER (
+             |           PARTITION BY source
+             |           ORDER BY CAST(('0x' || substring(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                      / 4294967296.0,
+             |                    doc_id) AS BIGINT) AS quota_rank
+             |  FROM documents) t
+             |WHERE quota_rank <= 15 ORDER BY doc_id""".stripMargin))
   )
 
   /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the

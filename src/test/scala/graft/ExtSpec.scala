@@ -102,6 +102,35 @@ class ExtSpec extends SparkSuite {
     assert(rounds2 > 1 && rounds2 <= 10, s"took $rounds2 rounds")
   }
 
+  test("contamination flags train docs sharing an n-gram with eval, not disjoint ones") {
+    val evalDocs = docs(100L -> "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")
+    val train = docs(
+      1L -> "x0 e1 e2 e3 e4 e5 e6 e7 e8 x9",   // contains eval 8-gram e1..e8
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",  // disjoint
+      3L -> "e1 e2 e3")                         // short doc: whole-doc gram, no 8-gram hit
+    val r = TextAnalysis.contamination(train, evalDocs, n = 8).orderBy("doc_id")
+      .select("doc_id", "n_eval_grams", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(r(0) === ((1L, 1L, true)))  // the shared gram is e1..e8
+    assert(r(1) === ((2L, 0L, false)))
+    assert(r(2) === ((3L, 0L, false)))
+  }
+
+  test("sourceQuota caps every source at the quota with a stable uniform pick") {
+    val d = (1L to 30L).map(i => (i, s"doc $i text", if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val kept = Pipeline.sourceQuota(d, 8)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc === Map("a" -> 8L, "b" -> 8L))
+    assert(kept.agg(max("quota_rank")).first().getLong(0) === 8L)
+    // Determinism: a rerun picks the identical subset.
+    val again = Pipeline.sourceQuota(d, 8)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // Under-quota sources pass through whole.
+    assert(Pipeline.sourceQuota(d, 25).count() === 30L)
+  }
+
   test("simhash: identical docs identical hash; blocks decompose the hash") {
     val s = Dedup.simhash(docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma"))
       .orderBy("doc_id").collect()
