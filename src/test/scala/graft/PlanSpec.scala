@@ -52,8 +52,15 @@ class PlanSpec extends SparkSuite {
       s"scan not pruned to the projected columns: $scanLine")
   }
 
-  test("x45 packing and x48 position windows are partitioned, never global") {
-    for (name <- Seq("x45_context_packing", "x48_revenue_position")) {
+  test("x67 contamination probe stays an equi-join on the gram — never doc x doc") {
+    val plan = executed("x67_contamination")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"contamination degenerated to all-pairs:\n$plan")
+    assert(plan.contains("gram"), s"lost the gram join key:\n$plan")
+  }
+
+  test("x45 packing, x48 position, and x68 quota windows are partitioned, never global") {
+    for (name <- Seq("x45_context_packing", "x48_revenue_position", "x68_source_quota")) {
       val df = queries.Registry.queryMap(name)(spark, Sf)
       // sparkPlan, not executedPlan: AQE wraps the executed plan in an
       // AdaptiveSparkPlanExec whose inner tree collect() cannot see.
