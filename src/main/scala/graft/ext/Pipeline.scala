@@ -127,6 +127,37 @@ object Pipeline {
       .filter(col("quota_rank") <= quota)
   }
 
+  /** End-to-end corpus curation — the composition the pipeline operators
+    * exist for, as ONE declarative plan a 100 TB run submits whole:
+    *
+    *   1. score quality inline ([[TextAnalysis.qualityScoreExpr]]);
+    *   2. exact-dedup to the min-id canonical per content hash;
+    *   3. drop documents below `minQuality`;
+    *   4. cap every source at `quota` ([[sourceQuota]]'s hash rank);
+    *   5. annotate the deterministic train/val/test split.
+    *
+    * Shape: two windows (content hash, then source — each hash-
+    * partitioned and parallel) plus codegen'd projections/filters. No
+    * self-joins: every document's fate is decided from its own row and
+    * two windowed aggregates, so the plan is two shuffles of the
+    * surviving rows end to end. Filters run in dependency order (dedup
+    * before quota, quota before split) so each stage sees only
+    * survivors; everything downstream of the scan is reproducible
+    * row-for-row (hash ranks, hash splits — no seeds, no time).
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.5, quota: Int = 15,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    val survivors = docs
+      .withColumn("quality_score", TextAnalysis.qualityScoreExpr)
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .filter(col("is_canonical") && col("quality_score") >= minQuality)
+      .drop("is_canonical")
+    trainSplit(sourceQuota(survivors, quota), trainFrac, valFrac)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("quota_rank"), col("split"))
+  }
+
   /** Split each document into token windows of `chunkSize` tokens every
     * `stride` tokens (overlapping when stride < chunkSize) — the
     * context-window chunking step of a RAG / training pipeline. Start

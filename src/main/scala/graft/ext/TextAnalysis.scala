@@ -48,14 +48,28 @@ object TextAnalysis {
     val stopRatio = countIn(ts, EnStopwords).cast("double") / nTok
     val specialRatio = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
       greatest(length(col("text")), lit(1))
-    val lengthPrior = least(lit(1.0), nTok.cast("double") / lit(100.0))
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
       stopRatio.as("stopword_ratio"),
       specialRatio.as("special_ratio"),
-      (lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - specialRatio) + lit(0.3) * lengthPrior)
-        .as("quality_score"))
+      qualityScoreExpr.as("quality_score"))
+  }
+
+  /** The [[qualityScore]] composite as ONE reusable Column over a frame
+    * with a `text` column — so pipeline stages (Pipeline.curate) can
+    * score inline without a self-join back to the metrics frame. Same
+    * expression tree as the x02 gate, so threshold comparisons on it are
+    * cross-engine deterministic.
+    */
+  def qualityScoreExpr: Column = {
+    val ts = tokens(col("text"))
+    val nTok = size(ts)
+    val stopRatio = countIn(ts, EnStopwords).cast("double") / nTok
+    val specialRatio = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(col("text")), lit(1))
+    val lengthPrior = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - specialRatio) + lit(0.3) * lengthPrior
   }
 
   /** Marker-token language ID (n-gram-heuristic family). Scores each

@@ -951,7 +951,53 @@ object Advanced {
              |                      / 4294967296.0,
              |                    doc_id) AS BIGINT) AS quota_rank
              |  FROM documents) t
-             |WHERE quota_rank <= 15 ORDER BY doc_id""".stripMargin))
+             |WHERE quota_rank <= 15 ORDER BY doc_id""".stripMargin)),
+
+    // End-to-end corpus curation (Pipeline.curate) — the capstone
+    // composition: inline quality score -> exact-dedup canonical ->
+    // quality threshold -> per-source quota -> deterministic split, as
+    // ONE plan (two windows + projections, no self-joins). The oracle
+    // replays each stage with the exact expression trees the individual
+    // gates (x02, x05, x68, x26) already proved bit-stable.
+    QueryDef(
+      "x69_curation_pipeline",
+      (s, dir) => Pipeline.curate(Tables(s, dir).documents,
+          minQuality = 0.5, quota = 15, trainFrac = 0.8, valFrac = 0.1)
+        .orderBy("doc_id"),
+      Some {
+        val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+        raw"""WITH t AS (
+             |  SELECT doc_id, source, text,
+             |         string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, source, text,
+             |    0.4 * (CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts))
+             |    + 0.3 * (1.0 - CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+             |                     / greatest(length(text), 1))
+             |    + 0.3 * least(1.0, CAST(length(ts) AS DOUBLE) / 100.0) AS quality_score
+             |  FROM t
+             |), surv AS (
+             |  SELECT doc_id, source, quality_score FROM m
+             |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+             |          AND quality_score >= 0.5
+             |), ranked AS (
+             |  SELECT doc_id, source, quality_score,
+             |         CAST(ROW_NUMBER() OVER (
+             |           PARTITION BY source
+             |           ORDER BY CAST(('0x' || substring(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                      / 4294967296.0,
+             |                    doc_id) AS BIGINT) AS quota_rank
+             |  FROM surv
+             |)
+             |SELECT doc_id, source, quality_score, quota_rank,
+             |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |FROM (
+             |  SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |              / 4294967296.0 AS u
+             |  FROM ranked) z
+             |WHERE quota_rank <= 15 ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the

@@ -116,6 +116,25 @@ class ExtSpec extends SparkSuite {
     assert(r(2) === ((3L, 0L, false)))
   }
 
+  test("curate composes: dupes out, low-quality out, quota capped, split annotated") {
+    // Rich prose scores high (stopwords + length); "zz" scores low. Docs
+    // 1/2 are exact dupes -> only min-id 1 survives dedup.
+    val prose = (1 to 60).map(i => if (i % 3 == 0) "the" else s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, prose, "a"), (2L, prose, "a"), (3L, prose + " extra", "a"),
+      (4L, "zz", "a"), (5L, prose + " other", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Pipeline.curate(d, minQuality = 0.4, quota = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L)) // 2 deduped, 4 low-quality
+    assert(out.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 10L))
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(4))))
+    // Tighter quota bites per source.
+    assert(Pipeline.curate(d, minQuality = 0.4, quota = 1)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+      === Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("sourceQuota caps every source at the quota with a stable uniform pick") {
     val d = (1L to 30L).map(i => (i, s"doc $i text", if (i <= 20) "a" else "b"))
       .toDF("doc_id", "text", "source")

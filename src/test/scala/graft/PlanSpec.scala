@@ -59,6 +59,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("gram"), s"lost the gram join key:\n$plan")
   }
 
+  test("x69 curation pipeline plans with ZERO joins — windows and projections only") {
+    val plan = executed("x69_curation_pipeline")
+    assert(!plan.contains("Join"),
+      s"curation should need no join (inline score + windowed dedup/quota):\n$plan")
+    val df = queries.Registry.queryMap("x69_curation_pipeline")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 2, s"expected the hash + source windows, got ${windows.size}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "curation window must be partitioned"))
+  }
+
   test("x45 packing, x48 position, and x68 quota windows are partitioned, never global") {
     for (name <- Seq("x45_context_packing", "x48_revenue_position", "x68_source_quota")) {
       val df = queries.Registry.queryMap(name)(spark, Sf)
