@@ -174,25 +174,35 @@ object Bench {
         // layouts of the orders table. 1 MB row groups stand in for the
         // many-files/many-groups geometry of a real deployment; LayoutSpec
         // proves the skip from scan metrics, this pair wall-clocks it.
-        val zoneDir = "/tmp/graft-bench-zone"
-        val plainDir = "/tmp/graft-bench-zone-plain"
-        val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
-        val zonePrep = timed {
-          t.orders.write.mode("overwrite")
-            .option("parquet.block.size", 1024L * 1024).parquet(plainDir)
-          graft.io.Layout.writeZoneClustered(t.orders, zoneDir, "o_orderkey",
-            rowGroupBytes = 1024L * 1024)
-        }
-        def zoneScan(path: String): Double = run {
-          spark.read.parquet(path)
-            .filter(col("o_orderkey") <= maxKey / 100)
-            .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
-        }
-        val zonePlain = zoneScan(plainDir)
-        val zoneClustered = zoneScan(zoneDir)
+        // Fenced separately: a zone-demo failure must not discard the
+        // bucket-demo numbers already measured above.
+        val zoneTimes =
+          try {
+            val zoneDir = "/tmp/graft-bench-zone"
+            val plainDir = "/tmp/graft-bench-zone-plain"
+            val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
+            val zonePrep = timed {
+              t.orders.write.mode("overwrite")
+                .option("parquet.block.size", 1024L * 1024).parquet(plainDir)
+              graft.io.Layout.writeZoneClustered(t.orders, zoneDir, "o_orderkey",
+                rowGroupBytes = 1024L * 1024)
+            }
+            def zoneScan(path: String): Double = run {
+              spark.read.parquet(path)
+                .filter(col("o_orderkey") <= maxKey / 100)
+                .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+            }
+            val zonePlain = zoneScan(plainDir)
+            val zoneClustered = zoneScan(zoneDir)
+            Seq("_zone_write" -> zonePrep, "_zone_scan_plain" -> zonePlain,
+              "_zone_scan_clustered" -> zoneClustered)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] zone demo failed: ${e.getMessage}")
+            failed += "_zone_demo"
+            Seq.empty
+          }
         Seq("_fact_join_shuffled" -> shuffled, "_bucket_write" -> prep,
-          "_fact_join_bucketed" -> bucketed, "_zone_write" -> zonePrep,
-          "_zone_scan_plain" -> zonePlain, "_zone_scan_clustered" -> zoneClustered)
+          "_fact_join_bucketed" -> bucketed) ++ zoneTimes
       } catch { case e: Throwable =>
         System.err.println(s"[bench] layout demo failed: ${e.getMessage}")
         failed += "_layout_demo"

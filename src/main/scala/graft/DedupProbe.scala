@@ -26,10 +26,7 @@ object DedupProbe {
     }
     timed("ann clusters (x60 path)") {
       val emb = graft.io.Tables(spark, dir).embeddings
-      val pairs = graft.ext.Similarity.annPairs(emb, 0.4)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      val (labels, rounds) = graft.ext.Dedup.componentsFromEdges(pairs,
-        emb.select(col("vec_id").as("doc_id")))
+      val (labels, rounds) = graft.ext.Similarity.annClustersWithRounds(emb, 0.4)
       val n = labels.count()
       println(s"[dprobe] ann cluster rounds to convergence: $rounds")
       n

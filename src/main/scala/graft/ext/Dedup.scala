@@ -252,15 +252,18 @@ object Dedup {
     * SQL oracle reproduce it.
     */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.3,
-      maxIterations: Int = 20): DataFrame =
-    duplicateClustersWithRounds(docs, threshold, maxIterations)._1
+      maxIterations: Int = 20, bucketCap: Int = 0): DataFrame =
+    duplicateClustersWithRounds(docs, threshold, maxIterations, bucketCap)._1
 
   /** [[duplicateClusters]] plus the number of large+small rounds the loop
-    * ran — the convergence diagnostic DedupProbe reports.
+    * ran — the convergence diagnostic DedupProbe reports. `bucketCap`
+    * passes through to the pair stage (a 100 TB clustering run wants the
+    * hot-bucket guard as much as the pair query does; losing a hot
+    * bucket's pairs only coarsens components, never corrupts them).
     */
   def duplicateClustersWithRounds(docs: DataFrame, threshold: Double = 0.3,
-      maxIterations: Int = 20): (DataFrame, Int) =
-    componentsFromEdges(lshDedupPairs(docs, threshold).select("doc_a", "doc_b"),
+      maxIterations: Int = 20, bucketCap: Int = 0): (DataFrame, Int) =
+    componentsFromEdges(lshDedupPairs(docs, threshold, bucketCap).select("doc_a", "doc_b"),
       docs.select(col("doc_id")), maxIterations)
 
   /** Generic two-phase large-star/small-star connected components over an

@@ -257,9 +257,14 @@ object Multimodal {
     repart
       .mapPartitions { it =>
         it.map { r =>
-          try (r.doc_id, decode(r.media_type, r.content), true)
-          catch { case _: IllegalArgumentException =>
-            (r.doc_id, byteFeatures(r.content), false)
+          // NULL payloads and ANY per-record decoder escape (not just the
+          // decoders' named IllegalArgumentException — a crafted payload
+          // tripping an unguarded index must not kill the stage either)
+          // degrade to the bytes-only fallback.
+          val content = if (r.content == null) Array.emptyByteArray else r.content
+          try (r.doc_id, decode(r.media_type, content), r.content != null)
+          catch { case scala.util.control.NonFatal(_) =>
+            (r.doc_id, byteFeatures(content), false)
           }
         }
       }

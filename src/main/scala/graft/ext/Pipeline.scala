@@ -147,12 +147,17 @@ object Pipeline {
     */
   def curate(docs: DataFrame, minQuality: Double = 0.5, quota: Int = 15,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(!docs.columns.contains("quality_score") && !docs.columns.contains("is_canonical"),
+      "columns 'quality_score'/'is_canonical' are reserved by curate")
     val w = Window.partitionBy(md5(col("text").cast("binary")))
     val survivors = docs
       .withColumn("quality_score", TextAnalysis.qualityScoreExpr)
       .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
       .filter(col("is_canonical") && col("quality_score") >= minQuality)
-      .drop("is_canonical")
+      // Shed the text (and every other wide ride-along) BEFORE the quota
+      // window: the second shuffle moves only the three narrow columns
+      // the output needs, not multi-KB payloads.
+      .select("doc_id", "source", "quality_score")
     trainSplit(sourceQuota(survivors, quota), trainFrac, valFrac)
       .select(col("doc_id"), col("source"), col("quality_score"),
         col("quota_rank"), col("split"))

@@ -289,12 +289,23 @@ object Similarity {
     */
   def annClusters(embeddings: DataFrame, threshold: Double,
       bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20): DataFrame =
+    annClustersWithRounds(embeddings, threshold, bands, bandBits, bucketCap,
+      maxIterations)._1
+
+  /** [[annClusters]] plus the contraction-round count — the convergence
+    * diagnostic (DedupProbe), mirroring Dedup.duplicateClustersWithRounds
+    * so diagnostics measure the SAME path the registered query runs.
+    */
+  def annClustersWithRounds(embeddings: DataFrame, threshold: Double,
+      bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0,
+      maxIterations: Int = 20): (DataFrame, Int) = {
     val pairs = annPairs(embeddings, threshold, bands, bandBits, bucketCap)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val (labels, _) = Dedup.componentsFromEdges(pairs,
+    val (labels, rounds) = Dedup.componentsFromEdges(pairs,
       embeddings.select(col("vec_id").as("doc_id")), maxIterations)
-    labels.select(col("doc_id").as("vec_id"), col("cluster"), col("is_canonical"))
+    (labels.select(col("doc_id").as("vec_id"), col("cluster"), col("is_canonical")),
+      rounds)
   }
 
   /** Symmetric int8 quantization of the embedding column — the memory/

@@ -313,15 +313,16 @@ object TextAnalysis {
     */
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, "contamination n-grams need n >= 2")
-    def grams(d: DataFrame) = d
+    def gramsRaw(d: DataFrame) = d
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),
         explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
       .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
-      .distinct()
-    val evalGrams = grams(evalDocs).select("gram").distinct()
+    // Eval side distincts on the gram ALONE — a per-(doc, gram) distinct
+    // first would shuffle the eval corpus twice for the same result.
+    val evalGrams = gramsRaw(evalDocs).select("gram").distinct()
       .withColumn("hit", lit(1))
-    grams(train)
+    gramsRaw(train).distinct()
       .join(evalGrams, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(

@@ -164,8 +164,12 @@ object Streams {
         // transactional table format (where this whole body is one MERGE
         // INTO) is the production upgrade, with an identical stream plan.
         merged.write.mode("overwrite").parquet(tmpP.toString)
-        fs.delete(targetP, true)
-        fs.rename(tmpP, targetP)
+        // Surface a failed swap: ignoring the booleans would drop the
+        // whole keyed table and let the next batch bootstrap from empty.
+        if (fs.exists(targetP) && !fs.delete(targetP, true))
+          throw new java.io.IOException(s"upsertSink: could not clear $targetPath")
+        if (!fs.rename(tmpP, targetP))
+          throw new java.io.IOException(s"upsertSink: rename $tmpP -> $targetPath failed")
         ()
       }
       .start()
@@ -191,15 +195,21 @@ object Streams {
     updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select((key +: payload).map(col) :+
-            date_format(col(effDateCol), "yyyy-MM-dd").as("__eff"): _*)
-        if (!latest.isEmpty) {
-          val eff = latest.agg(max(col("__eff"))).first().getString(0)
-          val upd = latest.drop("__eff")
+        if (!batch.isEmpty) {
+          // Effective date = the WHOLE batch's max event date (not just
+          // the post-dedup winners' — orderCol need not be monotone in
+          // the date), so a replayed batch always merges at the same day.
+          val eff = batch
+            .agg(max(date_format(col(effDateCol), "yyyy-MM-dd"))).first().getString(0)
+          // Payload columns tie-break equal orderCol values: row_number
+          // over an under-specified sort would let a replay crown a
+          // different row and diverge the history.
+          val w = Window.partitionBy(col(key))
+            .orderBy(col(orderCol).desc +: payload.map(c => col(c).asc): _*)
+          val upd = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select((key +: payload).map(col): _*)
           val spark2 = batch.sparkSession
           val fs = org.apache.hadoop.fs.FileSystem.get(
             java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
@@ -213,8 +223,12 @@ object Streams {
               .withColumn("valid_from", lit(eff))
               .withColumn("valid_to", lit(null).cast("string"))
           merged.write.mode("overwrite").parquet(tmpP.toString)
-          fs.delete(targetP, true)
-          fs.rename(tmpP, targetP)
+          // A silently failed swap would orphan the history and let the
+          // next batch bootstrap from empty — fail the query instead.
+          if (fs.exists(targetP) && !fs.delete(targetP, true))
+            throw new java.io.IOException(s"scd2Sink: could not clear $targetPath")
+          if (!fs.rename(tmpP, targetP))
+            throw new java.io.IOException(s"scd2Sink: rename $tmpP -> $targetPath failed")
         }
         ()
       }
