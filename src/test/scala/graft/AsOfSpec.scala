@@ -117,6 +117,22 @@ class AsOfSpec extends SparkSuite {
     assert(rows(again) === rows(out))
   }
 
+  test("scd2 idempotence law at width: re-applying any batch is a no-op, twice-changed keys close once") {
+    // 200 keys with hash-derived segments; updates flip every third key.
+    val hist = (1L to 200L).map(k => (k, s"seg${k % 7}", "2000-01-01", null.asInstanceOf[String]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val upd = (1L to 200L).map(k => (k, if (k % 3 == 0) "FLIPPED" else s"seg${k % 7}"))
+      .toDF("k", "seg")
+    val once = graft.ops.Upsert.scd2(hist, upd, "k", Seq("seg"), "2001-01-01")
+    val flipped = (1L to 200L).count(_ % 3 == 0)
+    assert(once.count() === 200L + flipped)          // one closed row per change
+    assert(once.filter(col("valid_to").isNull).count() === 200L) // exactly one open row per key
+    val twice = graft.ops.Upsert.scd2(once, upd, "k", Seq("seg"), "2002-01-01")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "valid_from").collect().map(_.toSeq).toSeq
+    assert(canon(twice) === canon(once), "second application must be a pure no-op")
+  }
+
   test("scd2: non-string extra history columns keep their type (null, not coerced)") {
     // An audit column OUTSIDE key/payload/validity must survive the merge
     // with its own dataType — new rows carry a typed null, and unionByName

@@ -52,6 +52,21 @@ class ExtSpec extends SparkSuite {
     assert(capped === Set((11L, 12L)), s"got $capped")
   }
 
+  test("bucketCap is monotone: capped pair sets nest as the cap rises") {
+    // Mixed corpus: a 6-clone hot cluster + 3 chained near-dups + noise.
+    val d = docs(((1L to 6L).map(_ -> "h1 h2 h3 h4 h5 h6 h7 h8") ++ Seq(
+      11L -> "n1 n2 n3 n4 n5 n6 n7 n8",
+      12L -> "n1 n2 n3 n4 n5 n6 n7 zz",
+      13L -> "qq n2 n3 n4 n5 n6 n7 zz",
+      21L -> "u1 u2 u3 u4 u5 u6 u7 u8")): _*)
+    def pairs(cap: Int) = Dedup.lshDedupPairs(d, 0.5, cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val at3 = pairs(3); val at8 = pairs(8); val uncapped = pairs(0)
+    assert(at3.subsetOf(at8), s"cap 3 found pairs cap 8 lost: ${at3.diff(at8)}")
+    assert(at8.subsetOf(uncapped), s"capped found pairs uncapped lost: ${at8.diff(uncapped)}")
+    assert(uncapped.size > at3.size, "caps never engaged on the hot cluster")
+  }
+
   test("duplicate clusters: transitive chains collapse to the min-id component") {
     // 1~2 and 2~3 are near-dups; 1~3 are NOT directly similar enough —
     // the component must still merge all three (transitivity), label 1.
