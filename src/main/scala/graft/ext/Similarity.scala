@@ -336,6 +336,120 @@ object Similarity {
   def planesSqlLiteral(p: Int): String =
     planes(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
+  // ---- Product quantization (PQ) ------------------------------------------
+
+  /** PQ geometry: Dim splits into [[PqSubspaces]] contiguous sub-vectors of
+    * [[PqSubDim]] dims; each sub-vector quantizes to one of
+    * [[PqCodebookSize]] codewords, so a 64-float vector becomes
+    * [[PqSubspaces]] small codes — the 256-byte → 8-code compression that
+    * lets a 100 TB vector store hold its index in RAM (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+    * Codebooks are deterministically pinned (codeword (s, j) = subspace s
+    * of the vector with vec_id = j), the same convention as
+    * [[ivfAssign]]'s pinned centroids, so the DuckDB oracle replays
+    * encode and search exactly; a production deployment trains them with
+    * the [[kMeans]] loop per subspace — the plan shape is unchanged.
+    */
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCodebookSize = 16
+
+  /** The pinned codebook as (s, cid, cslice): subspace s of each vector
+    * with vec_id < [[PqCodebookSize]]. Tiny (M·K rows) — always broadcast.
+    */
+  def pqCodebook(embeddings: DataFrame): DataFrame =
+    subVectors(embeddings.filter(col("vec_id") < PqCodebookSize))
+      .select(col("vec_id").cast("int").as("cid"), col("s"), col("x").as("cslice"))
+
+  /** (vec_id, s, x): the corpus exploded into its PqSubspaces sub-vectors —
+    * a pure projection (posexplode of slices), linear in the corpus. */
+  private def subVectors(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"),
+        posexplode(array((0 until PqSubspaces).map(s =>
+          slice(col("emb"), s * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "x")))
+
+  /** PQ encode: per (vector, subspace), the codeword minimizing exact
+    * squared L2 distance, ties to the lower code. d² is spelled
+    * x·x + c·c − 2·x·c — three sequential-fold dot products combined by
+    * exactly-rounded IEEE ops, so encode decisions are bit-deterministic
+    * cross-engine. Shape: sub-vector explode (linear) × broadcast
+    * codebook (M·K rows) → per-(vector, subspace) argmin window; at
+    * scale the window is a per-row argmin over K scores, shuffle-free
+    * once the codebook broadcasts.
+    */
+  def pqEncode(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    subVectors(embeddings)
+      .join(broadcast(pqCodebook(embeddings)), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        (dot(col("x"), col("x")) + dot(col("cslice"), col("cslice"))
+          - lit(2.0) * dot(col("x"), col("cslice"))).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+  }
+
+  /** Reconstructed vectors from PQ codes: codewords concatenated in
+    * subspace order — the decoder half of the codec, shared by
+    * [[pqCodes]]' error stats and [[pqSearch]]'s ADC scoring. */
+  private def pqReconstruct(embeddings: DataFrame): DataFrame =
+    pqEncode(embeddings)
+      .join(broadcast(pqCodebook(embeddings).withColumnRenamed("s", "cs")),
+        col("s") === col("cs") && col("code") === col("cid"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("cslice")))),
+        _.getField("cslice"))).as("recon"))
+
+  /** The registered PQ-encode surface (x70): per vector, the CSV-joined
+    * code word plus reconstruction quality — recon_dot (similarity
+    * retained by the codes) and the exact squared reconstruction error.
+    * Codes carry the whole index: 8 small ints instead of 64 floats.
+    */
+  def pqCodes(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val codeCsv = pqEncode(embeddings)
+      .groupBy("vec_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("s"), col("code")))),
+        _.getField("code").cast("string")), ",").as("code_csv"))
+    e.join(codeCsv, Seq("vec_id"))
+      .join(pqReconstruct(embeddings), Seq("vec_id"))
+      .select(col("vec_id"), col("code_csv"),
+        dot(col("emb"), col("recon")).as("recon_dot"),
+        (dot(col("emb"), col("emb")) + dot(col("recon"), col("recon"))
+          - lit(2.0) * dot(col("emb"), col("recon"))).as("sq_err"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over the PQ-compressed corpus:
+    * queries stay exact, database vectors are their reconstructions, the
+    * score is one sequential-fold dot product against the concatenated
+    * codewords (equivalent to the per-subspace lookup-table sum, spelled
+    * as a single fold so it is bit-stable cross-engine). The recall/
+    * compression trade is the PQ contract: at 100 TB the reconstruction
+    * join is a broadcast of the M·K codebook, the scan reads 8 codes per
+    * row instead of 64 floats, and a re-rank pass over the top candidates
+    * restores exactness where needed.
+    */
+  def pqSearch(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qemb"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    pqReconstruct(embeddings)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        dot(col("qemb"), col("recon")).as("adc_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "neighbor_id", "adc_score")
+  }
+
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
   /** Distributed spherical k-means over the embedding column — the

@@ -331,6 +331,85 @@ object TextAnalysis {
         (count(col("hit")) > 0).as("contaminated"))
   }
 
+  /** Duplicate n-gram coverage — the per-document metric behind exact-
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): for each document, how
+    * many of its distinct word `n`-grams occur in at least `minDf`
+    * documents corpus-wide, and the covered fraction. A high fraction
+    * means the document is assembled from text that exists elsewhere —
+    * the drop/trim signal that catches cross-document boilerplate exact
+    * dedup misses.
+    *
+    * Shape: one distinct (doc, gram) explode, one gram-frequency
+    * aggregate, one inverted-index equi-join back — never doc×doc; the
+    * df side carries one row per distinct gram. At 100 TB the gram
+    * becomes a 64-bit hash (10× less shuffle, same plan) and the df
+    * table is exactly the suffix-array postings analog a cluster can
+    * actually build.
+    */
+  def duplicateGramCoverage(docs: DataFrame, n: Int = 8, minDf: Long = 2): DataFrame = {
+    require(n >= 2, "duplicate-gram coverage needs n >= 2")
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+      .distinct()
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** BM25 relevance scoring for a fixed keyword query — the retrieval
+    * primitive of a data-curation stack (selecting training documents
+    * relevant to a target domain, "importance resampling by query"). One
+    * corpus pass computes every per-document statistic as projections
+    * (tf per term via array filters — no explode); the corpus-level
+    * statistics (N, Σdl, df per term) are ONE global aggregate whose
+    * single row broadcasts back. No shuffle of the corpus itself.
+    *
+    * Determinism contract: tf, dl, df, N are exact integers; avgdl and
+    * every tf-normalization step are exactly-rounded IEEE ops replicated
+    * textually in the oracle; ln() is NOT correctly-rounded across
+    * engine math libraries (measured: 2/1197 inputs differ between
+    * java.lang.Math and DuckDB's libm by 1 ulp), so each idf snaps to a
+    * 1e-9 grid — the x61 rate-snapping trick — making the ulp
+    * discrepancy unobservable. Per-term scores combine in fixed
+    * left-to-right term order, never via an order-free SUM.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ts = tokens(col("text"))
+    val base = docs.select(
+      (col("doc_id") +: size(ts).cast("long").as("dl") +:
+        queryTerms.map(t =>
+          size(filter(ts, tok => tok === lit(t))).cast("long").as(s"tf_$t"))): _*)
+    val stats = base.agg(
+      (count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+        queryTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val termScore = queryTerms.map { t =>
+      val idf = snap9(log(
+        (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5))
+          / (col(s"df_$t").cast("double") + lit(0.5)) + lit(1.0)))
+      idf * ((col(s"tf_$t").cast("double") * lit(k1 + 1.0))
+        / (col(s"tf_$t").cast("double") + lit(k1) * norm))
+    }
+    base.crossJoin(broadcast(stats))
+      .select((col("doc_id") +: col("dl") +:
+        queryTerms.map(t => col(s"tf_$t")) :+
+        termScore.reduceLeft(_ + _).as("bm25")): _*)
+      .filter(col("bm25") > 0)
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank (Brin & Page 1998) over an edge list —
+  * the graph-centrality operator of a curation stack: ranking documents
+  * by how central they sit in a similarity/citation/link graph, so the
+  * corpus keeps authoritative representatives instead of arbitrary ones.
+  *
+  * All arithmetic is 64-bit INTEGER: ranks are scaled by `base`
+  * (rank 1.0 ≡ `base`), per-edge contributions use integer division
+  * (`rank DIV outdeg`), and the damping update is
+  * `(15·base) DIV 100 + (85·Σ incoming) DIV 100` — no floating point
+  * anywhere, so results are bit-deterministic in ANY engine regardless
+  * of aggregation order (the property a double-valued power iteration
+  * cannot have: its per-vertex sum is order-dependent). The cost of the
+  * fixed point is bounded truncation (< 1/base per division), irrelevant
+  * for ranking.
+  *
+  * Spark shape per iteration: one join of ranks onto out-degrees (both
+  * keyed by vertex), one edge join, one sum aggregate keyed by
+  * destination — the standard message-passing round, all hash-
+  * partitioned on vertex id. Iteration count is fixed (a pinned
+  * hyperparameter, not a driver-synced convergence loop), so the whole
+  * computation is ONE declarative plan; at 100 TB pre-partitioning
+  * edges and vertices on the same key makes every round co-located.
+  * Vertices with no outgoing edges contribute nothing (their mass
+  * evaporates — the "dangling mass to nowhere" convention; a teleport-
+  * redistribution variant adds one scalar aggregate per round);
+  * vertices with no incoming edges settle at the teleport floor.
+  */
+object PageRank {
+
+  /** @param edges    directed (src, dst) rows; parallel edges count twice
+    * @param vertices one `id` column, the full vertex set (isolated
+    *                 vertices included — edge endpoints alone under-count)
+    * @param iterations unrolled power-iteration rounds
+    * @param base     fixed-point scale (rank 1.0 ≡ base)
+    * @return (id, rank) with rank in `base` fixed-point units
+    */
+  def pagerank(edges: DataFrame, vertices: DataFrame, iterations: Int = 3,
+      base: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, "pagerank needs at least one iteration")
+    val teleport = base * 15L / 100L
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var rank = vertices.select(col("id"), lit(base).as("rank"))
+    (0 until iterations).foreach { _ =>
+      val contrib = rank.join(outdeg, col("id") === col("src"))
+        .select(col("src"), expr("rank DIV outdeg").as("c"))
+      val incoming = edges.join(contrib, Seq("src"))
+        .groupBy("dst").agg(sum(col("c")).as("insum"))
+      rank = vertices.join(incoming, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + expr("(85 * coalesce(insum, 0)) DIV 100")).as("rank"))
+    }
+    rank
+  }
+}

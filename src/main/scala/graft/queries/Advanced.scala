@@ -997,8 +997,207 @@ object Advanced {
              |              / 4294967296.0 AS u
              |  FROM ranked) z
              |WHERE quota_rank <= 15 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Product-quantization encode (Similarity.pqCodes): 64 floats -> 8
+    // codes against the pinned sub-codebooks, plus exact reconstruction
+    // stats — the 32x index-compression codec of a 100 TB vector store.
+    // d² decisions and both error stats are dot-product folds combined by
+    // exactly-rounded ops, so the oracle replays encode byte-exactly.
+    QueryDef(
+      "x70_pq_encode",
+      (s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings).orderBy("vec_id"),
+      Some(pqCteSql +
+        """, codes AS (
+          |  SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS code_csv
+          |  FROM enc GROUP BY 1
+          |)
+          |SELECT e.vec_id, codes.code_csv,
+          |       list_dot_product(e.emb, r.recon) AS recon_dot,
+          |       list_dot_product(e.emb, e.emb) + list_dot_product(r.recon, r.recon)
+          |         - 2.0 * list_dot_product(e.emb, r.recon) AS sq_err
+          |FROM e JOIN codes USING (vec_id) JOIN rec r USING (vec_id)
+          |ORDER BY vec_id""".stripMargin)),
+
+    // Asymmetric-distance (ADC) top-k over the PQ codes (x70's index):
+    // exact queries scored against reconstructed database vectors — the
+    // search half of the codec. The score is ONE sequential-fold dot
+    // product against the concatenated codewords, bit-stable cross-engine.
+    QueryDef(
+      "x71_pq_adc_search",
+      (s, dir) => Similarity.pqSearch(Tables(s, dir).embeddings, 0L until 10L, 5)
+        .orderBy("qid", "rank"),
+      Some(pqCteSql +
+        """, q AS (
+          |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+          |), scored AS (
+          |  SELECT q.qid, r.vec_id AS neighbor_id,
+          |         list_dot_product(q.qemb, r.recon) AS adc_score
+          |  FROM q, rec r WHERE r.vec_id <> q.qid
+          |)
+          |SELECT qid, rank, neighbor_id, adc_score FROM (
+          |  SELECT qid, neighbor_id, adc_score,
+          |         ROW_NUMBER() OVER (PARTITION BY qid
+          |           ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+          |  FROM scored) r
+          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Duplicate n-gram coverage (TextAnalysis.duplicateGramCoverage) —
+    // the exact-substring-dedup metric (Lee et al. 2022): the fraction of
+    // each document's distinct 8-grams that occur in >= 2 documents.
+    // Inverted-index equi-join on the gram, never doc×doc.
+    QueryDef(
+      "x72_dup_gram_coverage",
+      (s, dir) => TextAnalysis.duplicateGramCoverage(Tables(s, dir).documents, n = 8)
+        .orderBy("doc_id"),
+      Some(raw"""WITH tok AS (
+                |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), g AS (
+                |  SELECT DISTINCT doc_id,
+                |         unnest(list_transform(generate_series(1, greatest(length(ts)-7, 1)),
+                |                i -> array_to_string(ts[i:i+7], ' '))) AS gram
+                |  FROM tok
+                |), dfreq AS (
+                |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1
+                |)
+                |SELECT g.doc_id,
+                |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+                |       CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                |       CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                |         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+                |FROM g JOIN dfreq USING (gram)
+                |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-point integer PageRank (ops.PageRank) over the x11 banded
+    // ANN near-dup graph: document centrality in the similarity graph,
+    // 3 unrolled power-iteration rounds in pure BIGINT arithmetic — the
+    // one numeric contract under which distributed PageRank is
+    // bit-deterministic regardless of aggregation order. The oracle
+    // replays the identical banded edges and each integer round.
+    QueryDef(
+      "x73_pagerank",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val dup = Similarity.annPairs(emb, 0.4)
+        val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        graft.ops.PageRank.pagerank(edges, emb.select(col("vec_id").as("id")), 3)
+          .select(col("id").as("vec_id"), col("rank"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, dup AS (
+            |  SELECT vec_a, vec_b FROM (
+            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+            |    FROM cand c
+            |    JOIN e ea ON ea.vec_id = c.vec_a
+            |    JOIN e eb ON eb.vec_id = c.vec_b) p
+            |  WHERE cosine >= 0.4
+            |), sym AS (
+            |  SELECT vec_a AS src, vec_b AS dst FROM dup
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM dup
+            |), deg AS (
+            |  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM sym GROUP BY 1
+            |), r0 AS (
+            |  SELECT vec_id AS id, CAST(1000000000 AS BIGINT) AS rank FROM embeddings
+            |)""".stripMargin
+        val iters = (1 to 3).map { i =>
+          s""", r$i AS (
+             |  SELECT v.vec_id AS id,
+             |         CAST(150000000 + (85 * COALESCE(t.insum, 0)) // 100 AS BIGINT) AS rank
+             |  FROM embeddings v LEFT JOIN (
+             |    SELECT e2.dst, SUM(r.rank // d.outdeg) AS insum
+             |    FROM sym e2
+             |    JOIN r${i - 1} r ON r.id = e2.src
+             |    JOIN deg d ON d.src = e2.src
+             |    GROUP BY 1) t ON t.dst = v.vec_id
+             |)""".stripMargin
+        }.mkString
+        base + iters + "\nSELECT id AS vec_id, rank FROM r3 ORDER BY vec_id"
+      }),
+
+    // BM25 keyword retrieval (TextAnalysis.bm25) — the query-relevance
+    // scorer of domain-targeted corpus selection. tf/df/dl/N are exact
+    // integers aggregated in one corpus pass + one broadcast row; idf
+    // snaps to the 1e-9 grid (ln is not cross-engine correctly rounded —
+    // measured), per-term scores combine in fixed term order.
+    QueryDef(
+      "x74_bm25",
+      (s, dir) => TextAnalysis.bm25(Tables(s, dir).documents,
+        Seq("customer", "stream", "window")).orderBy("doc_id"),
+      Some(bm25OracleSql(Seq("customer", "stream", "window"), 1.2, 0.75)))
   )
+
+  /** Shared PQ oracle CTE chain (x70/x71): sub-vector explode, pinned
+    * codebook (vec_id < K), per-(vector, subspace) argmin encode, and the
+    * reconstruction — the exact SQL replay of
+    * [[graft.ext.Similarity.pqEncode]]'s d² = x·x + c·c − 2·x·c decisions.
+    */
+  private lazy val pqCteSql: String = {
+    val m = Similarity.PqSubspaces
+    val d = Similarity.PqSubDim
+    val k = Similarity.PqCodebookSize
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), sub AS (
+       |  SELECT unnest(generate_series(0, ${m - 1})) AS s
+       |), v AS (
+       |  SELECT e.vec_id, sub.s, list_slice(e.emb, sub.s*$d + 1, sub.s*$d + $d) AS x
+       |  FROM e, sub
+       |), cb AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, s, x AS cslice FROM v WHERE vec_id < $k
+       |), enc AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT v.vec_id, v.s, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+       |             ORDER BY list_dot_product(v.x, v.x) + list_dot_product(c.cslice, c.cslice)
+       |                      - 2.0 * list_dot_product(v.x, c.cslice) ASC, c.cid ASC) AS rn
+       |    FROM v JOIN cb c ON c.s = v.s) r
+       |  WHERE rn = 1
+       |), rec AS (
+       |  SELECT en.vec_id, flatten(list(c.cslice ORDER BY en.s)) AS recon
+       |  FROM enc en JOIN cb c ON c.s = en.s AND c.cid = en.code
+       |  GROUP BY en.vec_id
+       |)""".stripMargin
+  }
+
+  /** BM25 oracle: the exact SQL twin of [[graft.ext.TextAnalysis.bm25]].
+    * Constants are embedded via Double.toString (shortest round-trip
+    * representation — parses back to the identical double in both
+    * engines), and the idf snap / term-order sum replicate the Spark
+    * expression tree textually.
+    */
+  private def bm25OracleSql(terms: Seq[String], k1: Double, b: Double): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(length(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n         ")
+    val dfCols = terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n         ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val norm = s"(${(1.0 - b).toString} + ${b.toString} * (CAST(dl AS DOUBLE) / $avgdl))"
+    val score = terms.map { t =>
+      val idf = s"(FLOOR(ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)" +
+        s" / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0) * 1.0E9 + 0.5) / 1.0E9)"
+      s"$idf * ((CAST(tf_$t AS DOUBLE) * ${(k1 + 1.0).toString})" +
+        s" / (CAST(tf_$t AS DOUBLE) + ${k1.toString} * $norm))"
+    }.mkString("\n         + ")
+    raw"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+         |), base AS (
+         |  SELECT doc_id, CAST(length(ts) AS BIGINT) AS dl,
+         |         $tfCols
+         |  FROM tok
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         |         $dfCols
+         |  FROM base
+         |)
+         |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+         |       $score AS bm25
+         |FROM base, stats
+         |WHERE $score > 0 ORDER BY doc_id""".stripMargin
+  }
 
   /** The unrolled snapped-Lloyd CTE chain shared by x57/x58: c0 = the
     * first k vectors, then per iteration i — per-dim snapped means of
