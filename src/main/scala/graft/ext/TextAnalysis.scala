@@ -390,10 +390,10 @@ object TextAnalysis {
       (col("doc_id") +: size(ts).cast("long").as("dl") +:
         queryTerms.map(t =>
           size(filter(ts, tok => tok === lit(t))).cast("long").as(s"tf_$t"))): _*)
-    val stats = base.agg(
-      (count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
-        queryTerms.map(t =>
-          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+    val aggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      queryTerms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val norm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
     val termScore = queryTerms.map { t =>

@@ -42,6 +42,18 @@ object PageRank {
   def pagerank(edges: DataFrame, vertices: DataFrame, iterations: Int = 3,
       base: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
+    // Overflow bound: a vertex's incoming mass is < N·base (total graph
+    // mass), and the damping update multiplies it by 85 before dividing,
+    // so 85·N·base must fit in a signed 64-bit long. Non-ANSI Spark wraps
+    // silently on overflow, which would corrupt ranks AND the
+    // bit-determinism contract — fail fast instead. At 100 TB scale
+    // (N beyond ~1e8 vertices with the default base=1e9), callers scale
+    // `base` down: precision is 1/base per division, so base=1e6 still
+    // gives 6 fixed-point digits while admitting N up to ~1e11.
+    val n = vertices.count()
+    require(n > 0 && n <= Long.MaxValue / 85L / base,
+      s"pagerank: 85 * n_vertices($n) * base($base) would overflow Long; " +
+        "pass a smaller `base` (precision is 1/base)")
     val teleport = base * 15L / 100L
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var rank = vertices.select(col("id"), lit(base).as("rank"))

@@ -201,6 +201,14 @@ object Streams {
           // the date), so a replayed batch always merges at the same day.
           val eff = batch
             .agg(max(date_format(col(effDateCol), "yyyy-MM-dd"))).first().getString(0)
+          // A batch whose effDateCol is all-null would merge rows with a
+          // null valid_from — silently corrupting the history and breaking
+          // replay idempotence. That's bad data, not a transient: fail the
+          // query so the operator surfaces it instead of absorbing it.
+          if (eff == null)
+            throw new IllegalStateException(
+              s"scd2Sink: non-empty batch has no non-null '$effDateCol'; " +
+                "cannot derive a valid_from date")
           // Payload columns tie-break equal orderCol values: row_number
           // over an under-specified sort would let a replay crown a
           // different row and diverge the history.
