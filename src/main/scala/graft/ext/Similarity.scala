@@ -347,8 +347,8 @@ object Similarity {
     * Codebooks are deterministically pinned (codeword (s, j) = subspace s
     * of the vector with vec_id = j), the same convention as
     * [[ivfAssign]]'s pinned centroids, so the DuckDB oracle replays
-    * encode and search exactly; a production deployment trains them with
-    * the [[kMeans]] loop per subspace — the plan shape is unchanged.
+    * encode and search exactly; [[pqTrain]] is the Lloyd loop that learns
+    * them (x75) — the encode/search plan shape is unchanged either way.
     */
   val PqSubspaces = 8
   val PqSubDim: Int = Dim / PqSubspaces
@@ -380,10 +380,17 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
+    encodeAgainst(subVectors(embeddings), pqCodebook(embeddings))
+  }
+
+  /** The assignment kernel shared by pinned encode, trained encode, and
+    * every Lloyd step: per (vector, subspace), the codeword of that
+    * subspace minimizing exact squared L2, ties to the lower code. The
+    * codebook side is always M·K rows — always broadcast. */
+  private def encodeAgainst(sub: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("d2").asc, col("cid").asc)
-    subVectors(embeddings)
-      .join(broadcast(pqCodebook(embeddings)), Seq("s"))
+    sub.join(broadcast(cb), Seq("s"))
       .select(col("vec_id"), col("s"), col("cid"),
         (dot(col("x"), col("x")) + dot(col("cslice"), col("cslice"))
           - lit(2.0) * dot(col("x"), col("cslice"))).as("d2"))
@@ -392,12 +399,77 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("cid").as("code"))
   }
 
+  /** PQ training hyperparameters (x75): Lloyd steps per subspace and the
+    * decimal snap grid that makes the learned codebooks cross-engine
+    * bit-stable (same convention as [[kMeans]]'s snapScale). */
+  val PqTrainIters = 2
+  val PqSnapScale = 1e6
+
+  /** L2 Lloyd training of the PQ codebooks (Jégou et al. 2011 §III.A) —
+    * the step that turns [[pqCodebook]]'s pinned codewords into learned
+    * ones. All [[PqSubspaces]] subspaces train JOINTLY: each iteration is
+    * ONE corpus pass assigning every (vector, subspace) slice to its
+    * nearest codeword (the [[encodeAgainst]] kernel, codebook broadcast)
+    * and ONE (subspace, code, dim) mean aggregate — M separate k-means
+    * problems ride the same two shuffles, so training cost is independent
+    * of M. Plain L2 means (no normalization — sub-vectors of unit vectors
+    * are not unit; PQ is a Euclidean quantizer), empty codewords keep
+    * their previous centroid. The M·K×subDim model (1024 doubles at the
+    * default geometry) collects to the driver between iterations, the
+    * same bounded-model contract as [[kMeans]] and MLlib.
+    *
+    * Determinism: init is the pinned codebook, assignment ties break to
+    * the lower code, iteration count is fixed, and every learned mean
+    * snaps to the `snapScale` grid — snap(x) = floor(x·scale + 0.5)/scale,
+    * exactly-rounded IEEE ops — so the DuckDB oracle replays the whole
+    * unrolled train→encode loop bit-exactly (x75), the same contract
+    * x57/x58 pin for IVF.
+    *
+    * @return the learned codebook as (s, cid, cslice), [[pqCodebook]]'s
+    *         exact shape — drop-in for encode/reconstruct/search.
+    */
+  def pqTrain(embeddings: DataFrame, iterations: Int = PqTrainIters,
+      snapScale: Double = PqSnapScale): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    def snap(x: Double): Double =
+      if (snapScale > 0) math.floor(x * snapScale + 0.5) / snapScale else x
+    def cbDf(b: Map[(Int, Int), Seq[Double]]): DataFrame =
+      b.toSeq.sortBy(_._1)
+        .map { case ((s, c), arr) => (s, c, arr) }
+        .toDF("s", "cid", "cslice")
+    val sub = subVectors(embeddings).cache()
+    var book: Map[(Int, Int), Seq[Double]] = pqCodebook(embeddings)
+      .collect()
+      .map(r => ((r.getInt(1), r.getInt(0)), r.getSeq[Double](2)))
+      .toMap
+    (0 until iterations).foreach { _ =>
+      val enc = encodeAgainst(sub, cbDf(book))
+      val means = sub.join(enc, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("x")).as(Seq("dim", "v")))
+        .groupBy("s", "code", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("s", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("s"), col("code"), transform(col("dm"), _.getField("m")).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).map(snap)))
+        .toMap
+      book = book.map { case (k, old) => k -> means.getOrElse(k, old) }
+    }
+    sub.unpersist(blocking = false)
+    cbDf(book)
+  }
+
   /** Reconstructed vectors from PQ codes: codewords concatenated in
     * subspace order — the decoder half of the codec, shared by
     * [[pqCodes]]' error stats and [[pqSearch]]'s ADC scoring. */
   private def pqReconstruct(embeddings: DataFrame): DataFrame =
-    pqEncode(embeddings)
-      .join(broadcast(pqCodebook(embeddings).withColumnRenamed("s", "cs")),
+    pqReconstructWith(embeddings, pqCodebook(embeddings))
+
+  private def pqReconstructWith(embeddings: DataFrame, cb: DataFrame): DataFrame =
+    encodeAgainst(subVectors(embeddings), cb)
+      .join(broadcast(cb.withColumnRenamed("s", "cs")),
         col("s") === col("cs") && col("code") === col("cid"))
       .groupBy("vec_id")
       .agg(flatten(transform(
@@ -410,14 +482,30 @@ object Similarity {
     * Codes carry the whole index: 8 small ints instead of 64 floats.
     */
   def pqCodes(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    pqCodesWith(embeddings, pqCodebook(embeddings))
+  }
+
+  /** [[pqCodes]] against the LEARNED codebooks (x75): the full
+    * train→encode loop under one oracle, the PQ analogue of x57/x58's
+    * learned IVF. Same output shape as x70, so the reconstruction-error
+    * drop from training is directly comparable (and pinned by
+    * SimilaritySpec: Lloyd must not worsen total squared error). */
+  def pqCodesTrained(embeddings: DataFrame, iterations: Int = PqTrainIters,
+      snapScale: Double = PqSnapScale): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    pqCodesWith(embeddings, pqTrain(embeddings, iterations, snapScale))
+  }
+
+  private def pqCodesWith(embeddings: DataFrame, cb: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val codeCsv = pqEncode(embeddings)
+    val codeCsv = encodeAgainst(subVectors(embeddings), cb)
       .groupBy("vec_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("s"), col("code")))),
         _.getField("code").cast("string")), ",").as("code_csv"))
     e.join(codeCsv, Seq("vec_id"))
-      .join(pqReconstruct(embeddings), Seq("vec_id"))
+      .join(pqReconstructWith(embeddings, cb), Seq("vec_id"))
       .select(col("vec_id"), col("code_csv"),
         dot(col("emb"), col("recon")).as("recon_dot"),
         (dot(col("emb"), col("emb")) + dot(col("recon"), col("recon"))
@@ -448,6 +536,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "neighbor_id", "adc_score")
+  }
+
+  /** ADC search with the exact re-rank pass (the recall-restoration step
+    * [[pqSearch]]'s contract promises): the compressed index nominates the
+    * top `rerank` candidates per query by ADC score, then ONLY those
+    * rerank·|Q| rows join back to their exact vectors for a true
+    * dot-product re-rank to top-k. At 100 TB the expensive scan stays on
+    * the 8-codes-per-row index; the exact side touches rerank·|Q| vectors
+    * — the candidate set is tiny by construction, so it broadcasts into
+    * the vector join rather than shuffling the corpus.
+    */
+  def pqSearchReranked(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be >= k=$k")
+    VectorFunctions.register(embeddings.sparkSession)
+    val cand = pqSearch(embeddings, queryIds, rerank)
+      .select(col("qid"), col("neighbor_id"))
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qemb"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("neighbor_id"),
+        dot(col("qemb"), col("emb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "neighbor_id", "score")
   }
 
   // ---- IVF (inverted-file) ANN -------------------------------------------

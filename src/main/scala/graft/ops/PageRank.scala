@@ -68,4 +68,61 @@ object PageRank {
     }
     rank
   }
+
+  /** The mass-CONSERVING variant: dangling vertices (no outgoing edges —
+    * including isolated ones) redistribute their rank uniformly instead
+    * of evaporating, the standard teleport-redistribution convention
+    * (Page et al. 1999 §2.6). Per round that is ONE extra scalar
+    * aggregate — the dangling mass, summed via an anti-join of ranks
+    * against out-degrees and cross-joined back as a broadcast single row.
+    * Same fixed-point arithmetic as [[pagerank]]: the per-vertex share is
+    * `dsum DIV n`, so total mass is conserved up to bounded truncation
+    * (< 1 unit per vertex per division; PageRankSpec pins Σrank within
+    * the truncation envelope of n·base — the property the evaporating
+    * variant cannot have).
+    *
+    * Execution shape differs from [[pagerank]]'s single unrolled plan,
+    * deliberately: the dangling aggregate makes each round reference the
+    * previous ranks TWICE (contributions + the anti-join), so an unrolled
+    * plan would duplicate the round-(i−1) subtree — and the whole edge-
+    * building lineage under it — 2^iterations times. Instead the loop
+    * state persists per round (cache prev, localCheckpoint the result),
+    * the Pregel/GraphX convention for iterative graph state; edges and
+    * out-degrees cache once as loop invariants. Caches release before
+    * returning; the result is lineage-free.
+    */
+  def pagerankConserving(edges: DataFrame, vertices: DataFrame,
+      iterations: Int = 3, base: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, "pagerank needs at least one iteration")
+    val n = vertices.count()
+    // Same envelope as pagerank's, with one extra unit of headroom: the
+    // redistributed share adds at most `base` to a vertex's incoming mass.
+    require(n > 0 && n + 1 <= Long.MaxValue / 85L / base,
+      s"pagerankConserving: 85 * (n_vertices($n)+1) * base($base) would " +
+        "overflow Long; pass a smaller `base` (precision is 1/base)")
+    val teleport = base * 15L / 100L
+    val e = edges.cache()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e, outdeg)
+    var rank = vertices.select(col("id"), lit(base).as("rank"))
+    (0 until iterations).foreach { _ =>
+      val prev = rank.cache()
+      cached += prev
+      val contrib = prev.join(outdeg, col("id") === col("src"))
+        .select(col("src"), expr("rank DIV outdeg").as("c"))
+      val dangling = prev.join(outdeg, col("id") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+        .select(expr(s"dsum DIV ${n}L").as("dshare"))
+      val incoming = e.join(contrib, Seq("src"))
+        .groupBy("dst").agg(sum(col("c")).as("insum"))
+      rank = vertices.join(incoming, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(teleport) +
+            expr("(85 * (coalesce(insum, 0) + dshare)) DIV 100")).as("rank"))
+    }
+    val out = rank.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
 }

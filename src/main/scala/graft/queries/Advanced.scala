@@ -1127,7 +1127,123 @@ object Advanced {
       "x74_bm25",
       (s, dir) => TextAnalysis.bm25(Tables(s, dir).documents,
         Seq("customer", "stream", "window")).orderBy("doc_id"),
-      Some(bm25OracleSql(Seq("customer", "stream", "window"), 1.2, 0.75)))
+      Some(bm25OracleSql(Seq("customer", "stream", "window"), 1.2, 0.75))),
+
+    // TRAINED PQ codebooks under the gate (closes the round-5 "pinned,
+    // not trained" carve-out the way x57/x58 closed it for IVF): L2
+    // Lloyd over all 8 subspaces jointly — one assignment pass + one
+    // (s, code, dim) mean aggregate per iteration, means snapped to the
+    // 1e6 grid so Spark's distributed means and DuckDB's serial means
+    // land on identical bits. The oracle unrolls both Lloyd steps as
+    // CTE blocks (assign → snapped means → coalesce empty codewords →
+    // re-assign), then replays encode + reconstruction exactly like x70.
+    QueryDef(
+      "x75_pq_train_encode",
+      (s, dir) => Similarity.pqCodesTrained(Tables(s, dir).embeddings)
+        .orderBy("vec_id"),
+      Some(pqTrainedCteSql +
+        """, codes AS (
+          |  SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS code_csv
+          |  FROM encf GROUP BY 1
+          |)
+          |SELECT e.vec_id, codes.code_csv,
+          |       list_dot_product(e.emb, r.recon) AS recon_dot,
+          |       list_dot_product(e.emb, e.emb) + list_dot_product(r.recon, r.recon)
+          |         - 2.0 * list_dot_product(e.emb, r.recon) AS sq_err
+          |FROM e JOIN codes USING (vec_id) JOIN rec r USING (vec_id)
+          |ORDER BY vec_id""".stripMargin)),
+
+    // ADC + exact re-rank (the recall-restoration pass promised by the
+    // pqSearch contract): the compressed index nominates top-20 by ADC
+    // score, only those 20·|Q| rows touch exact vectors for the true
+    // dot-product top-5. Candidates broadcast into the vector join —
+    // the corpus never shuffles for the exact pass.
+    QueryDef(
+      "x76_pq_search_reranked",
+      (s, dir) => Similarity.pqSearchReranked(Tables(s, dir).embeddings,
+        0L until 10L, 5, rerank = 20).orderBy("qid", "rank"),
+      Some(pqCteSql +
+        """, q AS (
+          |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+          |), scored AS (
+          |  SELECT q.qid, r.vec_id AS neighbor_id,
+          |         list_dot_product(q.qemb, r.recon) AS adc_score
+          |  FROM q, rec r WHERE r.vec_id <> q.qid
+          |), cand AS (
+          |  SELECT qid, neighbor_id FROM (
+          |    SELECT qid, neighbor_id,
+          |           ROW_NUMBER() OVER (PARTITION BY qid
+          |             ORDER BY adc_score DESC, neighbor_id ASC) AS rn
+          |    FROM scored) r
+          |  WHERE rn <= 20
+          |), ex AS (
+          |  SELECT c.qid, c.neighbor_id, list_dot_product(q.qemb, e.emb) AS score
+          |  FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.neighbor_id
+          |)
+          |SELECT qid, rank, neighbor_id, score FROM (
+          |  SELECT qid, neighbor_id, score,
+          |         ROW_NUMBER() OVER (PARTITION BY qid
+          |           ORDER BY score DESC, neighbor_id ASC) AS rank
+          |  FROM ex) r
+          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Mass-CONSERVING fixed-point PageRank (the teleport-redistribution
+    // variant x73's scaladoc names): dangling vertices — every isolated
+    // vector in the near-dup graph — redistribute their rank uniformly
+    // via ONE extra scalar aggregate per round instead of evaporating.
+    // Still pure BIGINT arithmetic, so the oracle replays every round
+    // bit-exactly, dangling share included.
+    QueryDef(
+      "x77_pagerank_conserving",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val dup = Similarity.annPairs(emb, 0.4)
+        val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        graft.ops.PageRank.pagerankConserving(edges,
+          emb.select(col("vec_id").as("id")), 3)
+          .select(col("id").as("vec_id"), col("rank"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, dup AS (
+            |  SELECT vec_a, vec_b FROM (
+            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+            |    FROM cand c
+            |    JOIN e ea ON ea.vec_id = c.vec_a
+            |    JOIN e eb ON eb.vec_id = c.vec_b) p
+            |  WHERE cosine >= 0.4
+            |), sym AS (
+            |  SELECT vec_a AS src, vec_b AS dst FROM dup
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM dup
+            |), deg AS (
+            |  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM sym GROUP BY 1
+            |), nv AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+            |), r0 AS (
+            |  SELECT vec_id AS id, CAST(1000000000 AS BIGINT) AS rank FROM embeddings
+            |)""".stripMargin
+        val iters = (1 to 3).map { i =>
+          s""", d$i AS (
+             |  SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nv) AS dshare
+             |  FROM r${i - 1} r LEFT JOIN deg d ON d.src = r.id
+             |  WHERE d.src IS NULL
+             |), r$i AS (
+             |  SELECT v.vec_id AS id,
+             |         CAST(150000000 + (85 * (COALESCE(t.insum, 0)
+             |           + (SELECT dshare FROM d$i))) // 100 AS BIGINT) AS rank
+             |  FROM embeddings v LEFT JOIN (
+             |    SELECT e2.dst, SUM(r.rank // d.outdeg) AS insum
+             |    FROM sym e2
+             |    JOIN r${i - 1} r ON r.id = e2.src
+             |    JOIN deg d ON d.src = e2.src
+             |    GROUP BY 1) t ON t.dst = v.vec_id
+             |)""".stripMargin
+        }.mkString
+        base + iters + "\nSELECT id AS vec_id, rank FROM r3 ORDER BY vec_id"
+      })
   )
 
   /** Shared PQ oracle CTE chain (x70/x71): sub-vector explode, pinned
@@ -1161,6 +1277,67 @@ object Advanced {
        |  FROM enc en JOIN cb c ON c.s = en.s AND c.cid = en.code
        |  GROUP BY en.vec_id
        |)""".stripMargin
+  }
+
+  /** The unrolled trained-PQ CTE chain (x75): the exact SQL replay of
+    * [[graft.ext.Similarity.pqTrain]] + encode. cb0 = the pinned
+    * codebook, then per Lloyd step i — per-(subspace, code, dim) snapped
+    * means of the previous assignment (m_i), empty codewords keeping
+    * cb_{i-1}'s row (LEFT JOIN + COALESCE), re-assignment (enc_i). The
+    * final encode `encf` runs against the last codebook, then
+    * reconstruction — identical tail to [[pqCteSql]]. Snap grid 1e6 =
+    * [[graft.ext.Similarity.PqSnapScale]].
+    */
+  private lazy val pqTrainedCteSql: String = {
+    val m = Similarity.PqSubspaces
+    val d = Similarity.PqSubDim
+    val k = Similarity.PqCodebookSize
+    val iters = Similarity.PqTrainIters
+    def argmin(cbName: String): String =
+      s"""  SELECT vec_id, s, code FROM (
+         |    SELECT v.vec_id, v.s, c.cid AS code,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |             ORDER BY list_dot_product(v.x, v.x) + list_dot_product(c.cslice, c.cslice)
+         |                      - 2.0 * list_dot_product(v.x, c.cslice) ASC, c.cid ASC) AS rn
+         |    FROM v JOIN $cbName c ON c.s = v.s) r
+         |  WHERE rn = 1""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              |), sub AS (
+              |  SELECT unnest(generate_series(0, ${m - 1})) AS s
+              |), v AS (
+              |  SELECT e.vec_id, sub.s, list_slice(e.emb, sub.s*$d + 1, sub.s*$d + $d) AS x
+              |  FROM e, sub
+              |), cb0 AS (
+              |  SELECT CAST(vec_id AS INT) AS cid, s, x AS cslice FROM v WHERE vec_id < $k
+              |), enc0 AS (
+              |${argmin("cb0")}
+              |)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""", m$i AS (
+                |  SELECT v.s, en.code, u.i AS dim,
+                |         FLOOR(AVG(v.x[u.i]) * 1000000 + 0.5) / 1000000 AS m
+                |  FROM v JOIN enc${i - 1} en ON en.vec_id = v.vec_id AND en.s = v.s
+                |  CROSS JOIN (SELECT unnest(generate_series(1, $d)) AS i) u
+                |  GROUP BY 1, 2, 3
+                |), ml$i AS (
+                |  SELECT s, code, list(m ORDER BY dim) AS ml FROM m$i GROUP BY 1, 2
+                |), cb$i AS (
+                |  SELECT c.s, c.cid, COALESCE(ml.ml, c.cslice) AS cslice
+                |  FROM cb${i - 1} c LEFT JOIN ml$i ml ON ml.s = c.s AND ml.code = c.cid
+                |), enc$i AS (
+                |${argmin(s"cb$i")}
+                |)""".stripMargin
+    }
+    sb ++= s""", encf AS (
+              |  SELECT vec_id, s, code FROM enc$iters
+              |), rec AS (
+              |  SELECT en.vec_id, flatten(list(c.cslice ORDER BY en.s)) AS recon
+              |  FROM encf en JOIN cb$iters c ON c.s = en.s AND c.cid = en.code
+              |  GROUP BY en.vec_id
+              |)""".stripMargin
+    sb.toString
   }
 
   /** BM25 oracle: the exact SQL twin of [[graft.ext.TextAnalysis.bm25]].
