@@ -364,10 +364,15 @@ object Similarity {
   /** (vec_id, s, x): the corpus exploded into its PqSubspaces sub-vectors —
     * a pure projection (posexplode of slices), linear in the corpus. */
   private def subVectors(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .select(col("vec_id"),
-        posexplode(array((0 until PqSubspaces).map(s =>
-          slice(col("emb"), s * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "x")))
+    subVectorsD(embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb")))
+
+  /** [[subVectors]] over an already-double (vec_id, emb) frame — shared
+    * with the residual path of [[ivfPqSearch]]. */
+  private def subVectorsD(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(array((0 until PqSubspaces).map(s =>
+        slice(col("emb"), s * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "x")))
 
   /** PQ encode: per (vector, subspace), the codeword minimizing exact
     * squared L2 distance, ties to the lower code. d² is spelled
@@ -468,8 +473,11 @@ object Similarity {
     pqReconstructWith(embeddings, pqCodebook(embeddings))
 
   private def pqReconstructWith(embeddings: DataFrame, cb: DataFrame): DataFrame =
-    encodeAgainst(subVectors(embeddings), cb)
-      .join(broadcast(cb.withColumnRenamed("s", "cs")),
+    reconstructFrom(encodeAgainst(subVectors(embeddings), cb), cb)
+
+  /** Decode: (vec_id, s, code) + codebook → concatenated codewords. */
+  private def reconstructFrom(enc: DataFrame, cb: DataFrame): DataFrame =
+    enc.join(broadcast(cb.withColumnRenamed("s", "cs")),
         col("s") === col("cs") && col("code") === col("cid"))
       .groupBy("vec_id")
       .agg(flatten(transform(
@@ -565,6 +573,67 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "neighbor_id", "score")
+  }
+
+  /** IVF-PQ search (IVFADC — Jégou et al. 2011 §IV, the FAISS IVFPQ
+    * layout): the coarse quantizer (pinned IVF centroids) routes each
+    * vector to a cell, PQ encodes the RESIDUAL emb − centroid (with a
+    * trained coarse quantizer, residuals concentrate near zero and the
+    * same codebook budget buys far less quantization error than
+    * whole-vector PQ — with the pinned centroids here, the win is the
+    * replayable plumbing, not the error rate), and search probes only the
+    * top `nprobe` cells, scoring candidates as
+    * q·centroid + q·recon(residual). This is the composition that makes a
+    * 100 TB vector store tractable: the probe prunes the corpus to
+    * nprobe/numCentroids of it, the scan inside a cell reads 8 codes per
+    * row, and both codebooks (numCentroids·Dim + M·K·subDim doubles)
+    * broadcast. Pinned conventions throughout — centroids are the first
+    * `numCentroids` vectors, residual codewords the first
+    * [[PqCodebookSize]] residuals — so the DuckDB oracle replays
+    * route→residual→encode→probe→score bit-exactly.
+    */
+  def ivfPqSearch(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val c = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("emb"), col("cid"), col("cemb"),
+        dot(col("emb"), col("cemb")).as("cs"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        zip_with(col("emb"), col("cemb"), (a, b) => a - b).as("res"))
+    val rsub = subVectorsD(assigned.select(col("vec_id"), col("res").as("emb")))
+    val rcb = rsub.filter(col("vec_id") < PqCodebookSize)
+      .select(col("vec_id").cast("int").as("cid"), col("s"), col("x").as("cslice"))
+    val recon = reconstructFrom(encodeAgainst(rsub, rcb), rcb)
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("cid").asc)
+    val probed = q.crossJoin(broadcast(c))
+      .select(col("qid"), col("qemb"), col("cid"), col("cemb"),
+        dot(col("qemb"), col("cemb")).as("cs"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("cid").as("cluster"), col("cemb"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    probed
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .join(recon.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .select(col("qid"), col("neighbor_id"),
+        (dot(col("qemb"), col("cemb")) + dot(col("qemb"), col("recon")))
+          .as("adc_score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "neighbor_id", "adc_score")
   }
 
   // ---- IVF (inverted-file) ANN -------------------------------------------

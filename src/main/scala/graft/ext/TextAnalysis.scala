@@ -410,6 +410,64 @@ object TextAnalysis {
       .filter(col("bm25") > 0)
   }
 
+  /** Bigram language-model scoring — the CCNet-style quality signal
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020): train a Laplace-smoothed
+    * bigram LM on the corpus ITSELF, score every document by its mean
+    * token log-likelihood. Degenerate/boilerplate text scores high
+    * (predictable), rare-garbage text scores low — the standard
+    * perplexity-bucket signal for corpus filtering.
+    *
+    * ln P(w2 | w1) = ln((C(w1,w2) + 1) / (C(w1·) + V)) with V = distinct
+    * token count. Spark shape: one bigram explode (linear), two count
+    * aggregates (bigram / bigram-first), one broadcast scalar for V,
+    * one equi-join of doc bigrams onto the model — no corpus×corpus
+    * anything; at 100 TB the model join is a plain hash join on the
+    * bigram key.
+    *
+    * Cross-engine determinism: each bigram's ln() snaps to the 1e-9 grid
+    * AS A FIXED-POINT BIGINT, and per-doc aggregation sums those integers
+    * — exact and order-free, where a double sum would drift by summation
+    * order (the x61/x73 integer-sum trick). The final mean and the
+    * snapped perplexity are computed by the identical IEEE expression
+    * tree in both engines. Documents with fewer than two tokens carry no
+    * bigram evidence: they surface with n_bigrams = 0 and NULL scores
+    * (3VL, not a silent drop).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val big = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramC = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val firstC = big.groupBy("w1").agg(count(lit(1)).as("cf"))
+    val vocab = toks.select(explode(col("ts")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    // Per-bigram snapped log-prob in 1e-9 fixed point; per-doc sums are
+    // exact integer arithmetic.
+    val scored = big
+      .join(bigramC, Seq("w1", "w2"))
+      .join(firstC, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("cb").cast("double") + lit(1.0))
+            / (col("cf").cast("double") + col("v").cast("double"))) * lit(1e9)
+          + lit(0.5)).cast("long").as("lp_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("sum_lp_fp"))
+    val avg = col("sum_lp_fp").cast("double") / lit(1e9) / col("n_bigrams").cast("double")
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        avg.as("avg_logp"),
+        snap9(exp(-avg)).as("ppl"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -1243,8 +1243,130 @@ object Advanced {
              |)""".stripMargin
         }.mkString
         base + iters + "\nSELECT id AS vec_id, rank FROM r3 ORDER BY vec_id"
-      })
+      }),
+
+    // Bigram-LM document scoring (TextAnalysis.lmScore) — the CCNet
+    // perplexity-bucket quality signal: a Laplace-smoothed bigram LM
+    // trained on the corpus itself, each doc scored by mean token
+    // log-likelihood. Per-bigram ln() snaps to the 1e-9 grid AS A
+    // FIXED-POINT BIGINT, so per-doc sums are exact integer arithmetic —
+    // order-free where a double sum would drift (the x61/x73 trick).
+    QueryDef(
+      "x78_lm_score",
+      (s, dir) => TextAnalysis.lmScore(Tables(s, dir).documents)
+        .orderBy("doc_id"),
+      Some(raw"""WITH tok AS (
+                |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), pos AS (
+                |  SELECT doc_id, ts, unnest(generate_series(1, length(ts)-1)) AS i
+                |  FROM tok WHERE length(ts) >= 2
+                |), big AS (
+                |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM pos
+                |), bc AS (
+                |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY 1, 2
+                |), fc AS (
+                |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS cf FROM big GROUP BY 1
+                |), vocab AS (
+                |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+                |  FROM (SELECT unnest(ts) AS w FROM tok)
+                |), scored AS (
+                |  SELECT b.doc_id,
+                |         CAST(FLOOR(ln((CAST(bc.cb AS DOUBLE) + 1.0)
+                |           / (CAST(fc.cf AS DOUBLE) + CAST(vocab.v AS DOUBLE))) * 1.0E9 + 0.5)
+                |           AS BIGINT) AS lp_fp
+                |  FROM big b JOIN bc USING (w1, w2) JOIN fc USING (w1) CROSS JOIN vocab
+                |), agg AS (
+                |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                |         CAST(SUM(lp_fp) AS BIGINT) AS sum_lp_fp
+                |  FROM scored GROUP BY 1
+                |)
+                |SELECT d.doc_id,
+                |       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                |       CAST(a.sum_lp_fp AS DOUBLE) / 1.0E9 / CAST(a.n_bigrams AS DOUBLE) AS avg_logp,
+                |       FLOOR(exp(-(CAST(a.sum_lp_fp AS DOUBLE) / 1.0E9
+                |         / CAST(a.n_bigrams AS DOUBLE))) * 1.0E9 + 0.5) / 1.0E9 AS ppl
+                |FROM documents d LEFT JOIN agg a USING (doc_id)
+                |ORDER BY doc_id""".stripMargin)),
+
+    // IVF-PQ search (Similarity.ivfPqSearch — FAISS's IVFADC layout):
+    // coarse quantizer routes vectors to cells, PQ encodes the RESIDUAL
+    // emb − centroid, search probes nprobe cells and scores
+    // q·centroid + q·recon(residual). The composition that holds a
+    // 100 TB index: probe prunes the corpus, the in-cell scan reads 8
+    // codes per row, both codebooks broadcast.
+    QueryDef(
+      "x79_ivfpq_search",
+      (s, dir) => Similarity.ivfPqSearch(Tables(s, dir).embeddings,
+        0L until 10L, 5).orderBy("qid", "rank"),
+      Some(ivfPqOracleSql))
   )
+
+  /** Oracle for x79: pinned-IVF route → residual → PQ encode/decode →
+    * probe → ADC score, composed from the same CTE conventions as
+    * [[pqCteSql]] and the x17/x18 IVF oracles. */
+  private lazy val ivfPqOracleSql: String = {
+    val m = Similarity.PqSubspaces
+    val d = Similarity.PqSubDim
+    val k = Similarity.PqCodebookSize
+    val dim = Similarity.Dim
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), c AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e WHERE vec_id < 16
+       |), asg AS (
+       |  SELECT vec_id, emb, cluster, cemb FROM (
+       |    SELECT e.vec_id, e.emb, c.cid AS cluster, c.cemb,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_dot_product(e.emb, c.cemb) DESC, c.cid ASC) AS rn
+       |    FROM e, c) r
+       |  WHERE rn = 1
+       |), res AS (
+       |  SELECT vec_id, cluster,
+       |         list_transform(generate_series(1, $dim), i -> emb[i] - cemb[i]) AS remb
+       |  FROM asg
+       |), sub AS (
+       |  SELECT unnest(generate_series(0, ${m - 1})) AS s
+       |), v AS (
+       |  SELECT res.vec_id, sub.s, list_slice(res.remb, sub.s*$d + 1, sub.s*$d + $d) AS x
+       |  FROM res, sub
+       |), cb AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, s, x AS cslice FROM v WHERE vec_id < $k
+       |), enc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT v.vec_id, v.s, c2.cid AS code,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+       |             ORDER BY list_dot_product(v.x, v.x) + list_dot_product(c2.cslice, c2.cslice)
+       |                      - 2.0 * list_dot_product(v.x, c2.cslice) ASC, c2.cid ASC) AS rn
+       |    FROM v JOIN cb c2 ON c2.s = v.s) r
+       |  WHERE rn = 1
+       |), rec AS (
+       |  SELECT en.vec_id, flatten(list(c2.cslice ORDER BY en.s)) AS recon
+       |  FROM enc en JOIN cb c2 ON c2.s = en.s AND c2.cid = en.code
+       |  GROUP BY en.vec_id
+       |), q AS (
+       |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+       |), probe AS (
+       |  SELECT qid, qemb, cluster, cemb FROM (
+       |    SELECT q.qid, q.qemb, c.cid AS cluster, c.cemb,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(q.qemb, c.cemb) DESC, c.cid ASC) AS rn
+       |    FROM q, c) r
+       |  WHERE rn <= 4
+       |), candq AS (
+       |  SELECT p.qid, a.vec_id AS neighbor_id,
+       |         list_dot_product(p.qemb, p.cemb) + list_dot_product(p.qemb, rec.recon) AS adc_score
+       |  FROM probe p
+       |  JOIN asg a ON a.cluster = p.cluster
+       |  JOIN rec ON rec.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.qid
+       |)
+       |SELECT qid, rank, neighbor_id, adc_score FROM (
+       |  SELECT qid, neighbor_id, adc_score,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+       |  FROM candq) r
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
 
   /** Shared PQ oracle CTE chain (x70/x71): sub-vector explode, pinned
     * codebook (vec_id < K), per-(vector, subspace) argmin encode, and the

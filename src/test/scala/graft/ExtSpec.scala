@@ -586,6 +586,50 @@ class ExtSpec extends SparkSuite {
     assert(csv.forall(_.split(',').length === Similarity.PqSubspaces))
   }
 
+  test("lmScore: sub-2-token docs carry NULL scores; repetitive text outscores rare text") {
+    val d = docs(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the cat sat again"),
+      (3L, "zyx qwv plk mnb asd fgh jkl poi uyt rew"),
+      (4L, "single"),
+      (5L, ""))
+    val r = graft.ext.TextAnalysis.lmScore(d).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double])))
+    // doc 4 has one token, doc 5 zero-ish — no bigram evidence → NULL.
+    assert(r(3)._2 === 0L && r(3)._3.isEmpty)
+    assert(r(4)._2 === 0L && r(4)._3.isEmpty)
+    // Duplicated predictable text (docs 1/2 share every bigram) must
+    // outscore the all-unique-bigram doc 3 under a corpus-trained LM.
+    assert(r(0)._3.get > r(2)._3.get,
+      s"repetitive ${r(0)._3} should beat rare ${r(2)._3}")
+    // Identical docs score identically.
+    assert(r(0)._3 === r(1)._3)
+  }
+
+  test("IVF-PQ: full probe covers the corpus deterministically; probing narrows candidates") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    // Full probe = every cell searched: exactly k deterministic rows per
+    // query, no self-matches.
+    val full = Similarity.ivfPqSearch(emb, Seq(0L, 1L), 5, nprobe = 16)
+      .orderBy("qid", "rank")
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+    assert(full.length === 10)
+    assert(full.forall { case (q, n) => q != n })
+    val again = Similarity.ivfPqSearch(emb, Seq(0L, 1L), 5, nprobe = 16)
+      .orderBy("qid", "rank")
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+    assert(full.toSeq === again.toSeq)
+    // nprobe=1 candidates come from one cell only: each query's results
+    // must be vectors assigned to its own top cell.
+    val narrow = Similarity.ivfPqSearch(emb, Seq(0L), 5, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    val assign = Similarity.ivfAssign(emb, 16)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(narrow.map(assign).size === 1,
+      s"nprobe=1 candidates span cells: ${narrow.map(assign)}")
+  }
+
   test("ADC re-rank returns exactly the exact-score top-k of the ADC candidate set") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val k = 5; val r = 20
