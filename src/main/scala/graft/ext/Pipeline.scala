@@ -117,6 +117,41 @@ object Pipeline {
     * of exactly. Exact rank is the right default: training mixtures are
     * usually specified as hard caps.
     */
+  /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis 2006
+    * (the A-ES scheme, exponential-race form): each row draws the key
+    * −ln(u)/w from its deterministic id-hash uniform u and weight w, and
+    * the k SMALLEST keys win. Each row's inclusion probability is
+    * proportional to its weight at every prefix, which is what
+    * quality-weighted corpus selection needs: sample hard toward
+    * high-quality documents while keeping a reproducible, seed-free draw
+    * (same contract as every sampler here — no RNG state, stable under
+    * file order and repartitioning).
+    *
+    * Determinism: u = (hash + 0.5)/2^32 is strictly inside (0,1) (the
+    * +0.5 keeps ln finite even on an all-zero hash prefix) and exact in
+    * IEEE doubles; the key snaps to the 1e-9 grid as a fixed-point
+    * BIGINT, ties break on doc_id, so the selection replays bit-exactly
+    * in any engine that can md5. Zero/negative weights are excluded
+    * (limit of w→0 is never-sampled, the A-ES convention).
+    *
+    * Scale shape: one codegen'd projection + a global top-k, which Spark
+    * executes as TakeOrderedAndProject — per-partition heaps of k rows
+    * merged on the driver, no global sort, no shuffle of the corpus.
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+      salt: String = "wsamp|"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    docs.select(col("doc_id"), weight.as("w"))
+      .filter(col("w") > 0)
+      .withColumn("es_key_fp",
+        floor((-log(u) / col("w")) * lit(1e9) + lit(0.5)).cast("long"))
+      .orderBy(col("es_key_fp").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def sourceQuota(docs: DataFrame, quota: Int, salt: String = "quota|"): DataFrame = {
     require(quota > 0, "quota must be positive")
     require(!docs.columns.contains("quota_rank"),

@@ -1298,8 +1298,158 @@ object Advanced {
       "x79_ivfpq_search",
       (s, dir) => Similarity.ivfPqSearch(Tables(s, dir).embeddings,
         0L until 10L, 5).orderBy("qid", "rank"),
-      Some(ivfPqOracleSql))
+      Some(ivfPqOracleSql)),
+
+    // Quality-weighted sampling without replacement (Pipeline
+    // .weightedSample — Efraimidis-Spirakis A-ES): the k smallest
+    // −ln(u)/w keys win, u from the deterministic id-hash, w from the
+    // shared x02 quality expression. Spark executes the global top-k as
+    // TakeOrderedAndProject (per-partition heaps, no corpus shuffle);
+    // keys snap to 1e-9 fixed point so the draw replays bit-exactly.
+    QueryDef(
+      "x80_weighted_sample",
+      (s, dir) => Pipeline.weightedSample(Tables(s, dir).documents,
+        TextAnalysis.qualityScoreExpr, 100).orderBy("doc_id"),
+      Some {
+        val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+        raw"""WITH t AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts FROM documents
+             |), m AS (
+             |  SELECT doc_id, length(ts) AS n_tokens,
+             |    CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts) AS stopword_ratio,
+             |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) AS special_ratio
+             |  FROM t
+             |), wts AS (
+             |  SELECT doc_id,
+             |    0.4 * stopword_ratio + 0.3 * (1.0 - special_ratio) +
+             |    0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS w
+             |  FROM m
+             |), keyed AS (
+             |  SELECT doc_id, w,
+             |    CAST(FLOOR((-ln((CAST(('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+             |      / 4294967296.0) / w) * 1.0E9 + 0.5) AS BIGINT) AS es_key_fp
+             |  FROM wts WHERE w > 0
+             |)
+             |SELECT doc_id, w, es_key_fp FROM keyed
+             |ORDER BY es_key_fp, doc_id LIMIT 100""".stripMargin
+      }),
+
+    // Triangle census of the near-dup graph (ops.Graph.triangleStats):
+    // per-vector degree, triangle count, local clustering coefficient —
+    // the neighborhood-density signal that separates a near-dup CLUSTER
+    // (triangle-dense) from a topical neighborhood (sparse). Each
+    // triangle enumerates once as the ordered wedge a<b<c.
+    QueryDef(
+      "x81_triangle_census",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val edges = Similarity.annPairs(emb, 0.4)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        graft.ops.Graph.triangleStats(edges, emb.select(col("vec_id").as("id")))
+          .select(col("id").as("vec_id"), col("degree"), col("triangles"),
+            col("clustering_coeff"))
+          .orderBy("vec_id")
+      },
+      Some(bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        """, dup AS (
+          |  SELECT vec_a, vec_b FROM (
+          |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+          |    FROM cand c
+          |    JOIN e ea ON ea.vec_id = c.vec_a
+          |    JOIN e eb ON eb.vec_id = c.vec_b) p
+          |  WHERE cosine >= 0.4
+          |), deg AS (
+          |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          |    SELECT vec_a AS id FROM dup UNION ALL SELECT vec_b FROM dup) u
+          |  GROUP BY 1
+          |), tri AS (
+          |  SELECT e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+          |  FROM dup e1
+          |  JOIN dup e2 ON e2.vec_a = e1.vec_b
+          |  JOIN dup e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+          |), pv AS (
+          |  SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+          |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+          |    UNION ALL SELECT c FROM tri) u
+          |  GROUP BY 1
+          |)
+          |SELECT v.vec_id,
+          |       COALESCE(d.degree, 0) AS degree,
+          |       COALESCE(p.triangles, 0) AS triangles,
+          |       CASE WHEN COALESCE(d.degree, 0) >= 2 THEN
+          |         2.0 * CAST(COALESCE(p.triangles, 0) AS DOUBLE)
+          |           / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+          |       END AS clustering_coeff
+          |FROM embeddings v
+          |LEFT JOIN deg d ON d.id = v.vec_id
+          |LEFT JOIN pv p ON p.id = v.vec_id
+          |ORDER BY vec_id""".stripMargin)),
+
+    // HITS hubs/authorities (ops.Graph.hits) over the near-dup graph
+    // oriented low-id -> high-id: fixed-point BIGINT rounds with integer
+    // max-renormalization (x·base DIV max as a broadcast scalar), so the
+    // oracle replays both rounds exactly. Hubs and authorities diverge
+    // under the acyclic orientation — the interesting case.
+    QueryDef(
+      "x82_hits",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val edges = Similarity.annPairs(emb, 0.4)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        graft.ops.Graph.hits(edges, emb.select(col("vec_id").as("id")), 2)
+          .select(col("id").as("vec_id"), col("hub"), col("auth"))
+          .orderBy("vec_id")
+      },
+      Some(hitsOracleSql))
   )
+
+  /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth
+    * sums over in-edges, integer max-renormalization, raw hub sums over
+    * out-edges, renormalization again; BIGINT throughout. */
+  private lazy val hitsOracleSql: String = {
+    val base = 1000000L
+    val graph = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+      s""", dup AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+         |    FROM cand c
+         |    JOIN e ea ON ea.vec_id = c.vec_a
+         |    JOIN e eb ON eb.vec_id = c.vec_b) p
+         |  WHERE cosine >= 0.4
+         |), ed AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM dup
+         |), h0 AS (
+         |  SELECT vec_id AS id, CAST($base AS BIGINT) AS hub FROM embeddings
+         |)""".stripMargin
+    val rounds = (1 to 2).map { i =>
+      s""", ar$i AS (
+         |  SELECT v.vec_id AS id, CAST(COALESCE(t.s, 0) AS BIGINT) AS raw
+         |  FROM embeddings v LEFT JOIN (
+         |    SELECT e2.dst, SUM(h.hub) AS s
+         |    FROM ed e2 JOIN h${i - 1} h ON h.id = e2.src GROUP BY 1) t
+         |  ON t.dst = v.vec_id
+         |), am$i AS (
+         |  SELECT greatest(MAX(raw), 1) AS m FROM ar$i
+         |), a$i AS (
+         |  SELECT id, CAST((raw * $base) // (SELECT m FROM am$i) AS BIGINT) AS auth FROM ar$i
+         |), hr$i AS (
+         |  SELECT v.vec_id AS id, CAST(COALESCE(t.s, 0) AS BIGINT) AS raw
+         |  FROM embeddings v LEFT JOIN (
+         |    SELECT e2.src, SUM(a.auth) AS s
+         |    FROM ed e2 JOIN a$i a ON a.id = e2.dst GROUP BY 1) t
+         |  ON t.src = v.vec_id
+         |), hm$i AS (
+         |  SELECT greatest(MAX(raw), 1) AS m FROM hr$i
+         |), h$i AS (
+         |  SELECT id, CAST((raw * $base) // (SELECT m FROM hm$i) AS BIGINT) AS hub FROM hr$i
+         |)""".stripMargin
+    }.mkString
+    graph + rounds +
+      """
+        |SELECT h2.id AS vec_id, h2.hub, a2.auth
+        |FROM h2 JOIN a2 ON a2.id = h2.id
+        |ORDER BY vec_id""".stripMargin
+  }
 
   /** Oracle for x79: pinned-IVF route → residual → PQ encode/decode →
     * probe → ADC score, composed from the same CTE conventions as

@@ -630,6 +630,27 @@ class ExtSpec extends SparkSuite {
       s"nprobe=1 candidates span cells: ${narrow.map(assign)}")
   }
 
+  test("weightedSample: heavy weights dominate, zero weights never sampled, draw is deterministic") {
+    val d = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // Rows 1-20 carry 1000x the weight of rows 21-200.
+    val weight = when(col("doc_id") <= 20, 100.0).otherwise(0.1)
+    val picked = graft.ext.Pipeline.weightedSample(d, weight, 20)
+      .select("doc_id").as[Long].collect().toSet
+    // With a 1000:1 weight ratio the 20 heavy rows should nearly fill the
+    // sample; demanding >= 15 keeps the bound loose enough to be a
+    // property of the scheme, not of one hash draw.
+    assert(picked.count(_ <= 20L) >= 15, s"heavy rows underrepresented: $picked")
+    // Zero and negative weights are excluded outright.
+    val z = graft.ext.Pipeline.weightedSample(
+      d, when(col("doc_id") <= 100, 0.0).otherwise(1.0), 150)
+      .select("doc_id").as[Long].collect()
+    assert(z.forall(_ > 100L) && z.length === 100)
+    // Same inputs, same draw.
+    val again = graft.ext.Pipeline.weightedSample(d, weight, 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked === again)
+  }
+
   test("ADC re-rank returns exactly the exact-score top-k of the ADC candidate set") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val k = 5; val r = 20

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+/** Hand-built-graph contracts for the triangle census and HITS — the
+  * real-data path is oracle-gated (x81/x82); these pin the algebra. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("triangle census: triangle + pendant + isolated vertex") {
+    // 1-2-3 triangle, 4 pendant off 3, 5 isolated.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val verts = (1L to 5L).toDF("id")
+    val r = Graph.triangleStats(edges, verts).orderBy("id")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        Option(x.get(3)).map(_.asInstanceOf[Double])))
+    assert(r(0) === ((1L, 2L, 1L, Some(1.0))))
+    assert(r(1) === ((2L, 2L, 1L, Some(1.0))))
+    // Vertex 3: degree 3, one triangle among its 3 possible neighbor
+    // pairs → coefficient 1/3.
+    assert(r(2)._1 === 3L && r(2)._2 === 3L && r(2)._3 === 1L)
+    assert(math.abs(r(2)._4.get - 1.0 / 3.0) < 1e-15)
+    // Pendant: degree 1 → NULL coefficient, not 0.
+    assert(r(3) === ((4L, 1L, 0L, None)))
+    // Isolated: degree 0, NULL coefficient.
+    assert(r(4) === ((5L, 0L, 0L, None)))
+  }
+
+  test("triangle census counts each triangle once (K4 has 4 triangles, 3 per vertex)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val verts = (1L to 4L).toDF("id")
+    val r = Graph.triangleStats(edges, verts)
+    assert(r.agg(sum("triangles")).head().getLong(0) === 12L) // 4 triangles × 3 vertices
+    assert(r.select("clustering_coeff").as[Double].collect().forall(_ === 1.0))
+  }
+
+  test("HITS: star authorities and hubs land where Kleinberg says") {
+    // 1,2,3 all point at 4; 5 isolated.
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val verts = (1L to 5L).toDF("id")
+    val r = Graph.hits(edges, verts, 2).orderBy("id")
+      .as[(Long, Long, Long)].collect()
+    val base = 1000000L
+    // 4 is the unique authority (normalized to base), never a hub;
+    // 1-3 are the (equal) hubs; 5 is nothing.
+    assert(r(3) === ((4L, 0L, base)))
+    assert(Seq(r(0), r(1), r(2)).forall { case (_, h, a) => h === base && a === 0L })
+    assert(r(4) === ((5L, 0L, 0L)))
+  }
+
+  test("HITS is deterministic and guards overflow") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val verts = (1L to 3L).toDF("id")
+    val a = Graph.hits(edges, verts, 3).orderBy("id").as[(Long, Long, Long)].collect()
+    val b = Graph.hits(edges, verts, 3).orderBy("id").as[(Long, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq)
+    assertThrows[IllegalArgumentException] {
+      Graph.hits(edges, verts, 1, base = Long.MaxValue / 2)
+    }
+  }
+}
