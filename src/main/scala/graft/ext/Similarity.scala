@@ -336,6 +336,45 @@ object Similarity {
   def planesSqlLiteral(p: Int): String =
     planes(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's ±1
+    * database-friendly variant): y_j = plane_j·x / √outDim over the same
+    * MD5-derived ±1 [[planes]] the LSH family uses — the sign bits the
+    * LSH keeps ARE these projections, so this is the dense half of that
+    * stack. Dimension reduction 64→16 cuts every downstream distance
+    * computation 4× while JL concentration keeps pairwise geometry; the
+    * l2_sq column carries each vector's squared projected norm (expected
+    * ≈ 1 on unit inputs — the distortion audit).
+    *
+    * One codegen'd projection over the scan — 16 dot products against
+    * broadcast-literal planes, no shuffle, no state. outDim is
+    * constrained to powers of four so 1/√outDim is a power of two and
+    * the scaling stays EXACT in IEEE doubles (the determinism contract:
+    * every output coordinate is a sequential-fold dot product times an
+    * exact constant, bit-identical in any engine). Emitted long-form
+    * (vec_id, j, y) so the gate compares raw doubles, never rendered
+    * strings.
+    */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim > 0 && TotalPlanes >= outDim,
+      s"randomProject needs $outDim planes, only $TotalPlanes derived")
+    val root = math.sqrt(outDim.toDouble)
+    require(root == math.floor(root) && (root.toLong & (root.toLong - 1)) == 0,
+      s"outDim $outDim must be a power of four so 1/sqrt(outDim) is exact")
+    VectorFunctions.register(embeddings.sparkSession)
+    val scale = 1.0 / root
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val ys = (0 until outDim).map { j =>
+      (dot(col("emb"), array(planes(j).map(lit): _*)) * lit(scale)).as(s"y$j")
+    }
+    val l2 = (0 until outDim).map(j => col(s"y$j") * col(s"y$j"))
+      .reduceLeft(_ + _)
+    e.select(col("vec_id") +: ys: _*)
+      .select(col("vec_id"), l2.as("l2_sq"),
+        posexplode(array((0 until outDim).map(j => col(s"y$j")): _*))
+          .as(Seq("j", "y")))
+      .select(col("vec_id"), col("j"), col("y"), col("l2_sq"))
+  }
+
   // ---- Product quantization (PQ) ------------------------------------------
 
   /** PQ geometry: Dim splits into [[PqSubspaces]] contiguous sub-vectors of

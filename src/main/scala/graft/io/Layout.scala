@@ -52,4 +52,46 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
+
+  /** Z-order (Morton-curve) clustering on TWO keys — the multi-column
+    * generalization of [[writeZoneClustered]] (the lakehouse OPTIMIZE
+    * ZORDER move): a linear sort gives tight row-group bounds on its
+    * leading key only, so a predicate on the second key skips nothing;
+    * interleaving the bits of both keys gives every row group a bounded
+    * extent in BOTH dimensions, so single-column range predicates on
+    * EITHER key skip row groups. Each key min-max normalizes to a 16-bit
+    * grid (one tiny bounds aggregate, broadcast back), the 32-bit Morton
+    * code is a pure bit-interleave expression — codegen'd, no shuffle
+    * beyond the final range sort every clustered write already pays.
+    * Proven from scan-node metrics in LayoutSpec the same way the
+    * one-key zone layout is.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions._
+    val bounds = df.agg(
+      min(col(colA).cast("double")).as("amin"),
+      max(col(colA).cast("double")).as("amax"),
+      min(col(colB).cast("double")).as("bmin"),
+      max(col(colB).cast("double")).as("bmax"))
+    def grid(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column) =
+      when(hi > lo,
+        floor((x.cast("double") - lo) * lit(65535.0) / (hi - lo)).cast("long"))
+        .otherwise(lit(0L))
+    val ua = grid(col(colA), col("amin"), col("amax"))
+    val ub = grid(col(colB), col("bmin"), col("bmax"))
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .plus(shiftleft(shiftright(ua, b).bitwiseAND(lit(1L)), 2 * b + 1))
+        .plus(shiftleft(shiftright(ub, b).bitwiseAND(lit(1L)), 2 * b))
+    }
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", z)
+      .sort("__z")
+      .select(df.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
 }

@@ -1400,7 +1400,74 @@ object Advanced {
           .select(col("id").as("vec_id"), col("hub"), col("auth"))
           .orderBy("vec_id")
       },
-      Some(hitsOracleSql))
+      Some(hitsOracleSql)),
+
+    // Engine-native session windows: Spark's session_window aggregate
+    // (dynamic-gap session assignment inside the aggregation operator —
+    // the streaming-ready formulation) cross-validated against the
+    // LAG-cumulative-sum spelling x15 uses. Window semantics: a new
+    // session starts when the gap is >= 30 min (x15's flag uses strict >;
+    // at microsecond resolution the boundary case never fires in this
+    // data, but the oracle encodes the session_window convention).
+    // Emitted as epoch micros so the gate compares integers.
+    QueryDef(
+      "x83_session_windows",
+      (s, dir) => Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+             |), flg AS (
+             |  SELECT user_id, tus,
+             |         CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 1800000000
+             |              THEN 1 ELSE 0 END AS f
+             |  FROM ev
+             |), sess AS (
+             |  SELECT user_id, tus,
+             |         SUM(f) OVER (PARTITION BY user_id ORDER BY tus
+             |                      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flg
+             |)
+             |SELECT user_id,
+             |       MIN(tus) AS session_start_us,
+             |       MAX(tus) + 1800000000 AS session_end_us,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Johnson-Lindenstrauss ±1 random projection (Similarity
+    // .randomProject, Achlioptas 2003): 64 -> 16 dims against the same
+    // MD5-derived planes the LSH family uses; 1/sqrt(16) scaling is an
+    // exact power of two, every coordinate a sequential-fold dot product
+    // — bit-identical cross-engine, compared as raw doubles in long form.
+    QueryDef(
+      "x84_random_projection",
+      (s, dir) => Similarity.randomProject(Tables(s, dir).embeddings)
+        .orderBy("vec_id", "j"),
+      Some {
+        val yExprs = (0 until 16).map(j =>
+          s"list_dot_product(emb, ${Similarity.planesSqlLiteral(j)}) * 0.25 AS y$j")
+          .mkString(",\n         ")
+        val l2 = (0 until 16).map(j => s"y$j * y$j").mkString(" + ")
+        val ylist = (0 until 16).map(j => s"y$j").mkString("[", ", ", "]")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           |), proj AS (
+           |  SELECT vec_id,
+           |         $yExprs
+           |  FROM e
+           |), l AS (
+           |  SELECT vec_id, $l2 AS l2_sq, $ylist AS ylist FROM proj
+           |)
+           |SELECT vec_id, CAST(u.j AS INT) AS j, ylist[u.j + 1] AS y, l2_sq
+           |FROM l CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) u
+           |ORDER BY vec_id, j""".stripMargin
+      })
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -83,6 +83,48 @@ class LayoutSpec extends SparkSuite {
       s"clustered layout skipped nothing: scanned $scanC of $total")
   }
 
+  test("z-ordered parquet skips row groups on BOTH keys; linear sort only on its leading key") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Z-order skip resolution is bounded by the number of row groups, so
+    // the fixture needs enough rows for ~150 zones (the sf0.001 tables
+    // carry too few) — 20k rows with independent uniform keys.
+    val rows = spark.range(20000).select(
+      col("id").as("ka"),
+      pmod(conv(substring(md5(concat(lit("zb|"), col("id").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(20000L)).as("kb"))
+    val total = rows.count()
+    val zpath = "/tmp/graft-zorder"
+    val linear = "/tmp/graft-zorder-linear"
+    graft.io.Layout.writeZOrdered(rows.coalesce(1), zpath,
+      "ka", "kb", rowGroupBytes = 16 * 1024)
+    rows.orderBy("ka").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(linear)
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(pred)
+      val hits = df.collect().length.toLong
+      val scanned = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (hits, scanned)
+    }
+    val predA = col("ka") <= 1250L
+    val predB = col("kb") <= 1250L
+    // Leading-key predicate: both layouts skip.
+    val (hitZa, scanZa) = scanRows(zpath, predA)
+    val (hitLa, scanLa) = scanRows(linear, predA)
+    assert(hitZa === hitLa)
+    assert(scanLa < total / 4, s"linear layout should skip on its own key ($scanLa of $total)")
+    assert(scanZa < total / 2, s"z-order should skip on key A ($scanZa of $total)")
+    // Second-key predicate: z-order still skips, the linear layout cannot.
+    val (hitZb, scanZb) = scanRows(zpath, predB)
+    val (hitLb, scanLb) = scanRows(linear, predB)
+    assert(hitZb === hitLb)
+    assert(scanLb === total,
+      s"linear-by-A layout has no selective bounds on B, scanned $scanLb of $total")
+    assert(scanZb < total / 2,
+      s"z-order skipped nothing on key B: scanned $scanZb of $total")
+  }
+
   test("partition filter prunes at the scan (PartitionFilters, not post-filter)") {
     val out = java.nio.file.Files.createTempDirectory("layout-part").toString
     Layout.writePartitioned(Tables(spark, Sf).events, out, "event_type")
