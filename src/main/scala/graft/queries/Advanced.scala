@@ -1467,7 +1467,58 @@ object Advanced {
            |SELECT vec_id, CAST(u.j AS INT) AS j, ylist[u.j + 1] AS y, l2_sq
            |FROM l CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) u
            |ORDER BY vec_id, j""".stripMargin
-      })
+      }),
+
+    // Snapshot diff / CDC derivation (ops.Upsert.snapshotDiff — the
+    // inverse of the x35 MERGE): two deterministic versions of orders
+    // (v2 drops keys % 7, adds back keys % 10, bumps prices on keys % 5)
+    // diffed into the insert/delete/update changelog in ONE full-outer
+    // join with null-safe payload compare; deletes carry the old image.
+    QueryDef(
+      "x85_snapshot_diff",
+      (s, dir) => {
+        val base = Tables(s, dir).orders
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val oldSnap = base.filter(col("o_orderkey") % 10 =!= 0)
+        val newSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        graft.ops.Upsert.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+             |), olds AS (
+             |  SELECT * FROM base WHERE o_orderkey % 10 <> 0
+             |), news AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+             |              ELSE o_totalprice END AS o_totalprice
+             |  FROM base WHERE o_orderkey % 7 <> 0
+             |), j AS (
+             |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |         o.o_orderkey IS NOT NULL AS in_old,
+             |         n.o_orderkey IS NOT NULL AS in_new,
+             |         o.o_custkey AS oc, o.o_orderstatus AS os, o.o_totalprice AS ot,
+             |         n.o_custkey AS nc, n.o_orderstatus AS ns, n.o_totalprice AS nt
+             |  FROM olds o FULL OUTER JOIN news n ON n.o_orderkey = o.o_orderkey
+             |), d AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN NOT in_old THEN 'insert'
+             |              WHEN NOT in_new THEN 'delete'
+             |              WHEN (oc IS DISTINCT FROM nc) OR (os IS DISTINCT FROM ns)
+             |                   OR (ot IS DISTINCT FROM nt) THEN 'update'
+             |              ELSE 'unchanged' END AS action,
+             |         in_old, in_new, oc, os, ot, nc, ns, nt
+             |  FROM j
+             |)
+             |SELECT o_orderkey, action,
+             |       CASE WHEN action = 'delete' THEN oc ELSE nc END AS o_custkey,
+             |       CASE WHEN action = 'delete' THEN os ELSE ns END AS o_orderstatus,
+             |       CASE WHEN action = 'delete' THEN ot ELSE nt END AS o_totalprice
+             |FROM d WHERE action <> 'unchanged'
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -146,4 +146,40 @@ class AsOfSpec extends SparkSuite {
     assert(byFrom(0).getAs[Long]("audit_id") === 42L)   // closed row keeps value
     assert(byFrom(1).isNullAt(byFrom(1).fieldIndex("audit_id"))) // new row: typed null
   }
+
+  test("snapshotDiff: insert/delete/update classified; deletes carry the old image; NULL flips count") {
+    val oldSnap = Seq(
+      (1L, Some("a"), 10L),  // unchanged
+      (2L, Some("b"), 20L),  // payload update
+      (3L, Some("c"), 30L),  // deleted
+      (4L, None: Option[String], 40L)) // NULL -> value update
+      .toDF("k", "seg", "v")
+    val newSnap = Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("B"), 20L),
+      (4L, Some("d"), 40L),
+      (5L, Some("e"), 50L))  // inserted
+      .toDF("k", "seg", "v")
+    val d = graft.ops.Upsert.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .orderBy("k").as[(Long, String, Option[String], Long)].collect().toSeq
+    assert(d === Seq(
+      (2L, "update", Some("B"), 20L),
+      (3L, "delete", Some("c"), 30L),  // the OLD image
+      (4L, "update", Some("d"), 40L),
+      (5L, "insert", Some("e"), 50L)))
+    // includeUnchanged surfaces key 1 too; replaying the changelog via
+    // upsert + delete reproduces the new snapshot exactly.
+    val all = graft.ops.Upsert.snapshotDiff(oldSnap, newSnap, Seq("k"),
+      includeUnchanged = true)
+    assert(all.count() === 5)
+    val applied = graft.ops.Upsert.upsert(
+      oldSnap,
+      d.filter(r => r._2 == "insert" || r._2 == "update")
+        .map(r => (r._1, r._3, r._4)).toDF("k", "seg", "v"),
+      Seq("k"))
+      .join(d.filter(_._2 == "delete").map(r => Tuple1(r._1)).toDF("k"),
+        Seq("k"), "left_anti")
+    assert(applied.orderBy("k").collect().toSeq ===
+      newSnap.orderBy("k").collect().toSeq)
+  }
 }
