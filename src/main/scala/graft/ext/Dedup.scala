@@ -235,6 +235,62 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** EXACT token-set similarity self-join with PPJoin-style prefix
+    * filtering (Chaudhuri et al. ICDE 2006; Xiao et al. WWW 2008) — the
+    * exact-at-scale complement to the LSH family: where banding trades
+    * recall for candidate volume, prefix filtering is LOSSLESS. Order
+    * each document's distinct tokens by global rarity (df asc, token
+    * asc); two documents with Jaccard ≥ tNum/tDen MUST share a token in
+    * their first n − ceil(t·n) + 1 rarest tokens, so candidate pairs
+    * come from an equi-join on prefix tokens only — the common tokens
+    * that explode an unfiltered inverted-index join never enter a
+    * prefix (a token in many prefixes is by definition rare).
+    *
+    * The threshold is a RATIONAL tNum/tDen and every pruning decision is
+    * integer arithmetic — prefix length via ceil(t·n) = (tNum·n + tDen−1)
+    * DIV tDen, the final test via tDen·inter ≥ tNum·(n_a + n_b − inter) —
+    * so no float rounding can shift a boundary pair in either engine (an
+    * IEEE ceil(0.6·n) can overshoot an exact multiple and silently
+    * shorten the prefix below the correctness bound). The jaccard column
+    * itself is the one double, computed by the identical division both
+    * sides.
+    *
+    * Scale shape: token df is one aggregate; the per-doc rarity rank is
+    * a window keyed by doc; candidates join on the prefix token and
+    * dedupe; verification is one inverted-index intersection count over
+    * candidate pairs only. Skew-safe by construction — high-df tokens
+    * never generate candidates.
+    */
+  def prefixJaccardPairs(docs: DataFrame, tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
+    val prefix = tok.join(df, Seq("tok"))
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rnk") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val interCount = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    interCount
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Duplicate clusters: connected components over the near-duplicate
     * pair graph — the actionable output of a dedup pipeline ("keep the
     * min-id document of every cluster"). Two-phase star contraction

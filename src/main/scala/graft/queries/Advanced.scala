@@ -1518,7 +1518,56 @@ object Advanced {
              |       CASE WHEN action = 'delete' THEN os ELSE ns END AS o_orderstatus,
              |       CASE WHEN action = 'delete' THEN ot ELSE nt END AS o_totalprice
              |FROM d WHERE action <> 'unchanged'
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // EXACT set-similarity self-join with PPJoin prefix filtering
+    // (Dedup.prefixJaccardPairs) — the lossless complement to LSH
+    // banding: docs with Jaccard >= 3/5 must share a token among their
+    // n - ceil(3n/5) + 1 globally-rarest tokens, so candidates come from
+    // a prefix-token equi-join (hot tokens never enter a prefix). All
+    // pruning is integer arithmetic (prefix length by integer ceil, the
+    // threshold by cross-multiplication), so no float boundary can shift
+    // a pair in either engine. bench=false: on THIS templated corpus
+    // every doc resembles every other (59% of all pairs clear 0.6), so
+    // prefix pruning degenerates to near-all-pairs — same diag-only
+    // status as x09's exact path; on a natural corpus the prefix join
+    // is the scalable exact spelling.
+    QueryDef(
+      "x86_prefix_jaccard",
+      (s, dir) => graft.ext.Dedup.prefixJaccardPairs(Tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b"),
+      Some(raw"""WITH tok AS (
+                |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                |  FROM documents
+                |), sizes AS (
+                |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1
+                |), df AS (
+                |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1
+                |), pre AS (
+                |  SELECT t.doc_id, t.tok FROM (
+                |    SELECT t.doc_id, t.tok, s.n,
+                |           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                |             ORDER BY d.df ASC, t.tok ASC) AS rnk
+                |    FROM tok t JOIN df d USING (tok) JOIN sizes s USING (doc_id)) t
+                |  WHERE rnk <= n - ((3 * n + 4) // 5) + 1
+                |), cand AS (
+                |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                |), inter AS (
+                |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+                |  FROM cand c
+                |  JOIN tok ta ON ta.doc_id = c.doc_a
+                |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+                |  GROUP BY 1, 2
+                |)
+                |SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+                |       CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+                |FROM inter i
+                |JOIN sizes sa ON sa.doc_id = i.doc_a
+                |JOIN sizes sb ON sb.doc_id = i.doc_b
+                |WHERE 5 * i.inter >= 3 * (sa.n + sb.n - i.inter)
+                |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = false)
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -630,6 +630,32 @@ class ExtSpec extends SparkSuite {
       s"nprobe=1 candidates span cells: ${narrow.map(assign)}")
   }
 
+  test("prefixJaccardPairs is lossless vs brute force and includes the exact 3/5 boundary") {
+    val d = docs(
+      (1L, "alpha beta gamma delta"),     // J(1,2) = 3/5 exactly (boundary)
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "alpha beta zeta eta"),        // J(1,3) = 2/6 — below
+      (4L, "theta iota kappa lambda"),    // disjoint from 1-3
+      (5L, "theta iota kappa lambda"))    // J(4,5) = 1
+    val got = graft.ext.Dedup.prefixJaccardPairs(d)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // Brute force over all pairs on the same distinct-token semantics.
+    val toks = d.select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      inter = (toks(a) & toks(b)).size
+      union = (toks(a) | toks(b)).size
+      if 5 * inter >= 3 * union
+    } yield (a, b, inter.toLong, inter.toDouble / union)).toSet
+    assert(got === brute)
+    // The boundary pair is present with jaccard exactly 0.6.
+    assert(got.exists { case (a, b, _, j) => a == 1L && b == 2L && j == 0.6 })
+  }
+
   test("weightedSample: heavy weights dominate, zero weights never sampled, draw is deterministic") {
     val d = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // Rows 1-20 carry 1000x the weight of rows 21-200.
