@@ -186,4 +186,19 @@ class PlanSpec extends SparkSuite {
       .select(col("iid"), col("a").cast("timestamp").as("i_s"), col("b").cast("timestamp").as("i_e"))
     assert(RangeJoin.pointInInterval(points, empty, "p_ts", "i_s", "i_e").count() === 0)
   }
+
+  test("x80 weighted sample plans as TakeOrderedAndProject over one scan — no global sort, no join") {
+    val plan = executed("x80_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should be per-partition heaps, not a full sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the A-ES draw must not join anything:\n$plan")
+  }
+
+  test("x85 snapshot diff is one full-outer equi-join — never a nested loop") {
+    val plan = executed("x85_snapshot_diff")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"diff degenerated:\n$plan")
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+  }
 }
