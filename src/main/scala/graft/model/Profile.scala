@@ -1,0 +1,41 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass data profiling — the per-column health report a pipeline
+  * runs before trusting a new drop of data (the observability sibling of
+  * [[Validate]]'s constraint audit): row count, null count, exact
+  * distinct count, and lexicographic min/max of the string rendering,
+  * melted to one row per column.
+  *
+  * Scale shape: ONE aggregate over one scan (the multi-count-distinct
+  * expands the input — k distinct columns read the scan once but
+  * aggregate k streams, Spark's standard Expand plan), then a literal
+  * k-element explode to long form; nothing shuffles more than the
+  * aggregate's single exchange. min/max are taken over the STRING
+  * rendering (display semantics, engine-portable for integers, dates,
+  * and strings — callers keep float columns out of min/max profiling
+  * because float-to-string rendering is not cross-engine canonical).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"unknown profile columns in ${cols.mkString(",")}")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      count_distinct(col(c)).as(s"__dist_$c"),
+      min(col(c).cast("string")).as(s"__min_$c"),
+      max(col(c).cast("string")).as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val melted = cols.map(c => struct(
+      lit(c).as("column"),
+      col("__total").as("n_rows"),
+      (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+      col(s"__dist_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value")))
+    row.select(explode(array(melted: _*)).as("p")).select("p.*")
+  }
+}

@@ -93,6 +93,22 @@ object Upsert {
     closed.unionByName(keep).unionByName(close).unionByName(openNew)
   }
 
+  /** The READ path of [[scd2]] — time-travel reconstruction: the table as
+    * it stood at `asOf`, from the history's validity intervals. Interval
+    * semantics are half-open [valid_from, valid_to): a row is effective
+    * ON its valid_from day and stops at its valid_to day, so querying
+    * exactly at a merge's effective date sees the NEW rows — the
+    * convention under which [[scd2]]'s close-at/open-at pairs never
+    * overlap and never gap. Validity columns are ISO date strings, so
+    * the comparison is the same lexicographic compare in any engine.
+    * One codegen'd filter over the history scan; at 100 TB a
+    * zone-clustered layout on valid_from makes it skip.
+    */
+  def asOfSnapshot(history: DataFrame, asOf: String): DataFrame =
+    history.filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .drop("valid_from", "valid_to")
+
   /** Snapshot diff — the INVERSE of [[upsert]]: given two versions of a
     * keyed table, derive the CDC changelog that MERGE would have applied
     * to turn the old snapshot into the new one. Per key:

@@ -1567,7 +1567,94 @@ object Advanced {
                 |JOIN sizes sb ON sb.doc_id = i.doc_b
                 |WHERE 5 * i.inter >= 3 * (sa.n + sb.n - i.inter)
                 |ORDER BY doc_a, doc_b""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // SCD-2 time travel (ops.Upsert.asOfSnapshot) — the READ path of the
+    // x65 history: reconstruct the segment table as of two probe dates,
+    // one before the merge (original segments) and one exactly AT the
+    // merge's effective date. The latter pins the half-open interval
+    // convention: rows closed at 2001-06-01 are excluded, rows opened
+    // then are included — no overlap, no gap, at the boundary itself.
+    QueryDef(
+      "x87_scd2_asof",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val hist = t.customer.select(col("c_custkey").as("cust_id"),
+          col("c_mktsegment").as("segment"),
+          lit("2000-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+        val rev = t.orders.filter(col("o_orderdate") >= "2000-01-01")
+          .groupBy(col("o_custkey").as("cust_id"))
+          .agg(moneySum(col("o_totalprice")).as("rev"))
+        val upd = rev.join(t.customer, col("cust_id") === col("c_custkey"))
+          .select(col("cust_id"),
+            when(col("rev") >= 1000000.0, lit("PREMIUM"))
+              .otherwise(col("c_mktsegment")).as("segment"))
+        val merged = graft.ops.Upsert.scd2(hist, upd, "cust_id", Seq("segment"),
+          "2001-06-01")
+        graft.ops.Upsert.asOfSnapshot(merged, "2000-06-01")
+          .withColumn("as_of", lit("2000-06-01"))
+          .unionByName(graft.ops.Upsert.asOfSnapshot(merged, "2001-06-01")
+            .withColumn("as_of", lit("2001-06-01")))
+          .orderBy("as_of", "cust_id")
+      },
+      Some("""WITH hist AS (
+             |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+             |         '2000-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+             |  FROM customer
+             |), upd AS (
+             |  SELECT r.cust_id,
+             |         CASE WHEN r.rev >= 1000000.0 THEN 'PREMIUM' ELSE c.c_mktsegment END AS segment
+             |  FROM (SELECT o_custkey AS cust_id,
+             |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+             |        FROM orders WHERE o_orderdate >= '2000-01-01' GROUP BY 1) r
+             |  JOIN customer c ON c.c_custkey = r.cust_id
+             |), merged AS (
+             |  SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
+             |  FROM hist h LEFT JOIN upd u ON u.cust_id = h.cust_id
+             |  WHERE u.cust_id IS NULL OR u.segment IS NOT DISTINCT FROM h.segment
+             |  UNION ALL
+             |  SELECT h.cust_id, h.segment, h.valid_from, '2001-06-01'
+             |  FROM hist h JOIN upd u ON u.cust_id = h.cust_id
+             |  WHERE u.segment IS DISTINCT FROM h.segment
+             |  UNION ALL
+             |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
+             |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
+             |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
+             |)
+             |SELECT cust_id, segment, as_of FROM (
+             |  SELECT cust_id, segment, '2000-06-01' AS as_of FROM merged
+             |  WHERE valid_from <= '2000-06-01'
+             |    AND (valid_to IS NULL OR valid_to > '2000-06-01')
+             |  UNION ALL
+             |  SELECT cust_id, segment, '2001-06-01' FROM merged
+             |  WHERE valid_from <= '2001-06-01'
+             |    AND (valid_to IS NULL OR valid_to > '2001-06-01')
+             |) ORDER BY as_of, cust_id""".stripMargin)),
+
+    // One-pass data profiling (model.Profile) — per-column row/null/
+    // exact-distinct counts and lexicographic min/max of the string
+    // rendering, melted to long form. ONE aggregate over one scan
+    // (multi-count-distinct rides Spark's Expand); float columns stay
+    // out of min/max by contract (float rendering is not cross-engine
+    // canonical; integers, dates, and strings are).
+    QueryDef(
+      "x88_data_profile",
+      (s, dir) => graft.model.Profile.profile(Tables(s, dir).orders,
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+        .orderBy("column"),
+      Some {
+        val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+        cols.map(c =>
+          s"""SELECT '$c' AS "column",
+             |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |       MIN(CAST($c AS VARCHAR)) AS min_value,
+             |       MAX(CAST($c AS VARCHAR)) AS max_value
+             |FROM orders""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      })
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -175,6 +175,60 @@ object Streams {
       .start()
   }
 
+  /** Streaming CDC apply — the consumer of [[graft.ops.Upsert
+    * .snapshotDiff]]-shaped changelogs, and the sink [[upsertSink]]
+    * cannot be: upserts alone can never REMOVE a key, so a changelog
+    * with deletes needs its own merge. Each micro-batch reduces to the
+    * latest action per key (by `orderCol` descending — a key inserted
+    * then deleted within one batch must end deleted), then applies in
+    * one pass: insert/update rows upsert their image, delete rows
+    * anti-join out of the target. Same write-then-swap durability
+    * contract as [[upsertSink]]; on a transactional store this is the
+    * canonical MERGE ... WHEN MATCHED AND action='delete' THEN DELETE
+    * template with an identical stream plan.
+    *
+    * `updates` carries the key columns, an `action` column
+    * (insert/update/delete), and the payload image.
+    */
+  def changelogSink(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      orderCol: String, targetPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(keys.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", orderCol)
+          val spark2 = batch.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
+          val targetP = new org.apache.hadoop.fs.Path(targetPath)
+          val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+          val upserts = latest.filter(col("action") =!= "delete").drop("action")
+          val deletes = latest.filter(col("action") === "delete")
+            .select(keys.map(col): _*)
+          val merged =
+            if (fs.exists(targetP)) {
+              val target = spark2.read.parquet(targetPath)
+              graft.ops.Upsert
+                .upsert(target, upserts.select(target.columns.map(col): _*), keys)
+                .join(deletes, keys, "left_anti")
+            } else upserts.join(deletes, keys, "left_anti")
+          merged.write.mode("overwrite").parquet(tmpP.toString)
+          if (fs.exists(targetP) && !fs.delete(targetP, true))
+            throw new java.io.IOException(s"changelogSink: could not clear $targetPath")
+          if (!fs.rename(tmpP, targetP))
+            throw new java.io.IOException(s"changelogSink: rename $tmpP -> $targetPath failed")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming SCD-2 sink: maintain a HISTORY-PRESERVING dimension from a
     * change stream via foreachBatch + ops.Upsert.scd2 — the history twin
     * of [[upsertSink]]'s last-write-wins merge. Each micro-batch reduces

@@ -147,6 +147,24 @@ class AsOfSpec extends SparkSuite {
     assert(byFrom(1).isNullAt(byFrom(1).fieldIndex("audit_id"))) // new row: typed null
   }
 
+  test("asOfSnapshot: one row per key at every probe date; boundary day sees the new row") {
+    val hist = Seq((1L, "A", "2000-01-01", null.asInstanceOf[String]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val v2 = graft.ops.Upsert.scd2(hist, Seq((1L, "B")).toDF("k", "seg"),
+      "k", Seq("seg"), "2001-01-01")
+    val v3 = graft.ops.Upsert.scd2(v2, Seq((1L, "C")).toDF("k", "seg"),
+      "k", Seq("seg"), "2002-01-01")
+    def at(d: String) = graft.ops.Upsert.asOfSnapshot(v3, d)
+      .as[(Long, String)].collect().toSeq
+    assert(at("2000-06-15") === Seq((1L, "A")))
+    // Exactly AT an effective date: the new row, not the closed one.
+    assert(at("2001-01-01") === Seq((1L, "B")))
+    assert(at("2001-12-31") === Seq((1L, "B")))
+    assert(at("2002-01-01") === Seq((1L, "C")))
+    // Before the first validity: no row at all.
+    assert(at("1999-12-31") === Seq.empty)
+  }
+
   test("snapshotDiff: insert/delete/update classified; deletes carry the old image; NULL flips count") {
     val oldSnap = Seq(
       (1L, Some("a"), 10L),  // unchanged

@@ -125,6 +125,30 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Map(7L -> 20.0, 8L -> 99.0, 9L -> 5.0))
   }
 
+  test("streaming changelog sink applies inserts, updates, AND deletes; within-batch latest action wins") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
+    val target = s"$dir/table"
+    val src = MemoryStream[(Long, Long, String, Double)] // (seq, key, action, value)
+    val q = Streams.changelogSink(spark,
+      src.toDF().toDF("seq", "k", "action", "v"),
+      keys = Seq("k"), orderCol = "seq", targetPath = target)
+    // Batch 1: insert k1, k2; k3 inserted then deleted IN the same batch
+    // — the latest action must win, so k3 never lands.
+    src.addData((1L, 1L, "insert", 10.0), (2L, 2L, "insert", 20.0),
+      (3L, 3L, "insert", 30.0), (4L, 3L, "delete", 0.0))
+    q.processAllAvailable()
+    assert(spark.read.parquet(target).select("k", "v").as[(Long, Double)]
+      .collect().toMap === Map(1L -> 10.0, 2L -> 20.0))
+    // Batch 2: update k1, delete k2, insert k4.
+    src.addData((5L, 1L, "update", 11.0), (6L, 2L, "delete", 0.0),
+      (7L, 4L, "insert", 40.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(target).select("k", "v").as[(Long, Double)]
+      .collect().toMap === Map(1L -> 11.0, 4L -> 40.0))
+  }
+
   test("streaming SCD-2 sink: history equals sequential batch scd2 application") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-scd2-").toString
