@@ -278,6 +278,38 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "score")
   }
 
+  /** Retrieval-quality evaluation of the banded ANN index against exact
+    * ground truth — the harness that turns "the index feels fine" into a
+    * gated number: per query, recall@k (fraction of the true top-k the
+    * index surfaced) and the reciprocal rank of the TRUE nearest
+    * neighbor within the index's list (0 when missed — the MRR
+    * numerator). This is how an ANN deployment is actually tuned: sweep
+    * bands/bits/cap, watch recall@k move.
+    *
+    * Ground truth is [[bruteKnn]] over the query set only — linear in
+    * the corpus per query (|Q|·N scores, the affordable exact pass);
+    * the approx side is the registered [[annTopK]] path, so the number
+    * measures the exact operator users run, not a test double.
+    */
+  def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val truth = bruteKnn(embeddings, queryIds, k)
+    val approx = annTopK(embeddings, k)
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("rank").as("arank"), col("neighbor_id"))
+    val joined = truth.select(col("qid"), col("rank"), col("neighbor_id"))
+      .join(approx, Seq("qid", "neighbor_id"), "left")
+    val hits = joined.groupBy("qid")
+      .agg(sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    val rr = joined.filter(col("rank") === 1)
+      .select(col("qid"),
+        coalesce(lit(1.0) / col("arank").cast("double"), lit(0.0)).as("rr"))
+    hits.join(rr, Seq("qid"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall_at_k"),
+        col("rr"))
+  }
+
   /** End-to-end embedding near-dup DEDUP: banded ANN pairs → two-phase
     * large-star/small-star connected components → canonical
     * representative per cluster (minimum vec_id) — the embedding-side

@@ -1632,6 +1632,70 @@ object Advanced {
              |    AND (valid_to IS NULL OR valid_to > '2001-06-01')
              |) ORDER BY as_of, cust_id""".stripMargin)),
 
+    // ANN quality under the gate (Similarity.annRecall): recall@5 and
+    // the true-top-1 reciprocal rank of the REGISTERED annTopK path
+    // against exact brute-force ground truth, per query — the number an
+    // ANN deployment tunes bands/bits/cap against. The oracle replays
+    // both sides: x27's banded CTE chain for the index, a per-query
+    // exact window for the truth.
+    QueryDef(
+      "x89_ann_recall",
+      (s, dir) => Similarity.annRecall(Tables(s, dir).embeddings,
+        0L until 10L, 5).orderBy("qid"),
+      Some {
+        val bandSelects = (0 until Similarity.AnnBands).map { b =>
+          val key = (0 until Similarity.AnnBandBits).map { j =>
+            val lit = Similarity.planesSqlLiteral(b * Similarity.AnnBandBits + j)
+            s"CASE WHEN list_dot_product(emb, $lit) > 0 THEN ${1 << j} ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, $b AS band_idx, $key AS band_key FROM e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           |), bands AS (
+           |  $bandSelects
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id <> b.vec_id
+           |  WHERE a.vec_id < 10
+           |), approx AS (
+           |  SELECT vec_id AS qid, neighbor_id, rank AS arank FROM (
+           |    SELECT c.vec_id, c.neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+           |             ORDER BY list_dot_product(ea.emb, eb.emb) DESC, c.neighbor_id ASC) AS rank
+           |    FROM cand c
+           |    JOIN e ea ON ea.vec_id = c.vec_id
+           |    JOIN e eb ON eb.vec_id = c.neighbor_id) r
+           |  WHERE rank <= 5
+           |), q AS (
+           |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+           |), truth AS (
+           |  SELECT qid, neighbor_id, rank FROM (
+           |    SELECT q.qid, e.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |             ORDER BY list_dot_product(q.qemb, e.emb) DESC, e.vec_id ASC) AS rank
+           |    FROM q, e WHERE e.vec_id <> q.qid) r
+           |  WHERE rank <= 5
+           |), hits AS (
+           |  SELECT t.qid,
+           |         CAST(SUM(CASE WHEN a.arank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM truth t LEFT JOIN approx a
+           |    ON a.qid = t.qid AND a.neighbor_id = t.neighbor_id
+           |  GROUP BY 1
+           |), rr AS (
+           |  SELECT t.qid, COALESCE(1.0 / CAST(a.arank AS DOUBLE), 0.0) AS rr
+           |  FROM truth t LEFT JOIN approx a
+           |    ON a.qid = t.qid AND a.neighbor_id = t.neighbor_id
+           |  WHERE t.rank = 1
+           |)
+           |SELECT h.qid, h.n_hits,
+           |       CAST(h.n_hits AS DOUBLE) / 5.0 AS recall_at_k,
+           |       rr.rr
+           |FROM hits h JOIN rr USING (qid)
+           |ORDER BY qid""".stripMargin
+      }),
+
     // One-pass data profiling (model.Profile) — per-column row/null/
     // exact-distinct counts and lexicographic min/max of the string
     // rendering, melted to long form. ONE aggregate over one scan
