@@ -69,6 +69,45 @@ object PageRank {
     rank
   }
 
+  /** WEIGHTED fixed-point PageRank: edges carry a positive integer
+    * weight column `w` and each vertex distributes its rank proportional
+    * to weight — contribution = rank·w DIV Σw_out — so a 0.9-cosine
+    * near-dup edge pulls more rank than a 0.4 one. Same bit-determinism
+    * contract as [[pagerank]] (pure BIGINT, truncating division, fixed
+    * rounds, one unrolled plan); weights must already be integers (the
+    * caller quantizes — e.g. cosine·1e6 — because fixed-point semantics
+    * belong to the caller's precision choice, not hidden in here).
+    *
+    * Overflow needs the per-edge product bound too: rank·w ≤ n·base·wMax
+    * must fit a signed 64-bit long, so the guard reads max(w) (one tiny
+    * aggregate) alongside the vertex count.
+    */
+  def pagerankWeighted(edges: DataFrame, vertices: DataFrame,
+      iterations: Int = 3, base: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, "pagerank needs at least one iteration")
+    val n = vertices.count()
+    val wMax = edges.agg(max(col("w"))).first().getLong(0)
+    require(n > 0 && wMax > 0, "pagerankWeighted needs vertices and positive weights")
+    require(n <= Long.MaxValue / 85L / base &&
+        n <= Long.MaxValue / wMax / base,
+      s"pagerankWeighted: n($n) * base($base) * max(85, wMax=$wMax) would " +
+        "overflow Long; pass a smaller `base` or rescale weights")
+    val teleport = base * 15L / 100L
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("wsum"))
+    var rank = vertices.select(col("id"), lit(base).as("rank"))
+    (0 until iterations).foreach { _ =>
+      val contrib = rank.join(outw, col("id") === col("src"))
+        .select(col("src").as("csrc"), col("rank"), col("wsum"))
+      val incoming = edges.join(contrib, col("src") === col("csrc"))
+        .select(col("dst"), expr("(rank * w) DIV wsum").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("insum"))
+      rank = vertices.join(incoming, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + expr("(85 * coalesce(insum, 0)) DIV 100")).as("rank"))
+    }
+    rank
+  }
+
   /** The mass-CONSERVING variant: dangling vertices (no outgoing edges —
     * including isolated ones) redistribute their rank uniformly instead
     * of evaporating, the standard teleport-redistribution convention

@@ -1696,6 +1696,103 @@ object Advanced {
            |ORDER BY qid""".stripMargin
       }),
 
+    // WEIGHTED PageRank (ops.PageRank.pagerankWeighted) over the near-dup
+    // graph with cosine-proportional edge weights quantized to 1e6
+    // fixed point — a 0.9-similarity edge pulls rank harder than a 0.4
+    // one. Same BIGINT bit-determinism contract as x73; the oracle
+    // replays the weighted rounds including the quantization.
+    QueryDef(
+      "x91_pagerank_weighted",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val dup = Similarity.annPairs(emb, 0.4)
+          .withColumn("w", floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long"))
+        val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("w"))
+          .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("w")))
+        graft.ops.PageRank.pagerankWeighted(edges,
+          emb.select(col("vec_id").as("id")), 3)
+          .select(col("id").as("vec_id"), col("rank"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, dup AS (
+            |  SELECT vec_a, vec_b, CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT) AS w FROM (
+            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+            |    FROM cand c
+            |    JOIN e ea ON ea.vec_id = c.vec_a
+            |    JOIN e eb ON eb.vec_id = c.vec_b) p
+            |  WHERE cosine >= 0.4
+            |), sym AS (
+            |  SELECT vec_a AS src, vec_b AS dst, w FROM dup
+            |  UNION ALL
+            |  SELECT vec_b, vec_a, w FROM dup
+            |), outw AS (
+            |  SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM sym GROUP BY 1
+            |), r0 AS (
+            |  SELECT vec_id AS id, CAST(1000000000 AS BIGINT) AS rank FROM embeddings
+            |)""".stripMargin
+        val iters = (1 to 3).map { i =>
+          s""", r$i AS (
+             |  SELECT v.vec_id AS id,
+             |         CAST(150000000 + (85 * COALESCE(t.insum, 0)) // 100 AS BIGINT) AS rank
+             |  FROM embeddings v LEFT JOIN (
+             |    SELECT e2.dst, SUM((r.rank * e2.w) // d.wsum) AS insum
+             |    FROM sym e2
+             |    JOIN r${i - 1} r ON r.id = e2.src
+             |    JOIN outw d ON d.src = e2.src
+             |    GROUP BY 1) t ON t.dst = v.vec_id
+             |)""".stripMargin
+        }.mkString
+        base + iters + "\nSELECT id AS vec_id, rank FROM r3 ORDER BY vec_id"
+      }),
+
+    // Robust outlier detection (median/MAD z-scores — Iglewicz & Hoaglin
+    // 1993): per nation, the order amounts whose modified z-score
+    // |0.6745·(x − median)| / MAD exceeds 3.5. Median-based, so a single
+    // whale order cannot drag the threshold the way a mean/stddev z-score
+    // would — the estimator a data-quality gate actually wants. Two
+    // grouped exact-percentile aggregates (both interpolated medians,
+    // cross-engine identical per the x20 contract) + one broadcast-join
+    // back; emits the flagged rows only (bounded output). Threshold 1.5
+    // here, not the textbook 3.5: the synthetic prices are uniform (max
+    // |mz| = 1.61 at sf0.01), so 3.5 would gate an empty result.
+    QueryDef(
+      "x90_robust_outliers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val o = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nation"), col("o_orderkey"),
+            col("o_totalprice"))
+        val med = o.groupBy("nation")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+        val mad = o.join(broadcast(med), Seq("nation"))
+          .select(col("nation"), abs(col("o_totalprice") - col("med")).as("dev"))
+          .groupBy("nation")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        o.join(broadcast(med), Seq("nation"))
+          .join(broadcast(mad), Seq("nation"))
+          .select(col("nation"), col("o_orderkey"), col("o_totalprice"),
+            (lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad")).as("mz"))
+          .filter(abs(col("mz")) > 1.5)
+          .orderBy("nation", "o_orderkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT c.c_nationkey AS nation, o.o_orderkey, o.o_totalprice
+             |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |), med AS (
+             |  SELECT nation, quantile_cont(o_totalprice, 0.5) AS med FROM o GROUP BY 1
+             |), mad AS (
+             |  SELECT o.nation, quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+             |  FROM o JOIN med m ON m.nation = o.nation GROUP BY 1
+             |)
+             |SELECT o.nation, o.o_orderkey, o.o_totalprice,
+             |       0.6745 * (o.o_totalprice - m.med) / d.mad AS mz
+             |FROM o JOIN med m ON m.nation = o.nation
+             |JOIN mad d ON d.nation = o.nation
+             |WHERE abs(0.6745 * (o.o_totalprice - m.med) / d.mad) > 1.5
+             |ORDER BY o.nation, o.o_orderkey""".stripMargin)),
+
     // One-pass data profiling (model.Profile) — per-column row/null/
     // exact-distinct counts and lexicographic min/max of the string
     // rendering, melted to long form. ONE aggregate over one scan

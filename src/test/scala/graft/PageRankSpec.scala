@@ -57,6 +57,28 @@ class PageRankSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("weighted variant splits rank by weight; uniform weights reduce to the unweighted ranks") {
+    // 0 sends 90% of its mass to 1 and 10% to 2.
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val verts = (0L to 2L).toDF("id")
+    val r = PageRank.pagerankWeighted(edges, verts, 2)
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    // The 9:1 split applies to INCOMING mass — above the teleport floor
+    // every vertex keeps regardless of links (up to DIV truncation).
+    val teleport = Base * 15L / 100L
+    assert(math.abs((r(1L) - teleport) - 9L * (r(2L) - teleport)) <= 20L,
+      s"incoming mass should split 9:1: ${r(1L)} vs ${r(2L)}")
+    // All-equal weights = the unweighted algorithm, bit for bit.
+    val eq = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val eqW = eq.withColumn("w", lit(7L))
+    val verts3 = (0L to 2L).toDF("id")
+    val a = PageRank.pagerank(eq, verts3, 3).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    val b = PageRank.pagerankWeighted(eqW, verts3, 3).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
   test("overflow guard rejects a base the vertex count cannot carry") {
     val (edges, verts) = graph
     val huge = Long.MaxValue / 100L
