@@ -163,4 +163,41 @@ object Upsert {
     val out = j.select((keys.map(col) :+ action.as("action")) ++ image: _*)
     if (includeUnchanged) out else out.filter(col("action") =!= "unchanged")
   }
+
+  /** [[snapshotDiff]] with BOTH images — `old_<c>` and `new_<c>` per
+    * payload column — the changelog shape incremental aggregate
+    * maintenance needs: an update's delta is new−old, which the
+    * single-image changelog cannot express. Inserts carry NULL old
+    * columns, deletes NULL new columns.
+    */
+  def snapshotDiffImages(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldSnap.columns.toSeq == newSnap.columns.toSeq,
+      s"schemas must align: ${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(oldSnap.columns.contains),
+      s"missing key column in ${keys.mkString(",")}")
+    val payload = oldSnap.columns.filterNot(keys.contains).toSeq
+    val o = oldSnap.select((keys.map(col) ++
+      payload.map(c => col(c).as(s"old_$c"))): _*)
+      .withColumn("__in_old", org.apache.spark.sql.functions.lit(true))
+    val n = newSnap.select((keys.map(col) ++
+      payload.map(c => col(c).as(s"new_$c"))): _*)
+      .withColumn("__in_new", org.apache.spark.sql.functions.lit(true))
+    val j = o.join(n, keys, "full_outer")
+    val inOld = org.apache.spark.sql.functions.coalesce(col("__in_old"),
+      org.apache.spark.sql.functions.lit(false))
+    val inNew = org.apache.spark.sql.functions.coalesce(col("__in_new"),
+      org.apache.spark.sql.functions.lit(false))
+    val differs =
+      if (payload.isEmpty) org.apache.spark.sql.functions.lit(false)
+      else payload.map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    val action = org.apache.spark.sql.functions
+      .when(!inOld, "insert")
+      .when(!inNew, "delete")
+      .when(differs, "update")
+      .otherwise("unchanged")
+    j.select((keys.map(col) :+ action.as("action")) ++
+        payload.map(c => col(s"old_$c")) ++ payload.map(c => col(s"new_$c")): _*)
+      .filter(col("action") =!= "unchanged")
+  }
 }

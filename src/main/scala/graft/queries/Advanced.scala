@@ -1696,6 +1696,45 @@ object Advanced {
            |ORDER BY qid""".stripMargin
       }),
 
+    // Incremental aggregate maintenance (ops.Incremental + the
+    // both-images changelog): apply x85's v1->v2 change set to the v1
+    // per-customer revenue rollup as an algebraic delta (insert adds,
+    // delete subtracts, update adds new-old) — and the oracle proves the
+    // incremental result EQUALS a full recompute over v2, decimal-exact.
+    // The 100 TB point: the base never rescans; only the changelog and
+    // the rollup move.
+    QueryDef(
+      "x92_incremental_agg",
+      (s, dir) => {
+        val base = Tables(s, dir).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v1 = base.filter(col("o_orderkey") % 10 =!= 0)
+        val v2 = base.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        val a1 = v1.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(money(col("o_totalprice"))).as("total"))
+        val cl = graft.ops.Upsert.snapshotDiffImages(v1, v2, Seq("o_orderkey"))
+          .select(
+            coalesce(col("new_o_custkey"), col("old_o_custkey")).as("o_custkey"),
+            col("action"),
+            money(col("old_o_totalprice")).as("old_p"),
+            money(col("new_o_totalprice")).as("new_p"))
+        graft.ops.Incremental.applyCountSumDelta(a1, cl, "o_custkey", "old_p", "new_p")
+          .select(col("o_custkey"), col("n"), col("total").cast("double").as("total"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""WITH news AS (
+              |  SELECT o_orderkey, o_custkey,
+              |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              |              ELSE o_totalprice END AS o_totalprice
+              |  FROM orders WHERE o_orderkey % 7 <> 0
+              |)
+              |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+              |       ${sqlMoneySum("o_totalprice")} AS total
+              |FROM news GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // WEIGHTED PageRank (ops.PageRank.pagerankWeighted) over the near-dup
     // graph with cosine-proportional edge weights quantized to 1e6
     // fixed point — a 0.9-similarity edge pulls rank harder than a 0.4

@@ -165,6 +165,28 @@ class AsOfSpec extends SparkSuite {
     assert(at("1999-12-31") === Seq.empty)
   }
 
+  test("applyCountSumDelta: groups appear, vanish at zero, and update deltas net out") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val v1 = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 9.0))
+      .toDF("id", "grp", "v")
+    val v2 = Seq((1L, 10L, 6.0), (4L, 30L, 2.0))  // upd id1, del id2/id3, ins id4
+      .toDF("id", "grp", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy("grp")
+      .agg(cnt(lit(1)).as("n"), sum(queries.money(col("v"))).as("total"))
+    val cl = graft.ops.Upsert.snapshotDiffImages(v1, v2, Seq("id"))
+      .select(coalesce(col("new_grp"), col("old_grp")).as("grp"), col("action"),
+        queries.money(col("old_v")).as("old_p"), queries.money(col("new_v")).as("new_p"))
+    val inc = graft.ops.Incremental.applyCountSumDelta(agg(v1), cl, "grp", "old_p", "new_p")
+      .select(col("grp"), col("n"), col("total").cast("double"))
+      .orderBy("grp").as[(Long, Long, Double)].collect().toSeq
+    val full = agg(v2)
+      .select(col("grp"), col("n"), col("total").cast("double"))
+      .orderBy("grp").as[(Long, Long, Double)].collect().toSeq
+    assert(inc === full)
+    // Group 20 vanished entirely (count reached zero); group 30 is new.
+    assert(inc.map(_._1) === Seq(10L, 30L))
+  }
+
   test("snapshotDiff: insert/delete/update classified; deletes carry the old image; NULL flips count") {
     val oldSnap = Seq(
       (1L, Some("a"), 10L),  // unchanged
