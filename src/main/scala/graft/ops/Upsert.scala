@@ -109,6 +109,35 @@ object Upsert {
         (col("valid_to").isNull || col("valid_to") > asOf))
       .drop("valid_from", "valid_to")
 
+  /** Dimension-as-of-EVENT-time enrichment — the other read path of
+    * [[scd2]] (where [[asOfSnapshot]] fixes one date for the whole
+    * table, this fixes each fact's own date): every fact row joins the
+    * single history row whose [valid_from, valid_to) interval contains
+    * the fact's date column. Because a well-formed history partitions
+    * time per key (the [[scd2]] invariant — no overlap, no gap after
+    * first validity), the join multiplicity is exactly one for facts
+    * inside the dimension's lifetime; earlier facts drop (inner join —
+    * there was no dimension row to describe them).
+    *
+    * Scale shape: a plain equi-join on the key plus the interval
+    * predicate — per-key history is a handful of rows, so the key
+    * equality carries all the selectivity and the join hash-partitions
+    * (or broadcasts) like any dimension join; no range-binning needed
+    * (that machinery is for KEYLESS containment — ops.RangeJoin).
+    * `dateCol` must be an ISO yyyy-MM-dd string like the validity
+    * columns, so the comparison is engine-portable string ordering.
+    */
+  def temporalJoin(facts: DataFrame, history: DataFrame,
+      factKey: String, histKey: String, dateCol: String): DataFrame = {
+    val overlap = facts.columns.toSet intersect history.columns.toSet
+    require(overlap.isEmpty, s"inputs share columns: $overlap")
+    facts.join(history,
+      col(factKey) === col(histKey) &&
+        col(dateCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(dateCol) < col("valid_to")))
+      .drop(histKey, "valid_from", "valid_to")
+  }
+
   /** Snapshot diff — the INVERSE of [[upsert]]: given two versions of a
     * keyed table, derive the CDC changelog that MERGE would have applied
     * to turn the old snapshot into the new one. Per key:

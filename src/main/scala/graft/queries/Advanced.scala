@@ -1696,6 +1696,70 @@ object Advanced {
            |ORDER BY qid""".stripMargin
       }),
 
+    // Temporal SCD-2 dimension join (ops.Upsert.temporalJoin) — facts
+    // enriched with the dimension version valid at EACH FACT'S OWN date
+    // (x87 fixes one date for the whole table; this is the per-event
+    // read). Orders before 2000-01-01 drop (no dimension yet); orders
+    // in [2000-01-01, 2001-06-01) see the original segment; later ones
+    // see the post-merge segment. Plain equi-join on the key + interval
+    // predicate — per-key history is tiny, so the key carries the join.
+    QueryDef(
+      "x93_scd2_temporal_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val hist = t.customer.select(col("c_custkey").as("cust_id"),
+          col("c_mktsegment").as("segment"),
+          lit("2000-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+        val rev = t.orders.filter(col("o_orderdate") >= "2000-01-01")
+          .groupBy(col("o_custkey").as("cust_id"))
+          .agg(moneySum(col("o_totalprice")).as("rev"))
+        val upd = rev.join(t.customer, col("cust_id") === col("c_custkey"))
+          .select(col("cust_id"),
+            when(col("rev") >= 1000000.0, lit("PREMIUM"))
+              .otherwise(col("c_mktsegment")).as("segment"))
+        val merged = graft.ops.Upsert.scd2(hist, upd, "cust_id", Seq("segment"),
+          "2001-06-01")
+        val facts = t.orders.select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        graft.ops.Upsert.temporalJoin(facts, merged,
+          "o_custkey", "cust_id", "o_date")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH hist AS (
+             |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+             |         '2000-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+             |  FROM customer
+             |), upd AS (
+             |  SELECT r.cust_id,
+             |         CASE WHEN r.rev >= 1000000.0 THEN 'PREMIUM' ELSE c.c_mktsegment END AS segment
+             |  FROM (SELECT o_custkey AS cust_id,
+             |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+             |        FROM orders WHERE o_orderdate >= '2000-01-01' GROUP BY 1) r
+             |  JOIN customer c ON c.c_custkey = r.cust_id
+             |), merged AS (
+             |  SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
+             |  FROM hist h LEFT JOIN upd u ON u.cust_id = h.cust_id
+             |  WHERE u.cust_id IS NULL OR u.segment IS NOT DISTINCT FROM h.segment
+             |  UNION ALL
+             |  SELECT h.cust_id, h.segment, h.valid_from, '2001-06-01'
+             |  FROM hist h JOIN upd u ON u.cust_id = h.cust_id
+             |  WHERE u.segment IS DISTINCT FROM h.segment
+             |  UNION ALL
+             |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
+             |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
+             |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
+             |), facts AS (
+             |  SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+             |  FROM orders
+             |)
+             |SELECT f.o_orderkey, f.o_custkey, f.o_date, m.segment
+             |FROM facts f JOIN merged m
+             |  ON m.cust_id = f.o_custkey
+             | AND f.o_date >= m.valid_from
+             | AND (m.valid_to IS NULL OR f.o_date < m.valid_to)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Incremental aggregate maintenance (ops.Incremental + the
     // both-images changelog): apply x85's v1->v2 change set to the v1
     // per-customer revenue rollup as an algebraic delta (insert adds,

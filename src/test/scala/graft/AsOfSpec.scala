@@ -165,6 +165,25 @@ class AsOfSpec extends SparkSuite {
     assert(at("1999-12-31") === Seq.empty)
   }
 
+  test("temporalJoin: exactly one dimension row per fact inside the lifetime; earlier facts drop") {
+    val hist = Seq((1L, "A", "2000-01-01", null.asInstanceOf[String]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val v3 = graft.ops.Upsert.scd2(
+      graft.ops.Upsert.scd2(hist, Seq((1L, "B")).toDF("k", "seg"),
+        "k", Seq("seg"), "2001-01-01"),
+      Seq((1L, "C")).toDF("k", "seg"), "k", Seq("seg"), "2002-01-01")
+    val facts = Seq(
+      (10L, 1L, "1999-06-01"),  // before first validity -> drops
+      (11L, 1L, "2000-06-01"),  // A
+      (12L, 1L, "2001-01-01"),  // boundary day -> B
+      (13L, 1L, "2003-01-01"),  // C
+      (14L, 2L, "2001-01-01"))  // unknown key -> drops
+      .toDF("fid", "fk", "d")
+    val out = graft.ops.Upsert.temporalJoin(facts, v3, "fk", "k", "d")
+      .select("fid", "seg").as[(Long, String)].collect().toMap
+    assert(out === Map(11L -> "A", 12L -> "B", 13L -> "C"))
+  }
+
   test("applyCountSumDelta: groups appear, vanish at zero, and update deltas net out") {
     import org.apache.spark.sql.functions.{count => cnt}
     val v1 = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 9.0))
