@@ -468,6 +468,41 @@ object TextAnalysis {
         snap9(exp(-avg)).as("ppl"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): pointwise mutual
+    * information ln(c(xy)·N / (c(x)·c(y))) over corpus bigrams — the
+    * classic collocation signal (multi-word expressions, tokenizer-vocab
+    * merge candidates, boilerplate phrases). All counts are exact
+    * integers from two aggregates over one bigram explode; the single
+    * ln() per surviving pair snaps to the 1e-9 grid (the bm25/x78
+    * convention). `minCount` drops the noise tail — PMI is notoriously
+    * unstable on hapax pairs — and only positive-PMI pairs (observed
+    * more than chance) surface.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = toks.select(size(col("ts")).as("n"))
+      .agg(sum(col("n")).as("nn"))
+    val big = toks.filter(size(col("ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    big
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cb"),
+        snap9(log(col("cb").cast("double") * col("nn").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double")))).as("pmi"))
+      .filter(col("pmi") > 0)
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -1696,6 +1696,39 @@ object Advanced {
            |ORDER BY qid""".stripMargin
       }),
 
+    // PMI collocation mining (TextAnalysis.pmiCollocations, Church &
+    // Hanks 1990): positive-PMI bigrams with count >= 5 — multi-word
+    // expressions / tokenizer merge candidates / boilerplate phrases.
+    // Exact integer counts, one snapped ln per surviving pair.
+    QueryDef(
+      "x94_pmi_collocations",
+      (s, dir) => TextAnalysis.pmiCollocations(Tables(s, dir).documents)
+        .orderBy("w1", "w2"),
+      Some(raw"""WITH tok AS (
+                |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), uni AS (
+                |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+                |  FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY 1
+                |), total AS (
+                |  SELECT CAST(SUM(length(ts)) AS BIGINT) AS nn FROM tok
+                |), pos AS (
+                |  SELECT doc_id, ts, unnest(generate_series(1, length(ts)-1)) AS i
+                |  FROM tok WHERE length(ts) >= 2
+                |), big AS (
+                |  SELECT ts[i] AS w1, ts[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS cb
+                |  FROM pos GROUP BY 1, 2 HAVING COUNT(*) >= 5
+                |)
+                |SELECT b.w1, b.w2, b.cb,
+                |       FLOOR(ln(CAST(b.cb AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                |         / (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))) * 1.0E9 + 0.5) / 1.0E9 AS pmi
+                |FROM big b
+                |JOIN uni u1 ON u1.w = b.w1
+                |JOIN uni u2 ON u2.w = b.w2
+                |CROSS JOIN total t
+                |WHERE FLOOR(ln(CAST(b.cb AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                |  / (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))) * 1.0E9 + 0.5) / 1.0E9 > 0
+                |ORDER BY w1, w2""".stripMargin)),
+
     // Temporal SCD-2 dimension join (ops.Upsert.temporalJoin) — facts
     // enriched with the dimension version valid at EACH FACT'S OWN date
     // (x87 fixes one date for the whole table; this is the per-event
