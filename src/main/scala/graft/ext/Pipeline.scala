@@ -152,6 +152,32 @@ object Pipeline {
       .limit(k)
   }
 
+  /** [[weightedSample]] per group — the quality-weighted version of
+    * [[sourceQuota]]: keep the k best-drawn documents of EACH source,
+    * where the draw is the same A-ES exponential race (so within a
+    * source, inclusion probability is weight-proportional) instead of
+    * the quota's uniform hash rank. One window per group, parallel
+    * across groups — the global-top-k heap becomes a per-source
+    * rank, everything else (key snapping, tie-breaks, zero-weight
+    * exclusion, seed-free determinism) is [[weightedSample]]'s
+    * contract unchanged.
+    */
+  def weightedSamplePerGroup(docs: DataFrame, groupCol: String, weight: Column,
+      k: Int, salt: String = "wsamp|"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key_fp").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(groupCol), weight.as("w"))
+      .filter(col("w") > 0)
+      .withColumn("es_key_fp",
+        floor((-log(u) / col("w")) * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= k)
+  }
+
   def sourceQuota(docs: DataFrame, quota: Int, salt: String = "quota|"): DataFrame = {
     require(quota > 0, "quota must be positive")
     require(!docs.columns.contains("quota_rank"),

@@ -1696,6 +1696,42 @@ object Advanced {
            |ORDER BY qid""".stripMargin
       }),
 
+    // Per-source quality-weighted sampling (Pipeline
+    // .weightedSamplePerGroup): x68's hard quota with x80's A-ES draw —
+    // keep the 10 best-drawn docs of each source, inclusion probability
+    // weight-proportional within the source. One window per source.
+    QueryDef(
+      "x95_weighted_sample_per_source",
+      (s, dir) => Pipeline.weightedSamplePerGroup(Tables(s, dir).documents,
+        "source", TextAnalysis.qualityScoreExpr, 10).orderBy("doc_id"),
+      Some {
+        val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+        raw"""WITH t AS (
+             |  SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS ts FROM documents
+             |), m AS (
+             |  SELECT doc_id, source, length(ts) AS n_tokens,
+             |    CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts) AS stopword_ratio,
+             |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) AS special_ratio
+             |  FROM t
+             |), wts AS (
+             |  SELECT doc_id, source,
+             |    0.4 * stopword_ratio + 0.3 * (1.0 - special_ratio) +
+             |    0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS w
+             |  FROM m
+             |), keyed AS (
+             |  SELECT doc_id, source, w,
+             |    CAST(FLOOR((-ln((CAST(('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+             |      / 4294967296.0) / w) * 1.0E9 + 0.5) AS BIGINT) AS es_key_fp
+             |  FROM wts WHERE w > 0
+             |)
+             |SELECT doc_id, source, w, es_key_fp, pick_rank FROM (
+             |  SELECT doc_id, source, w, es_key_fp,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY es_key_fp ASC, doc_id ASC) AS BIGINT) AS pick_rank
+             |  FROM keyed) r
+             |WHERE pick_rank <= 10 ORDER BY doc_id""".stripMargin
+      }),
+
     // PMI collocation mining (TextAnalysis.pmiCollocations, Church &
     // Hanks 1990): positive-PMI bigrams with count >= 5 — multi-word
     // expressions / tokenizer merge candidates / boilerplate phrases.

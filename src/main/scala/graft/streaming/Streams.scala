@@ -229,6 +229,56 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental-ROLLUP maintenance: where [[changelogSink]]
+    * keeps the keyed TABLE current, this keeps a (groupKey, n, total)
+    * aggregate current from the same both-images changelog stream —
+    * ops.Incremental's delta algebra applied per micro-batch, so the
+    * rollup never rescans its base. The changelog must arrive in
+    * commit order per key (the [[graft.ops.Incremental]] contract:
+    * deltas compose by addition, so batching is free, but an update's
+    * old image must match what the rollup already absorbed). Same
+    * write-then-swap durability as the other sinks; DECIMAL totals keep
+    * the running rollup bit-equal to a recompute at every batch
+    * boundary (pinned in StreamingSpec).
+    */
+  def incrementalAggSink(spark: SparkSession, changelog: DataFrame,
+      groupKey: String, oldVal: String, newVal: String, targetPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    changelog.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark2 = batch.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
+          val targetP = new org.apache.hadoop.fs.Path(targetPath)
+          val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+          // The rollup's total pins to DECIMAL(28,4): sums/additions widen
+          // decimal precision per operation, and without a fixed landing
+          // type the schema would creep a digit per batch until Spark's
+          // 38-digit cap forces a scale change.
+          val totalType = org.apache.spark.sql.types.DecimalType(28, 4)
+          val prev =
+            if (fs.exists(targetP)) spark2.read.parquet(targetPath)
+            else batch.sparkSession.emptyDataFrame
+              .withColumn(groupKey, lit(null).cast(batch.schema(groupKey).dataType))
+              .withColumn("n", lit(null).cast("long"))
+              .withColumn("total", lit(null).cast(totalType))
+              .filter(lit(false))
+          val merged = graft.ops.Incremental
+            .applyCountSumDelta(prev, batch, groupKey, oldVal, newVal)
+            .select(col(groupKey), col("n"), col("total").cast(totalType).as("total"))
+          merged.write.mode("overwrite").parquet(tmpP.toString)
+          if (fs.exists(targetP) && !fs.delete(targetP, true))
+            throw new java.io.IOException(s"incrementalAggSink: could not clear $targetPath")
+          if (!fs.rename(tmpP, targetP))
+            throw new java.io.IOException(s"incrementalAggSink: rename $tmpP -> $targetPath failed")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming SCD-2 sink: maintain a HISTORY-PRESERVING dimension from a
     * change stream via foreachBatch + ops.Upsert.scd2 — the history twin
     * of [[upsertSink]]'s last-write-wins merge. Each micro-batch reduces

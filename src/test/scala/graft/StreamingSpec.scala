@@ -149,6 +149,38 @@ class StreamingSpec extends SparkSuite {
       .collect().toMap === Map(1L -> 11.0, 4L -> 40.0))
   }
 
+  test("streaming incremental rollup equals a full recompute after every batch") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-incagg-").toString
+    val target = s"$dir/rollup"
+    // Both-images changelog stream: (grp, action, old_p, new_p).
+    val src = MemoryStream[(Long, String, Option[Double], Option[Double])]
+    val q = Streams.incrementalAggSink(spark,
+      src.toDF().toDF("grp", "action", "old_d", "new_d")
+        .select(col("grp"), col("action"),
+          queries.money(col("old_d")).as("old_p"),
+          queries.money(col("new_d")).as("new_p")),
+      "grp", "old_p", "new_p", target)
+    def rollup = spark.read.parquet(target)
+      .select(col("grp"), col("n"), col("total").cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (g, n, t) => g -> ((n, t)) }.toMap
+
+    // Batch 1: two groups arrive.
+    src.addData((10L, "insert", None, Some(5.0)), (10L, "insert", None, Some(7.0)),
+      (20L, "insert", None, Some(9.0)))
+    q.processAllAvailable()
+    assert(rollup === Map(10L -> ((2L, 12.0)), 20L -> ((1L, 9.0))))
+    // Batch 2: update one row of group 10 (5.0 -> 6.5), delete group 20's
+    // only row (the group must vanish), open group 30.
+    src.addData((10L, "update", Some(5.0), Some(6.5)),
+      (20L, "delete", Some(9.0), None),
+      (30L, "insert", None, Some(1.25)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rollup === Map(10L -> ((2L, 13.5)), 30L -> ((1L, 1.25))))
+  }
+
   test("streaming SCD-2 sink: history equals sequential batch scd2 application") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-scd2-").toString
