@@ -26,9 +26,14 @@ import org.apache.spark.sql.SparkSession
   *     when cold beat [[FiveRunThresholdSec]] — and "queries_median"/
   *     "median_total" carry the 3- or 5-sample median — the noise-robust
   *     series (this host shows ±4s VM noise; r3's
-  *     x10/x12/q04/r01 "regressions" were it). Repeats may hit frames
-  *     cached by the first run, so medians measure steady-state, not
-  *     cold engine cost — that is what makes them stable.
+  *     x10/x12/q04/r01 "regressions" were it). The library's own
+  *     model/candidate memo caches (trained k-means, minhash bands, ANN
+  *     candidates) are CLEARED before every rerun: a median that hits
+  *     the kmCache measures a TrieMap lookup, not the work (r6: x57
+  *     median 0.096 s vs cold 10.18 s was exactly that). Spark-level
+  *     caches (the warmed view) stay — legitimate shared state. A
+  *     model-training query's median can therefore exceed its cold run
+  *     when the cold freeloaded on a sibling's cache (x58 after x57).
   *   - results are materialized through the noop sink: count() lets
   *     Catalyst drop sorts/projections, under-measuring ORDER BY queries;
   *     noop forces the full physical plan
@@ -98,13 +103,19 @@ object Bench {
     // Rerun timing for the median series: a rerun failure must NOT mark a
     // cold-successful query as failed in the headline (nor enter it twice),
     // so reruns record nothing — they only contribute a sample or don't.
-    def timeQuiet(name: String): Double =
+    def timeQuiet(name: String): Double = {
+      // Clear the library's model/candidate memo caches so the rerun
+      // measures steady-state COMPUTATION, not a memo-table hit (see
+      // methodology scaladoc). Clearing costs only unpersist calls.
+      graft.ext.Dedup.clearCaches(spark)
+      graft.ext.Similarity.clearCaches(spark)
       try timed(Registry.queryMap(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name rerun failed (median falls back): ${e.getMessage}")
         -1.0
       }
+    }
 
     /** (cold, median) — see scaladoc. Sub-[[FiveRunThresholdSec]] colds
       * take a 5-sample median, the rest of the sub-threshold range a

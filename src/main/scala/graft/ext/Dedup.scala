@@ -291,6 +291,86 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: (doc_a, doc_b) where at
+    * least tNum/tDen of doc_a's distinct tokens also occur in doc_b —
+    * containment |A∩B| / |A|, the quote/excerpt/boilerplate-wrap
+    * detector symmetric Jaccard ([[prefixJaccardPairs]]) is blind to: a
+    * paragraph quoted inside a 100× larger page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0. Ordered pairs, doc_a the contained side.
+    *
+    * Prefix filtering adapts to the asymmetry: only the CONTAINED side
+    * can be prefix-pruned. If |A∩B| ≥ ceil(t·|A|), then A's rarest
+    * |A| − ceil(t·|A|) + 1 tokens (global df asc, token asc) must hit B
+    * — were they all missing, the overlap could be at most
+    * ceil(t·|A|) − 1. So candidates come from A-prefix tokens joined
+    * against B's FULL token set, and the verification count runs over
+    * candidates only. Same integer-exact threshold discipline as
+    * [[prefixJaccardPairs]]: prefix length and the final test
+    * (tDen·inter ≥ tNum·n_a) are pure integer arithmetic; the
+    * containment column is the one double, the identical division in
+    * both engines.
+    *
+    * Scale: the candidate join is still rarity-bounded on the contained
+    * side (a token in many prefixes is globally rare), but the container
+    * side contributes its full posting list — on corpora with huge
+    * common-token posting lists, shrink tDen−tNum (raise the threshold)
+    * or pre-drop ubiquitous tokens; df is already computed for the
+    * ranking, so a df cap is one extra filter.
+    */
+  def containmentPairs(docs: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
+    val prefix = tok.join(df, Seq("tok"))
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rnk") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val interCount = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    interCount
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+        (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
+  /** Dedup RETENTION POLICY: for every near-dup cluster keep the
+    * highest-quality document, not the lowest id — [[duplicateClusters]]
+    * answers "what is duplicated", this answers the question a training
+    * pipeline actually acts on: "which copy survives". Quality is
+    * [[TextAnalysis.qualityScoreExpr]] (the x02-gated expression, so the
+    * ordering is cross-engine deterministic bit-for-bit), ties break to
+    * the smaller doc_id; singleton clusters keep themselves. Returns
+    * every document with its cluster, score, and `kept` flag, so the
+    * drop set and the survivor set are both one filter away.
+    *
+    * Scale shape: clustering is the bounded star-contraction loop; the
+    * score is one projection; the winner is one per-cluster window over
+    * the labeled corpus — no join back to pair-space.
+    */
+  def keepBestPerCluster(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val scored = docs.withColumn("quality_score", TextAnalysis.qualityScoreExpr)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    duplicateClusters(docs, threshold).select(col("doc_id"), col("cluster"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select("doc_id", "cluster", "quality_score", "kept")
+  }
+
   /** Duplicate clusters: connected components over the near-duplicate
     * pair graph — the actionable output of a dedup pipeline ("keep the
     * min-id document of every cluster"). Two-phase star contraction

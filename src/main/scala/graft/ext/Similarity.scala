@@ -278,6 +278,30 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "score")
   }
 
+  /** Mutual-kNN graph construction from the banded [[annTopK]] index:
+    * an undirected edge (a, b) exists iff b is in a's top-k AND a is in
+    * b's — the symmetric sparsifier that graph-based clustering and
+    * manifold methods (UMAP's fuzzy graph, kNN spectral clustering,
+    * hierarchical ANN merges) build on, because mutuality prunes the
+    * hub-spoke edges where a celebrity vector is "near" everyone who is
+    * not near it. Output is canonical (src < dst) with the exact cosine.
+    *
+    * Scale shape: the top-k lists come from the banded candidate join
+    * (never all-pairs), and mutuality is ONE self-semi-join on the
+    * reversed (src, dst) key — each side carries at most k rows per
+    * vertex, so the join is k·N vs k·N on a composite key with no skew
+    * amplification. The cosine needs no recompute on the reversed copy:
+    * dot(a,b) is the same fold both directions, bit-identically.
+    */
+  def mutualKnn(embeddings: DataFrame, k: Int): DataFrame = {
+    val top = annTopK(embeddings, k)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"), col("score"))
+    val rev = top.select(col("dst").as("src"), col("src").as("dst"))
+    top.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("score"))
+  }
+
   /** Retrieval-quality evaluation of the banded ANN index against exact
     * ground truth — the harness that turns "the index feels fine" into a
     * gated number: per query, recall@k (fraction of the true top-k the

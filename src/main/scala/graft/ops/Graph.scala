@@ -19,30 +19,41 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Per-vertex triangle census over an UNDIRECTED graph given as
-    * canonical edges (src < dst, no duplicates — the shape
-    * `Similarity.annPairs` emits): degree, triangle count, and the local
-    * clustering coefficient 2·T / (d·(d−1)) (NULL when degree < 2 —
-    * 3VL, not a fake zero).
+  /** Per-vertex triangle census over an UNDIRECTED graph: degree,
+    * triangle count, and the local clustering coefficient
+    * 2·T / (d·(d−1)) (NULL when degree < 2 — 3VL, not a fake zero).
+    * Edges are canonicalized defensively (least/greatest + distinct), so
+    * a reversed or duplicate edge cannot inflate degrees or counts.
     *
-    * The join enumerates each triangle exactly once as the ordered wedge
-    * a<b<c: edges (a,b)⋈(b,c) on the middle vertex, closed by (a,c).
-    * Candidate volume is Σ_b deg_lo(b)·deg_hi(b), the standard bound; at
-    * scale the wedge join hash-partitions on the pivot vertex and the
-    * closing probe is another equi-join — no vertex ever sees more than
-    * its own wedge set. (The deg-ordered orientation that bounds skew on
-    * power-law graphs — orient edges low-degree→high-degree before the
-    * wedge join — drops in here without changing the contract.)
+    * Triangles are enumerated once each via the DEGREE-ORDERED
+    * orientation (the node-iterator/compact-forward bound, Latapy 2008):
+    * every edge points from its lower-(degree, id) endpoint to the
+    * higher, the wedge join pairs the out-neighbors of each pivot, and
+    * the closing probe is an equi-join on the (b, c) pair — which the
+    * orientation guarantees is itself oriented b→c. Per-pivot wedge
+    * volume is out-degree², and oriented out-degree is O(√m) on ANY
+    * graph — so a power-law hub (raw degree O(n)) contributes ZERO
+    * wedges as a pivot instead of O(deg²); GraphSpec pins this on a
+    * hub fixture. All three joins hash-partition on vertex keys.
     */
   def triangleStats(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    // The canonical and oriented edge sets are each referenced several
+    // times below (degree, both wedge sides, the closing probe); without
+    // lineage truncation every reference would re-evaluate the upstream
+    // edge GENERATOR (often a banded similarity join costlier than this
+    // whole census) — so both materialize once, the [[hits]] convention.
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(e.as("e3"),
-        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+    val o = orientByDegree(e, deg).localCheckpoint()
+    val tri = o.as("e1")
+      .join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.rdst") < col("e2.rdst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
     val perVertex = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
     vertices
@@ -55,6 +66,65 @@ object Graph {
           lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
             / (col("degree").cast("double") * (col("degree").cast("double") - lit(1.0))))
           .as("clustering_coeff"))
+  }
+
+  /** Degree-ordered edge orientation over canonical undirected edges
+    * (u, v): each edge points from the endpoint with the smaller
+    * (degree, id) pair to the larger — ties on degree break by id, so
+    * the orientation is a total order and acyclic. Returns
+    * (src, dst, rdst) with `rdst` the (degree, id) rank struct of the
+    * head, which the wedge join compares to order a pivot's two
+    * out-neighbors (struct comparison is ordinal in Spark). Out-degree
+    * under this orientation is ≤ O(√m) for every vertex — the skew
+    * bound that keeps the wedge join safe on power-law graphs.
+    */
+  private[graft] def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
+    val rk = deg.select(col("id"), struct(col("degree"), col("id")).as("rk"))
+    e.join(rk.select(col("id").as("u"), col("rk").as("ru")), "u")
+      .join(rk.select(col("id").as("v"), col("rk").as("rv")), "v")
+      .select(
+        when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rdst"))
+  }
+
+  /** Synchronous min-label propagation over an UNDIRECTED graph, a FIXED
+    * number of rounds: every vertex starts labeled with its own id and
+    * each round takes the minimum of its label and its neighbors' —
+    * after r rounds a vertex's label is the minimum id within r hops, so
+    * communities are "who can reach a common low id quickly", the
+    * bounded-radius community notion (Raghavan et al. 2007's propagation
+    * schedule, with min instead of mode so the fixed point is unique and
+    * order-independent). Complements [[graft.ext.Dedup.componentsFromEdges]]:
+    * components converge fully in O(log d) adaptive rounds; this is the
+    * FIXED-round variant whose every round a serial SQL engine can
+    * replay — which is what puts it under the DuckDB gate.
+    *
+    * Per round: one equi-join of labels onto edge sources, one min-
+    * aggregate onto destinations, one left join back to the vertex set —
+    * all hash-partitioned on vertex id (co-locatable at scale by
+    * pre-partitioning, the [[PageRank]] convention). Each round
+    * references the previous labels twice (the join and the fallback),
+    * so rounds localCheckpoint instead of unrolling 2^r plan copies —
+    * the Pregel convention [[hits]] documents.
+    */
+  def labelPropagation(edges: DataFrame, vertices: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var label = vertices.select(col("id"), col("id").as("label"))
+    (0 until rounds).foreach { _ =>
+      val nbrMin = sym.join(label, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      label = label.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    sym.unpersist(blocking = false)
+    label
   }
 
   /** HITS hubs/authorities (Kleinberg, "Authoritative Sources in a

@@ -24,7 +24,16 @@ object Incremental {
     * order-free, so the incremental result is bit-identical to a full
     * recompute — the property the x92 gate proves against DuckDB.
     * Groups whose count reaches zero drop (matching recompute, where
-    * the group no longer exists).
+    * the group no longer exists). NULL value images contribute 0 to the
+    * total on whichever side is NULL (an insert of a NULL value adds
+    * nothing; a NULL→v update adds v; a v→NULL update subtracts v) —
+    * matching sum()'s NULL-skipping in a full recompute, instead of the
+    * whole delta evaluating to NULL and being silently dropped. One
+    * inherent divergence remains: a surviving group whose values are ALL
+    * NULL reports total 0 where a full recompute's sum() reports NULL —
+    * (n, total) state cannot distinguish "all NULL" from "sums to 0"
+    * without a third counter; callers for whom that distinction matters
+    * should 0-coalesce values at ingestion.
     *
     * Scale shape: one aggregate over the changelog (tiny), one
     * full-outer join against the previous aggregate on the group key —
@@ -38,9 +47,10 @@ object Incremental {
         sum(when(col("action") === "insert", 1L)
           .when(col("action") === "delete", -1L)
           .otherwise(0L)).as("__dn"),
-        sum(when(col("action") === "insert", col(newVal))
-          .when(col("action") === "delete", -col(oldVal))
-          .otherwise(col(newVal) - col(oldVal))).as("__dtotal"))
+        sum(when(col("action") === "insert", coalesce(col(newVal), lit(0)))
+          .when(col("action") === "delete", -coalesce(col(oldVal), lit(0)))
+          .otherwise(coalesce(col(newVal), lit(0)) - coalesce(col(oldVal), lit(0))))
+          .as("__dtotal"))
     agg.join(delta, Seq(groupKey), "full_outer")
       .select(col(groupKey),
         (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),

@@ -80,14 +80,26 @@ object PageRank {
     *
     * Overflow needs the per-edge product bound too: rank·w ≤ n·base·wMax
     * must fit a signed 64-bit long, so the guard reads max(w) (one tiny
-    * aggregate) alongside the vertex count.
+    * aggregate) alongside the vertex count. The same aggregate reads
+    * min(w) and requires it > 0: a zero or negative weight would make
+    * some src's Σw_out ≤ 0, and the DIV's NULLs/garbage would be
+    * silently absorbed by the incoming sum() — corrupted ranks, not an
+    * error — so bad weights fail fast here instead. Both aggregates
+    * cast to long, so any integral weight column type is accepted.
     */
   def pagerankWeighted(edges: DataFrame, vertices: DataFrame,
       iterations: Int = 3, base: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
     val n = vertices.count()
-    val wMax = edges.agg(max(col("w"))).first().getLong(0)
-    require(n > 0 && wMax > 0, "pagerankWeighted needs vertices and positive weights")
+    require(n > 0, "pagerankWeighted needs at least one vertex")
+    val wStats = edges.agg(min(col("w").cast("long")).as("wmin"),
+      max(col("w").cast("long")).as("wmax")).first()
+    require(!wStats.isNullAt(0), "pagerankWeighted: empty edge set")
+    val wMin = wStats.getLong(0)
+    val wMax = wStats.getLong(1)
+    require(wMin > 0,
+      s"pagerankWeighted: every edge weight must be positive (min=$wMin); " +
+        "zero/negative weights corrupt ranks via NULL-dropping division")
     require(n <= Long.MaxValue / 85L / base &&
         n <= Long.MaxValue / wMax / base,
       s"pagerankWeighted: n($n) * base($base) * max(85, wMax=$wMax) would " +

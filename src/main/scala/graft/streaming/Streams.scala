@@ -126,15 +126,66 @@ object Streams {
       .select(col("user_id"), col("purchase_ts"), col("value"), col("click_ts"))
   }
 
+  /** Crash-atomic commit of a freshly written `targetPath + "_tmp"`
+    * directory over `targetPath`, shared by every parquet-swap sink
+    * here. The old delete-then-rename had a crash window in which the
+    * target was simply GONE; this is the bak-rename-commit protocol:
+    *
+    *   1. delete any stale `_bak` (only possible if a previous commit
+    *      crashed after step 3 — target is live then, so it IS stale)
+    *   2. rename target → `_bak` (target absent only while bak is a
+    *      complete copy)
+    *   3. rename `_tmp` → target
+    *   4. delete `_bak`
+    *
+    * At every instant at least one of {target, bak} holds a complete
+    * table, and [[readLivePath]] prefers target and falls back to bak —
+    * so a crash at ANY step leaves the next batch (or any reader using
+    * the same fallback) a complete table. Failed renames throw: a
+    * silently failed swap would orphan the table and let the next batch
+    * bootstrap from empty. On a transactional table format this whole
+    * dance is one MERGE INTO; this is the no-dependency equivalent.
+    */
+  private[graft] def commitSwap(fs: org.apache.hadoop.fs.FileSystem,
+      targetPath: String, sink: String): Unit = {
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+    val bakP = new org.apache.hadoop.fs.Path(targetPath + "_bak")
+    if (fs.exists(targetP)) {
+      if (fs.exists(bakP) && !fs.delete(bakP, true))
+        throw new java.io.IOException(s"$sink: could not clear stale $bakP")
+      if (!fs.rename(targetP, bakP))
+        throw new java.io.IOException(s"$sink: rename $targetP -> $bakP failed")
+    }
+    if (!fs.rename(tmpP, targetP))
+      throw new java.io.IOException(s"$sink: rename $tmpP -> $targetPath failed")
+    if (fs.exists(bakP) && !fs.delete(bakP, true))
+      throw new java.io.IOException(s"$sink: could not drop committed $bakP")
+  }
+
+  /** The read half of [[commitSwap]]'s protocol: the live copy of a
+    * swap-maintained table — the target if present, else the `_bak` a
+    * crash between commit steps 2 and 3 left behind; None before the
+    * first commit. Sinks read their previous state through this, so a
+    * torn commit self-heals on the next batch. */
+  private[graft] def readLivePath(fs: org.apache.hadoop.fs.FileSystem,
+      targetPath: String): Option[String] = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(targetPath))) Some(targetPath)
+    else {
+      val bak = targetPath + "_bak"
+      if (fs.exists(new org.apache.hadoop.fs.Path(bak))) Some(bak) else None
+    }
+  }
+
   /** Streaming upsert sink: maintain a keyed parquet table from a change
     * stream via foreachBatch + ops.Upsert — last batch wins per key, the
     * MERGE-INTO shape without a transactional table format. Each micro-
     * batch is deduplicated to its latest row per key (by `orderCol`
-    * descending — foreachBatch may see several updates for one key) and
-    * merged into the target path; the read-merge-rewrite is atomic per
-    * batch here via write-then-swap semantics of overwrite, and maps to
-    * a real MERGE INTO on a transactional store with zero plan change.
-    * Returns the running query (caller stops it).
+    * descending, ties broken by every payload column so a replayed batch
+    * crowns the same winner) and merged into the target path; the
+    * read-merge-rewrite commits via [[commitSwap]], so no crash instant
+    * leaves the table absent. Returns the running query (caller stops
+    * it).
     */
   def upsertSink(spark: SparkSession, updates: DataFrame, keys: Seq[String],
       orderCol: String, targetPath: String)
@@ -143,33 +194,31 @@ object Streams {
     updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Payload columns tie-break equal orderCol values (scd2Sink's
+        // convention): an under-specified sort would let a replayed
+        // batch crown a different winner per key and diverge the table.
+        val tieBreak = batch.columns.toSeq
+          .filterNot(c => keys.contains(c) || c == orderCol).sorted.map(col(_).asc)
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(orderCol).desc)
+          .orderBy(col(orderCol).desc +: tieBreak: _*)
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val spark2 = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(
           java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-        val targetP = new org.apache.hadoop.fs.Path(targetPath)
         val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
-        val merged =
-          if (fs.exists(targetP)) {
-            val target = spark2.read.parquet(targetPath)
+        val merged = readLivePath(fs, targetPath) match {
+          case Some(live) =>
+            val target = spark2.read.parquet(live)
             graft.ops.Upsert.upsert(target, latest.select(target.columns.map(col): _*), keys)
-          } else latest
+          case None => latest
+        }
         // The merged plan reads the path being replaced, so it lands in a
         // temp dir first and the directories swap — distributed write, no
-        // driver-side materialization. The swap is not crash-atomic; a
-        // transactional table format (where this whole body is one MERGE
-        // INTO) is the production upgrade, with an identical stream plan.
+        // driver-side materialization, crash-atomic via commitSwap.
         merged.write.mode("overwrite").parquet(tmpP.toString)
-        // Surface a failed swap: ignoring the booleans would drop the
-        // whole keyed table and let the next batch bootstrap from empty.
-        if (fs.exists(targetP) && !fs.delete(targetP, true))
-          throw new java.io.IOException(s"upsertSink: could not clear $targetPath")
-        if (!fs.rename(tmpP, targetP))
-          throw new java.io.IOException(s"upsertSink: rename $tmpP -> $targetPath failed")
+        commitSwap(fs, targetPath, "upsertSink")
         ()
       }
       .start()
@@ -198,31 +247,34 @@ object Streams {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // action + payload columns tie-break equal orderCol values
+          // (scd2Sink's convention): without them a replayed batch could
+          // pick a different action for a key and diverge the table —
+          // exactly the replay-divergence this sink exists to prevent.
+          val tieBreak = batch.columns.toSeq
+            .filterNot(c => keys.contains(c) || c == orderCol).sorted.map(col(_).asc)
           val w = Window.partitionBy(keys.map(col): _*)
-            .orderBy(col(orderCol).desc)
+            .orderBy(col(orderCol).desc +: tieBreak: _*)
           val latest = batch
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn", orderCol)
           val spark2 = batch.sparkSession
           val fs = org.apache.hadoop.fs.FileSystem.get(
             java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-          val targetP = new org.apache.hadoop.fs.Path(targetPath)
           val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
           val upserts = latest.filter(col("action") =!= "delete").drop("action")
           val deletes = latest.filter(col("action") === "delete")
             .select(keys.map(col): _*)
-          val merged =
-            if (fs.exists(targetP)) {
-              val target = spark2.read.parquet(targetPath)
+          val merged = readLivePath(fs, targetPath) match {
+            case Some(live) =>
+              val target = spark2.read.parquet(live)
               graft.ops.Upsert
                 .upsert(target, upserts.select(target.columns.map(col): _*), keys)
                 .join(deletes, keys, "left_anti")
-            } else upserts.join(deletes, keys, "left_anti")
+            case None => upserts.join(deletes, keys, "left_anti")
+          }
           merged.write.mode("overwrite").parquet(tmpP.toString)
-          if (fs.exists(targetP) && !fs.delete(targetP, true))
-            throw new java.io.IOException(s"changelogSink: could not clear $targetPath")
-          if (!fs.rename(tmpP, targetP))
-            throw new java.io.IOException(s"changelogSink: rename $tmpP -> $targetPath failed")
+          commitSwap(fs, targetPath, "changelogSink")
         }
         ()
       }
@@ -251,28 +303,25 @@ object Streams {
           val spark2 = batch.sparkSession
           val fs = org.apache.hadoop.fs.FileSystem.get(
             java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-          val targetP = new org.apache.hadoop.fs.Path(targetPath)
           val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
           // The rollup's total pins to DECIMAL(28,4): sums/additions widen
           // decimal precision per operation, and without a fixed landing
           // type the schema would creep a digit per batch until Spark's
           // 38-digit cap forces a scale change.
           val totalType = org.apache.spark.sql.types.DecimalType(28, 4)
-          val prev =
-            if (fs.exists(targetP)) spark2.read.parquet(targetPath)
-            else batch.sparkSession.emptyDataFrame
+          val prev = readLivePath(fs, targetPath) match {
+            case Some(live) => spark2.read.parquet(live)
+            case None => batch.sparkSession.emptyDataFrame
               .withColumn(groupKey, lit(null).cast(batch.schema(groupKey).dataType))
               .withColumn("n", lit(null).cast("long"))
               .withColumn("total", lit(null).cast(totalType))
               .filter(lit(false))
+          }
           val merged = graft.ops.Incremental
             .applyCountSumDelta(prev, batch, groupKey, oldVal, newVal)
             .select(col(groupKey), col("n"), col("total").cast(totalType).as("total"))
           merged.write.mode("overwrite").parquet(tmpP.toString)
-          if (fs.exists(targetP) && !fs.delete(targetP, true))
-            throw new java.io.IOException(s"incrementalAggSink: could not clear $targetPath")
-          if (!fs.rename(tmpP, targetP))
-            throw new java.io.IOException(s"incrementalAggSink: rename $tmpP -> $targetPath failed")
+          commitSwap(fs, targetPath, "incrementalAggSink")
         }
         ()
       }
@@ -325,22 +374,17 @@ object Streams {
           val spark2 = batch.sparkSession
           val fs = org.apache.hadoop.fs.FileSystem.get(
             java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-          val targetP = new org.apache.hadoop.fs.Path(targetPath)
           val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
-          val merged =
-            if (fs.exists(targetP))
-              graft.ops.Upsert.scd2(spark2.read.parquet(targetPath), upd,
+          val merged = readLivePath(fs, targetPath) match {
+            case Some(live) =>
+              graft.ops.Upsert.scd2(spark2.read.parquet(live), upd,
                 key, payload, eff)
-            else upd
+            case None => upd
               .withColumn("valid_from", lit(eff))
               .withColumn("valid_to", lit(null).cast("string"))
+          }
           merged.write.mode("overwrite").parquet(tmpP.toString)
-          // A silently failed swap would orphan the history and let the
-          // next batch bootstrap from empty — fail the query instead.
-          if (fs.exists(targetP) && !fs.delete(targetP, true))
-            throw new java.io.IOException(s"scd2Sink: could not clear $targetPath")
-          if (!fs.rename(tmpP, targetP))
-            throw new java.io.IOException(s"scd2Sink: rename $tmpP -> $targetPath failed")
+          commitSwap(fs, targetPath, "scd2Sink")
         }
         ()
       }

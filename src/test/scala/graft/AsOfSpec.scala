@@ -206,6 +206,32 @@ class AsOfSpec extends SparkSuite {
     assert(inc.map(_._1) === Seq(10L, 30L))
   }
 
+  test("applyCountSumDelta: NULL value images contribute 0, matching sum()'s NULL-skip") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    // grp 10: v->NULL update (id1) + NULL->v update (id2);
+    // grp 20: delete a valued row (id3) AND a NULL row (id5) -> vanishes;
+    // grp 30: insert a NULL row (id4) alongside a valued one (id6).
+    val v1 = Seq((1L, 10L, Some(5.0)), (2L, 10L, None), (3L, 20L, Some(9.0)),
+      (5L, 20L, None: Option[Double])).toDF("id", "grp", "v")
+    val v2 = Seq((1L, 10L, None), (2L, 10L, Some(4.0)), (4L, 30L, None),
+      (6L, 30L, Some(2.0))).toDF("id", "grp", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy("grp")
+      .agg(cnt(lit(1)).as("n"), sum(queries.money(col("v"))).as("total"))
+    val cl = graft.ops.Upsert.snapshotDiffImages(v1, v2, Seq("id"))
+      .select(coalesce(col("new_grp"), col("old_grp")).as("grp"), col("action"),
+        queries.money(col("old_v")).as("old_p"), queries.money(col("new_v")).as("new_p"))
+    val inc = graft.ops.Incremental.applyCountSumDelta(agg(v1), cl, "grp", "old_p", "new_p")
+      .select(col("grp"), col("n"), col("total").cast("double"))
+      .orderBy("grp").as[(Long, Long, Double)].collect().toSeq
+    val full = agg(v2)
+      .select(col("grp"), col("n"), col("total").cast("double"))
+      .orderBy("grp").as[(Long, Long, Double)].collect().toSeq
+    // Before the 0-coalesce fix the grp-10 delta was NULL (silently
+    // dropped by sum) and the total diverged from the recompute.
+    assert(inc === full)
+    assert(inc === Seq((10L, 2L, 4.0), (30L, 2L, 2.0)))
+  }
+
   test("snapshotDiff: insert/delete/update classified; deletes carry the old image; NULL flips count") {
     val oldSnap = Seq(
       (1L, Some("a"), 10L),  // unchanged

@@ -299,6 +299,24 @@ class ExtSpec extends SparkSuite {
     assert(ann.size >= (exact.size * 0.8).toInt, s"recall ${ann.size}/${exact.size}")
   }
 
+  test("x89 contract: banded ANN recall@5 on the pinned query set never drops below the floor") {
+    // The x89 gate MEASURES recall; this pins it as a CONTRACT, so a
+    // change that silently halves banding quality fails tests instead of
+    // just shifting numbers in the artifact. Both sides (annTopK and
+    // bruteKnn) are deterministic, so the measured recall is exact and
+    // stable on the committed corpus — the floor has no noise margin to
+    // leave.
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val r = Similarity.annRecall(emb, 0L until 10L, 5)
+      .select(col("qid"), col("recall_at_k"), col("rr")).collect()
+    val mean = r.map(_.getDouble(1)).sum / r.length
+    assert(mean >= 0.8, f"mean recall@5 $mean%.2f fell below the 0.80 floor")
+    // No individual query may go dark: the index must surface at least
+    // 2 of each query's true top-5.
+    assert(r.map(_.getDouble(1)).min >= 0.4,
+      s"worst-query recall ${r.map(_.getDouble(1)).min} below 0.40")
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
     val b = Similarity.lshBuckets(Seq((0L, v), (1L, v)).toDF("vec_id", "embedding"))

@@ -37,6 +37,33 @@ class GraphSpec extends SparkSuite {
     assert(r.select("clustering_coeff").as[Double].collect().forall(_ === 1.0))
   }
 
+  test("degree orientation bounds per-pivot wedges on a hub graph; dirty edges normalize") {
+    // Star: hub 100 joined to 1..50, plus edge (1,2) closing ONE triangle.
+    // Dirty input: a reversed duplicate (100,1) and an exact duplicate
+    // (1,100) — neither may inflate degrees or counts.
+    val star = (1L to 50L).map(i => (i, 100L))
+    val edges = (star ++ Seq((1L, 2L), (100L, 1L), (1L, 100L))).toDF("src", "dst")
+    val verts = ((1L to 50L) :+ 100L).toDF("id")
+    val r = Graph.triangleStats(edges, verts).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r.last === ((100L, 50L, 1L)), "hub: degree 50 despite duplicates, 1 triangle")
+    assert(r.head === ((1L, 2L, 1L)) && r(1) === ((2L, 2L, 1L)))
+    assert(r.map(_._3).sum === 3L, "exactly one triangle, counted at 3 vertices")
+    // The orientation itself: the hub has the maximal (degree, id) rank,
+    // so every incident edge points INTO it — the raw-degree-50 vertex
+    // pivots ZERO wedges, and no pivot exceeds out-degree 2 (the O(√m)
+    // bound that keeps the wedge join skew-safe on power-law graphs).
+    val e = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val o = Graph.orientByDegree(e, deg)
+    assert(o.filter(col("src") === 100L).count() === 0L, "hub must never pivot")
+    val maxOut = o.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxOut <= 2L, s"oriented out-degree should be tiny, got $maxOut")
+  }
+
   test("HITS: star authorities and hubs land where Kleinberg says") {
     // 1,2,3 all point at 4; 5 isolated.
     val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")

@@ -79,6 +79,23 @@ class PageRankSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("weighted guard rejects empty edges and non-positive weights; int weights accepted") {
+    val verts = (0L to 2L).toDF("id")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assertThrows[IllegalArgumentException] {
+      PageRank.pagerankWeighted(empty, verts, 1)
+    }
+    // A single zero weight must fail fast — its src's Σw_out can hit 0
+    // and the DIV's NULLs would be silently dropped by sum() otherwise.
+    val zeroW = Seq((0L, 1L, 1L), (1L, 2L, 0L)).toDF("src", "dst", "w")
+    assertThrows[IllegalArgumentException] {
+      PageRank.pagerankWeighted(zeroW, verts, 1)
+    }
+    // IntegerType weights pass the (cast-based) guard and run.
+    val intW = Seq((0L, 1L, 3), (1L, 2L, 4)).toDF("src", "dst", "w")
+    assert(PageRank.pagerankWeighted(intW, verts, 1).count() === 3L)
+  }
+
   test("overflow guard rejects a base the vertex count cannot carry") {
     val (edges, verts) = graph
     val huge = Long.MaxValue / 100L

@@ -195,6 +195,37 @@ class PlanSpec extends SparkSuite {
       s"the A-ES draw must not join anything:\n$plan")
   }
 
+  test("x34 repetition stays two aggregates + one doc_id equi-join over pruned scans") {
+    // Bench adjudication (r6 verdict: x34's median moved 2.7x with
+    // untouched code): pin the plan shape so a real regression is
+    // distinguishable from host noise. The trigram and token aggregates
+    // must join on doc_id as an equi-join over scans pruned to
+    // (doc_id, text) — no nested loop, no window, no extra columns.
+    val plan = executed("x34_repetition")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"x34 degenerated to a non-equi join:\n$plan")
+    assert(!plan.contains("Window"), s"x34 grew a window:\n$plan")
+    val scanLines = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanLines.nonEmpty && scanLines.forall(l =>
+      l.contains("doc_id") && l.contains("text") && !l.contains("source")),
+      s"x34 scans not pruned to (doc_id, text): $scanLines")
+  }
+
+  test("x51 bounded top-k plans as ONE aggregation with broadcast dims — no window shuffle") {
+    // Bench adjudication (r6 verdict: x51 moved 1.9x with untouched
+    // code): the whole point of x51 over r04 is replacing the window's
+    // full shuffle+sort with a <=k aggregation buffer — pin both halves.
+    val df = queries.Registry.queryMap("x51_topk_categories_agg")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "x51 must not contain a window operator")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"x51 dims not broadcast:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"BoundedTopK should run as an ObjectHashAggregate:\n$plan")
+  }
+
   test("x85 snapshot diff is one full-outer equi-join — never a nested loop") {
     val plan = executed("x85_snapshot_diff")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
