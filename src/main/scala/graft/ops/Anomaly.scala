@@ -62,5 +62,6 @@ object Anomaly {
         n >= minWindow &&
           (n * x - s) * (n * x - s) * (n - lit(1L)) >
             lit(kSigma.toLong * kSigma) * n * (n * ss - s * s))
+      .withColumnRenamed("x", valueCol)
   }
 }

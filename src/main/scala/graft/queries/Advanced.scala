@@ -1987,6 +1987,161 @@ object Advanced {
              |       MAX(CAST($c AS VARCHAR)) AS max_value
              |FROM orders""".stripMargin)
           .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
+    // Trailing-window anomaly detection (ops.Anomaly.trailingAnomaly):
+    // hourly event volume per type, flagged when it deviates from the
+    // trailing 24h by >3 sample standard deviations — the z-test cleared
+    // of every division into a pure BIGINT predicate, so a serial oracle
+    // replays the distributed flag bit-for-bit. One window pass, no join.
+    QueryDef(
+      "x97_event_anomaly",
+      (s, dir) => graft.ops.Anomaly.trailingAnomaly(
+        Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_events")),
+        "event_type", "hour", "n_events")
+        .orderBy("event_type", "hour"),
+      Some("""WITH h AS (
+             |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |         CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2
+             |), w AS (
+             |  SELECT event_type, hour, x,
+             |    CAST(COUNT(x) OVER tw AS BIGINT) AS trail_n,
+             |    CAST(COALESCE(SUM(x) OVER tw, 0) AS BIGINT) AS trail_sum,
+             |    CAST(COALESCE(SUM(x * x) OVER tw, 0) AS BIGINT) AS trail_sumsq
+             |  FROM h
+             |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+             |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+             |)
+             |SELECT event_type, hour, x AS n_events, trail_n, trail_sum, trail_sumsq,
+             |  (trail_n >= 12 AND
+             |   (trail_n * x - trail_sum) * (trail_n * x - trail_sum) * (trail_n - 1)
+             |     > 9 * trail_n * (trail_n * trail_sumsq - trail_sum * trail_sum)) AS is_anomaly
+             |FROM w ORDER BY event_type, hour""".stripMargin)),
+
+    // Asymmetric containment near-dups (Dedup.containmentPairs): pairs
+    // where >=90% of doc_a's distinct tokens occur in doc_b — the
+    // quote/excerpt detector Jaccard is blind to. Prefix filter on the
+    // contained side only (lossless, integer-exact threshold); the
+    // container side contributes full posting lists, so like x86 this
+    // is bench=false on THIS templated corpus where near-all documents
+    // share the template vocabulary.
+    QueryDef(
+      "x98_containment_pairs",
+      (s, dir) => graft.ext.Dedup.containmentPairs(Tables(s, dir).documents, 9, 10)
+        .orderBy("doc_a", "doc_b"),
+      Some(raw"""WITH tok AS (
+                |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                |  FROM documents
+                |), sizes AS (
+                |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1
+                |), df AS (
+                |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1
+                |), pre AS (
+                |  SELECT t.doc_id, t.tok FROM (
+                |    SELECT t.doc_id, t.tok, s.n,
+                |           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                |             ORDER BY d.df ASC, t.tok ASC) AS rnk
+                |    FROM tok t JOIN df d USING (tok) JOIN sizes s USING (doc_id)) t
+                |  WHERE rnk <= n - ((9 * n + 9) // 10) + 1
+                |), cand AS (
+                |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                |  FROM pre a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                |), inter AS (
+                |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+                |  FROM cand c
+                |  JOIN tok ta ON ta.doc_id = c.doc_a
+                |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+                |  GROUP BY 1, 2
+                |)
+                |SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+                |       CAST(i.inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+                |FROM inter i
+                |JOIN sizes sa ON sa.doc_id = i.doc_a
+                |JOIN sizes sb ON sb.doc_id = i.doc_b
+                |WHERE 10 * i.inter >= 9 * sa.n
+                |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = false),
+
+    // Min-label propagation communities (ops.Graph.labelPropagation)
+    // over the banded near-dup graph: each vector's community is the
+    // minimum id within 3 hops — the bounded-radius community notion,
+    // every round replayable serially (unlike the adaptive-round
+    // connected components of x22/x60). The oracle unrolls the three
+    // min-label rounds as CTEs over the identical banded edges.
+    QueryDef(
+      "x99_label_propagation",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val dup = Similarity.annPairs(emb, 0.4)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        graft.ops.Graph.labelPropagation(dup, emb.select(col("vec_id").as("id")), 3)
+          .select(col("id").as("vec_id"), col("label").as("community"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, dup AS (
+            |  SELECT vec_a, vec_b FROM (
+            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+            |    FROM cand c
+            |    JOIN e ea ON ea.vec_id = c.vec_a
+            |    JOIN e eb ON eb.vec_id = c.vec_b) p
+            |  WHERE cosine >= 0.4
+            |), sym AS (
+            |  SELECT vec_a AS src, vec_b AS dst FROM dup
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM dup
+            |), l0 AS (
+            |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+            |)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s""", l$i AS (
+             |  SELECT v.id, least(v.label, COALESCE(t.nmin, v.label)) AS label
+             |  FROM l${i - 1} v LEFT JOIN (
+             |    SELECT e2.dst, MIN(l.label) AS nmin
+             |    FROM sym e2 JOIN l${i - 1} l ON l.id = e2.src
+             |    GROUP BY 1) t ON t.dst = v.id
+             |)""".stripMargin
+        }.mkString
+        base + rounds + "\nSELECT id AS vec_id, label AS community FROM l3 ORDER BY vec_id"
+      }),
+
+    // Mutual-kNN graph (Similarity.mutualKnn): an edge survives only if
+    // each endpoint is in the other's banded top-3 — the symmetric
+    // sparsifier graph clustering builds on, pruning hub-spoke edges.
+    // The oracle replays x27's banded top-k then self-joins on the
+    // reversed pair.
+    QueryDef(
+      "x100_mutual_knn",
+      (s, dir) => Similarity.mutualKnn(Tables(s, dir).embeddings, 3)
+        .orderBy("src", "dst"),
+      Some {
+        bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, sym AS (
+            |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM cand
+            |), scored AS (
+            |  SELECT s.vec_id, s.neighbor_id, list_dot_product(ea.emb, eb.emb) AS score
+            |  FROM sym s
+            |  JOIN e ea ON ea.vec_id = s.vec_id
+            |  JOIN e eb ON eb.vec_id = s.neighbor_id
+            |), topk AS (
+            |  SELECT vec_id, neighbor_id, score FROM (
+            |    SELECT vec_id, neighbor_id, score,
+            |           ROW_NUMBER() OVER (PARTITION BY vec_id
+            |             ORDER BY score DESC, neighbor_id ASC) AS rank
+            |    FROM scored) r
+            |  WHERE rank <= 3
+            |)
+            |SELECT t.vec_id AS src, t.neighbor_id AS dst, t.score
+            |FROM topk t
+            |JOIN topk m ON m.vec_id = t.neighbor_id AND m.neighbor_id = t.vec_id
+            |WHERE t.vec_id < t.neighbor_id
+            |ORDER BY src, dst""".stripMargin
       })
   )
 

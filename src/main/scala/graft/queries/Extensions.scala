@@ -351,6 +351,67 @@ object Extensions {
       },
       bench = false), // iterative driver-synced loop; correctness-gated at sf0.01
 
+    // Dedup RETENTION POLICY (Dedup.keepBestPerCluster): x22's clusters
+    // joined with the x02 quality score, the best-scored document of
+    // each cluster kept (ties to the smaller doc_id) — "which copy
+    // survives", the decision a curation pipeline actually executes.
+    // The oracle extends x22's recursive-CTE components with the x02
+    // quality CTE and one window.
+    QueryDef(
+      "x96_dedup_keep_best",
+      (s, dir) => Dedup.keepBestPerCluster(Tables(s, dir).documents, 0.3)
+        .orderBy("doc_id"),
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        val base = raw"""$ShingleCtes $SigCte, bands AS (
+           |  $bandUnion
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2
+           |), dup_pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           |    FROM inter
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b) j
+           |  WHERE jaccard >= 0.3
+           |), sym AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM dup_pairs
+           |), reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+           |), clusters AS (
+           |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
+           |), q AS (
+           |  SELECT doc_id,
+           |    0.4 * (CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts)) +
+           |    0.3 * (1.0 - CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1)) +
+           |    0.3 * least(1.0, CAST(length(ts) AS DOUBLE) / 100.0) AS quality_score
+           |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts FROM documents)
+           |)
+           |SELECT c.doc_id, c.cluster, q.quality_score,
+           |       (ROW_NUMBER() OVER (PARTITION BY c.cluster
+           |          ORDER BY q.quality_score DESC, c.doc_id ASC)) = 1 AS kept
+           |FROM clusters c JOIN q USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      },
+      bench = false), // shares x22's iterative cluster loop; gated at sf0.01
+
     // ---- embedding similarity -----------------------------------------
     QueryDef(
       "x10_embedding_knn",

@@ -317,6 +317,55 @@ class ExtSpec extends SparkSuite {
       s"worst-query recall ${r.map(_.getDouble(1)).min} below 0.40")
   }
 
+  test("containment pairs: contained side flagged, container side not; boundary is inclusive") {
+    val d = docs(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "xx yy zz",
+      // 10 tokens each, 9 shared -> containment exactly 0.9 both ways.
+      4L -> "a b c d e f g h i j",
+      5L -> "a b c d e f g h i k")
+    val r = Dedup.containmentPairs(d, 9, 10)
+      .select("doc_a", "doc_b", "n_a", "n_b", "inter")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc1 (3 tokens) fully inside doc2 (10 tokens): ordered pair (1,2)
+    // only — 2's containment in 1 is 3/10, far below 0.9.
+    assert(r.contains((1L, 2L, 3L, 10L, 3L)))
+    assert(!r.exists(p => p._1 == 2L && p._2 == 1L))
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
+    // Exactly-at-threshold pairs are kept, both directions (symmetric
+    // sizes): integer test 10*9 >= 9*10.
+    assert(r.contains((4L, 5L, 10L, 10L, 9L)) && r.contains((5L, 4L, 10L, 10L, 9L)))
+  }
+
+  test("keep-best retention: best quality survives its cluster, ties break to min id") {
+    val text = "the quick brown fox jumps over the lazy dog and runs far away"
+    val d = docs(1L -> text, 2L -> text, 3L -> "completely different content here")
+    val r = Dedup.keepBestPerCluster(d, 0.3)
+      .select("doc_id", "cluster", "kept").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    // 1 and 2 are identical -> one cluster; equal quality ties to id 1.
+    assert(r === Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+  }
+
+  test("mutual-kNN edges are canonical and present in both top-k lists") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val top = Similarity.annTopK(emb, 3)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val m = Similarity.mutualKnn(emb, 3)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(m.nonEmpty, "corpus has near-dups; mutual edges must exist")
+    assert(m.forall { case (s, d) => s < d }, "edges must be canonical")
+    m.foreach { case (s, d) =>
+      assert(top.contains((s, d)) && top.contains((d, s)),
+        s"($s,$d) not mutual in the top-k lists")
+    }
+    // No vertex exceeds degree k by construction.
+    val deg = m.flatMap { case (s, d) => Seq(s, d) }
+      .groupBy(identity).map(_._2.length)
+    assert(deg.max <= 3)
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
     val b = Similarity.lshBuckets(Seq((0L, v), (1L, v)).toDF("vec_id", "embedding"))

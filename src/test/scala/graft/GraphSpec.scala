@@ -78,6 +78,22 @@ class GraphSpec extends SparkSuite {
     assert(r(4) === ((5L, 0L, 0L)))
   }
 
+  test("label propagation: min id within r hops, isolated vertices keep their own label") {
+    // Path 1-2-3-4-5-6-7 plus isolated 9: after 3 rounds each vertex
+    // holds the minimum id within 3 hops.
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = ((1L to 7L) :+ 9L).toDF("id")
+    val r = Graph.labelPropagation(edges, verts, 3).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L, 7L -> 4L, 9L -> 9L))
+    // One round = direct neighbors only.
+    val r1 = Graph.labelPropagation(edges, verts, 1).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 === Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 6L -> 5L, 7L -> 6L, 9L -> 9L))
+  }
+
   test("HITS is deterministic and guards overflow") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     val verts = (1L to 3L).toDF("id")
