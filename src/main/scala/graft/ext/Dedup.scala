@@ -346,6 +346,72 @@ object Dedup {
         (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
   }
 
+  /** IDF-WEIGHTED set-similarity join: weighted Jaccard with each token
+    * weighted by rarity — w(tok) = 10⁹ DIV df(tok) — so two documents
+    * sharing "spark catalyst codegen" are near-dups while two sharing
+    * "the and of" are not; the TF-IDF-weighted near-dup criterion used
+    * where unweighted Jaccard is swamped by boilerplate vocabulary.
+    * EXACT like [[prefixJaccardPairs]], via the weighted prefix filter
+    * (Chaudhuri et al. 2006's generalization): tokens sort by one global
+    * order (weight desc, token asc); a document's prefix is the minimal
+    * head whose remaining tail weighs < t·W_doc. For a qualifying pair,
+    * the globally-first SHARED token provably lies in BOTH prefixes (all
+    * shared tokens sort at-or-after it, so if it sat in either tail that
+    * tail would weigh ≥ t·W ≥ the required overlap) — so a
+    * prefix×prefix equi-join is lossless.
+    *
+    * Everything that decides membership is integer arithmetic: weights
+    * are integer quanta, prefix membership is tDen·tail ≥ tNum·W on
+    * BIGINT cumulative sums, the final test is
+    * tDen·inter_w ≥ tNum·(W_a + W_b − inter_w). The `wjaccard` column is
+    * the one double — the identical division in both engines.
+    *
+    * Scale: prefix tokens are the globally rare ones (heavy weight), so
+    * hot posting lists never generate candidates — the same skew-safety
+    * argument as the unweighted prefix filter, strengthened because
+    * common tokens carry negligible weight and fall out of prefixes
+    * even faster.
+    */
+  def weightedJaccardPairs(docs: DataFrame, tNum: Int = 7, tDen: Int = 10,
+      quantum: Long = 1000000000L): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wtok = tok.join(df, Seq("tok"))
+      .select(col("doc_id"), col("tok"), expr(s"${quantum}L DIV df").as("w"))
+    val totals = wtok.groupBy("doc_id").agg(sum(col("w")).as("wtot"))
+    // Inclusive running weight in the global (w desc, tok asc) order;
+    // a token stays in the prefix while the tail INCLUDING it weighs
+    // >= t * W (the first token past that line is the last one a
+    // qualifying pair can be forced to share).
+    val cumW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = wtok
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .join(totals, Seq("doc_id"))
+      .filter(lit(tDen) * (col("wtot") - col("cum") + col("w")) >= lit(tNum) * col("wtot"))
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val interW = cand
+      .join(wtok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(wtok.select(col("doc_id").as("doc_b"), col("tok"), col("w")),
+        Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("w")).as("inter_w"))
+    interW
+      .join(totals.select(col("doc_id").as("doc_a"), col("wtot").as("w_a")), Seq("doc_a"))
+      .join(totals.select(col("doc_id").as("doc_b"), col("wtot").as("w_b")), Seq("doc_b"))
+      .filter(lit(tDen) * col("inter_w") >= lit(tNum) * (col("w_a") + col("w_b") - col("inter_w")))
+      .select(col("doc_a"), col("doc_b"), col("w_a"), col("w_b"), col("inter_w"),
+        (col("inter_w").cast("double")
+          / (col("w_a") + col("w_b") - col("inter_w")).cast("double")).as("wjaccard"))
+  }
+
   /** Dedup RETENTION POLICY: for every near-dup cluster keep the
     * highest-quality document, not the lowest id — [[duplicateClusters]]
     * answers "what is duplicated", this answers the question a training

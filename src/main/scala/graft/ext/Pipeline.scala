@@ -245,6 +245,42 @@ object Pipeline {
         size(slice(col("ts"), col("start"), lit(chunkSize))).cast("long").as("n_tokens"))
   }
 
+  /** Passage-level exact dedup with REASSEMBLY — the C4/Dolma-style
+    * cleaning step that removes repeated spans while keeping the rest of
+    * each document: split every document into consecutive non-overlapping
+    * `chunkSize`-token chunks ([[chunk]] with stride = size), keep only
+    * the globally-FIRST occurrence of each distinct chunk text (first =
+    * minimum (doc_id, chunk_idx), so the decision is deterministic and
+    * position-stable under reruns), and rebuild each document from its
+    * surviving chunks in order. Returns per document the chunk counts
+    * and the cleaned text ("" when everything was a repeat).
+    *
+    * This is the REMOVAL twin of the x72 duplicate-gram COVERAGE metric:
+    * x72 measures how much of a corpus is duplicated span-wise; this op
+    * produces the corpus with those spans deduplicated.
+    *
+    * Scale shape: one window keyed by chunk text (hash-partitioned on
+    * the chunk — the dedup shuffle), one per-document aggregate to
+    * reassemble; no doc×doc comparison anywhere. The reassembly list is
+    * bounded by the document's own length.
+    */
+  def dedupChunks(docs: DataFrame, chunkSize: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunk(docs, chunkSize, chunkSize)
+      .withColumn("is_first", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("is_first"),
+              struct(col("chunk_idx"), col("chunk_text"))))),
+            x => x.getField("chunk_text")),
+          " ").as("cleaned_text"))
+  }
+
   /** Greedy context-window packing: within each `source` partition, docs
     * (in doc_id order) are assigned to consecutive bins of `budget`
     * tokens — bin = tokens-before-this-doc DIV budget, so a doc starts in

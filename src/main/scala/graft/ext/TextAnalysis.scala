@@ -503,6 +503,49 @@ object TextAnalysis {
       .filter(col("pmi") > 0)
   }
 
+  /** Per-source distribution drift: the KL divergence of each source's
+    * unigram distribution from the whole-corpus distribution — the
+    * mixing diagnostic a multi-source training run watches ("how far is
+    * this source from the blend it feeds"). KL(p‖q) = Σ_t p(t)·ln(p(t)/q(t))
+    * over the source's tokens; q is the corpus distribution, and since
+    * every source token is a corpus token, q(t) > 0 wherever p(t) > 0 —
+    * no smoothing needed.
+    *
+    * Cross-engine determinism for a SUM of float terms needs more than
+    * the snapped-ln trick (x74/x94): addition order differs between a
+    * distributed and a serial engine, so each term — p·snap9(ln(p/q)),
+    * both factors bit-identical (exact-integer divisions and the 1e-9
+    * snapped log) — lands on a 1e-12 fixed-point BIGINT grid and the SUM
+    * runs in integers, order-free. `kl_fp` is that exact integer;
+    * `kl_divergence` is the one final division.
+    *
+    * Scale shape: two token aggregates (per-source-token and per-token)
+    * joined on the token, per-source totals broadcast — no window, no
+    * doc×doc anything.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val toks = docs.select(col("source"), tokens(col("text")).as("ts"))
+    val st = toks.select(col("source"), explode(col("ts")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+    val srcTot = st.groupBy("source").agg(sum(col("cst")).as("ns"))
+    val corpus = st.groupBy("tok").agg(sum(col("cst")).as("ct"))
+    val corpusTot = corpus.agg(sum(col("ct")).as("nn"))
+    val terms = st
+      .join(corpus, Seq("tok"))
+      .join(srcTot, Seq("source"))
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"), col("ns"),
+        floor((col("cst").cast("double") / col("ns").cast("double"))
+            * snap9(log(col("cst").cast("double") * col("nn").cast("double")
+              / (col("ns").cast("double") * col("ct").cast("double"))))
+            * lit(1e12) + lit(0.5)).cast("long").as("term_fp"))
+    terms.groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"), sum(col("term_fp")).as("kl_fp"))
+      .select(col("source"), col("n_tokens"), col("kl_fp"),
+        (col("kl_fp").cast("double") / lit(1e12)).as("kl_divergence"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

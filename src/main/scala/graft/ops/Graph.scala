@@ -68,6 +68,50 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of the
+    * endpoint degrees across all DIRECTED edge instances (each undirected
+    * edge contributes both orientations) — positive when high-degree
+    * vertices attach to high-degree vertices (social graphs), negative
+    * for hub-spoke topologies (similarity graphs with celebrity
+    * documents). One row: edge/degree sums as exact BIGINTs plus the
+    * coefficient.
+    *
+    * Determinism contract: the sufficient statistics (m, Σx, Σx², Σxy)
+    * are exact integer aggregates — order-free — and the coefficient is
+    * ONE double expression over their casts, evaluated by the identical
+    * IEEE tree in both engines (the x41 CorrFormula convention). The
+    * symmetric graph makes Σx = Σy and Σx² = Σy², so the formula needs
+    * only three sums. Degenerate variance (regular graph) → NULL, 3VL.
+    *
+    * Input edges are canonicalized defensively like [[triangleStats]]
+    * (least/greatest + distinct). Scale shape: one distinct, one degree
+    * aggregate, two equi-joins of edges onto degrees, one global
+    * aggregate — no window, no iteration.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val pairs = sym
+      .join(deg.select(col("id").as("u"), col("degree").as("dx")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("dy")), Seq("v"))
+    pairs.agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") <= 0, lit(null).cast("double"))
+          .otherwise(
+            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
+              / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** Degree-ordered edge orientation over canonical undirected edges
     * (u, v): each edge points from the endpoint with the smaller
     * (degree, id) pair to the larger — ties on degree break by id, so

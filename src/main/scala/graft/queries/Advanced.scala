@@ -2142,7 +2142,179 @@ object Advanced {
             |JOIN topk m ON m.vec_id = t.neighbor_id AND m.neighbor_id = t.vec_id
             |WHERE t.vec_id < t.neighbor_id
             |ORDER BY src, dst""".stripMargin
-      })
+      }),
+
+    // Passage-level exact dedup WITH REASSEMBLY (Pipeline.dedupChunks):
+    // consecutive 20-token chunks, only the globally-first occurrence of
+    // each distinct chunk survives, documents rebuilt from their
+    // surviving chunks — the removal twin of x72's duplicate-gram
+    // coverage metric. One window keyed by chunk text, one reassembly
+    // aggregate; no doc x doc comparison.
+    QueryDef(
+      "x101_chunk_dedup",
+      (s, dir) => Pipeline.dedupChunks(Tables(s, dir).documents, 20)
+        .orderBy("doc_id"),
+      Some(s"""$TokCte, ch AS (
+              |  SELECT doc_id, CAST((i - 1) // 20 AS BIGINT) AS chunk_idx,
+              |         array_to_string(ts[i:i+19], ' ') AS chunk_text
+              |  FROM tok, unnest(generate_series(1, greatest(length(ts), 1), 20)) t(i)
+              |), fl AS (
+              |  SELECT doc_id, chunk_idx, chunk_text,
+              |         (ROW_NUMBER() OVER (PARTITION BY chunk_text
+              |            ORDER BY doc_id, chunk_idx)) = 1 AS is_first
+              |  FROM ch
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |       CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       COALESCE(string_agg(CASE WHEN is_first THEN chunk_text END, ' '
+              |         ORDER BY chunk_idx), '') AS cleaned_text
+              |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // IDF-weighted set-similarity join (Dedup.weightedJaccardPairs):
+    // tokens weighted 1e9 DIV df, the weighted prefix filter (Chaudhuri
+    // et al. 2006) pruning losslessly, every membership decision BIGINT.
+    // bench=false for the same reason as x86: THIS templated corpus
+    // degenerates toward all-pairs; bench_diag carries its wall-clock.
+    QueryDef(
+      "x102_weighted_jaccard_pairs",
+      (s, dir) => graft.ext.Dedup.weightedJaccardPairs(Tables(s, dir).documents, 7, 10)
+        .orderBy("doc_a", "doc_b"),
+      Some(raw"""WITH tok AS (
+                |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                |  FROM documents
+                |), df AS (
+                |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1
+                |), wtok AS (
+                |  SELECT t.doc_id, t.tok, CAST(1000000000 AS BIGINT) // d.df AS w
+                |  FROM tok t JOIN df d USING (tok)
+                |), totals AS (
+                |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wtot FROM wtok GROUP BY 1
+                |), cw AS (
+                |  SELECT doc_id, tok, w,
+                |         CAST(SUM(w) OVER (PARTITION BY doc_id ORDER BY w DESC, tok ASC
+                |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                |  FROM wtok
+                |), pre AS (
+                |  SELECT c.doc_id, c.tok FROM cw c JOIN totals s USING (doc_id)
+                |  WHERE 10 * (s.wtot - c.cum + c.w) >= 7 * s.wtot
+                |), cand AS (
+                |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                |), inter AS (
+                |  SELECT c.doc_a, c.doc_b, CAST(SUM(wb.w) AS BIGINT) AS inter_w
+                |  FROM cand c
+                |  JOIN wtok wa ON wa.doc_id = c.doc_a
+                |  JOIN wtok wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+                |  GROUP BY 1, 2
+                |)
+                |SELECT i.doc_a, i.doc_b, sa.wtot AS w_a, sb.wtot AS w_b, i.inter_w,
+                |       CAST(i.inter_w AS DOUBLE)
+                |         / CAST(sa.wtot + sb.wtot - i.inter_w AS DOUBLE) AS wjaccard
+                |FROM inter i
+                |JOIN totals sa ON sa.doc_id = i.doc_a
+                |JOIN totals sb ON sb.doc_id = i.doc_b
+                |WHERE 10 * i.inter_w >= 7 * (sa.wtot + sb.wtot - i.inter_w)
+                |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = false),
+
+    // ORC round-trip — the columnar sibling of the x59 JSONL gate: the
+    // corpus lands in ORC (Spark-native columnar-with-indexes format)
+    // and is read back; the gate proves the round trip preserved every
+    // value the oracle computes from the original parquet.
+    QueryDef(
+      "x103_orc_roundtrip",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val dirTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-orc-gate-$dirTag"
+        docs.write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            length(col("text")).cast("long").as("text_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+             |       CAST(length(text) AS BIGINT) AS text_chars,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Degree assortativity of the near-dup graph (ops.Graph
+    // .assortativity, Newman 2002): integer sufficient statistics, ONE
+    // double expression — positive means duplicate-dense documents
+    // cluster together, negative means hub-spoke (a template document
+    // near many one-off variants).
+    QueryDef(
+      "x104_assortativity",
+      (s, dir) => graft.ops.Graph.assortativity(
+        Similarity.annPairs(Tables(s, dir).embeddings, 0.4)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst"))),
+      Some {
+        bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, dup AS (
+            |  SELECT vec_a, vec_b FROM (
+            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+            |    FROM cand c
+            |    JOIN e ea ON ea.vec_id = c.vec_a
+            |    JOIN e eb ON eb.vec_id = c.vec_b) p
+            |  WHERE cosine >= 0.4
+            |), sym AS (
+            |  SELECT vec_a AS u, vec_b AS v FROM dup
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM dup
+            |), deg AS (
+            |  SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+            |), p AS (
+            |  SELECT da.degree AS dx, db.degree AS dy
+            |  FROM sym s
+            |  JOIN deg da ON da.id = s.u
+            |  JOIN deg db ON db.id = s.v
+            |), agg AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            |         CAST(SUM(dx) AS BIGINT) AS sx,
+            |         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+            |         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+            |  FROM p
+            |)
+            |SELECT m, sx, sxx, sxy,
+            |       CASE WHEN m * sxx - sx * sx <= 0 THEN NULL
+            |            ELSE CAST(m * sxy - sx * sx AS DOUBLE)
+            |                   / CAST(m * sxx - sx * sx AS DOUBLE) END AS assortativity
+            |FROM agg""".stripMargin
+      }),
+
+    // Per-source KL divergence from the corpus unigram blend
+    // (TextAnalysis.sourceDivergence) — the mixing-drift diagnostic.
+    // Each term lands on a 1e-12 fixed-point BIGINT grid (snapped ln,
+    // exact-integer ratios) so the SUM is order-free and a serial
+    // oracle replays the distributed sum exactly.
+    QueryDef(
+      "x105_source_divergence",
+      (s, dir) => TextAnalysis.sourceDivergence(Tables(s, dir).documents)
+        .orderBy("source"),
+      Some(raw"""WITH t AS (
+                |  SELECT source, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), st AS (
+                |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst
+                |  FROM (SELECT source, unnest(ts) AS tok FROM t) GROUP BY 1, 2
+                |), srct AS (
+                |  SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1
+                |), corp AS (
+                |  SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1
+                |), tot AS (
+                |  SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM corp
+                |), terms AS (
+                |  SELECT st.source, s.ns,
+                |    CAST(FLOOR((CAST(st.cst AS DOUBLE) / CAST(s.ns AS DOUBLE))
+                |      * (FLOOR(ln(CAST(st.cst AS DOUBLE) * CAST(tt.nn AS DOUBLE)
+                |           / (CAST(s.ns AS DOUBLE) * CAST(c.ct AS DOUBLE))) * 1.0E9 + 0.5) / 1.0E9)
+                |      * 1.0E12 + 0.5) AS BIGINT) AS term_fp
+                |  FROM st JOIN corp c USING (tok) JOIN srct s USING (source) CROSS JOIN tot tt
+                |)
+                |SELECT source, MAX(ns) AS n_tokens, CAST(SUM(term_fp) AS BIGINT) AS kl_fp,
+                |       CAST(SUM(term_fp) AS DOUBLE) / 1.0E12 AS kl_divergence
+                |FROM terms GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

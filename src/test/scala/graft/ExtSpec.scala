@@ -366,6 +366,62 @@ class ExtSpec extends SparkSuite {
     assert(deg.max <= 3)
   }
 
+  test("source divergence: a source matching the corpus blend scores 0, disjoint sources score ln 2") {
+    import org.apache.spark.sql.functions.lit
+    // Two sources with identical unigram distributions -> each equals
+    // the corpus blend -> KL exactly 0 on the fixed-point grid.
+    val same = Seq((1L, "x y", "A"), (2L, "x y", "B"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val r0 = TextAnalysis.sourceDivergence(same)
+      .select("source", "kl_fp").as[(String, Long)].collect().toMap
+    assert(r0 === Map("A" -> 0L, "B" -> 0L))
+    // Fully disjoint equal-sized vocabularies: q(t) = p(t)/2 for every
+    // own-token, so KL = ln 2 per source.
+    val disjoint = Seq((1L, "x x x x", "A"), (2L, "y y y y", "B"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val r1 = TextAnalysis.sourceDivergence(disjoint)
+      .select("source", "kl_divergence").as[(String, Double)].collect().toMap
+    assert(math.abs(r1("A") - math.log(2)) < 1e-6)
+    assert(math.abs(r1("B") - math.log(2)) < 1e-6)
+  }
+
+  test("chunk dedup: first occurrence survives, repeats drop, documents reassemble in order") {
+    val chunkA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val chunkB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val chunkC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = docs(
+      1L -> s"$chunkA $chunkB",
+      2L -> s"$chunkA $chunkC",  // first chunk repeats doc1's
+      3L -> s"$chunkA $chunkB")  // fully duplicated
+    val r = Pipeline.dedupChunks(d, 20)
+      .select("doc_id", "n_chunks", "n_kept", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r(0) === ((1L, 2L, 2L, s"$chunkA $chunkB")))
+    assert(r(1) === ((2L, 2L, 1L, chunkC)))
+    assert(r(2) === ((3L, 2L, 0L, "")))
+  }
+
+  test("weighted Jaccard finds rare-token near-dups that unweighted Jaccard misses") {
+    // doc1/doc2 share ONLY their two rare tokens (df=2); their common
+    // tokens are corpus-wide filler (high df, negligible weight).
+    val filler = (3L to 12L).map(i =>
+      i -> "common1 common2 common3 common4 common5 common6 common7 common8")
+    val d = docs((Seq(
+      1L -> "rareaa rarebb rarecc raredd common1 common2",
+      2L -> "rareaa rarebb rarecc raredd common3 common4") ++ filler): _*)
+    val wj = Dedup.weightedJaccardPairs(d, 7, 10)
+      .select("doc_a", "doc_b", "w_a", "w_b", "wjaccard")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val pair = wj.find(p => p._1 == 1L && p._2 == 2L)
+    assert(pair.isDefined, s"rare-token pair must qualify: ${wj.toSeq}")
+    assert(pair.get._5 >= 0.7 && pair.get._3 === pair.get._4)
+    // The unweighted criterion at the same threshold rejects the pair:
+    // 4 shared of 8 distinct tokens -> Jaccard 0.5 < 0.7.
+    val uj = Dedup.prefixJaccardPairs(d, 7, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(!uj.contains((1L, 2L)))
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
     val b = Similarity.lshBuckets(Seq((0L, v), (1L, v)).toDF("vec_id", "embedding"))

@@ -78,6 +78,19 @@ class GraphSpec extends SparkSuite {
     assert(r(4) === ((5L, 0L, 0L)))
   }
 
+  test("assortativity: star is perfectly disassortative, regular graph degenerates to NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = Graph.assortativity(star).head()
+    assert(s.getLong(0) === 6L)           // 3 undirected edges, both directions
+    assert(s.getDouble(4) === -1.0)       // hub-leaf only: r = -1 exactly
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graph.assortativity(triangle).head()
+    assert(t.isNullAt(4), "zero degree variance must be NULL, not NaN/0")
+    // Dirty edges (duplicate + reversed) do not change the answer.
+    val dirty = star.union(Seq((1L, 0L), (0L, 2L)).toDF("src", "dst"))
+    assert(Graph.assortativity(dirty).head().getDouble(4) === -1.0)
+  }
+
   test("label propagation: min id within r hops, isolated vertices keep their own label") {
     // Path 1-2-3-4-5-6-7 plus isolated 9: after 3 rounds each vertex
     // holds the minimum id within 3 hops.
