@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe diagnostic: times the corpus-heavy gated queries at 1×
+  * and at a synthetic N× duplication of the same corpus (each replica
+  * re-keyed, text byte-identical — the worst case for dedup candidate
+  * generation, since every shingle/gram/bucket gets N× hotter), then
+  * reports the measured scaling exponent log(t_Nx / t_1x) / log(N).
+  * Turns the "survives 100× because the plan is banded/capped/bounded"
+  * argument from plan-shape reasoning into a measured point: exponent
+  * ≈ 1 means linear scaling, ≈ 2 means a quadratic candidate path.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    // Corpus-only queries (they read documents.parquet and nothing else),
+    // covering the three dedup cost shapes: banded+capped LSH pairs,
+    // inverted-index gram coverage, and the windowed curation capstone.
+    val probes = Seq("x66_lsh_dedup_pairs_capped", "x72_dup_gram_coverage",
+      "x69_curation_pipeline")
+
+    val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
+    val docs = io.Tables(spark, base).documents
+    (0 until mult)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
+
+    def timeQ(name: String, dir: String): Double = {
+      graft.ext.Dedup.clearCaches(spark)
+      graft.ext.Similarity.clearCaches(spark)
+      val t0 = System.nanoTime()
+      queries.Registry.queryMap(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Median of 3 after one discarded warm-up rep: at these corpus sizes a
+    // single cold rep is dominated by codegen/JIT warm-up, which would
+    // understate the 1x time and bias the exponent toward zero.
+    def medQ(name: String, dir: String): Double = {
+      timeQ(name, dir)
+      Seq.fill(3)(timeQ(name, dir)).sorted.apply(1)
+    }
+    probes.foreach { q =>
+      val t1 = medQ(q, base)
+      val tN = medQ(q, dupDir)
+      val exp = math.log(tN / t1) / math.log(mult.toDouble)
+      println(f"[scaleprobe] $q: 1x=$t1%.2f s, ${mult}x=$tN%.2f s, exponent=$exp%.2f")
+    }
+    spark.stop()
+  }
+}
