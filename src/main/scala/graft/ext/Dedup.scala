@@ -437,6 +437,192 @@ object Dedup {
       .select("doc_id", "cluster", "quality_score", "kept")
   }
 
+  /** MinHash calibration curve — the sketch-quality evaluation the x89
+    * ANN-recall gate performs for hyperplane LSH, done for MinHash: for
+    * every banded candidate pair, the estimated Jaccard (matching
+    * positions out of [[MinHashK]]) is bucketed against the EXACT
+    * shingle-set Jaccard, yielding mean-exact-per-estimate — the curve
+    * that tells an operator whether k=16 signatures are enough for
+    * their corpus before they trust the sketch at 100 TB. Exact values
+    * ride a 1e-9 fixed-point BIGINT grid so the per-bucket sum is
+    * order-free and a serial oracle replays the distributed aggregation
+    * bit-for-bit.
+    *
+    * Shape: the signature pass and banded candidate join are the
+    * lshDedupPairs plan; the calibration adds one posting-list
+    * intersection and one small aggregate keyed on the 17 possible
+    * match counts. At production scale pass the hot-bucket cap through
+    * exactly as x66 does; uncapped here so the curve sees every
+    * candidate the sketch generates.
+    */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val h = md5(col("shingle").cast("binary"))
+    val withH = sh.select(col("doc_id"),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+    val mhs = (0 until MinHashK).map { j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"mh$j")
+    }
+    val sigs = withH.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
+
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"mh${2 * b}").cast("string"), lit("|"),
+          col(s"mh${2 * b + 1}").cast("string")).cast("binary")).as("band_key"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_key").as("band_key"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until MinHashK).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until MinHashK).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val est = (0 until MinHashK)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("i"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(est.as("est_matches"),
+        expr("(1000000000L * i) div (na + nb - i)").as("jaccard_fp"))
+      .groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jaccard_fp")).as("sum_jaccard_fp"))
+      .withColumn("mean_jaccard",
+        col("sum_jaccard_fp").cast("double") / col("n_pairs").cast("double") / lit(1.0e9))
+  }
+
+  /** Edit-distance self-join over a fixed-length document key (here the
+    * first `keyLen` chars of the text): all pairs within Levenshtein
+    * distance ≤ `maxDist`, found WITHOUT the O(n²) cross join via the
+    * pigeonhole segment scheme of PassJoin (Li, Deng, Jiang, Feng 2011,
+    * "PASS-JOIN: A Partition-based Method for Similarity Joins"):
+    * partition each key into `maxDist`+1 contiguous segments — any pair
+    * within distance d shares at least one segment VERBATIM (≤ d edits
+    * cannot touch all d+1 segments), and an untouched segment can only
+    * shift by the net indel balance of the edits before it, i.e. by at
+    * most ±d positions. So the index side emits its d+1 segments and
+    * the probe side emits, per segment slot, the substrings at the
+    * slot's start ± d — at most (d+1)(2d+1) bounded keys per row — and
+    * candidates are one equi-join on (slot, substring). Levenshtein on
+    * the candidate set verifies exactly; the filter is lossless by the
+    * pigeonhole argument, so the result equals the brute-force join the
+    * serial oracle runs.
+    *
+    * Scale shape: per-row fan-out is a small constant (3 + 15 rows at
+    * d=2), the join is a hash equi-join on short strings, and the
+    * verify set is |candidates|, not n² — the edit-distance analog of
+    * the banded-Jaccard shape used everywhere else in this module.
+    */
+  def editDistancePairs(docs: DataFrame, keyLen: Int = 24,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val segs = maxDist + 1
+    require(keyLen % segs == 0, s"keyLen=$keyLen must divide into ${segs} segments")
+    val segLen = keyLen / segs
+    val keyed = docs
+      .filter(length(col("text")) >= keyLen)
+      .select(col("doc_id"), substring(col("text"), 1, keyLen).as("k"))
+
+    val segCols = array((0 until segs).map(i =>
+      substring(col("k"), i * segLen + 1, segLen)): _*)
+    val idx = keyed.select(col("doc_id").as("a"),
+      posexplode(segCols).as(Seq("slot", "sub")))
+
+    val probeCols = for {
+      i <- 0 until segs
+      d <- -maxDist to maxDist
+      start = i * segLen + 1 + d
+      if start >= 1 && start + segLen - 1 <= keyLen
+    } yield struct(lit(i).as("slot"), substring(col("k"), start, segLen).as("sub"))
+    val probe = keyed.select(col("doc_id").as("b"), explode(array(probeCols: _*)).as("p"))
+      .select(col("b"), col("p.slot").as("slot"), col("p.sub").as("sub"))
+
+    val cand = idx.join(probe, Seq("slot", "sub"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+      .distinct()
+
+    cand
+      .join(keyed.select(col("doc_id").as("doc_a"), col("k").as("k_a")), Seq("doc_a"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("k").as("k_b")), Seq("doc_b"))
+      // Thresholded levenshtein runs the banded O(d·len) recurrence and
+      // returns -1 past the bound — the verify step stays cheap however
+      // long the key grows.
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** Blocked sorted-neighborhood near-dup candidates (Hernández &
+    * Stolfo 1995's merge/purge, in its scale-safe blocked form): within
+    * each (lang, source) block, documents are ordered by (n_chars,
+    * doc_id) and each is paired with its next `w` neighbors in that
+    * order; candidates are then verified with EXACT distinct-token
+    * Jaccard. Complementary blocking geometry to hash banding: banding
+    * catches near-dups that agree on a shingle band, sorted-neighborhood
+    * catches near-dups that are CLOSE IN AN ORDERING (here: same corpus
+    * slice, near-identical length) — the classic cheap pre-filter when
+    * a meaningful sort key exists.
+    *
+    * Scale shape: the window is PARTITIONED by block — no global
+    * single-partition sort — and emits ≤ w candidates per row; verify
+    * is an aggregate over the candidates' token posting lists only. At
+    * cluster scale the block sort is a range-partitioned shuffle per
+    * block, and w bounds candidate volume at w·n regardless of skew.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int = 3,
+      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(w >= 1 && tDen > 0 && tNum >= 0, s"bad parameters w=$w t=$tNum/$tDen")
+    val win = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val cand = (1 to w).map(j =>
+        base.withColumn("nbr", lead(col("doc_id"), j).over(win))
+          .filter(col("nbr").isNotNull)
+          .select(least(col("doc_id"), col("nbr")).as("doc_a"),
+            greatest(col("doc_id"), col("nbr")).as("doc_b")))
+      .reduce(_ unionByName _)
+      .distinct()
+
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      // tNum/tDen ≤ |A∩B| / |A∪B|, integer cross-multiplied: exact, no FP.
+      .filter(col("inter") * lit(tDen.toLong) >=
+        (col("n_a") + col("n_b") - col("inter")) * lit(tNum.toLong))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"))
+  }
+
   /** Duplicate clusters: connected components over the near-duplicate
     * pair graph — the actionable output of a dedup pipeline ("keep the
     * min-id document of every cluster"). Two-phase star contraction

@@ -47,6 +47,29 @@ object Pipeline {
           .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: the split uniform is drawn from
+    * the near-duplicate CLUSTER id (the component's min doc_id, from
+    * [[Dedup.duplicateClusters]]), so every member of a near-dup family
+    * lands in the SAME split — [[trainSplit]]'s per-document draw lets a
+    * template's variants straddle train and test, which inflates eval
+    * (the train/test contamination x67 detects, prevented at split time
+    * instead of audited after). Salted independently of every other
+    * sampling decision; stable under corpus growth as long as cluster
+    * membership is.
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.3,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "fractions must leave room for a test split")
+    Dedup.duplicateClusters(docs, threshold)
+      .select(col("doc_id"), col("cluster"))
+      .withColumn("u", saltedUniform(col("cluster"), "leak|"))
+      .withColumn("split",
+        when(col("u") < trainFrac, "train")
+          .when(col("u") < trainFrac + valFrac, "val")
+          .otherwise("test"))
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose id-hash uniform
     * falls below `fraction` — the same primitive as [[trainSplit]] with
     * one threshold, usable as a reproducible corpus subsample.

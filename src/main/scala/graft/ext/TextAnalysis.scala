@@ -72,6 +72,46 @@ object TextAnalysis {
     lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - specialRatio) + lit(0.3) * lengthPrior
   }
 
+  /** Rule-based quality gate in the style of Gopher's repetition-free
+    * document filters (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1): each
+    * rule is an independent boolean with its evidence column, plus the
+    * conjunction. Unlike [[qualityScore]]'s soft composite, every rule
+    * here is INTEGER arithmetic only — counts cross-multiplied against
+    * bounds, no division — so the distributed gate and a serial oracle
+    * agree bit-for-bit, and downstream curation can cite exactly which
+    * rule dropped a document. One projection over the scan; all rules
+    * share the single tokenization.
+    */
+  def qualityGates(docs: DataFrame,
+      minWords: Int = 20, maxWords: Int = 1000,
+      minMeanLenX1: Int = 3, maxMeanLenX1: Int = 10,
+      maxSymbolPerMille: Int = 100, minStopwords: Int = 2): DataFrame = {
+    val ts = tokens(col("text"))
+    val nWords = size(ts).cast("long")
+    // Sum of token lengths == non-whitespace chars: one global regexp
+    // strip instead of a per-token fold.
+    val sumLen = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val symChars = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long")
+    val stopHits = countIn(ts, EnStopwords).cast("long")
+    val wordsOk = nWords.between(minWords.toLong, maxWords.toLong)
+    val meanLenOk = (sumLen >= nWords * minMeanLenX1) && (sumLen <= nWords * maxMeanLenX1)
+    val symbolOk = symChars * 1000L <= nChars * maxSymbolPerMille.toLong
+    val stopOk = stopHits >= minStopwords.toLong
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      sumLen.as("sum_word_len"),
+      symChars.as("n_symbol_chars"),
+      stopHits.as("n_stopwords"),
+      wordsOk.as("words_ok"),
+      meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"),
+      stopOk.as("stopword_ok"),
+      (wordsOk && meanLenOk && symbolOk && stopOk).as("passes"))
+  }
+
   /** Marker-token language ID (n-gram-heuristic family). Scores each
     * language by counting its marker tokens; deterministic arg-max with a
     * fixed preference order on ties. A real deployment would use charset
@@ -347,6 +387,34 @@ object TextAnalysis {
     * table is exactly the suffix-array postings analog a cluster can
     * actually build.
     */
+  /** Per-document n-gram NOVELTY — the attribution twin of
+    * [[duplicateGramCoverage]]: every distinct word n-gram is owned by
+    * the minimum doc_id containing it, and a document's novelty is the
+    * fraction of its grams it owns. Under "first occurrence survives"
+    * passage dedup (x101's policy), novelty is exactly the fraction of
+    * the document that dedup would keep — a pre-dedup sizing signal
+    * computed without running the dedup.
+    *
+    * Shape: one distinct (doc, gram) explode, one min-aggregate per
+    * gram, one inverted-index equi-join back — the x72 plan with min
+    * in place of count; never doc×doc.
+    */
+  def gramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "gram novelty needs n >= 2")
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+      .distinct()
+    val owner = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
+    grams.join(owner, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   def duplicateGramCoverage(docs: DataFrame, n: Int = 8, minDf: Long = 2): DataFrame = {
     require(n >= 2, "duplicate-gram coverage needs n >= 2")
     val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))

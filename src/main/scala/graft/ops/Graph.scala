@@ -231,4 +231,44 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+
+  /** Bounded k-core peeling (Seidman 1983's coreness, in the fixed-round
+    * synchronous form): each round drops every vertex whose degree in
+    * the SURVIVING subgraph is < k, then recomputes degrees. After `rounds`
+    * rounds the survivors over-approximate the true k-core (full peeling
+    * runs to a fixed point; the bound makes every round serially
+    * replayable, the same fixed-vs-adaptive trade [[labelPropagation]]
+    * documents vs connected components). Returns surviving vertices with
+    * their final within-subgraph degree.
+    *
+    * Edges are canonicalized defensively ([[triangleStats]] convention).
+    * Per round: one degree aggregate + two semi-joins of the edge set
+    * against the survivor set — all hash-partitioned on vertex id. Each
+    * round's edge set feeds three consumers (degree, both semi-join
+    * sides of the next round), so rounds localCheckpoint instead of
+    * re-evaluating the upstream edge generator per reference.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kcorePeel needs k>=1, rounds>=1; got k=$k rounds=$rounds")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .distinct()
+      .localCheckpoint()
+    (0 until rounds).foreach { _ =>
+      val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      val live = deg.filter(col("degree") >= k).select(col("id"))
+      e = e.join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    // Final degree is measured on the post-peel subgraph; vertices whose
+    // last-round degree dropped below k are still reported (they fall in
+    // round `rounds`+1) — the caller filters if it wants the strict core.
+    e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+  }
 }

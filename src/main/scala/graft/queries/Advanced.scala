@@ -3,6 +3,7 @@ package graft.queries
 import graft.ext.{Pipeline, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.RangeJoin
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-3 operator batch: range joins, statistical aggregates, spine
@@ -2314,7 +2315,248 @@ object Advanced {
                 |)
                 |SELECT source, MAX(ns) AS n_tokens, CAST(SUM(term_fp) AS BIGINT) AS kl_fp,
                 |       CAST(SUM(term_fp) AS DOUBLE) / 1.0E12 AS kl_divergence
-                |FROM terms GROUP BY 1 ORDER BY source""".stripMargin))
+                |FROM terms GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Exact two-phase heavy hitters (ext.Frequent.frequentTokens):
+    // per-partition Misra–Gries proposes a provable superset of tokens
+    // above the 1/200 frequency threshold, an exact recount restricted
+    // to candidates applies it — the sketch only PRUNES, never answers,
+    // so the counts are exact and the oracle is a plain GROUP BY with
+    // the identical integer threshold.
+    QueryDef(
+      "x106_frequent_tokens",
+      (s, dir) => graft.ext.Frequent.frequentTokens(Tables(s, dir).documents, 200),
+      Some(raw"""WITH tk AS (
+                |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+                |), tot AS (
+                |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tk
+                |), cnt AS (
+                |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1
+                |)
+                |SELECT c.tok, c.cnt, t.n_total
+                |FROM cnt c CROSS JOIN tot t
+                |WHERE c.cnt * 200 > t.n_total
+                |ORDER BY cnt DESC, tok""".stripMargin)),
+
+    // PassJoin pigeonhole edit-distance self-join (Dedup
+    // .editDistancePairs): all pairs within Levenshtein ≤ 2 on the
+    // 24-char document key, candidates from the lossless segment
+    // equi-join — the oracle is the brute-force quadratic join the
+    // pigeonhole filter provably equals.
+    QueryDef(
+      "x107_edit_distance_pairs",
+      (s, dir) => graft.ext.Dedup.editDistancePairs(Tables(s, dir).documents, 24, 2)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH k AS (
+             |  SELECT doc_id, substr(text, 1, 24) AS k
+             |  FROM documents WHERE length(text) >= 24
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+             |FROM k a JOIN k b ON a.doc_id < b.doc_id
+             |WHERE levenshtein(a.k, b.k) <= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Gopher-style rule-based quality gate (TextAnalysis.qualityGates):
+    // word-count bounds, mean-word-length bounds, symbol density, and a
+    // stopword floor — every rule integer-only with its evidence column,
+    // so curation can cite exactly which rule dropped a document.
+    QueryDef(
+      "x108_quality_gates",
+      (s, dir) => TextAnalysis.qualityGates(Tables(s, dir).documents)
+        .orderBy("doc_id"),
+      Some(raw"""WITH t AS (
+                |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), m AS (
+                |  SELECT doc_id,
+                |    CAST(len(ts) AS BIGINT) AS n_words,
+                |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_word_len,
+                |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_symbol_chars,
+                |    CAST(length(text) AS BIGINT) AS n_chars,
+                |    CAST(len(list_filter(ts,
+                |      x -> x IN ('the','a','an','of','and','is','to','in'))) AS BIGINT) AS n_stopwords
+                |  FROM t
+                |)
+                |SELECT doc_id, n_words, sum_word_len, n_symbol_chars, n_stopwords,
+                |  (n_words BETWEEN 20 AND 1000) AS words_ok,
+                |  (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10) AS mean_len_ok,
+                |  (n_symbol_chars * 1000 <= n_chars * 100) AS symbol_ok,
+                |  (n_stopwords >= 2) AS stopword_ok,
+                |  ((n_words BETWEEN 20 AND 1000)
+                |    AND (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10)
+                |    AND (n_symbol_chars * 1000 <= n_chars * 100)
+                |    AND n_stopwords >= 2) AS passes
+                |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // First-order event transition mining: per-user LAG pairs each event
+    // with its predecessor type, one aggregate counts the transition
+    // matrix, and the per-from probability is the one shared IEEE
+    // division over exact integer counts. Both engines order the lag on
+    // the MICROSECOND-truncated timestamp (the Tables.events contract)
+    // with event_id as the total-order tiebreak.
+    QueryDef(
+      "x109_event_transitions",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tr = ev
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n_transitions"),
+            countDistinct(col("user_id")).as("n_users"))
+        val wf = Window.partitionBy(col("from_type"))
+        tr.withColumn("p_transition",
+            col("n_transitions").cast("double") /
+              sum(col("n_transitions")).over(wf).cast("double"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type,
+             |         LAG(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+             |  FROM events
+             |), tr AS (
+             |  SELECT from_type, event_type AS to_type,
+             |         CAST(COUNT(*) AS BIGINT) AS n_transitions,
+             |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2
+             |)
+             |SELECT from_type, to_type, n_transitions, n_users,
+             |       CAST(n_transitions AS DOUBLE) /
+             |         CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+             |         AS p_transition
+             |FROM tr ORDER BY from_type, to_type""".stripMargin)),
+
+    // Bounded k-core peeling (ops.Graph.kcorePeel) over the mutual-kNN
+    // similarity graph (x100's sparsifier — the 0.4-threshold near-dup
+    // graph is too sparse for a 2-core on this corpus): three
+    // synchronous drop-below-k rounds, survivors with their
+    // within-subgraph degree — the density skeleton of the similarity
+    // graph (which vectors sit in dense template families vs hang off
+    // them). The oracle replays x100's mutual-top-3 graph, then unrolls
+    // the three peel rounds as CTEs.
+    QueryDef(
+      "x110_kcore",
+      (s, dir) => graft.ops.Graph.kcorePeel(
+          Similarity.mutualKnn(Tables(s, dir).embeddings, 3)
+            .select(col("src"), col("dst")),
+          k = 2, rounds = 3)
+        .orderBy("id"),
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, sym AS (
+            |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM cand
+            |), scored AS (
+            |  SELECT s.vec_id, s.neighbor_id, list_dot_product(ea.emb, eb.emb) AS score
+            |  FROM sym s
+            |  JOIN e ea ON ea.vec_id = s.vec_id
+            |  JOIN e eb ON eb.vec_id = s.neighbor_id
+            |), topk AS MATERIALIZED (
+            |  SELECT vec_id, neighbor_id FROM (
+            |    SELECT vec_id, neighbor_id,
+            |           ROW_NUMBER() OVER (PARTITION BY vec_id
+            |             ORDER BY score DESC, neighbor_id ASC) AS rank
+            |    FROM scored) r
+            |  WHERE rank <= 3
+            |), e0 AS MATERIALIZED (
+            |  SELECT t.vec_id AS src, t.neighbor_id AS dst
+            |  FROM topk t
+            |  JOIN topk m ON m.vec_id = t.neighbor_id AND m.neighbor_id = t.vec_id
+            |  WHERE t.vec_id < t.neighbor_id
+            |)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s""", d$i AS (
+             |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+             |    SELECT src AS id FROM e${i - 1} UNION ALL SELECT dst FROM e${i - 1})
+             |  GROUP BY 1
+             |), s$i AS (
+             |  SELECT id FROM d$i WHERE degree >= 2
+             |), e$i AS MATERIALIZED (
+             |  SELECT ed.src, ed.dst FROM e${i - 1} ed
+             |  JOIN s$i a ON a.id = ed.src
+             |  JOIN s$i b ON b.id = ed.dst
+             |)""".stripMargin
+        }.mkString
+        base + rounds +
+          """
+            |SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            |  SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3)
+            |GROUP BY 1 ORDER BY id""".stripMargin
+      }),
+
+    // Blocked sorted-neighborhood dedup candidates (Dedup
+    // .sortedNeighborhoodPairs): within each (lang, source) block,
+    // length-adjacent documents pair with their next 3 sort neighbors,
+    // verified by exact distinct-token Jaccard ≥ 1/2 — the
+    // complementary blocking geometry to hash banding.
+    QueryDef(
+      "x111_sorted_neighborhood",
+      (s, dir) => graft.ext.Dedup.sortedNeighborhoodPairs(Tables(s, dir).documents, 3, 1, 2)
+        .orderBy("doc_a", "doc_b"),
+      Some(raw"""WITH b AS (
+                |  SELECT doc_id, lang, source, n_chars FROM documents
+                |), led AS (
+                |  SELECT doc_id,
+                |         LEAD(doc_id, 1) OVER w AS n1,
+                |         LEAD(doc_id, 2) OVER w AS n2,
+                |         LEAD(doc_id, 3) OVER w AS n3
+                |  FROM b
+                |  WINDOW w AS (PARTITION BY lang, source ORDER BY n_chars, doc_id)
+                |), sel AS (
+                |  SELECT doc_id, unnest([n1, n2, n3]) AS nbr FROM led
+                |), cand AS (
+                |  SELECT DISTINCT least(doc_id, nbr) AS doc_a, greatest(doc_id, nbr) AS doc_b
+                |  FROM sel WHERE nbr IS NOT NULL
+                |), tok AS (
+                |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                |  FROM documents
+                |), sizes AS (
+                |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1
+                |), inter AS (
+                |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+                |  FROM cand c
+                |  JOIN tok ta ON ta.doc_id = c.doc_a
+                |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+                |  GROUP BY 1, 2
+                |)
+                |SELECT c.doc_a, c.doc_b, sa.n AS n_a, sb.n AS n_b,
+                |       COALESCE(i.inter, 0) AS inter
+                |FROM cand c
+                |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+                |JOIN sizes sa ON sa.doc_id = c.doc_a
+                |JOIN sizes sb ON sb.doc_id = c.doc_b
+                |WHERE COALESCE(i.inter, 0) * 2 >= (sa.n + sb.n - COALESCE(i.inter, 0)) * 1
+                |ORDER BY 1, 2""".stripMargin)),
+
+    // Per-document n-gram novelty (TextAnalysis.gramNovelty): each
+    // distinct 8-gram is owned by its minimum doc_id; novelty is the
+    // fraction of a document's grams it owns — exactly what x101's
+    // first-occurrence passage dedup would keep, computed without
+    // running the dedup. x72's inverted-index plan with min for count.
+    QueryDef(
+      "x112_gram_novelty",
+      (s, dir) => TextAnalysis.gramNovelty(Tables(s, dir).documents, 8)
+        .orderBy("doc_id"),
+      Some(raw"""WITH tok AS (
+                |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+                |), g AS (
+                |  SELECT DISTINCT doc_id,
+                |         unnest(list_transform(generate_series(1, greatest(length(ts)-7, 1)),
+                |                i -> array_to_string(ts[i:i+7], ' '))) AS gram
+                |  FROM tok
+                |), own AS (
+                |  SELECT gram, MIN(doc_id) AS owner FROM g GROUP BY 1
+                |)
+                |SELECT g.doc_id,
+                |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+                |       CAST(SUM(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                |       CAST(SUM(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+                |FROM g JOIN own USING (gram)
+                |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

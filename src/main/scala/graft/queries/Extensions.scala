@@ -1054,6 +1054,142 @@ object Extensions {
              |  FROM ev
              |)
              |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(f) + 1 AS BIGINT) AS n_sessions
-             |FROM flg GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM flg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Rank-normalized quality (the x02 composite pushed through a
+    // per-source PERCENT_RANK): sources score on different absolute
+    // scales, so cross-source mixing compares percentile positions, not
+    // raw scores — the rank transform a curation mixer applies before
+    // a global quality floor. Ties share a rank in both engines because
+    // the underlying score is the bit-identical x02 expression.
+    QueryDef(
+      "x113_quality_rank_normalized",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("quality_score"))
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScoreExpr.as("quality_score"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH t AS (
+                |  SELECT doc_id, source, text,
+                |         string_split_regex(trim(text), '\s+') AS ts
+                |  FROM documents
+                |), q AS (
+                |  SELECT doc_id, source,
+                |    0.4 * (CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts)) +
+                |    0.3 * (1.0 - CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1)) +
+                |    0.3 * least(1.0, CAST(length(ts) AS DOUBLE) / 100.0) AS quality_score
+                |  FROM t
+                |)
+                |SELECT doc_id, source, quality_score,
+                |       PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality_score) AS pct_rank
+                |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // MinHash calibration curve (Dedup.minhashCalibration): mean EXACT
+    // Jaccard per estimated-match count over every banded candidate —
+    // the x89-style sketch-quality evaluation for the MinHash family,
+    // under the same oracle gate as the sketch itself.
+    QueryDef(
+      "x114_minhash_calibration",
+      (s, dir) => Dedup.minhashCalibration(Tables(s, dir).documents)
+        .orderBy("est_matches"),
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        val estExpr = (0 until Dedup.MinHashK)
+          .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$ShingleCtes $SigCte, bands AS (
+           |  $bandUnion
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), sizes AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+           |  FROM cand c
+           |  JOIN sh ha ON ha.doc_id = c.doc_a
+           |  JOIN sh hb ON hb.doc_id = c.doc_b AND hb.shingle = ha.shingle
+           |  GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT CAST($estExpr AS BIGINT) AS est_matches,
+           |         (1000000000 * COALESCE(it.i, 0))
+           |           // (na.n + nb.n - COALESCE(it.i, 0)) AS jaccard_fp
+           |  FROM cand c
+           |  LEFT JOIN inter it ON it.doc_a = c.doc_a AND it.doc_b = c.doc_b
+           |  JOIN sizes na ON na.doc_id = c.doc_a
+           |  JOIN sizes nb ON nb.doc_id = c.doc_b
+           |  JOIN sig sa ON sa.doc_id = c.doc_a
+           |  JOIN sig sb ON sb.doc_id = c.doc_b
+           |)
+           |SELECT est_matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |       CAST(SUM(jaccard_fp) AS BIGINT) AS sum_jaccard_fp,
+           |       CAST(SUM(jaccard_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1.0E9
+           |         AS mean_jaccard
+           |FROM pairs GROUP BY 1 ORDER BY est_matches""".stripMargin
+      }),
+
+    // Leakage-safe split (Pipeline.leakageSafeSplit): the split draw
+    // hashes the near-dup CLUSTER id, so template families never
+    // straddle train and test — contamination prevented at split time
+    // rather than audited after (x67). The oracle extends x22's
+    // recursive-CTE components with the salted-uniform threshold CASE.
+    QueryDef(
+      "x115_leakage_safe_split",
+      (s, dir) => graft.ext.Pipeline.leakageSafeSplit(Tables(s, dir).documents, 0.3, 0.8, 0.1)
+        .orderBy("doc_id"),
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        val base = s"""$ShingleCtes $SigCte, bands AS (
+           |  $bandUnion
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2
+           |), dup_pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           |    FROM inter
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b) j
+           |  WHERE jaccard >= 0.3
+           |), sym AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM dup_pairs
+           |), reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+           |), clusters AS (
+           |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
+           |), uni AS (
+           |  SELECT doc_id, cluster,
+           |         CAST(('0x' || substring(md5('leak|' || CAST(cluster AS VARCHAR)), 1, 8)) AS BIGINT)
+           |           / 4294967296.0 AS u
+           |  FROM clusters
+           |)
+           |SELECT doc_id, cluster, u,
+           |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+           |FROM uni ORDER BY doc_id""".stripMargin
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      },
+      bench = false) // shares x22's iterative cluster loop; gated at sf0.01
   )
 }

@@ -821,4 +821,137 @@ class ExtSpec extends SparkSuite {
       assert(got(q).map(_._2).toSeq === expect, s"query $q re-rank mismatch")
     }
   }
+
+  test("frequentTokens: exact counts above the strict threshold, nothing else") {
+    // N=10 tokens: a×7, b×2, c×1. denom=2 → keep cnt·2 > 10, i.e. a only.
+    val d = docs(1L -> "a a a a b", 2L -> "a a a b c")
+    val r = graft.ext.Frequent.frequentTokens(d, 2)
+      .select("tok", "cnt", "n_total").as[(String, Long, Long)].collect().toSeq
+    assert(r === Seq(("a", 7L, 10L)))
+    // denom=4 → cnt·4 > 10 → a(7) and… b has 2·4=8, c 4: still only a.
+    val r4 = graft.ext.Frequent.frequentTokens(d, 4)
+      .select("tok", "cnt").as[(String, Long)].collect().toSeq
+    assert(r4 === Seq(("a", 7L)))
+  }
+
+  test("frequentTokens survives partitioning: Misra-Gries candidates are a superset") {
+    // 40 distinct rare tokens + one hot token spread over many partitions
+    // with only k=3 counters per partition — the hot token must still be
+    // recovered with its EXACT count.
+    val rows = (1L to 40L).map(i => (i, s"rare$i hot")) :+ (41L, "hot hot hot hot")
+    val d = rows.toDF("doc_id", "text").repartition(8)
+    val r = graft.ext.Frequent.frequentTokens(d, 3)
+      .select("tok", "cnt").as[(String, Long)].collect().toSeq
+    // N = 40·2 + 4 = 84; hot = 44; 44·3 > 84, every rare 3 ≤ 84.
+    assert(r === Seq(("hot", 44L)))
+  }
+
+  test("editDistancePairs equals the brute-force join on a shifted fixture") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val t1 = "abcdefgh" * 3                       // 24 chars
+    val t2 = "abcdefgh" + "abcdeXgh" + "abcdefgh" // 1 substitution
+    val t3 = "Xbcdefgh" + "abcdefgh" + "abcdefgX" // 2 substitutions, outer segments
+    val t4 = "zyxwvuts" * 3                       // far away
+    val t5 = t1.drop(1) + "z"                     // 1 deletion + 1 insertion: shifts segments
+    val fixture = Seq(1L -> t1, 2L -> t2, 3L -> t3, 4L -> t4, 5L -> t5)
+    val expect = (for {
+      (ia, a) <- fixture; (ib, b) <- fixture if ia < ib
+      d = lev(a.take(24), b.take(24)) if d <= 2
+    } yield (ia, ib, d.toLong)).sorted
+    val got = Dedup.editDistancePairs(docs(fixture: _*), 24, 2)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(expect.contains((1L, 5L, 2L)), "fixture must exercise the shifted-probe path")
+  }
+
+  test("editDistancePairs skips keys shorter than keyLen and rejects bad params") {
+    val r = Dedup.editDistancePairs(docs(1L -> "short", 2L -> ("abcdefgh" * 3)), 24, 2)
+    assert(r.count() === 0)
+    assertThrows[IllegalArgumentException] { Dedup.editDistancePairs(docs(), 25, 2) }
+  }
+
+  test("qualityGates: each rule trips independently, all-integer evidence") {
+    val good = (1 to 24).map(i => if (i % 9 == 0) "the" else "word").mkString(" ")
+    val tooShort = "the a word"
+    val noStops = (1 to 24).map(_ => "word").mkString(" ")
+    val longWords = (1 to 24).map(_ => "w" * 12).mkString(" ") + " the a"
+    val symbols = (1 to 24).map(_ => "@@@@").mkString(" ") + " the a"
+    val r = TextAnalysis.qualityGates(docs(
+        1L -> good, 2L -> tooShort, 3L -> noStops, 4L -> longWords, 5L -> symbols))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("passes"))
+    assert(!r(1).getAs[Boolean]("words_ok") && !r(1).getAs[Boolean]("passes"))
+    assert(!r(2).getAs[Boolean]("stopword_ok") && r(2).getAs[Boolean]("words_ok"))
+    assert(!r(3).getAs[Boolean]("mean_len_ok") && !r(3).getAs[Boolean]("passes"))
+    assert(!r(4).getAs[Boolean]("symbol_ok") && !r(4).getAs[Boolean]("passes"))
+    assert(r(0).getAs[Long]("n_words") === 24L)
+  }
+
+  test("leakageSafeSplit: near-dup cluster members always share a split") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> t, 2L -> t, 3L -> (t + " extra"),
+      4L -> "completely different content with nothing shared at all")
+    val r = graft.ext.Pipeline.leakageSafeSplit(d, 0.3)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r.map(_._2).take(3).toSet.size === 1, "1,2,3 form one cluster")
+    assert(r.map(_._3).take(3).toSet.size === 1, "cluster members share the split")
+    assert(r(3)._2 === 4L, "unrelated doc is its own cluster")
+    // Per-document trainSplit CAN disagree within the cluster's members —
+    // the leakage leakageSafeSplit exists to rule out (u is drawn from
+    // cluster, not doc, so equality here is structural, not lucky).
+    val u = graft.ext.Pipeline.leakageSafeSplit(d, 0.3)
+      .select("doc_id", "u").as[(Long, Double)].collect().toMap
+    assert(u(1L) === u(2L) && u(2L) === u(3L))
+  }
+
+  test("gramNovelty: first doc owns shared grams; exact duplicate scores zero") {
+    val t = "a b c d e f g h i" // 9 tokens → two 8-grams
+    val r = TextAnalysis.gramNovelty(
+        docs(1L -> t, 2L -> t, 3L -> "totally fresh words here beyond anything shared"), 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r(0) === ((1L, 2L, 2L, 1.0)), "min-id owner keeps everything")
+    assert(r(1) === ((2L, 2L, 0L, 0.0)), "exact duplicate owns nothing")
+    assert(r(2)._4 === 1.0, "unique doc fully novel")
+    // Short doc: whole token sequence is its one gram.
+    val short = TextAnalysis.gramNovelty(docs(9L -> "tiny doc"), 8).collect()
+    assert(short.head.getAs[Long]("n_grams") === 1L)
+  }
+
+  test("minhashCalibration: exact duplicates land in the est=16 bucket at jaccard 1.0") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val r = graft.ext.Dedup.minhashCalibration(
+        docs(1L -> t, 2L -> t, 3L -> "entirely disjoint vocabulary with zero overlap whatsoever"))
+      .orderBy("est_matches")
+      .select("est_matches", "n_pairs", "sum_jaccard_fp")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r === Seq((16L, 1L, 1000000000L)),
+      "one candidate pair, all 16 positions match, exact jaccard 1e9 fixed-point")
+  }
+
+  test("sortedNeighborhood pairs length-adjacent docs within a block, never across blocks") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta", "en", "web", 22L),
+      (2L, "alpha beta gamma delta", "en", "web", 23L),   // adjacent to 1 → dup
+      (3L, "alpha beta gamma delta", "en", "books", 22L), // same text, other block
+      (4L, "unrelated words entirely different here", "en", "web", 40L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.sortedNeighborhoodPairs(d, w = 1, tNum = 1, tDen = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    // w=1: candidates are (1,2) and (2,4) in block web; only (1,2) passes
+    // Jaccard ≥ 1/2. Doc 3 is identical text but in another block —
+    // the blocking trade-off, pinned here.
+    assert(r === Seq((1L, 2L)))
+  }
 }

@@ -117,4 +117,24 @@ class GraphSpec extends SparkSuite {
       Graph.hits(edges, verts, 1, base = Long.MaxValue / 2)
     }
   }
+
+  test("kcorePeel: pendant chain peels off round by round, core survives") {
+    // Triangle 1-2-3 with a chain 3-4-5: round 1 drops 5 (degree 1),
+    // round 2 drops 4 (its degree fell to 1), round 3 is stable.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = Graph.kcorePeel(edges, k = 2, rounds = 3).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kcorePeel canonicalizes dirty edges and respects the round bound") {
+    // Same graph with a reversed duplicate; 1 round only drops vertex 5
+    // but keeps 4 (its degree was 2 when the round was measured), so the
+    // bounded peel is an over-approximation that includes 4 at degree 1.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.kcorePeel(edges, k = 2, rounds = 1).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 1L)))
+  }
 }

@@ -232,4 +232,31 @@ class PlanSpec extends SparkSuite {
       s"diff degenerated:\n$plan")
     assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
   }
+
+  test("x106 heavy hitters: candidates and total broadcast onto the recount — no extra token shuffle") {
+    val plan = executed("x106_frequent_tokens")
+    // The candidate semi-join and the scalar total must both broadcast;
+    // the only wide exchange over token rows is the recount aggregate.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"heavy-hitter probe fell back to a sort-merge join:\n$plan")
+  }
+
+  test("x107 PassJoin stays an equi-join on (slot, substring) — never all-pairs") {
+    val plan = executed("x107_edit_distance_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"edit-distance join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("slot"), s"lost the segment-slot join key:\n$plan")
+  }
+
+  test("x111 sorted-neighborhood window is partitioned by block, never global") {
+    val df = queries.Registry.queryMap("x111_sorted_neighborhood")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the block-sort window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"sorted-neighborhood window must be partitioned (blocked SNM): $w"))
+  }
 }
