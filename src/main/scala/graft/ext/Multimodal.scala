@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * metadata, processed per-partition in bounded batches — the Scala
   * analog of a Pandas-UDF / mapInPandas pipeline stage.
   *
-  * The decode step is REAL for uncompressed raster formats: [[decodePpm]]
-  * is a complete binary PPM (P6) parser and [[decodeBmp]] a 24-bit
-  * uncompressed BMP parser — pure JVM, no codec dependency, both exact
-  * integer pixel recovery (round-trip-proven in the test suite).
-  * Compressed formats (JPEG/PNG/audio) have no codec in this container;
-  * payloads of those types fall back to [[byteFeatures]], an honest
-  * bytes-only featurization. What is load-bearing for 100 TB:
+  * The decode step is REAL for uncompressed formats: [[decodePpm]] is a
+  * complete binary PPM (P6) parser, [[decodeBmp]] a 24-bit uncompressed
+  * BMP parser, and [[decodeWav]] a RIFF/WAVE chunk-walking 16-bit PCM
+  * parser — pure JVM, no codec dependency, all exact integer sample
+  * recovery (round-trip-proven in the test suite). Compressed formats
+  * (JPEG/PNG/MP3) have no codec in this container; payloads of those
+  * types fall back to [[byteFeatures]], an honest bytes-only
+  * featurization. What is load-bearing for 100 TB:
   *
   *   - the schema contract (binary payload + typed metadata columns)
   *   - the per-partition batch shape: media rows flow through
@@ -193,6 +194,155 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  val WavType = "audio/wav"
+
+  /** Decoded PCM audio: signed 16-bit samples, channel-interleaved. */
+  final case class PcmAudio(sampleRate: Int, channels: Int, bits: Int,
+      samples: Array[Short])
+
+  /** REAL RIFF/WAVE decoder for uncompressed 16-bit PCM — the published
+    * RIFF container grammar: 'RIFF' + size + 'WAVE', then a chunk walk
+    * (4-byte id, little-endian 4-byte size, payload, ODD SIZES PADDED to
+    * even — the RIFF rule naive parsers skip); 'fmt ' must declare
+    * audioFormat=1 (PCM) and 16 bits; unknown chunks (LIST, cue, fact…)
+    * are skipped, not errors. Samples decode little-endian signed.
+    */
+  def decodeWav(content: Array[Byte]): PcmAudio = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"WAV: $msg")
+    def u16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
+      ((content(o + 2) & 0xff) << 16) | ((content(o + 3) & 0xff) << 24)
+    def tag(o: Int): String = new String(content, o, 4, StandardCharsets.US_ASCII)
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") fail("bad RIFF/WAVE magic")
+    var pos = 12
+    var sampleRate = -1; var channels = -1; var bits = -1; var fmtSeen = false
+    var data: Array[Short] = null
+    while (pos + 8 <= content.length) {
+      val id = tag(pos)
+      val size = i32(pos + 4)
+      if (size < 0 || pos + 8 + size > content.length) fail(s"chunk '$id' overruns payload")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (size < 16) fail("fmt chunk too short")
+          if (u16(body) != 1) fail(s"not PCM (audioFormat=${u16(body)})")
+          channels = u16(body + 2)
+          sampleRate = i32(body + 4)
+          bits = u16(body + 14)
+          if (channels < 1) fail(s"bad channel count $channels")
+          if (bits != 16) fail(s"unsupported bit depth $bits (want 16)")
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) fail("data chunk before fmt")
+          if (size % 2 != 0) fail("odd data size for 16-bit samples")
+          data = new Array[Short](size / 2)
+          var i = 0
+          while (i < data.length) {
+            data(i) = ((content(body + 2 * i) & 0xff) |
+              ((content(body + 2 * i + 1) & 0xff) << 8)).toShort
+            i += 1
+          }
+        case _ => // unknown chunk: skip
+      }
+      pos = body + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    if (!fmtSeen) fail("missing fmt chunk")
+    if (data == null) fail("missing data chunk")
+    PcmAudio(sampleRate, channels, bits, data)
+  }
+
+  /** Encode mono signed-16 PCM as a RIFF/WAVE file, with a junk 'LIST'
+    * chunk of ODD size before 'data' so decoders must implement the
+    * RIFF even-padding rule. Exact inverse of [[decodeWav]]. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val junk = "graft".getBytes(StandardCharsets.US_ASCII) // odd length: 5
+    val junkPadded = junk.length + (junk.length & 1)
+    val dataSize = samples.length * 2
+    val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+    val out = new Array[Byte](8 + riffSize)
+    var pos = 0
+    def putTag(t: String): Unit = {
+      System.arraycopy(t.getBytes(StandardCharsets.US_ASCII), 0, out, pos, 4); pos += 4
+    }
+    def p16(v: Int): Unit = { out(pos) = v.toByte; out(pos + 1) = (v >> 8).toByte; pos += 2 }
+    def p32(v: Int): Unit = {
+      out(pos) = v.toByte; out(pos + 1) = (v >> 8).toByte
+      out(pos + 2) = (v >> 16).toByte; out(pos + 3) = (v >> 24).toByte; pos += 4
+    }
+    putTag("RIFF"); p32(riffSize); putTag("WAVE")
+    putTag("fmt "); p32(16); p16(1); p16(1); p32(sampleRate)
+    p32(sampleRate * 2); p16(2); p16(16)
+    putTag("LIST"); p32(junk.length)
+    System.arraycopy(junk, 0, out, pos, junk.length); pos += junkPadded
+    putTag("data"); p32(dataSize)
+    var i = 0
+    while (i < samples.length) {
+      out(pos) = samples(i).toByte; out(pos + 1) = (samples(i) >> 8).toByte
+      pos += 2; i += 1
+    }
+    out
+  }
+
+  /** Synthetic WAV per document: 8·`blocks` signed-16 samples where
+    * sample 8b+j is the big-endian 16-bit value at hex offset 4j of
+    * md5("wav_<doc_id>_<b>") (two's-complement signed) — the same
+    * engine-neutral generator convention as [[syntheticImages]], so the
+    * DuckDB oracle replays the encode → REAL RIFF decode → stats loop
+    * from the digests alone.
+    */
+  def syntheticWavs(docs: DataFrame, blocks: Int = 32,
+      sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val samples = new Array[Short](blocks * 8)
+        var b = 0
+        while (b < blocks) {
+          val d = md.digest(s"wav_${id}_${b}".getBytes(StandardCharsets.US_ASCII))
+          var j = 0
+          while (j < 8) {
+            samples(b * 8 + j) = (((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)).toShort
+            j += 1
+          }
+          b += 1
+        }
+        (id, WavType, encodeWav(sampleRate, samples))
+      }
+    }.toDF("doc_id", "media_type", "content")
+  }
+
+  /** Deterministic integer audio statistics via REAL RIFF decode:
+    * sample count/rate, amplitude sum, energy (sum of squares), and
+    * peak |amplitude| — all BIGINT-exact, so the oracle replays the
+    * generator arithmetic; only a correct walk of the chunk grammar
+    * (including the odd-size LIST pad) reproduces the numbers.
+    */
+  def audioStats(spark: SparkSession, media: DataFrame, parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val rows: Dataset[MediaRow] = media.as[MediaRow]
+    val repart = if (parallelism > 0) rows.repartition(parallelism) else rows
+    repart.mapPartitions { it =>
+      it.map { r =>
+        if (r.media_type != WavType)
+          throw new IllegalArgumentException(s"no audio decoder for ${r.media_type}")
+        val pcm = decodeWav(r.content)
+        var sum = 0L; var sumSq = 0L; var peak = 0L
+        var i = 0
+        while (i < pcm.samples.length) {
+          val v = pcm.samples(i).toLong
+          sum += v; sumSq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        (r.doc_id, pcm.samples.length.toLong, pcm.sampleRate.toLong,
+          pcm.channels.toLong, sum, sumSq, peak)
+      }
+    }.toDF("doc_id", "n_samples", "sample_rate", "channels", "sum_amp", "sum_sq", "peak")
   }
 
   /** Fallback featurization for payload types with no decoder in this

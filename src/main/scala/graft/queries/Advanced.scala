@@ -2556,7 +2556,38 @@ object Advanced {
                 |       CAST(SUM(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
                 |         / CAST(COUNT(*) AS DOUBLE) AS novelty
                 |FROM g JOIN own USING (gram)
-                |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+                |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // REAL audio decode under the gate — the RIFF/WAVE sibling of the
+    // x55/x56 raster gates: each document gets a synthetic 16-bit PCM
+    // clip (md5-derived samples, engine-neutral), encoded as an actual
+    // WAV file (including an odd-size LIST chunk so the decoder must
+    // honor the RIFF even-padding rule), chunk-walked back by the
+    // pure-JVM decoder into exact integer amplitude stats. The oracle
+    // replays the GENERATOR arithmetic from the digests: only a correct
+    // parse of the container reproduces it.
+    QueryDef(
+      "x116_audio_stats_wav",
+      (s, dir) => graft.ext.Multimodal.audioStats(s,
+        graft.ext.Multimodal.syntheticWavs(Tables(s, dir).documents))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+             |  SELECT d.doc_id,
+             |         CAST(('0x' || substr(md5('wav_' || d.doc_id || '_' || b.b), j.j*4+1, 4)) AS BIGINT) AS uv
+             |  FROM documents d,
+             |       (SELECT unnest(generate_series(0, 31)) AS b) b,
+             |       (SELECT unnest(generate_series(0, 7)) AS j) j
+             |), v AS (
+             |  SELECT doc_id, CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v FROM s
+             |)
+             |SELECT doc_id,
+             |       CAST(256 AS BIGINT) AS n_samples,
+             |       CAST(8000 AS BIGINT) AS sample_rate,
+             |       CAST(1 AS BIGINT) AS channels,
+             |       CAST(SUM(v) AS BIGINT) AS sum_amp,
+             |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             |       CAST(MAX(abs(v)) AS BIGINT) AS peak
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -896,6 +896,42 @@ class ExtSpec extends SparkSuite {
     assert(r(0).getAs[Long]("n_words") === 24L)
   }
 
+  test("WAV codec: round-trip through the RIFF grammar, odd-chunk pad honored") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 100)
+    val bytes = Multimodal.encodeWav(8000, samples)
+    val pcm = Multimodal.decodeWav(bytes)
+    assert(pcm.sampleRate === 8000 && pcm.channels === 1 && pcm.bits === 16)
+    assert(pcm.samples.toSeq === samples.toSeq)
+    // The encoder emits an odd-size LIST chunk before data: a decoder
+    // that forgets RIFF's even-padding rule lands mid-tag and fails.
+    assert(new String(bytes, 36, 4, java.nio.charset.StandardCharsets.US_ASCII) === "LIST")
+  }
+
+  test("WAV decoder fails fast on non-PCM, truncation, and missing chunks") {
+    val good = Multimodal.encodeWav(8000, Array[Short](1, 2, 3, 4))
+    assertThrows[IllegalArgumentException] { Multimodal.decodeWav(good.take(40)) }
+    assertThrows[IllegalArgumentException] { Multimodal.decodeWav("RIFFxxxxWAVE".getBytes) }
+    val nonPcm = good.clone
+    nonPcm(20) = 3 // fmt.audioFormat = IEEE float
+    assertThrows[IllegalArgumentException] { Multimodal.decodeWav(nonPcm) }
+  }
+
+  test("audioStats recovers the generator arithmetic through the real decode") {
+    val d = docs(7L -> "x")
+    val r = Multimodal.audioStats(spark, Multimodal.syntheticWavs(d, blocks = 2))
+      .collect().head
+    // Recompute straight from the digests (the oracle's arithmetic).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val vals = (0 until 2).flatMap { b =>
+      val dg = md.digest(s"wav_7_${b}".getBytes("US-ASCII"))
+      (0 until 8).map(j => (((dg(2 * j) & 0xff) << 8) | (dg(2 * j + 1) & 0xff)).toShort.toLong)
+    }
+    assert(r.getAs[Long]("n_samples") === 16L)
+    assert(r.getAs[Long]("sum_amp") === vals.sum)
+    assert(r.getAs[Long]("sum_sq") === vals.map(v => v * v).sum)
+    assert(r.getAs[Long]("peak") === vals.map(math.abs).max)
+  }
+
   test("leakageSafeSplit: near-dup cluster members always share a split") {
     val t = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> t, 2L -> t, 3L -> (t + " extra"),
