@@ -2587,7 +2587,99 @@ object Advanced {
              |       CAST(SUM(v) AS BIGINT) AS sum_amp,
              |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
              |       CAST(MAX(abs(v)) AS BIGINT) AS peak
-             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-label centroid cosine matrix — the class-separation diagnostic
+    // of embedding quality (well-separated label centroids mean the
+    // banding/IVF structures built on these vectors can discriminate).
+    // Determinism: each embedding value snaps to a 1e-6 fixed-point grid
+    // BEFORE summation, so the per-(label, dim) centroid sums are exact
+    // BIGINTs under any aggregation order (|v|<1, n=500, 64 dims keeps
+    // the dot of sums < 2^62), and the cosine is ONE shared IEEE
+    // expression over those integers — the x105 convention applied to
+    // vectors. Shape: one explode + two aggregates keyed on (label,dim)
+    // and label-pair; the pair join carries k·dim rows, never vectors.
+    QueryDef(
+      "x118_label_centroid_similarity",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val fp = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+          .select(col("label"), (col("dim0") + 1).as("dim"),
+            floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("vfp"))
+        val sums = fp.groupBy(col("label"), col("dim")).agg(sum(col("vfp")).as("s"))
+        val dots = sums.select(col("label").as("label_a"), col("dim"), col("s").as("sa"))
+          .join(sums.select(col("label").as("label_b"), col("dim"), col("s").as("sb")), Seq("dim"))
+          .filter(col("label_a") < col("label_b"))
+          .groupBy(col("label_a"), col("label_b"))
+          .agg(sum(col("sa") * col("sb")).as("dot_fp"))
+        val norms = sums.groupBy(col("label")).agg(sum(col("s") * col("s")).as("nrm"))
+        dots
+          .join(norms.select(col("label").as("label_a"), col("nrm").as("na")), Seq("label_a"))
+          .join(norms.select(col("label").as("label_b"), col("nrm").as("nb")), Seq("label_b"))
+          .select(col("label_a"), col("label_b"), col("dot_fp"),
+            (col("dot_fp").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+              .as("centroid_cosine"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH fp AS (
+             |  SELECT e.label, d.dim,
+             |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vfp
+             |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
+             |), s AS (
+             |  SELECT label, dim, CAST(SUM(vfp) AS BIGINT) AS s FROM fp GROUP BY 1, 2
+             |), dots AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |         CAST(SUM(a.s * b.s) AS BIGINT) AS dot_fp
+             |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY 1, 2
+             |), nrm AS (
+             |  SELECT label, CAST(SUM(s * s) AS BIGINT) AS n FROM s GROUP BY 1
+             |)
+             |SELECT d.label_a, d.label_b, d.dot_fp,
+             |       CAST(d.dot_fp AS DOUBLE)
+             |         / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS centroid_cosine
+             |FROM dots d
+             |JOIN nrm na ON na.label = d.label_a
+             |JOIN nrm nb ON nb.label = d.label_b
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // Deterministic per-key rate limiting: at most 5 events per
+    // (user, hour), the keepers chosen by content hash rather than
+    // arrival order — an UNBIASED within-window sample (head-of-window
+    // keeps systematically favor early events), replayable because the
+    // hash order is a pure function of the data. The ingest-throttle /
+    // per-key cap primitive of a pipeline that cannot let one hot key
+    // flood a window. One partitioned window pass; at scale the cap
+    // bounds per-key output regardless of skew.
+    QueryDef(
+      "x119_event_rate_limit",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("hour"))
+          .orderBy(col("h"), col("event_id"))
+        Tables(s, dir).events
+          .select(col("event_id"), col("user_id"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .withColumn("h", md5(concat(lit("rl|"), col("event_id").cast("string")).cast("binary")))
+          .withColumn("keep_rank", row_number().over(w).cast("long"))
+          .filter(col("keep_rank") <= 5)
+          .select(col("event_id"), col("user_id"), col("hour"), col("keep_rank"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |         md5('rl|' || CAST(event_id AS VARCHAR)) AS h
+             |  FROM events
+             |), r AS (
+             |  SELECT event_id, user_id, hour,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id, hour
+             |           ORDER BY h, event_id) AS BIGINT) AS keep_rank
+             |  FROM e
+             |)
+             |SELECT event_id, user_id, hour, keep_rank
+             |FROM r WHERE keep_rank <= 5 ORDER BY event_id""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -1190,6 +1190,64 @@ object Extensions {
            |FROM uni ORDER BY doc_id""".stripMargin
         "WITH RECURSIVE" + base.stripPrefix("WITH")
       },
-      bench = false) // shares x22's iterative cluster loop; gated at sf0.01
+      bench = false), // shares x22's iterative cluster loop; gated at sf0.01
+
+    // Cross-source duplication matrix: the capped-LSH near-dup pairs
+    // (x66's scale path) rolled up by canonical source pair — which
+    // corpus slices copy from each other, the provenance diagnostic
+    // that decides who gets deduped against whom at ingest. Two hash
+    // joins onto a pair set the banding already bounded, one small
+    // aggregate.
+    QueryDef(
+      "x117_source_dedup_matrix",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.lshDedupPairs(docs, 0.3, bucketCap = LshBucketCap)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""$ShingleCtes $SigCte, bands AS (
+           |  $bandUnion
+           |), kept AS (
+           |  SELECT doc_id, band_idx, band_key FROM bands
+           |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= $LshBucketCap
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM kept a JOIN kept b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2
+           |), dup AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           |    FROM inter
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b) j
+           |  WHERE jaccard >= 0.3
+           |)
+           |SELECT least(da.source, db.source) AS source_a,
+           |       greatest(da.source, db.source) AS source_b,
+           |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |FROM dup p
+           |JOIN documents da ON da.doc_id = p.doc_a
+           |JOIN documents db ON db.doc_id = p.doc_b
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      })
   )
 }
