@@ -1248,6 +1248,74 @@ object Extensions {
            |JOIN documents da ON da.doc_id = p.doc_a
            |JOIN documents db ON db.doc_id = p.doc_b
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // Ingest-time dedup screening — the production flow every corpus
+    // update runs: an INCOMING batch (doc_id >= 250 here) is screened
+    // against the EXISTING corpus (doc_id < 250), first by exact
+    // content hash (one semi-join on the hash), then by shingle-set
+    // Jaccard >= 3/10 through the incoming×existing inverted index
+    // (integer cross-multiplied, never a double compare). Each incoming
+    // doc reports both flags and the admit decision. bench=false: the
+    // inverted-index screen shares x09's degeneracy on this templated
+    // corpus (at scale the LSH-banded variant replaces it, same
+    // decision contract).
+    QueryDef(
+      "x120_ingest_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val inDocs = docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+        val exHash = docs.filter(col("doc_id") < 250)
+          .select(md5(col("text").cast("binary")).as("chash")).distinct()
+        val exact = inDocs
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("chash"))
+          .join(exHash, Seq("chash"), "left_semi")
+          .select(col("doc_id")).withColumn("is_exact_dup", lit(true))
+        val sh = Dedup.shingles(docs)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val near = sh.filter(col("doc_id") >= 250).withColumnRenamed("doc_id", "in_id")
+          .join(sh.filter(col("doc_id") < 250).withColumnRenamed("doc_id", "ex_id"), Seq("shingle"))
+          .groupBy(col("in_id"), col("ex_id")).agg(count(lit(1)).as("i"))
+          .join(sizes.select(col("doc_id").as("in_id"), col("n").as("na")), Seq("in_id"))
+          .join(sizes.select(col("doc_id").as("ex_id"), col("n").as("nb")), Seq("ex_id"))
+          .filter(col("i") * lit(10L) >= (col("na") + col("nb") - col("i")) * lit(3L))
+          .select(col("in_id").as("doc_id")).distinct()
+          .withColumn("is_near_dup", lit(true))
+        inDocs.select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+            coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"),
+            (!coalesce(col("is_exact_dup"), lit(false)) &&
+              !coalesce(col("is_near_dup"), lit(false))).as("admitted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$ShingleCtes, sizes AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+              |), exact AS (
+              |  SELECT DISTINCT i.doc_id
+              |  FROM documents i JOIN documents e
+              |    ON i.doc_id >= 250 AND e.doc_id < 250 AND md5(i.text) = md5(e.text)
+              |), near AS (
+              |  SELECT DISTINCT t.in_id AS doc_id FROM (
+              |    SELECT a.doc_id AS in_id, b.doc_id AS ex_id, COUNT(*) AS i
+              |    FROM sh a JOIN sh b ON a.shingle = b.shingle
+              |      AND a.doc_id >= 250 AND b.doc_id < 250
+              |    GROUP BY 1, 2) t
+              |  JOIN sizes na ON na.doc_id = t.in_id
+              |  JOIN sizes nb ON nb.doc_id = t.ex_id
+              |  WHERE t.i * 10 >= (na.n + nb.n - t.i) * 3
+              |)
+              |SELECT d.doc_id,
+              |       (e.doc_id IS NOT NULL) AS is_exact_dup,
+              |       (n.doc_id IS NOT NULL) AS is_near_dup,
+              |       (e.doc_id IS NULL AND n.doc_id IS NULL) AS admitted
+              |FROM documents d
+              |LEFT JOIN exact e ON e.doc_id = d.doc_id
+              |LEFT JOIN near n ON n.doc_id = d.doc_id
+              |WHERE d.doc_id >= 250
+              |ORDER BY d.doc_id""".stripMargin),
+      bench = false)
   )
 }

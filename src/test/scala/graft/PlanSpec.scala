@@ -250,6 +250,21 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("slot"), s"lost the segment-slot join key:\n$plan")
   }
 
+  test("x118 centroid similarity joins stay equi-joins on dim/label — never all-pairs") {
+    val plan = executed("x118_label_centroid_similarity")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"centroid matrix degenerated to all-pairs:\n$plan")
+  }
+
+  test("x119 rate-limit window is partitioned per (user, hour), never global") {
+    val df = queries.Registry.queryMap("x119_event_rate_limit")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "rate-limit window must be partitioned")
+  }
+
   test("x111 sorted-neighborhood window is partitioned by block, never global") {
     val df = queries.Registry.queryMap("x111_sorted_neighborhood")(spark, Sf)
     val windows = df.queryExecution.sparkPlan.collect {
