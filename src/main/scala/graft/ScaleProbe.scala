@@ -27,10 +27,12 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     // Corpus-only queries (they read documents.parquet and nothing else),
-    // covering the three dedup cost shapes: banded+capped LSH pairs,
-    // inverted-index gram coverage, and the windowed curation capstone.
+    // covering the dedup cost shapes: banded+capped LSH pairs,
+    // inverted-index gram coverage, the windowed curation capstone, the
+    // PassJoin segment equi-join, and the capped-pair source rollup.
     val probes = Seq("x66_lsh_dedup_pairs_capped", "x72_dup_gram_coverage",
-      "x69_curation_pipeline")
+      "x69_curation_pipeline", "x107_edit_distance_pairs",
+      "x117_source_dedup_matrix")
 
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
     val docs = io.Tables(spark, base).documents

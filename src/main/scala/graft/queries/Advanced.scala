@@ -2435,7 +2435,9 @@ object Advanced {
     // within-subgraph degree — the density skeleton of the similarity
     // graph (which vectors sit in dense template families vs hang off
     // them). The oracle replays x100's mutual-top-3 graph, then unrolls
-    // the three peel rounds as CTEs.
+    // the three peel rounds as MATERIALIZED CTEs: DuckDB inlines CTEs
+    // by default, and with 3 references per round the banded join would
+    // expand 27× and exhaust file handles.
     QueryDef(
       "x110_kcore",
       (s, dir) => graft.ops.Graph.kcorePeel(
@@ -2679,7 +2681,48 @@ object Advanced {
              |  FROM e
              |)
              |SELECT event_id, user_id, hour, keep_rank
-             |FROM r WHERE keep_rank <= 5 ORDER BY event_id""".stripMargin))
+             |FROM r WHERE keep_rank <= 5 ORDER BY event_id""".stripMargin)),
+
+    // Vocabulary growth curve (Heaps' law measurement): distinct-token
+    // vocabulary size after each 50-document prefix of the corpus in
+    // doc_id order — the tokenizer-sizing / corpus-diversity curve. Each
+    // token is attributed to the minimum doc_id containing it (x112's
+    // ownership aggregate on tokens instead of grams), bucketed by
+    // prefix, then cumulated with one ordered window. The window is
+    // global but runs over CURVE POINTS (n/granularity rows), not
+    // tokens — at scale the granularity is chosen so the curve has
+    // O(100) points (it is a plot for humans), keeping the single-
+    // partition step trivial; the heavy work (token ownership) is all
+    // hash-partitioned. All integers; no per-prefix rescan.
+    QueryDef(
+      "x121_vocab_growth",
+      (s, dir) => {
+        val first = Tables(s, dir).documents
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+        val w = Window.orderBy(col("prefix_docs"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        first
+          .groupBy(((expr("first_doc DIV 50") + 1) * 50).as("prefix_docs"))
+          .agg(count(lit(1)).as("new_tokens"))
+          .withColumn("vocab_size", sum(col("new_tokens")).over(w))
+          .orderBy("prefix_docs")
+      },
+      Some(raw"""WITH tk AS (
+                |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                |  FROM documents
+                |), first AS (
+                |  SELECT tok, MIN(doc_id) AS first_doc FROM tk GROUP BY 1
+                |), b AS (
+                |  SELECT (first_doc // 50 + 1) * 50 AS prefix_docs,
+                |         CAST(COUNT(*) AS BIGINT) AS new_tokens
+                |  FROM first GROUP BY 1
+                |)
+                |SELECT prefix_docs, new_tokens,
+                |       CAST(SUM(new_tokens) OVER (ORDER BY prefix_docs
+                |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+                |FROM b ORDER BY prefix_docs""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth
