@@ -2722,7 +2722,164 @@ object Advanced {
                 |SELECT prefix_docs, new_tokens,
                 |       CAST(SUM(new_tokens) OVER (ORDER BY prefix_docs
                 |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
-                |FROM b ORDER BY prefix_docs""".stripMargin))
+                |FROM b ORDER BY prefix_docs""".stripMargin)),
+
+    // Signed feature hashing (Weinberger et al. 2009, "Feature Hashing
+    // for Large Scale Multitask Learning"): each document's token
+    // multiset projects into a FIXED 16-dim integer vector — bucket =
+    // md5(token) mod 16, sign = parity of the next hash nibble (the
+    // unbiasing trick: E[v_i·v_j] equals the true inner product) — the
+    // dimensionality-independent featurizer that turns unbounded
+    // vocabularies into joinable fixed-width vectors with NO vocabulary
+    // table, no training, no driver state. One explode + one aggregate
+    // of 16 conditional sums; all integers, any aggregation order.
+    QueryDef(
+      "x122_feature_hashing",
+      (s, dir) => {
+        val h = md5(concat(lit("fh|"), col("tok")).cast("binary"))
+        val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 16
+        val sign = when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L)
+        val buckets = (0 until 16).map(j =>
+          sum(when(col("bucket") === j, col("sgn")).otherwise(0L)).as(s"f$j"))
+        val normSq = (0 until 16).map(j => col(s"f$j") * col(s"f$j")).reduce(_ + _)
+        Tables(s, dir).documents
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), bucket.as("bucket"), sign.as("sgn"))
+          .groupBy(col("doc_id"))
+          .agg(buckets.head, buckets.tail: _*)
+          .withColumn("norm_sq", normSq)
+          .orderBy("doc_id")
+      },
+      Some {
+        val cols = (0 until 16).map(j =>
+          s"CAST(SUM(CASE WHEN bucket = $j THEN sgn ELSE 0 END) AS BIGINT) AS f$j")
+          .mkString(",\n             |       ")
+        val norm = (0 until 16).map(j => s"f$j * f$j").mkString(" + ")
+        raw"""WITH tk AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |), hb AS (
+             |  SELECT doc_id,
+             |         CAST(('0x' || substring(md5('fh|' || tok), 1, 8)) AS BIGINT) % 16 AS bucket,
+             |         CASE WHEN CAST(('0x' || substring(md5('fh|' || tok), 9, 1)) AS BIGINT) % 2 = 0
+             |              THEN 1 ELSE -1 END AS sgn
+             |  FROM tk
+             |), v AS (
+             |  SELECT doc_id,
+             |       $cols
+             |  FROM hb GROUP BY 1
+             |)
+             |SELECT doc_id, ${(0 until 16).map(j => s"f$j").mkString(", ")},
+             |       CAST($norm AS BIGINT) AS norm_sq
+             |FROM v ORDER BY doc_id""".stripMargin
+      }),
+
+    // Newman modularity (Newman & Girvan 2004) of the x99-style
+    // min-label communities over the mutual-kNN graph — "did label
+    // propagation find real structure": Q = Σ_c [e_c/m − (d_c/2m)²],
+    // rewritten over the common denominator 4m² so the numerator
+    // Σ_c (4·m·e_c − d_c²) is an EXACT BIGINT sum (order-free) and the
+    // whole score is one final IEEE division — the x105 fixed-point
+    // discipline with the grid derived from the graph itself. Bounds:
+    // 4·m·e_c needs 4m² < 2^63, i.e. m < 1.5e9 edges; past that the
+    // terms move to DECIMAL(38,0) with the same shape. m rides a
+    // broadcast scalar aggregate, never a driver count.
+    QueryDef(
+      "x123_community_modularity",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val mk = Similarity.mutualKnn(emb, 3)
+          .select(col("src"), col("dst")).localCheckpoint()
+        val comm = graft.ops.Graph.labelPropagation(
+          mk, emb.select(col("vec_id").as("id")), 3)
+        val sym = mk.union(mk.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        val dc = comm.join(deg, Seq("id"), "left")
+          .select(col("label"), coalesce(col("deg"), lit(0L)).as("deg"))
+          .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+        val ec = mk
+          .join(comm.select(col("id").as("src"), col("label").as("la")), Seq("src"))
+          .join(comm.select(col("id").as("dst"), col("label").as("lb")), Seq("dst"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+        val mAgg = mk.agg(count(lit(1)).as("m"))
+        dc.join(ec, Seq("label"), "left")
+          .select(col("label"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+          .crossJoin(broadcast(mAgg))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c")).as("q_num"))
+          .select(col("m"), col("n_communities"), col("q_num"),
+            when(col("m") > 0,
+              col("q_num").cast("double") / (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+              .as("modularity"))
+      },
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, sym0 AS (
+            |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM cand
+            |), scored AS (
+            |  SELECT s.vec_id, s.neighbor_id, list_dot_product(ea.emb, eb.emb) AS score
+            |  FROM sym0 s
+            |  JOIN e ea ON ea.vec_id = s.vec_id
+            |  JOIN e eb ON eb.vec_id = s.neighbor_id
+            |), topk AS MATERIALIZED (
+            |  SELECT vec_id, neighbor_id FROM (
+            |    SELECT vec_id, neighbor_id,
+            |           ROW_NUMBER() OVER (PARTITION BY vec_id
+            |             ORDER BY score DESC, neighbor_id ASC) AS rank
+            |    FROM scored) r
+            |  WHERE rank <= 3
+            |), mk AS MATERIALIZED (
+            |  SELECT t.vec_id AS src, t.neighbor_id AS dst
+            |  FROM topk t
+            |  JOIN topk q ON q.vec_id = t.neighbor_id AND q.neighbor_id = t.vec_id
+            |  WHERE t.vec_id < t.neighbor_id
+            |), gsym AS MATERIALIZED (
+            |  SELECT src, dst FROM mk
+            |  UNION ALL
+            |  SELECT dst, src FROM mk
+            |), l0 AS (
+            |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+            |)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s""", l$i AS MATERIALIZED (
+             |  SELECT v.id, least(v.label, COALESCE(t.nmin, v.label)) AS label
+             |  FROM l${i - 1} v LEFT JOIN (
+             |    SELECT e2.dst, MIN(l.label) AS nmin
+             |    FROM gsym e2 JOIN l${i - 1} l ON l.id = e2.src
+             |    GROUP BY 1) t ON t.dst = v.id
+             |)""".stripMargin
+        }.mkString
+        base + rounds +
+          """, deg AS (
+            |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM gsym GROUP BY 1
+            |), dc AS (
+            |  SELECT c.label, CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS d_c
+            |  FROM l3 c LEFT JOIN deg d ON d.id = c.id GROUP BY 1
+            |), ec AS (
+            |  SELECT ca.label, CAST(COUNT(*) AS BIGINT) AS e_c
+            |  FROM mk e
+            |  JOIN l3 ca ON ca.id = e.src
+            |  JOIN l3 cb ON cb.id = e.dst AND cb.label = ca.label
+            |  GROUP BY 1
+            |), mm AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM mk
+            |), terms AS (
+            |  SELECT d.label, COALESCE(e.e_c, 0) AS e_c, d.d_c FROM dc d
+            |  LEFT JOIN ec e ON e.label = d.label
+            |)
+            |SELECT mm.m, CAST(COUNT(*) AS BIGINT) AS n_communities,
+            |       CAST(SUM(4 * mm.m * t.e_c - t.d_c * t.d_c) AS BIGINT) AS q_num,
+            |       CASE WHEN mm.m > 0 THEN
+            |         CAST(SUM(4 * mm.m * t.e_c - t.d_c * t.d_c) AS DOUBLE)
+            |           / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+            |       END AS modularity
+            |FROM terms t, mm GROUP BY mm.m""".stripMargin
+      })
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth
