@@ -2879,7 +2879,56 @@ object Advanced {
             |           / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
             |       END AS modularity
             |FROM terms t, mm GROUP BY mm.m""".stripMargin
-      })
+      }),
+
+    // Bounded-contribution aggregation (the user-level sensitivity
+    // bounding of differentially-private analytics — Wilson et al. 2020,
+    // "Differentially Private SQL with Bounded User Contribution"):
+    // per-nation revenue where each customer contributes at most a cap.
+    // The noise-injection step is the caller's; what is HARD at scale is
+    // exact per-user clamping, which is a two-level aggregate — per-user
+    // decimal-exact totals, LEAST against the cap, re-aggregate — never
+    // a row-level clamp (that bounds the wrong sensitivity). Decimal
+    // money discipline end to end; clamp flags reported so the privacy
+    // analyst can see how binding the cap is.
+    QueryDef(
+      "x124_bounded_contribution",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cap = lit(50000).cast("decimal(18,4)")
+        val per = t.orders.groupBy(col("o_custkey"))
+          .agg(sum(money(col("o_totalprice"))).as("total"))
+        val clamped = per.select(col("o_custkey"),
+          least(col("total"), cap).as("clamped"),
+          (col("total") > cap).as("was_clamped"))
+        clamped
+          .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("was_clamped"), 1L).otherwise(0L)).as("n_clamped"),
+            sum(col("clamped")).cast("double").as("bounded_revenue"))
+          .orderBy("nation")
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+             |  FROM orders GROUP BY 1
+             |), cl AS (
+             |  SELECT o_custkey,
+             |         LEAST(total, CAST(50000 AS DECIMAL(18,4))) AS clamped,
+             |         (total > CAST(50000 AS DECIMAL(18,4))) AS was_clamped
+             |  FROM per
+             |)
+             |SELECT n.n_name AS nation,
+             |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+             |       CAST(SUM(CASE WHEN was_clamped THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+             |       CAST(SUM(clamped) AS DOUBLE) AS bounded_revenue
+             |FROM cl
+             |JOIN customer c ON c.c_custkey = cl.o_custkey
+             |JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth
