@@ -614,6 +614,45 @@ object TextAnalysis {
         (col("kl_fp").cast("double") / lit(1e12)).as("kl_divergence"))
   }
 
+  /** Exact positional phrase search over an inverted index — the
+    * full-text primitive (Zobel & Moffat 2006, "Inverted files for text
+    * search engines"): each query phrase matches where EVERY term w_i
+    * appears at position start+i. One pass builds positional postings
+    * (doc_id, pos, token); candidate starts come from a single broadcast
+    * join against the (phrase, offset, term) table — a token at pos
+    * matching term i votes for start = pos − i — and a start wins when it
+    * collects all |phrase| votes (each position holds one token, so
+    * count(*) = |phrase| ⇔ every offset matched).
+    *
+    * 100 TB posture: the query table is broadcast (bytes); the only
+    * shuffle carries candidate starts — rows whose token appears in some
+    * phrase, a term-selectivity-bounded set, never the corpus. No
+    * self-join of the postings list, no per-phrase scans: cost is one
+    * index build + one aggregation regardless of phrase count.
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap { p =>
+      p.trim.split("\\s+").toSeq.zipWithIndex.map { case (w, i) => (p, i, w) }
+    }.toDF("phrase", "i", "w")
+    val lens = phrases.map(p => (p, p.trim.split("\\s+").length.toLong))
+      .toDF("phrase", "phrase_len")
+    val postings = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    postings
+      .join(broadcast(terms), col("tok") === col("w"))
+      .select(col("phrase"), col("doc_id"), (col("pos") - col("i")).as("start"))
+      .where(col("start") >= 0)
+      .groupBy(col("phrase"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("n_terms"))
+      .join(broadcast(lens), Seq("phrase"))
+      .where(col("n_terms") === col("phrase_len"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Advanced {
 
+  /** x125's pinned query set: two bigrams and one trigram drawn from the
+    * corpus vocabulary, exercising multi-occurrence docs and the
+    * all-offsets-must-match rule. */
+  private val PhraseQueries: Seq[String] =
+    Seq("table part", "fast merge batch", "spark data vector")
+
   /** Shared oracle CTE: tokens array per document. */
   private val TokCte =
     raw"""WITH tok AS (
@@ -2928,8 +2934,52 @@ object Advanced {
              |FROM cl
              |JOIN customer c ON c.c_custkey = cl.o_custkey
              |JOIN nation n ON n.n_nationkey = c.c_nationkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Positional phrase search (TextAnalysis.phraseSearch): exact
+    // multi-term phrase matching via inverted-index postings — each token
+    // votes for the phrase start it would imply, a start with all
+    // |phrase| votes is a hit. The query table is broadcast; the shuffle
+    // carries only term-selectivity-bounded candidate starts.
+    QueryDef(
+      "x125_phrase_search",
+      (s, dir) => graft.ext.TextAnalysis.phraseSearch(
+          Tables(s, dir).documents, PhraseQueries)
+        .orderBy("phrase", "doc_id"),
+      Some {
+        val termRows = PhraseQueries.flatMap { p =>
+          p.trim.split("\\s+").toSeq.zipWithIndex.map { case (w, i) =>
+            s"('${p}', $i, '$w')"
+          }
+        }.mkString(", ")
+        raw"""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+             |), pos AS (
+             |  SELECT doc_id, ts, unnest(generate_series(1, length(ts))) AS p FROM tok
+             |), tkn AS (
+             |  SELECT doc_id, p - 1 AS pos, ts[p] AS tok FROM pos
+             |), terms(phrase, i, w) AS (
+             |  VALUES $termRows
+             |), lens AS (
+             |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS phrase_len FROM terms GROUP BY 1
+             |), cand AS (
+             |  SELECT t.phrase, k.doc_id, k.pos - t.i AS strt
+             |  FROM tkn k JOIN terms t ON k.tok = t.w
+             |  WHERE k.pos - t.i >= 0
+             |), starts AS (
+             |  SELECT phrase, doc_id, strt, CAST(COUNT(*) AS BIGINT) AS n_terms
+             |  FROM cand GROUP BY 1, 2, 3
+             |)
+             |SELECT s.phrase, s.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             |       CAST(MIN(s.strt) AS BIGINT) AS first_pos
+             |FROM starts s JOIN lens l USING (phrase)
+             |WHERE s.n_terms = l.phrase_len
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin
+      })
   )
+
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth
     * sums over in-edges, integer max-renormalization, raw hub sums over

@@ -990,4 +990,20 @@ class ExtSpec extends SparkSuite {
     // the blocking trade-off, pinned here.
     assert(r === Seq((1L, 2L)))
   }
+
+  test("phraseSearch: overlapping occurrences, repeated-term phrases, offset discipline") {
+    val rows = Seq(
+      (1L, "a b a b a", "en", "web", 9L),     // "a b a" overlaps at 0 and 2
+      (2L, "b a b", "en", "web", 5L),         // contains "a b" once at 1
+      (3L, "a a a", "en", "web", 5L),         // repeated-term phrase "a a" at 0,1
+      (4L, "b b b", "en", "web", 5L))         // no "a" at all
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.phraseSearch(d, Seq("a b a", "a a"))
+      .orderBy("phrase", "doc_id")
+      .select("phrase", "doc_id", "n_occurrences", "first_pos")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      ("a a", 3L, 2L, 0L),        // overlapping starts both count
+      ("a b a", 1L, 2L, 0L)))     // starts 0 and 2; partial suffix at 4 rejected
+  }
 }
