@@ -108,6 +108,7 @@ object Bench {
       // measures steady-state COMPUTATION, not a memo-table hit (see
       // methodology scaladoc). Clearing costs only unpersist calls.
       graft.ext.Dedup.clearCaches(spark)
+      graft.ext.TextAnalysis.clearCaches(spark)
       graft.ext.Similarity.clearCaches(spark)
       try timed(Registry.queryMap(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
@@ -255,6 +256,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${timesJson(("_warmup" -> warmup) +: (results ++ layoutTimes))},"median_total":$medianTotal%.3f,"queries_median":${timesJson(medians)},"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     graft.ext.Dedup.clearCaches(spark)
+    graft.ext.TextAnalysis.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
     graft.queries.Report.clearCaches(spark)
     spark.stop()

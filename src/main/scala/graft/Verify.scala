@@ -46,6 +46,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.ext.Dedup.clearCaches(spark)
+    graft.ext.TextAnalysis.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
     graft.queries.Report.clearCaches(spark)
     spark.stop()

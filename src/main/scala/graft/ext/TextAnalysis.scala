@@ -653,6 +653,94 @@ object TextAnalysis {
         min(col("start")).cast("long").as("first_pos"))
   }
 
+  /** Byte-pair-encoding merge learning (Sennrich, Haddow & Birch 2016,
+    * "Neural machine translation of rare words with subword units") — the
+    * subword-vocabulary training primitive. Per round: count adjacent
+    * symbol pairs weighted by word frequency, pick the most frequent pair
+    * (ties by (left, right) ascending — deterministic), and merge every
+    * greedy left-to-right occurrence of that pair in every word.
+    *
+    * 100 TB posture — the scale story IS classic BPE's word-count
+    * compression: the corpus is scanned ONCE (word→count aggregation,
+    * map-side combinable, cached vocab-bounded by Heaps' law); every
+    * round after that iterates on the word table, never the corpus. The
+    * per-round pair aggregate is also map-side combinable, the winning
+    * merge is a single bounded driver row (the PageRank-guard precedent),
+    * and merge application is a pure codegen'd fold projection — no
+    * shuffle grows with rounds.
+    *
+    * Returns (merges, vocab): merges = one row per learned round
+    * (round, left_sym, right_sym, pair_count); vocab = the symbol
+    * inventory after applying all merges (symbol, total_count, n_words).
+    */
+  def bpe(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordCache.getOrElseUpdate(
+      (spark, docs.queryExecution.analyzed.semanticHash()),
+      docs.select(explode(tokens(col("text"))).as("word"))
+        .where(col("word").rlike("^[a-z]{1,20}$"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .cache())
+
+    // Greedy left-to-right merge of (l, r) in a symbol array. A merged
+    // symbol l+r can never re-match as the left partner of the SAME pair
+    // (l+r != l since r is non-empty), so a plain fold is exactly
+    // Sennrich's scan; the size(acc) guard short-circuits before
+    // element_at touches an empty array (ANSI mode).
+    def mergeFold(sym: Column, l: String, r: String): Column =
+      aggregate(sym, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+    val chars = filter(split(col("word"), ""), x => length(x) > 0)
+    var sym: Column = chars
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val pairs = words.select(col("cnt"), sym.as("sym"))
+        .select(col("cnt"),
+          explode(arrays_zip(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1))).as("p"))
+        .groupBy(col("p").getField("0").as("left_sym"),
+          col("p").getField("1").as("right_sym"))
+        .agg(sum(col("cnt")).as("pair_count"))
+      // Bounded driver read: ONE row per round — the learned merge.
+      val best = pairs
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE round $round: no adjacent pairs left")
+      val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((round, l, r, c))
+      sym = mergeFold(sym, l, r)
+    }
+    val mergesDf = merges.result()
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+      .select(col("round").cast("int"), col("left_sym"), col("right_sym"),
+        col("pair_count").cast("long"))
+    val vocabDf = words.select(col("word"), col("cnt"), explode(sym).as("symbol"))
+      .groupBy("symbol")
+      .agg(sum(col("cnt")).cast("long").as("total_count"),
+        countDistinct(col("word")).cast("long").as("n_words"))
+    (mergesDf, vocabDf)
+  }
+
+  // Word-count table shared by the two BPE queries (merges + vocab in one
+  // run would otherwise scan and aggregate the corpus twice) — cached per
+  // (session, source plan) like Similarity.candCache; released via
+  // clearCaches from the entry points' teardown. Bounded by vocabulary
+  // size, which grows sublinearly in the corpus (Heaps' law).
+  private val wordCache = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession, Int), DataFrame]
+
+  /** Release cached word-count frames for a session. */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    wordCache.keys.filter(_._1 == spark).foreach { k =>
+      wordCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

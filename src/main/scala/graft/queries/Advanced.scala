@@ -21,6 +21,54 @@ object Advanced {
   private val PhraseQueries: Seq[String] =
     Seq("table part", "fast merge batch", "spark data vector")
 
+  /** x126/x127's round count: enough to force merged symbols back through
+    * pair counting (a round-2+ pair has a multi-char left or right side). */
+  private val BpeRounds = 3
+
+  /** The shared CTE prefix for the BPE oracles: word counts from the
+    * corpus, then per round k: pair stats (p_k), the argmax merge (b_k),
+    * and the greedy left-to-right application as a recursive fold (m_k →
+    * s_k). Generated, not hand-written, so the round structure matches
+    * [[BpeRounds]] by construction.
+    */
+  private lazy val BpeOracleStages: String = {
+    val head =
+      raw"""WITH RECURSIVE tok AS (
+           |  SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents
+           |), w0 AS (
+           |  SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(ts) AS t FROM tok)
+           |  WHERE regexp_matches(t, '^[a-z]{1,20}$$')
+           |  GROUP BY 1
+           |), s0 AS (
+           |  SELECT word, cnt, string_split_regex(word, '') AS sym FROM w0
+           |)""".stripMargin
+    val stages = (1 to BpeRounds).map { k =>
+      raw""", p$k AS (
+           |  SELECT sym[i] AS left_sym, sym[i+1] AS right_sym,
+           |         CAST(SUM(cnt) AS BIGINT) AS pair_count
+           |  FROM (SELECT cnt, sym, unnest(generate_series(1, len(sym)-1)) AS i
+           |        FROM s${k - 1})
+           |  GROUP BY 1, 2
+           |), b$k AS (
+           |  SELECT left_sym, right_sym, pair_count FROM p$k
+           |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+           |), m$k AS (
+           |  SELECT word, cnt, sym, 1 AS i, []::VARCHAR[] AS acc FROM s${k - 1}
+           |  UNION ALL
+           |  SELECT m.word, m.cnt, m.sym, m.i + 1,
+           |    CASE WHEN len(m.acc) > 0 AND m.acc[-1] = b.left_sym
+           |              AND m.sym[m.i] = b.right_sym
+           |         THEN list_append(m.acc[:len(m.acc)-1], b.left_sym || b.right_sym)
+           |         ELSE list_append(m.acc, m.sym[m.i]) END
+           |  FROM m$k m CROSS JOIN b$k b WHERE m.i <= len(m.sym)
+           |), s$k AS (
+           |  SELECT word, cnt, acc AS sym FROM m$k WHERE i = len(sym) + 1
+           |)""".stripMargin
+    }
+    head + stages.mkString + "\n"
+  }
+
   /** Shared oracle CTE: tokens array per document. */
   private val TokCte =
     raw"""WITH tok AS (
@@ -2977,9 +3025,35 @@ object Advanced {
              |WHERE s.n_terms = l.phrase_len
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin
-      })
-  )
+      }),
 
+    // BPE merge learning (TextAnalysis.bpe): per round, the most frequent
+    // adjacent symbol pair (weighted by word frequency, ties broken by
+    // (left, right) ascending) is merged greedily left-to-right in every
+    // word. The corpus is aggregated to word counts once; rounds iterate
+    // on the Heaps-bounded vocab. Oracle: the same rounds unrolled as
+    // chained recursive CTEs (the fold recursion steps one symbol per
+    // level, depth <= max word length = 20).
+    QueryDef(
+      "x126_bpe_merges",
+      (s, dir) => graft.ext.TextAnalysis.bpe(Tables(s, dir).documents, BpeRounds)
+        ._1.orderBy("round"),
+      Some(BpeOracleStages +
+        (1 to BpeRounds).map(k => s"SELECT $k AS round, * FROM b$k")
+          .mkString("", " UNION ALL ", " ORDER BY round"))),
+
+    // The symbol inventory after applying the learned merges — exercises
+    // the greedy merge application (a pure fold projection) end to end.
+    QueryDef(
+      "x127_bpe_vocab",
+      (s, dir) => graft.ext.TextAnalysis.bpe(Tables(s, dir).documents, BpeRounds)
+        ._2.orderBy("symbol"),
+      Some(BpeOracleStages +
+        raw"""SELECT u AS symbol, CAST(SUM(cnt) AS BIGINT) AS total_count,
+             |       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+             |FROM (SELECT word, cnt, unnest(sym) AS u FROM s$BpeRounds)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth
     * sums over in-edges, integer max-renormalization, raw hub sums over

@@ -1006,4 +1006,37 @@ class ExtSpec extends SparkSuite {
       ("a a", 3L, 2L, 0L),        // overlapping starts both count
       ("a b a", 1L, 2L, 0L)))     // starts 0 and 2; partial suffix at 4 rejected
   }
+
+  test("bpe: greedy left-to-right merges, self-pair runs, merged-symbol re-pairing") {
+    // Word counts: "abab" x3, "aaa" x2, "ab" x1 (plus "zq" x1 noise).
+    // Round 1 pairs: (a,b)=3*2+1=7, (b,a)=3, (a,a)=2*2=4, (z,q)=1 → merge (a,b).
+    //   abab→[ab,ab], aaa→[a,a,a], ab→[ab].
+    // Round 2 pairs: (ab,ab)=3, (a,a)=4 → merge (a,a): aaa→[aa,a]
+    //   (GREEDY: leftmost pairing wins the odd run, never [a,aa]).
+    // Round 3 pairs: (ab,ab)=3, (aa,a)=2 → merge (ab,ab): abab→[abab].
+    val text = (Seq.fill(3)("abab") ++ Seq.fill(2)("aaa") ++ Seq("ab", "zq"))
+      .mkString(" ")
+    val d = Seq((1L, text, "en", "web", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (merges, vocab) = TextAnalysis.bpe(d, rounds = 3)
+    val m = merges.orderBy("round")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m === Seq((1, "a", "b", 7L), (2, "a", "a", 4L), (3, "ab", "ab", 3L)))
+    val v = vocab.orderBy("symbol")
+      .as[(String, Long, Long)].collect().toSeq
+    // abab→[abab] x3; aaa→[aa,a] x2; ab→[ab]; zq→[z,q]
+    assert(v === Seq(("a", 2L, 1L), ("aa", 2L, 1L), ("ab", 1L, 1L),
+      ("abab", 3L, 1L), ("q", 1L, 1L), ("z", 1L, 1L)))
+    TextAnalysis.clearCaches(spark)
+  }
+
+  test("bpe: deterministic tie-break takes the lexicographically smallest pair") {
+    // "ba" x2 and "cd" x2: both pairs have count 2 → (b,a) < (c,d) wins.
+    val d = Seq((1L, "ba ba cd cd", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (merges, _) = TextAnalysis.bpe(d, rounds = 1)
+    val m = merges.as[(Int, String, String, Long)].collect().toSeq
+    assert(m === Seq((1, "b", "a", 2L)))
+    TextAnalysis.clearCaches(spark)
+  }
 }
