@@ -278,6 +278,42 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "score")
   }
 
+  /** Hard-negative mining for contrastive training (the corpus-level
+    * mined-negatives shape of DPR, Karpukhin et al. 2020, and ANCE,
+    * Xiong et al. 2021): for every anchor vector, the k most similar
+    * vectors carrying a DIFFERENT label — the near-misses a contrastive
+    * loss learns the most from, which in-batch negatives almost never
+    * sample.
+    *
+    * Scale shape: candidates come from the shared banded join
+    * ([[candidatePairs]] — never all-pairs, hot-bucket-cappable), the
+    * label inequality prunes BEFORE scoring (same-label near-dups never
+    * reach the dot product), and the output is k-bounded per anchor by
+    * the same window as [[annTopK]]. Labels ride the existing vector
+    * join — no extra shuffle.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int,
+      bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+      col("label"))
+    val und = candidatePairs(embeddings, bands, bandBits, bucketCap)
+    val directed = und.select(col("vec_a").as("vec_id"), col("vec_b").as("neg_id"))
+      .union(und.select(col("vec_b").as("vec_id"), col("vec_a").as("neg_id")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neg_id").asc)
+    directed
+      .join(e.select(col("vec_id"), col("emb"), col("label").as("anchor_label")),
+        Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neg_id"), col("emb").as("nemb"),
+        col("label").as("neg_label")), Seq("neg_id"))
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .select(col("vec_id"), col("anchor_label"), col("neg_id"), col("neg_label"),
+        dot(col("emb"), col("nemb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "anchor_label", "rank", "neg_id", "neg_label", "score")
+  }
+
   /** Mutual-kNN graph construction from the banded [[annTopK]] index:
     * an undirected edge (a, b) exists iff b is in a's top-k AND a is in
     * b's — the symmetric sparsifier that graph-based clustering and

@@ -3052,7 +3052,49 @@ object Advanced {
         raw"""SELECT u AS symbol, CAST(SUM(cnt) AS BIGINT) AS total_count,
              |       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
              |FROM (SELECT word, cnt, unnest(sym) AS u FROM s$BpeRounds)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hard-negative mining (Similarity.hardNegatives): per anchor, the
+    // k most similar DIFFERENT-label vectors from the banded candidate
+    // set — the DPR/ANCE contrastive-mining shape. Same banding as x27;
+    // the label filter prunes before scoring.
+    QueryDef(
+      "x128_hard_negatives",
+      (s, dir) => graft.ext.Similarity.hardNegatives(Tables(s, dir).embeddings, 3)
+        .orderBy("vec_id", "rank"),
+      Some {
+        val S = graft.ext.Similarity
+        val bandSelects = (0 until S.AnnBands).map { b =>
+          val key = (0 until S.AnnBandBits).map { j =>
+            val lit = S.planesSqlLiteral(b * S.AnnBandBits + j)
+            s"CASE WHEN list_dot_product(emb, $lit) > 0 THEN ${1 << j} ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, $b AS band_idx, $key AS band_key FROM e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+           |), bands AS (
+           |  $bandSelects
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id, b.vec_id AS neg_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.vec_id <> b.vec_id
+           |), scored AS (
+           |  SELECT c.vec_id, ea.label AS anchor_label, c.neg_id,
+           |         eb.label AS neg_label, list_dot_product(ea.emb, eb.emb) AS score
+           |  FROM cand c
+           |  JOIN e ea ON ea.vec_id = c.vec_id
+           |  JOIN e eb ON eb.vec_id = c.neg_id
+           |  WHERE ea.label <> eb.label
+           |)
+           |SELECT vec_id, anchor_label, rank, neg_id, neg_label, score FROM (
+           |  SELECT vec_id, anchor_label, neg_id, neg_label, score,
+           |         ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                            ORDER BY score DESC, neg_id ASC) AS rank
+           |  FROM scored) r
+           |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+      })
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

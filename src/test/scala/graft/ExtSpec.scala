@@ -1007,6 +1007,36 @@ class ExtSpec extends SparkSuite {
       ("a b a", 1L, 2L, 0L)))     // starts 0 and 2; partial suffix at 4 rejected
   }
 
+  test("hardNegatives excludes same-label neighbors even when they are nearest") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val hn = Similarity.hardNegatives(emb, 3)
+      .select("vec_id", "anchor_label", "neg_id", "neg_label", "rank")
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(hn.nonEmpty, "banded candidates must yield cross-label pairs")
+    assert(hn.forall { case (_, al, _, nl, _) => al != nl },
+      "every mined negative must carry a different label")
+    // k-bounded per anchor, ranks contiguous from 1.
+    hn.groupBy(_._1).foreach { case (v, rows) =>
+      val ranks = rows.map(_._5).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"anchor $v ranks $ranks")
+      assert(ranks.length <= 3)
+    }
+    // The negatives are the top DIFFERENT-label candidates: for any anchor
+    // also present in annTopK with a same-label best neighbor, that
+    // neighbor must be absent here (label filter beats proximity).
+    val sameLabelTop = Similarity.annTopK(emb, 1)
+      .join(emb.select(col("vec_id"), col("label").as("al")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        Seq("neighbor_id"))
+      .filter(col("al") === col("nl"))
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sameLabelTop.nonEmpty, "fixture sanity: some nearest neighbor shares its label")
+    val mined = hn.map(r => (r._1, r._3)).toSet
+    sameLabelTop.foreach { case (v, n) =>
+      assert(!mined.contains((v, n)), s"same-label nearest ($v,$n) leaked into negatives")
+    }
+  }
+
   test("bpe: greedy left-to-right merges, self-pair runs, merged-symbol re-pairing") {
     // Word counts: "abab" x3, "aaa" x2, "ab" x1 (plus "zq" x1 noise).
     // Round 1 pairs: (a,b)=3*2+1=7, (b,a)=3, (a,a)=2*2=4, (z,q)=1 → merge (a,b).
