@@ -314,6 +314,69 @@ object Similarity {
       .select("vec_id", "anchor_label", "rank", "neg_id", "neg_label", "score")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009): for each pinned query document, a lexical ranking
+    * (distinct-token Jaccard against the query text) and a dense ranking
+    * (embedding dot product) are each cut to a candidate pool, then fused
+    * by summed reciprocal rank 1/(rrfK + rank) and re-ranked — the
+    * standard BM25+vector fusion shape of a RAG retrieval stack.
+    *
+    * Determinism: the fused score is integer fixed-point (10^12 DIV
+    * (rrfK + rank)) so accumulation order cannot flip a tie; both
+    * component rankings tie-break on doc_id.
+    *
+    * Scale shape: the query set is broadcast (a handful of rows — the
+    * nested-loop joins below are broadcast-side-bounded by |queries|, so
+    * each is one corpus scan, never corpus×corpus); each ranking is
+    * window-cut to poolDepth per query before the fusion join, which
+    * therefore carries at most 2·|queries|·poolDepth rows. For
+    * corpus×corpus retrieval use the banded [[annTopK]] path instead.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, queryIds: Seq[Long],
+      poolDepth: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
+    val toks = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
+    val qt = toks.filter(col("doc_id").isInCollection(queryIds))
+      .select(col("doc_id").as("qid"), col("ts").as("qts"))
+    val inter = size(array_intersect(col("ts"), col("qts")))
+    val lexScored = toks.join(broadcast(qt), col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        (inter.cast("double") / (size(col("ts")) + size(col("qts")) - inter))
+          .as("lex_score"))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("lex_score").desc, col("doc_id").asc)
+    val lexTop = lexScored
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= poolDepth)
+      .select("qid", "doc_id", "lex_rank")
+
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val qe = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val denseScored = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        dot(col("emb"), col("qemb")).as("dense_score"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("dense_score").desc, col("doc_id").asc)
+    val denseTop = denseScored
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .filter(col("dense_rank") <= poolDepth)
+      .select("qid", "doc_id", "dense_rank")
+
+    val fused = lexTop.join(denseTop, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (coalesce(expr(s"1000000000000 DIV ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000000 DIV ($rrfK + dense_rank)"), lit(0L)))
+          .as("rrf_fp"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "rrf_fp", "lex_rank", "dense_rank")
+  }
+
   /** Mutual-kNN graph construction from the banded [[annTopK]] index:
     * an undirected edge (a, b) exists iff b is in a's top-k AND a is in
     * b's — the symmetric sparsifier that graph-based clustering and

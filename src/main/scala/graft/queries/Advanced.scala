@@ -3094,7 +3094,62 @@ object Advanced {
            |                            ORDER BY score DESC, neg_id ASC) AS rank
            |  FROM scored) r
            |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
-      })
+      }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Similarity.hybridRrf):
+    // lexical distinct-token Jaccard and dense dot-product rankings per
+    // pinned query doc, each pool-cut, fused by integer fixed-point
+    // 10^12 DIV (60 + rank). Query docs 0..4 exist at every SF.
+    QueryDef(
+      "x129_hybrid_rrf",
+      (s, dir) => graft.ext.Similarity.hybridRrf(
+          Tables(s, dir).documents, Tables(s, dir).embeddings, 0L to 4L)
+        .orderBy("qid", "rank"),
+      Some(
+        raw"""WITH tok AS (
+             |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+             |  FROM documents
+             |), q AS (
+             |  SELECT doc_id AS qid, ts AS qts FROM tok WHERE doc_id IN (0, 1, 2, 3, 4)
+             |), lexs AS (
+             |  SELECT q.qid, t.doc_id,
+             |         CAST(len(list_intersect(t.ts, q.qts)) AS DOUBLE)
+             |           / (len(t.ts) + len(q.qts) - len(list_intersect(t.ts, q.qts)))
+             |           AS lex_score
+             |  FROM tok t, q WHERE t.doc_id <> q.qid
+             |), lext AS (
+             |  SELECT qid, doc_id,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+             |  FROM lexs QUALIFY lex_rank <= 20
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), qe AS (
+             |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+             |), ds AS (
+             |  SELECT qe.qid, e.vec_id AS doc_id,
+             |         list_dot_product(e.emb, qe.qemb) AS dense_score
+             |  FROM e, qe WHERE e.vec_id <> qe.qid
+             |), dst AS (
+             |  SELECT qid, doc_id,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY dense_score DESC, doc_id) AS BIGINT) AS dense_rank
+             |  FROM ds QUALIFY dense_rank <= 20
+             |), fused AS (
+             |  SELECT COALESCE(l.qid, d.qid) AS qid,
+             |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             |         l.lex_rank, d.dense_rank,
+             |         CAST(COALESCE(1000000000000 // (60 + l.lex_rank), 0)
+             |            + COALESCE(1000000000000 // (60 + d.dense_rank), 0) AS BIGINT)
+             |           AS rrf_fp
+             |  FROM lext l FULL OUTER JOIN dst d
+             |    ON l.qid = d.qid AND l.doc_id = d.doc_id
+             |)
+             |SELECT qid,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |            ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank,
+             |       doc_id, rrf_fp, lex_rank, dense_rank
+             |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -1037,6 +1037,27 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("hybridRrf: fused score is exactly the fixed-point reciprocal-rank sum") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val r = Similarity.hybridRrf(docs, emb, 0L to 2L, poolDepth = 5, k = 4)
+      .select("qid", "rank", "rrf_fp", "lex_rank", "dense_rank")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (qid, rank, fp, lex, dense) =>
+      val expected = lex.map(x => 1000000000000L / (60 + x)).getOrElse(0L) +
+        dense.map(x => 1000000000000L / (60 + x)).getOrElse(0L)
+      assert(fp === expected, s"q$qid rank $rank: rrf $fp != $expected")
+      assert(lex.isDefined || dense.isDefined, "fused rows come from some pool")
+      assert(rank >= 1 && rank <= 4)
+    }
+    // Fused ranks are descending in rrf_fp within each query.
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._3).toSeq
+      assert(byRank === byRank.sorted(Ordering[Long].reverse))
+    }
+  }
+
   test("bpe: greedy left-to-right merges, self-pair runs, merged-symbol re-pairing") {
     // Word counts: "abab" x3, "aaa" x2, "ab" x1 (plus "zq" x1 noise).
     // Round 1 pairs: (a,b)=3*2+1=7, (b,a)=3, (a,a)=2*2=4, (z,q)=1 → merge (a,b).
