@@ -43,4 +43,44 @@ object Skew {
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedBig.join(saltedSmall, keys :+ saltCol, joinType).drop(saltCol)
   }
+
+  /** Differentiated (two-path) skew join: keys whose big-side frequency
+    * exceeds `hotThreshold` are joined via a BROADCAST of the small
+    * side's hot slice (no shuffle ever sees the hot keys), while the
+    * long tail takes the ordinary shuffled equi-join; the union is
+    * row-identical to the plain join. This is the explicit form of the
+    * classic hot-key/cold-key split (what AQE's OptimizeSkewedJoin does
+    * for sort-merge partitions at runtime, done at the semantic level so
+    * it also covers hash joins and survives a 100× scale-up of one key).
+    *
+    * Scale shape: hot-key detection is one map-side-combinable count on
+    * the big side; by construction at most |big| / hotThreshold keys can
+    * exceed the threshold, so the hot-key list and the small side's hot
+    * slice (for a dimension: one row per hot key) are broadcast-bounded
+    * REGARDLESS of the data — the caller picks the bound, not the skew.
+    *
+    * Join-type restriction matches [[saltedJoin]]'s table: the small
+    * side is split (hot slice vs full table), so only joins where an
+    * unmatched small row produces nothing are safe.
+    */
+  def twoPathJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      hotThreshold: Long, joinType: String = "inner"): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")) ||
+      SafeJoinTypes.contains(joinType.toLowerCase),
+      s"twoPathJoin supports ${SafeJoinTypes.mkString("/")}; '$joinType' would " +
+        "duplicate unmatched small-side rows across the two paths")
+    val keyCols = keys.map(col)
+    val hot = broadcast(
+      big.groupBy(keyCols: _*).agg(count(lit(1)).as("__graft_keyfreq"))
+        .filter(col("__graft_keyfreq") > hotThreshold)
+        .drop("__graft_keyfreq"))
+    val hotPath = big.join(hot, keys, "left_semi")
+      .join(broadcast(small.join(hot, keys, "left_semi")), keys, joinType)
+    val tailPath = big.join(hot, keys, "left_anti")
+      .join(small, keys, joinType)
+    // Tail big rows carry no hot key, so small's hot rows can never match
+    // them (and vice versa): the two paths partition the join output.
+    hotPath.unionByName(tailPath)
+  }
 }

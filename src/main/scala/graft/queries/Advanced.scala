@@ -3149,7 +3149,40 @@ object Advanced {
              |       CAST(ROW_NUMBER() OVER (PARTITION BY qid
              |            ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank,
              |       doc_id, rrf_fp, lex_rank, dense_rank
-             |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+             |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    // Differentiated skew join (Skew.twoPathJoin): users with > 80 events
+    // route through a broadcast of the profile's hot slice; the tail takes
+    // the shuffled join. Result is row-identical to the plain join — the
+    // oracle is exactly that plain join. Activity-weighted user depth per
+    // event type exercises both the fact and profile columns.
+    QueryDef(
+      "x130_two_path_skew_join",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val prof = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
+        graft.ops.Skew.twoPathJoin(
+            ev.select(col("user_id"), col("event_type")), prof,
+            Seq("user_id"), hotThreshold = 80L)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("n_total")).as("total_depth"),
+            (sum(col("n_total")).cast("double") / count(lit(1))).as("avg_depth"))
+          .orderBy("event_type")
+      },
+      Some("""WITH prof AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT e.event_type,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             |       CAST(SUM(p.n_total) AS BIGINT) AS total_depth,
+             |       CAST(SUM(p.n_total) AS DOUBLE) / COUNT(*) AS avg_depth
+             |FROM events e JOIN prof p USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

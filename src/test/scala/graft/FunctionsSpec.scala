@@ -79,4 +79,36 @@ class FunctionsSpec extends SparkSuite {
       assert(plain.exceptAll(salted).count() === 0, jt)
     }
   }
+
+  test("twoPathJoin equals the plain join with both paths populated") {
+    // Key 1 is the celebrity (900 rows); keys 2..101 are the long tail.
+    val big = ((1 to 900).map(_ => (1, "hot")) ++
+      (2 to 101).map(k => (k, "tail"))).toDF("k", "side")
+    val small = (1 to 120).map(k => (k, s"dim$k")).toDF("k", "name")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = big.join(small, Seq("k"), jt)
+      val two = Skew.twoPathJoin(big, small, Seq("k"), hotThreshold = 100, joinType = jt)
+      assert(two.count() === plain.count(), jt)
+      assert(two.exceptAll(plain).count() === 0, jt)
+      assert(plain.exceptAll(two).count() === 0, jt)
+    }
+    // Both paths genuinely fire: the hot path carries key 1's 900 rows.
+    val two = Skew.twoPathJoin(big, small, Seq("k"), hotThreshold = 100)
+    assert(two.filter(col("k") === 1).count() === 900)
+    assert(two.filter(col("k") =!= 1).count() === 100)
+    // The hot path is a broadcast join: at least two broadcast exchanges
+    // (the hot-key list itself plus the small side's hot slice).
+    val plan = two.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"hot path must broadcast, got:\n$plan")
+  }
+
+  test("twoPathJoin rejects join types that would duplicate small-side rows") {
+    val big = Seq((1, "x")).toDF("k", "v")
+    val small = Seq((1, "y")).toDF("k", "w")
+    val err = intercept[IllegalArgumentException] {
+      Skew.twoPathJoin(big, small, Seq("k"), hotThreshold = 10, joinType = "full")
+    }
+    assert(err.getMessage.contains("duplicate"))
+  }
 }
