@@ -3182,7 +3182,24 @@ object Advanced {
              |       CAST(SUM(p.n_total) AS BIGINT) AS total_depth,
              |       CAST(SUM(p.n_total) AS DOUBLE) / COUNT(*) AS avg_depth
              |FROM events e JOIN prof p USING (user_id)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // One-pass OLS linear probe (ops.LinearProbe.ols2): predict the
+    // BPE-regex token count from whitespace-token and char counts — the
+    // "estimate tokenizer cost from cheap stats before tokenizing 100 TB"
+    // probe. Ten exact BIGINT sufficient statistics, then a closed-form
+    // Cramer solve whose double expression tree is shared verbatim with
+    // the oracle (the x41/CorrFormula determinism argument).
+    QueryDef(
+      "x131_token_cost_probe",
+      (s, dir) => graft.ops.LinearProbe.ols2(
+        graft.ext.TextAnalysis.tokenStats(Tables(s, dir).documents),
+        "n_tokens", "n_chars", "n_bpe_tokens"),
+      Some(graft.ops.LinearProbe.ols2OracleSql(
+        raw"""SELECT length(string_split_regex(trim(text), '\s+')) AS x,
+             |       length(text) AS z,
+             |       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS y
+             |FROM documents""".stripMargin)))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

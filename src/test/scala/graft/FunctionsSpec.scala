@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{DeterministicMode, VectorFunctions}
-import graft.ops.Skew
+import graft.ops.{LinearProbe, Skew}
 import org.apache.spark.sql.functions._
 
 /** Custom Catalyst expression / typed aggregator / skew helper specs. */
@@ -110,5 +110,24 @@ class FunctionsSpec extends SparkSuite {
       Skew.twoPathJoin(big, small, Seq("k"), hotThreshold = 10, joinType = "full")
     }
     assert(err.getMessage.contains("duplicate"))
+  }
+
+  test("ols2 recovers exact coefficients on noiseless integer data") {
+    // y = 7 + 3x + 5z over a non-degenerate integer grid.
+    val rows = for { x <- 1 to 12; z <- 1 to 9 } yield (x, z, 7 + 3 * x + 5 * z)
+    val df = rows.toDF("x", "z", "y")
+    val r = LinearProbe.ols2(df, "x", "z", "y").collect()(0)
+    assert(r.getLong(0) === rows.length)
+    assert(math.abs(r.getDouble(1) - 7.0) < 1e-9, s"beta0 ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-9, s"beta1 ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-9, s"beta2 ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12, s"r2 ${r.getDouble(4)}")
+  }
+
+  test("ols2 yields NULLs on a singular design instead of garbage") {
+    // z = 2x exactly -> X'X singular -> det = 0 -> NULL betas and r2.
+    val df = (1 to 20).map(x => (x, 2 * x, x + 1)).toDF("x", "z", "y")
+    val r = LinearProbe.ols2(df, "x", "z", "y").collect()(0)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 }
