@@ -401,6 +401,45 @@ object Similarity {
       .select(col("src"), col("dst"), col("score"))
   }
 
+  /** One-pass covariance matrix of the embedding dimensions — the
+    * PCA / whitening / decorrelation front-end. For every vector the
+    * upper-triangle outer products x_i·x_j (i <= j) are emitted on a
+    * fixed-point grid (×10^6 floor per coordinate, exact BIGINT
+    * products), then summed; the covariance is the standard
+    * (Σxy − ΣxΣy/n)/n evaluated on the SAME double expression tree by
+    * both engines from the SAME exact integer sums.
+    *
+    * Scale shape: NO join anywhere — each row explodes to d(d+1)/2
+    * product terms and hash-aggregates into d(d+1)/2 groups, which
+    * map-side partial aggregation collapses WITHIN each task, so the
+    * shuffle carries one partial triangle per task (2,080 rows for
+    * d = 64) regardless of corpus size. Overflow envelope: |x_fp| ≤ 10^6
+    * (unit-norm coords), so each product ≤ 10^12 and 9.2·10^18 / 10^12 ≈
+    * 9M rows per partition before a partial sum could overflow — and the
+    * GLOBAL sum stays exact because partials combine into a BIGINT that
+    * would need ~10^6 × the corpus of any plausible shard to overflow;
+    * require() guards the dimension so the triangle stays bounded.
+    */
+  def covarianceMatrix(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
+    require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
+    val fp = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    embeddings
+      .select(fp.as("v"))
+      .select(col("v"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("v"), col("i"), explode(sequence(col("i"), lit(dim - 1))).as("j"))
+      .select((col("i") + 1).as("dim_i"), (col("j") + 1).as("dim_j"),
+        element_at(col("v"), col("i") + 1).as("xi"),
+        element_at(col("v"), col("j") + 1).as("xj"))
+      .groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
+        sum(col("xi") * col("xj")).as("sxy"))
+      .selectExpr("dim_i", "dim_j", "n", "sxy",
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))" +
+          " / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov")
+  }
+
   /** Retrieval-quality evaluation of the banded ANN index against exact
     * ground truth — the harness that turns "the index feels fine" into a
     * gated number: per query, recall@k (fraction of the true top-k the

@@ -3199,7 +3199,33 @@ object Advanced {
         raw"""SELECT length(string_split_regex(trim(text), '\s+')) AS x,
              |       length(text) AS z,
              |       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS y
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin))),
+
+    // Embedding-dimension covariance matrix (Similarity.covarianceMatrix):
+    // upper triangle of the 64×64 covariance from exact fixed-point sums,
+    // join-free (per-row outer-product explode + map-side combine).
+    QueryDef(
+      "x132_embedding_covariance",
+      (s, dir) => graft.ext.Similarity.covarianceMatrix(Tables(s, dir).embeddings)
+        .orderBy("dim_i", "dim_j"),
+      Some("""WITH fp AS (
+             |  SELECT e.vec_id, d.dim,
+             |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5)
+             |              AS BIGINT) AS v
+             |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
+             |), tri AS (
+             |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+             |         CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(a.v) AS BIGINT) AS sx,
+             |         CAST(SUM(b.v) AS BIGINT) AS sy,
+             |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+             |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+             |  GROUP BY 1, 2
+             |)
+             |SELECT dim_i, dim_j, n, sxy,
+             |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+             |         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov
+             |FROM tri ORDER BY dim_i, dim_j""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -1058,6 +1058,18 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("covarianceMatrix matches the hand-computed population covariance") {
+    val emb = Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 6.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.covarianceMatrix(emb, dim = 2)
+      .orderBy("dim_i", "dim_j")
+      .select("dim_i", "dim_j", "n", "cov")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    // x=(1,3): var 1; y=(2,6): var 4; cov(x,y)=2. Fixed-point grid is
+    // exact for these values, so equality is exact.
+    assert(r === Seq((1, 1, 2L, 1.0), (1, 2, 2L, 2.0), (2, 2, 2L, 4.0)))
+  }
+
   test("bpe: greedy left-to-right merges, self-pair runs, merged-symbol re-pairing") {
     // Word counts: "abab" x3, "aaa" x2, "ab" x1 (plus "zq" x1 noise).
     // Round 1 pairs: (a,b)=3*2+1=7, (b,a)=3, (a,a)=2*2=4, (z,q)=1 → merge (a,b).
