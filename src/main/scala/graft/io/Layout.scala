@@ -94,4 +94,45 @@ object Layout {
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
   }
+
+  /** Small-file compaction — the lakehouse OPTIMIZE/rewrite move. A table
+    * that accumulated thousands of tiny files (streaming micro-batches,
+    * over-parallel writes, per-partition dribble) taxes every future scan
+    * three ways: listing RPCs, one scheduler task per file, and a parquet
+    * footer read per file that can exceed the data read itself. Compaction
+    * rewrites the table into ceil(bytes / targetBytes) files.
+    *
+    * `sortCol = Some(k)` uses a RANGE repartition on k so the rewrite also
+    * restores zone clustering (tight per-file min/max on k — see
+    * [[writeZoneClustered]]); `None` uses round-robin, which balances
+    * output file sizes exactly but keeps no ordering.
+    *
+    * Driver state is file METADATA only (the listing being compacted away
+    * is the pathology, and it is exactly bounded by the pre-compaction
+    * file count); the data path is one distributed read → shuffle →
+    * write. Returns a one-row audit frame (files/bytes before, files
+    * planned) — read back the directory for files-after if needed.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long,
+      sortCol: Option[String] = None): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(inPath != outPath, "compaction must write to a fresh directory")
+    import org.apache.spark.sql.functions._
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val bytesBefore = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val repartitioned = sortCol match {
+      case Some(k) => df.repartitionByRange(nOut, col(k))
+      case None    => df.repartition(nOut)
+    }
+    repartitioned.write.mode(SaveMode.Overwrite).parquet(outPath)
+    import spark.implicits._
+    Seq((files.length.toLong, bytesBefore, nOut.toLong))
+      .toDF("files_before", "bytes_before", "files_planned")
+  }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * partitioned writes prune at the directory level.
   */
 class LayoutSpec extends SparkSuite {
+  import spark.implicits._
 
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val t = Tables(spark, Sf)
@@ -123,6 +124,42 @@ class LayoutSpec extends SparkSuite {
       s"linear-by-A layout has no selective bounds on B, scanned $scanLb of $total")
     assert(scanZb < total / 2,
       s"z-order skipped nothing on key B: scanned $scanZb of $total")
+  }
+
+  test("compact rewrites a many-small-files table into the planned file count, row-identical") {
+    val in = java.nio.file.Files.createTempDirectory("compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact-out").toString + "/t"
+    val docs = Tables(spark, Sf).documents
+    docs.repartition(40).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(in)
+    assert(before.length === 40, "fixture must start fragmented")
+    val totalBytes = before.map(_.length).sum
+    val target = totalBytes / 3 // plan: ceil(bytes / (bytes/3)) = 3..4 files
+    val audit = Layout.compact(spark, in, out, target).collect()(0)
+    assert(audit.getLong(0) === 40)
+    assert(audit.getLong(1) === totalBytes)
+    val planned = audit.getLong(2)
+    assert(planned >= 3 && planned <= 4, s"planned $planned")
+    assert(parquetFiles(out).length === planned.toInt)
+    // Content identical.
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+    // Range-sorted compaction restores per-file clustering on the key:
+    // file-level [min,max] doc_id intervals must not overlap.
+    val out2 = out + "_sorted"
+    Layout.compact(spark, in, out2, target, sortCol = Some("doc_id"))
+    val spans = spark.read.parquet(out2)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("lo").select("lo", "hi").as[(Long, Long)].collect()
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file spans overlap: $hi1 >= $lo2")
+      case _ =>
+    }
   }
 
   test("partition filter prunes at the scan (PartitionFilters, not post-filter)") {
