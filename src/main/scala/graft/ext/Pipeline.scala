@@ -318,6 +318,52 @@ object Pipeline {
     * source, language); a finer pre-bucketing (hash of doc ranges) keeps
     * any one source from skewing.
     */
+  /** Distribution-matching resampler: acceptance-sample every source so
+    * its length histogram matches a REFERENCE source's — the curation
+    * move of reshaping bulk scrape toward a high-quality corpus's shape
+    * (importance resampling with acceptance rate min(1, p_ref/p_src) per
+    * bucket; Rubin 1987's SIR scheme on a histogram grid).
+    *
+    * Determinism: the acceptance uniform is the salted md5 hash of
+    * doc_id ([[saltedUniform]] — reproducible across runs, engines, and
+    * corpus growth); the rate is a ratio of exact BIGINT bucket counts
+    * evaluated in double, identical IEEE in both engines.
+    *
+    * Scale shape: two histogram aggregates (source×bucket and the
+    * broadcast-size reference histogram — buckets are bounded, sources
+    * are bounded), one broadcast join of rates back onto the corpus, one
+    * codegen'd threshold comparison per row. No shuffle of the corpus
+    * beyond the histogram's map-side-combinable counts.
+    */
+  def distributionMatch(docs: DataFrame, refSource: String,
+      bucketChars: Int = 100): DataFrame = {
+    require(bucketChars > 0, "bucketChars must be positive")
+    val bucket = expr(s"length(text) DIV $bucketChars").cast("long").as("len_bucket")
+    val bucketed = docs.select(col("doc_id"), col("source"), bucket)
+    val srcHist = bucketed.groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val srcTot = bucketed.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val refHist = bucketed.filter(col("source") === refSource)
+      .groupBy("len_bucket").agg(count(lit(1)).as("n_ref"))
+    val refTot = bucketed.filter(col("source") === refSource)
+      .agg(count(lit(1)).as("n_ref_tot"))
+    val rates = srcHist
+      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(refHist), Seq("len_bucket"), "left")
+      .crossJoin(broadcast(refTot))
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        least(lit(1.0),
+          (coalesce(col("n_ref"), lit(0L)).cast("double") / col("n_ref_tot")) /
+            (col("n_docs").cast("double") / col("n_src"))).as("accept_rate"))
+    bucketed
+      .join(broadcast(rates), Seq("source", "len_bucket"))
+      .withColumn("u", saltedUniform(col("doc_id"), "distmatch|"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("accept_rate")).as("accept_rate"),
+        sum(when(col("u") < col("accept_rate"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   def packBudget(docs: DataFrame, budget: Int = 2000): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -3225,7 +3225,45 @@ object Advanced {
              |SELECT dim_i, dim_j, n, sxy,
              |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
              |         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov
-             |FROM tri ORDER BY dim_i, dim_j""".stripMargin))
+             |FROM tri ORDER BY dim_i, dim_j""".stripMargin)),
+
+    // Distribution-matching resampler (Pipeline.distributionMatch):
+    // acceptance-sample every source's length histogram toward src0's
+    // shape — rate = min(1, p_ref/p_src) per 100-char bucket, salted
+    // md5 uniform per doc. Exact bucket counts; IEEE-identical rates.
+    QueryDef(
+      "x133_distribution_match",
+      (s, dir) => graft.ext.Pipeline.distributionMatch(
+          Tables(s, dir).documents, "src0")
+        .orderBy("source", "len_bucket"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |         CAST(length(text) // 100 AS BIGINT) AS len_bucket
+             |  FROM documents
+             |), sh AS (
+             |  SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM b GROUP BY 1, 2
+             |), st AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM b GROUP BY 1
+             |), rh AS (
+             |  SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+             |  FROM b WHERE source = 'src0' GROUP BY 1
+             |), rt AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ref_tot FROM b WHERE source = 'src0'
+             |), rates AS (
+             |  SELECT sh.source, sh.len_bucket, sh.n_docs,
+             |         least(1.0,
+             |           (CAST(COALESCE(rh.n_ref, 0) AS DOUBLE) / rt.n_ref_tot)
+             |             / (CAST(sh.n_docs AS DOUBLE) / st.n_src)) AS accept_rate
+             |  FROM sh JOIN st USING (source) LEFT JOIN rh USING (len_bucket), rt
+             |)
+             |SELECT b.source, b.len_bucket, r.n_docs, r.accept_rate,
+             |       CAST(SUM(CASE WHEN
+             |         CAST(('0x' || substring(md5('distmatch|' || CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |           / 4294967296.0 < r.accept_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM b JOIN rates r ON b.source = r.source AND b.len_bucket = r.len_bucket
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -1058,6 +1058,28 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("distributionMatch: acceptance rates reshape sources toward the reference histogram") {
+    val short = "x" * 50   // bucket 0
+    val long_ = "y" * 150  // bucket 1
+    // ref: 2+2 (50/50); skewed: 8 short + 2 long (80/20).
+    val rows = (1 to 2).map(i => (i.toLong, short, "ref")) ++
+      (3 to 4).map(i => (i.toLong, long_, "ref")) ++
+      (5 to 12).map(i => (i.toLong, short, "skew")) ++
+      (13 to 14).map(i => (i.toLong, long_, "skew"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val r = Pipeline.distributionMatch(d, "ref")
+      .select("source", "len_bucket", "n_docs", "accept_rate", "n_kept")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    // Reference keeps itself: rate exactly 1.
+    assert(r(("ref", 0L))._4 === 1.0 && r(("ref", 1L))._4 === 1.0)
+    // Over-represented bucket is downsampled at p_ref/p_src = .5/.8.
+    assert(math.abs(r(("skew", 0L))._4 - 0.625) < 1e-12)
+    // Under-represented bucket caps at 1 (resampling never upsamples).
+    assert(r(("skew", 1L))._4 === 1.0)
+    r.values.foreach { case (_, _, n, _, kept) => assert(kept <= n) }
+  }
+
   test("covarianceMatrix matches the hand-computed population covariance") {
     val emb = Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 6.0f), 0))
       .toDF("vec_id", "embedding", "label")
