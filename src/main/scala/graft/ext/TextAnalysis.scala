@@ -741,6 +741,48 @@ object TextAnalysis {
       wordCache.remove(k).foreach(_.unpersist(blocking = false))
     }
 
+  /** Count-min sketch token counting (Cormode & Muthukrishnan 2005) —
+    * the mergeable bounded-memory counting sketch, evaluated against
+    * exact counts. The sketch is depth×width counters; each token
+    * increments one cell per hash row (salted md5, deterministic across
+    * engines and runs); a token's estimate is the MIN over its depth
+    * cells, which can only over-count (collisions add, never subtract) —
+    * the one-sided error contract asserted per row in the output.
+    *
+    * Scale shape: building the sketch IS one map-side-combinable
+    * aggregation into depth·width groups — bounded state regardless of
+    * corpus size or vocabulary, and counters from disjoint shards merge
+    * by addition (the property exact counting loses at 100 TB when the
+    * vocabulary outgrows memory). The evaluation joins only the heavy
+    * set (true count ≥ minCount) against the broadcast-size counter
+    * table.
+    */
+  def countMinSketch(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      minCount: Long = 50): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16 && width <= 65536,
+      s"unreasonable sketch shape ${depth}x$width")
+    def cell(h: Int, tok: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"cms$h|"), tok).cast("binary")), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    val counters = (0 until depth)
+      .map(h => toks.select(lit(h).as("h"), cell(h, col("tok")).as("cell")))
+      .reduce(_ unionAll _)
+      .groupBy("h", "cell").agg(count(lit(1)).as("cell_count"))
+    val heavy = toks.groupBy("tok").agg(count(lit(1)).as("true_count"))
+      .filter(col("true_count") >= minCount)
+    val probes = (0 until depth)
+      .map(h => heavy.select(col("tok"), col("true_count"),
+        lit(h).as("h"), cell(h, col("tok")).as("cell")))
+      .reduce(_ unionAll _)
+    probes
+      .join(broadcast(counters), Seq("h", "cell"))
+      .groupBy("tok", "true_count")
+      .agg(min(col("cell_count")).as("cms_estimate"))
+      .select(col("tok"), col("true_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("true_count")).as("overestimate"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -3263,7 +3263,44 @@ object Advanced {
              |           / 4294967296.0 < r.accept_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM b JOIN rates r ON b.source = r.source AND b.len_bucket = r.len_bucket
              |GROUP BY 1, 2, 3, 4
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Count-min sketch vs exact counts (TextAnalysis.countMinSketch):
+    // 4×256 salted-md5 counters, min-over-rows estimate, one-sided error
+    // surfaced as `overestimate`. The oracle rebuilds the identical
+    // sketch in SQL (same hash family), so the match is exact.
+    QueryDef(
+      "x134_count_min_sketch",
+      (s, dir) => graft.ext.TextAnalysis.countMinSketch(Tables(s, dir).documents)
+        .orderBy("tok"),
+      Some {
+        val cellSql = (h: Int, tok: String) =>
+          s"CAST(('0x' || substring(md5('cms$h|' || $tok), 1, 8)) AS BIGINT) % 256"
+        val counterSelects = (0 until 4)
+          .map(h => s"SELECT $h AS h, ${cellSql(h, "tok")} AS cell FROM t")
+          .mkString("\n  UNION ALL ")
+        val probeSelects = (0 until 4)
+          .map(h => s"SELECT tok, true_count, $h AS h, ${cellSql(h, "tok")} AS cell FROM heavy")
+          .mkString("\n  UNION ALL ")
+        raw"""WITH t AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+             |), counters AS (
+             |  SELECT h, cell, CAST(COUNT(*) AS BIGINT) AS cell_count FROM (
+             |  $counterSelects
+             |  ) GROUP BY 1, 2
+             |), heavy AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+             |  FROM t GROUP BY 1 HAVING COUNT(*) >= 50
+             |), probes AS (
+             |  $probeSelects
+             |)
+             |SELECT p.tok, p.true_count,
+             |       CAST(MIN(c.cell_count) AS BIGINT) AS cms_estimate,
+             |       CAST(MIN(c.cell_count) - p.true_count AS BIGINT) AS overestimate
+             |FROM probes p JOIN counters c ON p.h = c.h AND p.cell = c.cell
+             |GROUP BY 1, 2
+             |ORDER BY 1""".stripMargin
+      })
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

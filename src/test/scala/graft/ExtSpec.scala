@@ -1058,6 +1058,25 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("countMinSketch never under-counts and is exact without collisions") {
+    // Two tokens, tiny corpus: with width 256 the chance of engineering a
+    // collision-free fixture is trivial — estimates must equal truth.
+    val d = Seq((1L, "alpha alpha alpha beta"), (2L, "alpha beta beta"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.countMinSketch(d, minCount = 1)
+      .select("tok", "true_count", "cms_estimate", "overestimate")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r("alpha") === ((4L, 4L, 0L)))
+    assert(r("beta") === ((3L, 3L, 0L)))
+    // On the real corpus: one-sided error (the CMS guarantee).
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val full = TextAnalysis.countMinSketch(docs)
+      .select("overestimate").as[Long].collect()
+    assert(full.nonEmpty)
+    assert(full.forall(_ >= 0), "count-min must never under-count")
+  }
+
   test("distributionMatch: acceptance rates reshape sources toward the reference histogram") {
     val short = "x" * 50   // bucket 0
     val long_ = "y" * 150  // bucket 1
