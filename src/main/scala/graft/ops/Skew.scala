@@ -83,4 +83,42 @@ object Skew {
     // them (and vice versa): the two paths partition the join output.
     hotPath.unionByName(tailPath)
   }
+
+  /** Shared strategy rule: the CASE text is interpolated verbatim into
+    * both the Spark plan and the DuckDB oracle so the decision is
+    * engine-identical. Thresholds are parameters of [[joinStats]]. */
+  def strategyCase(broadcastRowLimit: Long, skewFactor: Double): String =
+    s"CASE WHEN n_right <= $broadcastRowLimit THEN 'broadcast' " +
+      s"WHEN skew_ratio > $skewFactor THEN 'salt' ELSE 'shuffle' END"
+
+  /** Join planning statistics WITHOUT executing the join — what a planner
+    * (or an engineer staring at a 100 TB join) needs before paying for
+    * it: per-side cardinalities, distinct key counts, max per-key fanout,
+    * the EXACT output cardinality Σ_k cnt_left(k)·cnt_right(k) (computed
+    * from the two key histograms, which cost two map-side-combinable
+    * aggregates — orders of magnitude less than the join itself), the
+    * left skew ratio (max fanout / mean fanout), and a recommended
+    * strategy: broadcast when the right side is small, salt (or
+    * [[twoPathJoin]]) when one key dominates, shuffle otherwise.
+    *
+    * Everything driver-free: three bounded aggregates cross-joined into
+    * one row. The estimate is exact for equi-joins because the output
+    * multiset is exactly the histogram product — no sampling error.
+    */
+  def joinStats(left: DataFrame, right: DataFrame, key: String,
+      broadcastRowLimit: Long = 1000000L, skewFactor: Double = 8.0): DataFrame = {
+    val lc = left.groupBy(col(key)).agg(count(lit(1)).as("ln"))
+    val rc = right.groupBy(col(key)).agg(count(lit(1)).as("rn"))
+    val ls = lc.agg(sum(col("ln")).as("n_left"),
+      count(lit(1)).as("distinct_left"), max(col("ln")).as("max_fanout_left"))
+    val rs = rc.agg(sum(col("rn")).as("n_right"),
+      count(lit(1)).as("distinct_right"), max(col("rn")).as("max_fanout_right"))
+    val js = lc.join(rc, Seq(key))
+      .agg(coalesce(sum(col("ln") * col("rn")), lit(0L)).as("join_rows"))
+    ls.crossJoin(rs).crossJoin(js)
+      .selectExpr("n_left", "n_right", "distinct_left", "distinct_right",
+        "max_fanout_left", "max_fanout_right", "join_rows",
+        "CAST(max_fanout_left AS DOUBLE) / (CAST(n_left AS DOUBLE) / CAST(distinct_left AS DOUBLE)) AS skew_ratio")
+      .selectExpr("*", s"${strategyCase(broadcastRowLimit, skewFactor)} AS strategy")
+  }
 }

@@ -3300,7 +3300,40 @@ object Advanced {
              |FROM probes p JOIN counters c ON p.h = c.h AND p.cell = c.cell
              |GROUP BY 1, 2
              |ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // Join-planning advisor (Skew.joinStats): exact lineitem⋈orders
+    // cardinality, fanout, and skew from the two key histograms alone —
+    // never executing the join. Strategy CASE text shared verbatim.
+    QueryDef(
+      "x135_join_advisor",
+      (s, dir) => graft.ops.Skew.joinStats(
+        Tables(s, dir).lineitem.select(col("l_orderkey").as("k")),
+        Tables(s, dir).orders.select(col("o_orderkey").as("k")), "k"),
+      Some(s"""WITH lc AS (
+             |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ln FROM lineitem GROUP BY 1
+             |), rc AS (
+             |  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS rn FROM orders GROUP BY 1
+             |), ls AS (
+             |  SELECT CAST(SUM(ln) AS BIGINT) AS n_left,
+             |         CAST(COUNT(*) AS BIGINT) AS distinct_left,
+             |         CAST(MAX(ln) AS BIGINT) AS max_fanout_left FROM lc
+             |), rs AS (
+             |  SELECT CAST(SUM(rn) AS BIGINT) AS n_right,
+             |         CAST(COUNT(*) AS BIGINT) AS distinct_right,
+             |         CAST(MAX(rn) AS BIGINT) AS max_fanout_right FROM rc
+             |), js AS (
+             |  SELECT CAST(COALESCE(SUM(ln * rn), 0) AS BIGINT) AS join_rows
+             |  FROM lc JOIN rc USING (k)
+             |), stats AS (
+             |  SELECT n_left, n_right, distinct_left, distinct_right,
+             |         max_fanout_left, max_fanout_right, join_rows,
+             |         CAST(max_fanout_left AS DOUBLE)
+             |           / (CAST(n_left AS DOUBLE) / CAST(distinct_left AS DOUBLE)) AS skew_ratio
+             |  FROM ls, rs, js
+             |)
+             |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
+             |FROM stats""".stripMargin))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

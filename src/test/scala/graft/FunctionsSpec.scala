@@ -112,6 +112,27 @@ class FunctionsSpec extends SparkSuite {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("joinStats predicts the exact join cardinality and flags skew") {
+    // Key 1: 90 left rows × 2 right rows; keys 2..11: 1×1. Join rows =
+    // 90*2 + 10 = 190. Mean left fanout = 100/11; skew = 90/(100/11) = 9.9.
+    val left = ((1 to 90).map(_ => 1) ++ (2 to 11)).toDF("k")
+    val right = (Seq(1, 1) ++ (2 to 11) ++ Seq(99)).toDF("k")
+    val r = Skew.joinStats(left, right, "k",
+      broadcastRowLimit = 5, skewFactor = 8.0).collect()(0)
+    assert(r.getAs[Long]("n_left") === 100L)
+    assert(r.getAs[Long]("n_right") === 13L)
+    assert(r.getAs[Long]("distinct_left") === 11L)
+    assert(r.getAs[Long]("distinct_right") === 12L) // incl. unmatched 99
+    assert(r.getAs[Long]("max_fanout_left") === 90L)
+    assert(r.getAs[Long]("join_rows") === 190L)
+    assert(r.getAs[String]("strategy") === "salt") // 13 > limit 5, skew 9.9 > 8
+    // Prediction equals reality.
+    assert(left.join(right, Seq("k")).count() === 190L)
+    // With a generous broadcast limit the small side wins broadcast.
+    val b = Skew.joinStats(left, right, "k").collect()(0)
+    assert(b.getAs[String]("strategy") === "broadcast")
+  }
+
   test("ols2 recovers exact coefficients on noiseless integer data") {
     // y = 7 + 3x + 5z over a non-degenerate integer grid.
     val rows = for { x <- 1 to 12; z <- 1 to 9 } yield (x, z, 7 + 3 * x + 5 * z)
