@@ -440,6 +440,51 @@ object Similarity {
           " / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov")
   }
 
+  /** Top principal component of the embedding cloud by power iteration
+    * on the [[covarianceMatrix]] (the PCA front-end: the direction along
+    * which the corpus varies most — drift axes, dominant style/topic
+    * direction, whitening's first rotation). v_{t+1} ∝ C·v_t from
+    * v_0 = e_1, renormalized each round to the 10^6 fixed-point grid by
+    * INTEGER division with the round's max |coordinate| (the PageRank
+    * integer-renormalization convention), so every round is exact BIGINT
+    * arithmetic and bit-identical across engines and aggregation orders.
+    *
+    * Overflow envelope: |c_fp| ≤ 10^9 (covariances of unit-norm coords,
+    * snapped to a 1e-9 grid from the cross-engine-identical double),
+    * |v_fp| ~ 10^6, so each matvec term ≤ 10^15 and a 64-term row sum
+    * ≤ 6.4·10^16 — three orders under BIGINT. The matvec joins the
+    * 64×64 matrix (localCheckpointed once — referenced every round)
+    * against a 64-row vector: iteration cost is INDEPENDENT of corpus
+    * size once the covariance pass is paid.
+    */
+  def pcaTopComponent(embeddings: DataFrame, iterations: Int = 3,
+      dim: Int = Dim): DataFrame = {
+    require(iterations >= 1 && iterations <= 8, "iterations must be in [1,8]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val tri = covarianceMatrix(embeddings, dim)
+      .select(col("dim_i"), col("dim_j"),
+        floor(col("cov") * lit(1e9) + lit(0.5)).cast("long").as("c_fp"))
+    val full = tri.unionAll(
+        tri.filter(col("dim_i") =!= col("dim_j"))
+          .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"), col("c_fp")))
+      .select(col("dim_i").as("i"), col("dim_j").as("j"), col("c_fp"))
+      .localCheckpoint() // referenced once per round; truncate the corpus lineage
+    var v = (1 to dim).map(d => (d, if (d == 1) 1000000L else 0L)).toDF("j", "v_fp")
+    for (_ <- 1 to iterations) {
+      val w = full.join(v, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c_fp") * col("v_fp")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          expr("w DIV (CASE WHEN m DIV 1000000 = 0 THEN 1 ELSE m DIV 1000000 END)")
+            .as("v_fp"))
+        .localCheckpoint()
+    }
+    v.select(col("j").as("dim"), col("v_fp"),
+      (col("v_fp").cast("double") / lit(1000000.0)).as("component"))
+  }
+
   /** Retrieval-quality evaluation of the banded ANN index against exact
     * ground truth — the harness that turns "the index feels fine" into a
     * gated number: per query, recall@k (fraction of the true top-k the

@@ -69,6 +69,63 @@ object Advanced {
     head + stages.mkString + "\n"
   }
 
+  /** x136's round count (power iteration on the covariance matrix). */
+  private val PcaIters = 3
+
+  /** Generated oracle for x136: the x132 covariance chain, snapped to a
+    * 1e-9 fixed-point grid and mirrored to the full matrix, then
+    * [[PcaIters]] matvec+renormalize rounds unrolled as CTEs. Integer
+    * division (`//` / Spark DIV) truncates toward zero in BOTH engines,
+    * so the renormalization is bit-identical.
+    */
+  private lazy val PcaOracleSql: String = {
+    val head =
+      """WITH fp AS (
+        |  SELECT e.vec_id, d.dim,
+        |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5)
+        |              AS BIGINT) AS v
+        |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
+        |), tri AS (
+        |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(a.v) AS BIGINT) AS sx,
+        |         CAST(SUM(b.v) AS BIGINT) AS sy,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+        |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2
+        |), cfp AS (
+        |  SELECT dim_i, dim_j,
+        |         CAST(FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+        |           / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS c_fp
+        |  FROM tri
+        |), m_full AS (
+        |  SELECT dim_i AS i, dim_j AS j, c_fp FROM cfp
+        |  UNION ALL
+        |  SELECT dim_j AS i, dim_i AS j, c_fp FROM cfp WHERE dim_i <> dim_j
+        |), v0 AS (
+        |  SELECT dim AS j, CASE WHEN dim = 1 THEN CAST(1000000 AS BIGINT)
+        |                        ELSE CAST(0 AS BIGINT) END AS v_fp
+        |  FROM (SELECT unnest(generate_series(1, 64)) AS dim)
+        |)""".stripMargin
+    val rounds = (1 to PcaIters).map { k =>
+      s""", w$k AS (
+         |  SELECT m.i, CAST(SUM(m.c_fp * v.v_fp) AS BIGINT) AS w
+         |  FROM m_full m JOIN v${k - 1} v ON m.j = v.j GROUP BY 1
+         |), mx$k AS (
+         |  SELECT MAX(ABS(w)) AS m FROM w$k
+         |), v$k AS (
+         |  SELECT i AS j,
+         |         w // (CASE WHEN m // 1000000 = 0 THEN 1 ELSE m // 1000000 END) AS v_fp
+         |  FROM w$k, mx$k
+         |)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT j AS dim, v_fp,
+         |       CAST(v_fp AS DOUBLE) / 1000000.0 AS component
+         |FROM v$PcaIters ORDER BY dim""".stripMargin
+  }
+
   /** Shared oracle CTE: tokens array per document. */
   private val TokCte =
     raw"""WITH tok AS (
@@ -3333,7 +3390,18 @@ object Advanced {
              |  FROM ls, rs, js
              |)
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
-             |FROM stats""".stripMargin))
+             |FROM stats""".stripMargin)),
+
+    // Top principal component (Similarity.pcaTopComponent): power
+    // iteration on the x132 covariance in BIGINT fixed point, integer
+    // max-renormalization per round (the PageRank convention). The
+    // matvec is 64×64 against a 64-row vector — iteration cost is
+    // independent of corpus size once the covariance pass is paid.
+    QueryDef(
+      "x136_pca_top_component",
+      (s, dir) => graft.ext.Similarity.pcaTopComponent(Tables(s, dir).embeddings)
+        .orderBy("dim"),
+      Some(PcaOracleSql))
   )
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

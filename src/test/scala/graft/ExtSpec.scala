@@ -1058,6 +1058,20 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("pcaTopComponent converges to the dominant variance direction") {
+    // Points on the line z = 10x: the top eigenvector is (1,10)/|.|, so
+    // the renormalized component must put ~10x the weight on dim 2.
+    val emb = Seq(
+      (1L, Array(0.1f, 1.0f), 0), (2L, Array(-0.1f, -1.0f), 0),
+      (3L, Array(0.2f, 2.0f), 0), (4L, Array(-0.2f, -2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val v = Similarity.pcaTopComponent(emb, iterations = 3, dim = 2)
+      .orderBy("dim").select("component").as[Double].collect()
+    assert(math.abs(math.abs(v(1)) - 1.0) < 2e-6, s"dominant coord ${v(1)}")
+    assert(math.abs(v(0) / v(1) - 0.1) < 1e-3, s"ratio ${v(0) / v(1)}")
+    assert(v(0).sign === v(1).sign, "coords must agree in sign on this line")
+  }
+
   test("countMinSketch never under-counts and is exact without collisions") {
     // Two tokens, tiny corpus: with width 256 the chance of engineering a
     // collision-free fixture is trivial — estimates must equal truth.
