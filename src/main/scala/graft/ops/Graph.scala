@@ -271,4 +271,38 @@ object Graph {
     e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Multi-source BFS shortest distances, bounded to `rounds` hops — the
+    * frontier-expansion traversal (hop distance from seed documents
+    * through the near-dup graph: contamination blast radius, dedup
+    * neighborhood depth, "how far does this template spread"). Round t
+    * relaxes every edge out of the current distance table and keeps the
+    * MIN distance per vertex; after k rounds every vertex within k hops
+    * holds its exact BFS distance (unreached vertices are absent, not
+    * NULL — the caller left-joins if it wants them).
+    *
+    * Scale shape: each round is one equi-join (distances ⋈ edges on the
+    * source vertex, hash-partitioned on vertex id — pre-partition both on
+    * id for co-located rounds at cluster scale) plus one min-aggregate;
+    * state is (vertex, dist) — never frontier lists. localCheckpoint per
+    * round is the Pregel lineage truncation the other iterative graph
+    * ops use (each round references the previous twice: carry + relax).
+    * Distances are exact small integers — no float, no renormalization.
+    */
+  def bfsDistances(edges: DataFrame, sourceIds: Seq[Long],
+      rounds: Int = 4): DataFrame = {
+    require(sourceIds.nonEmpty, "need at least one source vertex")
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = sourceIds.distinct.map(id => (id, 0L)).toDF("v", "dist")
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(edges, dist("v") === edges("src"))
+        .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -3392,6 +3392,54 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Multi-source BFS over the near-dup graph (Graph.bfsDistances):
+    // exact hop distances within 4 rounds from the three lowest-id
+    // vertices that HAVE an edge (a bounded 3-row driver read — pinned
+    // ids can be isolated at small SF, which would make the walk
+    // trivial) — the contamination-blast-radius traversal. Same banded
+    // edge set as x73; oracle unrolls carry ∪ relax → min per vertex.
+    QueryDef(
+      "x137_bfs_distances",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val dup = Similarity.annPairs(emb, 0.4)
+        val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        val seeds = edges.select(col("src")).distinct()
+          .orderBy("src").limit(3).collect().map(_.getLong(0)).toSeq
+        graft.ops.Graph.bfsDistances(edges, seeds, rounds = 4)
+          .orderBy("v")
+      },
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          """, dup AS (
+            |  SELECT vec_a, vec_b FROM (
+            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+            |    FROM cand c
+            |    JOIN e ea ON ea.vec_id = c.vec_a
+            |    JOIN e eb ON eb.vec_id = c.vec_b) p
+            |  WHERE cosine >= 0.4
+            |), sym AS (
+            |  SELECT vec_a AS src, vec_b AS dst FROM dup
+            |  UNION ALL
+            |  SELECT vec_b, vec_a FROM dup
+            |), d0 AS (
+            |  SELECT v, CAST(0 AS BIGINT) AS dist
+            |  FROM (SELECT DISTINCT src AS v FROM sym ORDER BY src LIMIT 3) s
+            |)""".stripMargin
+        val roundsSql = (1 to 4).map { k =>
+          s""", d$k AS (
+             |  SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+             |    SELECT v, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e2.dst AS v, d.dist + 1 AS dist
+             |    FROM sym e2 JOIN d${k - 1} d ON d.v = e2.src
+             |  ) GROUP BY v
+             |)""".stripMargin
+        }.mkString
+        base + roundsSql + "\nSELECT v, dist FROM d4 ORDER BY v"
+      }),
+
     // Top principal component (Similarity.pcaTopComponent): power
     // iteration on the x132 covariance in BIGINT fixed point, integer
     // max-renormalization per round (the PageRank convention). The

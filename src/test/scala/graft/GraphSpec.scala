@@ -137,4 +137,21 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSeq
     assert(r === Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 1L)))
   }
+
+  test("bfsDistances: exact hop counts, round bound, multi-source min") {
+    // Path 1-2-3-4-5 (symmetric edges).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val d2 = Graph.bfsDistances(edges, Seq(1L), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got $d2")
+    // Two seeds: every vertex takes the NEAREST seed's distance.
+    val dm = Graph.bfsDistances(edges, Seq(1L, 5L), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(dm === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L), s"got $dm")
+    // Enough rounds reaches everything exactly once at true distance.
+    val d4 = Graph.bfsDistances(edges, Seq(1L), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d4 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
 }
