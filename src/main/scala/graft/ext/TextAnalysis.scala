@@ -674,16 +674,64 @@ object TextAnalysis {
     * inventory after applying all merges (symbol, total_count, n_words).
     */
   def bpe(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
-    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordCache.getOrElseUpdate(
+    val words = bpeWords(docs)
+    val (merges, sym) = bpeLearn(words, rounds)
+    val mergesDf = merges
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+      .select(col("round").cast("int"), col("left_sym"), col("right_sym"),
+        col("pair_count").cast("long"))
+    val vocabDf = words.select(col("word"), col("cnt"), explode(sym).as("symbol"))
+      .groupBy("symbol")
+      .agg(sum(col("cnt")).cast("long").as("total_count"),
+        countDistinct(col("word")).cast("long").as("n_words"))
+    (mergesDf, vocabDf)
+  }
+
+  /** Tokenizer fertility per source under the corpus-learned BPE merges:
+    * subword symbols emitted per word — THE tokenizer-efficiency /
+    * equity metric (a source whose text fragments into many symbols pays
+    * proportionally more sequence length per word; Ács 2019's fertility).
+    * Merges are learned once on the whole corpus ([[bpe]]'s path — the
+    * shared word-count cache makes the second call free), then applied
+    * as the same codegen'd fold to per-source word counts.
+    */
+  def bpeFertility(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, sym) = bpeLearn(bpeWords(docs), rounds)
+    docs.select(col("source"), explode(tokens(col("text"))).as("word"))
+      .where(col("word").rlike("^[a-z]{1,20}$"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .select(col("source"), col("cnt"), size(sym).cast("long").as("n_sym"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_symbols"))
+      .select(col("source"), col("n_words"), col("n_symbols"),
+        (col("n_symbols").cast("double") / col("n_words")).as("fertility"))
+  }
+
+  /** The corpus word-count table [[bpe]] and [[bpeFertility]] learn from
+    * (lowercase-alpha words ≤ 20 chars — bounds fold depth and the
+    * oracle's recursion). */
+  private def bpeWords(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    wordCache.getOrElseUpdate(
       (spark, docs.queryExecution.analyzed.semanticHash()),
       docs.select(explode(tokens(col("text"))).as("word"))
         .where(col("word").rlike("^[a-z]{1,20}$"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .cache())
+  }
 
+  /** The learning loop shared by [[bpe]] and [[bpeFertility]]: per round
+    * ONE map-side-combinable pair aggregate over the vocab-bounded word
+    * table and ONE bounded driver row (the argmax merge). Returns the
+    * learned merges and the composed greedy-application fold over a
+    * `word` column.
+    */
+  private def bpeLearn(words: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, Long)], Column) = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
     // Greedy left-to-right merge of (l, r) in a symbol array. A merged
     // symbol l+r can never re-match as the left partner of the SAME pair
     // (l+r != l since r is non-empty), so a plain fold is exactly
@@ -716,15 +764,7 @@ object TextAnalysis {
       merges += ((round, l, r, c))
       sym = mergeFold(sym, l, r)
     }
-    val mergesDf = merges.result()
-      .toDF("round", "left_sym", "right_sym", "pair_count")
-      .select(col("round").cast("int"), col("left_sym"), col("right_sym"),
-        col("pair_count").cast("long"))
-    val vocabDf = words.select(col("word"), col("cnt"), explode(sym).as("symbol"))
-      .groupBy("symbol")
-      .agg(sum(col("cnt")).cast("long").as("total_count"),
-        countDistinct(col("word")).cast("long").as("n_words"))
-    (mergesDf, vocabDf)
+    (merges.result(), sym)
   }
 
   // Word-count table shared by the two BPE queries (merges + vocab in one

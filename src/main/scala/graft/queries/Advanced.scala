@@ -3111,6 +3111,33 @@ object Advanced {
              |FROM (SELECT word, cnt, unnest(sym) AS u FROM s$BpeRounds)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Tokenizer fertility per source (TextAnalysis.bpeFertility): the
+    // corpus-learned BPE merges applied to per-source word counts —
+    // subwords per word, the tokenizer-equity metric (Ács 2019). Oracle
+    // reuses the x126 learning chain and joins per-source words to the
+    // final symbolization.
+    QueryDef(
+      "x138_bpe_fertility",
+      (s, dir) => graft.ext.TextAnalysis.bpeFertility(
+          Tables(s, dir).documents, BpeRounds)
+        .orderBy("source"),
+      Some(BpeOracleStages +
+        raw""", sdoc AS (
+             |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+             |  FROM documents
+             |), sw AS (
+             |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM sdoc WHERE regexp_matches(word, '^[a-z]{1,20}$$')
+             |  GROUP BY 1, 2
+             |), wl AS (
+             |  SELECT word, CAST(len(sym) AS BIGINT) AS n_sym FROM s$BpeRounds
+             |)
+             |SELECT sw.source, CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+             |       CAST(SUM(sw.cnt * wl.n_sym) AS BIGINT) AS n_symbols,
+             |       CAST(SUM(sw.cnt * wl.n_sym) AS DOUBLE) / SUM(sw.cnt) AS fertility
+             |FROM sw JOIN wl USING (word)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Hard-negative mining (Similarity.hardNegatives): per anchor, the
     // k most similar DIFFERENT-label vectors from the banded candidate
     // set — the DPR/ANCE contrastive-mining shape. Same banding as x27;
