@@ -420,7 +420,29 @@ object Similarity {
     * would need ~10^6 × the corpus of any plausible shard to overflow;
     * require() guards the dimension so the triangle stays bounded.
     */
-  def covarianceMatrix(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
+  def covarianceMatrix(embeddings: DataFrame, dim: Int = Dim): DataFrame =
+    covFromSums(covSums(embeddings, dim))
+
+  /** Incremental maintenance of [[covarianceMatrix]] under an append-only
+    * batch: the sufficient statistics (n, Σx, Σy, Σxy per dim pair) are
+    * BIGINT sums, so base + delta is EXACTLY the full recompute — not
+    * approximately: integer addition is associative, and the covariance
+    * projection is the same IEEE tree over the same integers. The x139
+    * gate proves it by hash-matching this path against the full-recompute
+    * oracle. At 100 TB this is the difference between touching the whole
+    * corpus per refresh and touching the day's partition: the base table
+    * never rescans (persist its 2,080-row sums table; fold each batch in).
+    */
+  def covarianceIncremental(base: DataFrame, append: DataFrame,
+      dim: Int = Dim): DataFrame =
+    covFromSums(
+      covSums(base, dim).unionByName(covSums(append, dim))
+        .groupBy("dim_i", "dim_j")
+        .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+          sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy")))
+
+  /** The mergeable sufficient-statistics stage of [[covarianceMatrix]]. */
+  private def covSums(embeddings: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
     val fp = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
@@ -435,10 +457,12 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
         sum(col("xi") * col("xj")).as("sxy"))
-      .selectExpr("dim_i", "dim_j", "n", "sxy",
-        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))" +
-          " / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov")
   }
+
+  private def covFromSums(sums: DataFrame): DataFrame =
+    sums.selectExpr("dim_i", "dim_j", "n", "sxy",
+      "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))" +
+        " / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov")
 
   /** Top principal component of the embedding cloud by power iteration
     * on the [[covarianceMatrix]] (the PCA front-end: the direction along

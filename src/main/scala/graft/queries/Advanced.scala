@@ -3311,6 +3311,38 @@ object Advanced {
              |         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov
              |FROM tri ORDER BY dim_i, dim_j""".stripMargin)),
 
+    // Incremental covariance maintenance (Similarity.covarianceIncremental):
+    // the corpus split into base (vec_id % 5 != 0) and an append batch
+    // (% 5 == 0); sufficient statistics merged by BIGINT addition. The
+    // oracle is x132's FULL recompute verbatim — the hash match IS the
+    // incremental == full proof.
+    QueryDef(
+      "x139_incremental_covariance",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        graft.ext.Similarity.covarianceIncremental(
+            emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0))
+          .orderBy("dim_i", "dim_j")
+      },
+      Some("""WITH fp AS (
+             |  SELECT e.vec_id, d.dim,
+             |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5)
+             |              AS BIGINT) AS v
+             |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
+             |), tri AS (
+             |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+             |         CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(a.v) AS BIGINT) AS sx,
+             |         CAST(SUM(b.v) AS BIGINT) AS sy,
+             |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+             |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+             |  GROUP BY 1, 2
+             |)
+             |SELECT dim_i, dim_j, n, sxy,
+             |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+             |         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov
+             |FROM tri ORDER BY dim_i, dim_j""".stripMargin)),
+
     // Distribution-matching resampler (Pipeline.distributionMatch):
     // acceptance-sample every source's length histogram toward src0's
     // shape — rate = min(1, p_ref/p_src) per 100-char bucket, salted

@@ -1058,6 +1058,16 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("covarianceIncremental equals the full recompute bit-for-bit") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val full = Similarity.covarianceMatrix(emb)
+    val inc = Similarity.covarianceIncremental(
+      emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0))
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+    assert(inc.count() === 64L * 65 / 2)
+  }
+
   test("pcaTopComponent converges to the dominant variance direction") {
     // Points on the line z = 10x: the top eigenvector is (1,10)/|.|, so
     // the renormalized component must put ~10x the weight on dim 2.
