@@ -3451,6 +3451,67 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Corpus datasheet (Gebru et al. 2018 "Datasheets for Datasets", the
+    // quantitative rows): per source — volume, token mass, exact-dup
+    // rate (corpus-wide content-hash multiplicity), mean quality on a
+    // 1e-9 fixed-point grid (order-free integer sums of the shared x02
+    // expression). ONE plan: a scan projection, one hash aggregate for
+    // multiplicity, one broadcast-back join, one grouped rollup.
+    QueryDef(
+      "x140_corpus_datasheet",
+      (s, dir) => {
+        import graft.ext.TextAnalysis
+        val docs = Tables(s, dir).documents
+        val hashed = docs.select(col("source"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          floor(TextAnalysis.qualityScoreExpr * lit(1e9) + lit(0.5)).cast("long")
+            .as("q_fp"),
+          md5(col("text").cast("binary")).as("h"))
+        val mult = hashed.groupBy("h").agg(count(lit(1)).as("hc"))
+        hashed.join(mult, Seq("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(col("q_fp")).as("q_sum_fp"))
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            col("total_tokens"), col("n_dup_docs"),
+            (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_rate"),
+            (col("q_sum_fp").cast("double") / col("n_docs") / lit(1e9))
+              .as("mean_quality"))
+          .orderBy("source")
+      },
+      Some {
+        val stopList = graft.ext.TextAnalysis.EnStopwords
+          .map(w => s"'$w'").mkString(", ")
+        raw"""WITH t AS (
+             |  SELECT doc_id, source, text,
+             |         string_split_regex(trim(text), '\s+') AS ts,
+             |         md5(text) AS h
+             |  FROM documents
+             |), m AS (
+             |  SELECT source, h,
+             |         CAST(length(text) AS BIGINT) AS n_chars,
+             |         CAST(length(ts) AS BIGINT) AS n_tokens,
+             |         CAST(FLOOR((0.4 * (CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts))
+             |           + 0.3 * (1.0 - CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1))
+             |           + 0.3 * least(1.0, CAST(length(ts) AS DOUBLE) / 100.0)) * 1000000000.0 + 0.5) AS BIGINT) AS q_fp
+             |  FROM t
+             |), mult AS (
+             |  SELECT h, CAST(COUNT(*) AS BIGINT) AS hc FROM m GROUP BY 1
+             |)
+             |SELECT m.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(m.n_chars) AS BIGINT) AS total_chars,
+             |       CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens,
+             |       CAST(SUM(CASE WHEN mult.hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             |       CAST(SUM(CASE WHEN mult.hc > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
+             |       CAST(SUM(m.q_fp) AS DOUBLE) / COUNT(*) / 1000000000.0 AS mean_quality
+             |FROM m JOIN mult USING (h)
+             |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // Multi-source BFS over the near-dup graph (Graph.bfsDistances):
     // exact hop distances within 4 rounds from the three lowest-id
     // vertices that HAVE an edge (a bounded 3-row driver read — pinned
