@@ -62,4 +62,43 @@ object AsOf {
       .select(left.columns.map(col) ++
         rPayload.map(c => col("__p").getField(c).as(prefix + c)): _*)
   }
+
+  /** FORWARD as-of join — the time-mirror of [[asofJoin]]: for every left
+    * row, attach the EARLIEST right row whose time is >= the left row's
+    * time, per key (next-event attribution: the purchase after the error,
+    * the deploy after the alert, the SLA-clock stop after the start).
+    *
+    * Same linear union-window shape, mirrored: one shuffle on the key,
+    * a first(ignoreNulls) over the FOLLOWING frame. At equal times the
+    * right row is visible to the left row (inclusive >=) because right
+    * rows sort after left rows within a timestamp; simultaneous right
+    * rows are ordered by `rightTieBreak` ascending, the EARLIEST winning.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: Option[String] = None, prefix: String = "next_"): DataFrame = {
+    val rPayload = right.columns.filterNot(_ == key)
+    require(!rPayload.map(prefix + _).exists(left.columns.contains),
+      s"prefix '$prefix' collides with a left column")
+    val reserved = Seq("__t", "__side", "__p")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"columns ${reserved.mkString("/")} are reserved by asofJoinForward")
+    val r = right.select(col(key),
+        struct(rPayload.map(col): _*).as("__p"))
+      .withColumn("__t", col("__p").getField(rightTime))
+      .withColumn("__side", lit(2))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    // Left rows sort before right rows at equal time => inclusive (>=).
+    val order = Seq(col("__t").asc, col("__side").asc) ++
+      rightTieBreak.map(c => col("__p").getField(c).asc)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rPayload.map(c => col("__p").getField(c).as(prefix + c)): _*)
+  }
 }

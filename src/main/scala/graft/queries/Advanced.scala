@@ -3451,6 +3451,39 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // FORWARD as-of join (AsOf.asofJoinForward): every error event
+    // attached to the user's EARLIEST purchase at-or-after it — the
+    // next-event/SLA mirror of x31's backward as-of. Micros on both
+    // sides; simultaneous purchases tie-break on value ascending.
+    QueryDef(
+      "x141_asof_forward",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_tus"), col("value"))
+        graft.ops.AsOf.asofJoinForward(errors, purchases, "user_id",
+            "tus", "p_tus", rightTieBreak = Some("value"))
+          .select(col("event_id"), col("user_id"), col("tus"),
+            col("next_p_tus"), col("next_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+             |  FROM events WHERE event_type = 'error'
+             |), p AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_tus, value
+             |  FROM events WHERE event_type = 'purchase'
+             |)
+             |SELECT e.event_id, e.user_id, e.tus, n.p_tus AS next_p_tus,
+             |       n.value AS next_value
+             |FROM e LEFT JOIN LATERAL (
+             |  SELECT p.p_tus, p.value FROM p
+             |  WHERE p.user_id = e.user_id AND p.p_tus >= e.tus
+             |  ORDER BY p.p_tus, p.value LIMIT 1) n ON TRUE
+             |ORDER BY event_id""".stripMargin)),
+
     // Corpus datasheet (Gebru et al. 2018 "Datasheets for Datasets", the
     // quantitative rows): per source — volume, token mass, exact-dup
     // rate (corpus-wide content-hash multiplicity), mean quality on a

@@ -81,6 +81,26 @@ class AsOfSpec extends SparkSuite {
     }
   }
 
+  test("forward as-of: earliest right at or after the left time, else NULL") {
+    val fwd = AsOf.asofJoinForward(left, right, "k", "t", "rt",
+        rightTieBreak = Some("v"))
+      .select("id", "next_v").as[(Long, Option[String])].collect().toMap
+    assert(fwd(1L).contains("b"), "next right after 10:00 is 12:00/b")
+    assert(fwd(2L).contains("b"), "equal time is inclusive (>=)")
+    assert(fwd(3L).contains("late"), "11:00 follows 09:00")
+    assert(fwd(4L).isEmpty, "key 30 has no right rows at all")
+  }
+
+  test("forward as-of: simultaneous right rows tie-break ascending (earliest wins)") {
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val r = Seq(
+      (10L, ts("2024-01-01 10:30:00"), "z"),
+      (10L, ts("2024-01-01 10:30:00"), "a")).toDF("k", "rt", "v")
+    val fwd = AsOf.asofJoinForward(l, r, "k", "t", "rt", rightTieBreak = Some("v"))
+      .select("next_v").as[String].collect()
+    assert(fwd.toSeq === Seq("a"))
+  }
+
   test("upsert: update wins, untouched rows survive, new keys insert") {
     val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n")
     val updates = Seq((2L, "B!", 99), (9L, "new", 1)).toDF("k", "v", "n")
