@@ -38,4 +38,25 @@ object Profile {
       col(s"__max_$c").as("max_value")))
     row.select(explode(array(melted: _*)).as("p")).select("p.*")
   }
+
+  /** Functional-dependency check lhs → rhs (the single-attribute slice of
+    * TANE, Huhtala et al. 1999) — schema archaeology for data someone
+    * else produced: does every lhs value map to exactly one rhs value?
+    * Returns one row: distinct lhs groups, distinct (lhs, rhs) pairs,
+    * groups carrying >1 rhs (the violators), and the verdict
+    * (holds ⇔ pairs == groups ⇔ zero violators).
+    *
+    * Scale shape: one grouped count-distinct (shuffle on lhs) folded to
+    * a single row — the FD never materializes pair lists. NULLs count as
+    * a value (two NULL-lhs rows with different rhs DO violate: a loader
+    * that keys on lhs would collapse them).
+    */
+  def fdCheck(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("__k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__k")).as("n_pairs"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating_groups"))
+      .select(col("n_groups"), col("n_pairs"), col("n_violating_groups"),
+        (col("n_violating_groups") === 0L).as("holds"))
 }

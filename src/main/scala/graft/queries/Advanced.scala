@@ -3451,6 +3451,42 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Functional-dependency discovery (Profile.fdCheck): four pinned
+    // candidates over the star schema — two true FDs (key dependencies),
+    // two expected violations — each one grouped count-distinct folded
+    // to a labeled row. TANE's single-attribute slice as profiling.
+    QueryDef(
+      "x142_functional_dependencies",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cands = Seq(
+          ("customer", "c_custkey", "c_nationkey", t.customer),
+          ("customer", "c_nationkey", "c_mktsegment", t.customer),
+          ("nation", "n_nationkey", "n_regionkey", t.nation),
+          ("orders", "o_custkey", "o_orderstatus", t.orders))
+        cands.map { case (rel, l, r, df) =>
+          graft.model.Profile.fdCheck(df, l, r)
+            .select(lit(rel).as("rel"), lit(l).as("lhs"), lit(r).as("rhs"),
+              col("n_groups"), col("n_pairs"), col("n_violating_groups"),
+              col("holds"))
+        }.reduce(_ unionAll _).orderBy("rel", "lhs", "rhs")
+      },
+      Some {
+        def one(rel: String, l: String, r: String) =
+          s"""SELECT '$rel' AS rel, '$l' AS lhs, '$r' AS rhs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |       CAST(SUM(k) AS BIGINT) AS n_pairs,
+             |       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+             |       SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT $l, COUNT(DISTINCT $r) AS k FROM $rel GROUP BY 1)""".stripMargin
+        Seq(
+          one("customer", "c_custkey", "c_nationkey"),
+          one("customer", "c_nationkey", "c_mktsegment"),
+          one("nation", "n_nationkey", "n_regionkey"),
+          one("orders", "o_custkey", "o_orderstatus"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY rel, lhs, rhs")
+      }),
+
     // FORWARD as-of join (AsOf.asofJoinForward): every error event
     // attached to the user's EARLIEST purchase at-or-after it — the
     // next-event/SLA mirror of x31's backward as-of. Micros on both

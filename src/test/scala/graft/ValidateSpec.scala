@@ -1,7 +1,7 @@
 package graft
 
 import graft.io.Tables
-import graft.model.{Schemas, Validate}
+import graft.model.{Profile, Schemas, Validate}
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -58,5 +58,20 @@ class ValidateSpec extends SparkSuite {
     val rows = out.select("event_id", "tier").as[(Long, Option[String])].collect().toMap
     assert(rows(1L) === Some("GOLD"))
     assert(rows(2L) === None) // unmatched user preserved by the left join
+  }
+
+  test("fdCheck: key FDs hold, non-FDs count violating groups, NULL lhs is a group") {
+    val df = Seq(
+      (Some(1), "a"), (Some(1), "a"),      // key 1 -> a (consistent)
+      (Some(2), "a"), (Some(2), "b"),      // key 2 -> {a,b}: violates
+      (None, "x"), (None, "y")             // NULL lhs with 2 rhs: violates
+    ).toDF("k", "v")
+    val r = Profile.fdCheck(df, "k", "v").collect()(0)
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Long]("n_pairs") === 5L)
+    assert(r.getAs[Long]("n_violating_groups") === 2L)
+    assert(!r.getAs[Boolean]("holds"))
+    val ok = Profile.fdCheck(df.filter($"k" === 1), "k", "v").collect()(0)
+    assert(ok.getAs[Boolean]("holds") && ok.getAs[Long]("n_violating_groups") === 0L)
   }
 }
