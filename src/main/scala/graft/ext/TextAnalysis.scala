@@ -614,6 +614,44 @@ object TextAnalysis {
         (col("kl_fp").cast("double") / lit(1e12)).as("kl_divergence"))
   }
 
+  /** Mutual information between the source label and a cheap document
+    * feature (length bucket) — the metadata-leakage audit: high MI means
+    * the feature alone predicts provenance, so a "source-blind" model or
+    * a dedup/split keyed on that feature silently stratifies by source.
+    * Same fixed-point discipline as [[sourceDivergence]]: each term
+    * p(x,y)·ln(p(x,y)/(p(x)p(y))) snaps its ln to the 1e-9 grid and the
+    * whole term to integer 1e-12 units, so the per-source sums are exact
+    * integers (order-free) and cross-engine identical.
+    *
+    * Output is the per-source PARTIAL MI (rows sum to the corpus MI),
+    * with the source's document count for context. Three grouped counts
+    * plus one broadcast scalar — no shuffle carries more than the
+    * (source × bucket) contingency table.
+    */
+  def sourceFeatureMi(docs: DataFrame, bucketChars: Int = 100): DataFrame = {
+    require(bucketChars > 0, "bucketChars must be positive")
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val b = docs.select(col("source"),
+      expr(s"length(text) DIV $bucketChars").cast("long").as("len_bucket"))
+    val cxy = b.groupBy("source", "len_bucket").agg(count(lit(1)).as("cxy"))
+    val cx = cxy.groupBy("source").agg(sum(col("cxy")).as("cx"))
+    val cy = cxy.groupBy("len_bucket").agg(sum(col("cxy")).as("cy"))
+    val n = cxy.agg(sum(col("cxy")).as("n"))
+    cxy
+      .join(cx, Seq("source"))
+      .join(cy, Seq("len_bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("cx"),
+        floor((col("cxy").cast("double") / col("n").cast("double"))
+            * snap9(log(col("cxy").cast("double") * col("n").cast("double")
+              / (col("cx").cast("double") * col("cy").cast("double"))))
+            * lit(1e12) + lit(0.5)).cast("long").as("term_fp"))
+      .groupBy("source")
+      .agg(max(col("cx")).as("n_docs"), sum(col("term_fp")).as("mi_fp"))
+      .select(col("source"), col("n_docs"), col("mi_fp"),
+        (col("mi_fp").cast("double") / lit(1e12)).as("mi_part"))
+  }
+
   /** Exact positional phrase search over an inverted index — the
     * full-text primitive (Zobel & Moffat 2006, "Inverted files for text
     * search engines"): each query phrase matches where EVERY term w_i

@@ -3451,6 +3451,38 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Metadata-leakage MI audit (TextAnalysis.sourceFeatureMi): mutual
+    // information between source and length bucket, per-source partial
+    // terms on the x105 fixed-point log grid (rows sum to corpus MI).
+    QueryDef(
+      "x143_source_feature_mi",
+      (s, dir) => graft.ext.TextAnalysis.sourceFeatureMi(Tables(s, dir).documents)
+        .orderBy("source"),
+      Some("""WITH b AS (
+             |  SELECT source, CAST(length(text) // 100 AS BIGINT) AS len_bucket
+             |  FROM documents
+             |), cxy AS (
+             |  SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS cxy
+             |  FROM b GROUP BY 1, 2
+             |), cx AS (
+             |  SELECT source, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1
+             |), cy AS (
+             |  SELECT len_bucket, CAST(SUM(cxy) AS BIGINT) AS cy FROM cxy GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cxy
+             |), terms AS (
+             |  SELECT t.source, x.cx,
+             |    CAST(FLOOR((CAST(t.cxy AS DOUBLE) / CAST(tt.n AS DOUBLE))
+             |      * (FLOOR(ln(CAST(t.cxy AS DOUBLE) * CAST(tt.n AS DOUBLE)
+             |           / (CAST(x.cx AS DOUBLE) * CAST(y.cy AS DOUBLE))) * 1.0E9 + 0.5) / 1.0E9)
+             |      * 1.0E12 + 0.5) AS BIGINT) AS term_fp
+             |  FROM cxy t JOIN cx x USING (source) JOIN cy y USING (len_bucket)
+             |  CROSS JOIN tot tt
+             |)
+             |SELECT source, MAX(cx) AS n_docs, CAST(SUM(term_fp) AS BIGINT) AS mi_fp,
+             |       CAST(SUM(term_fp) AS DOUBLE) / 1.0E12 AS mi_part
+             |FROM terms GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // Functional-dependency discovery (Profile.fdCheck): four pinned
     // candidates over the star schema — two true FDs (key dependencies),
     // two expected violations — each one grouped count-distinct folded

@@ -1058,6 +1058,28 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("sourceFeatureMi: independent feature gives 0, deterministic feature gives H(X)") {
+    import org.apache.spark.sql.functions.lit
+    // Independent: both sources have identical length distributions -> MI 0.
+    val indep = Seq(
+      (1L, "x" * 50, "A"), (2L, "y" * 150, "A"),
+      (3L, "z" * 50, "B"), (4L, "w" * 150, "B"))
+      .toDF("doc_id", "text", "source")
+    val r0 = TextAnalysis.sourceFeatureMi(indep)
+      .select("mi_fp").as[Long].collect()
+    assert(r0.forall(_ === 0L), s"independent feature must carry 0 MI, got ${r0.toSeq}")
+    // Deterministic: length bucket identifies the source exactly ->
+    // MI = H(source) = ln 2 for a 50/50 split; each source contributes
+    // (1/2) ln 2 ~ 0.34657.
+    val det = Seq(
+      (1L, "x" * 50, "A"), (2L, "y" * 50, "A"),
+      (3L, "z" * 150, "B"), (4L, "w" * 150, "B"))
+      .toDF("doc_id", "text", "source")
+    val r1 = TextAnalysis.sourceFeatureMi(det)
+      .select("mi_part").as[Double].collect()
+    r1.foreach(p => assert(math.abs(p - math.log(2) / 2) < 1e-6, s"part $p"))
+  }
+
   test("covarianceIncremental equals the full recompute bit-for-bit") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val full = Similarity.covarianceMatrix(emb)
