@@ -274,4 +274,41 @@ class PlanSpec extends SparkSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"sorted-neighborhood window must be partitioned (blocked SNM): $w"))
   }
+
+  test("x125 phrase search broadcasts the query tables — the corpus never nested-loops") {
+    val plan = executed("x125_phrase_search")
+    assert(plan.contains("BroadcastExchange"),
+      s"phrase/len tables must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"phrase search must stay equi-join shaped:\n$plan")
+  }
+
+  test("x132 covariance is join-free: aggregates and generators only") {
+    val plan = executed("x132_embedding_covariance")
+    assert(!plan.contains("Join"), s"covariance must not join:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected the triangle aggregate:\n$plan")
+  }
+
+  test("x134 count-min: the counter and probe tables broadcast onto each other, tokens shuffle once") {
+    val plan = executed("x134_count_min_sketch")
+    assert(plan.contains("BroadcastExchange"),
+      s"the d*w counter table must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"CMS join must stay an equi-join on (h, cell):\n$plan")
+  }
+
+  test("x133 distribution match joins the corpus to BROADCAST rates — no corpus shuffle join") {
+    val plan = executed("x133_distribution_match")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"acceptance rates must broadcast back onto the corpus:\n$plan")
+  }
+
+  test("x131 OLS probe is one aggregate over a pruned scan — no join, no window") {
+    val plan = executed("x131_token_cost_probe")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"sufficient-statistics OLS must be a single aggregation:\n$plan")
+    assert(plan.contains("ReadSchema") && plan.contains("text"),
+      s"scan should read only the text column:\n$plan")
+  }
 }
