@@ -30,9 +30,13 @@ object ScaleProbe {
     // covering the dedup cost shapes: banded+capped LSH pairs,
     // inverted-index gram coverage, the windowed curation capstone, the
     // PassJoin segment equi-join, and the capped-pair source rollup.
+    // x126/x134 extend the probe beyond dedup: BPE learning (vocab-bounded
+    // rounds — duplication should NOT multiply round cost, only the one
+    // corpus scan) and the count-min sketch (fixed d*w state — exactly
+    // the linear-scan cost shape a sketch exists to guarantee).
     val probes = Seq("x66_lsh_dedup_pairs_capped", "x72_dup_gram_coverage",
       "x69_curation_pipeline", "x107_edit_distance_pairs",
-      "x117_source_dedup_matrix")
+      "x117_source_dedup_matrix", "x126_bpe_merges", "x134_count_min_sketch")
 
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
     val docs = io.Tables(spark, base).documents
@@ -45,6 +49,7 @@ object ScaleProbe {
     def timeQ(name: String, dir: String): Double = {
       graft.ext.Dedup.clearCaches(spark)
       graft.ext.Similarity.clearCaches(spark)
+      graft.ext.TextAnalysis.clearCaches(spark)
       val t0 = System.nanoTime()
       queries.Registry.queryMap(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -437,6 +437,29 @@ object Dedup {
       .select("doc_id", "cluster", "quality_score", "kept")
   }
 
+  /** Effective (dedup-discounted) token mass per source — the honest
+    * dataset-size KPI (Lee et al. 2022's motivation quantified): each
+    * document's tokens count 1/cluster_size, so a template replicated
+    * 40× contributes one copy's worth of signal, not 40. raw_tokens vs
+    * effective_tokens is the number a data buyer actually cares about.
+    * Per-doc discount rides a 1e-6 integer grid (n_tokens·10^6 DIV
+    * cluster_size) so the per-source sums are exact and order-free.
+    */
+  def effectiveTokens(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val clusters = duplicateClusters(docs, threshold).select("doc_id", "cluster")
+    val csize = clusters.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    toks.join(clusters, Seq("doc_id"))
+      .join(csize, Seq("cluster"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr("n_tokens * 1000000 DIV csz")).as("eff_tokens_fp"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"), col("eff_tokens_fp"),
+        (col("eff_tokens_fp").cast("double") / lit(1e6)).as("effective_tokens"))
+  }
+
   /** MinHash calibration curve — the sketch-quality evaluation the x89
     * ANN-recall gate performs for hyperplane LSH, done for MinHash: for
     * every banded candidate pair, the estimated Jaccard (matching

@@ -412,6 +412,66 @@ object Extensions {
       },
       bench = false), // shares x22's iterative cluster loop; gated at sf0.01
 
+    // Effective token mass (Dedup.effectiveTokens): x22's clusters turned
+    // into the honest per-source dataset size — each doc's tokens count
+    // 1/cluster_size on a 1e-6 integer grid. raw vs effective is the
+    // dedup-discount a data buyer actually cares about.
+    QueryDef(
+      "x144_effective_tokens",
+      (s, dir) => Dedup.effectiveTokens(Tables(s, dir).documents, 0.3)
+        .orderBy("source"),
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        val base = raw"""$ShingleCtes $SigCte, bands AS (
+           |  $bandUnion
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2
+           |), dup_pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           |    FROM inter
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b) j
+           |  WHERE jaccard >= 0.3
+           |), sym AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM dup_pairs
+           |), reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+           |), clusters AS (
+           |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
+           |), csize AS (
+           |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM clusters GROUP BY 1
+           |), toks AS (
+           |  SELECT doc_id, source,
+           |         CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |)
+           |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(t.n_tokens) AS BIGINT) AS raw_tokens,
+           |       CAST(SUM(t.n_tokens * 1000000 // cs.csz) AS BIGINT) AS eff_tokens_fp,
+           |       CAST(SUM(t.n_tokens * 1000000 // cs.csz) AS DOUBLE) / 1000000.0 AS effective_tokens
+           |FROM toks t JOIN clusters c USING (doc_id) JOIN csize cs USING (cluster)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      },
+      bench = false), // shares x22's iterative cluster loop; gated at sf0.01
+
     // ---- embedding similarity -----------------------------------------
     QueryDef(
       "x10_embedding_knn",

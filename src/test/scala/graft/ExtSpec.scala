@@ -1058,6 +1058,23 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("effectiveTokens: duplicates discount to one copy's worth, uniques keep full mass") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta " * 3 // 24 tokens
+    val rows = Seq(
+      (1L, t, "dup"), (2L, t, "dup"), (3L, t, "dup"),  // 3-clone cluster
+      (4L, "totally different words here now", "uniq")) // singleton, 5 tokens
+    val d = rows.toDF("doc_id", "text", "source")
+    val r = Dedup.effectiveTokens(d, 0.3)
+      .select("source", "n_docs", "raw_tokens", "effective_tokens")
+      .as[(String, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    val (_, nd, raw, eff) = r("dup")
+    assert(nd === 3L && raw === 72L)
+    assert(math.abs(eff - 24.0) < 1e-3, s"3 clones of 24 tokens -> 24 effective, got $eff")
+    val (_, nu, rawU, effU) = r("uniq")
+    assert(nu === 1L && rawU === 5L && effU === 5.0)
+  }
+
   test("sourceFeatureMi: independent feature gives 0, deterministic feature gives H(X)") {
     import org.apache.spark.sql.functions.lit
     // Independent: both sources have identical length distributions -> MI 0.
