@@ -509,6 +509,28 @@ object Similarity {
       (col("v_fp").cast("double") / lit(1000000.0)).as("component"))
   }
 
+  /** IVF index balance report — the observability an ANN index needs
+    * before anyone trusts its latency at scale: per-cell population plus
+    * a one-row rollup of max/min cell size and the imbalance factor
+    * (max/mean). A skewed coarse quantizer makes nprobe latency
+    * long-tailed (one hot cell serves most queries); this is the number
+    * that says "retrain the centroids". Two tiny aggregates over the
+    * assignment — the index never rescans.
+    */
+  def ivfCellStats(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
+    val cells = ivfAssign(embeddings, numCentroids)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cell_size"))
+    val roll = cells.agg(
+      count(lit(1)).as("n_cells"), sum(col("cell_size")).as("n_vectors"),
+      min(col("cell_size")).as("min_cell"), max(col("cell_size")).as("max_cell"))
+    cells.crossJoin(broadcast(roll))
+      .select(col("cluster"), col("cell_size"), col("n_cells"), col("n_vectors"),
+        col("min_cell"), col("max_cell"),
+        (col("max_cell").cast("double") /
+          (col("n_vectors").cast("double") / col("n_cells").cast("double")))
+          .as("imbalance"))
+  }
+
   /** Retrieval-quality evaluation of the banded ANN index against exact
     * ground truth — the harness that turns "the index feels fine" into a
     * gated number: per query, recall@k (fraction of the true top-k the

@@ -556,6 +556,41 @@ object Extensions {
              |  FROM scored) r
              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
+    // IVF index balance report (Similarity.ivfCellStats): per-cell
+    // population + the imbalance factor (max/mean) — the "retrain the
+    // coarse quantizer" signal a production ANN index watches.
+    QueryDef(
+      "x145_ivf_cell_stats",
+      (s, dir) => Similarity.ivfCellStats(Tables(s, dir).embeddings, 16)
+        .orderBy("cluster"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), c AS (
+             |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16
+             |), scored AS (
+             |  SELECT e.vec_id, c.cid, list_dot_product(e.emb, c.cemb) AS s FROM e, c
+             |), assign AS (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cid AS cluster,
+             |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+             |    FROM scored) r
+             |  WHERE rn = 1
+             |), cells AS (
+             |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cell_size FROM assign GROUP BY 1
+             |), roll AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             |         CAST(SUM(cell_size) AS BIGINT) AS n_vectors,
+             |         CAST(MIN(cell_size) AS BIGINT) AS min_cell,
+             |         CAST(MAX(cell_size) AS BIGINT) AS max_cell
+             |  FROM cells
+             |)
+             |SELECT cells.cluster, cells.cell_size, roll.n_cells, roll.n_vectors,
+             |       roll.min_cell, roll.max_cell,
+             |       CAST(roll.max_cell AS DOUBLE)
+             |         / (CAST(roll.n_vectors AS DOUBLE) / CAST(roll.n_cells AS DOUBLE)) AS imbalance
+             |FROM cells CROSS JOIN roll
+             |ORDER BY cluster""".stripMargin)),
+
     // The IVF *search* path (the scale dial of the family: probe the
     // nprobe best cells per query, brute-force only inside them). Fully
     // deterministic given the pinned centroids, so the oracle replays
