@@ -377,6 +377,68 @@ object Similarity {
       .select("qid", "rank", "doc_id", "rrf_fp", "lex_rank", "dense_rank")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity stage of a retrieval stack: from each query's
+    * top-`poolK` relevance pool, greedily select `k` results maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), so near-duplicate
+    * hits don't crowd the result list.
+    *
+    * The greedy loop is inherently sequential in k, but k is a result-
+    * page size: each round is DataFrame algebra over the broadcast-small
+    * (|queries|·poolK) candidate pool — anti-join out the selected set,
+    * one max-penalty aggregate against it, one argmax window. The corpus
+    * is touched once (pool scoring); rounds never rescan it. Round-1
+    * penalty is the 0.0 literal through the SAME mmr expression, so
+    * every round's score is engine-identical; ties break on doc_id.
+    */
+  def mmrRerank(embeddings: DataFrame, queryIds: Seq[Long], poolK: Int = 10,
+      k: Int = 3, lambda: Double = 0.5): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
+    require(k >= 1 && k <= poolK, s"k must be in [1, poolK=$poolK]")
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val qe = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("doc_id").asc)
+    val cand = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        dot(col("emb"), col("qemb")).as("rel"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= poolK).drop("rn")
+      .localCheckpoint() // rounds re-reference the pool; never rescan the corpus
+    // Pairwise sims inside each query's pool (|Q|·poolK² rows, tiny).
+    val pa = cand.select(col("qid"), col("doc_id").as("da"))
+      .join(e.select(col("vec_id").as("da"), col("emb").as("ea")), Seq("da"))
+    val pb = cand.select(col("qid"), col("doc_id").as("db"))
+      .join(e.select(col("vec_id").as("db"), col("emb").as("eb")), Seq("db"))
+    val pairSims = pa.join(pb, Seq("qid"))
+      .filter(col("da") =!= col("db"))
+      .select(col("qid"), col("da"), col("db"), dot(col("ea"), col("eb")).as("psim"))
+      .localCheckpoint()
+    def mmrExpr = (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen")).as("mmr")
+    val wMmr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("doc_id").asc)
+    var selected = cand.withColumn("pen", lit(0.0))
+      .select(col("qid"), col("doc_id"), col("rel"), col("pen"), mmrExpr)
+      .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
+      .select(col("qid"), col("doc_id"), col("rel"), col("pen"), col("mmr"),
+        lit(1).as("round"))
+    for (t <- 2 to k) {
+      val remaining = cand.join(selected.select("qid", "doc_id"), Seq("qid", "doc_id"),
+        "left_anti")
+      val pen = remaining
+        .join(pairSims.withColumnRenamed("da", "doc_id"), Seq("qid", "doc_id"))
+        .join(selected.select(col("qid"), col("doc_id").as("db")), Seq("qid", "db"))
+        .groupBy("qid", "doc_id").agg(max(col("psim")).as("pen"))
+      val next = remaining.join(pen, Seq("qid", "doc_id"))
+        .select(col("qid"), col("doc_id"), col("rel"), col("pen"), mmrExpr)
+        .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
+        .select(col("qid"), col("doc_id"), col("rel"), col("pen"), col("mmr"),
+          lit(t).as("round"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("qid"), col("round"), col("doc_id"),
+      col("rel"), col("pen"), col("mmr"))
+  }
+
   /** Mutual-kNN graph construction from the banded [[annTopK]] index:
     * an undirected edge (a, b) exists iff b is in a's top-k AND a is in
     * b's — the symmetric sparsifier that graph-based clustering and

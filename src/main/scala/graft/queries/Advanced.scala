@@ -126,6 +126,70 @@ object Advanced {
          |FROM v$PcaIters ORDER BY dim""".stripMargin
   }
 
+  /** x146's result-page size (greedy MMR rounds). */
+  private val MmrK = 3
+
+  /** Generated oracle for x146: relevance pool + pairwise sims, then the
+    * greedy rounds unrolled — each round excludes the selected set,
+    * penalizes by max pairwise sim against it, and argmaxes the shared
+    * 0.5·rel − 0.5·pen expression with doc_id ties.
+    */
+  private lazy val MmrOracleSql: String = {
+    val head =
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |), qe AS (
+        |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), candr AS (
+        |  SELECT qe.qid, e.vec_id AS doc_id, list_dot_product(e.emb, qe.qemb) AS rel
+        |  FROM e, qe WHERE e.vec_id <> qe.qid
+        |), cand AS (
+        |  SELECT qid, doc_id, rel FROM (
+        |    SELECT qid, doc_id, rel,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+        |    FROM candr) r
+        |  WHERE rn <= 10
+        |), ps AS (
+        |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+        |         list_dot_product(ea.emb, eb.emb) AS psim
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+        |  JOIN e ea ON ea.vec_id = a.doc_id
+        |  JOIN e eb ON eb.vec_id = b.doc_id
+        |), sel1 AS (
+        |  SELECT qid, doc_id, rel, pen, mmr, 1 AS round FROM (
+        |    SELECT qid, doc_id, rel, CAST(0.0 AS DOUBLE) AS pen,
+        |           0.5 * rel - 0.5 * CAST(0.0 AS DOUBLE) AS mmr,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |             ORDER BY (0.5 * rel - 0.5 * CAST(0.0 AS DOUBLE)) DESC, doc_id) AS rn
+        |    FROM cand) r WHERE rn = 1
+        |), all1 AS (
+        |  SELECT * FROM sel1
+        |)""".stripMargin
+    val rounds = (2 to MmrK).map { t =>
+      s""", pen$t AS (
+         |  SELECT c.qid, c.doc_id, MAX(p.psim) AS pen
+         |  FROM cand c
+         |  JOIN ps p ON p.qid = c.qid AND p.da = c.doc_id
+         |  JOIN all${t - 1} s ON s.qid = p.qid AND s.doc_id = p.db
+         |  WHERE NOT EXISTS (SELECT 1 FROM all${t - 1} x
+         |                    WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+         |  GROUP BY 1, 2
+         |), sel$t AS (
+         |  SELECT qid, doc_id, rel, pen, mmr, $t AS round FROM (
+         |    SELECT c.qid, c.doc_id, c.rel, g.pen,
+         |           0.5 * c.rel - 0.5 * g.pen AS mmr,
+         |           ROW_NUMBER() OVER (PARTITION BY c.qid
+         |             ORDER BY (0.5 * c.rel - 0.5 * g.pen) DESC, c.doc_id) AS rn
+         |    FROM cand c JOIN pen$t g ON g.qid = c.qid AND g.doc_id = c.doc_id) r
+         |  WHERE rn = 1
+         |), all$t AS (
+         |  SELECT * FROM all${t - 1} UNION ALL SELECT * FROM sel$t
+         |)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT qid, round, doc_id, rel, pen, mmr FROM all$MmrK ORDER BY qid, round"
+  }
+
   /** Shared oracle CTE: tokens array per document. */
   private val TokCte =
     raw"""WITH tok AS (
@@ -3450,6 +3514,17 @@ object Advanced {
              |)
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
+
+    // MMR diversified re-ranking (Similarity.mmrRerank): greedy
+    // 0.5·rel − 0.5·max-pairwise-penalty selection from each pinned
+    // query's top-10 pool — near-dup hits can't crowd the result page.
+    // Rounds are DataFrame algebra over the broadcast-small pool.
+    QueryDef(
+      "x146_mmr_rerank",
+      (s, dir) => graft.ext.Similarity.mmrRerank(
+          Tables(s, dir).embeddings, 0L to 4L, poolK = 10, k = MmrK)
+        .orderBy("qid", "round"),
+      Some(MmrOracleSql)),
 
     // Metadata-leakage MI audit (TextAnalysis.sourceFeatureMi): mutual
     // information between source and length bucket, per-source partial

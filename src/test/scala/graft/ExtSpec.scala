@@ -1058,6 +1058,21 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("mmrRerank trades relevance for diversity: the near-dup runner-up loses its slot") {
+    // q = (1,0). a (rel .99) and b (rel .98) are near-identical; c (rel .6)
+    // is dissimilar. Pure top-2 = {a, b}; MMR round 2 must pick c:
+    // mmr_b = .5*.98 - .5*sim(a,b)=.982 < 0 while mmr_c = .5*.6 - .5*.524 > 0.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (10L, Array(0.99f, 0.1f), 0),
+      (11L, Array(0.98f, 0.12f), 0),
+      (12L, Array(0.6f, -0.7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.mmrRerank(emb, Seq(0L), poolK = 3, k = 2)
+      .orderBy("round").select("round", "doc_id").as[(Int, Long)].collect().toSeq
+    assert(r === Seq((1, 10L), (2, 12L)), s"expected a then c, got $r")
+  }
+
   test("effectiveTokens: duplicates discount to one copy's worth, uniques keep full mass") {
     val t = "alpha beta gamma delta epsilon zeta eta theta " * 3 // 24 tokens
     val rows = Seq(
