@@ -439,6 +439,54 @@ object Similarity {
       col("rel"), col("pen"), col("mmr"))
   }
 
+  /** Contrastive training-triplet mining — the (anchor, positive,
+    * negative) dataset a bi-encoder trains on (DPR, SimCSE supervised):
+    * positive = the anchor's highest-cosine near-duplicate (its best
+    * same-cluster witness from the banded pair set), negative = the
+    * hardest CROSS-cluster candidate (highest cosine with a different
+    * [[annClusters]] component — near-miss by construction, which is
+    * where the contrastive gradient lives). Anchors without both a
+    * positive and a cross-cluster candidate drop out (inner joins).
+    *
+    * Scale shape: everything derives from the shared banded candidate
+    * set — pairs, clusters, and negatives reuse ONE candidate
+    * generation ([[candidatePairs]] is memoized per plan); the rest is
+    * per-anchor argmax windows over candidate-bounded rows.
+    */
+  def trainingTriplets(embeddings: DataFrame, threshold: Double = 0.4,
+      bands: Int = AnnBands, bandBits: Int = AnnBandBits): DataFrame = {
+    val clusters = annClusters(embeddings, threshold, bands, bandBits)
+      .select(col("vec_id"), col("cluster"))
+    val dup = annPairs(embeddings, threshold, bands, bandBits)
+    val sym = dup.select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
+        col("cosine"))
+      .unionAll(dup.select(col("vec_b").as("anchor"), col("vec_a").as("positive"),
+        col("cosine")))
+    val wp = Window.partitionBy(col("anchor"))
+      .orderBy(col("cosine").desc, col("positive").asc)
+    val pos = sym.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("anchor"), col("positive"), col("cosine").as("pos_cos"))
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val und = candidatePairs(embeddings, bands, bandBits, 0)
+    val dirCand = und.select(col("vec_a").as("anchor"), col("vec_b").as("cand"))
+      .unionAll(und.select(col("vec_b").as("anchor"), col("vec_a").as("cand")))
+    val scored = dirCand
+      .join(clusters.select(col("vec_id").as("anchor"), col("cluster").as("ca")),
+        Seq("anchor"))
+      .join(clusters.select(col("vec_id").as("cand"), col("cluster").as("cb")),
+        Seq("cand"))
+      .filter(col("ca") =!= col("cb"))
+      .join(e.select(col("vec_id").as("anchor"), col("emb").as("ea")), Seq("anchor"))
+      .join(e.select(col("vec_id").as("cand"), col("emb").as("eb")), Seq("cand"))
+      .select(col("anchor"), col("cand"), dot(col("ea"), col("eb")).as("neg_cos"))
+    val wn = Window.partitionBy(col("anchor"))
+      .orderBy(col("neg_cos").desc, col("cand").asc)
+    val neg = scored.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+      .select(col("anchor"), col("cand").as("negative"), col("neg_cos"))
+    pos.join(neg, Seq("anchor"))
+      .select("anchor", "positive", "pos_cos", "negative", "neg_cos")
+  }
+
   /** Mutual-kNN graph construction from the banded [[annTopK]] index:
     * an undirected edge (a, b) exists iff b is in a's top-k AND a is in
     * b's — the symmetric sparsifier that graph-based clustering and

@@ -3515,6 +3515,69 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Contrastive triplet mining (Similarity.trainingTriplets): positive
+    // = best same-cluster witness, negative = hardest CROSS-cluster
+    // candidate — the (anchor, pos, neg) table a bi-encoder trains on.
+    // Oracle: the x60 cluster chain + two argmax windows.
+    QueryDef(
+      "x147_training_triplets",
+      (s, dir) => graft.ext.Similarity.trainingTriplets(
+          Tables(s, dir).embeddings, 0.4)
+        .orderBy("anchor"),
+      Some {
+        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+          s""", dupc AS (
+             |  SELECT vec_a, vec_b, cosine FROM (
+             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+             |    FROM cand c
+             |    JOIN e ea ON ea.vec_id = c.vec_a
+             |    JOIN e eb ON eb.vec_id = c.vec_b) p
+             |  WHERE cosine >= 0.4
+             |), sym AS (
+             |  SELECT vec_a AS src, vec_b AS dst FROM dupc
+             |  UNION ALL
+             |  SELECT vec_b, vec_a FROM dupc
+             |), reach(a, b) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+             |), cl AS (
+             |  SELECT a AS vec_id, MIN(b) AS cluster FROM reach GROUP BY 1
+             |), posr AS (
+             |  SELECT anchor, positive, cosine AS pos_cos FROM (
+             |    SELECT anchor, positive, cosine,
+             |           ROW_NUMBER() OVER (PARTITION BY anchor
+             |             ORDER BY cosine DESC, positive ASC) AS rn
+             |    FROM (SELECT vec_a AS anchor, vec_b AS positive, cosine FROM dupc
+             |          UNION ALL
+             |          SELECT vec_b, vec_a, cosine FROM dupc) s) r
+             |  WHERE rn = 1
+             |), cdir AS (
+             |  SELECT vec_a AS anchor, vec_b AS cnd FROM cand
+             |  UNION ALL
+             |  SELECT vec_b, vec_a FROM cand
+             |), negscored AS (
+             |  SELECT d.anchor, d.cnd, list_dot_product(ea.emb, eb.emb) AS neg_cos
+             |  FROM cdir d
+             |  JOIN cl ca ON ca.vec_id = d.anchor
+             |  JOIN cl cb ON cb.vec_id = d.cnd AND ca.cluster <> cb.cluster
+             |  JOIN e ea ON ea.vec_id = d.anchor
+             |  JOIN e eb ON eb.vec_id = d.cnd
+             |), negr AS (
+             |  SELECT anchor, cnd AS negative, neg_cos FROM (
+             |    SELECT anchor, cnd, neg_cos,
+             |           ROW_NUMBER() OVER (PARTITION BY anchor
+             |             ORDER BY neg_cos DESC, cnd ASC) AS rn
+             |    FROM negscored) r
+             |  WHERE rn = 1
+             |)
+             |SELECT p.anchor, p.positive, p.pos_cos, n.negative, n.neg_cos
+             |FROM posr p JOIN negr n USING (anchor)
+             |ORDER BY anchor""".stripMargin
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      },
+      bench = false), // shares the x60 iterative cluster loop; gated at sf0.01
+
     // MMR diversified re-ranking (Similarity.mmrRerank): greedy
     // 0.5·rel − 0.5·max-pairwise-penalty selection from each pinned
     // query's top-10 pool — near-dup hits can't crowd the result page.

@@ -1058,6 +1058,23 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("trainingTriplets: positives share the anchor's cluster, negatives never do") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cl = Similarity.annClusters(emb, 0.4)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val t = Similarity.trainingTriplets(emb, 0.4)
+      .select("anchor", "positive", "pos_cos", "negative", "neg_cos")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(t.nonEmpty, "corpus has near-dup clusters; triplets must exist")
+    t.foreach { case (a, p, pc, n, nc) =>
+      assert(cl(a) === cl(p), s"positive $p must share anchor $a's cluster")
+      assert(cl(a) !== cl(n), s"negative $n must NOT share anchor $a's cluster")
+      assert(pc >= 0.4, s"positive pair is a near-dup witness, cos $pc")
+      assert(a != p && a != n)
+    }
+    Similarity.clearCaches(spark)
+  }
+
   test("mmrRerank trades relevance for diversity: the near-dup runner-up loses its slot") {
     // q = (1,0). a (rel .99) and b (rel .98) are near-identical; c (rel .6)
     // is dissimilar. Pure top-2 = {a, b}; MMR round 2 must pick c:
