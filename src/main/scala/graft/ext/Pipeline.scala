@@ -364,6 +364,28 @@ object Pipeline {
         sum(when(col("u") < col("accept_rate"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Stratified k-fold assignment: within every source, rows are ranked
+    * by their salted id-hash uniform and dealt round-robin into k folds
+    * — so each (source, fold) cell holds ⌈n_s/k⌉ or ⌊n_s/k⌋ rows
+    * EXACTLY (the balance guarantee plain hash-mod `u*k` only has in
+    * expectation), while the within-source order is still the
+    * reproducible hash shuffle. The cross-validation counterpart of
+    * [[trainSplit]].
+    *
+    * One window per source (parallel across sources, the x95/x68
+    * convention); no corpus shuffle beyond it.
+    */
+  def stratifiedKFold(docs: DataFrame, k: Int = 5,
+      salt: String = "fold|"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__u").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("__u", saltedUniform(col("doc_id"), salt))
+      .withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
+      .drop("__u")
+  }
+
   def packBudget(docs: DataFrame, budget: Int = 2000): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -3515,6 +3515,64 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Stratified k-fold (Pipeline.stratifiedKFold): hash-shuffled
+    // round-robin deal within each source — per-cell counts differ by at
+    // most 1 (exact balance, not expected balance). One window/source.
+    QueryDef(
+      "x148_stratified_kfold",
+      (s, dir) => graft.ext.Pipeline.stratifiedKFold(Tables(s, dir).documents, 5)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+             |       CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) - 1) % 5
+             |            AS BIGINT) AS fold
+             |FROM (
+             |  SELECT doc_id, source,
+             |         CAST(('0x' || substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |           / 4294967296.0 AS u
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Dense hourly time spine (gap filling): the events series re-gridded
+    // onto every hour between the corpus' min and max — missing hours
+    // surface as explicit zero rows instead of absent ones (the
+    // resample/asfreq move; window functions and charts break on gaps).
+    // The spine is ONE sequence() explode of two broadcast scalars.
+    QueryDef(
+      "x149_time_spine",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+        spine.join(hourly, Seq("hour"), "left")
+          .select(col("hour"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |         CAST(COUNT(*) AS BIGINT) AS n_events,
+             |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM events GROUP BY 1
+             |), bounds AS (
+             |  SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             |         date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+             |  FROM events
+             |), spine AS (
+             |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+             |)
+             |SELECT s.hour,
+             |       COALESCE(h.n_events, 0) AS n_events,
+             |       COALESCE(h.n_users, 0) AS n_users
+             |FROM spine s LEFT JOIN hourly h USING (hour)
+             |ORDER BY hour""".stripMargin)),
+
     // Contrastive triplet mining (Similarity.trainingTriplets): positive
     // = best same-cluster witness, negative = hardest CROSS-cluster
     // candidate — the (anchor, pos, neg) table a bi-encoder trains on.

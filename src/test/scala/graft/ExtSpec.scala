@@ -1058,6 +1058,23 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("stratifiedKFold: per-source fold sizes differ by at most one, assignment is stable") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val f = Pipeline.stratifiedKFold(docs, 5)
+    val sizes = f.groupBy("source", "fold").count()
+      .groupBy("source")
+      .agg(max("count").as("mx"), min("count").as("mn"),
+        countDistinct("fold").as("nf"))
+      .as[(String, Long, Long, Long)].collect()
+    sizes.foreach { case (src, mx, mn, nf) =>
+      assert(mx - mn <= 1, s"$src folds unbalanced: max $mx min $mn")
+      assert(nf === 5L, s"$src must touch all 5 folds")
+    }
+    // Deterministic: a rerun assigns identical folds.
+    val again = Pipeline.stratifiedKFold(docs, 5)
+    assert(f.exceptAll(again).count() === 0)
+  }
+
   test("trainingTriplets: positives share the anchor's cluster, negatives never do") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val cl = Similarity.annClusters(emb, 0.4)
