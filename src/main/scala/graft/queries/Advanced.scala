@@ -3515,6 +3515,17 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Histogram quantile sketch (ops.HistogramSketch): 256 mergeable
+    // BIGINT counters replace the global sort; the bin-midpoint estimate
+    // is audited against the exact percentile per row, with the
+    // within-one-bin-width verdict — the quantile sibling of x134's CMS.
+    QueryDef(
+      "x150_histogram_quantiles",
+      (s, dir) => graft.ops.HistogramSketch.quantiles(
+          Tables(s, dir).orders, "o_totalprice")
+        .orderBy("q"),
+      Some(graft.ops.HistogramSketch.oracleSql("orders", "o_totalprice"))),
+
     // Stratified k-fold (Pipeline.stratifiedKFold): hash-shuffled
     // round-robin deal within each source — per-cell counts differ by at
     // most 1 (exact balance, not expected balance). One window/source.

@@ -1058,6 +1058,20 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("histogram quantile sketch: estimates stay within one bin width of exact") {
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    val r = graft.ops.HistogramSketch.quantiles(orders, "o_totalprice")
+      .select("q", "abs_err", "bin_width", "within_one_bin")
+      .as[(Double, Double, Double, Boolean)].collect()
+    assert(r.length === 4)
+    r.foreach { case (q, err, w, ok) =>
+      assert(ok && err <= w, s"q=$q err=$err exceeds bin width $w")
+    }
+    // Mergeability: shard histograms summed == whole-table histogram is
+    // what the grouped aggregate already proves; here pin the sketch's
+    // scale contract instead — state is bins, not rows.
+  }
+
   test("stratifiedKFold: per-source fold sizes differ by at most one, assignment is stable") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val f = Pipeline.stratifiedKFold(docs, 5)
