@@ -386,6 +386,30 @@ object Pipeline {
       .drop("__u")
   }
 
+  /** Token-budget selection per source — "the best `budget` tokens of
+    * each source": documents rank by quality (the shared x02 expression
+    * on its 1e-9 fixed-point grid, ties to the smaller doc_id) and the
+    * kept set is the longest quality-ranked PREFIX whose running token
+    * total fits the budget. Prefix semantics (a doc that overflows the
+    * budget also blocks everything ranked below it) keep the cut
+    * deterministic and oracle-replayable — no knapsack backtracking.
+    *
+    * One window per source — parallel across sources, never global
+    * (the x68/x95 convention).
+    */
+  def budgetSelect(docs: DataFrame, budget: Long = 5000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val qfp = floor(TextAnalysis.qualityScoreExpr * lit(1e9) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q_fp").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        qfp.as("q_fp"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
+  }
+
   def packBudget(docs: DataFrame, budget: Int = 2000): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -3515,6 +3515,40 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Token-budget selection (Pipeline.budgetSelect): the longest
+    // quality-ranked prefix of each source that fits 5,000 tokens —
+    // "the best N tokens per source" curation cut, one window/source.
+    QueryDef(
+      "x151_budget_selection",
+      (s, dir) => graft.ext.Pipeline.budgetSelect(Tables(s, dir).documents, 5000L)
+        .orderBy("doc_id"),
+      Some {
+        val stopList = graft.ext.TextAnalysis.EnStopwords
+          .map(w => s"'$w'").mkString(", ")
+        raw"""WITH t AS (
+             |  SELECT doc_id, source, text,
+             |         string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, source,
+             |         CAST(length(ts) AS BIGINT) AS n_tokens,
+             |         CAST(FLOOR((0.4 * (CAST(length(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE) / length(ts))
+             |           + 0.3 * (1.0 - CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1))
+             |           + 0.3 * least(1.0, CAST(length(ts) AS DOUBLE) / 100.0)) * 1000000000.0 + 0.5) AS BIGINT) AS q_fp
+             |  FROM t
+             |)
+             |SELECT doc_id, source, n_tokens, q_fp,
+             |       CAST(SUM(n_tokens) OVER (PARTITION BY source
+             |            ORDER BY q_fp DESC, doc_id ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS cum_tokens,
+             |       CAST(SUM(n_tokens) OVER (PARTITION BY source
+             |            ORDER BY q_fp DESC, doc_id ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         <= 5000 AS kept
+             |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
     // Histogram quantile sketch (ops.HistogramSketch): 256 mergeable
     // BIGINT counters replace the global sort; the bin-midpoint estimate
     // is audited against the exact percentile per row, with the

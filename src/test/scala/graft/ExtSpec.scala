@@ -1058,6 +1058,27 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("budgetSelect keeps the best-quality prefix that fits, per source") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val r = Pipeline.budgetSelect(docs, 500L)
+      .select("source", "n_tokens", "q_fp", "cum_tokens", "kept")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    // Budget respected: kept rows' cumulative totals never exceed it.
+    r.filter(_._5).foreach { case (s, _, _, cum, _) =>
+      assert(cum <= 500L, s"$s kept beyond budget: $cum")
+    }
+    // Prefix property: within a source, no kept row ranks below a
+    // dropped one (quality desc, doc_id asc ordering = cum asc).
+    r.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._4)
+      val firstDrop = ordered.indexWhere(!_._5)
+      if (firstDrop >= 0)
+        assert(ordered.drop(firstDrop).forall(!_._5),
+          s"$src kept a row ranked after its first drop")
+    }
+    assert(r.exists(_._5) && r.exists(!_._5), "budget must actually cut")
+  }
+
   test("histogram quantile sketch: estimates stay within one bin width of exact") {
     val orders = spark.read.parquet(s"$Sf/orders.parquet")
     val r = graft.ops.HistogramSketch.quantiles(orders, "o_totalprice")
