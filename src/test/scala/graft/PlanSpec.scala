@@ -311,4 +311,34 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ReadSchema") && plan.contains("text"),
       s"scan should read only the text column:\n$plan")
   }
+
+  test("x148 k-fold and x151 budget windows are partitioned per source, never global") {
+    for (name <- Seq("x148_stratified_kfold", "x151_budget_selection")) {
+      val windows = queries.Registry.queryMap(name)(spark, Sf)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(windows.nonEmpty, s"$name should use a window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name window must be partitioned by source: $w"))
+    }
+  }
+
+  test("x141 forward as-of is one union + one partitioned window — no join of the two sides") {
+    val df = queries.Registry.queryMap("x141_asof_forward")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "as-of window must be partitioned per key")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"forward as-of must be the union-window shape, not a join:\n$plan")
+  }
+
+  test("x149 time spine broadcasts the bounds — the hourly aggregate never re-shuffles onto it") {
+    val plan = executed("x149_time_spine")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"spine join must stay an equi-join on hour:\n$plan")
+  }
 }
