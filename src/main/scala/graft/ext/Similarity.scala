@@ -487,6 +487,60 @@ object Similarity {
       .select("anchor", "positive", "pos_cos", "negative", "neg_cos")
   }
 
+  /** Ranker-agreement analysis: Kendall's τ between the lexical and
+    * dense rankings [[hybridRrf]] fuses, per query over their SHARED
+    * top-`poolDepth` documents — the eval step that says whether the two
+    * retrieval signals actually disagree enough for fusion to matter
+    * (τ ≈ 1 → rankers redundant, fuse nothing; τ ≈ 0 → complementary).
+    * Concordant/discordant counts are exact integers over the k²-bounded
+    * pair set; τ = (C − D) / (C + D + ties) is one double division from
+    * those exact counts — engine-identical.
+    */
+  def rankerAgreement(docs: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], poolDepth: Int = 10): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
+    val toks = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
+    val qt = toks.filter(col("doc_id").isInCollection(queryIds))
+      .select(col("doc_id").as("qid"), col("ts").as("qts"))
+    val inter = size(array_intersect(col("ts"), col("qts")))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("lex_score").desc, col("doc_id").asc)
+    val lexTop = toks.join(broadcast(qt), col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        (inter.cast("double") / (size(col("ts")) + size(col("qts")) - inter))
+          .as("lex_score"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= poolDepth)
+      .select("qid", "doc_id", "lex_rank")
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val qe = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("dense_score").desc, col("doc_id").asc)
+    val denseTop = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        dot(col("emb"), col("qemb")).as("dense_score"))
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .filter(col("dense_rank") <= poolDepth)
+      .select("qid", "doc_id", "dense_rank")
+    val shared = lexTop.join(denseTop, Seq("qid", "doc_id"))
+    val pairs = shared.select(col("qid"), col("doc_id").as("da"),
+        col("lex_rank").as("la"), col("dense_rank").as("ra"))
+      .join(shared.select(col("qid"), col("doc_id").as("db"),
+        col("lex_rank").as("lb"), col("dense_rank").as("rb")), Seq("qid"))
+      .filter(col("da") < col("db"))
+      .select(col("qid"),
+        ((col("la") - col("lb")) * (col("ra") - col("rb"))).as("prod"))
+    pairs.groupBy("qid")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"))
+      .select(col("qid"), col("n_pairs"), col("concordant"), col("discordant"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double")).as("kendall_tau"))
+  }
+
   /** Mutual-kNN graph construction from the banded [[annTopK]] index:
     * an undirected edge (a, b) exists iff b is in a's top-k AND a is in
     * b's — the symmetric sparsifier that graph-based clustering and

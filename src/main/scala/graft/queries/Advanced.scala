@@ -3515,6 +3515,60 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Ranker agreement (Similarity.rankerAgreement): Kendall's τ between
+    // the lexical and dense top-10 rankings over their shared documents
+    // — exact concordant/discordant counts, one double division.
+    QueryDef(
+      "x152_ranker_agreement",
+      (s, dir) => graft.ext.Similarity.rankerAgreement(
+          Tables(s, dir).documents, Tables(s, dir).embeddings, 0L to 4L,
+          poolDepth = 50)
+        .orderBy("qid"),
+      Some(
+        raw"""WITH tok AS (
+             |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+             |  FROM documents
+             |), q AS (
+             |  SELECT doc_id AS qid, ts AS qts FROM tok WHERE doc_id IN (0, 1, 2, 3, 4)
+             |), lexs AS (
+             |  SELECT q.qid, t.doc_id,
+             |         CAST(len(list_intersect(t.ts, q.qts)) AS DOUBLE)
+             |           / (len(t.ts) + len(q.qts) - len(list_intersect(t.ts, q.qts)))
+             |           AS lex_score
+             |  FROM tok t, q WHERE t.doc_id <> q.qid
+             |), lext AS (
+             |  SELECT qid, doc_id,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+             |  FROM lexs QUALIFY lex_rank <= 50
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), qe AS (
+             |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+             |), ds AS (
+             |  SELECT qe.qid, e.vec_id AS doc_id,
+             |         list_dot_product(e.emb, qe.qemb) AS dense_score
+             |  FROM e, qe WHERE e.vec_id <> qe.qid
+             |), dst AS (
+             |  SELECT qid, doc_id,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY dense_score DESC, doc_id) AS BIGINT) AS dense_rank
+             |  FROM ds QUALIFY dense_rank <= 50
+             |), shared AS (
+             |  SELECT l.qid, l.doc_id, l.lex_rank, d.dense_rank
+             |  FROM lext l JOIN dst d ON l.qid = d.qid AND l.doc_id = d.doc_id
+             |), pairs AS (
+             |  SELECT a.qid, (a.lex_rank - b.lex_rank) * (a.dense_rank - b.dense_rank) AS prod
+             |  FROM shared a JOIN shared b ON a.qid = b.qid AND a.doc_id < b.doc_id
+             |)
+             |SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             |       CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             |       CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+             |          - SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(COUNT(*) AS DOUBLE) AS kendall_tau
+             |FROM pairs GROUP BY 1 ORDER BY qid""".stripMargin)),
+
     // Token-budget selection (Pipeline.budgetSelect): the longest
     // quality-ranked prefix of each source that fits 5,000 tokens —
     // "the best N tokens per source" curation cut, one window/source.

@@ -1058,6 +1058,20 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("rankerAgreement: exact pair accounting and tau bounded in [-1, 1]") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val r = Similarity.rankerAgreement(docs, emb, 0L to 4L, poolDepth = 50)
+      .select("qid", "n_pairs", "concordant", "discordant", "kendall_tau")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty, "pool 50 must overlap on this corpus")
+    r.foreach { case (q, n, c, d, tau) =>
+      assert(c + d <= n, s"q$q pair accounting")
+      assert(tau >= -1.0 && tau <= 1.0, s"q$q tau $tau")
+      assert(tau === (c - d).toDouble / n, s"q$q tau must derive from exact counts")
+    }
+  }
+
   test("budgetSelect keeps the best-quality prefix that fits, per source") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val r = Pipeline.budgetSelect(docs, 500L)
