@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, all expressed as
@@ -650,6 +651,35 @@ object TextAnalysis {
       .agg(max(col("cx")).as("n_docs"), sum(col("term_fp")).as("mi_fp"))
       .select(col("source"), col("n_docs"), col("mi_fp"),
         (col("mi_fp").cast("double") / lit(1e12)).as("mi_part"))
+  }
+
+  /** Vocabulary-truncation coverage curve: for each candidate vocabulary
+    * cap N, the fraction of the corpus' TOKEN MASS covered by the N most
+    * frequent types — the planning input for vocab sizing (every token
+    * outside the cap becomes <unk>/byte-fallback; this curve prices
+    * that). Exact integer counts; the rank window runs over the TYPE
+    * table (Heaps-bounded, sublinear in the corpus), never the corpus;
+    * ties rank alphabetically so the curve is deterministic.
+    */
+  def vocabCoverageCurve(docs: DataFrame,
+      caps: Seq[Int] = Seq(100, 500, 1000, 2000)): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ > 0), "caps must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total_tokens"))
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+    val capsDf = caps.map(n => Tuple1(n.toLong)).toDF("vocab_cap")
+    ranked.crossJoin(broadcast(capsDf))
+      .filter(col("rank") <= col("vocab_cap"))
+      .groupBy("vocab_cap")
+      .agg(sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_cap"), col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
   }
 
   /** Exact positional phrase search over an inverted index — the

@@ -3515,6 +3515,35 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Vocabulary coverage curve (TextAnalysis.vocabCoverageCurve): token
+    // mass covered by the top-N types for candidate vocab caps — the
+    // <unk>-rate pricing input for vocab sizing. The rank window runs
+    // over the Heaps-bounded type table, never the corpus.
+    QueryDef(
+      "x153_vocab_coverage_curve",
+      (s, dir) => graft.ext.TextAnalysis.vocabCoverageCurve(Tables(s, dir).documents)
+        .orderBy("vocab_cap"),
+      Some(raw"""WITH t AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+             |), counts AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM counts
+             |), ranked AS (
+             |  SELECT tok, c,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS rank
+             |  FROM counts
+             |), caps(vocab_cap) AS (
+             |  VALUES (CAST(100 AS BIGINT)), (CAST(500 AS BIGINT)),
+             |         (CAST(1000 AS BIGINT)), (CAST(2000 AS BIGINT))
+             |)
+             |SELECT caps.vocab_cap,
+             |       CAST(SUM(r.c) AS BIGINT) AS covered_tokens,
+             |       tot.total_tokens,
+             |       CAST(SUM(r.c) AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE) AS coverage
+             |FROM ranked r JOIN caps ON r.rank <= caps.vocab_cap CROSS JOIN tot
+             |GROUP BY 1, 3 ORDER BY 1""".stripMargin)),
+
     // Ranker agreement (Similarity.rankerAgreement): Kendall's τ between
     // the lexical and dense top-10 rankings over their shared documents
     // — exact concordant/discordant counts, one double division.

@@ -1058,6 +1058,17 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("vocabCoverageCurve is monotone in the cap and exact on a known fixture") {
+    // Vocab: a×5, b×3, c×1, d×1 (10 tokens). Caps 1,2,3 -> 5/10, 8/10, 9/10.
+    val d = Seq((1L, "a a a b b", "en"), (2L, "a a b c d", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.vocabCoverageCurve(d, Seq(1, 2, 3))
+      .orderBy("vocab_cap")
+      .select("vocab_cap", "covered_tokens", "total_tokens", "coverage")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq((1L, 5L, 10L, 0.5), (2L, 8L, 10L, 0.8), (3L, 9L, 10L, 0.9)))
+  }
+
   test("rankerAgreement: exact pair accounting and tau bounded in [-1, 1]") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
