@@ -3515,6 +3515,80 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Event-type affinity (market-basket lift over per-user event sets):
+    // for each unordered type pair, the users performing both vs the
+    // independence expectation — lift = n·c_ab/(c_a·c_b) from exact
+    // distinct-user counts (one double division, same tree both engines).
+    QueryDef(
+      "x154_event_affinity",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val ut = ev.select(col("user_id"), col("event_type")).distinct()
+        val n = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
+        val per = ut.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+        val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("c_both"))
+        pairs
+          .join(broadcast(per.select(col("event_type").as("type_a"), col("c").as("c_a"))),
+            Seq("type_a"))
+          .join(broadcast(per.select(col("event_type").as("type_b"), col("c").as("c_b"))),
+            Seq("type_b"))
+          .crossJoin(broadcast(n))
+          .select(col("type_a"), col("type_b"), col("c_both"), col("c_a"), col("c_b"),
+            (col("n_users").cast("double") * col("c_both").cast("double") /
+              (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events
+             |), n AS (
+             |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+             |), per AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |         CAST(COUNT(*) AS BIGINT) AS c_both
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |   AND a.event_type < b.event_type
+             |  GROUP BY 1, 2
+             |)
+             |SELECT p.type_a, p.type_b, p.c_both, pa.c AS c_a, pb.c AS c_b,
+             |       CAST(n.n_users AS DOUBLE) * CAST(p.c_both AS DOUBLE)
+             |         / (CAST(pa.c AS DOUBLE) * CAST(pb.c AS DOUBLE)) AS lift
+             |FROM pairs p
+             |JOIN per pa ON pa.event_type = p.type_a
+             |JOIN per pb ON pb.event_type = p.type_b
+             |CROSS JOIN n
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // Batch-mixing order (round-robin deal by hash-shuffled within-source
+    // rank): batch b holds each source's (b+1)-th ranked doc — so every
+    // training batch of ≤ |sources| docs is perfectly source-balanced,
+    // deterministic, and stable under repartitioning. One window/source.
+    QueryDef(
+      "x155_batch_mixing",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("u").asc, col("doc_id").asc)
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            graft.ext.Pipeline.saltedUniform(col("doc_id"), "mixorder|").as("u"))
+          .withColumn("batch", (row_number().over(w) - 1).cast("long"))
+          .select("doc_id", "source", "batch")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) - 1
+             |            AS BIGINT) AS batch
+             |FROM (
+             |  SELECT doc_id, source,
+             |         CAST(('0x' || substring(md5('mixorder|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |           / 4294967296.0 AS u
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary coverage curve (TextAnalysis.vocabCoverageCurve): token
     // mass covered by the top-N types for candidate vocab caps — the
     // <unk>-rate pricing input for vocab sizing. The rank window runs

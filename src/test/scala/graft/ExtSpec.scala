@@ -1058,6 +1058,14 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("batch mixing deals each source round-robin: every batch holds <= 1 doc per source") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val r = queries.Registry.queryMap("x155_batch_mixing")(spark, Sf)
+      .groupBy("batch", "source").count()
+      .agg(max("count")).as[Long].collect()(0)
+    assert(r === 1L, "a (batch, source) cell held more than one doc")
+  }
+
   test("vocabCoverageCurve is monotone in the cap and exact on a known fixture") {
     // Vocab: a×5, b×3, c×1, d×1 (10 tokens). Caps 1,2,3 -> 5/10, 8/10, 9/10.
     val d = Seq((1L, "a a a b b", "en"), (2L, "a a b c d", "en"))
