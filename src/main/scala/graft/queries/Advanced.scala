@@ -3515,6 +3515,74 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Language-ID evaluation (confusion cells + per-class precision and
+    // recall from x03's classifier vs the labeled column): exact cell
+    // counts; each ratio is one double division from exact BIGINTs.
+    QueryDef(
+      "x156_langid_confusion",
+      (s, dir) => {
+        val pred = graft.ext.TextAnalysis.languageId(Tables(s, dir).documents)
+          .select(col("labeled_lang"), col("predicted_lang"))
+        val cells = pred.groupBy("labeled_lang", "predicted_lang")
+          .agg(count(lit(1)).as("n"))
+        val byLabel = cells.groupBy("labeled_lang")
+          .agg(sum(col("n")).as("n_labeled"))
+        val byPred = cells.groupBy("predicted_lang")
+          .agg(sum(col("n")).as("n_predicted"))
+        cells
+          .join(broadcast(byLabel), Seq("labeled_lang"))
+          .join(broadcast(byPred), Seq("predicted_lang"))
+          .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+            col("n_labeled"), col("n_predicted"),
+            when(col("labeled_lang") === col("predicted_lang"),
+              col("n").cast("double") / col("n_labeled").cast("double")).as("recall"),
+            when(col("labeled_lang") === col("predicted_lang"),
+              col("n").cast("double") / col("n_predicted").cast("double")).as("precision"))
+          .orderBy("labeled_lang", "predicted_lang")
+      },
+      Some {
+        val scoreSql = graft.ext.TextAnalysis.LangMarkers.map { case (lang, words) =>
+          if (lang == "zh")
+            raw"length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS score_$lang"
+          else {
+            val lst = words.map(w => s"'$w'").mkString(", ")
+            s"length(list_filter(ts, x -> x IN ($lst))) AS score_$lang"
+          }
+        }.mkString(",\n         ")
+        val langs = graft.ext.TextAnalysis.LangMarkers.map(_._1)
+        val maxExpr = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+        val caseExpr = langs.foldRight("'und'") { (l, rest) =>
+          s"CASE WHEN score_$l = mx AND mx > 0 THEN '$l' ELSE $rest END"
+        }
+        raw"""WITH t AS (
+             |  SELECT doc_id, lang AS labeled_lang, text,
+             |         string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents
+             |), scored AS (
+             |  SELECT doc_id, labeled_lang,
+             |         $scoreSql
+             |  FROM t
+             |), withmax AS (
+             |  SELECT *, $maxExpr AS mx FROM scored
+             |), pred AS (
+             |  SELECT labeled_lang, $caseExpr AS predicted_lang FROM withmax
+             |), cells AS (
+             |  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM pred GROUP BY 1, 2
+             |), bl AS (
+             |  SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_labeled FROM cells GROUP BY 1
+             |), bp AS (
+             |  SELECT predicted_lang, CAST(SUM(n) AS BIGINT) AS n_predicted FROM cells GROUP BY 1
+             |)
+             |SELECT c.labeled_lang, c.predicted_lang, c.n, bl.n_labeled, bp.n_predicted,
+             |       CASE WHEN c.labeled_lang = c.predicted_lang
+             |            THEN CAST(c.n AS DOUBLE) / CAST(bl.n_labeled AS DOUBLE) END AS recall,
+             |       CASE WHEN c.labeled_lang = c.predicted_lang
+             |            THEN CAST(c.n AS DOUBLE) / CAST(bp.n_predicted AS DOUBLE) END AS precision
+             |FROM cells c JOIN bl USING (labeled_lang) JOIN bp USING (predicted_lang)
+             |ORDER BY labeled_lang, predicted_lang""".stripMargin
+      }),
+
     // Event-type affinity (market-basket lift over per-user event sets):
     // for each unordered type pair, the users performing both vs the
     // independence expectation — lift = n·c_ab/(c_a·c_b) from exact
