@@ -59,6 +59,102 @@ object HistogramSketch {
         (abs(col("estimate") - col("exact")) <= col("bin_width")).as("within_one_bin"))
   }
 
+  /** [[quantiles]] per group — the production shape (one histogram per
+    * event type / source / tenant): state is |groups|·bins counters,
+    * every window is partitioned by the group, and each group gets its
+    * own bounds, exact quantiles, and error audit. Degenerate groups
+    * (all values equal, hi == lo) estimate the midpoint of bin 0 = the
+    * value itself, so the audit still passes. */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int = 64, qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"unreasonable bin count $bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), "quantiles must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(groupCol)
+    val v = col(valueCol).cast("double")
+    val qArray = qs.mkString(", ")
+    val bounds = df.groupBy(g.as("g")).agg(
+      min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"),
+      expr(s"percentile($valueCol, array($qArray))").as("exacts"))
+    val binCol = when(col("hi") === col("lo"), lit(0)).otherwise(
+      least(lit(bins - 1),
+        floor((col("v") - col("lo")) * lit(bins.toDouble) / (col("hi") - col("lo")))
+          .cast("int")))
+    val data = df.select(g.as("gd"), v.as("v"))
+    val hist = data
+      .join(broadcast(bounds.select(col("g"), col("lo"), col("hi"))),
+        col("gd") === col("g"))
+      .select(col("g"), binCol.as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("bin_count"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("bin")).rowsBetween(Long.MinValue, 0)
+    val cum = hist.withColumn("cum", sum(col("bin_count")).over(wc))
+      .select(col("g").as("gc"), col("bin"), col("cum"))
+    val targets = qs.zipWithIndex.map { case (q, i) => (i, q) }.toDF("qi", "q")
+      .crossJoin(broadcast(bounds))
+      .select(col("g"), col("qi"), col("q"), col("lo"), col("hi"), col("n"),
+        ceil(col("q") * col("n").cast("double")).cast("long").as("target_rank"),
+        element_at(col("exacts"), col("qi") + 1).as("exact"))
+    targets
+      .join(cum, col("gc") === col("g") && col("cum") >= col("target_rank"))
+      .groupBy(col("g").as("grp"), col("qi"), col("q"), col("lo"), col("hi"),
+        col("n"), col("target_rank"), col("exact"))
+      .agg(min(col("bin")).as("est_bin"))
+      .select(col("grp").as(groupCol), col("q"), col("n"),
+        (col("lo") + (col("est_bin").cast("double") + lit(0.5))
+          * (col("hi") - col("lo")) / lit(bins.toDouble)).as("estimate"),
+        col("exact"),
+        ((col("hi") - col("lo")) / lit(bins.toDouble)).as("bin_width"))
+      .select(col(groupCol), col("q"), col("n"), col("estimate"), col("exact"),
+        col("bin_width"),
+        abs(col("estimate") - col("exact")).as("abs_err"),
+        (abs(col("estimate") - col("exact")) <= col("bin_width")).as("within_one_bin"))
+  }
+
+  /** The DuckDB twin of [[quantilesByGroup]]. */
+  def groupedOracleSql(from: String, groupCol: String, valueCol: String,
+      bins: Int = 64, qs: Seq[Double] = Seq(0.5, 0.9)): String = {
+    val exSelects = qs.zipWithIndex.map { case (q, i) =>
+      s"SELECT g, $i AS qi, CAST($q AS DOUBLE) AS q, quantile_cont(v, $q) AS exact FROM src GROUP BY g"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH src AS (
+       |  SELECT $groupCol AS g, CAST($valueCol AS DOUBLE) AS v FROM $from
+       |), b AS (
+       |  SELECT g, MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM src GROUP BY g
+       |), ex AS (
+       |  $exSelects
+       |), hist AS (
+       |  SELECT s.g,
+       |         CASE WHEN b.hi = b.lo THEN 0
+       |              ELSE least($bins - 1,
+       |                CAST(FLOOR((s.v - b.lo) * ${bins}.0 / (b.hi - b.lo)) AS INT)) END AS bin,
+       |         CAST(COUNT(*) AS BIGINT) AS bin_count
+       |  FROM src s JOIN b ON b.g = s.g GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT g, bin, CAST(SUM(bin_count) OVER (PARTITION BY g ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM hist
+       |), t AS (
+       |  SELECT e.g, e.qi, e.q, e.exact, b.lo, b.hi, b.n,
+       |         CAST(CEIL(e.q * CAST(b.n AS DOUBLE)) AS BIGINT) AS target_rank
+       |  FROM ex e JOIN b ON b.g = e.g
+       |), est AS (
+       |  SELECT t.g, t.qi, t.q, t.exact, t.lo, t.hi, t.n, MIN(c.bin) AS est_bin
+       |  FROM t JOIN cum c ON c.g = t.g AND c.cum >= t.target_rank
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7
+       |)
+       |SELECT g AS $groupCol, q, n,
+       |       lo + (CAST(est_bin AS DOUBLE) + 0.5) * (hi - lo) / ${bins}.0 AS estimate,
+       |       exact,
+       |       (hi - lo) / ${bins}.0 AS bin_width,
+       |       ABS(lo + (CAST(est_bin AS DOUBLE) + 0.5) * (hi - lo) / ${bins}.0 - exact) AS abs_err,
+       |       ABS(lo + (CAST(est_bin AS DOUBLE) + 0.5) * (hi - lo) / ${bins}.0 - exact)
+       |         <= (hi - lo) / ${bins}.0 AS within_one_bin
+       |FROM est ORDER BY 1, 2""".stripMargin
+  }
+
   /** The DuckDB twin of [[quantiles]], over relation `from` (column
     * `valueCol`), with the same bins and quantile list. */
   def oracleSql(from: String, valueCol: String, bins: Int = 256,

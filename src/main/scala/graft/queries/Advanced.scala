@@ -3515,6 +3515,18 @@ object Advanced {
              |SELECT *, ${graft.ops.Skew.strategyCase(1000000L, 8.0)} AS strategy
              |FROM stats""".stripMargin)),
 
+    // Grouped histogram quantiles (HistogramSketch.quantilesByGroup):
+    // one 64-bin sketch per event type over the value column — the
+    // per-tenant/per-type production shape of x150's sketch, same
+    // within-one-bin-width audit per row.
+    QueryDef(
+      "x157_grouped_quantile_sketch",
+      (s, dir) => graft.ops.HistogramSketch.quantilesByGroup(
+          Tables(s, dir).events, "event_type", "value")
+        .orderBy("event_type", "q"),
+      Some(graft.ops.HistogramSketch.groupedOracleSql(
+        "events", "event_type", "value"))),
+
     // Language-ID evaluation (confusion cells + per-class precision and
     // recall from x03's classifier vs the labeled column): exact cell
     // counts; each ratio is one double division from exact BIGINTs.
