@@ -1181,18 +1181,27 @@ object Similarity {
       .orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
 
+    // Broadcast-join argmin (the ivfPqSearch/ivfAssign shape, :1091): the
+    // k×Dim model rides in a broadcast RELATION, not the expression tree,
+    // so plan size and codegen depth are constant in k — a k-deep when-fold
+    // stops whole-stage-compiling around k≈100 and dies outright at
+    // production quantizer sizes (4096+). Ties keep the lowest cluster id
+    // (orderBy score desc, cid asc), matching the old strictly-greater
+    // fold bit-for-bit: both argmax the same IEEE dot products.
     def assign(cs: Array[Array[Double]]): DataFrame = {
-      // Deterministic argmax over k cosine scores: strictly-greater
-      // comparison keeps the lowest cluster id on ties.
-      val scores = cs.zipWithIndex.map { case (c, i) =>
-        (dot(col("emb"), array(c.map(lit): _*)), i)
-      }
-      val best = scores.tail.foldLeft(
-        struct(scores.head._1.as("s"), lit(0).as("c"))) { case (acc, (s, i)) =>
-        when(s > acc.getField("s"), struct(s.as("s"), lit(i).as("c"))).otherwise(acc)
-      }
-      e.select(col("vec_id"), col("emb"), best.getField("c").as("cluster"),
-        best.getField("s").as("score"))
+      val spark = e.sparkSession
+      import spark.implicits._
+      val cdf = cs.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cemb")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("s").desc, col("cid").asc)
+      e.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("emb"), col("cid"),
+          dot(col("emb"), col("cemb")).as("s"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid").as("cluster"),
+          col("s").as("score"))
     }
 
     var assigned = assign(centroids)

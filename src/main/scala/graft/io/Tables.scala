@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed access to the star-schema parquet tables under a scale-factor
   * directory (see /root/repo/TESTDATA.md). Each accessor is a plain
@@ -28,24 +29,27 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = t("part")
   def orders: DataFrame    = t("orders")
   def lineitem: DataFrame  = t("lineitem")
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default. We read nanos as long (legacy flag) and truncate to
-    * micros with integer division — `ts div 1000`, NOT `/1000` (double
-    * division is lossy above 2^52; epoch-nanos ≈ 1.7e18). This matches
-    * DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) truncation bit-for-bit, which
-    * the oracles rely on.
+  /** The events table's `ts` column has shipped under several physical
+    * parquet encodings across upstream regenerations — TIMESTAMP(NANOS)
+    * (arrives as long under `spark.sql.legacy.parquet.nanosAsLong`), plain
+    * `timestamp[us]` with isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ),
+    * and UTC-adjusted micros (arrives as TimestampType). A 100 TB lake WILL
+    * contain mixed encodings, so we dispatch on the OBSERVED resolved type
+    * rather than assuming one era's layout; every branch normalizes to
+    * session-zone TimestampType (the session runs UTC, so NTZ→TZ is a
+    * value-preserving relabel).
     *
-    * The legacy flag is session-wide SQLConf (no per-read option exists);
-    * the engine's own entry points (Verify/Bench/demos/test suite) set it
-    * in their builders, and this defensive set covers externally-built
-    * sessions. Side effect on other NANOS tables: they read as longs
-    * instead of erroring — acceptable for this engine, documented here.
+    * Nanos branch: truncate with integer division — `ts div 1000`, NOT
+    * `/1000` (double division is lossy above 2^52; epoch-nanos ≈ 1.7e18).
+    * Matches DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) bit-for-bit.
     */
   def events: DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType        => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _               => raw
     }
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

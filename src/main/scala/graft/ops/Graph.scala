@@ -153,22 +153,49 @@ object Graph {
     * the Pregel convention [[hits]] documents.
     */
   def labelPropagation(edges: DataFrame, vertices: DataFrame,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3): DataFrame =
+    labelPropagationWithRounds(edges, vertices, rounds)._1
+
+  /** [[labelPropagation]] plus the number of rounds actually executed —
+    * rounds stop early at the fixed point. Soundness of the cheap check:
+    * labels are per-vertex monotonically NON-INCREASING (each round takes
+    * a min), so Σlabel is strictly decreasing until the fixed point and
+    * an unchanged Σlabel ⇒ no label changed ⇒ every remaining round is a
+    * no-op — the early-exit result is bit-identical to the fixed-round
+    * one (GraphSpec pins this). The check is one scalar aggregate per
+    * round over the just-checkpointed state: bounded driver traffic (one
+    * long), never a collect of the table.
+    */
+  private[graft] def labelPropagationWithRounds(edges: DataFrame,
+      vertices: DataFrame, rounds: Int): (DataFrame, Int) = {
     require(rounds >= 1, "labelPropagation needs at least one round")
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
+    // Overflow-safe fixed-point probe: decimal(38,0) sum of long ids
+    // cannot wrap at any realistic vertex count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
     var label = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var sumPrev = labelSum(label)
+    var executed = 0
+    var converged = false
     (0 until rounds).foreach { _ =>
-      val nbrMin = sym.join(label, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
-      label = label.join(nbrMin, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+      if (!converged) {
+        val nbrMin = sym.join(label, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+        label = label.join(nbrMin, col("id") === col("dst"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint()
+        executed += 1
+        val sumNow = labelSum(label)
+        if (sumNow.compareTo(sumPrev) == 0) converged = true else sumPrev = sumNow
+      }
     }
     sym.unpersist(blocking = false)
-    label
+    (label, executed)
   }
 
   /** HITS hubs/authorities (Kleinberg, "Authoritative Sources in a
@@ -248,7 +275,20 @@ object Graph {
     * sides of the next round), so rounds localCheckpoint instead of
     * re-evaluating the upstream edge generator per reference.
     */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame =
+    kcorePeelWithRounds(edges, k, rounds)._1
+
+  /** [[kcorePeel]] plus the number of peel rounds actually executed —
+    * peeling stops early at the fixed point. Soundness: the surviving
+    * edge set only ever SHRINKS (two semi-joins), so an unchanged edge
+    * COUNT means the identical set survived, degrees are unchanged, and
+    * every remaining round is a no-op — early exit is bit-identical to
+    * the fixed-round result (GraphSpec pins this). The probe is a count()
+    * of the just-checkpointed edge state: one long to the driver per
+    * round, and count on a checkpointed frame is a metadata-cheap scan.
+    */
+  private[graft] def kcorePeelWithRounds(edges: DataFrame, k: Int,
+      rounds: Int): (DataFrame, Int) = {
     require(k >= 1 && rounds >= 1, s"kcorePeel needs k>=1, rounds>=1; got k=$k rounds=$rounds")
     var e = edges
       .select(least(col("src"), col("dst")).as("src"),
@@ -256,20 +296,28 @@ object Graph {
       .filter(col("src") < col("dst"))
       .distinct()
       .localCheckpoint()
+    var nEdges = e.count()
+    var executed = 0
+    var converged = false
     (0 until rounds).foreach { _ =>
-      val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-      val live = deg.filter(col("degree") >= k).select(col("id"))
-      e = e.join(live.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+      if (!converged) {
+        val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        val live = deg.filter(col("degree") >= k).select(col("id"))
+        e = e.join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        executed += 1
+        val nNow = e.count()
+        if (nNow == nEdges) converged = true else nEdges = nNow
+      }
     }
     // Final degree is measured on the post-peel subgraph; vertices whose
     // last-round degree dropped below k are still reported (they fall in
     // round `rounds`+1) — the caller filters if it wants the strict core.
-    e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    (e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree")), executed)
   }
 
   /** Multi-source BFS shortest distances, bounded to `rounds` hops — the
@@ -290,19 +338,46 @@ object Graph {
     * Distances are exact small integers — no float, no renormalization.
     */
   def bfsDistances(edges: DataFrame, sourceIds: Seq[Long],
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4): DataFrame =
+    bfsDistancesWithRounds(edges, sourceIds, rounds)._1
+
+  /** [[bfsDistances]] plus the number of relaxation rounds actually
+    * executed — traversal stops early once the frontier is exhausted.
+    * Soundness: per vertex the distance is monotone NON-INCREASING and
+    * the reached set only GROWS, so the (count, Σdist) pair changes iff
+    * the table changed; an unchanged pair ⇒ fixed point ⇒ remaining
+    * rounds are no-ops, bit-identical to the fixed-round run (GraphSpec
+    * pins this). The probe is one two-scalar aggregate per round on the
+    * just-checkpointed state — bounded driver traffic, never a collect.
+    */
+  private[graft] def bfsDistancesWithRounds(edges: DataFrame,
+      sourceIds: Seq[Long], rounds: Int): (DataFrame, Int) = {
     require(sourceIds.nonEmpty, "need at least one source vertex")
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
     val spark = edges.sparkSession
     import spark.implicits._
-    var dist = sourceIds.distinct.map(id => (id, 0L)).toDF("v", "dist")
-    for (_ <- 1 to rounds) {
-      val relaxed = dist.join(edges, dist("v") === edges("src"))
-        .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
-      dist = dist.unionAll(relaxed)
-        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).first()
+      (r.getLong(0), r.getDecimal(1))
     }
-    dist
+    var dist = sourceIds.distinct.map(id => (id, 0L)).toDF("v", "dist")
+      .localCheckpoint()
+    var state = probe(dist)
+    var executed = 0
+    var converged = false
+    for (_ <- 1 to rounds) {
+      if (!converged) {
+        val relaxed = dist.join(edges, dist("v") === edges("src"))
+          .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+        executed += 1
+        val now = probe(dist)
+        if (now._1 == state._1 && now._2.compareTo(state._2) == 0) converged = true
+        else state = now
+      }
+    }
+    (dist, executed)
   }
 }

@@ -32,15 +32,17 @@ object StreamDemo {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events-000.parquet"))
 
-    // ns timestamps arrive as long under nanosAsLong; convert exactly as
-    // the batch path does.
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // File-source streams need a declared schema; take it from the staged
+    // file itself so the demo works across upstream re-encodings of `ts`
+    // (nanos-as-long, plain micros NTZ, UTC micros), then normalize to
+    // TimestampType exactly as the batch path (graft.io.Tables.events) does.
+    val schema = spark.read.parquet(stage.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    val stream = schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
 
     val rollup = Streams.runToMemory(spark,
       Streams.windowedRollup(stream), "demo_rollup")

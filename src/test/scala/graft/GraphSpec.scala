@@ -154,4 +154,38 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(d4 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
   }
+
+  test("iterative ops exit early at the fixed point, bit-identical to the fixed-round run") {
+    // Small-radius graph: triangle 1-2-3 + pendant 3-4, diameter 2 —
+    // every op converges long before 12 requested rounds.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = und.toDF("src", "dst")
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val verts = (1L to 4L).toDF("id")
+
+    val (lp, lpRounds) = Graph.labelPropagationWithRounds(edges, verts, 12)
+    assert(lpRounds < 12, s"label propagation must exit early, ran $lpRounds")
+    assert(lp.orderBy("id").as[(Long, Long)].collect().toSeq ===
+      Graph.labelPropagation(edges, verts, 2).orderBy("id")
+        .as[(Long, Long)].collect().toSeq,
+      "early-exit labels must equal the fixed-round fixed point")
+
+    val (kc, kcRounds) = Graph.kcorePeelWithRounds(edges, 2, 12)
+    assert(kcRounds < 12, s"k-core peel must exit early, ran $kcRounds")
+    assert(kc.orderBy("id").as[(Long, Long)].collect().toSeq ===
+      Graph.kcorePeel(edges, 2, 3).orderBy("id").as[(Long, Long)].collect().toSeq)
+
+    val (bfs, bfsRounds) = Graph.bfsDistancesWithRounds(sym, Seq(1L), 12)
+    assert(bfsRounds < 12, s"BFS must exit early, ran $bfsRounds")
+    assert(bfs.orderBy("v").as[(Long, Long)].collect().toSeq ===
+      Graph.bfsDistances(sym, Seq(1L), 4).orderBy("v")
+        .as[(Long, Long)].collect().toSeq)
+
+    // A graph still changing at the bound must run ALL requested rounds:
+    // a 6-path's min label needs 5 rounds to cover the diameter.
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val pverts = (1L to 6L).toDF("id")
+    val (_, full) = Graph.labelPropagationWithRounds(path, pverts, 3)
+    assert(full === 3, s"non-converged run must use every round, ran $full")
+  }
 }
