@@ -256,6 +256,29 @@ class ExtSpec extends SparkSuite {
     assert(a1.count() === emb.count())
   }
 
+  test("k-means trains at production quantizer width (k=256): constant plan size in k") {
+    // The round-8 scale caveat: the old assignment was a k-deep when-fold
+    // whose codegen depth grew linearly in k (seconds of janino compile
+    // at k=8, intractable at PQ/IVF production sizes). The broadcast-join
+    // argmin keeps the centroid model in a broadcast relation, so k=256
+    // must train in the same plan shape as k=8 — this test simply cannot
+    // finish in suite time under the old fold.
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    Similarity.clearCaches(spark)
+    val (cs, labels) = Similarity.kMeans(emb, 256, 1)
+    assert(cs.length === 256)
+    val l = labels.select("vec_id", "cluster").as[(Long, Int)].collect()
+    assert(l.length === 500)
+    assert(l.forall { case (_, c) => c >= 0 && c < 256 })
+    // Self-consistency at width: each of the 256 seed vectors (vec_id<256
+    // IS the init) stays its own nearest centroid after one Lloyd step
+    // only if clusters moved — weaker but runnable: labels must use a
+    // healthy spread of the 256 cells, not collapse to a handful.
+    assert(l.map(_._2).distinct.length > 64,
+      s"only ${l.map(_._2).distinct.length} of 256 cells used — assignment degenerated")
+    Similarity.clearCaches(spark)
+  }
+
   test("snapped k-means: centroids on the 1e-6 grid; snapping barely moves the objective") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val (cs, labels) = Similarity.kMeans(emb, 8, 2, snapScale = 1e6)
