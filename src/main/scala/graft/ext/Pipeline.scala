@@ -419,4 +419,45 @@ object Pipeline {
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum_before DIV $budget"))
   }
+
+  /** k-anonymity audit over a pair of quasi-identifier columns (Sweeney
+    * 2002) — the privacy screen a training-data release runs before
+    * shipping: for each generalization level of the QI lattice
+    * ({both}, {a}, {b}), every row falls into the equivalence class of
+    * rows sharing its QI values, and a class smaller than `k` makes its
+    * members re-identifiable. Reported per level: class count, smallest
+    * class, how many rows sit in sub-k classes, and the fraction that
+    * would need suppression to reach k-anonymity at that level — so the
+    * release picks the cheapest level that meets policy.
+    *
+    * Spark shape: ONE grouping-sets aggregate computes every lattice
+    * level's classes in a single shuffle (the x46 machinery pointed at
+    * privacy semantics), then a second m-row aggregate folds classes to
+    * levels. All counts exact BIGINTs; the suppression rate is one double
+    * division from them. Assumes non-null QI columns (nulls would merge
+    * into a fake class; the x52 constraint audit screens that upstream).
+    */
+  def kAnonymityAudit(rows: DataFrame, qiA: String, qiB: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val classes = rows
+      .groupingSets(
+        Seq(Seq(col(qiA), col(qiB)), Seq(col(qiA)), Seq(col(qiB))),
+        col(qiA), col(qiB))
+      .agg(count(lit(1)).as("class_size"), grouping_id().cast("int").as("gid"))
+      .select(col("gid"), col("class_size"))
+    classes.groupBy("gid").agg(
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("rows_below_k"),
+        sum(col("class_size")).as("n_rows"))
+      .select(
+        when(col("gid") === 0, s"$qiA+$qiB")
+          .when(col("gid") === 1, qiA).otherwise(qiB).as("qi_level"),
+        col("n_classes"), col("min_class_size"), col("rows_below_k"),
+        col("n_rows"),
+        (col("rows_below_k").cast("double") / col("n_rows").cast("double"))
+          .as("suppression_rate"))
+  }
 }

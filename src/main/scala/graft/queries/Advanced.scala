@@ -4148,8 +4148,128 @@ object Advanced {
       "x136_pca_top_component",
       (s, dir) => graft.ext.Similarity.pcaTopComponent(Tables(s, dir).embeddings)
         .orderBy("dim"),
-      Some(PcaOracleSql))
+      Some(PcaOracleSql)),
+
+    // Bloom-filter ingest screen (ops.Bloom.screen): even doc_ids play the
+    // existing corpus, odd ones the incoming batch; every incoming doc
+    // reports its k-position Bloom verdict plus the exact-membership audit
+    // (no false negatives by construction; fp rate measurable from the
+    // pair). The oracle replays membership in positions-set form — the
+    // bit-packed words are the Spark side's broadcast optimization, not a
+    // semantic.
+    QueryDef(
+      "x158_bloom_screen",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        graft.ops.Bloom.screen(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy("doc_id")
+      },
+      Some(
+        raw"""WITH ex AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+             |), inc AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+             |), expos AS (
+             |  SELECT DISTINCT ((CAST(('0x'||substring(h,1,8)) AS BIGINT)
+             |          + j.j * CAST(('0x'||substring(h,9,8)) AS BIGINT)) % 65536) AS pos
+             |  FROM ex CROSS JOIN generate_series(0, 3) j(j)
+             |), incpos AS (
+             |  SELECT doc_id, ((CAST(('0x'||substring(h,1,8)) AS BIGINT)
+             |          + j.j * CAST(('0x'||substring(h,9,8)) AS BIGINT)) % 65536) AS pos
+             |  FROM inc CROSS JOIN generate_series(0, 3) j(j)
+             |), hits AS (
+             |  SELECT i.doc_id,
+             |         CAST(MIN(CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS bloom_hit
+             |  FROM incpos i LEFT JOIN expos p ON p.pos = i.pos
+             |  GROUP BY 1
+             |), exact AS (
+             |  SELECT i.doc_id,
+             |         CAST(CASE WHEN eh.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup
+             |  FROM inc i LEFT JOIN (SELECT DISTINCT h FROM ex) eh ON eh.h = i.h
+             |)
+             |SELECT h.doc_id, h.bloom_hit, e.exact_dup
+             |FROM hits h JOIN exact e USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // k-anonymity audit (Pipeline.kAnonymityAudit): per QI-lattice level
+    // over (c_mktsegment, c_nationkey), class counts and the suppression
+    // fraction needed to reach k=5 — exact BIGINTs, one double division.
+    QueryDef(
+      "x159_k_anonymity",
+      (s, dir) => graft.ext.Pipeline.kAnonymityAudit(
+          Tables(s, dir).customer, "c_mktsegment", "c_nationkey", 5)
+        .orderBy("qi_level"),
+      Some(
+        raw"""WITH classes AS (
+             |  SELECT GROUPING(c_mktsegment, c_nationkey) AS gid,
+             |         CAST(COUNT(*) AS BIGINT) AS class_size
+             |  FROM customer
+             |  GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+             |                          (c_mktsegment), (c_nationkey))
+             |)
+             |SELECT CASE gid WHEN 0 THEN 'c_mktsegment+c_nationkey'
+             |                WHEN 1 THEN 'c_mktsegment'
+             |                ELSE 'c_nationkey' END AS qi_level,
+             |       CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+             |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+             |         AS rows_below_k,
+             |       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+             |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS DOUBLE)
+             |         / CAST(SUM(class_size) AS DOUBLE) AS suppression_rate
+             |FROM classes GROUP BY gid ORDER BY qi_level""".stripMargin)),
+
+    // Deterministic HyperLogLog (ops.Hll.cardinalityByGroup): per-source
+    // distinct-text estimate whose registers, fixed-point harmonic sum,
+    // and correction branch the oracle replays exactly (md5-derived hash,
+    // integer bit-length ranks — x19's contrast: Spark's native HLL++ can
+    // only be tolerance-gated, this one is value-gated).
+    QueryDef(
+      "x160_hll_source_cardinality",
+      (s, dir) => graft.ops.Hll.cardinalityByGroup(
+          Tables(s, dir).documents, "source", "text")
+        .orderBy("source"),
+      Some(HllOracleSql))
   )
+
+  /** Oracle for x160: the HLL pipeline unrolled — md5-derived 32-bit hash,
+    * 64 buckets, integer bit-length ranks, fixed-point harmonic sum, and
+    * the linear-counting small-range branch, mirroring ops.Hll exactly
+    * (m=64, remainder 26 bits, scale 2^27 = 134217728). */
+  private lazy val HllOracleSql: String = {
+    val est = "(0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 * 134217728.0" +
+      " / CAST(sum_fp AS DOUBLE)"
+    val corrected =
+      s"""CASE WHEN $est <= 2.5 * 64.0 AND v_empty > 0
+         |     THEN 64.0 * ln(64.0 / CAST(v_empty AS DOUBLE))
+         |     ELSE $est END""".stripMargin
+    raw"""WITH h AS (
+         |  SELECT source, CAST(('0x'||substring(md5(text),1,8)) AS BIGINT) AS hv
+         |  FROM documents
+         |), regs AS (
+         |  SELECT source, hv % 64 AS bucket,
+         |         MAX(CASE WHEN hv // 64 > 0 THEN 27 - length(bin(hv // 64))
+         |                  ELSE 27 END) AS reg
+         |  FROM h GROUP BY 1, 2
+         |), pg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |         CAST(SUM(1::BIGINT << (27 - reg)) AS BIGINT) AS sum_fp_present
+         |  FROM regs GROUP BY 1
+         |), withfp AS (
+         |  SELECT source, CAST(64 - n_buckets AS BIGINT) AS v_empty,
+         |         CAST(sum_fp_present + (64 - n_buckets) * 134217728 AS BIGINT) AS sum_fp
+         |  FROM pg
+         |), ex AS (
+         |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT w.source, w.v_empty, w.sum_fp, ex.n_exact,
+         |       round($corrected, 6) AS hll_estimate,
+         |       round(abs(round($corrected, 6) - CAST(n_exact AS DOUBLE))
+         |         / CAST(n_exact AS DOUBLE), 6) AS rel_error
+         |FROM withfp w JOIN ex USING (source) ORDER BY source""".stripMargin
+  }
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth
     * sums over in-edges, integer max-renormalization, raw hub sums over

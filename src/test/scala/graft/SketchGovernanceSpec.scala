@@ -1,0 +1,87 @@
+package graft
+
+import graft.ext.Pipeline
+import graft.ops.{Bloom, Hll}
+import org.apache.spark.sql.functions._
+
+/** Algebra pins for the round-9 sketch/governance operators: the Bloom
+  * ingest screen (x158), the k-anonymity audit (x159), and the
+  * deterministic HLL (x160). The real-data paths are oracle-gated; these
+  * fix the properties the gates can't see failing by value alone. */
+class SketchGovernanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("bloom screen: no false negatives ever; misses are guaranteed-new") {
+    val existing = docs((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+    val incoming = docs((10L, "alpha"), (11L, "beta"), (12L, "delta"),
+      (13L, "epsilon"), (14L, "zeta"))
+    val r = Bloom.screen(existing, incoming).orderBy("doc_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    // Every exact duplicate MUST bloom-hit (the one-sided guarantee).
+    r.filter(_._3 == 1).foreach { case (id, hit, _) =>
+      assert(hit == 1, s"doc $id is an exact dup but the filter missed it")
+    }
+    assert(r.filter(_._3 == 1).map(_._1) === Seq(10L, 11L))
+    // At 65536 bits over 3 docs, the non-dups must all miss (fp odds are
+    // (12/65536)^4-ish — a hit here means the hashing broke).
+    r.filter(_._3 == 0).foreach { case (id, hit, _) =>
+      assert(hit == 0, s"doc $id false-positived against a near-empty filter")
+    }
+  }
+
+  test("bloom screen: a saturated filter degrades to all-maybe, never to false negatives") {
+    // 64 bits, k=4, 100 existing docs -> every bit set -> everything hits:
+    // the honest saturation failure mode (fp rate 1), still zero false
+    // negatives.
+    val existing = docs((0L until 100L).map(i => i -> s"doc $i"): _*)
+    val incoming = docs((200L, "doc 5"), (201L, "never seen"))
+    val r = Bloom.screen(existing, incoming, mBits = 64, k = 4)
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(r.map(_._2) === Seq(1, 1), "saturated filter must report maybe everywhere")
+    assert(r.map(_._3) === Seq(1, 0))
+    assertThrows[IllegalArgumentException] {
+      Bloom.screen(existing, incoming, mBits = 100) // not a multiple of 64
+    }
+  }
+
+  test("hll: multiset cardinality ignores duplication; small sets are near-exact") {
+    val unique = (0 until 40).map(i => ("g", s"v$i")).toDF("source", "text")
+    val duped = (0 until 40).flatMap(i => Seq.fill(5)(("g", s"v$i")))
+      .toDF("source", "text")
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      Hll.cardinalityByGroup(df, "source", "text")
+        .select("hll_estimate").as[Double].head()
+    // THE sketch property: registers are max-based, so 5x duplication
+    // cannot move the estimate by a single bit.
+    assert(est(unique) === est(duped))
+    // Linear-counting regime: 40 distinct over 64 buckets stays within
+    // the sketch's expected error envelope.
+    assert(math.abs(est(unique) - 40.0) / 40.0 <= 0.25,
+      s"estimate ${est(unique)} too far from 40")
+    assertThrows[IllegalArgumentException] {
+      Hll.cardinalityByGroup(unique, "source", "text", m = 48)
+    }
+  }
+
+  test("k-anonymity audit: exact class accounting on a hand-built table") {
+    // QI (seg, nat): classes (a,1)x4, (a,2)x1, (b,1)x2 -> 7 rows.
+    val rows = (Seq.fill(4)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
+      .toDF("seg", "nat")
+    val r = Pipeline.kAnonymityAudit(rows, "seg", "nat", k = 3)
+      .orderBy("qi_level")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // Level nat: classes {1}x6, {2}x1 -> 1 class below k with 1 row.
+    // Level seg: {a}x5, {b}x2 -> class b below k (2 rows).
+    // Level seg+nat: sizes 4,1,2 -> below-k rows = 1+2 = 3.
+    assert(r === Seq(
+      ("nat", 2L, 1L, 1L, 7L, 1.0 / 7.0),
+      ("seg", 2L, 2L, 2L, 7L, 2.0 / 7.0),
+      ("seg+nat", 3L, 1L, 3L, 7L, 3.0 / 7.0)))
+    // Generalizing (dropping a QI) can only merge classes: suppression at
+    // a single-QI level never exceeds the two-QI level's.
+    val byLevel = r.map(x => x._1 -> x._6).toMap
+    assert(byLevel("nat") <= byLevel("seg+nat") && byLevel("seg") <= byLevel("seg+nat"))
+  }
+}
