@@ -121,8 +121,12 @@ object Dedup {
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), threshold, bucketCap),
       lshDedupPairsUncached(docs, threshold, bucketCap).cache())
 
-  private def lshDedupPairsUncached(docs: DataFrame, threshold: Double,
-      bucketCap: Int): DataFrame = {
+  /** Banded LSH candidate pairs BEFORE exact verification — (doc_a, doc_b)
+    * with doc_a < doc_b, distinct. Shared by the dedup path and the
+    * blocking-quality evaluation (x162), which needs the raw candidate set
+    * the verifier never sees. */
+  private[graft] def bandedCandidates(docs: DataFrame,
+      bucketCap: Int = 0): DataFrame = {
     val sigs = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map(b => col(s"band$b"))
     val exploded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
@@ -135,9 +139,14 @@ object Dedup {
         .drop("_bucket_width")
     val a = kept.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
     val b = kept.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
-    val candidates = a.join(b, Seq("band_idx", "band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  private def lshDedupPairsUncached(docs: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
+    val candidates = bandedCandidates(docs, bucketCap)
 
     val sets = setCache.getOrElseUpdate(
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash()),
@@ -531,6 +540,53 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), sum(col("jaccard_fp")).as("sum_jaccard_fp"))
       .withColumn("mean_jaccard",
         col("sum_jaccard_fp").cast("double") / col("n_pairs").cast("double") / lit(1.0e9))
+  }
+
+  /** Blocking-quality evaluation of the MinHash LSH band scheme
+    * (Christen 2012's record-linkage metrics): against ground truth =
+    * every pair with exact shingle Jaccard ≥ tNum/tDen,
+    *
+    *  - pairs completeness (recall of the blocking): what fraction of
+    *    true pairs the banded candidate set surfaces at all — the bound
+    *    on any downstream dedup's recall;
+    *  - reduction ratio: what fraction of the n·(n−1)/2 comparison space
+    *    the blocking never generates — the whole reason LSH exists.
+    *
+    * The complement of [[minhashCalibration]]: that curve judges the
+    * ESTIMATOR on surfaced candidates; this judges the CANDIDATE SET
+    * against what it never surfaced. Ground truth comes from the
+    * common-shingle join (exact for any threshold > 0, since a true pair
+    * shares a shingle by definition) — the same exact-verify machinery
+    * the x86/x98/x102 family runs, not an n² cross join. Counts are
+    * exact BIGINTs; the two ratios are single double expressions.
+    * Threshold is a rational (integer cross-multiply), never a float
+    * compare.
+    */
+  def blockingQuality(docs: DataFrame, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum <= tDen, got $tNum/$tDen")
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truePairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
+      .select("doc_a", "doc_b")
+    val cand = bandedCandidates(docs)
+    val caught = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_docs"), col("n_true"), col("n_cand"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true").cast("double"))
+          .as("pairs_completeness"),
+        (lit(1.0) - (col("n_cand").cast("double") * lit(2.0))
+          / (col("n_docs").cast("double") * (col("n_docs") - 1).cast("double")))
+          .as("reduction_ratio"))
   }
 
   /** Edit-distance self-join over a fixed-length document key (here the

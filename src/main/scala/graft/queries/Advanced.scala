@@ -4230,7 +4230,55 @@ object Advanced {
       (s, dir) => graft.ops.Hll.cardinalityByGroup(
           Tables(s, dir).documents, "source", "text")
         .orderBy("source"),
-      Some(HllOracleSql))
+      Some(HllOracleSql)),
+
+    // Time-decayed per-user activity: recency-weighted engagement with a
+    // STAIRCASE exponential decay — weight 2^(-age_days), halving per
+    // whole day since the corpus' newest event. Powers of two make every
+    // weight an EXACT double (no libm exp whose last ulp differs between
+    // engines), each term rounds onto a 1e-6 fixed-point BIGINT grid, and
+    // the per-user sum is integer — order-free under any partitioning, so
+    // the serial oracle replays the distributed aggregate bit-for-bit.
+    // The raw money-sum rides along as the undecayed comparand.
+    QueryDef(
+      "x161_decayed_activity",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val mx = ev.agg(max(col("ts")).as("max_ts"))
+        ev.crossJoin(broadcast(mx))
+          .select(col("user_id"), col("value"),
+            expr("cast((unix_micros(max_ts) - unix_micros(ts)) div 86400000000 as int)")
+              .as("age_days"))
+          .select(col("user_id"), col("value"),
+            floor(col("value") / pow(lit(2.0), col("age_days")) * lit(1e6) + lit(0.5))
+              .cast("long").as("term_fp"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            moneySum(col("value")).as("raw_value"),
+            sum(col("term_fp")).as("decayed_fp"))
+          .withColumn("decayed_value", col("decayed_fp").cast("double") / lit(1e6))
+          .orderBy("user_id")
+      },
+      Some(
+        raw"""WITH mx AS (
+             |  SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
+             |), aged AS (
+             |  SELECT user_id, value,
+             |         CAST((epoch_us(max_ts) - epoch_us(CAST(ts AS TIMESTAMP)))
+             |           // 86400000000 AS INT) AS age_days
+             |  FROM events, mx
+             |), terms AS (
+             |  SELECT user_id, value,
+             |         CAST(floor(value / power(2.0, age_days) * 1000000.0 + 0.5) AS BIGINT)
+             |           AS term_fp
+             |  FROM aged
+             |)
+             |SELECT user_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       ${sqlMoneySum("value")} AS raw_value,
+             |       CAST(SUM(term_fp) AS BIGINT) AS decayed_fp,
+             |       CAST(SUM(term_fp) AS DOUBLE) / 1000000.0 AS decayed_value
+             |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   /** Oracle for x160: the HLL pipeline unrolled — md5-derived 32-bit hash,

@@ -65,6 +65,40 @@ class SketchGovernanceSpec extends SparkSuite {
     }
   }
 
+  test("blocking quality: exact duplicates are always caught; ratios well-formed") {
+    // Identical texts collide on every band, so with ground truth = the
+    // duplicate pairs, pairs completeness is exactly 1; the two unrelated
+    // docs shrink the reduction ratio below 1 without reaching 0.
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "completely different content about spark query planning"),
+      (3L, "unrelated third text on parquet row group statistics"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.Dedup.blockingQuality(d).head()
+    assert(r.getLong(0) === 4L)                    // n_docs
+    assert(r.getLong(1) >= 1L)                     // the dup pair is true
+    assert(r.getDouble(4) === 1.0,
+      s"exact duplicates must be fully caught, got ${r.getDouble(4)}")
+    val rr = r.getDouble(5)
+    assert(rr >= 0.0 && rr < 1.0, s"reduction ratio out of range: $rr")
+    graft.ext.Dedup.clearCaches(spark)
+  }
+
+  test("decayed activity: staircase decay only shrinks nonnegative value mass") {
+    val r = graft.queries.Registry.queryMap("x161_decayed_activity")(spark, Sf)
+      .select("user_id", "raw_value", "decayed_value").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (raw, dec) = (row.getDouble(1), row.getDouble(2))
+      // Weights are in (0, 1]; with the corpus' nonnegative values the
+      // decayed mass can never exceed the raw mass (beyond the 1e-6
+      // per-event rounding grid).
+      assert(dec <= raw + 1e-3, s"user ${row.getLong(0)}: decayed $dec > raw $raw")
+      assert(dec >= 0.0)
+    }
+  }
+
   test("k-anonymity audit: exact class accounting on a hand-built table") {
     // QI (seg, nat): classes (a,1)x4, (a,2)x1, (b,1)x2 -> 7 rows.
     val rows = (Seq.fill(4)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
