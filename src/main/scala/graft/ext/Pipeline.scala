@@ -460,4 +460,21 @@ object Pipeline {
         (col("rows_below_k").cast("double") / col("n_rows").cast("double"))
           .as("suppression_rate"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — [[kAnonymityAudit]]'s
+    * companion: a class can be k-anonymous yet leak its members' sensitive
+    * attribute when every member SHARES it (the homogeneity attack). Per
+    * QI equivalence class: size, the number of distinct sensitive values,
+    * and whether the class meets distinct-l-diversity. One exact
+    * aggregate, partitioned on the QI pair — the same scale shape as any
+    * two-key groupBy.
+    */
+  def lDiversityAudit(rows: DataFrame, qiA: String, qiB: String,
+      sensitive: Column, l: Int = 2): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    rows.groupBy(col(qiA), col(qiB))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("diverse_ok", (col("n_sensitive") >= l).cast("int"))
+  }
 }

@@ -4278,7 +4278,109 @@ object Advanced {
              |       ${sqlMoneySum("value")} AS raw_value,
              |       CAST(SUM(term_fp) AS BIGINT) AS decayed_fp,
              |       CAST(SUM(term_fp) AS DOUBLE) / 1000000.0 AS decayed_value
-             |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Day-of-week seasonality profile with chi-square contributions: per
+    // (event_type, dow) the observed count against a uniform-week
+    // expectation — the load-shape diagnostic a scheduler or anomaly
+    // baseline reads. Counts exact; expected and contribution are single
+    // double expressions from them (Spark dayofweek is Sunday=1; DuckDB's
+    // Sunday=0 shifts by one in the oracle).
+    QueryDef(
+      "x163_event_seasonality",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val counts = ev
+          .select(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("event_type").agg(sum(col("n")).as("total"))
+        val e = col("total").cast("double") / lit(7.0)
+        counts.join(totals, Seq("event_type"))
+          .select(col("event_type"), col("dow"), col("n"), col("total"),
+            e.as("expected"),
+            ((col("n").cast("double") - e) * (col("n").cast("double") - e) / e)
+              .as("chi2_contrib"))
+          .orderBy("event_type", "dow")
+      },
+      Some(
+        raw"""WITH c AS (
+             |  SELECT event_type,
+             |         CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2
+             |), t AS (
+             |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1
+             |)
+             |SELECT c.event_type, c.dow, c.n, t.total,
+             |       CAST(total AS DOUBLE) / 7.0 AS expected,
+             |       (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 7.0)
+             |         * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 7.0)
+             |         / (CAST(total AS DOUBLE) / 7.0) AS chi2_contrib
+             |FROM c JOIN t USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // Inter-arrival-time percentiles: per event type, exact p50/p90/p99 of
+    // the gap (seconds) between a user's consecutive events of that type —
+    // the cadence profile rate limiters and session-timeout tuning read.
+    // Gaps are integer seconds from the lag window (deterministic
+    // (ts, event_id) ordering); percentile() is bit-identical to DuckDB's
+    // quantile_cont (the x20-proven pair).
+    QueryDef(
+      "x164_interarrival_percentiles",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        ev.select(col("user_id"), col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .filter(col("prev_us").isNotNull)
+          .select(col("event_type"), expr("(us - prev_us) div 1000000").as("gap_s"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_s, 0.5)").as("p50_s"),
+            expr("percentile(gap_s, 0.9)").as("p90_s"),
+            expr("percentile(gap_s, 0.99)").as("p99_s"))
+          .orderBy("event_type")
+      },
+      Some(
+        raw"""WITH e AS (
+             |  SELECT user_id, event_type, event_id,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events
+             |), g AS (
+             |  SELECT event_type,
+             |         (us - lag(us) OVER (PARTITION BY user_id, event_type
+             |                             ORDER BY us, event_id)) // 1000000 AS gap_s
+             |  FROM e
+             |)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             |       quantile_cont(gap_s, 0.5) AS p50_s,
+             |       quantile_cont(gap_s, 0.9) AS p90_s,
+             |       quantile_cont(gap_s, 0.99) AS p99_s
+             |FROM g WHERE gap_s IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // l-diversity audit (Pipeline.lDiversityAudit): x159's companion —
+    // per (segment, nation) class, how many DISTINCT sensitive values
+    // (account-balance sign) its members span; a k-anonymous class whose
+    // members all share one value still leaks it (homogeneity attack).
+    QueryDef(
+      "x165_l_diversity",
+      (s, dir) => graft.ext.Pipeline.lDiversityAudit(
+          Tables(s, dir).customer, "c_mktsegment", "c_nationkey",
+          when(col("c_acctbal") < 0, "debit").otherwise("credit"), 2)
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some(
+        raw"""SELECT c_mktsegment, c_nationkey,
+             |       CAST(COUNT(*) AS BIGINT) AS class_size,
+             |       CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debit'
+             |                                ELSE 'credit' END) AS BIGINT) AS n_sensitive,
+             |       CAST(CASE WHEN COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debit'
+             |                                          ELSE 'credit' END) >= 2
+             |                 THEN 1 ELSE 0 END AS INT) AS diverse_ok
+             |FROM customer
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Oracle for x160: the HLL pipeline unrolled — md5-derived 32-bit hash,

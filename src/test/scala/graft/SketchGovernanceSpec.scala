@@ -99,6 +99,40 @@ class SketchGovernanceSpec extends SparkSuite {
     }
   }
 
+  test("seasonality and inter-arrival: mass conservation and percentile ordering") {
+    val season = graft.queries.Registry.queryMap("x163_event_seasonality")(spark, Sf)
+    // Per type: dow cells sum back to the type total, contributions are
+    // nonnegative, expectation is exactly total/7.
+    val byType = season.groupBy("event_type")
+      .agg(sum("n").as("sum_n"), max("total").as("total"),
+        min("chi2_contrib").as("min_c"))
+      .collect()
+    assert(byType.nonEmpty)
+    byType.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"${r.getString(0)}: dow cells lost mass")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    val ia = graft.queries.Registry.queryMap("x164_interarrival_percentiles")(spark, Sf)
+      .collect()
+    assert(ia.nonEmpty)
+    ia.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 >= 0.0 && p50 <= p90 && p90 <= p99,
+        s"${r.getString(0)}: percentiles out of order ($p50, $p90, $p99)")
+    }
+  }
+
+  test("l-diversity: homogeneous classes flagged, mixed classes pass") {
+    val rows = Seq(
+      ("a", 1, -5.0), ("a", 1, 3.0),   // mixed signs -> diverse
+      ("b", 1, 2.0), ("b", 1, 4.0))    // all credit -> homogeneous
+      .toDF("seg", "nat", "bal")
+    val r = Pipeline.lDiversityAudit(rows, "seg", "nat",
+        when(col("bal") < 0, "debit").otherwise("credit"), 2)
+      .orderBy("seg").as[(String, Int, Long, Long, Int)].collect().toSeq
+    assert(r === Seq(("a", 1, 2L, 2L, 1), ("b", 1, 2L, 1L, 0)))
+  }
+
   test("k-anonymity audit: exact class accounting on a hand-built table") {
     // QI (seg, nat): classes (a,1)x4, (a,2)x1, (b,1)x2 -> 7 rows.
     val rows = (Seq.fill(4)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
