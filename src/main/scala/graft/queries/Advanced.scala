@@ -4380,7 +4380,79 @@ object Advanced {
              |                                          ELSE 'credit' END) >= 2
              |                 THEN 1 ELSE 0 END AS INT) AS diverse_ok
              |FROM customer
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Markov steady-state estimate of the event-type chain: row-normalize
+    // the per-user transition counts (x109's lag machinery) into 1e-6
+    // fixed-point probabilities, then three synchronous power-iteration
+    // rounds from the uniform vector — all BIGINT (term-wise
+    // pi·p div 1e6, the PageRank integer convention), so any partitioning
+    // yields identical bits and the oracle unrolls the three rounds as
+    // CTEs. States here are 5 event types; the join/aggregate shape is
+    // the one that scales when states are millions of SKUs or pages.
+    QueryDef(
+      "x166_markov_stationary",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val trans = ev
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+          .agg(count(lit(1)).as("c"))
+        val outSum = trans.groupBy("src").agg(sum(col("c")).as("tot"))
+        val p = trans.join(outSum, Seq("src"))
+          .select(col("src"), col("dst"), expr("(c * 1000000L) div tot").as("p_fp"))
+        val states = trans.select(col("src").as("state")).distinct()
+        val n = states.count() // bounded: the number of event types
+        var pi = states.select(col("state"), lit(1000000L / n).as("pi_fp"))
+        (1 to 3).foreach { _ =>
+          pi = pi.join(p, pi("state") === p("src"))
+            .select(col("dst").as("state"),
+              expr("(pi_fp * p_fp) div 1000000").as("term"))
+            .groupBy("state").agg(sum(col("term")).as("pi_fp"))
+        }
+        pi.select(col("state"), col("pi_fp"),
+            (col("pi_fp").cast("double") / lit(1e6)).as("pi"))
+          .orderBy("state")
+      },
+      Some(
+        raw"""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events
+             |), seq AS (
+             |  SELECT event_type AS src,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |                                ORDER BY us, event_id) AS dst
+             |  FROM e
+             |), trans AS (
+             |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+             |), outsum AS (
+             |  SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY 1
+             |), p AS (
+             |  SELECT t.src, t.dst, (t.c * 1000000) // o.tot AS p_fp
+             |  FROM trans t JOIN outsum o USING (src)
+             |), states AS (
+             |  SELECT DISTINCT src AS state FROM trans
+             |), pi0 AS (
+             |  SELECT state, 1000000 // (SELECT COUNT(*) FROM states) AS pi_fp
+             |  FROM states
+             |), pi1 AS (
+             |  SELECT p.dst AS state, CAST(SUM((pi.pi_fp * p.p_fp) // 1000000) AS BIGINT) AS pi_fp
+             |  FROM pi0 pi JOIN p ON p.src = pi.state GROUP BY 1
+             |), pi2 AS (
+             |  SELECT p.dst AS state, CAST(SUM((pi.pi_fp * p.p_fp) // 1000000) AS BIGINT) AS pi_fp
+             |  FROM pi1 pi JOIN p ON p.src = pi.state GROUP BY 1
+             |), pi3 AS (
+             |  SELECT p.dst AS state, CAST(SUM((pi.pi_fp * p.p_fp) // 1000000) AS BIGINT) AS pi_fp
+             |  FROM pi2 pi JOIN p ON p.src = pi.state GROUP BY 1
+             |)
+             |SELECT state, pi_fp, CAST(pi_fp AS DOUBLE) / 1000000.0 AS pi
+             |FROM pi3 ORDER BY state""".stripMargin))
   )
 
   /** Oracle for x160: the HLL pipeline unrolled — md5-derived 32-bit hash,

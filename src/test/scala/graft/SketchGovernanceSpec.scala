@@ -122,6 +122,17 @@ class SketchGovernanceSpec extends SparkSuite {
     }
   }
 
+  test("markov stationary: probability mass conserved within truncation envelope") {
+    val pi = graft.queries.Registry.queryMap("x166_markov_stationary")(spark, Sf)
+      .select("pi_fp").as[Long].collect()
+    assert(pi.nonEmpty && pi.forall(_ >= 0))
+    val mass = pi.sum
+    // Each of 3 rounds loses < (#states × #edges-per-state) fixed-point
+    // units to div truncation, never gains: mass stays in (0.99e6, 1e6].
+    assert(mass <= 1000000L, s"mass grew: $mass")
+    assert(mass > 990000L, s"mass lost beyond truncation envelope: $mass")
+  }
+
   test("l-diversity: homogeneous classes flagged, mixed classes pass") {
     val rows = Seq(
       ("a", 1, -5.0), ("a", 1, 3.0),   // mixed signs -> diverse
