@@ -589,6 +589,64 @@ object Dedup {
           .as("reduction_ratio"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * algorithm): over each document's word `gramLen`-gram hash sequence,
+    * every `window` consecutive grams elect their minimum hash (ties →
+    * rightmost position, the paper's rule), and the distinct elected
+    * hashes are the document's fingerprints. The guarantee that makes
+    * this the robust upgrade of x04's single-min fingerprint: any shared
+    * substring of at least `window + gramLen − 1` tokens elects at least
+    * one COMMON fingerprint in both documents, while expected density
+    * stays ~2/(window+1) — position-local, insertion-tolerant, and far
+    * smaller than the full shingle set.
+    *
+    * Cross-engine trick: (min hash, rightmost tie) is ONE integer
+    * `min()` over the encoded key h·2²⁰ + (2²⁰−1−pos) — no struct
+    * ordering semantics to align between engines, just BIGINT min over a
+    * sliding window frame, which both execute identically. Docs with
+    * fewer than `window` grams have no full window and drop out (the
+    * paper's domain); positions are bounded < 2²⁰ by the encoding.
+    *
+    * Scale shape: one explode (the gram scan), one windowed min
+    * partitioned by doc (no global sort), one distinct — then pair
+    * generation is a posting-list equi-join on the fingerprint hash, the
+    * same banded-candidate discipline as MinHash (never all-pairs).
+    */
+  def winnowedFingerprints(docs: DataFrame, gramLen: Int = 5,
+      window: Int = 4): DataFrame = {
+    require(gramLen >= 2 && window >= 2, s"need gramLen>=2, window>=2; got $gramLen, $window")
+    val grams = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), (size(col("ts")) - (gramLen - 1)).as("g"))
+      .filter(col("g") >= window && col("g") < 1048576)
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(1), col("g"))).as("pos"), col("ts"))
+      .select(col("doc_id"), col("g"), col("pos"),
+        conv(substring(md5(array_join(slice(col("ts"), col("pos"), lit(gramLen)), " ")
+          .cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    grams
+      .select(col("doc_id"), col("g"), col("pos"),
+        (col("h") * lit(1048576L) + (lit(1048575L) - col("pos"))).as("k"))
+      .withColumn("sel", min(col("k")).over(w))
+      .filter(col("pos") <= col("g") - (window - 1))
+      .select(col("doc_id"), expr("sel div 1048576").as("h"),
+        (lit(1048575L) - expr("sel % 1048576")).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowed fingerprints: document
+    * pairs electing at least `minShared` common fingerprints, with the
+    * shared count as evidence weight. */
+  def winnowedPairs(docs: DataFrame, minShared: Long = 2): DataFrame = {
+    val fp = winnowedFingerprints(docs).select("doc_id", "h").distinct()
+    fp.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Edit-distance self-join over a fixed-length document key (here the
     * first `keyLen` chars of the text): all pairs within Levenshtein
     * distance ≤ `maxDist`, found WITHOUT the O(n²) cross join via the

@@ -1277,6 +1277,42 @@ object Extensions {
            |FROM stats""".stripMargin
       }),
 
+    // Winnowing fingerprint pairs (Dedup.winnowedPairs — Schleimer et al.
+    // 2003): document pairs electing >= 2 common windowed-min gram hashes.
+    // The (min hash, rightmost tie) election rides one BIGINT min over
+    // the encoded key h*2^20 + (2^20-1-pos), so both engines replay the
+    // window identically.
+    QueryDef(
+      "x167_winnowing_pairs",
+      (s, dir) => Dedup.winnowedPairs(Tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        raw"""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+             |), base AS (
+             |  SELECT doc_id, ts, len(ts) - 4 AS g FROM tok
+             |  WHERE len(ts) - 4 >= 4 AND len(ts) - 4 < 1048576
+             |), grams AS (
+             |  SELECT doc_id, g, t.i AS pos,
+             |         CAST(('0x' || substring(md5(array_to_string(ts[t.i:t.i+4], ' ')), 1, 8))
+             |           AS BIGINT) AS h
+             |  FROM base, unnest(generate_series(1, base.g)) AS t(i)
+             |), win AS (
+             |  SELECT doc_id, g, pos,
+             |         MIN(h * 1048576 + (1048575 - pos)) OVER (
+             |           PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+             |  FROM grams
+             |), fps AS (
+             |  SELECT DISTINCT doc_id, sel // 1048576 AS h
+             |  FROM win WHERE pos <= g - 3
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM fps a JOIN fps b ON b.h = a.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Leakage-safe split (Pipeline.leakageSafeSplit): the split draw
     // hashes the near-dup CLUSTER id, so template families never
     // straddle train and test — contamination prevented at split time

@@ -144,6 +144,34 @@ class SketchGovernanceSpec extends SparkSuite {
     assert(r === Seq(("a", 1, 2L, 2L, 1), ("b", 1, 2L, 1L, 0)))
   }
 
+  test("winnowing: the shared-substring guarantee and duplicate coverage hold") {
+    // Papers' guarantee: a shared run of >= window + gramLen - 1 = 8
+    // tokens elects at least one COMMON fingerprint in both documents,
+    // whatever surrounds it.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"intro words here then $shared and more trailing text follows now"),
+      (2L, s"completely other opening $shared closing remarks differ entirely here too"),
+      (3L, "no overlap with anything else at all in this document right here"))
+      .toDF("doc_id", "text")
+    val fp = graft.ext.Dedup.winnowedFingerprints(d)
+      .select("doc_id", "h").as[(Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "8-token shared run must elect a common fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty &&
+      (byDoc(2L) intersect byDoc(3L)).isEmpty,
+      "disjoint texts must share nothing")
+    // Exact duplicates elect identical fingerprint sets, so the pair
+    // surfaces with maximal evidence.
+    val dup = Seq((1L, shared + " one two three"), (2L, shared + " one two three"))
+      .toDF("doc_id", "text")
+    val fps = graft.ext.Dedup.winnowedFingerprints(dup)
+      .select("doc_id", "h").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) === fps(2L), "identical docs must elect identical fingerprints")
+  }
+
   test("k-anonymity audit: exact class accounting on a hand-built table") {
     // QI (seg, nat): classes (a,1)x4, (a,2)x1, (b,1)x2 -> 7 rows.
     val rows = (Seq.fill(4)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
