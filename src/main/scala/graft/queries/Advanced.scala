@@ -4452,7 +4452,49 @@ object Advanced {
              |  FROM pi2 pi JOIN p ON p.src = pi.state GROUP BY 1
              |)
              |SELECT state, pi_fp, CAST(pi_fp AS DOUBLE) / 1000000.0 AS pi
-             |FROM pi3 ORDER BY state""".stripMargin))
+             |FROM pi3 ORDER BY state""".stripMargin)),
+
+    // Rendezvous-sharding resize audit (ops.Sharding.resizeMovement):
+    // growing 16 -> 20 shards under HRW moves ~4/20 of keys; modulo
+    // sharding reshuffles ~19/20. h(key, shard) is total-order stateless
+    // (no ring metadata), every assignment one md5 — serially replayable.
+    QueryDef(
+      "x168_shard_resize_audit",
+      (s, dir) => graft.ops.Sharding.resizeMovement(
+        Tables(s, dir).documents, "doc_id", 16, 20),
+      Some(
+        raw"""WITH keys AS (
+             |  SELECT doc_id AS key FROM documents
+             |), wts AS (
+             |  SELECT key, t.s AS shard,
+             |         CAST(('0x' || substring(md5(CAST(key AS VARCHAR) || '|'
+             |           || CAST(t.s AS VARCHAR)), 1, 8)) AS BIGINT) AS hw
+             |  FROM keys, unnest(generate_series(0, 19)) AS t(s)
+             |), neww AS (
+             |  SELECT key, shard AS new_shard FROM (
+             |    SELECT key, shard,
+             |           ROW_NUMBER() OVER (PARTITION BY key ORDER BY hw DESC, shard ASC) AS rn
+             |    FROM wts) x WHERE rn = 1
+             |), oldw AS (
+             |  SELECT key, shard AS old_shard FROM (
+             |    SELECT key, shard,
+             |           ROW_NUMBER() OVER (PARTITION BY key ORDER BY hw DESC, shard ASC) AS rn
+             |    FROM wts WHERE shard < 16) x WHERE rn = 1
+             |), joined AS (
+             |  SELECT o.key, o.old_shard, n.new_shard,
+             |         o.key % 16 AS old_mod, o.key % 20 AS new_mod
+             |  FROM oldw o JOIN neww n USING (key)
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |       CAST(SUM(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_moved_hrw,
+             |       CAST(SUM(CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_moved_mod,
+             |       CAST(SUM(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(COUNT(*) AS DOUBLE) AS frac_moved_hrw,
+             |       CAST(SUM(CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(COUNT(*) AS DOUBLE) AS frac_moved_mod
+             |FROM joined""".stripMargin))
   )
 
   /** Oracle for x160: the HLL pipeline unrolled — md5-derived 32-bit hash,

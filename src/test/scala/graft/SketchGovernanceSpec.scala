@@ -172,6 +172,27 @@ class SketchGovernanceSpec extends SparkSuite {
     assert(fps(1L) === fps(2L), "identical docs must elect identical fingerprints")
   }
 
+  test("rendezvous sharding: total partition; resize moves keys only TO new shards") {
+    val keys = (0L until 200L).toDF("doc_id")
+    val a16 = graft.ops.Sharding.assign(keys, "doc_id", 16)
+      .as[(Long, Int)].collect().toMap
+    val a20 = graft.ops.Sharding.assign(keys, "doc_id", 20)
+      .as[(Long, Int)].collect().toMap
+    assert(a16.size === 200 && a20.size === 200, "assignment must be total")
+    assert(a16.values.forall(s => s >= 0 && s < 16))
+    assert(a20.values.forall(s => s >= 0 && s < 20))
+    // THE consistency property: the 0..15 argmax is unchanged unless a
+    // NEW shard (16..19) wins the rendezvous — no key ever moves between
+    // surviving shards.
+    keys.as[Long].collect().foreach { k =>
+      if (a16(k) != a20(k))
+        assert(a20(k) >= 16, s"key $k moved between surviving shards: ${a16(k)} -> ${a20(k)}")
+    }
+    val audit = graft.ops.Sharding.resizeMovement(keys, "doc_id", 16, 20).head()
+    assert(audit.getDouble(3) < audit.getDouble(4),
+      s"HRW must move fewer keys than modulo: ${audit.getDouble(3)} vs ${audit.getDouble(4)}")
+  }
+
   test("k-anonymity audit: exact class accounting on a hand-built table") {
     // QI (seg, nat): classes (a,1)x4, (a,2)x1, (b,1)x2 -> 7 rows.
     val rows = (Seq.fill(4)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
