@@ -903,4 +903,55 @@ object TextAnalysis {
   // higher-order array lambdas run interpreted (no codegen) and cost ~10x
   // at bench scale; the exploded md5 is codegen'd. The extra shuffle
   // carries only (doc_id, 32-byte hash) — negligible next to the text scan.
+
+  /** Per-source Zipf fit: the log-log OLS slope (and r²) of token
+    * frequency against rank over each source's top `topRanks` tokens —
+    * natural text sits near slope −1 (Zipf 1949); a corpus whose slope
+    * collapses toward 0 is template/boilerplate-dominated, one steeper
+    * than ~−1.5 has a degenerate head. The distribution-shape screen a
+    * corpus datasheet (x140) wants next to Heaps' law (x121).
+    *
+    * Determinism: ranks and counts are exact integers; ln(rank) and
+    * ln(count) land on a 1e-6 fixed-point grid (floor(x·1e6 + 0.5) —
+    * identical-input libm with measure-zero boundary risk, the
+    * staircase-decay convention), so all five OLS sums are BIGINT and
+    * order-free, and slope/r² are single double expressions from them.
+    * Overflow: |xf| ≤ ln(topRanks)·1e6, |yf| ≤ ln(Σtokens)·1e6 — the
+    * sums of products stay far below 2⁶³ for topRanks ≤ 10⁴.
+    * One shuffle to (source, token) counts, one per-source window over
+    * ≤ topRanks rows, one aggregate.
+    */
+  def zipfSlopeBySource(docs: DataFrame, topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 2 && topRanks <= 10000, s"topRanks in [2, 10000], got $topRanks")
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("token").asc)
+    val fp = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topRanks)
+      .select(col("source"),
+        floor(log(col("rank").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("xf"),
+        floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("yf"))
+    fp.groupBy("source").agg(
+        count(lit(1)).as("n_ranks"),
+        sum(col("xf")).as("sx"), sum(col("yf")).as("sy"),
+        sum(col("xf") * col("xf")).as("sxx"),
+        sum(col("xf") * col("yf")).as("sxy"),
+        sum(col("yf") * col("yf")).as("syy"))
+      .filter(col("n_ranks") >= 2)
+      .select(col("source"), col("n_ranks"),
+        ((col("n_ranks") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_ranks") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        // Zero y-variance (every top token equally frequent) has no
+        // defined correlation: NULL, 3VL — not a fake 0 or an ANSI error.
+        when(col("n_ranks") * col("syy") - col("sy") * col("sy") =!= 0,
+          (col("n_ranks") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * (col("n_ranks") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / ((col("n_ranks") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n_ranks") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r2"))
+  }
 }

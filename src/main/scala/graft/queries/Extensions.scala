@@ -1313,6 +1313,47 @@ object Extensions {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Zipf fit per source (TextAnalysis.zipfSlopeBySource): log-log OLS
+    // slope + r² of the top-100 token frequencies — exact counts, ln on a
+    // 1e-6 fixed-point grid, BIGINT sums, one double expression each.
+    QueryDef(
+      "x169_zipf_slope",
+      (s, dir) => TextAnalysis.zipfSlopeBySource(Tables(s, dir).documents)
+        .orderBy("source"),
+      Some(
+        raw"""WITH tok AS (
+             |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents
+             |), counts AS (
+             |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tok GROUP BY 1, 2
+             |), ranked AS (
+             |  SELECT source, c,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |                            ORDER BY c DESC, token ASC) AS rank
+             |  FROM counts QUALIFY rank <= 100
+             |), fp AS (
+             |  SELECT source,
+             |         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xf,
+             |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS yf
+             |  FROM ranked
+             |), s AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(xf) AS BIGINT) AS sx, CAST(SUM(yf) AS BIGINT) AS sy,
+             |         CAST(SUM(xf * xf) AS BIGINT) AS sxx,
+             |         CAST(SUM(xf * yf) AS BIGINT) AS sxy,
+             |         CAST(SUM(yf * yf) AS BIGINT) AS syy
+             |  FROM fp GROUP BY 1
+             |)
+             |SELECT source, n AS n_ranks,
+             |       CAST(n * sxy - sx * sy AS DOUBLE)
+             |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             |       CASE WHEN n * syy - sy * sy <> 0 THEN
+             |         CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             |           / (CAST(n * sxx - sx * sx AS DOUBLE)
+             |              * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+             |FROM s WHERE n >= 2 ORDER BY source""".stripMargin)),
+
     // Leakage-safe split (Pipeline.leakageSafeSplit): the split draw
     // hashes the near-dup CLUSTER id, so template families never
     // straddle train and test — contamination prevented at split time

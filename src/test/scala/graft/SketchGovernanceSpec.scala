@@ -193,6 +193,23 @@ class SketchGovernanceSpec extends SparkSuite {
       s"HRW must move fewer keys than modulo: ${audit.getDouble(3)} vs ${audit.getDouble(4)}")
   }
 
+  test("zipf slope: a true Zipfian corpus fits slope -1 with high r2; uniform text does not") {
+    // Token t_i appears floor(600/i) times -> frequencies follow 1/rank.
+    val zipfText = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"t$i")).mkString(" ")
+    val uniformText = (1 to 30).flatMap(i => Seq.fill(20)(s"u$i")).mkString(" ")
+    val d = Seq(("zipf", 1L, zipfText), ("flat", 2L, uniformText))
+      .toDF("source", "doc_id", "text")
+    val rows = graft.ext.TextAnalysis.zipfSlopeBySource(d, 30)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(2), if (x.isNullAt(3)) None else Some(x.getDouble(3))))).toMap
+    val (zs, zr2) = rows("zipf")
+    assert(math.abs(zs + 1.0) < 0.1, s"Zipfian fixture slope $zs should be near -1")
+    assert(zr2.exists(_ > 0.95), s"Zipfian fixture r2 $zr2 should be high")
+    val (fs, fr2) = rows("flat")
+    assert(fs === 0.0, s"zero-variance fixture slope $fs should be exactly 0")
+    assert(fr2.isEmpty, "zero y-variance must yield NULL r2 (3VL), not a number")
+  }
+
   test("k-anonymity audit: exact class accounting on a hand-built table") {
     // QI (seg, nat): classes (a,1)x4, (a,2)x1, (b,1)x2 -> 7 rows.
     val rows = (Seq.fill(4)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
