@@ -34,9 +34,16 @@ object ScaleProbe {
     // rounds — duplication should NOT multiply round cost, only the one
     // corpus scan) and the count-min sketch (fixed d*w state — exactly
     // the linear-scan cost shape a sketch exists to guarantee).
+    // Round-9 additions: the Bloom screen (bounded-model probe — linear
+    // scan by construction), the deterministic HLL (fixed 64-register
+    // state per group), winnowing pairs (posting-list join whose hot keys
+    // get N× hotter under duplication — the interesting one), and the
+    // HRW resize audit (pure per-key projection + window).
     val probes = Seq("x66_lsh_dedup_pairs_capped", "x72_dup_gram_coverage",
       "x69_curation_pipeline", "x107_edit_distance_pairs",
-      "x117_source_dedup_matrix", "x126_bpe_merges", "x134_count_min_sketch")
+      "x117_source_dedup_matrix", "x126_bpe_merges", "x134_count_min_sketch",
+      "x158_bloom_screen", "x160_hll_source_cardinality",
+      "x167_winnowing_pairs", "x168_shard_resize_audit")
 
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
     val docs = io.Tables(spark, base).documents
