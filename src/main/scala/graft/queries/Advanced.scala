@@ -4494,7 +4494,85 @@ object Advanced {
              |         / CAST(COUNT(*) AS DOUBLE) AS frac_moved_hrw,
              |       CAST(SUM(CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END) AS DOUBLE)
              |         / CAST(COUNT(*) AS DOUBLE) AS frac_moved_mod
-             |FROM joined""".stripMargin))
+             |FROM joined""".stripMargin)),
+
+    // Top 3-step event paths: the most common type->type->type sequences
+    // per user journey (lead twice over the per-user order), exact counts,
+    // deterministic top-20 (count desc, path asc) — the journey-mining
+    // step beyond x109's single transitions and x166's steady state.
+    QueryDef(
+      "x170_event_paths",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wr = Window.orderBy(col("n").desc, col("path").asc)
+        ev.select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(wr).cast("long"))
+          .filter(col("rank") <= 20)
+          .select("rank", "path", "n")
+          .orderBy("rank")
+      },
+      Some(
+        raw"""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events
+             |), seq AS (
+             |  SELECT event_type AS t1,
+             |         lead(event_type, 1) OVER w AS t2,
+             |         lead(event_type, 2) OVER w AS t3
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+             |), paths AS (
+             |  SELECT t1 || '>' || t2 || '>' || t3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1
+             |)
+             |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rank,
+             |       path, n
+             |FROM paths QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // Lag-1 autocorrelation of the daily event count — "does a busy day
+    // predict a busy tomorrow": exact daily counts, exact integer
+    // sufficient statistics over (yesterday, today) pairs, and the x41
+    // CorrFormula as the one shared IEEE tree. The global lag window runs
+    // over one row per DAY (bounded by the calendar), not per event.
+    QueryDef(
+      "x171_daily_autocorrelation",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        daily.withColumn("x", lag(col("y"), 1).over(w))
+          .filter(col("x").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+          .selectExpr("n", "sx", "sy", s"$CorrFormula AS autocorr")
+      },
+      Some(
+        raw"""WITH daily AS (
+             |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |         CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1
+             |), pairs AS (
+             |  SELECT lag(y) OVER (ORDER BY day) AS x, y FROM daily
+             |), st AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |         CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM pairs WHERE x IS NOT NULL
+             |)
+             |SELECT n, sx, sy, $CorrFormula AS autocorr FROM st""".stripMargin))
   )
 
   /** Oracle for x160: the HLL pipeline unrolled — md5-derived 32-bit hash,

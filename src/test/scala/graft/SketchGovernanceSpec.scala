@@ -210,6 +210,26 @@ class SketchGovernanceSpec extends SparkSuite {
     assert(fr2.isEmpty, "zero y-variance must yield NULL r2 (3VL), not a number")
   }
 
+  test("event paths and daily autocorrelation: mass accounting and bounds") {
+    val ev = graft.io.Tables(spark, Sf).events
+    // Every user with k >= 3 events contributes exactly k-2 three-step
+    // paths; the top-20 table must respect that total.
+    val expected = ev.groupBy("user_id").count()
+      .filter(col("count") >= 3)
+      .agg(sum(col("count") - 2)).head().getLong(0)
+    val paths = graft.queries.Registry.queryMap("x170_event_paths")(spark, Sf)
+      .collect()
+    assert(paths.nonEmpty && paths.length <= 20)
+    assert(paths.map(_.getLong(2)).sum <= expected,
+      "top-20 path mass cannot exceed the total path count")
+    assert(paths.map(_.getLong(0)).toSeq === (1L to paths.length))
+    val ac = graft.queries.Registry.queryMap("x171_daily_autocorrelation")(spark, Sf)
+      .head()
+    if (!ac.isNullAt(3))
+      assert(math.abs(ac.getDouble(3)) <= 1.0 + 1e-12,
+        s"autocorrelation ${ac.getDouble(3)} outside [-1, 1]")
+  }
+
   test("k-anonymity audit: exact class accounting on a hand-built table") {
     // QI (seg, nat): classes (a,1)x4, (a,2)x1, (b,1)x2 -> 7 rows.
     val rows = (Seq.fill(4)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
