@@ -341,4 +341,40 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"spine join must stay an equi-join on hour:\n$plan")
   }
+
+  test("x158 bloom probe is join-free: the ONLY join in the plan is the exact audit") {
+    // The production value of the screen is that the probe side never
+    // joins — the filter rides as a literal array in a projection. Exactly
+    // one join may appear: the deliberate exact-membership audit.
+    val plan = executed("x158_bloom_screen")
+    assert(plan.contains("BroadcastHashJoin"), s"audit join should broadcast:\n$plan")
+    val joinOps = plan.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("NestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(joinOps == 1, s"expected exactly one join (the audit), found $joinOps:\n$plan")
+  }
+
+  test("x168 HRW sharding plans with partitioned windows and zero shuffle joins") {
+    val df = queries.Registry.queryMap("x168_shard_resize_audit")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the per-key argmax windows must be partitioned by key")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoopJoin"),
+      s"old/new assignment join must stay broadcast/hash on key:\n$plan")
+  }
+
+  test("x167 winnowing windows are per-document; the pair join is a hash equi-join on the hash") {
+    val df = queries.Registry.queryMap("x167_winnowing_pairs")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the winnowing election window must be partitioned per doc")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fingerprint pairing must stay an equi-join on the elected hash:\n$plan")
+  }
 }
