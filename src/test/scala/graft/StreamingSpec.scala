@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSuite {
     assert(batchCounts === Map(1L -> 2, 2L -> 2, 3L -> 1))
   }
 
+  test("dedupStream keeps first occurrence per key across micro-batches, equals batch distinct") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.dedupStream(src.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    // event_id 1 arrives three times (twice in batch one, once in batch
+    // two — the redelivery shapes an at-least-once source produces);
+    // event_id 2 once. The stream must emit each key exactly once.
+    src.addData(
+      ev(1, "2024-01-01 00:10:00", 1, 10.0),
+      ev(1, "2024-01-01 00:10:00", 1, 10.0),
+      ev(2, "2024-01-01 00:20:00", 2, 5.0))
+    q.processAllAvailable()
+    src.addData(ev(1, "2024-01-01 00:10:00", 1, 10.0),
+      ev(3, "2024-01-01 00:25:00", 3, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_stream_test")
+      .select("event_id", "value").as[(Long, Double)].collect().sorted.toSeq
+    // Batch equivalence: dropDuplicates over the full delivered multiset.
+    assert(streamed === Seq((1L, 10.0), (2L, 5.0), (3L, 7.0)),
+      s"stream must equal batch distinct, got $streamed")
+  }
+
   test("stateless corpus ops (chunk, stratified sample) run unchanged on a stream") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, String, String)]
