@@ -1,0 +1,376 @@
+package graft.ext
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingestion and shard writing: importance-weighted data
+  * selection (DSIR), entropy-based quality filtering, semantic
+  * deduplication over embeddings (SemDeDup), mergeable-sketch audits for
+  * sharded MinHash computation, differentially-private release of corpus
+  * statistics, change-point detection over ingest volume, and robust
+  * outlier detection in embedding space.
+  *
+  * Determinism contract (the DuckDB-oracle gate): every floating sum is
+  * either (a) a sum of integers — counts, fixed-point-snapped logs times
+  * integer weights — or (b) a single sequential-fold dot product
+  * (bit-identical to DuckDB's list_dot_product). Transcendentals (ln)
+  * are computed once per GROUP (never once per row of a sum) and snapped
+  * to a 1e-9 fixed-point grid before entering any aggregate, so addition
+  * order cannot change a bit. Final ratios are one division + round(6).
+  */
+object Curation {
+
+  /** ln/score snapped to the 1e-9 fixed-point grid as a BIGINT (the
+    * lmScore/x105 convention): sums over these are exact integer
+    * arithmetic, order-free across any partitioning.
+    */
+  private def snapFp(x: Column): Column =
+    floor(x * lit(1e9) + lit(0.5)).cast("long")
+
+  /** First 32 bits of md5 as a non-negative long — the engine-portable
+    * hash (DuckDB: CAST('0x'||substring(md5(x),1,8) AS BIGINT)).
+    */
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------------
+  // DSIR importance weights
+  // ---------------------------------------------------------------------
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) over hashed unigram features: score every document
+    * by how target-like its token distribution is, then keep the top
+    * `topFrac` fraction.
+    *
+    * Per hashed feature bucket b (`buckets`-way md5 bucketing — the
+    * "hashed n-gram" trick that makes the model a BOUNDED vector, not a
+    * vocabulary-sized one):
+    *   p_t(b) = (c_t(b)+1) / (T_t+B)   (target = docs from `targetSource`)
+    *   p_r(b) = (c_r(b)+1) / (T_r+B)   (raw = the whole corpus)
+    * and the per-doc log importance weight is Σ_tokens ln(p_t/p_r),
+    * accumulated as snapped-fp integers.
+    *
+    * Scale shape: one token explode → two 64-row aggregates (the entire
+    * "model" is `buckets` log-ratios, broadcast back onto the token
+    * stream) → one per-doc aggregate. The top-fraction cut here is an
+    * exact global rank (the oracle contract); at 100 TB the same scores
+    * feed an approx-quantile threshold instead — the score computation,
+    * which is the expensive part, is unchanged.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String = "src0",
+      buckets: Int = 64, topFrac: Double = 0.2): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"),
+        (hash32(col("w")) % buckets).as("bucket"))
+    val raw = tok.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("source") === targetSource)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rawTot = raw.agg(sum(col("cr")).as("tr"))
+    val tgtTot = tgt.agg(sum(col("ct")).as("tt"))
+    val b = lit(buckets.toDouble)
+    val lr = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"),
+        snapFp(log(
+          (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))
+            * (col("tr").cast("double") + b)
+            / ((col("cr").cast("double") + lit(1.0))
+              * (col("tt").cast("double") + b)))).as("lr_fp"))
+    val perDoc = tok.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_fp")).as("logw_fp"))
+    val nDocs = perDoc.agg(count(lit(1)).as("nd"))
+    val w = Window.orderBy(col("logw_fp").desc, col("doc_id").asc)
+    perDoc.crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("logw_fp"),
+        round(col("logw_fp").cast("double") / lit(1e9)
+          / col("n_tokens").cast("double"), 6).as("avg_logw"),
+        (col("rk") <= ceil(lit(topFrac) * col("nd"))).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Token entropy quality filter
+  // ---------------------------------------------------------------------
+
+  /** Per-document unigram entropy H = -Σ_w (c/n)·ln(c/n) — the classic
+    * repetitive-junk screen (a doc that repeats a few tokens scores near
+    * 0; uniform usage of k distinct tokens scores ln k). `norm_entropy`
+    * divides by ln(n_distinct) into [0,1] so a gate threshold transfers
+    * across document lengths.
+    *
+    * The per-(doc,token) term c·ln(c/n) multiplies the snapped-fp log by
+    * the INTEGER count, so the per-doc sum is exact integer arithmetic;
+    * entropy = -sum/1e9/n is one final division.
+    *
+    * Scale: token explode → (doc,token) count → per-doc aggregate. One
+    * shuffle chain keyed by doc_id; no windows, no state.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val per = tc.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    val ent = -col("s_fp").cast("double") / lit(1e9) / col("n").cast("double")
+    tc.join(per, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("k"),
+        (col("c") * snapFp(log(col("c").cast("double")
+          / col("n").cast("double")))).as("t_fp"))
+      .groupBy("doc_id", "n", "k").agg(sum(col("t_fp")).as("s_fp"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("k").as("n_distinct"),
+        round(ent, 6).as("entropy"),
+        round(when(col("k") > 1, ent / log(col("k").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Semantic deduplication (SemDeDup)
+  // ---------------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    * embedding space into cells, and within each cell drop every vector
+    * that has a same-cell neighbor with cosine >= `tau` and a smaller id
+    * (keep-first — deterministic, no transitive closure). Reports
+    * per-cell retention.
+    *
+    * Cells here are the engine's pinned 16-plane hyperplane buckets
+    * (Similarity.lshBuckets) — the same role k-means cells play in the
+    * paper, but deterministic and oracle-mirrorable. The within-cell
+    * pair join is quadratic in CELL width only — that is SemDeDup's
+    * whole cost model: 2^16 cells bound the width at N/2^16 on average,
+    * and a production run adds a hot-cell width cap exactly like
+    * Similarity.candidatePairs' bucketCap.
+    */
+  def semanticDedup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val bk = Similarity.lshBuckets(embeddings)
+    val withEmb = bk.join(e, Seq("vec_id"))
+    val a = withEmb.select(col("bucket"), col("vec_id").as("va"), col("emb").as("ea"))
+    val b = withEmb.select(col("bucket"), col("vec_id").as("vb"), col("emb").as("eb"))
+    val dropped = a.join(b, Seq("bucket"))
+      .filter(col("va") < col("vb"))
+      .filter(Similarity.dot(col("ea"), col("eb")) >= tau)
+      .select(col("bucket"), col("vb").as("vec_id")).distinct()
+    bk.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy("bucket").agg(count(lit(1)).as("n_dropped")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        round((col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).cast("double")
+          / col("n_vecs").cast("double"), 6).as("retention"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash shard-merge audit
+  // ---------------------------------------------------------------------
+
+  /** Mergeable-sketch audit for sharded MinHash: per-source trigram-set
+    * signatures computed two ways — directly over the whole source, and
+    * as the elementwise-min MERGE of per-shard signatures (shard =
+    * doc_id % `numShards`) — must agree component-by-component, because
+    * min is associative. That property is exactly what lets a 1000-node
+    * cluster sketch each partition independently and combine; this audit
+    * pins it end-to-end through the real hash pipeline (the x06 family's
+    * Kirsch-Mitzenmacher two-hash construction, k = Dedup.MinHashK).
+    *
+    * On top of the audited signatures: the pairwise source-similarity
+    * matrix — est_jaccard = (matching components)/k against the exact
+    * trigram-set Jaccard, with the estimator's absolute error. The
+    * "model" (one k-component signature per source) is tiny and
+    * broadcast; the exact-Jaccard side is two aggregates and one
+    * equi-join on the trigram.
+    */
+  def minhashMergeAudit(docs: DataFrame, numShards: Int = 4): DataFrame = {
+    val k = Dedup.MinHashK
+    val tri = docs
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("source"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - 2)).as("i"))
+      .select(col("doc_id"), col("source"),
+        array_join(slice(col("ts"), col("i"), lit(3)), " ").as("g"))
+    val st = tri.select(col("source"), col("g")).distinct()
+    def hashed(d: DataFrame): DataFrame = {
+      val h = md5(col("g").cast("binary"))
+      d.withColumn("h1", conv(substring(h, 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(h, 9, 8), 16, 10).cast("long"))
+        .drop("g")
+    }
+    def sigAggs(prefix: String) = (0 until k).map(j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L))
+        .as(s"$prefix$j"))
+    val direct = hashed(st).groupBy("source").agg(sigAggs("s").head, sigAggs("s").tail: _*)
+    val sst = tri.select(col("source"), (col("doc_id") % numShards).as("shard"), col("g"))
+      .distinct()
+    val perShard = hashed(sst).groupBy("source", "shard")
+      .agg(sigAggs("s").head, sigAggs("s").tail: _*)
+    val merged = perShard.groupBy("source")
+      .agg(min(col("s0")).as("m0"),
+        (1 until k).map(j => min(col(s"s$j")).as(s"m$j")): _*)
+    val mm = direct.join(merged, Seq("source"))
+      .select(col("source"),
+        (0 until k).map(j => when(col(s"s$j") =!= col(s"m$j"), lit(1L))
+          .otherwise(lit(0L))).reduce(_ + _).as("mismatches"))
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = st.select(col("source").as("source_a"), col("g"))
+      .join(st.select(col("source").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+    val da = direct.select(col("source").as("source_a") +:
+      (0 until k).map(j => col(s"s$j").as(s"a$j")): _*)
+    val db = direct.select(col("source").as("source_b") +:
+      (0 until k).map(j => col(s"s$j").as(s"b$j")): _*)
+    val est = da.crossJoin(db).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (0 until k).map(j => when(col(s"a$j") === col(s"b$j"), lit(1L))
+          .otherwise(lit(0L))).reduce(_ + _).as("n_match"))
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("ka")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("kb")), Seq("source_b"))
+      .join(mm.select(col("source").as("source_a"), col("mismatches").as("mm_a")), Seq("source_a"))
+      .join(mm.select(col("source").as("source_b"), col("mismatches").as("mm_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(col("n_match").cast("double") / lit(k.toDouble), 6).as("est_jaccard"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("ka") + col("kb") - coalesce(col("n_inter"), lit(0L))).cast("double"), 6)
+          .as("exact_jaccard"),
+        col("mm_a"), col("mm_b"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .select("source_a", "source_b", "est_jaccard", "exact_jaccard", "abs_err",
+        "mm_a", "mm_b")
+      .orderBy("source_a", "source_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Differentially-private histogram release
+  // ---------------------------------------------------------------------
+
+  /** ε-DP histogram of event counts under the Laplace mechanism
+    * (Dwork et al. 2006): noisy_count = count + Lap(Δ/ε) with sensitivity
+    * Δ = 1 (one user event changes one bucket count by one). The noise
+    * is DERANDOMIZED for the gate: u ~ Uniform(0,1) comes from the md5
+    * of the bucket key + salt ((r+0.5)/10^6, never exactly ½), and the
+    * inverse-CDF transform -1/ε·sgn(u-½)·ln(1-2|u-½|) is the standard
+    * Laplace sampler — a production release swaps in a real CSPRNG draw,
+    * everything else unchanged. true_count stays in the output because
+    * this is the calibration AUDIT of the mechanism (|noise| quantiles
+    * vs the Lap(1/ε) CDF), not the public release itself.
+    *
+    * Scale: one aggregate over the stream, noise is per-GROUP (a handful
+    * of rows) — free at any corpus size.
+    */
+  def dpNoisyCounts(events: DataFrame, eps: Double = 1.0,
+      salt: String = "dp-v1"): DataFrame = {
+    val u = ((hash32(concat(col("event_type"), lit("|" + salt))) % lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    events.groupBy("event_type").agg(count(lit(1)).as("true_count"))
+      .withColumn("u", u)
+      .withColumn("noise", round(lit(-1.0 / eps) * signum(col("u") - lit(0.5))
+        * log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 6))
+      .select(col("event_type"), col("true_count"), col("noise"),
+        round(col("true_count").cast("double") + col("noise"), 6).as("noisy_count"),
+        lit(eps).as("epsilon"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // Change-point detection over daily volume
+  // ---------------------------------------------------------------------
+
+  /** Cumulative-deviation change-point detection over the daily event
+    * count (the CUSUM/Pettitt family): C_d = Σ_{i<=d}(y_i - ȳ) peaks at
+    * the day the mean shifts; the argmax of |C_d| is the estimated
+    * change point. All statistics are exact integers — C_d·D = D·cum_d -
+    * d·S avoids the rational mean entirely — and the single |C| maximum
+    * is tie-broken to the earliest day.
+    *
+    * The window runs over one row per DAY (calendar-bounded, like x171),
+    * not per event; the event-level work is one groupBy(day).
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.agg(count(lit(1)).as("d_days"), sum(col("y")).as("s_tot"))
+    val wi = Window.orderBy("day")
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(wi).cast("long"))
+      .withColumn("cum", sum(col("y")).over(wc))
+      .withColumn("c_fp", col("d_days") * col("cum") - col("idx") * col("s_tot"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("c_fp")).desc, col("day").asc)))
+      .filter(col("rk") === 1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        col("d_days").as("n_days"),
+        round(abs(col("c_fp")).cast("double") / col("d_days").cast("double"), 6)
+          .as("max_dev"),
+        round(col("cum").cast("double") / col("idx").cast("double"), 6)
+          .as("mean_before"),
+        when(col("d_days") > col("idx"),
+          round((col("s_tot") - col("cum")).cast("double")
+            / (col("d_days") - col("idx")).cast("double"), 6)).as("mean_after"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Robust embedding-space outliers
+  // ---------------------------------------------------------------------
+
+  /** Mislabeled/corrupt-vector screen: squared distance to the own-label
+    * centroid, robust-z-scored per label via median/MAD (z = (d² - med) /
+    * (1.4826·MAD) — the consistency-constant form), top-`topK` overall.
+    *
+    * Exactness: coordinates snap to a 1e-3 fixed-point grid; the
+    * centroid is the truncated integer division of the per-dim sum (DIV,
+    * matching DuckDB //), so d² is an exact BIGINT ≤ dims·(2·10³)² —
+    * orders of magnitude inside both BIGINT and double-exact range.
+    * Median/MAD interpolate identically in both engines
+    * (percentile(·,0.5) ≡ quantile_cont). Labels whose MAD is 0 (over
+    * half the vectors identical) have no meaningful z and are excluded
+    * from the ranking by construction.
+    *
+    * Scale: posexplode → two keyed aggregates (label×dim, then vec) →
+    * per-label medians. The only global step is the final top-k, a
+    * TakeOrdered over per-vector rows.
+    */
+  def embeddingOutliers(embeddings: DataFrame, topK: Int = 20): DataFrame = {
+    val ex = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(Similarity.asDouble(col("embedding"))))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"),
+        floor(col("col") * lit(1000.0) + lit(0.5)).cast("long").as("v_fp"))
+    val cent = ex.groupBy("label", "dim")
+      .agg(sum(col("v_fp")).as("sum_fp"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("sum_fp div n").as("c_fp"))
+    val d2 = ex.join(cent, Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("v_fp") - col("c_fp")) * (col("v_fp") - col("c_fp"))).as("d2"))
+    val med = d2.groupBy("label").agg(expr("percentile(d2, 0.5D)").as("med"))
+    val withMed = d2.join(med, Seq("label"))
+    val mad = withMed.groupBy("label")
+      .agg(expr("percentile(abs(cast(d2 as double) - med), 0.5D)").as("mad"))
+    withMed.join(mad, Seq("label"))
+      .filter(col("mad") > 0)
+      .select(col("vec_id"), col("label"), col("d2"),
+        round((col("d2").cast("double") - col("med"))
+          / (lit(1.4826) * col("mad")), 6).as("z"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("z").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("rank", "vec_id", "label", "d2", "z")
+      .orderBy("rank")
+  }
+}

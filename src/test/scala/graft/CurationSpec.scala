@@ -1,0 +1,171 @@
+package graft
+
+import graft.ext.Curation
+import graft.io.Tables
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semantic contracts for the ext.Curation batch (x172–x178): each test
+  * pins a property a correct implementation cannot fail — planted
+  * fixtures for the detectors, algebraic identities for the sketches —
+  * rather than re-running the oracle comparison the gate already does.
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Tables(spark, Sf).documents
+  private def events = Tables(spark, Sf).events
+  private def embeddings = Tables(spark, Sf).embeddings
+
+  // ------------------------------------------------------------------ DSIR
+
+  test("x172 DSIR: target-source docs score strictly higher on average, " +
+    "and the selection cut is exactly ceil(topFrac * n)") {
+    val w = Curation.dsirWeights(docs, "src0").join(
+      docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val avg = w.groupBy(col("source") === "src0")
+      .agg(org.apache.spark.sql.functions.avg(col("logw_fp")).as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg(true) > avg(false),
+      s"target docs must score higher: target=${avg(true)} rest=${avg(false)}")
+    val nSel = w.filter(col("selected")).count()
+    val n = w.count()
+    assert(nSel == math.ceil(0.2 * n).toLong)
+  }
+
+  // --------------------------------------------------------------- entropy
+
+  test("x173 entropy: uniform distinct tokens give ln(k); constant doc gives 0") {
+    val fixture = Seq(
+      (1L, "a b c d"),       // 4 distinct, uniform -> H = ln 4
+      (2L, "a a a a"),       // constant -> H = 0
+      (3L, "a a b b")        // 2 distinct, uniform -> H = ln 2
+    ).toDF("doc_id", "text")
+    val r = Curation.tokenEntropy(fixture).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(math.abs(r(1L).getDouble(3) - math.log(4)) < 1e-6)
+    assert(math.abs(r(1L).getDouble(4) - 1.0) < 1e-6)
+    assert(r(2L).getDouble(3) == 0.0 && r(2L).getDouble(4) == 0.0)
+    assert(math.abs(r(3L).getDouble(3) - math.log(2)) < 1e-6)
+    assert(math.abs(r(3L).getDouble(4) - 1.0) < 1e-6)
+  }
+
+  test("x173 entropy: a repetitive doc scores strictly below a diverse doc " +
+    "of the same length") {
+    val real = Curation.tokenEntropy(docs)
+    val fixture = Seq((900001L, Seq.fill(40)("spam").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spamEnt = Curation.tokenEntropy(fixture).head().getDouble(3)
+    val minReal = real.agg(min(col("entropy"))).head().getDouble(0)
+    assert(spamEnt == 0.0 && minReal > spamEnt)
+  }
+
+  // -------------------------------------------------------------- SemDeDup
+
+  test("x174 SemDeDup: an exact duplicate vector is dropped (keep-first), " +
+    "and per-cell counts are conserved") {
+    // Duplicate vec 0 under a fresh high id: cosine(dup, orig) = 1 >= tau,
+    // same cell by construction, larger id -> must be the dropped one.
+    val dup = embeddings.filter(col("vec_id") === 0L)
+      .select(lit(900000L).as("vec_id"), col("embedding"), col("label"))
+    val aug = embeddings.unionByName(dup)
+    val base = Curation.semanticDedup(embeddings, tau = 0.4)
+    val withDup = Curation.semanticDedup(aug, tau = 0.4)
+    val totBase = base.agg(sum("n_vecs"), sum("n_dropped")).head()
+    val totDup = withDup.agg(sum("n_vecs"), sum("n_dropped")).head()
+    assert(totDup.getLong(0) == totBase.getLong(0) + 1)
+    assert(totDup.getLong(1) == totBase.getLong(1) + 1,
+      "the planted duplicate must be dropped")
+    // Retention is n_kept/n_vecs on every row.
+    val bad = withDup.filter(
+      abs(col("retention") - round((col("n_vecs") - col("n_dropped"))
+        .cast("double") / col("n_vecs").cast("double"), 6)) > lit(1e-9)).count()
+    assert(bad == 0)
+  }
+
+  // ------------------------------------------------------ MinHash merging
+
+  test("x175 merge audit: sharded-then-merged signatures equal direct ones " +
+    "(zero mismatches) and the k=16 estimator tracks exact Jaccard") {
+    val r = Curation.minhashMergeAudit(docs)
+    assert(r.agg(sum(col("mm_a") + col("mm_b"))).head().getLong(0) == 0L,
+      "elementwise-min merge must reproduce the direct signature exactly")
+    // k=16 one-permutation estimate: stderr <= sqrt(J(1-J)/16) <= 0.125;
+    // assert the MEAN abs error is inside two stderr and no pair is
+    // wildly off (5 sigma).
+    val stats = r.agg(avg(col("abs_err")), max(col("abs_err"))).head()
+    assert(stats.getDouble(0) < 0.25, s"mean abs_err ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) < 0.65, s"max abs_err ${stats.getDouble(1)}")
+  }
+
+  // ------------------------------------------------------------------- DP
+
+  test("x176 DP histogram: noise is bounded by the mechanism's support and " +
+    "noisy = true + noise exactly") {
+    val r = Curation.dpNoisyCounts(events).collect()
+    r.foreach { row =>
+      val (t, noise, noisy) =
+        (row.getLong(1), row.getDouble(2), row.getDouble(3))
+      // u on the (r+0.5)/1e6 grid -> |noise| <= ln(1e6) ~ 13.82 at eps=1.
+      assert(math.abs(noise) <= math.log(1e6) + 1e-9)
+      assert(math.abs(noisy - (t + noise)) < 1e-6)
+      assert(row.getDouble(4) == 1.0)
+    }
+    // Derandomized noise must not be constant across buckets.
+    assert(r.map(_.getDouble(2)).distinct.length > 1)
+  }
+
+  // ----------------------------------------------------------- changepoint
+
+  test("x177 CUSUM: a planted mean shift is located at the true day") {
+    // 10 days at 5 events/day then 10 days at 50/day, shift after day 10.
+    val rows = (0 until 20).flatMap { d =>
+      val n = if (d < 10) 5 else 50
+      (0 until n).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"),
+        i.toLong, "evt", 1.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cp = Curation.changepoint(ev).head()
+    // |C_d| peaks at the last day of the low regime.
+    assert(cp.getString(0) == "2024-03-10")
+    assert(cp.getLong(1) == 20L)
+    assert(cp.getDouble(3) == 5.0, "mean before the shift")
+    assert(cp.getDouble(4) == 50.0, "mean after the shift")
+  }
+
+  test("x177 CUSUM: constant series degenerates to the earliest day with " +
+    "zero deviation") {
+    val rows = (0 until 5).flatMap { d =>
+      (0 until 7).map(i => (d.toLong * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 01:00:00"),
+        i.toLong, "evt", 1.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cp = Curation.changepoint(ev).head()
+    assert(cp.getString(0) == "2024-03-01" && cp.getDouble(2) == 0.0)
+  }
+
+  // -------------------------------------------------------------- outliers
+
+  test("x178 outliers: a planted far vector ranks first with a large z") {
+    val dim = 64
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(900000L,
+        (0 until dim).map(i => if (i == 0) 9.0f else 0.0f), 0))),
+      schema)
+    val aug = embeddings.unionByName(planted)
+    val top = Curation.embeddingOutliers(aug, topK = 5).collect()
+    assert(top.head.getLong(1) == 900000L, "planted vector must rank 1")
+    assert(top.head.getDouble(4) > 10.0, "z must be extreme")
+    // Ranks are 1..5 and strictly ordered by z desc.
+    assert(top.map(_.getLong(0)).toSeq == (1L to 5L))
+    val zs = top.map(_.getDouble(4)).toSeq
+    assert(zs == zs.sorted.reverse)
+  }
+}
