@@ -373,4 +373,200 @@ object Curation {
       .select("rank", "vec_id", "label", "d2", "z")
       .orderBy("rank")
   }
+
+  // ---------------------------------------------------------------------
+  // Two-sample Kolmogorov–Smirnov drift test
+  // ---------------------------------------------------------------------
+
+  /** Per-source distribution drift TEST (the contract x105's KL
+    * measurement lacks): the exact two-sample KS statistic of each
+    * source's document-length distribution against the rest of the
+    * corpus, with the α=0.05 decision. D = max_x |F_src(x) - F_rest(x)|
+    * is computed entirely in integers — |cum_s·n_r - cum_r·n_s| over the
+    * merged value grid, divided once at the end — so the supremum is
+    * exact, not a binned approximation. crit_05 is the classic
+    * 1.358·√((n₁+n₂)/(n₁n₂)) large-sample threshold (√ is IEEE
+    * correctly-rounded, hence engine-identical).
+    *
+    * Scale: the grid is sources × distinct values (bounded by the value
+    * domain, not the corpus); per-source windows partition cleanly.
+    */
+  def ksBySource(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val values = docs.select("n_chars").distinct()
+    val sources = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val perValue = docs.groupBy("n_chars").agg(count(lit(1)).as("ct"))
+    val total = docs.agg(count(lit(1)).as("nt"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sources.crossJoin(values)
+      .join(counts, Seq("source", "n_chars"), "left")
+      .join(perValue, Seq("n_chars"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(w))
+      .withColumn("cum_t", sum(col("ct")).over(w))
+      .withColumn("nr", col("nt") - col("ns"))
+      .withColumn("d_num",
+        abs(col("cum_s") * col("nr") - (col("cum_t") - col("cum_s")) * col("ns")))
+      .groupBy("source", "ns", "nr")
+      .agg(max(col("d_num")).as("d_fp"))
+      .select(col("source"), col("ns").as("n_source"),
+        round(col("d_fp").cast("double")
+          / (col("ns") * col("nr")).cast("double"), 6).as("ks_stat"),
+        round(lit(1.358) * sqrt((col("ns") + col("nr")).cast("double")
+          / (col("ns") * col("nr")).cast("double")), 6).as("crit_05"))
+      .withColumn("significant", col("ks_stat") > col("crit_05"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // Kaplan–Meier survival (signup → purchase)
+  // ---------------------------------------------------------------------
+
+  /** Kaplan–Meier product-limit estimator (1958) for time-to-first-
+    * purchase, right-censored at the corpus horizon: per user, duration
+    * is days from first event to first 'purchase' (event) or to the
+    * corpus max timestamp (censored). S(d) = Π_{d'≤d} (1 - d_i/n_i) over
+    * event durations, with the standard risk-set convention (censored at
+    * d still at risk AT d).
+    *
+    * Engine determinism for the running product: per-duration ln factors
+    * snap to the 1e-9 grid, the running SUM is integer, and survival is
+    * snap9(exp(sum/1e9)) — the lmScore exp convention. A duration where
+    * every at-risk user converts (factor 0) forces survival to exactly 0
+    * from that point on via an explicit flag, never through ln(0).
+    *
+    * Scale: one groupBy(user), one groupBy(duration); the windows run
+    * over one row per distinct DURATION (calendar-bounded).
+    */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val base = events.select(col("user_id"),
+      expr("unix_micros(ts)").as("us"), col("event_type"))
+    val perUser = base.groupBy("user_id").agg(
+      min(col("us")).as("t0"),
+      min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+    val horizon = base.agg(max(col("us")).as("tmax"))
+    val durs = perUser.crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400000000"))
+          .otherwise(expr("(tmax - t0) div 86400000000")).as("dur"),
+        col("tp").isNotNull.as("is_event"))
+    val n = durs.agg(count(lit(1)).as("n_users"))
+    val wCum = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byDur = durs.groupBy("dur").agg(
+      count(lit(1)).as("c_obs"),
+      sum(when(col("is_event"), lit(1L)).otherwise(lit(0L))).as("d_i"))
+      .crossJoin(broadcast(n))
+      .withColumn("cum_obs", sum(col("c_obs")).over(wCum))
+      .withColumn("n_risk", col("n_users") - col("cum_obs") + col("c_obs"))
+      .filter(col("d_i") > 0)
+    val wEvt = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("lnf_fp", when(col("d_i") < col("n_risk"),
+        snapFp(log((col("n_risk") - col("d_i")).cast("double")
+          / col("n_risk").cast("double")))))
+      .withColumn("cum_ln_fp", sum(col("lnf_fp")).over(wEvt))
+      .withColumn("zeroed",
+        max(when(col("d_i") === col("n_risk"), lit(1)).otherwise(lit(0))).over(wEvt))
+      .select(col("dur").as("duration_days"),
+        col("n_risk").as("n_at_risk"), col("d_i").as("n_events"),
+        when(col("zeroed") === 1, lit(0.0))
+          .otherwise(round(snap9(exp(col("cum_ln_fp").cast("double") / lit(1e9))), 6))
+          .as("survival"))
+      .orderBy("duration_days")
+  }
+
+  // ---------------------------------------------------------------------
+  // Benford first-digit audit
+  // ---------------------------------------------------------------------
+
+  /** Benford's-law audit over the event value column — the classic
+    * fabricated-data screen. The first significant digit is extracted
+    * through EXACT integer cents (floor(100·v + ½) then the first
+    * character of the integer's decimal rendering — identical in any
+    * engine, immune to log10 boundary ulps), compared against
+    * P(d) = log10(1 + 1/d).
+    *
+    * One aggregate over the stream; 9 output rows.
+    */
+  def benford(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val total = events.filter(col("value") > 0).agg(count(lit(1)).as("nt"))
+    events.filter(col("value") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("nt").cast("double"), 6)
+          .as("obs_frac"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford_p"))
+      .withColumn("abs_dev", round(abs(col("obs_frac") - col("benford_p")), 6))
+      .orderBy("digit")
+  }
+
+  // ---------------------------------------------------------------------
+  // kNN-graph expansion (neighbor-of-neighbor ANN refinement)
+  // ---------------------------------------------------------------------
+
+  /** One-hop graph expansion over the banded-LSH candidate graph — the
+    * core move of graph-based ANN (HNSW/NSG family): a query's candidate
+    * pool is widened with the neighbors of its current top-k, then
+    * exact-re-ranked. Because the expanded pool is a superset, recall@k
+    * against brute-force truth is monotonically ≥ the base pass (the
+    * CurationSpec contract); the report carries both plus the lift.
+    *
+    * Scale: the adjacency is the SAME banded candidate-pair table the
+    * registered ANN path builds (never all-pairs); expansion is one
+    * equi-join from the bounded query top-k into it, and exact scoring
+    * touches candidates only.
+    */
+  def knnExpansion(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 5): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val cand = Similarity.candidatePairs(embeddings)
+    val adj = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    def rankTop(c: DataFrame): DataFrame = c
+      .join(e.select(col("vec_id").as("qid"), col("emb").as("qe")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("emb").as("ne")), Seq("nid"))
+      .select(col("qid"), col("nid"), Similarity.dot(col("qe"), col("ne")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+    val qAdj = adj.filter(col("src").isin(queryIds: _*))
+      .select(col("src").as("qid"), col("dst").as("nid")).distinct()
+    val baseTop = rankTop(qAdj)
+    val hop2 = baseTop.select(col("qid"), col("nid").as("src"))
+      .join(adj, Seq("src"))
+      .select(col("qid"), col("dst").as("nid"))
+      .filter(col("nid") =!= col("qid"))
+    val expTop = rankTop(qAdj.unionByName(hop2).distinct())
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Similarity.dot(col("qe"), col("emb")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+    def hits(top: DataFrame, name: String): DataFrame =
+      truth.select(col("qid"), col("nid"))
+        .join(top.select(col("qid"), col("nid"), lit(1).as("hit")),
+          Seq("qid", "nid"), "left")
+        .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0))).as(name))
+    hits(baseTop, "base_hits").join(hits(expTop, "exp_hits"), Seq("qid"))
+      .select(col("qid"), col("base_hits"), col("exp_hits"),
+        round(col("base_hits").cast("double") / lit(k.toDouble), 6).as("recall_base"),
+        round(col("exp_hits").cast("double") / lit(k.toDouble), 6).as("recall_exp"))
+      .withColumn("lift", round(col("recall_exp") - col("recall_base"), 6))
+      .orderBy("qid")
+  }
 }

@@ -305,6 +305,223 @@ object Frontier {
              |SELECT CAST(ROW_NUMBER() OVER (ORDER BY z DESC, vec_id ASC) AS BIGINT)
              |         AS rank,
              |       vec_id, label, d2, z
-             |FROM z QUALIFY rank <= 20 ORDER BY rank""".stripMargin))
+             |FROM z QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // Exact two-sample KS drift test per source (length distribution vs
+    // the rest of the corpus), integer supremum, alpha=0.05 decision.
+    QueryDef(
+      "x179_ks_drift",
+      (s, dir) => Curation.ksBySource(Tables(s, dir).documents),
+      Some(
+        raw"""WITH counts AS (
+             |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2
+             |), vals AS (
+             |  SELECT DISTINCT n_chars FROM documents
+             |), srcs AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+             |  FROM documents GROUP BY 1
+             |), pv AS (
+             |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS ct
+             |  FROM documents GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents
+             |), grid AS (
+             |  SELECT s.source, s.ns, v.n_chars, COALESCE(c.c, 0) AS c, p.ct, t.nt
+             |  FROM srcs s CROSS JOIN vals v
+             |  LEFT JOIN counts c ON c.source = s.source AND c.n_chars = v.n_chars
+             |  JOIN pv p ON p.n_chars = v.n_chars
+             |  CROSS JOIN tot t
+             |), cums AS (
+             |  SELECT source, ns, nt - ns AS nr,
+             |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s,
+             |         CAST(SUM(ct) OVER (PARTITION BY source ORDER BY n_chars
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+             |  FROM grid
+             |), d AS (
+             |  SELECT source, ns, nr,
+             |         MAX(abs(cum_s * nr - (cum_t - cum_s) * ns)) AS d_fp
+             |  FROM cums GROUP BY 1, 2, 3
+             |), base AS (
+             |  SELECT source, ns AS n_source,
+             |         round(CAST(d_fp AS DOUBLE) / CAST(ns * nr AS DOUBLE), 6)
+             |           AS ks_stat,
+             |         round(1.358 * sqrt(CAST(ns + nr AS DOUBLE)
+             |           / CAST(ns * nr AS DOUBLE)), 6) AS crit_05
+             |  FROM d
+             |)
+             |SELECT source, n_source, ks_stat, crit_05,
+             |       ks_stat > crit_05 AS significant
+             |FROM base ORDER BY source""".stripMargin)),
+
+    // Kaplan–Meier time-to-first-purchase with right censoring at the
+    // corpus horizon; snapped-ln running product, explicit zero
+    // absorption.
+    QueryDef(
+      "x180_survival_km",
+      (s, dir) => Curation.kaplanMeier(Tables(s, dir).events),
+      Some(
+        raw"""WITH base AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+             |  FROM events
+             |), pu AS (
+             |  SELECT user_id, MIN(us) AS t0,
+             |         MIN(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+             |  FROM base GROUP BY 1
+             |), hz AS (
+             |  SELECT MAX(us) AS tmax FROM base
+             |), durs AS (
+             |  SELECT user_id,
+             |         CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+             |              ELSE (tmax - t0) // 86400000000 END AS dur,
+             |         tp IS NOT NULL AS is_event
+             |  FROM pu CROSS JOIN hz
+             |), nn AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM durs
+             |), bd AS (
+             |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS c_obs,
+             |         CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d_i
+             |  FROM durs GROUP BY 1
+             |), cums AS (
+             |  SELECT dur, d_i, c_obs, n_users,
+             |         CAST(SUM(c_obs) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+             |           AS BIGINT) AS cum_obs
+             |  FROM bd CROSS JOIN nn
+             |), ev AS (
+             |  SELECT dur, d_i, n_users - cum_obs + c_obs AS n_risk
+             |  FROM cums WHERE d_i > 0
+             |), lnf AS (
+             |  SELECT dur, d_i, n_risk,
+             |         CASE WHEN d_i < n_risk
+             |              THEN CAST(floor(ln(CAST(n_risk - d_i AS DOUBLE)
+             |                / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+             |         END AS lnf_fp
+             |  FROM ev
+             |), agg AS (
+             |  SELECT dur, d_i, n_risk,
+             |         CAST(SUM(lnf_fp) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+             |           AS BIGINT) AS cum_ln_fp,
+             |         MAX(CASE WHEN d_i = n_risk THEN 1 ELSE 0 END)
+             |           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS zeroed
+             |  FROM lnf
+             |)
+             |SELECT dur AS duration_days, n_risk AS n_at_risk, d_i AS n_events,
+             |       CASE WHEN zeroed = 1 THEN 0.0
+             |            ELSE round(floor(exp(CAST(cum_ln_fp AS DOUBLE) / 1e9)
+             |              * 1e9 + 0.5) / 1e9, 6) END AS survival
+             |FROM agg ORDER BY duration_days""".stripMargin)),
+
+    // Benford first-digit audit over event values: exact integer-cents
+    // digit extraction, per-digit observed vs log10(1+1/d).
+    QueryDef(
+      "x181_benford_audit",
+      (s, dir) => Curation.benford(Tables(s, dir).events),
+      Some(
+        raw"""WITH f AS (
+             |  SELECT value FROM events WHERE value > 0
+             |), tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM f
+             |), dg AS (
+             |  SELECT CAST(substring(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM f
+             |), g AS (
+             |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+             |  FROM dg WHERE digit >= 1 GROUP BY 1
+             |), base AS (
+             |  SELECT digit, n_obs,
+             |         round(CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS obs_frac,
+             |         round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+             |  FROM g CROSS JOIN tot
+             |)
+             |SELECT digit, n_obs, obs_frac, benford_p,
+             |       round(abs(obs_frac - benford_p), 6) AS abs_dev
+             |FROM base ORDER BY digit""".stripMargin)),
+
+    // Graph-expansion ANN refinement: neighbor-of-neighbor widening of
+    // the banded candidate pool, exact re-rank, recall lift vs brute
+    // truth for the pinned query set.
+    QueryDef(
+      "x182_knn_expansion",
+      (s, dir) => Curation.knnExpansion(Tables(s, dir).embeddings, 0L until 10L),
+      Some {
+        val bandSelects = (0 until Similarity.AnnBands).map { b =>
+          val key = (0 until Similarity.AnnBandBits).map { j =>
+            val plit = Similarity.planesSqlLiteral(b * Similarity.AnnBandBits + j)
+            s"CASE WHEN list_dot_product(emb, $plit) > 0 THEN ${1 << j} ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, $b AS band_idx, $key AS band_key FROM e"
+        }.mkString("\n  UNION ALL ")
+        raw"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), bands AS (
+             |  $bandSelects
+             |), adj AS (
+             |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+             |  FROM bands a JOIN bands b
+             |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |   AND a.vec_id <> b.vec_id
+             |), qadj AS (
+             |  SELECT src AS qid, dst AS nid FROM adj WHERE src < 10
+             |), basetop AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT c.qid, c.nid,
+             |           ROW_NUMBER() OVER (PARTITION BY c.qid
+             |             ORDER BY list_dot_product(eq.emb, en.emb) DESC, c.nid ASC)
+             |             AS rn
+             |    FROM qadj c
+             |    JOIN e eq ON eq.vec_id = c.qid
+             |    JOIN e en ON en.vec_id = c.nid) t
+             |  WHERE rn <= 5
+             |), hop2 AS (
+             |  SELECT b.qid, a.dst AS nid
+             |  FROM basetop b JOIN adj a ON a.src = b.nid
+             |  WHERE a.dst <> b.qid
+             |), expcand AS (
+             |  SELECT DISTINCT qid, nid FROM (
+             |    SELECT qid, nid FROM qadj UNION ALL SELECT qid, nid FROM hop2)
+             |), exptop AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT c.qid, c.nid,
+             |           ROW_NUMBER() OVER (PARTITION BY c.qid
+             |             ORDER BY list_dot_product(eq.emb, en.emb) DESC, c.nid ASC)
+             |             AS rn
+             |    FROM expcand c
+             |    JOIN e eq ON eq.vec_id = c.qid
+             |    JOIN e en ON en.vec_id = c.nid) t
+             |  WHERE rn <= 5
+             |), q AS (
+             |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10
+             |), truth AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT q.qid, e.vec_id AS nid,
+             |           ROW_NUMBER() OVER (PARTITION BY q.qid
+             |             ORDER BY list_dot_product(q.qemb, e.emb) DESC, e.vec_id ASC)
+             |             AS rn
+             |    FROM q, e WHERE e.vec_id <> q.qid) t
+             |  WHERE rn <= 5
+             |), bh AS (
+             |  SELECT t.qid,
+             |         CAST(SUM(CASE WHEN b.nid IS NOT NULL THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS base_hits
+             |  FROM truth t LEFT JOIN basetop b ON b.qid = t.qid AND b.nid = t.nid
+             |  GROUP BY 1
+             |), eh AS (
+             |  SELECT t.qid,
+             |         CAST(SUM(CASE WHEN x.nid IS NOT NULL THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS exp_hits
+             |  FROM truth t LEFT JOIN exptop x ON x.qid = t.qid AND x.nid = t.nid
+             |  GROUP BY 1
+             |), base2 AS (
+             |  SELECT b.qid, b.base_hits, h.exp_hits,
+             |         round(CAST(b.base_hits AS DOUBLE) / 5.0, 6) AS recall_base,
+             |         round(CAST(h.exp_hits AS DOUBLE) / 5.0, 6) AS recall_exp
+             |  FROM bh b JOIN eh h USING (qid)
+             |)
+             |SELECT qid, base_hits, exp_hits, recall_base, recall_exp,
+             |       round(recall_exp - recall_base, 6) AS lift
+             |FROM base2 ORDER BY qid""".stripMargin
+      })
   )
 }

@@ -149,6 +149,107 @@ class CurationSpec extends SparkSuite {
 
   // -------------------------------------------------------------- outliers
 
+  // ------------------------------------------------------------------- KS
+
+  test("x179 KS: disjoint supports give D = 1 and flag; identical " +
+    "distributions give D = 0 and pass") {
+    // Fixture 1: two sources over the SAME value multiset -> D = 0.
+    val same = ((0 until 50).map(i => (i.toLong, "sameA", 100L + (i % 10))) ++
+      (50 until 100).map(i => (i.toLong, "sameB", 100L + (i % 10))))
+      .toDF("doc_id", "source", "n_chars")
+    val rSame = Curation.ksBySource(same).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(rSame("sameA").getDouble(2) == 0.0 && !rSame("sameA").getBoolean(4))
+    assert(rSame("sameB").getDouble(2) == 0.0 && !rSame("sameB").getBoolean(4))
+    // Fixture 2: disjoint supports -> D = 1 for both sides, significant.
+    val split = ((0 until 50).map(i => (i.toLong, "low", 100L + (i % 10))) ++
+      (50 until 100).map(i => (i.toLong, "high", 2000L + (i % 10))))
+      .toDF("doc_id", "source", "n_chars")
+    val rSplit = Curation.ksBySource(split).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(rSplit("low").getDouble(2) == 1.0 && rSplit("low").getBoolean(4))
+    assert(rSplit("high").getDouble(2) == 1.0 && rSplit("high").getBoolean(4))
+  }
+
+  // ------------------------------------------------------------------- KM
+
+  test("x180 KM: hand-computed survival on a planted cohort") {
+    // 4 users, first events on day 0. A converts day 1, B day 2, C and D
+    // never (censored at the horizon, day 3).
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d $hour%02d:00:00")
+    val rows = Seq(
+      (1L, ts(0, 1), 1L, "signup", 1.0, "{}"), (2L, ts(1, 1), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(0, 1), 2L, "signup", 1.0, "{}"), (4L, ts(2, 1), 2L, "purchase", 1.0, "{}"),
+      (5L, ts(0, 1), 3L, "signup", 1.0, "{}"), (6L, ts(3, 1), 3L, "view", 1.0, "{}"),
+      (7L, ts(0, 1), 4L, "signup", 1.0, "{}"), (8L, ts(3, 1), 4L, "click", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val km = Curation.kaplanMeier(ev).collect()
+    // Event durations: day 1 (A, 4 at risk -> S = 3/4), day 2 (B, 3 at
+    // risk -> S = 3/4 * 2/3 = 1/2). Censored users never appear as rows.
+    assert(km.length == 2)
+    assert(km(0).getLong(0) == 1L && km(0).getLong(1) == 4L
+      && km(0).getLong(2) == 1L && math.abs(km(0).getDouble(3) - 0.75) < 1e-6)
+    assert(km(1).getLong(0) == 2L && km(1).getLong(1) == 3L
+      && math.abs(km(1).getDouble(3) - 0.5) < 1e-6)
+  }
+
+  test("x180 KM: survival hits exactly 0 when the last at-risk users all " +
+    "convert, and stays 0") {
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 01:00:00")
+    val rows = Seq(
+      (1L, ts(0), 1L, "signup", 1.0, "{}"), (2L, ts(1), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(0), 2L, "signup", 1.0, "{}"), (4L, ts(1), 2L, "purchase", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val km = Curation.kaplanMeier(ev).collect()
+    assert(km.length == 1 && km(0).getDouble(3) == 0.0)
+  }
+
+  // -------------------------------------------------------------- Benford
+
+  test("x181 Benford: digit extraction is exact on decimal boundaries and " +
+    "fractions sum to 1") {
+    // 100.00, 0.01-adjacent, and 9.99 style boundary values: the integer-
+    // cents route must never produce a digit outside 1-9.
+    val rows = Seq(100.00, 10.00, 1.00, 0.10, 0.01, 9.99, 99.99, 0.99, 55.5, 200.0)
+      .zipWithIndex.map { case (v, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+          1L, "view", v, "{}")
+      }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.benford(ev).collect()
+    assert(r.map(_.getInt(0)).forall(d => d >= 1 && d <= 9))
+    val fracSum = r.map(_.getDouble(2)).sum
+    assert(math.abs(fracSum - 1.0) < 1e-5)
+    // 100.00 -> cents 10000 -> digit 1; 9.99 -> 999 -> 9; 0.01 -> 1 -> 1.
+    val byDigit = r.map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(byDigit(1L.toInt) == 5L, "1xx digits: 100.00, 10.00, 1.00, 0.10, 0.01")
+    assert(byDigit(9) == 3L, "9.99, 99.99, 0.99")
+  }
+
+  test("x181 Benford: benford_p decreases in d and sums to ~1") {
+    val r = Curation.benford(events).collect()
+    val ps = r.sortBy(_.getInt(0)).map(_.getDouble(3))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a > b })
+    assert(math.abs(ps.sum - 1.0) < 1e-4)
+  }
+
+  // --------------------------------------------------------- kNN expansion
+
+  test("x182 expansion: recall is monotonically >= the base pass for every " +
+    "query (superset re-rank)") {
+    val r = Curation.knnExpansion(embeddings, 0L until 10L).collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      assert(row.getDouble(4) >= row.getDouble(3),
+        s"qid ${row.getLong(0)}: expansion can never lose recall")
+      assert(row.getDouble(4) <= 1.0 + 1e-9)
+      assert(math.abs(row.getDouble(5)
+        - (row.getDouble(4) - row.getDouble(3))) < 1e-6)
+    }
+  }
+
   test("x178 outliers: a planted far vector ranks first with a large z") {
     val dim = 64
     val schema = StructType(Seq(
