@@ -510,6 +510,123 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Grouped exact weighted percentiles
+  // ---------------------------------------------------------------------
+
+  /** Exact weighted percentiles (p50/p90) of extended price weighted by
+    * quantity, per return flag — the weighted order statistic Spark's
+    * built-in percentile family doesn't cover. The threshold test is
+    * pure integer arithmetic (2·cumW ≥ W, 10·cumW ≥ 9·W — quantities are
+    * integral and cast to BIGINT), and the selected value is a raw data
+    * value, so the result is bit-exact with no float accumulation at
+    * all. Ties in the value column cannot change the answer: wherever
+    * the threshold crosses inside a run of equal values, the selected
+    * value IS that run's value.
+    *
+    * Scale: one per-group window (partitioned, never global) + one
+    * aggregate.
+    */
+  def weightedPercentiles(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_returnflag").as("grp"),
+      col("l_extendedprice").as("x"),
+      col("l_quantity").cast("long").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val wTot = base.groupBy("grp").agg(sum(col("w")).as("tw"))
+    val wn = Window.partitionBy("grp")
+      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(wTot, Seq("grp"))
+      .withColumn("cw", sum(col("w")).over(wn))
+      .groupBy("grp", "tw")
+      .agg(min(when(col("cw") * 2 >= col("tw"), col("x"))).as("wp50"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("x"))).as("wp90"))
+      .select(col("grp").as("l_returnflag"), col("tw").as("total_weight"),
+        col("wp50"), col("wp90"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------------
+  // Position-based multi-touch attribution
+  // ---------------------------------------------------------------------
+
+  /** U-shaped (position-based) multi-touch attribution: every purchase
+    * distributes 1.0 credit over the user's view/click touches in the
+    * preceding `windowDays` — 40% first touch, 40% last, the middle 20%
+    * split evenly (k=1 → 100%, k=2 → 50/50). Credits live on a 1e-6
+    * integer grid (the middle split is integer division — the ≤(k-3)e-6
+    * truncation remainder is deliberately dropped rather than
+    * re-distributed), so per-channel totals are exact integer sums.
+    *
+    * Scale: the touch↔purchase pairing is an equi-join on user_id with a
+    * time-range predicate — volume is bounded by per-user activity, the
+    * same contract as sessionization; the position windows partition by
+    * purchase.
+    */
+  def multiTouchAttribution(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"), col("event_id").as("p_id"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("us").as("t_us"), col("event_id").as("t_id"))
+    val win = lit(windowDays.toLong * 86400000000L)
+    val wOrd = Window.partitionBy("p_id").orderBy(col("t_us"), col("t_id"))
+    val wCnt = Window.partitionBy("p_id")
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - win)
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("k", count(lit(1)).over(wCnt))
+      .withColumn("credit_fp",
+        when(col("k") === 1, lit(1000000L))
+          .when(col("pos") === 1 || col("pos") === col("k"),
+            when(col("k") === 2, lit(500000L)).otherwise(lit(400000L)))
+          .otherwise(expr("200000 div (k - 2)")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_fp")).as("credit_fp"))
+      .select(col("channel"), col("n_touches"),
+        round(col("credit_fp").cast("double") / lit(1e6), 6).as("credit"))
+      .orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------------
+  // Theil–Sen robust trend
+  // ---------------------------------------------------------------------
+
+  /** Theil–Sen robust trend over the daily event count: the median of
+    * all pairwise day-slopes (breakdown point 29% — one bad ingest day
+    * cannot swing it, unlike OLS), intercept as the median residual.
+    * Slopes and residuals snap to the 1e-9 grid BEFORE their medians, so
+    * even an interpolated (even-count) median is exact dyadic arithmetic
+    * in both engines.
+    *
+    * Scale: the pair join is day×day — bounded by the CALENDAR, not the
+    * corpus (30 days → 435 pairs), the x171 convention; event-scale work
+    * is one groupBy(day).
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+    val slopes = daily.select(col("i").as("i1"), col("y").as("y1"))
+      .join(daily.select(col("i").as("i2"), col("y").as("y2")),
+        col("i1") < col("i2"))
+      .select(snap9((col("y2") - col("y1")).cast("double")
+        / (col("i2") - col("i1")).cast("double")).as("s"))
+    val slope = slopes.agg(expr("percentile(s, 0.5D)").as("slope"))
+    daily.crossJoin(broadcast(slope))
+      .select(col("slope"),
+        snap9(col("y").cast("double") - col("slope") * col("i").cast("double"))
+          .as("r"))
+      .groupBy("slope")
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(r, 0.5D)").as("intercept"))
+      .select(col("n_days"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+  }
+
+  // ---------------------------------------------------------------------
   // kNN-graph expansion (neighbor-of-neighbor ANN refinement)
   // ---------------------------------------------------------------------
 
@@ -530,7 +647,12 @@ object Curation {
     VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("emb"))
-    val cand = Similarity.candidatePairs(embeddings)
+    // Sparse preset: 8x8-bit bands + hot-bucket cap — the realistic
+    // sub-quadratic graph (the dense 3-bit default is all-pairs in
+    // disguise at scale, and expansion exists precisely to buy back the
+    // recall a sparser graph gives up).
+    val cand = Similarity.candidatePairs(embeddings, Similarity.SparseBands,
+      Similarity.SparseBandBits, Similarity.SparseBucketCap)
     val adj = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     def rankTop(c: DataFrame): DataFrame = c

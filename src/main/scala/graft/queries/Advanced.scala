@@ -4941,8 +4941,8 @@ object Advanced {
     Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
 
   /** Same chain at any banding density; cap <= 0 skips the kept filter
-    * (the dense x11 preset). */
-  private def bandCandSql(bands: Int, bits: Int, cap: Int): String = {
+    * (the dense x11 preset). Shared with Frontier's x182 oracle. */
+  private[queries] def bandCandSql(bands: Int, bits: Int, cap: Int): String = {
     val bandSelects = (0 until bands).map { b =>
       val key = (0 until bits).map { j =>
         val lit = Similarity.planesSqlLiteral(b * bits + j)

@@ -446,22 +446,11 @@ object Frontier {
       "x182_knn_expansion",
       (s, dir) => Curation.knnExpansion(Tables(s, dir).embeddings, 0L until 10L),
       Some {
-        val bandSelects = (0 until Similarity.AnnBands).map { b =>
-          val key = (0 until Similarity.AnnBandBits).map { j =>
-            val plit = Similarity.planesSqlLiteral(b * Similarity.AnnBandBits + j)
-            s"CASE WHEN list_dot_product(emb, $plit) > 0 THEN ${1 << j} ELSE 0 END"
-          }.mkString(" + ")
-          s"SELECT vec_id, $b AS band_idx, $key AS band_key FROM e"
-        }.mkString("\n  UNION ALL ")
-        raw"""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-             |), bands AS (
-             |  $bandSelects
-             |), adj AS (
-             |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-             |  FROM bands a JOIN bands b
-             |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             |   AND a.vec_id <> b.vec_id
+        raw"""${Advanced.bandCandSql(Similarity.SparseBands,
+          Similarity.SparseBandBits, Similarity.SparseBucketCap)}, adj AS (
+             |  SELECT vec_a AS src, vec_b AS dst FROM cand
+             |  UNION ALL
+             |  SELECT vec_b AS src, vec_a AS dst FROM cand
              |), qadj AS (
              |  SELECT src AS qid, dst AS nid FROM adj WHERE src < 10
              |), basetop AS (
@@ -522,6 +511,97 @@ object Frontier {
              |SELECT qid, base_hits, exp_hits, recall_base, recall_exp,
              |       round(recall_exp - recall_base, 6) AS lift
              |FROM base2 ORDER BY qid""".stripMargin
-      })
+      }),
+
+    // Exact weighted percentiles per return flag: integer threshold
+    // crossing on a per-group cumulative-weight window.
+    QueryDef(
+      "x183_weighted_percentiles",
+      (s, dir) => Curation.weightedPercentiles(Tables(s, dir).lineitem),
+      Some(
+        raw"""WITH base AS (
+             |  SELECT l_returnflag AS grp, l_extendedprice AS x,
+             |         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+             |  FROM lineitem
+             |), twt AS (
+             |  SELECT grp, CAST(SUM(w) AS BIGINT) AS tw FROM base GROUP BY 1
+             |), cums AS (
+             |  SELECT b.grp, b.x, t.tw,
+             |         CAST(SUM(b.w) OVER (PARTITION BY b.grp
+             |           ORDER BY b.x, b.l_orderkey, b.l_linenumber
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+             |  FROM base b JOIN twt t USING (grp)
+             |)
+             |SELECT grp AS l_returnflag, tw AS total_weight,
+             |       MIN(CASE WHEN cw * 2 >= tw THEN x END) AS wp50,
+             |       MIN(CASE WHEN cw * 10 >= tw * 9 THEN x END) AS wp90
+             |FROM cums GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // U-shaped multi-touch attribution: 40/20/40 credit split on the
+    // 1e-6 integer grid, per-channel exact totals.
+    QueryDef(
+      "x184_multitouch_attribution",
+      (s, dir) => Curation.multiTouchAttribution(Tables(s, dir).events),
+      Some(
+        raw"""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |         event_id
+             |  FROM events
+             |), p AS (
+             |  SELECT user_id, us AS p_us, event_id AS p_id
+             |  FROM ev WHERE event_type = 'purchase'
+             |), t AS (
+             |  SELECT user_id, event_type AS channel, us AS t_us, event_id AS t_id
+             |  FROM ev WHERE event_type IN ('view', 'click')
+             |), j AS (
+             |  SELECT p.p_id, t.channel, t.t_us, t.t_id
+             |  FROM p JOIN t ON p.user_id = t.user_id
+             |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000
+             |), ranked AS (
+             |  SELECT p_id, channel,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY p_id
+             |           ORDER BY t_us, t_id) AS BIGINT) AS pos,
+             |         CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+             |  FROM j
+             |), credited AS (
+             |  SELECT channel,
+             |         CASE WHEN k = 1 THEN 1000000
+             |              WHEN pos = 1 OR pos = k
+             |                THEN CASE WHEN k = 2 THEN 500000 ELSE 400000 END
+             |              ELSE 200000 // (k - 2) END AS credit_fp
+             |  FROM ranked
+             |)
+             |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             |       round(CAST(SUM(credit_fp) AS DOUBLE) / 1e6, 6) AS credit
+             |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Theil–Sen robust trend of daily event volume: median pairwise
+    // slope + median residual intercept, snapped before each median.
+    QueryDef(
+      "x185_theilsen_trend",
+      (s, dir) => Curation.theilSen(Tables(s, dir).events),
+      Some(
+        raw"""WITH daily AS (
+             |  SELECT day, y,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+             |  FROM (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |               CAST(COUNT(*) AS BIGINT) AS y
+             |        FROM events GROUP BY 1)
+             |), slopes AS (
+             |  SELECT floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+             |           * 1e9 + 0.5) / 1e9 AS s
+             |  FROM daily a JOIN daily b ON a.i < b.i
+             |), sl AS (
+             |  SELECT median(s) AS slope FROM slopes
+             |), res AS (
+             |  SELECT sl.slope,
+             |         floor((CAST(d.y AS DOUBLE) - sl.slope * CAST(d.i AS DOUBLE))
+             |           * 1e9 + 0.5) / 1e9 AS r
+             |  FROM daily d CROSS JOIN sl
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             |       round(slope, 6) AS slope,
+             |       round(median(r), 6) AS intercept
+             |FROM res GROUP BY slope""".stripMargin))
   )
 }

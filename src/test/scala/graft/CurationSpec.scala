@@ -235,6 +235,85 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(ps.sum - 1.0) < 1e-4)
   }
 
+  // --------------------------------------------- weighted percentiles
+
+  test("x183 weighted percentiles: hand-computed crossing on a tiny group") {
+    val fixture = Seq(
+      (1L, 1, 1.0, 10.0, "A"), (2L, 1, 2.0, 20.0, "A"), (3L, 1, 1.0, 30.0, "A"),
+      (4L, 1, 5.0, 99.0, "B"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag")
+    val r = Curation.weightedPercentiles(fixture).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // Group A: W=4; sorted (10,w1)->cw1, (20,w2)->cw3, (30,w1)->cw4.
+    // p50: first cw*2>=4 -> 20. p90: first cw*10>=36 -> 30.
+    assert(r("A").getLong(1) == 4L)
+    assert(r("A").getDouble(2) == 20.0 && r("A").getDouble(3) == 30.0)
+    // Single-row group: both percentiles are that row's value.
+    assert(r("B").getDouble(2) == 99.0 && r("B").getDouble(3) == 99.0)
+  }
+
+  // ---------------------------------------------------------- attribution
+
+  test("x184 attribution: U-shaped credit on a planted journey and " +
+    "near-conservation of total credit") {
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+    // One user: view, click, view, view then purchase -> k=4 touches,
+    // credits 0.4 (first view), 0.1 (click), 0.1 (view), 0.4 (last view).
+    val rows = Seq(
+      (1L, ts(1, 1), 1L, "view", 1.0, "{}"),
+      (2L, ts(1, 2), 1L, "click", 1.0, "{}"),
+      (3L, ts(1, 3), 1L, "view", 1.0, "{}"),
+      (4L, ts(1, 4), 1L, "view", 1.0, "{}"),
+      (5L, ts(1, 5), 1L, "purchase", 10.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.multiTouchAttribution(ev).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("view").getDouble(2) - 0.9) < 1e-6,
+      "view: 0.4 first + 0.1 middle + 0.4 last")
+    assert(math.abs(r("click").getDouble(2) - 0.1) < 1e-6)
+    // Real data: credit mass per purchase is 1.0 minus at most (k-3) ulps
+    // of the 1e-6 grid -> totals never exceed attributed purchases.
+    val real = Curation.multiTouchAttribution(events)
+    val totalCredit = real.agg(sum(col("credit"))).head().getDouble(0)
+    val attributed = {
+      val ev2 = events.selectExpr("user_id", "event_type", "unix_micros(ts) as us")
+      val p = ev2.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"))
+      val t = ev2.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("us").as("t_us"))
+      p.join(t, Seq("user_id"))
+        .filter(col("t_us") < col("p_us")
+          && col("t_us") >= col("p_us") - lit(7L * 86400000000L))
+        .select("p_us", "user_id").distinct().count()
+    }
+    assert(totalCredit <= attributed + 1e-6)
+    assert(totalCredit >= attributed * 0.99 - 1.0,
+      s"credit mass $totalCredit must track attributed purchases $attributed")
+  }
+
+  // ------------------------------------------------------------ Theil–Sen
+
+  test("x185 Theil-Sen: recovers an exact linear trend through one wild " +
+    "outlier day (where OLS cannot)") {
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")
+    // y = 3i + 7 for i=1..15, except day 8 is corrupted to 500 events.
+    var id = 0L
+    val rows = (1 to 15).flatMap { i =>
+      val n = if (i == 8) 500 else 3 * i + 7
+      (0 until n).map { _ => id += 1
+        (id, ts(i), id % 7, "view", 1.0, "{}")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.theilSen(ev).head()
+    assert(r.getLong(0) == 15L)
+    assert(r.getDouble(1) == 3.0, s"robust slope must be exactly 3, got ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 7.0, s"robust intercept must be exactly 7, got ${r.getDouble(2)}")
+  }
+
   // --------------------------------------------------------- kNN expansion
 
   test("x182 expansion: recall is monotonically >= the base pass for every " +

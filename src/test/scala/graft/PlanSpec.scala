@@ -377,4 +377,49 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"fingerprint pairing must stay an equi-join on the elected hash:\n$plan")
   }
+
+  test("x172 DSIR scores the token stream against a BROADCAST model — no shuffle join") {
+    // The whole importance model is 64 bucket log-ratios; the token
+    // explode must join it broadcast. A SortMergeJoin here would shuffle
+    // the full token stream a second time at 100 TB.
+    val plan = executed("x172_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket log-ratios must broadcast onto the tokens:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join belongs in the DSIR scoring path:\n$plan")
+  }
+
+  test("x174 SemDeDup's pair join is an equi-join on the cell — never all-pairs") {
+    val plan = executed("x174_semantic_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pruning degenerated to all-pairs:\n$plan")
+  }
+
+  test("x179 KS windows are partitioned per source, never global") {
+    val df = queries.Registry.queryMap("x179_ks_drift")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "x179 computes CDFs with windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"x179 CDF window must be partitioned by source: $w"))
+  }
+
+  test("x182 expansion ranks per query and the only nested loop is the bounded truth pass") {
+    val df = queries.Registry.queryMap("x182_knn_expansion")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "top-k re-ranks must be per-query windows")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"adjacency expansion must stay an equi-join:\n$plan")
+    // The brute-truth pass IS a (10-row) broadcast cross join by design,
+    // and its subtree appears once under each hits() branch; anything
+    // beyond those two means candidate generation regressed to all-pairs.
+    val nlJoins = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlJoins <= 2, s"expected only the duplicated truth cross join, got $nlJoins:\n$plan")
+  }
 }
