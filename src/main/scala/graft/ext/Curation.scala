@@ -627,6 +627,78 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // RFM segmentation
+  // ---------------------------------------------------------------------
+
+  /** Classic RFM segmentation: per-user recency (days since last event,
+    * integer micros division), frequency (purchase count) and monetary
+    * (exact integer cents), each scored into quintiles (5 = best) via
+    * ntile over a deterministic (metric, user_id) order, plus the
+    * monetary cume_dist percentile. The user-grain windows are global
+    * here (bounded corpus); at 100 TB the same scores come from
+    * broadcast quantile boundaries (the x21 decile pattern) — the
+    * metric computation is unchanged.
+    */
+  def rfmSegmentation(events: DataFrame): DataFrame = {
+    val horizon = events.agg(max(expr("unix_micros(ts)")).as("tmax"))
+    val per = events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max(col("us")).as("last_us"),
+        sum(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+          .as("frequency"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(lit(0L))).as("monetary_cents"))
+    per.crossJoin(broadcast(horizon))
+      .withColumn("recency_days", expr("(tmax - last_us) div 86400000000"))
+      .withColumn("r_q", (lit(6) - ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("user_id").asc))).cast("long"))
+      .withColumn("f_q", (lit(6) - ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("user_id").asc))).cast("long"))
+      .withColumn("m_q", (lit(6) - ntile(5).over(
+        Window.orderBy(col("monetary_cents").desc, col("user_id").asc))).cast("long"))
+      .withColumn("m_cume", round(cume_dist().over(
+        Window.orderBy(col("monetary_cents").asc, col("user_id").asc)), 6))
+      .select("user_id", "recency_days", "frequency", "monetary_cents",
+        "r_q", "f_q", "m_q", "m_cume")
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Gini concentration
+  // ---------------------------------------------------------------------
+
+  /** Exact-integer Gini coefficient over per-user purchase cents plus
+    * the top-decile revenue share — the inequality audit (the identical
+    * math audits per-source token concentration in a training mix). The
+    * rank-weighted sum formula G = (2Σi·xᵢ - (n+1)Σxᵢ)/(nΣxᵢ) over the
+    * ascending sort is all BIGINT until the final division.
+    */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    val per = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").asc, col("user_id").asc)
+    val ranked = per.withColumn("i", row_number().over(w).cast("long"))
+    val agg0 = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"),
+      sum(col("i") * col("cents")).as("iws"))
+    ranked.crossJoin(broadcast(agg0))
+      .filter(col("i") > col("n") - ceil(col("n").cast("double") / 10.0))
+      .groupBy("n", "tot", "iws")
+      .agg(sum(col("cents")).as("top_cents"))
+      .select(
+        col("n").as("n_users"), col("tot").as("total_cents"),
+        round((lit(2.0) * col("iws").cast("double")
+          - (col("n") + 1).cast("double") * col("tot").cast("double"))
+          / (col("n").cast("double") * col("tot").cast("double")), 6).as("gini"),
+        round(col("top_cents").cast("double") / col("tot").cast("double"), 6)
+          .as("top_decile_share"))
+  }
+
+  // ---------------------------------------------------------------------
   // kNN-graph expansion (neighbor-of-neighbor ANN refinement)
   // ---------------------------------------------------------------------
 

@@ -602,6 +602,83 @@ object Frontier {
              |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
              |       round(slope, 6) AS slope,
              |       round(median(r), 6) AS intercept
-             |FROM res GROUP BY slope""".stripMargin))
+             |FROM res GROUP BY slope""".stripMargin)),
+
+    // RFM segmentation: per-user recency/frequency/monetary with ntile
+    // quintile scores (5 = best on every axis) and the monetary
+    // cumulative-distribution percentile. Monetary is exact integer
+    // cents; ntile/cume_dist run over deterministic (metric, user_id)
+    // orders. The user-grain windows are global here (bounded corpus);
+    // at 100 TB the same scores come from broadcast quantile boundaries
+    // (the x21 decile pattern) — the metrics computation is unchanged.
+    QueryDef(
+      "x186_rfm_segmentation",
+      (s, dir) => Curation.rfmSegmentation(Tables(s, dir).events),
+      Some(
+        raw"""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM events
+             |), hz AS (
+             |  SELECT MAX(us) AS tmax FROM ev
+             |), per AS (
+             |  SELECT user_id, MAX(us) AS last_us,
+             |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS frequency,
+             |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+             |                       ELSE 0 END) AS BIGINT) AS monetary_cents
+             |  FROM ev GROUP BY 1
+             |), rec AS (
+             |  SELECT user_id, (tmax - last_us) // 86400000000 AS recency_days,
+             |         frequency, monetary_cents
+             |  FROM per CROSS JOIN hz
+             |)
+             |SELECT user_id, recency_days, frequency, monetary_cents,
+             |       CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)
+             |         AS BIGINT) AS r_q,
+             |       CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+             |         AS BIGINT) AS f_q,
+             |       CAST(6 - ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+             |         AS BIGINT) AS m_q,
+             |       round(cume_dist() OVER (ORDER BY monetary_cents ASC, user_id ASC), 6)
+             |         AS m_cume
+             |FROM rec ORDER BY user_id""".stripMargin)),
+
+    // Revenue concentration: exact-integer Gini coefficient over
+    // per-user purchase cents plus the top-decile revenue share —
+    // the "how skewed is this corpus/revenue" audit (the same math
+    // audits per-source token concentration in a training mix).
+    QueryDef(
+      "x187_gini_concentration",
+      (s, dir) => Curation.giniConcentration(Tables(s, dir).events),
+      Some(
+        raw"""WITH per AS (
+             |  SELECT user_id,
+             |         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+             |           AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+             |), ranked AS (
+             |  SELECT user_id, cents,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, user_id ASC)
+             |           AS BIGINT) AS i
+             |  FROM per
+             |), agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(cents) AS BIGINT) AS tot,
+             |         CAST(SUM(i * cents) AS BIGINT) AS iws
+             |  FROM ranked
+             |), top AS (
+             |  SELECT a.n, a.tot, a.iws, CAST(SUM(r.cents) AS BIGINT) AS top_cents
+             |  FROM ranked r CROSS JOIN agg a
+             |  WHERE r.i > a.n - ceil(CAST(a.n AS DOUBLE) / 10.0)
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT n AS n_users, tot AS total_cents,
+             |       round((2.0 * CAST(iws AS DOUBLE)
+             |         - CAST(n + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
+             |         / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini,
+             |       round(CAST(top_cents AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             |         AS top_decile_share
+             |FROM top""".stripMargin))
   )
 }

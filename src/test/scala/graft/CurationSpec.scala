@@ -314,6 +314,63 @@ class CurationSpec extends SparkSuite {
     assert(r.getDouble(2) == 7.0, s"robust intercept must be exactly 7, got ${r.getDouble(2)}")
   }
 
+  // ------------------------------------------------------------------ RFM
+
+  test("x186 RFM: scores are 5=best on every axis and quintiles cover 1..5") {
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")
+    // 5 users with strictly increasing activity: user 5 is most recent,
+    // most frequent, biggest spender -> all three scores 5; user 1 the
+    // reverse -> all scores 1.
+    var id = 0L
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map { p => id += 1
+        (id, ts(u * 3 + p), u.toLong, "purchase", u * 10.0, "{}")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.rfmSegmentation(ev).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(5L).getLong(4) == 5L && r(5L).getLong(5) == 5L && r(5L).getLong(6) == 5L)
+    assert(r(1L).getLong(4) == 1L && r(1L).getLong(5) == 1L && r(1L).getLong(6) == 1L)
+    assert(r(5L).getDouble(7) == 1.0, "largest spender sits at cume_dist 1.0")
+    // Monetary is exact cents: user u spent u purchases x u x 10.00.
+    (1 to 5).foreach(u => assert(r(u.toLong).getLong(3) == u.toLong * u * 1000))
+  }
+
+  test("x186 RFM on real events: quintiles stay in range and users are " +
+    "preserved") {
+    val r = Curation.rfmSegmentation(events)
+    val nUsers = events.select("user_id").distinct().count()
+    assert(r.count() == nUsers)
+    assert(r.filter(col("r_q") < 1 || col("r_q") > 5
+      || col("f_q") < 1 || col("f_q") > 5
+      || col("m_q") < 1 || col("m_q") > 5).count() == 0)
+    assert(r.filter(col("m_cume") <= 0 || col("m_cume") > 1).count() == 0)
+  }
+
+  // ----------------------------------------------------------------- Gini
+
+  test("x187 Gini: perfect equality gives 0, near-total concentration " +
+    "gives (n-1)/n") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 ${i % 24}%02d:00:00")
+    val equal = (1 to 10).map(u =>
+      (u.toLong, ts(u), u.toLong, "purchase", 25.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val gEq = Curation.giniConcentration(equal).head()
+    assert(gEq.getDouble(2) == 0.0)
+    assert(gEq.getLong(0) == 10L && gEq.getLong(1) == 25000L)
+    // One whale: 9 users at 0.01, one at 1000.00.
+    val whale = ((1 to 9).map(u =>
+      (u.toLong, ts(u), u.toLong, "purchase", 0.01, "{}")) :+
+      (10L, ts(10), 10L, "purchase", 1000.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val gW = Curation.giniConcentration(whale).head()
+    assert(gW.getDouble(2) > 0.89 && gW.getDouble(2) < 0.9,
+      s"whale Gini should approach (n-1)/n = 0.9: ${gW.getDouble(2)}")
+    assert(gW.getDouble(3) > 0.999, "top decile = the whale")
+  }
+
   // --------------------------------------------------------- kNN expansion
 
   test("x182 expansion: recall is monotonically >= the base pass for every " +
