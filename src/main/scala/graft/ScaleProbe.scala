@@ -39,11 +39,19 @@ object ScaleProbe {
     // state per group), winnowing pairs (posting-list join whose hot keys
     // get N× hotter under duplication — the interesting one), and the
     // HRW resize audit (pure per-key projection + window).
+    // Curation-batch additions: DSIR scoring (bounded 64-ratio model —
+    // must stay a linear scan), token entropy (keyed aggregates), the
+    // MinHash shard-merge audit (per-source DISTINCT trigram sets get N×
+    // duplicate pressure — the dedup-shaped one), and the KS drift test
+    // (its grid is sources × DISTINCT values, which duplication does not
+    // grow — the window cost must not multiply).
     val probes = Seq("x66_lsh_dedup_pairs_capped", "x72_dup_gram_coverage",
       "x69_curation_pipeline", "x107_edit_distance_pairs",
       "x117_source_dedup_matrix", "x126_bpe_merges", "x134_count_min_sketch",
       "x158_bloom_screen", "x160_hll_source_cardinality",
-      "x167_winnowing_pairs", "x168_shard_resize_audit")
+      "x167_winnowing_pairs", "x168_shard_resize_audit",
+      "x172_dsir_weights", "x173_token_entropy", "x175_minhash_merge_audit",
+      "x179_ks_drift")
 
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
     val docs = io.Tables(spark, base).documents

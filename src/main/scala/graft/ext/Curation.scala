@@ -627,6 +627,191 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Poisson-bootstrap confidence interval
+  // ---------------------------------------------------------------------
+
+  /** Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme
+    * built for map-reduce: each row draws an independent Poisson(1)
+    * replicate weight, so no global resample pass is needed) for the
+    * mean purchase value. Weights are DERANDOMIZED: u from the md5 of
+    * (event_id, replicate), inverse-CDF'd through the Poisson(1)
+    * cumulative thresholds (computed from exp(-1) as one shared
+    * expression tree, so both engines evaluate identical doubles).
+    *
+    * Per replicate, the estimate is a ratio of two INTEGER sums
+    * (weight·cents / weight); across the `reps` replicates every
+    * aggregate runs over 1e-9-snapped values, so the bootstrap mean and
+    * variance are exact dyadic arithmetic. Output: the point estimate,
+    * bootstrap mean/sd, and the 95% normal-approximation interval.
+    *
+    * Scale: the explode is ×reps (a constant), everything else is one
+    * keyed aggregate — the whole point of the Poisson bootstrap.
+    */
+  def poissonBootstrap(events: DataFrame, reps: Int = 20): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val e1 = exp(lit(-1.0))
+    // Cumulative Poisson(1) thresholds: P(X<=k) for k = 0..5.
+    val cums = Seq(
+      e1, e1 * lit(2.0), e1 * lit(2.5),
+      e1 * (lit(2.5) + lit(1.0) / lit(6.0)),
+      e1 * (lit(2.5) + lit(1.0) / lit(6.0) + lit(1.0) / lit(24.0)),
+      e1 * (lit(2.5) + lit(1.0) / lit(6.0) + lit(1.0) / lit(24.0)
+        + lit(1.0) / lit(120.0)))
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+    val exploded = purch
+      .select(col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .withColumn("u",
+        ((hash32(concat(col("event_id").cast("string"), lit("|boot|"),
+          col("r").cast("string"))) % lit(1000000L)).cast("double") + lit(0.5))
+          / lit(1000000.0))
+      .withColumn("w",
+        cums.zipWithIndex.foldRight(lit(6L): Column) { case ((c, k), acc) =>
+          when(col("u") < c, lit(k.toLong)).otherwise(acc)
+        })
+    val perRep = exploded.groupBy("r")
+      .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("ws"))
+      .select(col("r"), snap9(col("wc").cast("double") / col("ws").cast("double"))
+        .as("est"))
+      .withColumn("est2_fp",
+        floor(col("est") * col("est") * lit(1e9) + lit(0.5)).cast("long"))
+    val point = purch.agg(
+      sum(col("cents")).as("pc"), count(lit(1)).as("pn"))
+    perRep.agg(count(lit(1)).as("nr"), sum(col("est")).as("s1"),
+        sum(col("est2_fp")).as("s2fp"))
+      .crossJoin(broadcast(point))
+      .select(
+        round(col("pc").cast("double") / lit(100.0) / col("pn").cast("double"), 6)
+          .as("point_mean"),
+        col("nr").as("n_replicates"),
+        round(col("s1") / col("nr").cast("double") / lit(100.0), 6).as("boot_mean"),
+        round(sqrt(greatest(lit(0.0),
+          (col("s2fp").cast("double") / lit(1e9)
+            - col("s1") * col("s1") / col("nr").cast("double"))
+            / (col("nr") - 1).cast("double"))) / lit(100.0), 6).as("boot_sd"))
+      .withColumn("ci_lo", round(col("point_mean") - lit(1.96) * col("boot_sd"), 6))
+      .withColumn("ci_hi", round(col("point_mean") + lit(1.96) * col("boot_sd"), 6))
+  }
+
+  // ---------------------------------------------------------------------
+  // Split-conformal forecast band
+  // ---------------------------------------------------------------------
+
+  /** Split-conformal prediction band (Vovk et al.; Lei et al. 2018) over
+    * the daily event count: fit the robust Theil–Sen line on the first
+    * ⌈2D/3⌉ days, take the ⌈(m+1)·0.9⌉-th smallest absolute residual on
+    * the held-out calibration days as the conformal quantile q, and
+    * report the day-(D+1) forecast band ŷ ± q. Finite-sample coverage
+    * ≥ 90% holds by exchangeability — no distributional assumption
+    * (CurationSpec pins the order-statistic coverage property on a
+    * fixture).
+    *
+    * All medians/order statistics run over snapped values; the quantile
+    * is an EXACT order statistic (row_number == k), not an
+    * interpolation.
+    */
+  def conformalBand(events: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+    val bounds = daily.agg(count(lit(1)).as("d"),
+      ceil(count(lit(1)).cast("double") * lit(2.0) / lit(3.0)).as("n_train"))
+    val withB = daily.crossJoin(broadcast(bounds))
+    val train = withB.filter(col("i") <= col("n_train"))
+    val slopes = train.select(col("i").as("i1"), col("y").as("y1"))
+      .join(train.select(col("i").as("i2"), col("y").as("y2")),
+        col("i1") < col("i2"))
+      .select(snap9((col("y2") - col("y1")).cast("double")
+        / (col("i2") - col("i1")).cast("double")).as("s"))
+    val slope = slopes.agg(expr("percentile(s, 0.5D)").as("b"))
+    val inter = train.crossJoin(broadcast(slope))
+      .select(snap9(col("y").cast("double") - col("b") * col("i").cast("double"))
+        .as("r0"), col("b"))
+      .groupBy("b").agg(expr("percentile(r0, 0.5D)").as("a"))
+    val cal = withB.crossJoin(broadcast(inter))
+      .filter(col("i") > col("n_train"))
+      .select(col("d"), col("n_train"), col("a"), col("b"),
+        snap9(abs(col("y").cast("double")
+          - (col("a") + col("b") * col("i").cast("double")))).as("ar"))
+    val m = cal.groupBy("d", "n_train", "a", "b").agg(count(lit(1)).as("m"))
+    val q = cal.join(m, Seq("d", "n_train", "a", "b"))
+      .withColumn("k", ceil((col("m") + 1).cast("double") * lit(0.9)))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ar").asc, col("d").asc)).cast("long"))
+      .filter(col("rn") === least(col("k"), col("m")))
+    q.select(col("d").as("n_days"), col("n_train"), col("m").as("n_cal"),
+      round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"),
+      round(col("ar"), 6).as("q90"),
+      round(col("a") + col("b") * (col("d") + 1).cast("double"), 6)
+        .as("forecast_next"),
+      round(col("a") + col("b") * (col("d") + 1).cast("double") - col("ar"), 6)
+        .as("band_lo"),
+      round(col("a") + col("b") * (col("d") + 1).cast("double") + col("ar"), 6)
+        .as("band_hi"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Quantization recall evaluation
+  // ---------------------------------------------------------------------
+
+  /** Retrieval impact of int8 scalar quantization: recall@k of the
+    * quantized index against full-precision brute-force truth for the
+    * pinned query set — the eval table that decides whether SQ8 is free
+    * at serving time. Quantized scores are EXACT integer dot products
+    * (Σ qa·qb as a sequential fold over int codes, |q| ≤ 127 so the sum
+    * is far inside exact-double range) times the two per-vector scales;
+    * ranking ties break on vec_id.
+    *
+    * Scale: queries broadcast; the corpus streams once per side.
+    */
+  def quantizationRecall(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 5): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val quant = e
+      .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
+      .withColumn("q", transform(col("emb"),
+        x => when(col("mx") === 0, lit(0))
+          .otherwise(floor(x * lit(127.0) / col("mx") + lit(0.5))).cast("int")))
+      .withColumn("scale", col("mx") / lit(127.0))
+      .select(col("vec_id"), col("q"), col("scale"))
+    val qq = quant.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("scale").as("sa"))
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val qTop = quant.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (intDot(col("qa"), col("q")).cast("double") * col("sa") * col("scale"))
+          .as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+    val tq = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val truth = e.crossJoin(broadcast(tq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Similarity.dot(col("qe"), col("emb")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+    truth.select(col("qid"), col("nid"))
+      .join(qTop.select(col("qid"), col("nid"), lit(1).as("hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(k.toDouble), 6).as("recall"))
+      .orderBy("qid")
+  }
+
+  // ---------------------------------------------------------------------
   // RFM segmentation
   // ---------------------------------------------------------------------
 

@@ -679,6 +679,170 @@ object Frontier {
              |         / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini,
              |       round(CAST(top_cents AS DOUBLE) / CAST(tot AS DOUBLE), 6)
              |         AS top_decile_share
-             |FROM top""".stripMargin))
+             |FROM top""".stripMargin)),
+
+    // Poisson-bootstrap CI for the mean purchase value: derandomized
+    // Poisson(1) replicate weights, integer ratio estimates per
+    // replicate, snapped-grid moments.
+    QueryDef(
+      "x188_poisson_bootstrap",
+      (s, dir) => Curation.poissonBootstrap(Tables(s, dir).events),
+      Some(
+        raw"""WITH purch AS (
+             |  SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'
+             |), expl AS (
+             |  SELECT event_id, cents, r
+             |  FROM purch CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS r)
+             |), uu AS (
+             |  SELECT cents, r,
+             |         (CAST(CAST(('0x'||substring(md5(CAST(event_id AS VARCHAR)
+             |             || '|boot|' || CAST(r AS VARCHAR)),1,8)) AS BIGINT)
+             |           % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+             |  FROM expl
+             |), ww AS (
+             |  SELECT cents, r,
+             |         CASE WHEN u < exp(-1.0) THEN 0
+             |              WHEN u < exp(-1.0) * 2.0 THEN 1
+             |              WHEN u < exp(-1.0) * 2.5 THEN 2
+             |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0) THEN 3
+             |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0) THEN 4
+             |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0 + 1.0/120.0)
+             |                THEN 5
+             |              ELSE 6 END AS w
+             |  FROM uu
+             |), per AS (
+             |  SELECT r, floor(CAST(SUM(w * cents) AS DOUBLE)
+             |           / CAST(SUM(w) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS est
+             |  FROM ww GROUP BY 1
+             |), per2 AS (
+             |  SELECT r, est,
+             |         CAST(floor(est * est * 1e9 + 0.5) AS BIGINT) AS est2_fp
+             |  FROM per
+             |), agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS nr, SUM(est) AS s1,
+             |         CAST(SUM(est2_fp) AS BIGINT) AS s2fp
+             |  FROM per2
+             |), pt AS (
+             |  SELECT CAST(SUM(cents) AS BIGINT) AS pc,
+             |         CAST(COUNT(*) AS BIGINT) AS pn
+             |  FROM purch
+             |), base AS (
+             |  SELECT round(CAST(pc AS DOUBLE) / 100.0 / CAST(pn AS DOUBLE), 6)
+             |           AS point_mean,
+             |         nr AS n_replicates,
+             |         round(s1 / CAST(nr AS DOUBLE) / 100.0, 6) AS boot_mean,
+             |         round(sqrt(greatest(0.0,
+             |           (CAST(s2fp AS DOUBLE) / 1e9 - s1 * s1 / CAST(nr AS DOUBLE))
+             |             / CAST(nr - 1 AS DOUBLE))) / 100.0, 6) AS boot_sd
+             |  FROM agg CROSS JOIN pt
+             |)
+             |SELECT point_mean, n_replicates, boot_mean, boot_sd,
+             |       round(point_mean - 1.96 * boot_sd, 6) AS ci_lo,
+             |       round(point_mean + 1.96 * boot_sd, 6) AS ci_hi
+             |FROM base""".stripMargin)),
+
+    // Split-conformal forecast band over daily volume: Theil–Sen fit on
+    // the first 2/3, exact order-statistic q90 on the held-out days.
+    QueryDef(
+      "x189_conformal_band",
+      (s, dir) => Curation.conformalBand(Tables(s, dir).events),
+      Some(
+        raw"""WITH daily AS (
+             |  SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+             |  FROM (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |               CAST(COUNT(*) AS BIGINT) AS y
+             |        FROM events GROUP BY 1)
+             |), b0 AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             |         CAST(ceil(CAST(COUNT(*) AS DOUBLE) * 2.0 / 3.0) AS BIGINT)
+             |           AS n_train
+             |  FROM daily
+             |), train AS (
+             |  SELECT daily.* FROM daily CROSS JOIN b0 WHERE i <= n_train
+             |), slopes AS (
+             |  SELECT floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+             |           * 1e9 + 0.5) / 1e9 AS s
+             |  FROM train a JOIN train b ON a.i < b.i
+             |), sl AS (
+             |  SELECT median(s) AS b FROM slopes
+             |), ic AS (
+             |  SELECT sl.b,
+             |         median(floor((CAST(t.y AS DOUBLE) - sl.b * CAST(t.i AS DOUBLE))
+             |           * 1e9 + 0.5) / 1e9) AS a
+             |  FROM train t CROSS JOIN sl GROUP BY sl.b
+             |), cal AS (
+             |  SELECT b0.d, b0.n_train, ic.a, ic.b,
+             |         floor(abs(CAST(y AS DOUBLE)
+             |           - (ic.a + ic.b * CAST(i AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS ar
+             |  FROM daily CROSS JOIN b0 CROSS JOIN ic WHERE i > b0.n_train
+             |), mm AS (
+             |  SELECT d, n_train, a, b, CAST(COUNT(*) AS BIGINT) AS m
+             |  FROM cal GROUP BY 1, 2, 3, 4
+             |), rk AS (
+             |  SELECT cal.d, cal.n_train, cal.a, cal.b, cal.ar, mm.m,
+             |         CAST(ceil(CAST(mm.m + 1 AS DOUBLE) * 0.9) AS BIGINT) AS k,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY cal.ar ASC, cal.d ASC)
+             |           AS BIGINT) AS rn
+             |  FROM cal JOIN mm ON mm.d = cal.d AND mm.n_train = cal.n_train
+             |   AND mm.a = cal.a AND mm.b = cal.b
+             |)
+             |SELECT d AS n_days, n_train, m AS n_cal,
+             |       round(b, 6) AS slope, round(a, 6) AS intercept,
+             |       round(ar, 6) AS q90,
+             |       round(a + b * CAST(d + 1 AS DOUBLE), 6) AS forecast_next,
+             |       round(a + b * CAST(d + 1 AS DOUBLE) - ar, 6) AS band_lo,
+             |       round(a + b * CAST(d + 1 AS DOUBLE) + ar, 6) AS band_hi
+             |FROM rk WHERE rn = least(k, m)""".stripMargin)),
+
+    // Int8 scalar-quantization recall: quantized top-k (exact integer
+    // code dots x scales) vs full-precision truth for the pinned
+    // queries.
+    QueryDef(
+      "x190_quantization_recall",
+      (s, dir) => Curation.quantizationRecall(Tables(s, dir).embeddings,
+        0L until 10L),
+      Some(
+        raw"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), mxs AS (
+             |  SELECT vec_id, emb,
+             |         list_aggregate(list_transform(emb, y -> abs(y)), 'max') AS mx
+             |  FROM e
+             |), quant AS (
+             |  SELECT vec_id,
+             |         list_transform(emb, x -> CASE WHEN mx = 0 THEN 0
+             |           ELSE CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER) END) AS q,
+             |         mx / 127.0 AS scale
+             |  FROM mxs
+             |), qq AS (
+             |  SELECT vec_id AS qid, q AS qa, scale AS sa
+             |  FROM quant WHERE vec_id < 10
+             |), qtop AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT qq.qid, c.vec_id AS nid,
+             |           ROW_NUMBER() OVER (PARTITION BY qq.qid
+             |             ORDER BY list_dot_product(qq.qa, c.q) * qq.sa * c.scale
+             |               DESC, c.vec_id ASC) AS rn
+             |    FROM quant c CROSS JOIN qq WHERE c.vec_id <> qq.qid) t
+             |  WHERE rn <= 5
+             |), tq AS (
+             |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10
+             |), truth AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT tq.qid, e.vec_id AS nid,
+             |           ROW_NUMBER() OVER (PARTITION BY tq.qid
+             |             ORDER BY list_dot_product(tq.qe, e.emb) DESC, e.vec_id ASC)
+             |             AS rn
+             |    FROM e CROSS JOIN tq WHERE e.vec_id <> tq.qid) t
+             |  WHERE rn <= 5
+             |)
+             |SELECT t.qid,
+             |       CAST(SUM(CASE WHEN q.nid IS NOT NULL THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_overlap,
+             |       round(CAST(SUM(CASE WHEN q.nid IS NOT NULL THEN 1 ELSE 0 END)
+             |         AS DOUBLE) / 5.0, 6) AS recall
+             |FROM truth t LEFT JOIN qtop q ON q.qid = t.qid AND q.nid = t.nid
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

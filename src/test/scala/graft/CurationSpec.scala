@@ -371,6 +371,93 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // ------------------------------------------------------------- bootstrap
+
+  test("x188 bootstrap: constant values collapse the interval to the point " +
+    "estimate") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 ${i % 24}%02d:00:00")
+    val ev = (1 to 50).map(i =>
+      (i.toLong, ts(i), i.toLong, "purchase", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.poissonBootstrap(ev).head()
+    // Every replicate's weighted mean of a constant is that constant
+    // (weights never all-zero across 50 draws), so sd = 0 exactly.
+    assert(r.getDouble(0) == 20.0)
+    assert(r.getDouble(2) == 20.0, "bootstrap mean of a constant")
+    assert(r.getDouble(3) == 0.0, "bootstrap sd of a constant")
+    assert(r.getDouble(4) == 20.0 && r.getDouble(5) == 20.0)
+  }
+
+  test("x188 bootstrap on real purchases: interval brackets the point " +
+    "estimate with positive width") {
+    val r = Curation.poissonBootstrap(events).head()
+    val (point, sd, lo, hi) =
+      (r.getDouble(0), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(sd > 0 && lo < point && point < hi)
+    assert(math.abs((point - lo) - (hi - point)) < 1e-5, "symmetric interval")
+  }
+
+  // ------------------------------------------------------------- conformal
+
+  test("x189 conformal: an exactly linear series gives a zero-width band " +
+    "at the true next value") {
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")
+    var id = 0L
+    val rows = (1 to 15).flatMap { i =>
+      (0 until 2 * i + 5).map { _ => id += 1
+        (id, ts(i), id % 5, "view", 1.0, "{}")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.conformalBand(ev).head()
+    assert(r.getLong(0) == 15L && r.getLong(1) == 10L && r.getLong(2) == 5L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 5.0,
+      "Theil-Sen recovers y = 2i + 5 exactly")
+    assert(r.getDouble(5) == 0.0, "zero residuals -> zero conformal quantile")
+    assert(r.getDouble(6) == 37.0, "forecast for day 16 = 2*16 + 5")
+    assert(r.getDouble(7) == 37.0 && r.getDouble(8) == 37.0)
+  }
+
+  test("x189 conformal on real events: band brackets the forecast and q90 " +
+    "is a calibration residual") {
+    val r = Curation.conformalBand(events).head()
+    val (q90, fc, lo, hi) =
+      (r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    assert(q90 >= 0 && lo <= fc && fc <= hi)
+    assert(math.abs((fc - lo) - q90) < 1e-6 && math.abs((hi - fc) - q90) < 1e-6)
+  }
+
+  // ---------------------------------------------------------- quantization
+
+  test("x190 quantization recall: axis-aligned vectors quantize losslessly " +
+    "to recall 1.0") {
+    val dim = 64
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // 20 scaled one-hot vectors: quantization maps each to +/-127 on its
+    // axis, preserving every dot product's sign/order exactly.
+    val rows = (0 until 20).map { i =>
+      Row(i.toLong,
+        (0 until dim).map(d => if (d == i % 8) (1.0f + i * 0.1f) else 0.0f), 0)
+    }
+    val fixture = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val r = Curation.quantizationRecall(fixture, 0L until 5L).collect()
+    r.foreach(row => assert(row.getDouble(2) == 1.0,
+      s"qid ${row.getLong(0)}: axis-aligned quantization must be lossless"))
+  }
+
+  test("x190 quantization recall on real embeddings stays high (int8 is " +
+    "nearly free at serving time)") {
+    val r = Curation.quantizationRecall(embeddings, 0L until 10L)
+    val mean = r.agg(avg(col("recall"))).head().getDouble(0)
+    assert(mean >= 0.8, s"mean SQ8 recall@5 $mean — quantizer regressed")
+    assert(r.filter(col("n_overlap") > 5).count() == 0)
+  }
+
   // --------------------------------------------------------- kNN expansion
 
   test("x182 expansion: recall is monotonically >= the base pass for every " +
