@@ -812,6 +812,113 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Neyman stratified-sampling allocation
+  // ---------------------------------------------------------------------
+
+  /** Variance-optimal stratified sampling design (Neyman 1934): allocate
+    * a fixed sample budget across sources proportionally to N_h·S_h
+    * (stratum size × stratum standard deviation of document length),
+    * side by side with the naive proportional allocation. The variances
+    * come from exact integer sufficient statistics (Σy, Σy² per
+    * stratum); each stratum weight snaps to the 1e-9 grid so the
+    * allocation denominator is an exact sum.
+    *
+    * Scale: one aggregate per stratum; the allocation arithmetic runs
+    * over #sources rows.
+    */
+  def neymanAllocation(docs: DataFrame, budget: Int = 100): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val strata = docs.groupBy("source").agg(
+      count(lit(1)).as("nh"),
+      sum(col("n_chars")).as("sy"),
+      sum(col("n_chars") * col("n_chars")).as("syy"))
+    val tot = strata.agg(sum(col("nh")).as("n"))
+    val withS = strata
+      .withColumn("variance",
+        (col("nh").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+          / (col("nh").cast("double") * (col("nh") - 1).cast("double")))
+      .withColumn("sh", snap9(sqrt(greatest(lit(0.0), col("variance")))))
+      .withColumn("wh", snap9(col("nh").cast("double") * col("sh")))
+    val wTot = withS.agg(sum(col("wh")).as("wsum"))
+    withS.crossJoin(broadcast(tot)).crossJoin(broadcast(wTot))
+      .select(col("source"), col("nh").as("n_stratum"),
+        round(col("sh"), 6).as("stddev"),
+        floor(lit(budget.toDouble) * col("nh").cast("double")
+          / col("n").cast("double") + lit(0.5)).cast("long").as("alloc_prop"),
+        floor(lit(budget.toDouble) * col("wh") / col("wsum") + lit(0.5))
+          .cast("long").as("alloc_neyman"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // Capture–recapture distinct-count estimate
+  // ---------------------------------------------------------------------
+
+  /** Lincoln–Petersen / Chapman capture–recapture estimate of the
+    * DISTINCT document count from two independent content-hash samples —
+    * the ecology estimator repurposed for "how big is this corpus after
+    * dedup, without running dedup": two ~30% captures keyed on the md5
+    * of the TEXT (so all copies of a document are captured together),
+    * overlap → N̂ = n_A·n_B/n_AB, with Chapman's +1 bias correction. The
+    * exact distinct count rides along as the audit.
+    *
+    * Scale: two hash predicates + three distinct aggregates; no joins of
+    * corpus against corpus.
+    */
+  def captureRecapture(docs: DataFrame, pct: Int = 30): DataFrame = {
+    val hA = hash32(concat(col("text"), lit("|capA"))) % 100
+    val hB = hash32(concat(col("text"), lit("|capB"))) % 100
+    val marked = docs.select(col("text"), (hA < pct).as("in_a"), (hB < pct).as("in_b"))
+    marked.agg(
+        count_distinct(when(col("in_a"), col("text"))).as("n_a"),
+        count_distinct(when(col("in_b"), col("text"))).as("n_b"),
+        count_distinct(when(col("in_a") && col("in_b"), col("text"))).as("n_both"),
+        count_distinct(col("text")).as("n_exact"))
+      .select(col("n_a"), col("n_b"), col("n_both"), col("n_exact"),
+        when(col("n_both") > 0,
+          round(col("n_a").cast("double") * col("n_b").cast("double")
+            / col("n_both").cast("double"), 6)).as("lp_estimate"),
+        round((col("n_a") + 1).cast("double") * (col("n_b") + 1).cast("double")
+          / (col("n_both") + 1).cast("double") - lit(1.0), 6).as("chapman_estimate"))
+      .withColumn("rel_error",
+        round(abs(col("chapman_estimate") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 6))
+  }
+
+  // ---------------------------------------------------------------------
+  // Good–Turing missing mass
+  // ---------------------------------------------------------------------
+
+  /** Good–Turing missing-mass estimate per source: P₀ = N₁/N (the
+    * probability the NEXT token drawn is an unseen type — the
+    * frequency-of-frequencies argument), plus the adjusted singleton
+    * count r* = 2·N₂/N₁. The vocabulary-saturation signal a corpus
+    * curator reads next to the Heaps curve (x121): high missing mass =
+    * the source still has unseen vocabulary worth collecting.
+    *
+    * Exact integers end to end (token counts → frequency-of-frequency
+    * counts); two final divisions.
+    */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    tc.groupBy("source").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("c") === 2, lit(1L)).otherwise(lit(0L))).as("n2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"),
+        when(col("n1") > 0,
+          round(lit(2.0) * col("n2").cast("double") / col("n1").cast("double"), 6))
+          .as("r_star"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
   // RFM segmentation
   // ---------------------------------------------------------------------
 

@@ -79,4 +79,52 @@ object Hll {
         s"round($corrected, 6) as hll_estimate",
         s"round(abs(round($corrected, 6) - cast(n_exact as double)) / cast(n_exact as double), 6) as rel_error")
   }
+
+  /** Shard-merge audit for the HLL registers — the cardinality twin of
+    * the MinHash merge audit (x175): registers computed per shard and
+    * UNIONED by element-wise max must equal the registers computed
+    * directly over the whole table, because max is associative — the
+    * exact property that lets every partition of a 100 TB scan sketch
+    * independently and merge in one tiny reduce. The audited merged
+    * registers then produce the union-cardinality estimate against the
+    * exact distinct count.
+    */
+  def mergeAudit(df: DataFrame, valueCol: String, shardKey: Column,
+      m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val remBits = 32 - (31 - Integer.numberOfLeadingZeros(m))
+    val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val base = df
+      .select(shardKey.as("shard"), (h % m).as("bucket"), h.as("hv"))
+      .select(col("shard"), col("bucket"), expr(s"hv div $m").as("w"))
+      .select(col("shard"), col("bucket"),
+        when(col("w") > 0, lit(remBits + 1) - length(expr("bin(w)")))
+          .otherwise(lit(remBits + 1)).cast("int").as("rank"))
+    val merged = base.groupBy("shard", "bucket").agg(max(col("rank")).as("reg"))
+      .groupBy("bucket").agg(max(col("reg")).as("reg"))
+    val direct = base.groupBy("bucket").agg(max(col("rank")).as("dreg"))
+    val mm = merged.join(direct, Seq("bucket"))
+      .agg(sum(when(col("reg") =!= col("dreg"), lit(1L)).otherwise(lit(0L)))
+        .as("n_mismatch"))
+    val scale = math.pow(2.0, (remBits + 1).toDouble)
+    val fp = merged.agg(count(lit(1)).as("n_buckets"),
+      sum(expr(s"shiftleft(1L, ${remBits + 1} - reg)")).as("sum_fp_present"))
+    val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
+    def d(x: Double): String = s"cast($x as double)"
+    val alpha = s"(${d(0.7213)} / (${d(1.0)} + ${d(1.079)} / ${d(m.toDouble)}))"
+    val est = s"($alpha * ${d(m.toDouble)} * ${d(m.toDouble)} * ${d(scale)}) / cast(sum_fp as double)"
+    val corrected =
+      s"""CASE WHEN $est <= ${d(2.5)} * ${d(m.toDouble)} AND v_empty > 0
+         |     THEN ${d(m.toDouble)} * ln(${d(m.toDouble)} / cast(v_empty as double))
+         |     ELSE $est END""".stripMargin
+    fp.select(
+        (lit(m) - col("n_buckets")).cast("long").as("v_empty"),
+        (col("sum_fp_present") +
+          (lit(m) - col("n_buckets")) * lit(scale.toLong)).as("sum_fp"))
+      .crossJoin(broadcast(mm)).crossJoin(broadcast(exact))
+      .selectExpr("n_mismatch", "v_empty", "sum_fp", "n_exact",
+        s"round($corrected, 6) as union_estimate",
+        s"round(abs(round($corrected, 6) - cast(n_exact as double)) / cast(n_exact as double), 6) as rel_error")
+  }
 }

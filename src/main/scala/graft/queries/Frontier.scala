@@ -843,6 +843,154 @@ object Frontier {
              |       round(CAST(SUM(CASE WHEN q.nid IS NOT NULL THEN 1 ELSE 0 END)
              |         AS DOUBLE) / 5.0, 6) AS recall
              |FROM truth t LEFT JOIN qtop q ON q.qid = t.qid AND q.nid = t.nid
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HLL register shard-merge audit + union cardinality: per-shard
+    // registers max-merged must equal the direct registers (the
+    // mergeability a distributed sketch rests on), estimate vs exact.
+    QueryDef(
+      "x191_hll_merge_audit",
+      (s, dir) => graft.ops.Hll.mergeAudit(Tables(s, dir).documents, "text",
+        org.apache.spark.sql.functions.col("doc_id") % 4),
+      Some {
+        val est = "(0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 * 134217728.0" +
+          " / CAST(sum_fp AS DOUBLE)"
+        val corrected =
+          s"""CASE WHEN $est <= 2.5 * 64.0 AND v_empty > 0
+             |     THEN 64.0 * ln(64.0 / CAST(v_empty AS DOUBLE))
+             |     ELSE $est END""".stripMargin
+        raw"""WITH h AS (
+             |  SELECT doc_id % 4 AS shard,
+             |         CAST(('0x'||substring(md5(text),1,8)) AS BIGINT) AS hv
+             |  FROM documents
+             |), ranks AS (
+             |  SELECT shard, hv % 64 AS bucket,
+             |         CASE WHEN hv // 64 > 0 THEN 27 - length(bin(hv // 64))
+             |              ELSE 27 END AS rank
+             |  FROM h
+             |), pershard AS (
+             |  SELECT shard, bucket, MAX(rank) AS reg FROM ranks GROUP BY 1, 2
+             |), merged AS (
+             |  SELECT bucket, MAX(reg) AS reg FROM pershard GROUP BY 1
+             |), direct AS (
+             |  SELECT bucket, MAX(rank) AS dreg FROM ranks GROUP BY 1
+             |), mm AS (
+             |  SELECT CAST(SUM(CASE WHEN m.reg <> d.dreg THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_mismatch
+             |  FROM merged m JOIN direct d USING (bucket)
+             |), fp AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             |         CAST(SUM(1::BIGINT << (27 - reg)) AS BIGINT) AS sum_fp_present
+             |  FROM merged
+             |), wf AS (
+             |  SELECT CAST(64 - n_buckets AS BIGINT) AS v_empty,
+             |         CAST(sum_fp_present + (64 - n_buckets) * 134217728 AS BIGINT)
+             |           AS sum_fp
+             |  FROM fp
+             |), ex AS (
+             |  SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact FROM documents
+             |)
+             |SELECT mm.n_mismatch, wf.v_empty, wf.sum_fp, ex.n_exact,
+             |       round($corrected, 6) AS union_estimate,
+             |       round(abs(round($corrected, 6) - CAST(n_exact AS DOUBLE))
+             |         / CAST(n_exact AS DOUBLE), 6) AS rel_error
+             |FROM mm CROSS JOIN wf CROSS JOIN ex""".stripMargin
+      }),
+
+    // Neyman variance-optimal allocation vs proportional, from exact
+    // integer sufficient statistics.
+    QueryDef(
+      "x192_neyman_allocation",
+      (s, dir) => Curation.neymanAllocation(Tables(s, dir).documents),
+      Some(
+        raw"""WITH strata AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+             |         CAST(SUM(n_chars) AS BIGINT) AS sy,
+             |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS syy
+             |  FROM documents GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(SUM(nh) AS BIGINT) AS n FROM strata
+             |), ws AS (
+             |  SELECT source, nh,
+             |         floor(sqrt(greatest(0.0,
+             |           (CAST(nh AS DOUBLE) * CAST(syy AS DOUBLE)
+             |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             |             / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))))
+             |           * 1e9 + 0.5) / 1e9 AS sh
+             |  FROM strata
+             |), ws2 AS (
+             |  SELECT source, nh, sh,
+             |         floor(CAST(nh AS DOUBLE) * sh * 1e9 + 0.5) / 1e9 AS wh
+             |  FROM ws
+             |), wt AS (
+             |  SELECT SUM(wh) AS wsum FROM ws2
+             |)
+             |SELECT source, nh AS n_stratum, round(sh, 6) AS stddev,
+             |       CAST(floor(100.0 * CAST(nh AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+             |         AS BIGINT) AS alloc_prop,
+             |       CAST(floor(100.0 * wh / wsum + 0.5) AS BIGINT) AS alloc_neyman
+             |FROM ws2 CROSS JOIN tot CROSS JOIN wt ORDER BY source""".stripMargin)),
+
+    // Lincoln–Petersen / Chapman capture–recapture estimate of the
+    // distinct-document count from two content-hash captures.
+    QueryDef(
+      "x193_capture_recapture",
+      (s, dir) => Curation.captureRecapture(Tables(s, dir).documents),
+      Some(
+        raw"""WITH m AS (
+             |  SELECT text,
+             |         CAST(('0x'||substring(md5(text || '|capA'),1,8)) AS BIGINT)
+             |           % 100 < 30 AS in_a,
+             |         CAST(('0x'||substring(md5(text || '|capB'),1,8)) AS BIGINT)
+             |           % 100 < 30 AS in_b
+             |  FROM documents
+             |), agg AS (
+             |  SELECT CAST(COUNT(DISTINCT CASE WHEN in_a THEN text END) AS BIGINT)
+             |           AS n_a,
+             |         CAST(COUNT(DISTINCT CASE WHEN in_b THEN text END) AS BIGINT)
+             |           AS n_b,
+             |         CAST(COUNT(DISTINCT CASE WHEN in_a AND in_b THEN text END)
+             |           AS BIGINT) AS n_both,
+             |         CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+             |  FROM m
+             |), base AS (
+             |  SELECT n_a, n_b, n_both, n_exact,
+             |         CASE WHEN n_both > 0
+             |              THEN round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             |                / CAST(n_both AS DOUBLE), 6) END AS lp_estimate,
+             |         round(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+             |           / CAST(n_both + 1 AS DOUBLE) - 1.0, 6) AS chapman_estimate
+             |  FROM agg
+             |)
+             |SELECT n_a, n_b, n_both, n_exact, lp_estimate, chapman_estimate,
+             |       round(abs(chapman_estimate - CAST(n_exact AS DOUBLE))
+             |         / CAST(n_exact AS DOUBLE), 6) AS rel_error
+             |FROM base""".stripMargin)),
+
+    // Good–Turing missing mass per source: P0 = N1/N and the adjusted
+    // singleton count 2*N2/N1.
+    QueryDef(
+      "x194_good_turing",
+      (s, dir) => Curation.goodTuring(Tables(s, dir).documents),
+      Some(
+        raw"""WITH tc AS (
+             |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT source,
+             |               unnest(string_split_regex(trim(text), '\s+')) AS w
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |)
+             |SELECT source,
+             |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |       CAST(COUNT(*) AS BIGINT) AS n_types,
+             |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(SUM(c) AS DOUBLE), 6) AS p_unseen,
+             |       CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+             |            THEN round(2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+             |              AS DOUBLE) / CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             |              AS DOUBLE), 6) END AS r_star
+             |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -371,6 +371,69 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // ------------------------------------------------------------ HLL merge
+
+  test("x191 HLL merge audit: zero register mismatches, and the union " +
+    "estimate is invariant under corpus duplication") {
+    val r = graft.ops.Hll.mergeAudit(docs, "text", col("doc_id") % 4).head()
+    assert(r.getLong(0) == 0L, "max-merge must reproduce direct registers")
+    // Duplicate every doc under fresh ids: distinct cardinality unchanged,
+    // so registers — functions of the distinct hash set — are identical.
+    val dup = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val r2 = graft.ops.Hll.mergeAudit(dup, "text", col("doc_id") % 4).head()
+    assert(r2.getLong(0) == 0L)
+    assert(r2.getDouble(4) == r.getDouble(4),
+      "duplication must not move a distinct-count sketch")
+    assert(r2.getLong(3) == r.getLong(3))
+  }
+
+  // ---------------------------------------------------------------- Neyman
+
+  test("x192 Neyman: a zero-variance stratum gets zero optimal allocation " +
+    "while proportional still funds it") {
+    val fixture = ((1 to 50).map(i => (i.toLong, "flat", 100L)) ++
+      (51 until 101).map(i => (i.toLong, "wild", (i % 17).toLong * 40)))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Curation.neymanAllocation(fixture).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("flat").getDouble(2) == 0.0)
+    assert(r("flat").getLong(4) == 0L, "sd=0 stratum needs no optimal samples")
+    assert(r("wild").getLong(4) == 100L, "all budget flows to the variance")
+    assert(r("flat").getLong(3) == 50L && r("wild").getLong(3) == 50L,
+      "proportional ignores variance")
+  }
+
+  // ------------------------------------------------------ capture-recapture
+
+  test("x193 capture-recapture: estimates are duplication-invariant and " +
+    "track the true distinct count") {
+    val r1 = Curation.captureRecapture(docs).head()
+    val dup = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val r2 = Curation.captureRecapture(dup).head()
+    assert(r1 == r2, "content-keyed captures cannot see row duplication")
+    val (nExact, chapman) = (r1.getLong(3), r1.getDouble(5))
+    // Chapman at 30% captures: sd ~ N/sqrt(overlap); accept 3 sd.
+    val sd = nExact / math.sqrt(math.max(1.0, r1.getLong(2).toDouble))
+    assert(math.abs(chapman - nExact) < 3 * sd,
+      s"estimate $chapman vs true $nExact (sd ~ $sd)")
+  }
+
+  // ------------------------------------------------------------ Good-Turing
+
+  test("x194 Good-Turing: all-singleton source has missing mass 1, " +
+    "no-singleton source has null r*") {
+    val fixture = Seq(
+      (1L, "a b c d", "onceeach"),
+      (2L, "x x y y z z", "twiceeach")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.goodTuring(fixture).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("onceeach").getDouble(5) == 1.0, "every type a singleton -> P0 = 1")
+    assert(r("onceeach").getLong(3) == 4L && r("onceeach").getLong(4) == 0L)
+    assert(r("twiceeach").getDouble(5) == 0.0 && r("twiceeach").isNullAt(6),
+      "no singletons -> zero missing mass, r* undefined")
+  }
+
   // ------------------------------------------------------------- bootstrap
 
   test("x188 bootstrap: constant values collapse the interval to the point " +
