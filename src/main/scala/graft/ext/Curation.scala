@@ -812,6 +812,189 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Next-event prediction evaluation
+  // ---------------------------------------------------------------------
+
+  /** Temporal train/test evaluation of the event-transition model: learn
+    * per-type argmax successors (the x109/x166 bigram chain) on the
+    * first `trainDays` calendar days, measure top-1 accuracy on
+    * within-test transitions of the remaining days, against the
+    * majority-class baseline. Everything is exact counts; argmax ties
+    * break (count desc, type asc).
+    *
+    * This is the eval harness shape every sequence model needs before a
+    * pipeline trusts it: temporal split (never random — events leak
+    * across a random split), frozen model, one accuracy number with its
+    * baseline.
+    */
+  def nextEventEval(events: DataFrame, trainDays: Int = 20): DataFrame = {
+    val withDay = events
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        date_trunc("day", col("ts")).as("day"))
+    val dayIdx = withDay.select(col("day")).distinct()
+      .withColumn("day_idx", row_number().over(Window.orderBy("day")).cast("long"))
+    val ev = withDay.join(broadcast(dayIdx), Seq("day"))
+      .withColumn("split", when(col("day_idx") <= trainDays, lit("train"))
+        .otherwise(lit("test")))
+    val w = Window.partitionBy(col("user_id"), col("split"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("split"), col("event_type").as("prev"), col("next_type"))
+    val model = trans.filter(col("split") === "train")
+      .groupBy("prev", "next_type").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("prev").orderBy(col("c").desc, col("next_type").asc)))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("next_type").as("predicted"))
+    val majority = trans.filter(col("split") === "train")
+      .groupBy("next_type").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("next_type").asc).limit(1)
+      .select(col("next_type").as("majority_type"))
+    val test = trans.filter(col("split") === "test")
+    test.join(broadcast(model), Seq("prev"), "left")
+      .crossJoin(broadcast(majority))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("predicted") === col("next_type"), lit(1L)).otherwise(lit(0L)))
+          .as("n_hits"),
+        sum(when(col("majority_type") === col("next_type"), lit(1L))
+          .otherwise(lit(0L))).as("n_majority_hits"))
+      .select(col("n_test"), col("n_hits"), col("n_majority_hits"),
+        round(col("n_hits").cast("double") / col("n_test").cast("double"), 6)
+          .as("accuracy"),
+        round(col("n_majority_hits").cast("double") / col("n_test").cast("double"), 6)
+          .as("baseline_accuracy"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Label-noise screening via kNN disagreement
+  // ---------------------------------------------------------------------
+
+  /** Confident-learning-lite mislabel screen: a vector whose nearest
+    * neighbors (sparse banded candidates, exact-cosine top-`k`)
+    * overwhelmingly carry a different label is a labeling suspect. The
+    * neighbor machinery is the registered ANN path (never all-pairs);
+    * labels ride the existing joins. Suspects = disagreement ≥
+    * `numNum/denNum` with at least `minNeighbors` neighbors (integer
+    * cross-multiplied test — no float threshold).
+    */
+  def labelNoiseScreen(embeddings: DataFrame, k: Int = 5,
+      numNum: Int = 4, denNum: Int = 5, minNeighbors: Int = 3): DataFrame = {
+    val top = Similarity.annTopK(embeddings, k, Similarity.SparseBands,
+      Similarity.SparseBandBits, Similarity.SparseBucketCap)
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    top
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("n_label") =!= col("label"), lit(1L)).otherwise(lit(0L)))
+          .as("n_disagree"))
+      .filter(col("n_neighbors") >= minNeighbors &&
+        col("n_disagree") * denNum >= col("n_neighbors") * numNum)
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_disagree"),
+        round(col("n_disagree").cast("double") / col("n_neighbors").cast("double"), 6)
+          .as("disagreement"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Log-odds characteristic keywords (Monroe et al. 2008)
+  // ---------------------------------------------------------------------
+
+  /** "Fightin' Words" (Monroe, Colaresi & Quinn 2008) with a uniform
+    * +1 prior: per source, the top-`top` tokens by the z-score of the
+    * smoothed log-odds ratio vs the rest of the corpus — the
+    * what-makes-this-source-different keyword extractor whose variance
+    * normalization fixes raw log-odds' low-frequency pathology.
+    * δ and its variance come from exact integer counts; each ln snaps
+    * to the 1e-9 grid, so δ is exact grid arithmetic and z is one
+    * shared expression tree.
+    */
+  def logOddsKeywords(docs: DataFrame, top: Int = 3): DataFrame = {
+    def snapLn(x: Column): Column = snapFp(log(x)) // 1e-9 fixed-point BIGINT
+    val sw = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("ysw"))
+    val wTot = sw.groupBy("w").agg(sum(col("ysw")).as("yw"))
+    val sTot = sw.groupBy("source").agg(sum(col("ysw")).as("ns"))
+    val vocab = wTot.agg(count(lit(1)).as("v"), sum(col("yw")).as("n"))
+    val scored = sw
+      .join(wTot, Seq("w"))
+      .join(broadcast(sTot), Seq("source"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("a", col("ysw") + 1)
+      .withColumn("b", col("ns") + col("v") - col("ysw") - 1)
+      .withColumn("c2", col("yw") - col("ysw") + 1)
+      .withColumn("d2", col("n") - col("ns") + col("v") - (col("yw") - col("ysw")) - 1)
+      .withColumn("delta_fp",
+        snapLn(col("a").cast("double")) - snapLn(col("b").cast("double"))
+          - snapLn(col("c2").cast("double")) + snapLn(col("d2").cast("double")))
+      .withColumn("z", round((col("delta_fp").cast("double") / lit(1e9))
+        / sqrt(lit(1.0) / col("a").cast("double")
+          + lit(1.0) / col("c2").cast("double")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("z").desc, col("w").asc))
+        .cast("long"))
+      .filter(col("rank") <= top)
+      .select(col("source"), col("rank"), col("w").as("word"), col("ysw"), col("z"))
+      .orderBy("source", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Chi-square independence (hour × event type)
+  // ---------------------------------------------------------------------
+
+  /** Pearson chi-square independence test between hour-of-day and event
+    * type — "does traffic MIX change over the day, or only volume".
+    * Each cell term (o−e)²/e is computed as (N·o − r·c)²/(N·r·c) from
+    * exact integers (the numerator in DOUBLE — identical operands on
+    * both engines — since N·o can square past int64), snapped to a 1e-6
+    * grid, and the chi-square total is the exact integer sum of those
+    * snapped terms. Zero cells of the full hour×type grid are included,
+    * as the test requires. Output: one row — the statistic, its degrees
+    * of freedom, and the single heaviest-contributing cell.
+    */
+  def hourTypeChiSquare(events: DataFrame): DataFrame = {
+    val obs = events
+      .select(hour(col("ts")).as("h"), col("event_type").as("t"))
+      .groupBy("h", "t").agg(count(lit(1)).as("o"))
+    val hours = obs.select("h").distinct()
+    val types = obs.select("t").distinct()
+    val rowTot = obs.groupBy("h").agg(sum(col("o")).as("r"))
+    val colTot = obs.groupBy("t").agg(sum(col("o")).as("c"))
+    val n = obs.agg(sum(col("o")).as("n"),
+      count_distinct(col("h")).as("nh"), count_distinct(col("t")).as("nt"))
+    val grid = hours.crossJoin(types)
+      .join(obs, Seq("h", "t"), "left")
+      .join(rowTot, Seq("h")).join(colTot, Seq("t"))
+      .crossJoin(broadcast(n))
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
+      .withColumn("term_fp", floor(
+        (col("n").cast("double") * col("o0").cast("double")
+          - col("r").cast("double") * col("c").cast("double"))
+          * (col("n").cast("double") * col("o0").cast("double")
+            - col("r").cast("double") * col("c").cast("double"))
+          / (col("n").cast("double") * col("r").cast("double")
+            * col("c").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    val chi = grid.groupBy("nh", "nt")
+      .agg(sum(col("term_fp")).as("chi_fp"))
+      .select(round(col("chi_fp").cast("double") / lit(1e6), 6).as("chi2"),
+        ((col("nh") - 1) * (col("nt") - 1)).as("dof"))
+    val top1 = grid
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("term_fp").desc, col("h").asc, col("t").asc)))
+      .filter(col("rank") === 1)
+      .select(concat(col("h").cast("string"), lit(":"), col("t")).as("top_cell"),
+        round(col("term_fp").cast("double") / lit(1e6), 6).as("top_cell_term"))
+    chi.crossJoin(broadcast(top1))
+  }
+
+  // ---------------------------------------------------------------------
   // Neyman stratified-sampling allocation
   // ---------------------------------------------------------------------
 

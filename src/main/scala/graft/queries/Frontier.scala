@@ -991,6 +991,192 @@ object Frontier {
              |            THEN round(2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
              |              AS DOUBLE) / CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
              |              AS DOUBLE), 6) END AS r_star
-             |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Temporal train/test eval of the event-transition model: argmax
+    // successor accuracy vs the majority baseline on held-out days.
+    QueryDef(
+      "x195_next_event_eval",
+      (s, dir) => Curation.nextEventEval(Tables(s, dir).events),
+      Some(
+        raw"""WITH wd AS (
+             |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |         event_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+             |  FROM events
+             |), di AS (
+             |  SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS day_idx
+             |  FROM (SELECT DISTINCT day FROM wd)
+             |), ev AS (
+             |  SELECT wd.user_id, wd.event_type, wd.us, wd.event_id,
+             |         CASE WHEN di.day_idx <= 20 THEN 'train' ELSE 'test' END AS split
+             |  FROM wd JOIN di USING (day)
+             |), trans AS (
+             |  SELECT split, event_type AS prev,
+             |         lead(event_type) OVER (PARTITION BY user_id, split
+             |           ORDER BY us, event_id) AS next_type
+             |  FROM ev
+             |  QUALIFY next_type IS NOT NULL
+             |), model AS (
+             |  SELECT prev, next_type AS predicted FROM (
+             |    SELECT prev, next_type, COUNT(*) AS c,
+             |           ROW_NUMBER() OVER (PARTITION BY prev
+             |             ORDER BY COUNT(*) DESC, next_type ASC) AS rn
+             |    FROM trans WHERE split = 'train' GROUP BY 1, 2) t
+             |  WHERE rn = 1
+             |), maj AS (
+             |  SELECT next_type AS majority_type FROM (
+             |    SELECT next_type, COUNT(*) AS c
+             |    FROM trans WHERE split = 'train' GROUP BY 1
+             |    ORDER BY c DESC, next_type ASC LIMIT 1)
+             |), test AS (
+             |  SELECT prev, next_type FROM trans WHERE split = 'test'
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             |       CAST(SUM(CASE WHEN m.predicted = t.next_type THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_hits,
+             |       CAST(SUM(CASE WHEN j.majority_type = t.next_type THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_majority_hits,
+             |       round(CAST(SUM(CASE WHEN m.predicted = t.next_type THEN 1 ELSE 0
+             |         END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+             |       round(CAST(SUM(CASE WHEN j.majority_type = t.next_type THEN 1
+             |         ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |         AS baseline_accuracy
+             |FROM test t LEFT JOIN model m USING (prev) CROSS JOIN maj j""".stripMargin)),
+
+    // kNN-disagreement mislabel screen over the sparse banded ANN path.
+    QueryDef(
+      "x196_label_noise_screen",
+      (s, dir) => Curation.labelNoiseScreen(Tables(s, dir).embeddings),
+      Some {
+        raw"""${Advanced.bandCandSql(Similarity.SparseBands,
+          Similarity.SparseBandBits, Similarity.SparseBucketCap)}, directed AS (
+             |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
+             |  UNION ALL
+             |  SELECT vec_b AS vec_id, vec_a AS neighbor_id FROM cand
+             |), lab AS (
+             |  SELECT vec_id, label FROM embeddings
+             |), topk AS (
+             |  SELECT vec_id, neighbor_id FROM (
+             |    SELECT d.vec_id, d.neighbor_id,
+             |           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+             |             ORDER BY list_dot_product(ea.emb, eb.emb) DESC,
+             |               d.neighbor_id ASC) AS rank
+             |    FROM directed d
+             |    JOIN e ea ON ea.vec_id = d.vec_id
+             |    JOIN e eb ON eb.vec_id = d.neighbor_id) r
+             |  WHERE rank <= 5
+             |), agg AS (
+             |  SELECT t.vec_id, la.label,
+             |         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+             |         CAST(SUM(CASE WHEN lb.label <> la.label THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_disagree
+             |  FROM topk t
+             |  JOIN lab la ON la.vec_id = t.vec_id
+             |  JOIN lab lb ON lb.vec_id = t.neighbor_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT vec_id, label, n_neighbors, n_disagree,
+             |       round(CAST(n_disagree AS DOUBLE) / CAST(n_neighbors AS DOUBLE), 6)
+             |         AS disagreement
+             |FROM agg
+             |WHERE n_neighbors >= 3 AND n_disagree * 5 >= n_neighbors * 4
+             |ORDER BY vec_id""".stripMargin
+      }),
+
+    // Monroe et al. log-odds characteristic keywords per source.
+    QueryDef(
+      "x197_logodds_keywords",
+      (s, dir) => Curation.logOddsKeywords(Tables(s, dir).documents),
+      Some(
+        raw"""WITH sw AS (
+             |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS ysw
+             |  FROM (SELECT source,
+             |               unnest(string_split_regex(trim(text), '\s+')) AS w
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |), wt AS (
+             |  SELECT w, CAST(SUM(ysw) AS BIGINT) AS yw FROM sw GROUP BY 1
+             |), st AS (
+             |  SELECT source, CAST(SUM(ysw) AS BIGINT) AS ns FROM sw GROUP BY 1
+             |), vv AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(yw) AS BIGINT) AS n
+             |  FROM wt
+             |), sc AS (
+             |  SELECT sw.source, sw.w, sw.ysw,
+             |         sw.ysw + 1 AS a,
+             |         st.ns + vv.v - sw.ysw - 1 AS b,
+             |         wt.yw - sw.ysw + 1 AS c2,
+             |         vv.n - st.ns + vv.v - (wt.yw - sw.ysw) - 1 AS d2
+             |  FROM sw JOIN wt USING (w) JOIN st USING (source) CROSS JOIN vv
+             |), zz AS (
+             |  SELECT source, w, ysw,
+             |         round((CAST(
+             |             CAST(floor(ln(CAST(a AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+             |           - CAST(floor(ln(CAST(b AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+             |           - CAST(floor(ln(CAST(c2 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+             |           + CAST(floor(ln(CAST(d2 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+             |           AS DOUBLE) / 1e9)
+             |           / sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(c2 AS DOUBLE)), 6)
+             |           AS z
+             |  FROM sc
+             |)
+             |SELECT source, rank, w AS word, ysw, z FROM (
+             |  SELECT source, w, ysw, z,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY z DESC, w ASC) AS BIGINT) AS rank
+             |  FROM zz) t
+             |WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
+
+    // Pearson chi-square independence of hour-of-day x event type.
+    QueryDef(
+      "x198_hour_type_chi2",
+      (s, dir) => Curation.hourTypeChiSquare(Tables(s, dir).events),
+      Some(
+        raw"""WITH obs AS (
+             |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+             |         event_type AS t, CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2
+             |), hrs AS (
+             |  SELECT DISTINCT h FROM obs
+             |), tps AS (
+             |  SELECT DISTINCT t FROM obs
+             |), rt AS (
+             |  SELECT h, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1
+             |), ct AS (
+             |  SELECT t, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1
+             |), nn AS (
+             |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+             |         CAST(COUNT(DISTINCT h) AS BIGINT) AS nh,
+             |         CAST(COUNT(DISTINCT t) AS BIGINT) AS nt
+             |  FROM obs
+             |), grid AS (
+             |  SELECT hrs.h, tps.t, COALESCE(obs.o, 0) AS o0, rt.r, ct.c,
+             |         nn.n, nn.nh, nn.nt
+             |  FROM hrs CROSS JOIN tps
+             |  LEFT JOIN obs ON obs.h = hrs.h AND obs.t = tps.t
+             |  JOIN rt ON rt.h = hrs.h
+             |  JOIN ct ON ct.t = tps.t
+             |  CROSS JOIN nn
+             |), terms AS (
+             |  SELECT h, t, nh, nt,
+             |         CAST(floor(
+             |           (CAST(n AS DOUBLE) * CAST(o0 AS DOUBLE)
+             |             - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+             |           * (CAST(n AS DOUBLE) * CAST(o0 AS DOUBLE)
+             |             - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+             |           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+             |             * CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS term_fp
+             |  FROM grid
+             |), chi AS (
+             |  SELECT round(CAST(SUM(term_fp) AS DOUBLE) / 1e6, 6) AS chi2,
+             |         (nh - 1) * (nt - 1) AS dof
+             |  FROM terms GROUP BY nh, nt
+             |), top1 AS (
+             |  SELECT CAST(h AS VARCHAR) || ':' || t AS top_cell,
+             |         round(CAST(term_fp AS DOUBLE) / 1e6, 6) AS top_cell_term
+             |  FROM terms ORDER BY term_fp DESC, h ASC, t ASC LIMIT 1
+             |)
+             |SELECT chi2, dof, top_cell, top_cell_term
+             |FROM chi CROSS JOIN top1""".stripMargin))
   )
 }

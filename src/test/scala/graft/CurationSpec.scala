@@ -371,6 +371,96 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // ------------------------------------------------------- next-event eval
+
+  test("x195 next-event eval: a deterministic journey scores accuracy 1.0 " +
+    "and beats the majority baseline") {
+    // Every user, every day: signup -> view -> purchase. The transition
+    // model is exact; majority class ('purchase' and 'view' tie -> asc
+    // tie-break 'purchase') cannot reach 1.0.
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+    var id = 0L
+    val rows = (1 to 25).flatMap { d =>
+      (1 to 3).flatMap { u =>
+        Seq("signup", "view", "purchase").zipWithIndex.map { case (t, i) =>
+          id += 1
+          (id, ts(d, 3 * u + i), u.toLong, t, 1.0, "{}")
+        }
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.nextEventEval(ev).head()
+    assert(r.getDouble(3) == 1.0, "deterministic chain must be fully predictable")
+    assert(r.getDouble(4) < 1.0, "majority baseline cannot explain a chain")
+    assert(r.getLong(0) > 0)
+  }
+
+  // ------------------------------------------------------------ label noise
+
+  test("x196 label noise: a vector planted inside the wrong cluster is " +
+    "flagged; consistent cluster members are not") {
+    val dim = 64
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def axisVec(axis: Int, jitterSeed: Int): Seq[Float] =
+      (0 until dim).map(d =>
+        if (d == axis) 1.0f
+        else if (d == (axis + 7 + jitterSeed) % dim) 0.05f else 0.0f)
+    // Cluster A: axis 0, label 0. Cluster B: axis 1, label 1. Vector 999
+    // sits in cluster A's cell but carries label 1.
+    val rows = (0 until 10).map(i => Row(i.toLong, axisVec(0, i), 0)) ++
+      (10 until 20).map(i => Row(i.toLong, axisVec(1, i), 1)) :+
+      Row(999L, axisVec(0, 3), 1)
+    val fixture = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val flagged = Curation.labelNoiseScreen(fixture).collect()
+    assert(flagged.map(_.getLong(0)).contains(999L),
+      "the mislabeled vector must be flagged")
+    assert(flagged.length == 1,
+      s"consistent members must pass: ${flagged.map(_.getLong(0)).mkString(",")}")
+  }
+
+  // --------------------------------------------------------------- log-odds
+
+  test("x197 log-odds: a word exclusive to one source ranks first for it " +
+    "with positive z") {
+    val fixture = ((1 to 10).map(i =>
+      (i.toLong, "common words shared across every source " + i, "plain")) ++
+      (11 to 20).map(i =>
+        (i.toLong, "common words shared zyzzyva zyzzyva zyzzyva " + i, "marked")))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.logOddsKeywords(fixture).collect()
+    val markedTop = r.filter(x => x.getString(0) == "marked" && x.getLong(1) == 1L).head
+    assert(markedTop.getString(2) == "zyzzyva")
+    assert(markedTop.getDouble(4) > 0)
+    // The exclusive word cannot rank for the OTHER source.
+    assert(!r.filter(_.getString(0) == "plain").map(_.getString(2)).contains("zyzzyva"))
+  }
+
+  // -------------------------------------------------------------- chi-square
+
+  test("x198 chi-square: exact independence gives 0; perfect association " +
+    "gives N") {
+    def ts(hour: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $hour%02d:30:00")
+    var id = 0L
+    def mk(hour: Int, t: String, n: Int) = (0 until n).map { _ =>
+      id += 1; (id, ts(hour), id % 5, t, 1.0, "{}")
+    }
+    // Independent: both hours carry the same 10:20 type mix.
+    val indep = (mk(1, "view", 10) ++ mk(1, "click", 20) ++
+      mk(2, "view", 10) ++ mk(2, "click", 20))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ri = Curation.hourTypeChiSquare(indep).head()
+    assert(ri.getDouble(0) == 0.0 && ri.getLong(1) == 1L)
+    // Perfect association: hour determines type -> chi2 = N for 2x2.
+    val dep = (mk(1, "view", 30) ++ mk(2, "click", 30))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rd = Curation.hourTypeChiSquare(dep).head()
+    assert(rd.getDouble(0) == 60.0, s"2x2 perfect association: chi2 = N, got ${rd.getDouble(0)}")
+  }
+
   // ------------------------------------------------------------ HLL merge
 
   test("x191 HLL merge audit: zero register mismatches, and the union " +
