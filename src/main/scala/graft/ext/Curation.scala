@@ -812,6 +812,124 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Data scaling-law probe
+  // ---------------------------------------------------------------------
+
+  /** Scaling-law measurement: how fast does the eval-set OOV rate fall as
+    * training data grows? Nested subsets (20/40/60/80/100% of the train
+    * pool by doc hash) each get a BIGRAM vocabulary (unigrams saturate on
+    * a small-vocabulary corpus — bigram space is where coverage still
+    * grows); the held-out eval set's out-of-vocabulary bigram rate per
+    * subset is fit with a log-log OLS → the power-law exponent α in
+    * oov ∝ tokens^α (expected negative — the "is more data still buying
+    * vocabulary" curve, the cheap cousin of a loss scaling law).
+    *
+    * The nested subsets cost ONE pass, not five: a token belongs to
+    * subset s iff the MINIMUM doc-hash over its occurrences is below s
+    * (min-threshold trick — the same observation that makes KMV/bottom-k
+    * sketches work), so per-subset vocabularies and token totals reduce
+    * to a 100-row histogram + one per-token min. The OLS runs on 1e-6
+    * fixed-point logs with integer sufficient statistics — exact.
+    */
+  def scalingLawProbe(docs: DataFrame,
+      pcts: Seq[Int] = Seq(20, 40, 60, 80, 100)): DataFrame = {
+    val evalHash = hash32(concat(col("doc_id").cast("string"), lit("|eval"))) % 100
+    val subHash = hash32(concat(col("doc_id").cast("string"), lit("|sub"))) % 100
+    val marked = docs.select(col("doc_id"), col("text"),
+      (evalHash < 10).as("is_eval"), subHash.as("h"))
+    val tok = marked
+      .select(col("is_eval"), col("h"), TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("is_eval"), col("h"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+      .select(col("is_eval"), col("h"),
+        array_join(slice(col("ts"), col("i"), lit(2)), " ").as("w"))
+    val trainTok = tok.filter(!col("is_eval"))
+    val tokH = trainTok.groupBy("w").agg(min(col("h")).as("min_h"))
+    val occByH = trainTok.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val evalTok = tok.filter(col("is_eval"))
+      .groupBy("w").agg(count(lit(1)).as("ce"))
+      .join(tokH, Seq("w"), "left")
+    val pctDf = docs.sparkSession.range(1)
+      .select(explode(array(pcts.map(p => lit(p)): _*)).as("pct"))
+    val perSubset = pctDf
+      .join(occByH, col("h") < col("pct"))
+      .groupBy("pct").agg(sum(col("cnt")).as("n_tokens"))
+      .join(pctDf
+        .crossJoin(evalTok)
+        .groupBy("pct").agg(
+          sum(col("ce")).as("n_eval"),
+          sum(when(col("min_h").isNull || col("min_h") >= col("pct"), col("ce"))
+            .otherwise(lit(0L))).as("n_oov")), Seq("pct"))
+    // 1e-6 fixed-point logs -> exact integer OLS over the |pcts| points.
+    def lnFp6(x: Column): Column =
+      floor(log(x) * lit(1e6) + lit(0.5)).cast("long")
+    val pts = perSubset
+      .withColumn("x_fp", lnFp6(col("n_tokens").cast("double")))
+      .withColumn("y_fp", lnFp6((col("n_oov").cast("double") + lit(1.0))
+        / (col("n_eval").cast("double") + lit(1.0))))
+    val fit = pts.agg(count(lit(1)).as("np"),
+        sum(col("x_fp")).as("sx"), sum(col("y_fp")).as("sy"),
+        sum(col("x_fp") * col("x_fp")).as("sxx"),
+        sum(col("x_fp") * col("y_fp")).as("sxy"))
+      .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        .as("alpha"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("pct").as("subset_pct"), col("n_tokens"), col("n_eval"),
+        col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_eval").cast("double"), 6)
+          .as("oov_rate"),
+        col("alpha"))
+      .orderBy("subset_pct")
+  }
+
+  // ---------------------------------------------------------------------
+  // Market-basket affinity
+  // ---------------------------------------------------------------------
+
+  /** Market-basket association mining over order baskets: support,
+    * confidence and lift for co-purchased part pairs, top-`top` by lift.
+    * Lift compares integer cross-products ((n_ab·N) vs (n_a·n_b)) so the
+    * ranking never touches a float until the final rounded report.
+    *
+    * Scale: the pair explode is per-ORDER (quadratic only in basket
+    * size, which is bounded ~7 in this schema — the standard market-
+    * basket shape), then pure keyed aggregates.
+    */
+  def marketBasket(lineitem: DataFrame, minSupport: Long = 3,
+      top: Int = 10): DataFrame = {
+    val basket = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = basket.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+    val partCnt = basket.groupBy("l_partkey").agg(count(lit(1)).as("np"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(partCnt.select(col("l_partkey").as("part_a"), col("np").as("n_a")),
+        Seq("part_a"))
+      .join(partCnt.select(col("l_partkey").as("part_b"), col("np").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_num", col("n_ab") * col("n_orders"))
+      .withColumn("lift_den", col("n_a") * col("n_b"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        (col("lift_num").cast("double") / col("lift_den").cast("double")).desc,
+        col("part_a").asc, col("part_b").asc)).cast("long"))
+      .filter(col("rank") <= top)
+      .select(col("rank"), col("part_a"), col("part_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        round(col("lift_num").cast("double") / col("lift_den").cast("double"), 6)
+          .as("lift"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"))
+      .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------------
   // Next-event prediction evaluation
   // ---------------------------------------------------------------------
 

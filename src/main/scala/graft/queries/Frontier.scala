@@ -1177,6 +1177,111 @@ object Frontier {
              |  FROM terms ORDER BY term_fp DESC, h ASC, t ASC LIMIT 1
              |)
              |SELECT chi2, dof, top_cell, top_cell_term
-             |FROM chi CROSS JOIN top1""".stripMargin))
+             |FROM chi CROSS JOIN top1""".stripMargin)),
+
+    // Data scaling-law probe: nested-subset OOV curve in one pass (min-
+    // hash threshold trick) + exact-integer log-log OLS exponent.
+    QueryDef(
+      "x199_scaling_law_probe",
+      (s, dir) => Curation.scalingLawProbe(Tables(s, dir).documents),
+      Some(
+        raw"""WITH marked AS (
+             |  SELECT doc_id, text,
+             |         CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR) || '|eval'),
+             |           1,8)) AS BIGINT) % 100 < 10 AS is_eval,
+             |         CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR) || '|sub'),
+             |           1,8)) AS BIGINT) % 100 AS h
+             |  FROM documents
+             |), tok AS (
+             |  SELECT is_eval, h, array_to_string(ts[i:i+1], ' ') AS w
+             |  FROM (SELECT is_eval, h, ts,
+             |               unnest(generate_series(1, len(ts) - 1)) AS i
+             |        FROM (SELECT is_eval, h,
+             |                     string_split_regex(trim(text), '\s+') AS ts
+             |              FROM marked)
+             |        WHERE len(ts) >= 2)
+             |), th AS (
+             |  SELECT w, CAST(MIN(h) AS BIGINT) AS min_h
+             |  FROM tok WHERE NOT is_eval GROUP BY 1
+             |), oh AS (
+             |  SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM tok WHERE NOT is_eval GROUP BY 1
+             |), et AS (
+             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ce
+             |  FROM tok WHERE is_eval GROUP BY 1
+             |), etj AS (
+             |  SELECT et.w, et.ce, th.min_h FROM et LEFT JOIN th USING (w)
+             |), pcts AS (
+             |  SELECT unnest([20, 40, 60, 80, 100]) AS pct
+             |), ntok AS (
+             |  SELECT pct, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+             |  FROM pcts JOIN oh ON oh.h < pcts.pct GROUP BY 1
+             |), oov AS (
+             |  SELECT pct, CAST(SUM(ce) AS BIGINT) AS n_eval,
+             |         CAST(SUM(CASE WHEN min_h IS NULL OR min_h >= pct THEN ce
+             |                       ELSE 0 END) AS BIGINT) AS n_oov
+             |  FROM pcts CROSS JOIN etj GROUP BY 1
+             |), pts AS (
+             |  SELECT n.pct, n.n_tokens, o.n_eval, o.n_oov,
+             |         CAST(floor(ln(CAST(n.n_tokens AS DOUBLE)) * 1e6 + 0.5)
+             |           AS BIGINT) AS x_fp,
+             |         CAST(floor(ln((CAST(o.n_oov AS DOUBLE) + 1.0)
+             |           / (CAST(o.n_eval AS DOUBLE) + 1.0)) * 1e6 + 0.5)
+             |           AS BIGINT) AS y_fp
+             |  FROM ntok n JOIN oov o USING (pct)
+             |), fit AS (
+             |  SELECT round(
+             |    CAST(COUNT(*) * SUM(x_fp * y_fp) - SUM(x_fp) * SUM(y_fp) AS DOUBLE)
+             |    / CAST(COUNT(*) * SUM(x_fp * x_fp) - SUM(x_fp) * SUM(x_fp)
+             |        AS DOUBLE), 6) AS alpha
+             |  FROM pts
+             |)
+             |SELECT pct AS subset_pct, n_tokens, n_eval, n_oov,
+             |       round(CAST(n_oov AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+             |         AS oov_rate,
+             |       alpha
+             |FROM pts CROSS JOIN fit ORDER BY subset_pct""".stripMargin)),
+
+    // Market-basket association mining: top part pairs by lift with
+    // integer cross-product ranking.
+    QueryDef(
+      "x200_market_basket",
+      (s, dir) => Curation.marketBasket(Tables(s, dir).lineitem),
+      Some(
+        raw"""WITH basket AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             |), no AS (
+             |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |  FROM basket
+             |), pc AS (
+             |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS np
+             |  FROM basket GROUP BY 1
+             |), pr AS (
+             |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |         CAST(COUNT(*) AS BIGINT) AS n_ab
+             |  FROM basket a JOIN basket b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+             |), sc AS (
+             |  SELECT pr.part_a, pr.part_b, pr.n_ab, pa.np AS n_a, pb.np AS n_b,
+             |         no.n_orders
+             |  FROM pr
+             |  JOIN pc pa ON pa.l_partkey = pr.part_a
+             |  JOIN pc pb ON pb.l_partkey = pr.part_b
+             |  CROSS JOIN no
+             |), rk AS (
+             |  SELECT part_a, part_b, n_ab, n_a, n_b, n_orders,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY
+             |           CAST(n_ab * n_orders AS DOUBLE)
+             |             / CAST(n_a * n_b AS DOUBLE) DESC,
+             |           part_a ASC, part_b ASC) AS BIGINT) AS rank
+             |  FROM sc
+             |)
+             |SELECT rank, part_a, part_b, n_ab, n_a, n_b,
+             |       round(CAST(n_ab * n_orders AS DOUBLE)
+             |         / CAST(n_a * n_b AS DOUBLE), 6) AS lift,
+             |       round(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+             |         AS confidence
+             |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin))
   )
 }

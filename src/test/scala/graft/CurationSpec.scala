@@ -371,6 +371,44 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // ------------------------------------------------------------ scaling law
+
+  test("x199 scaling law: subsets are nested (monotone tokens and OOV) and " +
+    "the fitted exponent is negative on real text") {
+    val r = Curation.scalingLawProbe(docs).collect()
+    assert(r.length == 5)
+    val toks = r.map(_.getLong(1))
+    val oov = r.map(_.getLong(3))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b },
+      "larger subset => more tokens")
+    assert(oov.zip(oov.tail).forall { case (a, b) => a >= b },
+      "min-hash nesting: a bigger subset can only shrink OOV")
+    assert(r.head.getDouble(5) < 0, "more data must buy bigram coverage")
+    assert(r.map(_.getDouble(5)).distinct.length == 1,
+      "alpha is one fit, repeated per row")
+  }
+
+  // ---------------------------------------------------------- market basket
+
+  test("x200 market basket: a planted always-together pair tops the lift " +
+    "ranking with confidence 1") {
+    // Parts 901/902 co-occur in orders 1-3 and nowhere else; parts 1-5
+    // pad every order so pair counting has background mass.
+    val rows = (1 to 9).flatMap { o =>
+      val pad = Seq((o.toLong, (o % 5 + 1).toLong), (o.toLong, (o % 3 + 6).toLong))
+      if (o <= 3) pad ++ Seq((o.toLong, 901L), (o.toLong, 902L)) else pad
+    }
+    val fixture = rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_linenumber", lit(1))
+    val r = Curation.marketBasket(fixture, minSupport = 3, top = 5).collect()
+    assert(r.nonEmpty)
+    val topRow = r.head
+    assert((topRow.getLong(1), topRow.getLong(2)) == (901L, 902L))
+    // lift = n_ab * N / (n_a * n_b) = 3 * 9 / (3 * 3) = 3.
+    assert(topRow.getDouble(6) == 3.0)
+    assert(topRow.getDouble(7) == 1.0, "they never appear apart")
+  }
+
   // ------------------------------------------------------- next-event eval
 
   test("x195 next-event eval: a deterministic journey scores accuracy 1.0 " +
