@@ -812,6 +812,148 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // James–Stein shrinkage
+  // ---------------------------------------------------------------------
+
+  /** James–Stein-style empirical-Bayes shrinkage of per-group means
+    * toward the grand mean: shrunk_g = w_g·raw_g + (1-w_g)·grand with
+    * w_g = n_g/(n_g + λ), λ = s²_within/s²_between (the standard
+    * variance-components plug-in). Small noisy groups move most; big
+    * groups barely — the partial-pooling estimate a per-nation /
+    * per-source dashboard should show instead of raw small-sample means.
+    *
+    * All sufficient statistics are exact integer cents; the handful of
+    * final ratios are snapped/rounded. Groups = event users' id modulo
+    * is NOT used — grouping is the purchase user's nation-sized bucket
+    * (user_id % 10), giving stable group sizes at every sf.
+    */
+  def jamesSteinShrinkage(events: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val purch = events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 10).as("grp"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+    val g = purch.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s"),
+      sum(col("cents") * col("cents")).as("ss"))
+    val tot = g.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+      count(lit(1)).as("k"))
+    val withG = g.crossJoin(broadcast(tot))
+      .withColumn("raw_mean", snap9(col("s").cast("double") / col("n").cast("double")))
+      .withColumn("grand_mean", snap9(col("st").cast("double") / col("nt").cast("double")))
+    // Within variance: pooled Σ_g (n·ss - s²)/n / (nt - k); between:
+    // n-weighted variance of group means around the grand mean. Each
+    // group's term lands on a 1e-3 fixed-point grid BEFORE the
+    // cross-group sum (the integer products n·ss and s² are exact in
+    // int64 at these magnitudes), so the k-term sums are order-free.
+    val terms = withG
+      .withColumn("w_fp", floor(
+        (col("n") * col("ss") - col("s") * col("s")).cast("double")
+          / col("n").cast("double") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("b_fp", floor(col("n").cast("double")
+        * (col("raw_mean") - col("grand_mean"))
+        * (col("raw_mean") - col("grand_mean")) * lit(1e3) + lit(0.5))
+        .cast("long"))
+    val vw = terms.agg(
+      snap9(sum(col("w_fp")).cast("double") / lit(1e3)
+        / (first(col("nt")) - first(col("k"))).cast("double")).as("s2w"),
+      snap9(sum(col("b_fp")).cast("double") / lit(1e3)
+        / (first(col("k")) - 1).cast("double")).as("s2b"))
+    withG.crossJoin(broadcast(vw))
+      .withColumn("lambda", snap9(col("s2w") / greatest(col("s2b"), lit(1e-9))))
+      .withColumn("w", snap9(col("n").cast("double")
+        / (col("n").cast("double") + col("lambda"))))
+      .select(col("grp"), col("n").as("n_purchases"),
+        round(col("raw_mean") / lit(100.0), 6).as("raw_mean"),
+        round(col("grand_mean") / lit(100.0), 6).as("grand_mean"),
+        round(col("w"), 6).as("weight"),
+        round((col("w") * col("raw_mean")
+          + (lit(1.0) - col("w")) * col("grand_mean")) / lit(100.0), 6)
+          .as("shrunk_mean"))
+      .orderBy("grp")
+  }
+
+  // ---------------------------------------------------------------------
+  // Trimmed mean
+  // ---------------------------------------------------------------------
+
+  /** Per-type 10%-trimmed mean of event values — the robust location
+    * estimate that survives the fat tails a raw mean drowns in. The trim
+    * boundaries are exact integer ranks (drop rank ≤ ⌈0.1n⌉ and
+    * > n-⌈0.1n⌉ per group, ties broken by event_id), the kept sum is
+    * integer cents, and the comparison column carries the untrimmed
+    * mean.
+    *
+    * Scale: one per-group rank window (partitioned) + one aggregate.
+    */
+  def trimmedMean(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+      col("event_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").asc, col("event_id").asc)
+    base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("cut", ceil(col("n").cast("double") * lit(0.1)))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        sum(col("cents")).as("s_all"),
+        sum(when(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"),
+          col("cents"))).as("s_kept"),
+        sum(when(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"),
+          lit(1L)).otherwise(lit(0L))).as("n_kept"))
+      .select(col("event_type"), col("n"), col("n_kept"),
+        round(col("s_all").cast("double") / lit(100.0) / col("n").cast("double"), 6)
+          .as("raw_mean"),
+        round(col("s_kept").cast("double") / lit(100.0)
+          / col("n_kept").cast("double"), 6).as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // CUPED variance reduction
+  // ---------------------------------------------------------------------
+
+  /** CUPED (Deng et al. 2013) — the experimentation-platform workhorse:
+    * adjust each user's experiment-period metric by their PRE-period
+    * covariate, Y' = Y - θ(X - X̄) with θ = cov(X,Y)/var(X), and report
+    * the variance reduction 1 - var(Y')/var(Y) = ρ². Pre-period = first
+    * 15 calendar days (activity count), experiment period = the rest
+    * (purchase cents). Sufficient statistics are exact integers; θ, the
+    * variances, and ρ² are a few final IEEE ops rounded to 6. The
+    * combination products (n·syy, sy²) stay inside int64 through sf≈1;
+    * a larger deployment swaps ONLY the final combination to
+    * DECIMAL(38,0) — the distributed per-partition sums remain long.
+    */
+  def cuped(events: DataFrame, preDays: Int = 15): DataFrame = {
+    val withDay = events
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+        date_trunc("day", col("ts")).as("day"))
+    val dayIdx = withDay.select("day").distinct()
+      .withColumn("day_idx", row_number().over(Window.orderBy("day")).cast("long"))
+    val ev = withDay.join(broadcast(dayIdx), Seq("day"))
+    val per = ev.groupBy("user_id").agg(
+      sum(when(col("day_idx") <= preDays, lit(1L)).otherwise(lit(0L))).as("x"),
+      sum(when(col("day_idx") > preDays && col("event_type") === "purchase",
+        col("cents")).otherwise(lit(0L))).as("y"))
+    per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_users"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("theta"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("variance_reduction"))
+  }
+
+  // ---------------------------------------------------------------------
   // Data scaling-law probe
   // ---------------------------------------------------------------------
 

@@ -1282,6 +1282,130 @@ object Frontier {
              |         / CAST(n_a * n_b AS DOUBLE), 6) AS lift,
              |       round(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
              |         AS confidence
-             |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin))
+             |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // James–Stein partial pooling of per-bucket purchase means.
+    QueryDef(
+      "x201_james_stein",
+      (s, dir) => Curation.jamesSteinShrinkage(Tables(s, dir).events),
+      Some(
+        raw"""WITH purch AS (
+             |  SELECT user_id % 10 AS grp,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'
+             |), g AS (
+             |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(cents) AS BIGINT) AS s,
+             |         CAST(SUM(cents * cents) AS BIGINT) AS ss
+             |  FROM purch GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+             |         CAST(COUNT(*) AS BIGINT) AS k
+             |  FROM g
+             |), wg AS (
+             |  SELECT g.grp, g.n, g.s, g.ss, t.nt, t.st, t.k,
+             |         floor(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) * 1e9 + 0.5)
+             |           / 1e9 AS raw_mean,
+             |         floor(CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE) * 1e9 + 0.5)
+             |           / 1e9 AS grand_mean
+             |  FROM g CROSS JOIN tot t
+             |), terms AS (
+             |  SELECT wg.*,
+             |         CAST(floor(CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE)
+             |           * 1e3 + 0.5) AS BIGINT) AS w_fp,
+             |         CAST(floor(CAST(n AS DOUBLE)
+             |           * (raw_mean - grand_mean) * (raw_mean - grand_mean)
+             |           * 1e3 + 0.5) AS BIGINT) AS b_fp
+             |  FROM wg
+             |), vw AS (
+             |  SELECT floor(CAST(SUM(w_fp) AS DOUBLE) / 1e3
+             |           / CAST(MIN(nt) - MIN(k) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS s2w,
+             |         floor(CAST(SUM(b_fp) AS DOUBLE) / 1e3
+             |           / CAST(MIN(k) - 1 AS DOUBLE) * 1e9 + 0.5) / 1e9 AS s2b
+             |  FROM terms
+             |), fin AS (
+             |  SELECT wg.grp, wg.n, wg.raw_mean, wg.grand_mean,
+             |         floor(CAST(wg.n AS DOUBLE) / (CAST(wg.n AS DOUBLE)
+             |           + floor(vw.s2w / greatest(vw.s2b, 1e-9) * 1e9 + 0.5) / 1e9)
+             |           * 1e9 + 0.5) / 1e9 AS w
+             |  FROM wg CROSS JOIN vw
+             |)
+             |SELECT grp, n AS n_purchases,
+             |       round(raw_mean / 100.0, 6) AS raw_mean,
+             |       round(grand_mean / 100.0, 6) AS grand_mean,
+             |       round(w, 6) AS weight,
+             |       round((w * raw_mean + (1.0 - w) * grand_mean) / 100.0, 6)
+             |         AS shrunk_mean
+             |FROM fin ORDER BY grp""".stripMargin)),
+
+    // 10%-trimmed robust mean per event type.
+    QueryDef(
+      "x202_trimmed_mean",
+      (s, dir) => Curation.trimmedMean(Tables(s, dir).events),
+      Some(
+        raw"""WITH base AS (
+             |  SELECT event_type,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, event_id
+             |  FROM events
+             |), rk AS (
+             |  SELECT event_type, cents,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |           ORDER BY cents ASC, event_id ASC) AS BIGINT) AS rk,
+             |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM base
+             |), cutd AS (
+             |  SELECT event_type, cents, rk, n,
+             |         CAST(ceil(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS cut
+             |  FROM rk
+             |)
+             |SELECT event_type, MIN(n) AS n,
+             |       CAST(SUM(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_kept,
+             |       round(CAST(SUM(cents) AS DOUBLE) / 100.0
+             |         / CAST(MIN(n) AS DOUBLE), 6) AS raw_mean,
+             |       round(CAST(SUM(CASE WHEN rk > cut AND rk <= n - cut THEN cents
+             |         END) AS DOUBLE) / 100.0
+             |         / CAST(SUM(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0
+             |         END) AS DOUBLE), 6) AS trimmed_mean
+             |FROM cutd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CUPED covariate adjustment: theta and the achieved variance
+    // reduction (rho^2) from exact integer sufficient statistics.
+    QueryDef(
+      "x203_cuped",
+      (s, dir) => Curation.cuped(Tables(s, dir).events),
+      Some(
+        raw"""WITH wd AS (
+             |  SELECT user_id, event_type,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+             |  FROM events
+             |), di AS (
+             |  SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS day_idx
+             |  FROM (SELECT DISTINCT day FROM wd)
+             |), per AS (
+             |  SELECT user_id,
+             |         CAST(SUM(CASE WHEN day_idx <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS x,
+             |         CAST(SUM(CASE WHEN day_idx > 15 AND event_type = 'purchase'
+             |           THEN cents ELSE 0 END) AS BIGINT) AS y
+             |  FROM wd JOIN di USING (day) GROUP BY 1
+             |), st AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |         CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM per
+             |)
+             |SELECT n AS n_users,
+             |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |         / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+             |       round((CAST(n * sxy - sx * sy AS DOUBLE)
+             |           * CAST(n * sxy - sx * sy AS DOUBLE))
+             |         / (CAST(n * sxx - sx * sx AS DOUBLE)
+             |           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             |         AS variance_reduction
+             |FROM st""".stripMargin))
   )
 }

@@ -371,6 +371,71 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // ------------------------------------------------------------ James-Stein
+
+  test("x201 James-Stein: a tiny group shrinks hardest and lands between " +
+    "its raw mean and the grand mean") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 ${i % 24}%02d:00:00")
+    var id = 0L
+    // grp 0: two purchases around 100.00 (tiny, extreme). grps 1-9:
+    // fifty purchases each around 20.00 (big, stable). Within-group
+    // noise (+/-1 around each mean) keeps the pooled within-variance
+    // positive so lambda > 0 and shrinkage is real.
+    val rows = Seq((10L, 90.0), (20L, 110.0)).map { case (u, v) =>
+        id += 1; (id, ts(1), u, "purchase", v, "{}") } ++
+      (1 to 9).flatMap { g =>
+        (0 until 50).map { j => id += 1
+          (id, ts(j), (g + 10 * j).toLong * 10 + g, "purchase",
+            if (j % 2 == 0) 19.0 else 21.0, "{}")
+        }
+      }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.jamesSteinShrinkage(ev).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val g0 = r(0L)
+    val others = (1 to 9).map(g => r(g.toLong))
+    assert(g0.getDouble(4) < others.map(_.getDouble(4)).min,
+      "smallest group must carry the smallest weight")
+    val (raw0, grand, shrunk0) = (g0.getDouble(2), g0.getDouble(3), g0.getDouble(5))
+    assert(shrunk0 < raw0 && shrunk0 > grand,
+      s"shrunk $shrunk0 must sit strictly between grand $grand and raw $raw0")
+  }
+
+  // ------------------------------------------------------------ trimmed mean
+
+  test("x202 trimmed mean: a single wild outlier moves the raw mean but " +
+    "not the trimmed one") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 ${i % 24}%02d:00:00")
+    val rows = (1 to 9).map(i => (i.toLong, ts(i), i.toLong, "view", 1.0, "{}")) :+
+      (10L, ts(10), 10L, "view", 1000.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.trimmedMean(ev).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 8L)
+    assert(r.getDouble(3) == 100.9, "raw mean dominated by the outlier")
+    assert(r.getDouble(4) == 1.0, "trimmed mean immune to it")
+  }
+
+  // ------------------------------------------------------------------ CUPED
+
+  test("x203 CUPED: a perfectly predictive pre-period covariate yields " +
+    "variance reduction 1 and the exact theta") {
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+    var id = 0L
+    // User i: i view events spread over pre-days, then one purchase of
+    // i.00 on day 16 -> y = 100x in cents, exactly.
+    val rows = (1 to 15).flatMap { u =>
+      (1 to u).map { j => id += 1
+        (id, ts(math.min(j, 15), (j % 20) + 1), u.toLong, "view", 1.0, "{}")
+      } :+ { id += 1; (id, ts(16, 1), u.toLong, "purchase", u.toDouble, "{}") }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.cuped(ev).head()
+    assert(r.getLong(0) == 15L)
+    assert(r.getDouble(1) == 100.0, s"theta must be exactly 100, got ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 1.0, "a deterministic covariate removes all variance")
+  }
+
   // ------------------------------------------------------------ scaling law
 
   test("x199 scaling law: subsets are nested (monotone tokens and OOV) and " +
