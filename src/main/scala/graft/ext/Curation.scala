@@ -649,14 +649,6 @@ object Curation {
     */
   def poissonBootstrap(events: DataFrame, reps: Int = 20): DataFrame = {
     def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
-    val e1 = exp(lit(-1.0))
-    // Cumulative Poisson(1) thresholds: P(X<=k) for k = 0..5.
-    val cums = Seq(
-      e1, e1 * lit(2.0), e1 * lit(2.5),
-      e1 * (lit(2.5) + lit(1.0) / lit(6.0)),
-      e1 * (lit(2.5) + lit(1.0) / lit(6.0) + lit(1.0) / lit(24.0)),
-      e1 * (lit(2.5) + lit(1.0) / lit(6.0) + lit(1.0) / lit(24.0)
-        + lit(1.0) / lit(120.0)))
     val purch = events.filter(col("event_type") === "purchase")
       .select(col("event_id"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
@@ -667,10 +659,7 @@ object Curation {
         ((hash32(concat(col("event_id").cast("string"), lit("|boot|"),
           col("r").cast("string"))) % lit(1000000L)).cast("double") + lit(0.5))
           / lit(1000000.0))
-      .withColumn("w",
-        cums.zipWithIndex.foldRight(lit(6L): Column) { case ((c, k), acc) =>
-          when(col("u") < c, lit(k.toLong)).otherwise(acc)
-        })
+      .withColumn("w", poissonWeight(col("u")))
     val perRep = exploded.groupBy("r")
       .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("ws"))
       .select(col("r"), snap9(col("wc").cast("double") / col("ws").cast("double"))
@@ -809,6 +798,104 @@ object Curation {
       .select(col("qid"), col("n_overlap"),
         round(col("n_overlap").cast("double") / lit(k.toDouble), 6).as("recall"))
       .orderBy("qid")
+  }
+
+  // ---------------------------------------------------------------------
+  // A/B test harness
+  // ---------------------------------------------------------------------
+
+  /** End-to-end A/B readout in one query — the experimentation loop's
+    * three non-negotiables: (1) deterministic hash arm assignment, (2)
+    * the sample-ratio-mismatch guard (1-dof chi-square of the observed
+    * split against 50/50 — a silently broken randomizer invalidates
+    * everything downstream, so it rides with every readout), (3) the
+    * treatment-control difference in per-user purchase value with a
+    * Poisson-bootstrap CI (shared replicate weights per user, x188's
+    * derandomized machinery — per-arm replicate means are integer
+    * ratios, their differences live on the snapped grid, so the CI is
+    * exact dyadic arithmetic).
+    *
+    * The synthetic assignment is an A/A test by construction (the hash
+    * is independent of behavior), so the honest expectation — and the
+    * spec's contract — is an interval that covers zero.
+    */
+  def abTestHarness(events: DataFrame, reps: Int = 20): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val perUser = events
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))).as("y"))
+      .withColumn("arm",
+        (hash32(concat(col("user_id").cast("string"), lit("|ab"))) % 2).cast("int"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val srm = arms.agg(
+      sum(when(col("arm") === 0, col("n")).otherwise(lit(0L))).as("n_a"),
+      sum(when(col("arm") === 1, col("n")).otherwise(lit(0L))).as("n_b"),
+      snap9(sum(when(col("arm") === 0, col("s")).otherwise(lit(0L))).cast("double")
+        / sum(when(col("arm") === 0, col("n")).otherwise(lit(0L))).cast("double"))
+        .as("mean_a_c"),
+      snap9(sum(when(col("arm") === 1, col("s")).otherwise(lit(0L))).cast("double")
+        / sum(when(col("arm") === 1, col("n")).otherwise(lit(0L))).cast("double"))
+        .as("mean_b_c"))
+    val exploded = perUser
+      .select(col("user_id"), col("arm"), col("y"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .withColumn("w", poissonWeight(
+        ((hash32(concat(col("user_id").cast("string"), lit("|boot|"),
+          col("r").cast("string"))) % lit(1000000L)).cast("double") + lit(0.5))
+          / lit(1000000.0)))
+    val perRep = exploded.groupBy("r").agg(
+        sum(when(col("arm") === 0, col("w") * col("y")).otherwise(lit(0L))).as("wya"),
+        sum(when(col("arm") === 0, col("w")).otherwise(lit(0L))).as("wa"),
+        sum(when(col("arm") === 1, col("w") * col("y")).otherwise(lit(0L))).as("wyb"),
+        sum(when(col("arm") === 1, col("w")).otherwise(lit(0L))).as("wb"))
+      // A replicate whose Poisson draws zero out an entire (small) arm
+      // carries no between-arm information — drop it rather than divide
+      // by a zero weight sum (deterministically mirrored in the oracle).
+      .filter(col("wa") > 0 && col("wb") > 0)
+      .select(snap9(col("wya").cast("double") / col("wa").cast("double"))
+        .minus(snap9(col("wyb").cast("double") / col("wb").cast("double")))
+        .as("d"))
+      .withColumn("d2_fp", floor(col("d") * col("d") * lit(1e9) + lit(0.5))
+        .cast("long"))
+    val boot = perRep.agg(count(lit(1)).as("nr"), sum(col("d")).as("s1"),
+      sum(col("d2_fp")).as("s2fp"))
+    srm.crossJoin(broadcast(boot))
+      .withColumn("diff_c", col("mean_a_c") - col("mean_b_c"))
+      .withColumn("sd_c", sqrt(greatest(lit(0.0),
+        (col("s2fp").cast("double") / lit(1e9)
+          - col("s1") * col("s1") / col("nr").cast("double"))
+          / (col("nr") - 1).cast("double"))))
+      .withColumn("srm_chi2", round(
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"), 6))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a_c") / lit(100.0), 6).as("mean_a"),
+        round(col("mean_b_c") / lit(100.0), 6).as("mean_b"),
+        round(col("diff_c") / lit(100.0), 6).as("diff"),
+        round(col("sd_c") / lit(100.0), 6).as("boot_sd"),
+        round((col("diff_c") - lit(1.96) * col("sd_c")) / lit(100.0), 6).as("ci_lo"),
+        round((col("diff_c") + lit(1.96) * col("sd_c")) / lit(100.0), 6).as("ci_hi"),
+        col("srm_chi2"),
+        (col("srm_chi2") > lit(3.841)).as("srm_flag"))
+  }
+
+  /** Poisson(1) inverse-CDF weight from a uniform draw — the x188
+    * bootstrap's derandomized sampler, shared with the A/B harness.
+    */
+  private def poissonWeight(u: Column): Column = {
+    val e1 = exp(lit(-1.0))
+    val cums = Seq(
+      e1, e1 * lit(2.0), e1 * lit(2.5),
+      e1 * (lit(2.5) + lit(1.0) / lit(6.0)),
+      e1 * (lit(2.5) + lit(1.0) / lit(6.0) + lit(1.0) / lit(24.0)),
+      e1 * (lit(2.5) + lit(1.0) / lit(6.0) + lit(1.0) / lit(24.0)
+        + lit(1.0) / lit(120.0)))
+    cums.zipWithIndex.foldRight(lit(6L): Column) { case ((c, k), acc) =>
+      when(u < c, lit(k.toLong)).otherwise(acc)
+    }
   }
 
   // ---------------------------------------------------------------------

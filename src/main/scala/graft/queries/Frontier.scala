@@ -1406,6 +1406,94 @@ object Frontier {
              |         / (CAST(n * sxx - sx * sx AS DOUBLE)
              |           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
              |         AS variance_reduction
-             |FROM st""".stripMargin))
+             |FROM st""".stripMargin)),
+
+    // Complete A/B readout: hash arms, SRM guard, Poisson-bootstrap CI
+    // on the treatment-control difference (A/A by construction).
+    QueryDef(
+      "x204_ab_test_harness",
+      (s, dir) => Curation.abTestHarness(Tables(s, dir).events),
+      Some {
+        val w = """CASE WHEN u < exp(-1.0) THEN 0
+                  |              WHEN u < exp(-1.0) * 2.0 THEN 1
+                  |              WHEN u < exp(-1.0) * 2.5 THEN 2
+                  |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0) THEN 3
+                  |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0) THEN 4
+                  |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0
+                  |                + 1.0/120.0) THEN 5
+                  |              ELSE 6 END""".stripMargin
+        raw"""WITH pu AS (
+             |  SELECT user_id,
+             |         CAST(SUM(CASE WHEN event_type = 'purchase'
+             |           THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             |           ELSE 0 END) AS BIGINT) AS y,
+             |         CAST(CAST(('0x'||substring(md5(CAST(user_id AS VARCHAR)
+             |           || '|ab'),1,8)) AS BIGINT) % 2 AS INT) AS arm
+             |  FROM events GROUP BY user_id
+             |), srm AS (
+             |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |         floor(CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE)
+             |           / CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |           * 1e9 + 0.5) / 1e9 AS mean_a_c,
+             |         floor(CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE)
+             |           / CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |           * 1e9 + 0.5) / 1e9 AS mean_b_c
+             |  FROM pu
+             |), ex AS (
+             |  SELECT user_id, arm, y, r
+             |  FROM pu CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS r)
+             |), uu AS (
+             |  SELECT arm, y, r,
+             |         (CAST(CAST(('0x'||substring(md5(CAST(user_id AS VARCHAR)
+             |             || '|boot|' || CAST(r AS VARCHAR)),1,8)) AS BIGINT)
+             |           % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+             |  FROM ex
+             |), ww AS (
+             |  SELECT arm, y, r,
+             |         $w AS w
+             |  FROM uu
+             |), per AS (
+             |  SELECT r,
+             |         CAST(SUM(CASE WHEN arm = 0 THEN w * y ELSE 0 END) AS BIGINT)
+             |           AS wya,
+             |         CAST(SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT) AS wa,
+             |         CAST(SUM(CASE WHEN arm = 1 THEN w * y ELSE 0 END) AS BIGINT)
+             |           AS wyb,
+             |         CAST(SUM(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT) AS wb
+             |  FROM ww GROUP BY 1
+             |), dd AS (
+             |  SELECT floor(CAST(wya AS DOUBLE) / CAST(wa AS DOUBLE) * 1e9 + 0.5)
+             |           / 1e9
+             |       - floor(CAST(wyb AS DOUBLE) / CAST(wb AS DOUBLE) * 1e9 + 0.5)
+             |           / 1e9 AS d
+             |  FROM per WHERE wa > 0 AND wb > 0
+             |), d2 AS (
+             |  SELECT d, CAST(floor(d * d * 1e9 + 0.5) AS BIGINT) AS d2_fp FROM dd
+             |), boot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS nr, SUM(d) AS s1,
+             |         CAST(SUM(d2_fp) AS BIGINT) AS s2fp
+             |  FROM d2
+             |), base AS (
+             |  SELECT s.n_a, s.n_b, s.mean_a_c, s.mean_b_c,
+             |         s.mean_a_c - s.mean_b_c AS diff_c,
+             |         sqrt(greatest(0.0, (CAST(b.s2fp AS DOUBLE) / 1e9
+             |           - b.s1 * b.s1 / CAST(b.nr AS DOUBLE))
+             |           / CAST(b.nr - 1 AS DOUBLE))) AS sd_c,
+             |         round(CAST((s.n_a - s.n_b) * (s.n_a - s.n_b) AS DOUBLE)
+             |           / CAST(s.n_a + s.n_b AS DOUBLE), 6) AS srm_chi2
+             |  FROM srm s CROSS JOIN boot b
+             |)
+             |SELECT n_a, n_b,
+             |       round(mean_a_c / 100.0, 6) AS mean_a,
+             |       round(mean_b_c / 100.0, 6) AS mean_b,
+             |       round(diff_c / 100.0, 6) AS diff,
+             |       round(sd_c / 100.0, 6) AS boot_sd,
+             |       round((diff_c - 1.96 * sd_c) / 100.0, 6) AS ci_lo,
+             |       round((diff_c + 1.96 * sd_c) / 100.0, 6) AS ci_hi,
+             |       srm_chi2,
+             |       srm_chi2 > 3.841 AS srm_flag
+             |FROM base""".stripMargin
+      })
   )
 }

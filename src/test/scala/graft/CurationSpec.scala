@@ -371,6 +371,42 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // ------------------------------------------------------------ A/B harness
+
+  test("x204 A/B: the hash split is an A/A test on real data — the CI " +
+    "covers zero and SRM stays quiet") {
+    val r = Curation.abTestHarness(events).head()
+    assert(r.getDouble(6) <= 0 && r.getDouble(7) >= 0,
+      s"A/A interval [${r.getDouble(6)}, ${r.getDouble(7)}] must cover 0")
+    assert(!r.getBoolean(9), "hash assignment cannot produce an SRM")
+  }
+
+  test("x204 A/B: a planted treatment effect lands outside the interval") {
+    // Recompute the harness's own arm hash in-JVM so the fixture can put
+    // a real effect on arm 1: md5 first-4-bytes parity of "<uid>|ab".
+    def arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u|ab".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % 2).toInt
+    }
+    val byArm = (1L to 60L).groupBy(arm)
+    val users = byArm(0).take(10).map((_, 10.0)) ++ byArm(1).take(10).map((_, 100.0))
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 ${i % 24}%02d:00:00")
+    var id = 0L
+    val rows = users.toSeq.map { case (u, v) => id += 1
+      (id, ts(id.toInt), u, "purchase", v, "{}")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.abTestHarness(ev).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 100.0)
+    assert(r.getDouble(4) == -90.0)
+    assert(r.getDouble(7) < 0,
+      s"a -90 effect must push the whole CI below zero: hi=${r.getDouble(7)}")
+  }
+
   // ------------------------------------------------------------ James-Stein
 
   test("x201 James-Stein: a tiny group shrinks hardest and lands between " +
