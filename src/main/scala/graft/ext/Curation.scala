@@ -801,6 +801,115 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Item-item collaborative filtering
+  // ---------------------------------------------------------------------
+
+  /** Item-item collaborative filtering (Sarwar et al. 2001 — the
+    * Amazon-style recommender): part-part cosine similarity over the
+    * binary customer×part purchase matrix (sim = n_ab/√(n_a·n_b),
+    * support-pruned), then top-`k` recommendations for the pinned
+    * customer set by summing similarities from owned parts to candidate
+    * parts, excluding what they already own. Similarities snap to the
+    * 1e-9 grid so per-candidate score sums are exact integers.
+    *
+    * Scale: pair generation is per-customer (quadratic in BASKET size
+    * only — the standard co-occurrence shape, cappable per customer);
+    * everything after is keyed aggregates and the bounded query join.
+    */
+  def itemItemCf(orders: DataFrame, lineitem: DataFrame,
+      custIds: Seq[Long], k: Int = 5, minSupport: Long = 2): DataFrame = {
+    val cp = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val partCnt = cp.groupBy("part").agg(count(lit(1)).as("np"))
+    val pairs = cp.as("a").join(cp.as("b"), Seq("cust"))
+      .filter(col("a.part") < col("b.part"))
+      .select(col("a.part").as("pa"), col("b.part").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val sims = pairs
+      .join(partCnt.select(col("part").as("pa"), col("np").as("na")), Seq("pa"))
+      .join(partCnt.select(col("part").as("pb"), col("np").as("nb")), Seq("pb"))
+      .select(col("pa"), col("pb"),
+        floor(col("n_ab").cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long").as("sim_fp"))
+    val undirected = sims.select(col("pa").as("owned"), col("pb").as("cand"),
+        col("sim_fp"))
+      .unionByName(sims.select(col("pb").as("owned"), col("pa").as("cand"),
+        col("sim_fp")))
+    val owned = cp.filter(col("cust").isin(custIds: _*))
+    val scored = owned.select(col("cust"), col("part").as("owned"))
+      .join(undirected, Seq("owned"))
+      .join(owned.select(col("cust"), col("part").as("cand"),
+        lit(1).as("has")), Seq("cust", "cand"), "left")
+      .filter(col("has").isNull)
+      .groupBy("cust", "cand")
+      .agg(sum(col("sim_fp")).as("score_fp"), count(lit(1)).as("n_paths"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cust")
+          .orderBy(col("score_fp").desc, col("cand").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cust").as("o_custkey"), col("rank"),
+        col("cand").as("part"), col("n_paths"),
+        round(col("score_fp").cast("double") / lit(1e9), 6).as("score"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Walk-forward forecast skill (MASE)
+  // ---------------------------------------------------------------------
+
+  /** Forecast-skill evaluation for the daily-volume trend model: freeze
+    * the Theil–Sen line on all but the last `testDays` days, walk
+    * forward over the held-out days, and report MASE — the model's mean
+    * absolute error over the naive yesterday-forecast's (Hyndman &
+    * Koehler 2006; MASE < 1 = the model earns its keep). Model errors
+    * snap to the grid; naive errors are exact integers.
+    */
+  def forecastSkill(events: DataFrame, testDays: Int = 10): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("y_prev", lag(col("y"), 1).over(Window.orderBy("day")))
+    val bounds = daily.agg(count(lit(1)).as("d"))
+    val withB = daily.crossJoin(broadcast(bounds))
+      .withColumn("n_train", col("d") - testDays)
+    val train = withB.filter(col("i") <= col("n_train"))
+    val slopes = train.select(col("i").as("i1"), col("y").as("y1"))
+      .join(train.select(col("i").as("i2"), col("y").as("y2")),
+        col("i1") < col("i2"))
+      .select(snap9((col("y2") - col("y1")).cast("double")
+        / (col("i2") - col("i1")).cast("double")).as("s"))
+    val slope = slopes.agg(expr("percentile(s, 0.5D)").as("b"))
+    val inter = train.crossJoin(broadcast(slope))
+      .select(snap9(col("y").cast("double") - col("b") * col("i").cast("double"))
+        .as("r0"), col("b"))
+      .groupBy("b").agg(expr("percentile(r0, 0.5D)").as("a"))
+    withB.crossJoin(broadcast(inter))
+      .filter(col("i") > col("n_train"))
+      .select(col("y"), col("y_prev"), col("i"), col("a"), col("b"))
+      .withColumn("e_model_fp", floor(abs(col("y").cast("double")
+        - (col("a") + col("b") * col("i").cast("double"))) * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .withColumn("e_naive", abs(col("y") - col("y_prev")))
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("e_model_fp")).as("sm_fp"), sum(col("e_naive")).as("sn"))
+      .select(col("n_test"),
+        round(col("sm_fp").cast("double") / lit(1e9) / col("n_test").cast("double"), 6)
+          .as("mae_model"),
+        round(col("sn").cast("double") / col("n_test").cast("double"), 6)
+          .as("mae_naive"),
+        when(col("sn") > 0,
+          round((col("sm_fp").cast("double") / lit(1e9))
+            / col("sn").cast("double"), 6)).as("mase"))
+  }
+
+  // ---------------------------------------------------------------------
   // A/B test harness
   // ---------------------------------------------------------------------
 

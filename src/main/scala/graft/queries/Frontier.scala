@@ -1494,6 +1494,104 @@ object Frontier {
              |       srm_chi2,
              |       srm_chi2 > 3.841 AS srm_flag
              |FROM base""".stripMargin
-      })
+      }),
+
+    // Item-item collaborative filtering: cosine co-purchase similarity,
+    // top-5 recommendations for the pinned customers.
+    QueryDef(
+      "x205_item_item_cf",
+      (s, dir) => Curation.itemItemCf(Tables(s, dir).orders,
+        Tables(s, dir).lineitem, 1L to 5L),
+      Some(
+        raw"""WITH cp AS (
+             |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |), pcnt AS (
+             |  SELECT part, CAST(COUNT(*) AS BIGINT) AS np FROM cp GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.part AS pa, b.part AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+             |  FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |), sims AS (
+             |  SELECT pa, pb,
+             |         CAST(floor(CAST(n_ab AS DOUBLE)
+             |           / sqrt(CAST(na.np AS DOUBLE) * CAST(nb.np AS DOUBLE))
+             |           * 1e9 + 0.5) AS BIGINT) AS sim_fp
+             |  FROM pairs
+             |  JOIN pcnt na ON na.part = pairs.pa
+             |  JOIN pcnt nb ON nb.part = pairs.pb
+             |), und AS (
+             |  SELECT pa AS owned, pb AS cand, sim_fp FROM sims
+             |  UNION ALL
+             |  SELECT pb AS owned, pa AS cand, sim_fp FROM sims
+             |), own AS (
+             |  SELECT cust, part FROM cp WHERE cust IN (1, 2, 3, 4, 5)
+             |), scored AS (
+             |  SELECT o.cust, u.cand, CAST(SUM(u.sim_fp) AS BIGINT) AS score_fp,
+             |         CAST(COUNT(*) AS BIGINT) AS n_paths
+             |  FROM own o
+             |  JOIN und u ON u.owned = o.part
+             |  LEFT JOIN own o2 ON o2.cust = o.cust AND o2.part = u.cand
+             |  WHERE o2.part IS NULL
+             |  GROUP BY 1, 2
+             |)
+             |SELECT cust AS o_custkey, rank, cand AS part, n_paths,
+             |       round(CAST(score_fp AS DOUBLE) / 1e9, 6) AS score
+             |FROM (SELECT scored.*,
+             |             CAST(ROW_NUMBER() OVER (PARTITION BY cust
+             |               ORDER BY score_fp DESC, cand ASC) AS BIGINT) AS rank
+             |      FROM scored)
+             |WHERE rank <= 5 ORDER BY o_custkey, rank""".stripMargin)),
+
+    // Walk-forward MASE: frozen Theil-Sen vs the naive yesterday
+    // forecast over the last 10 days.
+    QueryDef(
+      "x206_forecast_skill",
+      (s, dir) => Curation.forecastSkill(Tables(s, dir).events),
+      Some(
+        raw"""WITH daily AS (
+             |  SELECT day, y,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             |         lag(y) OVER (ORDER BY day) AS y_prev
+             |  FROM (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |               CAST(COUNT(*) AS BIGINT) AS y
+             |        FROM events GROUP BY 1)
+             |), b0 AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS d FROM daily
+             |), wb AS (
+             |  SELECT daily.*, b0.d, b0.d - 10 AS n_train
+             |  FROM daily CROSS JOIN b0
+             |), train AS (
+             |  SELECT * FROM wb WHERE i <= n_train
+             |), slopes AS (
+             |  SELECT floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+             |           * 1e9 + 0.5) / 1e9 AS s
+             |  FROM train a JOIN train b ON a.i < b.i
+             |), sl AS (
+             |  SELECT median(s) AS b FROM slopes
+             |), ic AS (
+             |  SELECT sl.b,
+             |         median(floor((CAST(t.y AS DOUBLE) - sl.b * CAST(t.i AS DOUBLE))
+             |           * 1e9 + 0.5) / 1e9) AS a
+             |  FROM train t CROSS JOIN sl GROUP BY sl.b
+             |), test AS (
+             |  SELECT wb.y, wb.y_prev, wb.i, ic.a, ic.b
+             |  FROM wb CROSS JOIN ic WHERE wb.i > wb.n_train
+             |), err AS (
+             |  SELECT CAST(floor(abs(CAST(y AS DOUBLE)
+             |           - (a + b * CAST(i AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)
+             |           AS em_fp,
+             |         abs(y - y_prev) AS en
+             |  FROM test
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             |       round(CAST(SUM(em_fp) AS DOUBLE) / 1e9
+             |         / CAST(COUNT(*) AS DOUBLE), 6) AS mae_model,
+             |       round(CAST(SUM(en) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |         AS mae_naive,
+             |       CASE WHEN SUM(en) > 0
+             |            THEN round((CAST(SUM(em_fp) AS DOUBLE) / 1e9)
+             |              / CAST(SUM(en) AS DOUBLE), 6) END AS mase
+             |FROM err""".stripMargin))
   )
 }

@@ -371,6 +371,45 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // -------------------------------------------------------------- item CF
+
+  test("x205 item-item CF: a customer missing one part of a popular basket " +
+    "gets exactly that part recommended first") {
+    // Customers 1-3 own {10, 20, 30}; customer 4 owns {10, 20} only.
+    val baskets = Seq(
+      1L -> Seq(10L, 20L, 30L), 2L -> Seq(10L, 20L, 30L),
+      3L -> Seq(10L, 20L, 30L), 4L -> Seq(10L, 20L))
+    val orders = baskets.map { case (c, _) => (c * 100, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = baskets.flatMap { case (c, ps) => ps.map(p => (c * 100, p)) }
+      .toDF("l_orderkey", "l_partkey")
+    val r = Curation.itemItemCf(orders, lineitem, Seq(4L)).collect()
+    assert(r.nonEmpty && r.head.getLong(2) == 30L,
+      s"the missing basket member must top the list: ${r.map(_.getLong(2)).mkString(",")}")
+    assert(r.head.getLong(3) == 2L, "reached via both owned parts")
+    // Owned parts are never recommended back.
+    assert(!r.map(_.getLong(2)).exists(Seq(10L, 20L).contains))
+  }
+
+  // --------------------------------------------------------- forecast skill
+
+  test("x206 MASE: a perfect trend model scores 0 against a moving naive " +
+    "baseline") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")
+    var id = 0L
+    val rows = (1 to 25).flatMap { i =>
+      (0 until 3 * i + 7).map { _ => id += 1
+        (id, ts(i), id % 5, "view", 1.0, "{}")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.forecastSkill(ev).head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 0.0, "exact line -> zero model error")
+    assert(r.getDouble(2) == 3.0, "naive trails the slope by 3 every day")
+    assert(r.getDouble(3) == 0.0)
+  }
+
   // ------------------------------------------------------------ A/B harness
 
   test("x204 A/B: the hash split is an A/A test on real data — the CI " +
