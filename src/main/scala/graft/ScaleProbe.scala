@@ -53,6 +53,14 @@ object ScaleProbe {
       "x172_dsir_weights", "x173_token_entropy", "x175_minhash_merge_audit",
       "x179_ks_drift")
 
+    // Embedding-family probes under the same duplicate pressure: exact
+    // duplicate vectors land in the SAME cell/band bucket, so every
+    // within-cell/bucket join sees its worst case — the caps (x174
+    // cellCap, x196's SparseBucketCap) are what keep these exponents
+    // bounded; x178 is pure keyed aggregates and must stay linear.
+    val embProbes = Seq("x174_semantic_dedup", "x178_embedding_outliers",
+      "x196_label_noise_screen")
+
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
     val docs = io.Tables(spark, base).documents
     (0 until mult)
@@ -60,6 +68,12 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
+    val embs = io.Tables(spark, base).embeddings
+    (0 until mult)
+      .map(i => embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dupDir/embeddings.parquet")
 
     def timeQ(name: String, dir: String): Double = {
       graft.ext.Dedup.clearCaches(spark)
@@ -77,7 +91,7 @@ object ScaleProbe {
       timeQ(name, dir)
       Seq.fill(3)(timeQ(name, dir)).sorted.apply(1)
     }
-    probes.foreach { q =>
+    (probes ++ embProbes).foreach { q =>
       val t1 = medQ(q, base)
       val tN = medQ(q, dupDir)
       val exp = math.log(tN / t1) / math.log(mult.toDouble)

@@ -144,30 +144,38 @@ object Curation {
     * Cells here are the engine's pinned 16-plane hyperplane buckets
     * (Similarity.lshBuckets) — the same role k-means cells play in the
     * paper, but deterministic and oracle-mirrorable. The within-cell
-    * pair join is quadratic in CELL width only — that is SemDeDup's
-    * whole cost model: 2^16 cells bound the width at N/2^16 on average,
-    * and a production run adds a hot-cell width cap exactly like
-    * Similarity.candidatePairs' bucketCap.
+    * pair join is quadratic in CELL width only — SemDeDup's whole cost
+    * model — and `cellCap` is the hot-cell guard: cells wider than the
+    * cap are reported (pruned = false) but excluded from pair
+    * generation, so a burst of exact duplicates can never make one cell
+    * quadratic (the candidatePairs bucketCap contract; the ScaleProbe
+    * measures this bound directly under 10× duplicate pressure).
     */
-  def semanticDedup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+  def semanticDedup(embeddings: DataFrame, tau: Double = 0.4,
+      cellCap: Int = 256): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("emb"))
     val bk = Similarity.lshBuckets(embeddings)
-    val withEmb = bk.join(e, Seq("vec_id"))
-    val a = withEmb.select(col("bucket"), col("vec_id").as("va"), col("emb").as("ea"))
-    val b = withEmb.select(col("bucket"), col("vec_id").as("vb"), col("emb").as("eb"))
+    val widths = bk.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+    val kept = bk
+      .join(broadcast(widths.filter(col("n_vecs") <= cellCap).select("bucket")),
+        Seq("bucket"))
+      .join(e, Seq("vec_id"))
+    val a = kept.select(col("bucket"), col("vec_id").as("va"), col("emb").as("ea"))
+    val b = kept.select(col("bucket"), col("vec_id").as("vb"), col("emb").as("eb"))
     val dropped = a.join(b, Seq("bucket"))
       .filter(col("va") < col("vb"))
       .filter(Similarity.dot(col("ea"), col("eb")) >= tau)
       .select(col("bucket"), col("vb").as("vec_id")).distinct()
-    bk.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+    widths
       .join(dropped.groupBy("bucket").agg(count(lit(1)).as("n_dropped")),
         Seq("bucket"), "left")
       .select(col("bucket"), col("n_vecs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         round((col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).cast("double")
-          / col("n_vecs").cast("double"), 6).as("retention"))
+          / col("n_vecs").cast("double"), 6).as("retention"),
+        (col("n_vecs") <= cellCap).as("pruned"))
       .orderBy("bucket")
   }
 

@@ -111,20 +111,25 @@ object Frontier {
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
              |), bk AS (
              |  SELECT vec_id, emb, $BucketSql AS bucket FROM e
-             |), drp AS (
-             |  SELECT DISTINCT a.bucket, b.vec_id
-             |  FROM bk a JOIN bk b
-             |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-             |  WHERE list_dot_product(a.emb, b.emb) >= 0.4
              |), nv AS (
              |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM bk GROUP BY 1
+             |), keptb AS (
+             |  SELECT bucket FROM nv WHERE n_vecs <= 256
+             |), kept AS (
+             |  SELECT bk.* FROM bk JOIN keptb USING (bucket)
+             |), drp AS (
+             |  SELECT DISTINCT a.bucket, b.vec_id
+             |  FROM kept a JOIN kept b
+             |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.emb, b.emb) >= 0.4
              |), nd AS (
              |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM drp GROUP BY 1
              |)
              |SELECT nv.bucket, nv.n_vecs,
              |       CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
              |       round(CAST(nv.n_vecs - COALESCE(nd.n_dropped, 0) AS DOUBLE)
-             |         / CAST(nv.n_vecs AS DOUBLE), 6) AS retention
+             |         / CAST(nv.n_vecs AS DOUBLE), 6) AS retention,
+             |       nv.n_vecs <= 256 AS pruned
              |FROM nv LEFT JOIN nd USING (bucket) ORDER BY nv.bucket""".stripMargin)),
 
     // Mergeable-sketch audit: sharded MinHash == direct MinHash
