@@ -149,6 +149,25 @@ class CurationSpec extends SparkSuite {
 
   // -------------------------------------------------------------- outliers
 
+  test("x174 SemDeDup cellCap: a cell wider than the cap is excluded from " +
+    "pruning and reported unpruned") {
+    // 30 copies of vector 0 under fresh ids overflow a cellCap of 8:
+    // that cell must report pruned = false with zero drops, while a
+    // small cap-respecting run on the same data does drop.
+    val dup = (1 to 30).map(i => embeddings.filter(col("vec_id") === 0L)
+      .select(lit(900000L + i).as("vec_id"), col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+    val aug = embeddings.unionByName(dup)
+    val capped = Curation.semanticDedup(aug, tau = 0.4, cellCap = 8)
+    val hot = capped.filter(!col("pruned"))
+    assert(hot.count() >= 1, "the flooded cell must be flagged")
+    assert(hot.filter(col("n_dropped") =!= 0).count() == 0,
+      "capped cells are excluded from pair generation entirely")
+    val uncapped = Curation.semanticDedup(aug, tau = 0.4, cellCap = 256)
+    assert(uncapped.agg(sum("n_dropped")).head().getLong(0) >= 30,
+      "with room under the cap the duplicates do get dropped")
+  }
+
   // ------------------------------------------------------------------- KS
 
   test("x179 KS: disjoint supports give D = 1 and flag; identical " +

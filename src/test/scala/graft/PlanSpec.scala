@@ -406,6 +406,34 @@ class PlanSpec extends SparkSuite {
       s"x179 CDF window must be partitioned by source: $w"))
   }
 
+  test("x183 weighted-percentile window is partitioned per group, never global") {
+    val df = queries.Registry.queryMap("x183_weighted_percentiles")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the cumulative-weight window must partition by return flag")
+  }
+
+  test("x195 next-event eval scores the test stream against BROADCAST models") {
+    // The transition model and majority baseline are tiny; a shuffle
+    // join would re-partition the full test stream per lookup.
+    val plan = executed("x195_next_event_eval")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"model lookups must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join belongs in the scoring path:\n$plan")
+  }
+
+  test("x200 and x205 pair generation stays an equi-join on the basket key") {
+    for (name <- Seq("x200_market_basket", "x205_item_item_cf")) {
+      val plan = executed(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to all-pairs:\n$plan")
+    }
+  }
+
   test("x182 expansion ranks per query and the only nested loop is the bounded truth pass") {
     val df = queries.Registry.queryMap("x182_knn_expansion")(spark, Sf)
     val windows = df.queryExecution.sparkPlan.collect {
