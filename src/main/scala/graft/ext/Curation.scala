@@ -809,6 +809,88 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Spearman rank correlation
+  // ---------------------------------------------------------------------
+
+  /** Spearman rank correlation between two event types' daily-volume
+    * series ('view' vs 'purchase' by default) — the robust, outlier-
+    * immune dependence measure next to x41/x171's Pearson family.
+    * Average ranks handle ties exactly on the ×2 integer grid (avg of
+    * two integers is a half-integer: rank2 = 2·rank is a BIGINT), so
+    * every sufficient statistic of the Pearson-over-ranks formula is an
+    * exact integer and ρ is one shared IEEE tree.
+    *
+    * Windows run over one row per DAY (calendar-bounded).
+    */
+  def spearmanDaily(events: DataFrame, typeA: String = "view",
+      typeB: String = "purchase"): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === typeA, lit(1L)).otherwise(lit(0L)))
+        .as("ya"),
+        sum(when(col("event_type") === typeB, lit(1L)).otherwise(lit(0L)))
+          .as("yb"))
+    // Average-rank on the x2 grid: 2*avg_rank = rank_min + rank_max,
+    // both from one dense pass (min rank via row_number over value, then
+    // per-value min/max aggregation joined back).
+    def rank2(c: String): Column = {
+      val w = Window.orderBy(col(c), col("day"))
+      min(col(s"rn_$c")).over(Window.partitionBy(col(c))) +
+        max(col(s"rn_$c")).over(Window.partitionBy(col(c)))
+    }
+    val ranked = daily
+      .withColumn("rn_ya", row_number().over(Window.orderBy(col("ya"), col("day")))
+        .cast("long"))
+      .withColumn("rn_yb", row_number().over(Window.orderBy(col("yb"), col("day")))
+        .cast("long"))
+      .withColumn("ra2", rank2("ya"))
+      .withColumn("rb2", rank2("yb"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("ra2")).as("sa"), sum(col("rb2")).as("sb"),
+        sum(col("ra2") * col("ra2")).as("saa"),
+        sum(col("ra2") * col("rb2")).as("sab"),
+        sum(col("rb2") * col("rb2")).as("sbb"))
+      .select(col("n").as("n_days"),
+        when((col("n") * col("saa") - col("sa") * col("sa")) > 0 &&
+          (col("n") * col("sbb") - col("sb") * col("sb")) > 0,
+          round((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+            / sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")
+              * (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")), 6))
+          .as("spearman_rho"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Seasonally-adjusted anomaly detection
+  // ---------------------------------------------------------------------
+
+  /** STL-lite anomaly screen: remove the day-of-week median profile from
+    * the daily count (the robust seasonal component), then robust-z the
+    * remainder via median/MAD — so a "spike" is judged against its OWN
+    * weekday's normal, not the whole week's (Mondays don't alarm just
+    * for being Mondays). All medians interpolate identically in both
+    * engines; remainders live on exact half-integer grids.
+    */
+  def seasonalAnomaly(events: DataFrame, zThreshold: Double = 3.5): DataFrame = {
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", dayofweek(col("day")))
+    val dowMed = daily.groupBy("dow").agg(expr("percentile(y, 0.5D)").as("med_dow"))
+    val resid = daily.join(broadcast(dowMed), Seq("dow"))
+      .withColumn("r", col("y").cast("double") - col("med_dow"))
+    val center = resid.agg(expr("percentile(r, 0.5D)").as("med_r"))
+    val withC = resid.crossJoin(broadcast(center))
+    val mad = withC.agg(expr("percentile(abs(r - med_r), 0.5D)").as("mad_r"))
+    withC.crossJoin(broadcast(mad))
+      .filter(col("mad_r") > 0)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("y"), round(col("med_dow"), 6).as("dow_median"),
+        round((col("r") - col("med_r")) / (lit(1.4826) * col("mad_r")), 6).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------------
   // Item-item collaborative filtering
   // ---------------------------------------------------------------------
 

@@ -1597,6 +1597,80 @@ object Frontier {
              |       CASE WHEN SUM(en) > 0
              |            THEN round((CAST(SUM(em_fp) AS DOUBLE) / 1e9)
              |              / CAST(SUM(en) AS DOUBLE), 6) END AS mase
-             |FROM err""".stripMargin))
+             |FROM err""".stripMargin)),
+
+    // Spearman rank correlation between the view and purchase daily
+    // series: exact average-ranks on the x2 integer grid.
+    QueryDef(
+      "x207_spearman_daily",
+      (s, dir) => Curation.spearmanDaily(Tables(s, dir).events),
+      Some(
+        raw"""WITH daily AS (
+             |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS ya,
+             |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS yb
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |  GROUP BY 1
+             |), rn AS (
+             |  SELECT day, ya, yb,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY ya, day) AS BIGINT) AS rn_ya,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY yb, day) AS BIGINT) AS rn_yb
+             |  FROM daily
+             |), rk AS (
+             |  SELECT day,
+             |         MIN(rn_ya) OVER (PARTITION BY ya)
+             |           + MAX(rn_ya) OVER (PARTITION BY ya) AS ra2,
+             |         MIN(rn_yb) OVER (PARTITION BY yb)
+             |           + MAX(rn_yb) OVER (PARTITION BY yb) AS rb2
+             |  FROM rn
+             |), st AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(ra2) AS BIGINT) AS sa, CAST(SUM(rb2) AS BIGINT) AS sb,
+             |         CAST(SUM(ra2 * ra2) AS BIGINT) AS saa,
+             |         CAST(SUM(ra2 * rb2) AS BIGINT) AS sab,
+             |         CAST(SUM(rb2 * rb2) AS BIGINT) AS sbb
+             |  FROM rk
+             |)
+             |SELECT n AS n_days,
+             |       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+             |            THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+             |              / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+             |                * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+             |       END AS spearman_rho
+             |FROM st""".stripMargin)),
+
+    // STL-lite seasonal anomaly screen: day-of-week medians removed,
+    // robust z on the remainder.
+    QueryDef(
+      "x208_seasonal_anomaly",
+      (s, dir) => Curation.seasonalAnomaly(Tables(s, dir).events),
+      Some(
+        raw"""WITH daily AS (
+             |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |         CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1
+             |), dw AS (
+             |  SELECT day, y, CAST(dayofweek(day) + 1 AS INT) AS dow FROM daily
+             |), dmed AS (
+             |  SELECT dow, median(y) AS med_dow FROM dw GROUP BY 1
+             |), resid AS (
+             |  SELECT dw.day, dw.dow, dw.y, dmed.med_dow,
+             |         CAST(dw.y AS DOUBLE) - dmed.med_dow AS r
+             |  FROM dw JOIN dmed USING (dow)
+             |), c AS (
+             |  SELECT median(r) AS med_r FROM resid
+             |), m AS (
+             |  SELECT median(abs(r - c.med_r)) AS mad_r FROM resid CROSS JOIN c
+             |)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, dow, y,
+             |       round(med_dow, 6) AS dow_median,
+             |       round((r - c.med_r) / (1.4826 * m.mad_r), 6) AS z,
+             |       abs(round((r - c.med_r) / (1.4826 * m.mad_r), 6)) > 3.5
+             |         AS is_anomaly
+             |FROM resid CROSS JOIN c CROSS JOIN m
+             |WHERE m.mad_r > 0
+             |ORDER BY day""".stripMargin))
   )
 }

@@ -390,6 +390,47 @@ class CurationSpec extends SparkSuite {
     assert(gW.getDouble(3) > 0.999, "top decile = the whale")
   }
 
+  // --------------------------------------------------------------- Spearman
+
+  test("x207 Spearman: exact +1 for co-monotone series, -1 for " +
+    "anti-monotone (any monotone transform)") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")
+    var id = 0L
+    def mk(day: Int, t: String, n: Int) = (0 until n).map { _ =>
+      id += 1; (id, ts(day), id % 5, t, 1.0, "{}")
+    }
+    // views: 1,2,...,10 per day; purchases: squared growth (monotone but
+    // non-linear -> Pearson < 1, Spearman exactly 1).
+    val co = (1 to 10).flatMap(d => mk(d, "view", d) ++ mk(d, "purchase", d * d))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Curation.spearmanDaily(co).head().getDouble(1) == 1.0)
+    id = 0L
+    val anti = (1 to 10).flatMap(d =>
+      mk(d, "view", d) ++ mk(d, "purchase", (11 - d) * (11 - d)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Curation.spearmanDaily(anti).head().getDouble(1) == -1.0)
+  }
+
+  // --------------------------------------------------------------- seasonal
+
+  test("x208 seasonal anomaly: a planted spike is flagged against its own " +
+    "weekday, quiet weekdays are not") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")
+    var id = 0L
+    // 28 days: weekday-dependent stable counts (10 + dow), except day 20
+    // which explodes to 500.
+    val rows = (1 to 28).flatMap { d =>
+      val dow = java.time.LocalDate.of(2024, 3, d).getDayOfWeek.getValue
+      val n = if (d == 20) 500 else 10 + dow + (d % 2) // small jitter -> MAD > 0
+      (0 until n).map { _ => id += 1; (id, ts(d), id % 7, "view", 1.0, "{}") }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.seasonalAnomaly(ev).collect()
+    val flagged = r.filter(_.getBoolean(5)).map(_.getString(0))
+    assert(flagged.sameElements(Array("2024-03-20")),
+      s"only the planted spike should flag: ${flagged.mkString(",")}")
+  }
+
   // -------------------------------------------------------------- item CF
 
   test("x205 item-item CF: a customer missing one part of a popular basket " +
