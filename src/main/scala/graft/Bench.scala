@@ -21,12 +21,13 @@ import org.apache.spark.sql.SparkSession
   *     inside the JSON as "_warmup" and included in the total, since a
   *     cold engine is part of end-to-end wall-clock)
   *   - "queries"/"value" record each query's FIRST (cold) run — the
-  *     series comparable to earlier rounds. Queries whose cold run beats
-  *     [[RepeatThresholdSec]] then rerun — twice for most, four times
-  *     when cold beat [[FiveRunThresholdSec]] — and "queries_median"/
-  *     "median_total" carry the 3- or 5-sample median — the noise-robust
-  *     series (this host shows ±4s VM noise; r3's
-  *     x10/x12/q04/r01 "regressions" were it). The library's own
+  *     series comparable to earlier rounds. EVERY successful query then
+  *     reruns — twice for most (3-sample median), four times when cold
+  *     beat [[FiveRunThresholdSec]] (5-sample) — and "queries_median"/
+  *     "median_total" carry that median — the noise-robust series (this
+  *     host shows ±4s VM noise; r3's x10/x12/q04/r01 "regressions" were
+  *     it, and r9's single-sample 47 s x182 was the same failure mode on
+  *     the formerly rerun-exempt >=15 s tier). The library's own
   *     model/candidate memo caches (trained k-means, minhash bands, ANN
   *     candidates) are CLEARED before every rerun: a median that hits
   *     the kmCache measures a TrieMap lookup, not the work (r6: x57
@@ -52,9 +53,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Cold runs at or above this cost skip the median re-runs: VM noise is
-    * a small fraction of them, and tripling an 18s query would dominate
-    * the bench's wall-clock for no stability gain. */
+  /** Cold runs at or above this cost get 2 re-runs (3-sample median)
+    * instead of 4. They used to get NONE — which meant exactly the
+    * queries where one contended sample poisons the committed baseline
+    * were the ones never rerun (round 9: x182's single 47 s sample vs
+    * its 8.8 s committed median). Every query now carries >=3 samples;
+    * the extra wall-clock is bounded because genuinely-slow queries are
+    * few and the caps keep them O(n·cap). */
   val RepeatThresholdSec = 15.0
 
   /** Queries colder than this get a 5-sample median instead of 3: the
@@ -119,13 +124,15 @@ object Bench {
     }
 
     /** (cold, median) — see scaladoc. Sub-[[FiveRunThresholdSec]] colds
-      * take a 5-sample median, the rest of the sub-threshold range a
-      * 3-sample one. Failures and expensive colds report the cold value
-      * in both slots; if any rerun fails, the median also falls back to
-      * cold (an even-sample "median" would just pick an arbitrary one). */
+      * take a 5-sample median, everything else a 3-sample one — NO query
+      * gets a single sample (round-9 directive: the >=15 s tier used to,
+      * and those are exactly the samples one contention spike poisons).
+      * Failures report the cold value in both slots; if any rerun fails,
+      * the median also falls back to cold (an even-sample "median" would
+      * just pick an arbitrary one). */
     def measure(name: String): (Double, Double) = {
       val cold = materialize(name, sfDir)
-      if (cold < 0 || cold >= RepeatThresholdSec) (cold, cold)
+      if (cold < 0) (cold, cold)
       else {
         val nReruns = if (cold < FiveRunThresholdSec) 4 else 2
         val reruns = Seq.fill(nReruns)(timeQuiet(name))

@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe [sfDir] [multiplier]
   */
 object ScaleProbe {
+
+  /** Corpus-only probe queries (documents.parquet), shared with
+    * RegistrySpec so the test guards THIS list, not a stale copy. */
+  val probeNames: Seq[String] = Seq("x66_lsh_dedup_pairs_capped",
+    "x72_dup_gram_coverage", "x69_curation_pipeline",
+    "x107_edit_distance_pairs", "x117_source_dedup_matrix",
+    "x126_bpe_merges", "x134_count_min_sketch", "x158_bloom_screen",
+    "x160_hll_source_cardinality", "x167_winnowing_pairs",
+    "x168_shard_resize_audit", "x172_dsir_weights", "x173_token_entropy",
+    "x175_minhash_merge_audit", "x179_ks_drift")
+
+  /** Embedding-family probes (embeddings.parquet). */
+  val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",
+    "x178_embedding_outliers", "x196_label_noise_screen")
+
+  /** Event-family probes (events.parquet) — the window-heavy temporal
+    * shapes (round-10 directive): sessionization's per-user gap windows,
+    * the rolling-WAU range frame, and both as-of join directions. Under
+    * 10× duplication every USER's event stream gets 10× longer (replicas
+    * keep the user_id and only re-key event_id), so per-user windows and
+    * the as-of range probe see their worst case — these must scale like
+    * n·log n at worst, never quadratically. */
+  val eventProbeNames: Seq[String] = Seq("x15_sessionization",
+    "x64_rolling_wau", "x31_asof_attribution", "x141_asof_forward")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,21 +70,14 @@ object ScaleProbe {
     // duplicate pressure — the dedup-shaped one), and the KS drift test
     // (its grid is sources × DISTINCT values, which duplication does not
     // grow — the window cost must not multiply).
-    val probes = Seq("x66_lsh_dedup_pairs_capped", "x72_dup_gram_coverage",
-      "x69_curation_pipeline", "x107_edit_distance_pairs",
-      "x117_source_dedup_matrix", "x126_bpe_merges", "x134_count_min_sketch",
-      "x158_bloom_screen", "x160_hll_source_cardinality",
-      "x167_winnowing_pairs", "x168_shard_resize_audit",
-      "x172_dsir_weights", "x173_token_entropy", "x175_minhash_merge_audit",
-      "x179_ks_drift")
-
     // Embedding-family probes under the same duplicate pressure: exact
     // duplicate vectors land in the SAME cell/band bucket, so every
     // within-cell/bucket join sees its worst case — the caps (x174
     // cellCap, x196's SparseBucketCap) are what keep these exponents
     // bounded; x178 is pure keyed aggregates and must stay linear.
-    val embProbes = Seq("x174_semantic_dedup", "x178_embedding_outliers",
-      "x196_label_noise_screen")
+    val probes = probeNames
+    val embProbes = embProbeNames
+    val eventProbes = eventProbeNames
 
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
     val docs = io.Tables(spark, base).documents
@@ -74,6 +92,15 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dupDir/embeddings.parquet")
+    // Events: replicas RE-KEY event_id but KEEP user_id (and ts), so the
+    // duplication pressure lands on the per-user windows and as-of range
+    // probes rather than diluting across synthetic users.
+    val evs = io.Tables(spark, base).events
+    (0 until mult)
+      .map(i => evs.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dupDir/events.parquet")
 
     def timeQ(name: String, dir: String): Double = {
       graft.ext.Dedup.clearCaches(spark)
@@ -91,7 +118,7 @@ object ScaleProbe {
       timeQ(name, dir)
       Seq.fill(3)(timeQ(name, dir)).sorted.apply(1)
     }
-    (probes ++ embProbes).foreach { q =>
+    (probes ++ embProbes ++ eventProbes).foreach { q =>
       val t1 = medQ(q, base)
       val tN = medQ(q, dupDir)
       val exp = math.log(tN / t1) / math.log(mult.toDouble)

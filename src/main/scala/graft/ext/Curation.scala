@@ -146,10 +146,11 @@ object Curation {
     * paper, but deterministic and oracle-mirrorable. The within-cell
     * pair join is quadratic in CELL width only — SemDeDup's whole cost
     * model — and `cellCap` is the hot-cell guard: cells wider than the
-    * cap are reported (pruned = false) but excluded from pair
-    * generation, so a burst of exact duplicates can never make one cell
-    * quadratic (the candidatePairs bucketCap contract; the ScaleProbe
-    * measures this bound directly under 10× duplicate pressure).
+    * cap are reported (within_cap = false, null drop stats) but excluded
+    * from pair generation, so a burst of exact duplicates can never make
+    * one cell quadratic (the candidatePairs bucketCap contract; the
+    * ScaleProbe measures this bound directly under 10× duplicate
+    * pressure).
     */
   def semanticDedup(embeddings: DataFrame, tau: Double = 0.4,
       cellCap: Int = 256): DataFrame = {
@@ -168,14 +169,19 @@ object Curation {
       .filter(col("va") < col("vb"))
       .filter(Similarity.dot(col("ea"), col("eb")) >= tau)
       .select(col("bucket"), col("vb").as("vec_id")).distinct()
+    // Over-cap cells are excluded from pair generation, so their drop
+    // count/retention are UNKNOWN — reported as null, never as "fully
+    // retained". within_cap = true means the cell was actually processed.
     widths
       .join(dropped.groupBy("bucket").agg(count(lit(1)).as("n_dropped")),
         Seq("bucket"), "left")
       .select(col("bucket"), col("n_vecs"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        round((col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).cast("double")
-          / col("n_vecs").cast("double"), 6).as("retention"),
-        (col("n_vecs") <= cellCap).as("pruned"))
+        when(col("n_vecs") <= cellCap, coalesce(col("n_dropped"), lit(0L)))
+          .as("n_dropped"),
+        when(col("n_vecs") <= cellCap,
+          round((col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).cast("double")
+            / col("n_vecs").cast("double"), 6)).as("retention"),
+        (col("n_vecs") <= cellCap).as("within_cap"))
       .orderBy("bucket")
   }
 
@@ -498,14 +504,20 @@ object Curation {
     * engine, immune to log10 boundary ulps), compared against
     * P(d) = log10(1 + 1/d).
     *
+    * The denominator counts only rows that CONTRIBUTE a digit: a value
+    * in (0, 0.005) rounds to zero cents and yields no first digit, and
+    * counting it in the total would bias every digit's observed
+    * fraction low (obs_frac would no longer sum to 1).
+    *
     * One aggregate over the stream; 9 output rows.
     */
   def benford(events: DataFrame): DataFrame = {
     val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
-    val total = events.filter(col("value") > 0).agg(count(lit(1)).as("nt"))
-    events.filter(col("value") > 0)
+    val digits = events.filter(col("value") > 0)
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
       .filter(col("digit") >= 1)
+    val total = digits.agg(count(lit(1)).as("nt"))
+    digits
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
       .crossJoin(broadcast(total))
       .select(col("digit"), col("n_obs"),
@@ -894,6 +906,31 @@ object Curation {
   // Item-item collaborative filtering
   // ---------------------------------------------------------------------
 
+  /** Distinct (cust, part) purchase matrix — the raw binary ownership
+    * relation itemItemCf models. */
+  private[graft] def rawPurchaseMatrix(orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+
+  /** Hot-basket cap: each customer keeps only their `maxBasket` most
+    * co-purchase-informative parts (global frequency rank desc, part id
+    * asc) before the per-customer pair self-join, bounding a whale's
+    * pair contribution to C(maxBasket, 2) by construction. The ranking
+    * window is partitioned per customer — never global. */
+  private[graft] def cappedPurchaseMatrix(cp0: DataFrame,
+      maxBasket: Int): DataFrame = {
+    val pop = cp0.groupBy("part").agg(count(lit(1)).as("np0"))
+    cp0.join(pop, Seq("part"))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy("cust").orderBy(col("np0").desc, col("part").asc)))
+      .filter(col("brn") <= maxBasket)
+      .select("cust", "part")
+  }
+
   /** Item-item collaborative filtering (Sarwar et al. 2001 — the
     * Amazon-style recommender): part-part cosine similarity over the
     * binary customer×part purchase matrix (sim = n_ab/√(n_a·n_b),
@@ -902,17 +939,23 @@ object Curation {
     * parts, excluding what they already own. Similarities snap to the
     * 1e-9 grid so per-candidate score sums are exact integers.
     *
-    * Scale: pair generation is per-customer (quadratic in BASKET size
-    * only — the standard co-occurrence shape, cappable per customer);
-    * everything after is keyed aggregates and the bounded query join.
+    * Scale: pair generation is per-customer quadratic in BASKET size,
+    * and `maxBasket` is what makes that a BOUND rather than a hope: each
+    * customer contributes at most their `maxBasket` most-popular parts
+    * (global co-purchase frequency rank, part-id tiebreak — the hot-key
+    * cap pattern of x66/x174), so a whale customer with 10⁵ distinct
+    * parts emits C(maxBasket, 2) pairs, not 5·10⁹. Support counts and
+    * similarities are computed over the SAME capped matrix (a
+    * self-consistent model); only the already-owned exclusion uses the
+    * uncapped ownership set, so a capped-out part is never recommended
+    * back to its owner. Everything after pair generation is keyed
+    * aggregates and the bounded query join.
     */
   def itemItemCf(orders: DataFrame, lineitem: DataFrame,
-      custIds: Seq[Long], k: Int = 5, minSupport: Long = 2): DataFrame = {
-    val cp = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
+      custIds: Seq[Long], k: Int = 5, minSupport: Long = 2,
+      maxBasket: Int = 64): DataFrame = {
+    val cp0 = rawPurchaseMatrix(orders, lineitem)
+    val cp = cappedPurchaseMatrix(cp0, maxBasket)
     val partCnt = cp.groupBy("part").agg(count(lit(1)).as("np"))
     val pairs = cp.as("a").join(cp.as("b"), Seq("cust"))
       .filter(col("a.part") < col("b.part"))
@@ -931,9 +974,10 @@ object Curation {
       .unionByName(sims.select(col("pb").as("owned"), col("pa").as("cand"),
         col("sim_fp")))
     val owned = cp.filter(col("cust").isin(custIds: _*))
+    val ownedAll = cp0.filter(col("cust").isin(custIds: _*))
     val scored = owned.select(col("cust"), col("part").as("owned"))
       .join(undirected, Seq("owned"))
-      .join(owned.select(col("cust"), col("part").as("cand"),
+      .join(ownedAll.select(col("cust"), col("part").as("cand"),
         lit(1).as("has")), Seq("cust", "cand"), "left")
       .filter(col("has").isNull)
       .groupBy("cust", "cand")
@@ -955,10 +999,13 @@ object Curation {
 
   /** Forecast-skill evaluation for the daily-volume trend model: freeze
     * the Theil–Sen line on all but the last `testDays` days, walk
-    * forward over the held-out days, and report MASE — the model's mean
-    * absolute error over the naive yesterday-forecast's (Hyndman &
-    * Koehler 2006; MASE < 1 = the model earns its keep). Model errors
-    * snap to the grid; naive errors are exact integers.
+    * forward over the held-out days, and report canonical MASE (Hyndman
+    * & Koehler 2006): the model's test-window mean absolute error scaled
+    * by the IN-SAMPLE one-step naive MAE — the naive forecaster's error
+    * measured on the TRAINING days, as the definition prescribes, so the
+    * number is comparable to published MASE values (MASE < 1 = the model
+    * earns its keep). Model errors snap to the grid; naive errors are
+    * exact integers.
     */
   def forecastSkill(events: DataFrame, testDays: Int = 10): DataFrame = {
     def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
@@ -980,23 +1027,28 @@ object Curation {
       .select(snap9(col("y").cast("double") - col("b") * col("i").cast("double"))
         .as("r0"), col("b"))
       .groupBy("b").agg(expr("percentile(r0, 0.5D)").as("a"))
+    // In-sample scaling denominator: the one-step naive forecaster's MAE
+    // over the TRAINING days (i in [2, n_train]) — exact integers.
+    val naiveTrain = withB
+      .filter(col("i") > 1 && col("i") <= col("n_train"))
+      .agg(sum(abs(col("y") - col("y_prev"))).as("snt"),
+        count(lit(1)).as("nnt"))
     withB.crossJoin(broadcast(inter))
       .filter(col("i") > col("n_train"))
-      .select(col("y"), col("y_prev"), col("i"), col("a"), col("b"))
+      .select(col("y"), col("i"), col("a"), col("b"))
       .withColumn("e_model_fp", floor(abs(col("y").cast("double")
         - (col("a") + col("b") * col("i").cast("double"))) * lit(1e9) + lit(0.5))
         .cast("long"))
-      .withColumn("e_naive", abs(col("y") - col("y_prev")))
-      .agg(count(lit(1)).as("n_test"),
-        sum(col("e_model_fp")).as("sm_fp"), sum(col("e_naive")).as("sn"))
+      .agg(count(lit(1)).as("n_test"), sum(col("e_model_fp")).as("sm_fp"))
+      .crossJoin(broadcast(naiveTrain))
       .select(col("n_test"),
         round(col("sm_fp").cast("double") / lit(1e9) / col("n_test").cast("double"), 6)
           .as("mae_model"),
-        round(col("sn").cast("double") / col("n_test").cast("double"), 6)
-          .as("mae_naive"),
-        when(col("sn") > 0,
-          round((col("sm_fp").cast("double") / lit(1e9))
-            / col("sn").cast("double"), 6)).as("mase"))
+        round(col("snt").cast("double") / col("nnt").cast("double"), 6)
+          .as("mae_naive_train"),
+        when(col("snt") > 0,
+          round((col("sm_fp").cast("double") / lit(1e9) / col("n_test").cast("double"))
+            / (col("snt").cast("double") / col("nnt").cast("double")), 6)).as("mase"))
   }
 
   // ---------------------------------------------------------------------
@@ -1550,7 +1602,11 @@ object Curation {
     * side by side with the naive proportional allocation. The variances
     * come from exact integer sufficient statistics (Σy, Σy² per
     * stratum); each stratum weight snaps to the 1e-9 grid so the
-    * allocation denominator is an exact sum.
+    * allocation denominator is an exact sum. A singleton stratum
+    * (n_h = 1) has no sample variance — its 0/0 would be NaN, and one
+    * NaN weight would poison the shared denominator and null EVERY
+    * source's allocation — so it contributes S_h = 0 (no variance
+    * evidence, Neyman weight zero) by explicit guard.
     *
     * Scale: one aggregate per stratum; the allocation arithmetic runs
     * over #sources rows.
@@ -1564,9 +1620,11 @@ object Curation {
     val tot = strata.agg(sum(col("nh")).as("n"))
     val withS = strata
       .withColumn("variance",
-        (col("nh").cast("double") * col("syy").cast("double")
-          - col("sy").cast("double") * col("sy").cast("double"))
-          / (col("nh").cast("double") * (col("nh") - 1).cast("double")))
+        when(col("nh") > 1,
+          (col("nh").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))
+            / (col("nh").cast("double") * (col("nh") - 1).cast("double")))
+          .otherwise(lit(0.0)))
       .withColumn("sh", snap9(sqrt(greatest(lit(0.0), col("variance")))))
       .withColumn("wh", snap9(col("nh").cast("double") * col("sh")))
     val wTot = withS.agg(sum(col("wh")).as("wsum"))
@@ -1648,17 +1706,85 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Scalable exact global rank
+  // ---------------------------------------------------------------------
+
+  /** Exact 1-based ascending rank of the composite (`valueCol` asc,
+    * `tieCol` asc) order — bit-identical to
+    * `row_number() OVER (ORDER BY value, tie)` — computed WITHOUT a
+    * global single-partition window. This is the scale-safe replacement
+    * for the `Window.orderBy(...)` user-grain ranking that funnels every
+    * row through one task (the x21 boundary-broadcast idea, extended to
+    * exact ranks): rank = rows in strictly-smaller value BUCKETS
+    * (cumulative over a bounded bucket histogram, broadcast back)
+    *       + rows with strictly-smaller VALUES inside my bucket
+    *         (cumulative over the per-bucket value histogram — a
+    *         partitioned window)
+    *       + my tie rank WITHIN my exact value (partitioned window).
+    * The only un-partitioned window runs over the bucket histogram —
+    * `range/bucketWidth` rows, bounded by the VALUE DOMAIN, not the row
+    * count — so no user-grain data ever crosses a single-task boundary.
+    * `valueCol` must be integral; `tieCol` must be unique per row so the
+    * composite order (and therefore the rank) is total and
+    * deterministic. Descending ranks: negate the value column first.
+    */
+  private[graft] def exactAscRank(df: DataFrame, valueCol: String,
+      tieCol: String, bucketWidth: Long, rankName: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    // Floor division via pmod so negative values bucket correctly; the
+    // double division is exact (numerator is a multiple of the width,
+    // well under 2^53).
+    val bucket = ((v - pmod(v, lit(bucketWidth))) / lit(bucketWidth))
+      .cast("long")
+    val withB = df.withColumn("_b", bucket)
+    val bucketHist = withB.groupBy("_b").agg(count(lit(1)).as("_bn"))
+    val bucketOff = bucketHist
+      .withColumn("_boff", coalesce(
+        sum(col("_bn")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_boff")
+    val valueHist = withB.groupBy("_b", valueCol).agg(count(lit(1)).as("_vn"))
+    val valueOff = valueHist
+      .withColumn("_voff", coalesce(
+        sum(col("_vn")).over(Window.partitionBy("_b").orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", valueCol, "_voff")
+    withB
+      .join(broadcast(bucketOff), Seq("_b"))
+      .join(valueOff, Seq("_b", valueCol))
+      .withColumn(rankName,
+        col("_boff") + col("_voff") + row_number().over(
+          Window.partitionBy(valueCol).orderBy(col(tieCol))).cast("long"))
+      .drop("_b", "_boff", "_voff")
+  }
+
+  /** [[exactAscRank]] with an optional descending value order (tie stays
+    * ascending): rank over (value DESC, tie ASC) = ascending rank of the
+    * negated value. */
+  private def withExactRank(df: DataFrame, valueCol: String, desc: Boolean,
+      tieCol: String, bucketWidth: Long, rankName: String): DataFrame =
+    if (!desc) exactAscRank(df, valueCol, tieCol, bucketWidth, rankName)
+    else exactAscRank(df.withColumn("_negv", -col(valueCol)), "_negv",
+      tieCol, bucketWidth, rankName).drop("_negv")
+
+  // ---------------------------------------------------------------------
   // RFM segmentation
   // ---------------------------------------------------------------------
 
   /** Classic RFM segmentation: per-user recency (days since last event,
     * integer micros division), frequency (purchase count) and monetary
-    * (exact integer cents), each scored into quintiles (5 = best) via
-    * ntile over a deterministic (metric, user_id) order, plus the
-    * monetary cume_dist percentile. The user-grain windows are global
-    * here (bounded corpus); at 100 TB the same scores come from
-    * broadcast quantile boundaries (the x21 decile pattern) — the
-    * metric computation is unchanged.
+    * (exact integer cents), each scored into quintiles (5 = best) over a
+    * deterministic (metric, user_id) order, plus the monetary cume_dist
+    * percentile.
+    *
+    * Scale shape: no user-grain row ever crosses a global window. Each
+    * score is derived from the EXACT global rank computed by
+    * [[exactAscRank]] (bucket-histogram offsets + partitioned windows),
+    * then mapped through NTILE's closed-form bucket arithmetic (first
+    * n mod 5 quintiles hold ⌈n/5⌉ users) and rank/n for cume_dist — so
+    * the output is bit-identical to the global
+    * `ntile(5) OVER (ORDER BY metric, user_id)` spec the oracle runs,
+    * while the plan stays partitioned end to end.
     */
   def rfmSegmentation(events: DataFrame): DataFrame = {
     val horizon = events.agg(max(expr("unix_micros(ts)")).as("tmax"))
@@ -1672,16 +1798,34 @@ object Curation {
           .as("frequency"),
         sum(when(col("event_type") === "purchase", col("cents"))
           .otherwise(lit(0L))).as("monetary_cents"))
-    per.crossJoin(broadcast(horizon))
+    val base = per.crossJoin(broadcast(horizon))
       .withColumn("recency_days", expr("(tmax - last_us) div 86400000000"))
-      .withColumn("r_q", (lit(6) - ntile(5).over(
-        Window.orderBy(col("recency_days").asc, col("user_id").asc))).cast("long"))
-      .withColumn("f_q", (lit(6) - ntile(5).over(
-        Window.orderBy(col("frequency").desc, col("user_id").asc))).cast("long"))
-      .withColumn("m_q", (lit(6) - ntile(5).over(
-        Window.orderBy(col("monetary_cents").desc, col("user_id").asc))).cast("long"))
-      .withColumn("m_cume", round(cume_dist().over(
-        Window.orderBy(col("monetary_cents").asc, col("user_id").asc)), 6))
+      .select("user_id", "recency_days", "frequency", "monetary_cents")
+    val n = base.agg(count(lit(1)).as("_n"))
+    // Exact composite ranks, one per scored order. Bucket widths bound
+    // the bucket histogram by the VALUE RANGE (days since horizon,
+    // purchase counts, total cents), never the user count.
+    val ranked = Seq(
+      ("recency_days", false, 64L, "_rr"),
+      ("frequency", true, 16L, "_rf"),
+      ("monetary_cents", true, 1L << 20, "_rm"),
+      ("monetary_cents", false, 1L << 20, "_rma"))
+      .foldLeft(base) { case (acc, (c, desc, w, name)) =>
+        withExactRank(acc, c, desc, "user_id", w, name)
+      }
+    // NTILE(5)'s exact bucket arithmetic from the rank: with n rows the
+    // first n mod 5 buckets hold (n div 5)+1 rows, the rest n div 5.
+    def ntile5(r: String): String =
+      s"""(CASE WHEN $r <= (_n % 5) * ((_n div 5) + 1)
+         |      THEN ($r - 1) div ((_n div 5) + 1) + 1
+         |      ELSE (_n % 5) + ($r - 1 - (_n % 5) * ((_n div 5) + 1))
+         |             div (_n div 5) + 1 END)""".stripMargin
+    ranked.crossJoin(broadcast(n))
+      .withColumn("r_q", expr(s"CAST(6 - ${ntile5("_rr")} AS BIGINT)"))
+      .withColumn("f_q", expr(s"CAST(6 - ${ntile5("_rf")} AS BIGINT)"))
+      .withColumn("m_q", expr(s"CAST(6 - ${ntile5("_rm")} AS BIGINT)"))
+      .withColumn("m_cume",
+        round(col("_rma").cast("double") / col("_n").cast("double"), 6))
       .select("user_id", "recency_days", "frequency", "monetary_cents",
         "r_q", "f_q", "m_q", "m_cume")
       .orderBy("user_id")
@@ -1695,15 +1839,17 @@ object Curation {
     * the top-decile revenue share — the inequality audit (the identical
     * math audits per-source token concentration in a training mix). The
     * rank-weighted sum formula G = (2Σi·xᵢ - (n+1)Σxᵢ)/(nΣxᵢ) over the
-    * ascending sort is all BIGINT until the final division.
+    * ascending sort is all BIGINT until the final division; the rank i
+    * comes from [[exactAscRank]] (bucket-histogram offsets + partitioned
+    * windows), not a global single-task window, so the user grain never
+    * funnels through one reducer.
     */
   def giniConcentration(events: DataFrame): DataFrame = {
     val per = events.filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
         .as("cents"))
-    val w = Window.orderBy(col("cents").asc, col("user_id").asc)
-    val ranked = per.withColumn("i", row_number().over(w).cast("long"))
+    val ranked = exactAscRank(per, "cents", "user_id", 1L << 20, "i")
     val agg0 = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"),
       sum(col("i") * col("cents")).as("iws"))
     ranked.crossJoin(broadcast(agg0))
@@ -1733,10 +1879,17 @@ object Curation {
     * Scale: the adjacency is the SAME banded candidate-pair table the
     * registered ANN path builds (never all-pairs); expansion is one
     * equi-join from the bounded query top-k into it, and exact scoring
-    * touches candidates only.
+    * touches candidates only. The hop-2 side joins a DEGREE-CAPPED view
+    * of the adjacency — each node keeps its `degreeCap` lowest-id
+    * neighbors, the same M-bounded neighbor-list invariant HNSW
+    * maintains — so the expanded pool is ≤ |queries|·k·degreeCap rows by
+    * construction, independent of how hot any node's bucket got. The
+    * base pass stays uncapped, so the recall-monotonicity contract
+    * (expanded pool ⊇ base pool ⇒ recall_exp ≥ recall_base) is
+    * unconditional.
     */
   def knnExpansion(embeddings: DataFrame, queryIds: Seq[Long],
-      k: Int = 5): DataFrame = {
+      k: Int = 5, degreeCap: Int = 32): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("emb"))
@@ -1758,8 +1911,13 @@ object Curation {
     val qAdj = adj.filter(col("src").isin(queryIds: _*))
       .select(col("src").as("qid"), col("dst").as("nid")).distinct()
     val baseTop = rankTop(qAdj)
+    val adjCapped = adj
+      .withColumn("drn", row_number().over(
+        Window.partitionBy("src").orderBy(col("dst").asc)))
+      .filter(col("drn") <= degreeCap)
+      .select("src", "dst")
     val hop2 = baseTop.select(col("qid"), col("nid").as("src"))
-      .join(adj, Seq("src"))
+      .join(adjCapped, Seq("src"))
       .select(col("qid"), col("dst").as("nid"))
       .filter(col("nid") =!= col("qid"))
     val expTop = rankTop(qAdj.unionByName(hop2).distinct())

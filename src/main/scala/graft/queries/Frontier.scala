@@ -126,10 +126,14 @@ object Frontier {
              |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM drp GROUP BY 1
              |)
              |SELECT nv.bucket, nv.n_vecs,
-             |       CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
-             |       round(CAST(nv.n_vecs - COALESCE(nd.n_dropped, 0) AS DOUBLE)
-             |         / CAST(nv.n_vecs AS DOUBLE), 6) AS retention,
-             |       nv.n_vecs <= 256 AS pruned
+             |       CASE WHEN nv.n_vecs <= 256
+             |            THEN CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) END
+             |         AS n_dropped,
+             |       CASE WHEN nv.n_vecs <= 256
+             |            THEN round(CAST(nv.n_vecs - COALESCE(nd.n_dropped, 0)
+             |              AS DOUBLE) / CAST(nv.n_vecs AS DOUBLE), 6) END
+             |         AS retention,
+             |       nv.n_vecs <= 256 AS within_cap
              |FROM nv LEFT JOIN nd USING (bucket) ORDER BY nv.bucket""".stripMargin)),
 
     // Mergeable-sketch audit: sharded MinHash == direct MinHash
@@ -425,12 +429,12 @@ object Frontier {
       Some(
         raw"""WITH f AS (
              |  SELECT value FROM events WHERE value > 0
-             |), tot AS (
-             |  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM f
              |), dg AS (
              |  SELECT CAST(substring(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
              |    AS VARCHAR), 1, 1) AS INT) AS digit
              |  FROM f
+             |), tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM dg WHERE digit >= 1
              |), g AS (
              |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
              |  FROM dg WHERE digit >= 1 GROUP BY 1
@@ -445,8 +449,9 @@ object Frontier {
              |FROM base ORDER BY digit""".stripMargin)),
 
     // Graph-expansion ANN refinement: neighbor-of-neighbor widening of
-    // the banded candidate pool, exact re-rank, recall lift vs brute
-    // truth for the pinned query set.
+    // the banded candidate pool through a degree-capped (M=32) adjacency
+    // — the HNSW bounded-neighbor-list invariant — exact re-rank, recall
+    // lift vs brute truth for the pinned query set.
     QueryDef(
       "x182_knn_expansion",
       (s, dir) => Curation.knnExpansion(Tables(s, dir).embeddings, 0L until 10L),
@@ -468,9 +473,15 @@ object Frontier {
              |    JOIN e eq ON eq.vec_id = c.qid
              |    JOIN e en ON en.vec_id = c.nid) t
              |  WHERE rn <= 5
+             |), adjc AS (
+             |  SELECT src, dst FROM (
+             |    SELECT src, dst,
+             |           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst ASC) AS drn
+             |    FROM adj) t
+             |  WHERE drn <= 32
              |), hop2 AS (
              |  SELECT b.qid, a.dst AS nid
-             |  FROM basetop b JOIN adj a ON a.src = b.nid
+             |  FROM basetop b JOIN adjc a ON a.src = b.nid
              |  WHERE a.dst <> b.qid
              |), expcand AS (
              |  SELECT DISTINCT qid, nid FROM (
@@ -612,10 +623,11 @@ object Frontier {
     // RFM segmentation: per-user recency/frequency/monetary with ntile
     // quintile scores (5 = best on every axis) and the monetary
     // cumulative-distribution percentile. Monetary is exact integer
-    // cents; ntile/cume_dist run over deterministic (metric, user_id)
-    // orders. The user-grain windows are global here (bounded corpus);
-    // at 100 TB the same scores come from broadcast quantile boundaries
-    // (the x21 decile pattern) — the metrics computation is unchanged.
+    // cents. The Spark side derives each score from exactAscRank's
+    // partitioned-window global rank (no user-grain data through a
+    // single-task window); the oracle runs the equivalent global
+    // ntile/cume_dist spec over the deterministic (metric, user_id)
+    // orders — the outputs are bit-identical.
     QueryDef(
       "x186_rfm_segmentation",
       (s, dir) => Curation.rfmSegmentation(Tables(s, dir).events),
@@ -917,11 +929,11 @@ object Frontier {
              |  SELECT CAST(SUM(nh) AS BIGINT) AS n FROM strata
              |), ws AS (
              |  SELECT source, nh,
-             |         floor(sqrt(greatest(0.0,
+             |         CASE WHEN nh > 1 THEN floor(sqrt(greatest(0.0,
              |           (CAST(nh AS DOUBLE) * CAST(syy AS DOUBLE)
              |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
              |             / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))))
-             |           * 1e9 + 0.5) / 1e9 AS sh
+             |           * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS sh
              |  FROM strata
              |), ws2 AS (
              |  SELECT source, nh, sh,
@@ -1501,16 +1513,26 @@ object Frontier {
              |FROM base""".stripMargin
       }),
 
-    // Item-item collaborative filtering: cosine co-purchase similarity,
-    // top-5 recommendations for the pinned customers.
+    // Item-item collaborative filtering: cosine co-purchase similarity
+    // over the hot-basket-capped (top-64 parts per customer) purchase
+    // matrix, top-5 recommendations for the pinned customers.
     QueryDef(
       "x205_item_item_cf",
       (s, dir) => Curation.itemItemCf(Tables(s, dir).orders,
         Tables(s, dir).lineitem, 1L to 5L),
       Some(
-        raw"""WITH cp AS (
+        raw"""WITH cp0 AS (
              |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
              |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |), pop AS (
+             |  SELECT part, CAST(COUNT(*) AS BIGINT) AS np0 FROM cp0 GROUP BY 1
+             |), cp AS (
+             |  SELECT cust, part FROM (
+             |    SELECT c.cust, c.part,
+             |           ROW_NUMBER() OVER (PARTITION BY c.cust
+             |             ORDER BY p.np0 DESC, c.part ASC) AS brn
+             |    FROM cp0 c JOIN pop p USING (part)) t
+             |  WHERE brn <= 64
              |), pcnt AS (
              |  SELECT part, CAST(COUNT(*) AS BIGINT) AS np FROM cp GROUP BY 1
              |), pairs AS (
@@ -1531,12 +1553,14 @@ object Frontier {
              |  SELECT pb AS owned, pa AS cand, sim_fp FROM sims
              |), own AS (
              |  SELECT cust, part FROM cp WHERE cust IN (1, 2, 3, 4, 5)
+             |), ownall AS (
+             |  SELECT cust, part FROM cp0 WHERE cust IN (1, 2, 3, 4, 5)
              |), scored AS (
              |  SELECT o.cust, u.cand, CAST(SUM(u.sim_fp) AS BIGINT) AS score_fp,
              |         CAST(COUNT(*) AS BIGINT) AS n_paths
              |  FROM own o
              |  JOIN und u ON u.owned = o.part
-             |  LEFT JOIN own o2 ON o2.cust = o.cust AND o2.part = u.cand
+             |  LEFT JOIN ownall o2 ON o2.cust = o.cust AND o2.part = u.cand
              |  WHERE o2.part IS NULL
              |  GROUP BY 1, 2
              |)
@@ -1548,8 +1572,8 @@ object Frontier {
              |      FROM scored)
              |WHERE rank <= 5 ORDER BY o_custkey, rank""".stripMargin)),
 
-    // Walk-forward MASE: frozen Theil-Sen vs the naive yesterday
-    // forecast over the last 10 days.
+    // Walk-forward canonical MASE (Hyndman & Koehler 2006): frozen
+    // Theil-Sen test error scaled by the IN-SAMPLE one-step naive MAE.
     QueryDef(
       "x206_forecast_skill",
       (s, dir) => Curation.forecastSkill(Tables(s, dir).events),
@@ -1580,24 +1604,30 @@ object Frontier {
              |           * 1e9 + 0.5) / 1e9) AS a
              |  FROM train t CROSS JOIN sl GROUP BY sl.b
              |), test AS (
-             |  SELECT wb.y, wb.y_prev, wb.i, ic.a, ic.b
+             |  SELECT wb.y, wb.i, ic.a, ic.b
              |  FROM wb CROSS JOIN ic WHERE wb.i > wb.n_train
+             |), nt AS (
+             |  SELECT CAST(SUM(abs(y - y_prev)) AS BIGINT) AS snt,
+             |         CAST(COUNT(*) AS BIGINT) AS nnt
+             |  FROM wb WHERE i > 1 AND i <= n_train
              |), err AS (
-             |  SELECT CAST(floor(abs(CAST(y AS DOUBLE)
-             |           - (a + b * CAST(i AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)
-             |           AS em_fp,
-             |         abs(y - y_prev) AS en
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             |         CAST(SUM(CAST(floor(abs(CAST(y AS DOUBLE)
+             |           - (a + b * CAST(i AS DOUBLE))) * 1e9 + 0.5) AS BIGINT))
+             |           AS BIGINT) AS sm_fp
              |  FROM test
              |)
-             |SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
-             |       round(CAST(SUM(em_fp) AS DOUBLE) / 1e9
-             |         / CAST(COUNT(*) AS DOUBLE), 6) AS mae_model,
-             |       round(CAST(SUM(en) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-             |         AS mae_naive,
-             |       CASE WHEN SUM(en) > 0
-             |            THEN round((CAST(SUM(em_fp) AS DOUBLE) / 1e9)
-             |              / CAST(SUM(en) AS DOUBLE), 6) END AS mase
-             |FROM err""".stripMargin)),
+             |SELECT n_test,
+             |       round(CAST(sm_fp AS DOUBLE) / 1e9
+             |         / CAST(n_test AS DOUBLE), 6) AS mae_model,
+             |       round(CAST(snt AS DOUBLE) / CAST(nnt AS DOUBLE), 6)
+             |         AS mae_naive_train,
+             |       CASE WHEN snt > 0
+             |            THEN round((CAST(sm_fp AS DOUBLE) / 1e9
+             |              / CAST(n_test AS DOUBLE))
+             |              / (CAST(snt AS DOUBLE) / CAST(nnt AS DOUBLE)), 6)
+             |            END AS mase
+             |FROM err CROSS JOIN nt""".stripMargin)),
 
     // Spearman rank correlation between the view and purchase daily
     // series: exact average-ranks on the x2 integer grid.

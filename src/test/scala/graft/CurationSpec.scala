@@ -152,17 +152,19 @@ class CurationSpec extends SparkSuite {
   test("x174 SemDeDup cellCap: a cell wider than the cap is excluded from " +
     "pruning and reported unpruned") {
     // 30 copies of vector 0 under fresh ids overflow a cellCap of 8:
-    // that cell must report pruned = false with zero drops, while a
-    // small cap-respecting run on the same data does drop.
+    // that cell must report within_cap = false with NULL drop stats
+    // (unknown — not "fully retained"), while a small cap-respecting run
+    // on the same data does drop.
     val dup = (1 to 30).map(i => embeddings.filter(col("vec_id") === 0L)
       .select(lit(900000L + i).as("vec_id"), col("embedding"), col("label")))
       .reduce(_ unionByName _)
     val aug = embeddings.unionByName(dup)
     val capped = Curation.semanticDedup(aug, tau = 0.4, cellCap = 8)
-    val hot = capped.filter(!col("pruned"))
+    val hot = capped.filter(!col("within_cap"))
     assert(hot.count() >= 1, "the flooded cell must be flagged")
-    assert(hot.filter(col("n_dropped") =!= 0).count() == 0,
-      "capped cells are excluded from pair generation entirely")
+    assert(hot.filter(col("n_dropped").isNotNull
+      || col("retention").isNotNull).count() == 0,
+      "capped-out cells must report null drop stats, never retention=1.0")
     val uncapped = Curation.semanticDedup(aug, tau = 0.4, cellCap = 256)
     assert(uncapped.agg(sum("n_dropped")).head().getLong(0) >= 30,
       "with room under the cap the duplicates do get dropped")
@@ -368,6 +370,66 @@ class CurationSpec extends SparkSuite {
     assert(r.filter(col("m_cume") <= 0 || col("m_cume") > 1).count() == 0)
   }
 
+  test("exactAscRank equals the global row_number spec bit-for-bit — " +
+    "ties, negative values, and bucket boundaries included") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 257).map(i => (i.toLong, (rnd.nextInt(19) - 9).toLong))
+      .toDF("user_id", "v")
+    val got = Curation.exactAscRank(df, "v", "user_id", 3L, "r")
+    val want = df.withColumn("r_want", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").asc, col("user_id").asc)).cast("long"))
+    assert(got.join(want, Seq("user_id", "v"))
+      .filter(col("r") =!= col("r_want")).count() == 0,
+      "partitioned-rank construction must reproduce the global order exactly")
+  }
+
+  test("x186 RFM: partitioned-rank scores are bit-identical to the global " +
+    "ntile/cume_dist spec on a heavily-tied fixture") {
+    def mkTs(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-02-${d % 27 + 1}%02d ${h % 24}%02d:00:00")
+    var id = 0L
+    val rows = (1 to 43).flatMap { u =>
+      (0 to u % 5).map { j =>
+        id += 1
+        (id, mkTs(u % 9 + j, j),
+          u.toLong, if (j % 2 == 0) "purchase" else "view",
+          (u % 7) * 10.0 + j, "{}")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Curation.rfmSegmentation(ev)
+    // Independent spec: the global-window formulation (fine at test
+    // scale) the oracle also runs.
+    import org.apache.spark.sql.expressions.Window
+    val horizon = ev.agg(max(expr("unix_micros(ts)")).as("tmax"))
+    val per = ev
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max(col("us")).as("last_us"),
+        sum(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+          .as("frequency"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(lit(0L))).as("monetary_cents"))
+    val want = per.crossJoin(broadcast(horizon))
+      .withColumn("recency_days", expr("(tmax - last_us) div 86400000000"))
+      .withColumn("w_r_q", (lit(6) - ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("user_id").asc))).cast("long"))
+      .withColumn("w_f_q", (lit(6) - ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("user_id").asc))).cast("long"))
+      .withColumn("w_m_q", (lit(6) - ntile(5).over(
+        Window.orderBy(col("monetary_cents").desc, col("user_id").asc))).cast("long"))
+      .withColumn("w_m_cume", round(cume_dist().over(
+        Window.orderBy(col("monetary_cents").asc, col("user_id").asc)), 6))
+      .select("user_id", "w_r_q", "w_f_q", "w_m_q", "w_m_cume")
+    val bad = got.join(want, Seq("user_id"))
+      .filter(col("r_q") =!= col("w_r_q") || col("f_q") =!= col("w_f_q")
+        || col("m_q") =!= col("w_m_q") || col("m_cume") =!= col("w_m_cume"))
+    assert(bad.count() == 0,
+      s"rank-derived scores drifted from the ntile spec: ${bad.collect().mkString(";")}")
+  }
+
   // ----------------------------------------------------------------- Gini
 
   test("x187 Gini: perfect equality gives 0, near-total concentration " +
@@ -451,10 +513,34 @@ class CurationSpec extends SparkSuite {
     assert(!r.map(_.getLong(2)).exists(Seq(10L, 20L).contains))
   }
 
+  test("x205 basket cap: a planted whale contributes at most maxBasket " +
+    "parts to pair generation, keeping the popular ones") {
+    // 20 normal customers share parts {1,2,3}; customer 99 is a whale
+    // with 500 distinct parts (including 1..3). The capped matrix must
+    // bound the whale to 64 parts — C(64,2) pairs, not C(500,2) — and
+    // popularity ranking must keep the co-purchase-informative ones.
+    val orders = ((1 to 20).map(c => (c.toLong * 10, c.toLong)) :+ (900L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = ((1 to 20).flatMap(c => Seq(1L, 2L, 3L).map(p => (c.toLong * 10, p))) ++
+      (1L to 500L).map(p => (900L, p)))
+      .toDF("l_orderkey", "l_partkey")
+    val capped = Curation.cappedPurchaseMatrix(
+      Curation.rawPurchaseMatrix(orders, lineitem), 64)
+    val byCust = capped.groupBy("cust").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byCust(99L) == 64L, s"whale basket must be capped at 64: ${byCust(99L)}")
+    assert((1 to 20).forall(c => byCust(c.toLong) == 3L),
+      "under-cap baskets pass through untouched")
+    val whaleParts = capped.filter(col("cust") === 99L)
+      .select("part").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(whaleParts),
+      "frequency-ranked cap keeps the most co-purchased parts")
+  }
+
   // --------------------------------------------------------- forecast skill
 
-  test("x206 MASE: a perfect trend model scores 0 against a moving naive " +
-    "baseline") {
+  test("x206 MASE: a perfect trend model scores 0, and the scaling " +
+    "denominator is the IN-SAMPLE naive MAE (canonical Hyndman-Koehler)") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")
     var id = 0L
     val rows = (1 to 25).flatMap { i =>
@@ -466,7 +552,8 @@ class CurationSpec extends SparkSuite {
     val r = Curation.forecastSkill(ev).head()
     assert(r.getLong(0) == 10L)
     assert(r.getDouble(1) == 0.0, "exact line -> zero model error")
-    assert(r.getDouble(2) == 3.0, "naive trails the slope by 3 every day")
+    assert(r.getDouble(2) == 3.0,
+      "in-sample naive MAE: the one-step naive trails the slope by 3 on every training day")
     assert(r.getDouble(3) == 0.0)
   }
 
@@ -504,6 +591,32 @@ class CurationSpec extends SparkSuite {
     assert(r.getDouble(4) == -90.0)
     assert(r.getDouble(7) < 0,
       s"a -90 effect must push the whole CI below zero: hi=${r.getDouble(7)}")
+  }
+
+  test("x204 A/B: a planted sample-ratio mismatch trips the SRM guard") {
+    // Selection bias fixture: a user filter that (unknowingly) correlates
+    // with the arm hash — 60 users in arm 0, only 6 in arm 1 survive.
+    // chi2 = (60-6)^2/66 = 44.2 >> 3.841, so srm_flag MUST trip; a
+    // harness that misses this would happily report the biased readout.
+    def arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u|ab".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % 2).toInt
+    }
+    val byArm = (1L to 300L).groupBy(arm)
+    val users = byArm(0).take(60) ++ byArm(1).take(6)
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 ${i % 24}%02d:00:00")
+    var id = 0L
+    val rows = users.toSeq.map { u => id += 1
+      (id, ts(id.toInt), u, "purchase", 10.0, "{}")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.abTestHarness(ev).head()
+    assert(r.getLong(0) == 60L && r.getLong(1) == 6L)
+    assert(r.getDouble(8) > 3.841, s"chi2 ${r.getDouble(8)} must exceed the 5% cut")
+    assert(r.getBoolean(9), "the SRM guard must flag a 60/6 split")
   }
 
   // ------------------------------------------------------------ James-Stein
@@ -862,6 +975,35 @@ class CurationSpec extends SparkSuite {
       assert(math.abs(row.getDouble(5)
         - (row.getDouble(4) - row.getDouble(3))) < 1e-6)
     }
+  }
+
+  test("x182 degree cap has teeth: cap 0 empties the hop-2 adjacency, so " +
+    "expansion degenerates to exactly the base pass") {
+    val r = Curation.knnExpansion(embeddings, 0L until 5L, degreeCap = 0).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getLong(1) == row.getLong(2) && row.getDouble(5) == 0.0,
+        s"qid ${row.getLong(0)}: with no neighbors to expand through, " +
+          "exp must equal base — the cap is not being applied")
+    }
+  }
+
+  // ------------------------------------------------------ Neyman allocation
+
+  test("x192 Neyman: a singleton stratum contributes zero variance instead " +
+    "of NaN-poisoning every source's allocation") {
+    val fixture = ((1 to 40).map(i => (i.toLong, s"doc $i word" * (i % 5 + 1),
+      "big", 100L + i)) :+ (99L, "solo", "solo", 500L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = Curation.neymanAllocation(fixture).collect()
+    assert(r.length == 2)
+    assert(r.forall(row => !row.isNullAt(4)),
+      "one singleton stratum must never null the whole allocation column")
+    val solo = r.find(_.getString(0) == "solo").get
+    assert(solo.getDouble(2) == 0.0, "singleton stratum reports stddev 0")
+    assert(solo.getLong(4) == 0L, "zero variance evidence -> zero Neyman weight")
+    val big = r.find(_.getString(0) == "big").get
+    assert(big.getLong(4) == 100L, "the whole budget flows to the stratum with variance")
   }
 
   test("x178 outliers: a planted far vector ranks first with a large z") {

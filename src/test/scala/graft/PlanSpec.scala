@@ -31,6 +31,34 @@ class PlanSpec extends SparkSuite {
     assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x186/x187 user-grain ranks never cross an UNPARTITIONED ranking " +
+    "window; global windows are bucket-histogram cumulatives only") {
+    import org.apache.spark.sql.catalyst.expressions.{CumeDist, NTile, RowNumber}
+    for (name <- Seq("x186_rfm_segmentation", "x187_gini_concentration")) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name lost its window operators")
+      val globals = windows.filter(_.partitionSpec.isEmpty)
+      // No per-row ranking function may run unpartitioned — that is the
+      // single-task funnel exactAscRank exists to remove.
+      globals.foreach { w =>
+        val rankFns = w.windowExpression.flatMap(_.collect {
+          case e @ (_: NTile | _: CumeDist | _: RowNumber) => e
+        })
+        assert(rankFns.isEmpty,
+          s"$name ranks the user grain through a global window: $rankFns")
+        // The surviving global windows are running sums whose input is an
+        // AGGREGATED histogram (value-domain-bounded), never raw rows.
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.isDefined,
+          s"$name has a global window over unaggregated (row-grain) input")
+      }
+    }
+  }
+
   test("x21 deciles plan has no window operator at all (boundary broadcast instead)") {
     val plan = executed("x21_revenue_deciles")
     assert(!plan.contains("Window"), s"x21 regressed to a window:\n$plan")

@@ -24,14 +24,11 @@ class RegistrySpec extends SparkSuite {
   }
 
   test("the scale probe's query list resolves against the registry") {
-    val probes = Seq("x66_lsh_dedup_pairs_capped", "x72_dup_gram_coverage",
-      "x69_curation_pipeline", "x107_edit_distance_pairs",
-      "x117_source_dedup_matrix", "x126_bpe_merges", "x134_count_min_sketch",
-      "x158_bloom_screen", "x160_hll_source_cardinality",
-      "x167_winnowing_pairs", "x168_shard_resize_audit",
-      "x172_dsir_weights", "x173_token_entropy", "x175_minhash_merge_audit",
-      "x179_ks_drift", "x174_semantic_dedup", "x178_embedding_outliers",
-      "x196_label_noise_screen")
+    // References ScaleProbe's OWN constants (round-9 advice): a probe
+    // list edit is guarded automatically instead of via a stale copy.
+    val probes = ScaleProbe.probeNames ++ ScaleProbe.embProbeNames ++
+      ScaleProbe.eventProbeNames
+    assert(probes.size >= 18, "probe list shrank unexpectedly")
     val missing = probes.filterNot(Registry.queryMap.contains)
     assert(missing.isEmpty, s"probe names drifted from the registry: $missing")
   }
