@@ -27,8 +27,10 @@ def main() -> None:
     print(f"Total {b['value']:.1f} s cold / {b['median_total']:.1f} s median; "
           f"failed: {b['failed'] or 'none'}.")
     print()
-    print("Median methodology: queries colder than 15 s rerun 2x (4x when "
-          "under 2 s); the median is over cold+reruns with the library's "
+    print("Median methodology: EVERY query reruns 2x (4x when cold is under "
+          "2 s) — no single-sample entries (round-10 fix: the >=15 s tier "
+          "used to get one sample, exactly where a contended sample poisons "
+          "the baseline); the median is over cold+reruns with the library's "
           "model/candidate caches cleared before every rerun, so it measures "
           "steady-state computation, not a memo lookup. `_`-prefixed rows "
           "are engine fixtures (warmup, layout demos), not queries.")
