@@ -1942,89 +1942,4 @@ object Curation {
       .withColumn("lift", round(col("recall_exp") - col("recall_base"), 6))
       .orderBy("qid")
   }
-
-  // ---------------------------------------------------------------------
-  // Benchmark decontamination screen
-  // ---------------------------------------------------------------------
-
-  /** Benchmark-decontamination screen (the GPT-3 appendix-C / Llama-2
-    * methodology): flag every training document sharing at least
-    * `minOverlap` distinct word `n`-grams with the held-out benchmark
-    * set, so downstream eval numbers are not inflated by memorized test
-    * data. The "benchmark" is the deterministic ~5% content-hash slice
-    * of the corpus (hash32(text|bench) % 20 == 0 — all copies of a
-    * document land on the same side, the x193 capture trick), standing
-    * in for the frozen benchmark gram set a real pipeline screens its
-    * train shards against.
-    *
-    * Output: one row per CONTAMINATED training doc — its distinct-gram
-    * count, benchmark-colliding gram count, and the rate.
-    *
-    * Scale: the gram explode is linear in corpus tokens; the collision
-    * check is ONE hash equi-join of per-doc distinct grams against the
-    * deduped benchmark gram set (bounded by benchmark content, not
-    * corpus size); per-doc aggregates close it out. No doc-pair join
-    * anywhere.
-    */
-  def decontamination(docs: DataFrame, n: Int = 5,
-      minOverlap: Int = 1): DataFrame = {
-    val isBench = hash32(concat(col("text"), lit("|bench"))) % 20 === 0
-    val grams = docs
-      .select(col("doc_id"), col("source"), isBench.as("is_bench"),
-        TextAnalysis.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), col("source"), col("is_bench"),
-        explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
-      .select(col("doc_id"), col("source"), col("is_bench"),
-        array_join(slice(col("ts"), col("i"), lit(n)), " ").as("g"))
-    val trainGrams = grams.filter(!col("is_bench"))
-      .select("doc_id", "source", "g").distinct()
-    val benchGrams = grams.filter(col("is_bench")).select("g").distinct()
-    trainGrams
-      .join(benchGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
-      .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
-      .filter(col("n_contaminated") >= minOverlap)
-      .select(col("doc_id"), col("source"), col("n_grams"), col("n_contaminated"),
-        round(col("n_contaminated").cast("double")
-          / col("n_grams").cast("double"), 6).as("contamination_rate"))
-      .orderBy("doc_id")
-  }
-
-  // ---------------------------------------------------------------------
-  // Deterministic weighted reservoir sample
-  // ---------------------------------------------------------------------
-
-  /** Efraimidis–Spirakis (2006) weighted reservoir sampling (A-ES),
-    * derandomized: per source keep the `k` documents with the largest
-    * u^(1/w) keys — equivalently the largest ln(u)/w — with u the
-    * deterministic content-hash uniform ((hash32 % 1e6) + 0.5)/1e6 (the
-    * x188 derandomized-replicate trick) and w = n_chars. Inclusion
-    * probability is ∝ weight, without replacement — THE one-pass
-    * distributed sampling primitive: each partition keeps a local top-k
-    * by key and top-k merge is associative, which is exactly why it
-    * works sharded across 1000 executors.
-    *
-    * Cross-engine determinism: u is an exact rational; ln(u) snaps to
-    * the 1e-9 grid (the repo's transcendental convention) BEFORE the
-    * IEEE-exact double division by w; ties break on doc_id. The per-
-    * source top-k is a partitioned window.
-    */
-  def weightedReservoir(docs: DataFrame, k: Int = 5): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
-    val u = ((hash32(concat(col("text"), lit("|res"))) % lit(1000000L))
-      .cast("double") + lit(0.5)) / lit(1000000.0)
-    docs
-      .filter(col("n_chars") > 0)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        (snap9(log(u)) / col("n_chars").cast("double")).as("es_key"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("source")
-          .orderBy(col("es_key").desc, col("doc_id").asc)).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
-        round(col("es_key"), 6).as("es_key"))
-      .orderBy("source", "rank")
-  }
 }

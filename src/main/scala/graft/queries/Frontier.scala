@@ -1701,64 +1701,6 @@ object Frontier {
              |         AS is_anomaly
              |FROM resid CROSS JOIN c CROSS JOIN m
              |WHERE m.mad_r > 0
-             |ORDER BY day""".stripMargin)),
-
-    // Benchmark decontamination (GPT-3 appendix C / Llama 2): flag train
-    // docs sharing any distinct 5-gram with the content-hash benchmark
-    // slice — one gram explode + one hash equi-join, no doc-pair join.
-    QueryDef(
-      "x209_decontamination",
-      (s, dir) => Curation.decontamination(Tables(s, dir).documents),
-      Some(
-        raw"""WITH d0 AS (
-             |  SELECT doc_id, source,
-             |         CAST(('0x'||substring(md5(text || '|bench'),1,8)) AS BIGINT)
-             |           % 20 = 0 AS is_bench,
-             |         string_split_regex(trim(text), '\s+') AS ts
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id, source, is_bench,
-             |         array_to_string(ts[i:i+4], ' ') AS g
-             |  FROM (SELECT doc_id, source, is_bench, ts,
-             |               unnest(generate_series(1, len(ts) - 4)) AS i
-             |        FROM d0 WHERE len(ts) >= 5)
-             |), tg AS (
-             |  SELECT DISTINCT doc_id, source, g FROM g WHERE NOT is_bench
-             |), bg AS (
-             |  SELECT DISTINCT g FROM g WHERE is_bench
-             |), agg AS (
-             |  SELECT t.doc_id, t.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
-             |         CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
-             |           AS BIGINT) AS n_contaminated
-             |  FROM tg t LEFT JOIN bg b ON b.g = t.g
-             |  GROUP BY 1, 2
-             |)
-             |SELECT doc_id, source, n_grams, n_contaminated,
-             |       round(CAST(n_contaminated AS DOUBLE)
-             |         / CAST(n_grams AS DOUBLE), 6) AS contamination_rate
-             |FROM agg WHERE n_contaminated >= 1 ORDER BY doc_id""".stripMargin)),
-
-    // Efraimidis-Spirakis weighted reservoir (derandomized): per-source
-    // top-5 by snapped ln(u)/n_chars key — the associative one-pass
-    // distributed sampling primitive.
-    QueryDef(
-      "x210_weighted_reservoir",
-      (s, dir) => Curation.weightedReservoir(Tables(s, dir).documents),
-      Some(
-        raw"""WITH keyed AS (
-             |  SELECT doc_id, source, n_chars,
-             |         floor(ln((CAST(CAST(('0x'||substring(md5(text || '|res'),1,8))
-             |             AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
-             |           * 1e9 + 0.5) / 1e9
-             |           / CAST(n_chars AS DOUBLE) AS es_key
-             |  FROM documents WHERE n_chars > 0
-             |), ranked AS (
-             |  SELECT source, doc_id, n_chars, es_key,
-             |         CAST(ROW_NUMBER() OVER (PARTITION BY source
-             |           ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS rank
-             |  FROM keyed
-             |)
-             |SELECT source, rank, doc_id, n_chars, round(es_key, 6) AS es_key
-             |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
+             |ORDER BY day""".stripMargin))
   )
 }

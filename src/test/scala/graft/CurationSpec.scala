@@ -988,57 +988,6 @@ class CurationSpec extends SparkSuite {
     }
   }
 
-  // -------------------------------------------------------- decontamination
-
-  /** The engine's portable hash (first 4 md5 bytes as unsigned) in-JVM,
-    * so fixtures can place texts on a chosen side of a hash split. */
-  private def jvmHash32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
-  }
-
-  test("x209 decontamination: a train doc copying a benchmark 5-gram is " +
-    "flagged; a disjoint-vocab doc is not") {
-    def findText(prefix: String, bench: Boolean): String =
-      Iterator.from(0).map(i => s"$prefix tag$i")
-        .find(t => (jvmHash32(t + "|bench") % 20 == 0) == bench).get
-    val gram = "alpha bravo charlie delta echo"
-    val benchDoc = findText(s"$gram foxtrot", bench = true)
-    val dirtyDoc = findText(s"intro words $gram", bench = false)
-    val cleanDoc = findText("zulu yankee xray whiskey victor uniform", bench = false)
-    val docs = Seq((1L, benchDoc, "s"), (2L, dirtyDoc, "s"), (3L, cleanDoc, "s"))
-      .toDF("doc_id", "text", "source")
-    val r = Curation.decontamination(docs).collect()
-    assert(r.map(_.getLong(0)).toSet == Set(2L),
-      s"exactly the gram-sharing train doc must flag: ${r.mkString(";")}")
-    val row = r.head
-    assert(row.getLong(3) >= 1L && row.getDouble(4) > 0.0)
-  }
-
-  // ------------------------------------------------------ weighted reservoir
-
-  test("x210 weighted reservoir: per-source top-k, input-order independent, " +
-    "and a dominant weight always wins its source") {
-    val rows = ((1 to 30).map(i => (i.toLong, s"doc text number $i", "a", 10L)) :+
-      (99L, "the whale document", "a", 1000000000000L)) ++
-      (31 to 40).map(i => (i.toLong, s"other text $i", "b", 50L))
-    val docs = rows.toDF("doc_id", "text", "source", "n_chars")
-    val r = Curation.weightedReservoir(docs).collect()
-    val bySource = r.groupBy(_.getString(0))
-    assert(bySource("a").length == 5 && bySource("b").length == 5)
-    assert(bySource("a").map(_.getLong(1)).sorted.sameElements(1L to 5L))
-    // ln(u)/w for the whale is > -1.4e-11; the best possible competitor at
-    // w=10 is ~-5e-8 — the weight dominates any hash draw.
-    assert(bySource("a").find(_.getLong(1) == 1L).get.getLong(2) == 99L,
-      "the 10^11x-weight doc must always be sampled first")
-    // One-pass mergeability in practice: a different partitioning/order of
-    // the same rows yields the identical sample.
-    val shuffled = Curation.weightedReservoir(
-      docs.repartition(7, col("text")).sortWithinPartitions("text")).collect()
-    assert(r.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
-  }
-
   // ------------------------------------------------------ Neyman allocation
 
   test("x192 Neyman: a singleton stratum contributes zero variance instead " +
