@@ -144,4 +144,23 @@ class CurationPropertySpec extends SparkSuite {
         Curation.captureRecapture(dup).head(), s"seed $seed")
     }
   }
+
+  test("exact-rank law: the partitioned-window construction equals the " +
+    "global row_number spec for any values, widths, and tie density") {
+    import org.apache.spark.sql.expressions.Window
+    for ((seed, width) <- Seq((11, 1L), (12, 7L), (13, 1000L), (14, 1L << 20))) {
+      val rnd = new scala.util.Random(seed)
+      // Heavy ties (values from a small domain), negatives included, and
+      // a row count deliberately not aligned to any bucket width.
+      val df = (1 to 100 + rnd.nextInt(100))
+        .map(i => (i.toLong, (rnd.nextInt(25) - 12).toLong * rnd.nextInt(50)))
+        .toDF("user_id", "v")
+      val got = Curation.exactAscRank(df, "v", "user_id", width, "r")
+      val want = df.withColumn("r_want", row_number().over(
+        Window.orderBy(col("v").asc, col("user_id").asc)).cast("long"))
+      assert(got.join(want, Seq("user_id", "v"))
+        .filter(col("r") =!= col("r_want")).count() == 0,
+        s"seed $seed width $width: rank drifted from the global spec")
+    }
+  }
 }
