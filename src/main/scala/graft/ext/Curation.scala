@@ -55,9 +55,11 @@ object Curation {
     *
     * Scale shape: one token explode → two 64-row aggregates (the entire
     * "model" is `buckets` log-ratios, broadcast back onto the token
-    * stream) → one per-doc aggregate. The top-fraction cut here is an
-    * exact global rank (the oracle contract); at 100 TB the same scores
-    * feed an approx-quantile threshold instead — the score computation,
+    * stream) → one per-doc aggregate. The top-fraction cut is an exact
+    * global rank (the oracle contract) computed by the partitioned
+    * [[exactAscRank]] construction, so no doc-grain data crosses a
+    * single-task window; an approx-quantile threshold remains the
+    * documented cheaper alternative — the score computation,
     * which is the expensive part, is unchanged.
     */
   def dsirWeights(docs: DataFrame, targetSource: String = "src0",
@@ -85,9 +87,14 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr_fp")).as("logw_fp"))
     val nDocs = perDoc.agg(count(lit(1)).as("nd"))
-    val w = Window.orderBy(col("logw_fp").desc, col("doc_id").asc)
-    perDoc.crossJoin(broadcast(nDocs))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // Exact top-fraction rank over (logw_fp desc, doc_id asc) via the
+    // partitioned exactAscRank construction — every doc needs a selected
+    // bit, so this is a full ranking, not a top-k, and a global window
+    // would funnel the doc grain through one task.
+    perDoc
+      .transform(df => withExactRank(df, "logw_fp", desc = true, "doc_id",
+        1L << 32, "rk"))
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("n_tokens"), col("logw_fp"),
         round(col("logw_fp").cast("double") / lit(1e9)
           / col("n_tokens").cast("double"), 6).as("avg_logw"),
@@ -376,14 +383,18 @@ object Curation {
     val withMed = d2.join(med, Seq("label"))
     val mad = withMed.groupBy("label")
       .agg(expr("percentile(abs(cast(d2 as double) - med), 0.5D)").as("mad"))
+    // Global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heaps, no single-task window over the vec grain); the rank label is
+    // re-derived over the topK-row bounded result.
     withMed.join(mad, Seq("label"))
       .filter(col("mad") > 0)
       .select(col("vec_id"), col("label"), col("d2"),
         round((col("d2").cast("double") - col("med"))
           / (lit(1.4826) * col("mad")), 6).as("z"))
+      .orderBy(col("z").desc, col("vec_id").asc)
+      .limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("z").desc, col("vec_id").asc)).cast("long"))
-      .filter(col("rank") <= topK)
       .select("rank", "vec_id", "label", "d2", "z")
       .orderBy("rank")
   }
@@ -1396,10 +1407,15 @@ object Curation {
       .crossJoin(broadcast(nOrders))
       .withColumn("lift_num", col("n_ab") * col("n_orders"))
       .withColumn("lift_den", col("n_a") * col("n_b"))
+      // Top-N via orderBy+limit (TakeOrderedAndProject) instead of a
+      // global rank window over the full support-pruned pair table; the
+      // rank label is re-derived over the bounded `top` rows.
+      .orderBy((col("lift_num").cast("double") / col("lift_den").cast("double")).desc,
+        col("part_a").asc, col("part_b").asc)
+      .limit(top)
       .withColumn("rank", row_number().over(Window.orderBy(
         (col("lift_num").cast("double") / col("lift_den").cast("double")).desc,
         col("part_a").asc, col("part_b").asc)).cast("long"))
-      .filter(col("rank") <= top)
       .select(col("rank"), col("part_a"), col("part_b"), col("n_ab"),
         col("n_a"), col("n_b"),
         round(col("lift_num").cast("double") / col("lift_den").cast("double"), 6)

@@ -657,9 +657,12 @@ object TextAnalysis {
     * cap N, the fraction of the corpus' TOKEN MASS covered by the N most
     * frequent types — the planning input for vocab sizing (every token
     * outside the cap becomes <unk>/byte-fallback; this curve prices
-    * that). Exact integer counts; the rank window runs over the TYPE
-    * table (Heaps-bounded, sublinear in the corpus), never the corpus;
-    * ties rank alphabetically so the curve is deterministic.
+    * that). Exact integer counts; only the max(caps) most frequent types
+    * matter, so the corpus-wide type table goes through orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no single-task rank
+    * window over the Heaps-bounded-but-large vocabulary) and the rank is
+    * derived over that bounded result; ties rank alphabetically so the
+    * curve is deterministic.
     */
   def vocabCoverageCurve(docs: DataFrame,
       caps: Seq[Int] = Seq(100, 500, 1000, 2000)): DataFrame = {
@@ -670,7 +673,10 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("total_tokens"))
     val w = Window.orderBy(col("c").desc, col("tok").asc)
-    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = counts
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(caps.max)
+      .withColumn("rank", row_number().over(w).cast("long"))
     val capsDf = caps.map(n => Tuple1(n.toLong)).toDF("vocab_cap")
     ranked.crossJoin(broadcast(capsDf))
       .filter(col("rank") <= col("vocab_cap"))

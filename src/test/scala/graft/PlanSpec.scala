@@ -406,15 +406,20 @@ class PlanSpec extends SparkSuite {
       s"fingerprint pairing must stay an equi-join on the elected hash:\n$plan")
   }
 
-  test("x172 DSIR scores the token stream against a BROADCAST model — no shuffle join") {
+  test("x172 DSIR scores the token stream against a BROADCAST model — no " +
+    "token-grain shuffle join") {
     // The whole importance model is 64 bucket log-ratios; the token
-    // explode must join it broadcast. A SortMergeJoin here would shuffle
-    // the full token stream a second time at 100 TB.
+    // explode must join it broadcast. A SortMergeJoin of the TOKEN stream
+    // would shuffle it a second time at 100 TB. The exact-rank
+    // construction over the PER-DOC frame (round 10) legitimately joins
+    // doc-grain histograms on its internal bucket key — those are the
+    // only shuffle joins allowed here.
     val plan = executed("x172_dsir_weights")
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket log-ratios must broadcast onto the tokens:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"no shuffle join belongs in the DSIR scoring path:\n$plan")
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("_b#")),
+      s"only the doc-grain rank-histogram joins may shuffle:\n${smj.mkString("\n")}")
   }
 
   test("x174 SemDeDup's pair join is an equi-join on the cell — never all-pairs") {
