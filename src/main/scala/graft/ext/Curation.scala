@@ -965,8 +965,13 @@ object Curation {
   def itemItemCf(orders: DataFrame, lineitem: DataFrame,
       custIds: Seq[Long], k: Int = 5, minSupport: Long = 2,
       maxBasket: Int = 64): DataFrame = {
-    val cp0 = rawPurchaseMatrix(orders, lineitem)
-    val cp = cappedPurchaseMatrix(cp0, maxBasket)
+    // The purchase matrix fans out to four consumers on DIFFERENT keys
+    // (part counts, the cust self-join, the query side), so exchange
+    // reuse cannot dedupe it — localCheckpoint materializes the
+    // distinct'd matrix once (the ops/Graph pattern) instead of paying
+    // the orders⋈lineitem+distinct chain per consumer.
+    val cp0 = rawPurchaseMatrix(orders, lineitem).localCheckpoint()
+    val cp = cappedPurchaseMatrix(cp0, maxBasket).localCheckpoint()
     val partCnt = cp.groupBy("part").agg(count(lit(1)).as("np"))
     val pairs = cp.as("a").join(cp.as("b"), Seq("cust"))
       .filter(col("a.part") < col("b.part"))
