@@ -32,13 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.MergePercentiles)
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
-      // 5-arg form (className, db, name, usage, extended): the 3-arg
-      // overload is (className, DB, name) — passing usage there would
-      // register the usage string as the function's NAME.
+      // Full 11-arg form — the only non-deprecated constructor that
+      // carries a usage string (the 3-arg overload is (className, DB,
+      // name); passing usage there would register it as the NAME).
       new ExpressionInfo(
         classOf[DotProduct].getName, null, "dot_product",
         "dot_product(a, b) - left-to-right double-fold dot product of two float/double arrays",
-        ""),
+        "", "", "", "math_funcs", "", "", "scala_udf"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"dot_product expects 2 arguments, got ${exprs.length}")
         DotProduct(exprs.head, exprs(1))

@@ -142,7 +142,7 @@ object Similarity {
     VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val bucket = (0 until NumPlanes).map { p =>
-      val w = array(planes(p).map(lit): _*)
+      val w = array(planes(p).map(lit).toIndexedSeq: _*)
       when(dot(col("emb"), w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     e.select(col("vec_id"), bucket.as("bucket"))
@@ -245,7 +245,7 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val bandKeys = (0 until bands).map { b =>
       (0 until bandBits).map { j =>
-        val w = array(planes(b * bandBits + j).map(lit): _*)
+        val w = array(planes(b * bandBits + j).map(lit).toIndexedSeq: _*)
         when(dot(col("emb"), w) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     }
@@ -813,7 +813,7 @@ object Similarity {
     val scale = 1.0 / root
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val ys = (0 until outDim).map { j =>
-      (dot(col("emb"), array(planes(j).map(lit): _*)) * lit(scale)).as(s"y$j")
+      (dot(col("emb"), array(planes(j).map(lit).toIndexedSeq: _*)) * lit(scale)).as(s"y$j")
     }
     val l2 = (0 until outDim).map(j => col(s"y$j") * col(s"y$j"))
       .reduceLeft(_ + _)

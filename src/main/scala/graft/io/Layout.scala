@@ -89,7 +89,7 @@ object Layout {
     df.crossJoin(broadcast(bounds))
       .withColumn("__z", z)
       .sort("__z")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)

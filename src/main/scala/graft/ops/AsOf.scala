@@ -45,7 +45,7 @@ object AsOf {
     // not what ASOF means). The struct itself is never NULL for right
     // rows, so last(ignoreNulls) skips exactly the left rows.
     val r = right.select(col(key),
-        struct(rPayload.map(col): _*).as("__p"))
+        struct(rPayload.map(col).toIndexedSeq: _*).as("__p"))
       .withColumn("__t", col("__p").getField(rightTime))
       .withColumn("__side", lit(0))
     val l = left
@@ -59,8 +59,8 @@ object AsOf {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        rPayload.map(c => col("__p").getField(c).as(prefix + c)): _*)
+      .select((left.columns.map(col) ++
+        rPayload.map(c => col("__p").getField(c).as(prefix + c))).toIndexedSeq: _*)
   }
 
   /** FORWARD as-of join — the time-mirror of [[asofJoin]]: for every left
@@ -84,7 +84,7 @@ object AsOf {
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"columns ${reserved.mkString("/")} are reserved by asofJoinForward")
     val r = right.select(col(key),
-        struct(rPayload.map(col): _*).as("__p"))
+        struct(rPayload.map(col).toIndexedSeq: _*).as("__p"))
       .withColumn("__t", col("__p").getField(rightTime))
       .withColumn("__side", lit(2))
     val l = left
@@ -98,7 +98,7 @@ object AsOf {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        rPayload.map(c => col("__p").getField(c).as(prefix + c)): _*)
+      .select((left.columns.map(col) ++
+        rPayload.map(c => col("__p").getField(c).as(prefix + c))).toIndexedSeq: _*)
   }
 }

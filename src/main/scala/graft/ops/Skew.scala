@@ -38,7 +38,7 @@ object Skew {
     val saltCol = "__graft_salt"
     val bigCols = big.columns.map(col)
     val saltedBig = big.withColumn(saltCol,
-      pmod(hash(bigCols: _*), lit(numSalts)))
+      pmod(hash(bigCols.toIndexedSeq: _*), lit(numSalts)))
     val saltedSmall = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedBig.join(saltedSmall, keys :+ saltCol, joinType).drop(saltCol)

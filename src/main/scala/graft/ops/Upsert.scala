@@ -73,12 +73,12 @@ object Upsert {
     // entirely NULL — null-safe-equal to the absent history side — from
     // materializing a phantom all-null history row here.)
     val keep = j.filter(col(key).isNotNull && (col("_u_key").isNull || samePayload))
-      .select(histCols: _*)
+      .select(histCols.toIndexedSeq: _*)
     // Changed: the old row closes at the effective date...
     val close = j.filter(col(key).isNotNull && col("_u_key").isNotNull && !samePayload)
       .select(history.columns.map(c =>
         if (c == "valid_to") org.apache.spark.sql.functions.lit(effectiveDate).as(c)
-        else col(c)): _*)
+        else col(c)).toIndexedSeq: _*)
     // ...and the update (changed or brand-new key) opens the new row.
     val openNew = j.filter(col("_u_key").isNotNull && (col(key).isNull || !samePayload))
       .select(history.columns.map(c =>
@@ -89,7 +89,7 @@ object Upsert {
         // the HISTORY column's own type: a string-typed null would make
         // unionByName silently coerce e.g. a long audit column to string.
         else org.apache.spark.sql.functions.lit(null)
-          .cast(history.schema(c).dataType).as(c)): _*)
+          .cast(history.schema(c).dataType).as(c)).toIndexedSeq: _*)
     closed.unionByName(keep).unionByName(close).unionByName(openNew)
   }
 

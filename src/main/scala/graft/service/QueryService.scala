@@ -17,7 +17,7 @@ object QueryService {
     if (term.trim.isEmpty) df
     else {
       val hay = lower(concat_ws("|",
-        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))).toIndexedSeq: _*))
       df.filter(hay.contains(term.toLowerCase))
     }
   }

@@ -211,7 +211,7 @@ object Streams {
         val merged = readLivePath(fs, targetPath) match {
           case Some(live) =>
             val target = spark2.read.parquet(live)
-            graft.ops.Upsert.upsert(target, latest.select(target.columns.map(col): _*), keys)
+            graft.ops.Upsert.upsert(target, latest.select(target.columns.map(col).toIndexedSeq: _*), keys)
           case None => latest
         }
         // The merged plan reads the path being replaced, so it lands in a
@@ -269,7 +269,7 @@ object Streams {
             case Some(live) =>
               val target = spark2.read.parquet(live)
               graft.ops.Upsert
-                .upsert(target, upserts.select(target.columns.map(col): _*), keys)
+                .upsert(target, upserts.select(target.columns.map(col).toIndexedSeq: _*), keys)
                 .join(deletes, keys, "left_anti")
             case None => upserts.join(deletes, keys, "left_anti")
           }
