@@ -488,6 +488,108 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "maxval", "sum_r", "sum_g", "sum_b", "luma_hist")
   }
 
+  /** Synthetic near-duplicate image corpus: documents sharing
+    * `doc_id % groups` render the SAME md5-derived base raster, each
+    * copy uniformly brightness-shifted by `(doc_id / groups) % offsetMod`
+    * — the canonical "same photo, different exposure" near-dup family a
+    * perceptual hash must collapse and a byte/content hash cannot.
+    * Channels scale into [0, 223] before the +0..31 shift so no value
+    * clamps (clamping would break the shift's uniformity). Encoded to
+    * real PPM bytes; the x209 oracle replays this generator arithmetic,
+    * so only a correct decode + hash reproduces the buckets.
+    */
+  def syntheticNearDupImages(docs: DataFrame, groups: Int = 64,
+      offsetMod: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val grp = id % groups
+        val off = ((id / groups) % offsetMod).toInt
+        val rgb = new Array[Byte](8 * 8 * 3)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val d = md.digest(s"img_${grp}_${y}_${x}".getBytes(StandardCharsets.US_ASCII))
+            val i = (y * 8 + x) * 3
+            rgb(i) = (((d(0) & 0xff) * 7) / 8 + off).toByte
+            rgb(i + 1) = (((d(1) & 0xff) * 7) / 8 + off).toByte
+            rgb(i + 2) = (((d(2) & 0xff) * 7) / 8 + off).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, PpmType, encodePpm(RasterImage(8, 8, 255, rgb)))
+      }
+    }.toDF("doc_id", "media_type", "content")
+  }
+
+  /** 56-bit difference hash (dHash — the standard perceptual image
+    * fingerprint): Rec.601 integer luma per pixel, one bit per
+    * horizontally-adjacent pair (bit set iff the right pixel is
+    * brighter), row-major bit positions y*7+x over the 8×8 raster. A
+    * UNIFORM brightness shift moves every luma by exactly the same
+    * integer ((299+587+114)·off / 1000 = off), so all comparisons — and
+    * the hash — are invariant: exposure-shifted copies collide while a
+    * content/byte hash separates them. 56 bits keep the value positive
+    * in a BIGINT on both engines.
+    */
+  def dHash56(img: RasterImage): Long = {
+    require(img.width == 8 && img.height == 8,
+      s"dHash56 expects an 8x8 raster, got ${img.width}x${img.height}")
+    def luma(x: Int, y: Int): Long = {
+      val i = (y * img.width + x) * 3
+      (299L * (img.rgb(i) & 0xff) + 587L * (img.rgb(i + 1) & 0xff)
+        + 114L * (img.rgb(i + 2) & 0xff)) / 1000L
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Perceptual image deduplication over the binary media column: REAL
+    * decode → [[dHash56]] → hash-bucket dedup with keep-first semantics
+    * (the SemDeDup x174 decision shape, in pixel space instead of
+    * embedding space). Output is the per-bucket report: image count,
+    * the kept doc, drops.
+    *
+    * Scale: decode + hash are one mapPartitions pass (bounded by one
+    * partition's payloads); dedup is a single hash groupBy — no pair
+    * join at any point, so a burst of exposure-shifted copies of one
+    * image costs one hot reducer key, never a quadratic candidate set.
+    */
+  def perceptualDedup(spark: SparkSession, media: DataFrame,
+      parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val rows: Dataset[MediaRow] = media.as[MediaRow]
+    val repart = if (parallelism > 0) rows.repartition(parallelism) else rows
+    repart.mapPartitions { it =>
+      it.map { r =>
+        val img = r.media_type match {
+          case PpmType => decodePpm(r.content)
+          case BmpType => decodeBmp(r.content)
+          case t => throw new IllegalArgumentException(s"no raster decoder for $t")
+        }
+        (r.doc_id, dHash56(img))
+      }
+    }.toDF("doc_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("keeper_doc_id"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy("dhash")
+  }
+
   /** SQL-visible metadata pass over the binary column (no decode): byte
     * length + content digest. This is the part the DuckDB oracle checks.
     */

@@ -797,6 +797,49 @@ object Advanced {
           fmt = graft.ext.Multimodal.BmpType)).orderBy("doc_id"),
       Some(imageStatsOracle)),
 
+    // Perceptual image dedup (dHash): exposure-shifted copies of the
+    // same base image (the planted near-dup family the generator builds)
+    // collapse into one 56-bit difference-hash bucket via REAL PPM
+    // decode; keep-first dedup per bucket, no pair join anywhere. The
+    // oracle replays the generator+hash arithmetic from the md5 digests,
+    // so only a correct decode AND a correct brightness-invariant hash
+    // reproduce the buckets.
+    QueryDef(
+      "x209_perceptual_dedup",
+      (s, dir) => graft.ext.Multimodal.perceptualDedup(s,
+        graft.ext.Multimodal.syntheticNearDupImages(Tables(s, dir).documents)),
+      Some {
+        def ch(off: Int) =
+          s"(CAST(('0x' || substr(md5('img_' || (d.doc_id % 64) || '_' || ys.y || '_' || xs.x), $off, 2)) AS BIGINT) * 7) // 8"
+        s"""WITH px AS (
+           |  SELECT d.doc_id, (d.doc_id // 64) % 32 AS off, ys.y, xs.x,
+           |         ${ch(1)} AS r0, ${ch(3)} AS g0, ${ch(5)} AS b0
+           |  FROM documents d,
+           |       (SELECT unnest(generate_series(0, 7)) AS y) ys,
+           |       (SELECT unnest(generate_series(0, 7)) AS x) xs
+           |), lum AS (
+           |  SELECT doc_id, y, x,
+           |         (299*(r0 + off) + 587*(g0 + off) + 114*(b0 + off)) // 1000
+           |           AS luma
+           |  FROM px
+           |), bits AS (
+           |  SELECT a.doc_id, a.y, a.x,
+           |         CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+           |  FROM lum a
+           |  JOIN lum b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+           |  WHERE a.x < 7
+           |), h AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(CAST(bit AS BIGINT) * (1::BIGINT << (y*7 + x)))
+           |           AS BIGINT) AS dhash
+           |  FROM bits GROUP BY 1
+           |)
+           |SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+           |       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           |       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+           |FROM h GROUP BY 1 ORDER BY dhash""".stripMargin
+      }),
+
     // LEARNED-centroid IVF under the gate (closes the round-3 "test-gated
     // only" carve-out): spherical k-means with grid-snapped centroids —
     // snap(x) = floor(x·1e6 + 0.5)/1e6 after each Lloyd step, every op

@@ -666,6 +666,35 @@ class ExtSpec extends SparkSuite {
       decodePpm("P6 40000 40000 255 ".getBytes("US-ASCII") ++ new Array[Byte](64)))
   }
 
+  test("x209 dHash: brightness-shifted copies collide, different content " +
+    "separates, and the bucket report keeps first") {
+    import Multimodal.{RasterImage, dHash56, encodePpm}
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill[Byte](8 * 8 * 3)((rnd.nextInt(200)).toByte)
+    def shifted(off: Int) = RasterImage(8, 8, 255,
+      base.map(b => ((b & 0xff) + off).toByte))
+    val h0 = dHash56(shifted(0))
+    // Exposure invariance: uniform +off moves every luma by exactly off.
+    (1 to 55).foreach(off => assert(dHash56(shifted(off)) == h0,
+      s"uniform +$off brightness must not change the perceptual hash"))
+    // ...while the PPM bytes DO differ — the thing a content hash keys on.
+    assert(!encodePpm(shifted(0)).sameElements(encodePpm(shifted(9))))
+    // Different content lands elsewhere (reversed raster).
+    assert(dHash56(RasterImage(8, 8, 255, base.reverse)) != h0)
+    assert(h0 >= 0, "56-bit hash must stay positive in a BIGINT")
+    // End-to-end bucket report over a planted corpus: 3 groups of
+    // exposure-shifted copies -> 3 buckets, keep-first, n_dropped = n-1.
+    import spark.implicits._
+    val docs = (0L until 12L).toDF("doc_id")
+    val media = Multimodal.syntheticNearDupImages(docs, groups = 3)
+    val r = Multimodal.perceptualDedup(spark, media).collect()
+    assert(r.length == 3, s"3 planted groups must give 3 buckets: ${r.length}")
+    r.foreach { row =>
+      assert(row.getLong(1) == 4L && row.getLong(3) == 3L)
+      assert(row.getLong(2) < 3L, "keeper is the group's first doc id")
+    }
+  }
+
   test("BMP decode: bottom-up BGR rows with 4-byte padding normalize to top-left RGB") {
     import Multimodal.{RasterImage, decodeBmp, encodeBmp}
     // 3x2 image: rowSize 3*3=9 pads to 12 — padding is exercised.
