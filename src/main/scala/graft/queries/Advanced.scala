@@ -2809,6 +2809,65 @@ object Advanced {
              |       CAST(MAX(abs(v)) AS BIGINT) AS peak
              |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // VAD-style audio activity segmentation over the same real-RIFF
+    // corpus: per-frame Σv² energies, active iff >= the clip mean
+    // (integer cross-multiplied compare — no division in the decision),
+    // run-length burst segmentation via per-clip windows. The oracle
+    // replays generator+decode arithmetic from the md5 digests.
+    QueryDef(
+      "x210_audio_activity",
+      (s, dir) => graft.ext.Multimodal.audioActivity(s,
+        graft.ext.Multimodal.syntheticWavs(Tables(s, dir).documents)),
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, b.b AS frame,
+             |         CAST(('0x' || substr(md5('wav_' || d.doc_id || '_' || b.b), j.j*4+1, 4)) AS BIGINT) AS uv
+             |  FROM documents d,
+             |       (SELECT unnest(generate_series(0, 31)) AS b) b,
+             |       (SELECT unnest(generate_series(0, 7)) AS j) j
+             |), v AS (
+             |  SELECT doc_id, frame,
+             |         CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+             |  FROM s
+             |), fe AS (
+             |  SELECT doc_id, frame, CAST(SUM(v * v) AS BIGINT) AS energy
+             |  FROM v GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             |         CAST(SUM(energy) AS BIGINT) AS tot_e
+             |  FROM fe GROUP BY 1
+             |), mk AS (
+             |  SELECT fe.doc_id, fe.frame, tot.n_frames,
+             |         fe.energy * tot.n_frames >= tot.tot_e AS active,
+             |         COALESCE(LAG(fe.energy * tot.n_frames >= tot.tot_e)
+             |           OVER (PARTITION BY fe.doc_id ORDER BY fe.frame), FALSE)
+             |           AS prev
+             |  FROM fe JOIN tot USING (doc_id)
+             |), mk2 AS (
+             |  SELECT doc_id, frame, n_frames, active,
+             |         CASE WHEN active AND NOT prev THEN 1 ELSE 0 END AS seg_start,
+             |         CAST(SUM(CASE WHEN active AND NOT prev THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY frame
+             |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+             |  FROM mk
+             |), per AS (
+             |  SELECT doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+             |         CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_active,
+             |         CAST(SUM(seg_start) AS BIGINT) AS n_segments
+             |  FROM mk2 GROUP BY 1
+             |), runs AS (
+             |  SELECT doc_id, run_id, CAST(COUNT(*) AS BIGINT) AS len
+             |  FROM mk2 WHERE active GROUP BY 1, 2
+             |), lr AS (
+             |  SELECT doc_id, CAST(MAX(len) AS BIGINT) AS longest FROM runs
+             |  GROUP BY 1
+             |)
+             |SELECT per.doc_id, per.n_frames, per.n_active, per.n_segments,
+             |       CAST(COALESCE(lr.longest, 0) AS BIGINT) AS longest_run,
+             |       round(CAST(per.n_active AS DOUBLE)
+             |         / CAST(per.n_frames AS DOUBLE), 6) AS active_ratio
+             |FROM per LEFT JOIN lr USING (doc_id) ORDER BY per.doc_id""".stripMargin)),
+
     // Per-label centroid cosine matrix — the class-separation diagnostic
     // of embedding quality (well-separated label centroids mean the
     // banding/IVF structures built on these vectors can discriminate).

@@ -666,6 +666,30 @@ class ExtSpec extends SparkSuite {
       decodePpm("P6 40000 40000 255 ".getBytes("US-ASCII") ++ new Array[Byte](64)))
   }
 
+  test("x210 audio activity: planted silence/burst pattern segments exactly; " +
+    "a flat clip is one full-length segment") {
+    import Multimodal.{WavType, encodeWav}
+    def clip(framePattern: Seq[Boolean]): Array[Byte] = {
+      val samples = framePattern.flatMap { loud =>
+        Seq.fill(8)(if (loud) 1000.toShort else 0.toShort)
+      }.toArray
+      encodeWav(8000, samples)
+    }
+    // loud, silent, loud, loud, silent, silent -> 2 bursts, longest 2.
+    val burst = (1L, WavType, clip(Seq(true, false, true, true, false, false)))
+    // Constant energy: every frame meets the mean -> one 4-frame segment.
+    val flat = (2L, WavType, clip(Seq(true, true, true, true)))
+    val media = Seq(burst, flat).toDF("doc_id", "media_type", "content")
+    val r = Multimodal.audioActivity(spark, media).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 6L && r(1L).getLong(2) == 3L)
+    assert(r(1L).getLong(3) == 2L, "two bursts")
+    assert(r(1L).getLong(4) == 2L, "longest burst spans frames 2-3")
+    assert(r(1L).getDouble(5) == 0.5)
+    assert(r(2L).getLong(3) == 1L && r(2L).getLong(4) == 4L,
+      "a flat clip is one segment covering every frame")
+  }
+
   test("x209 dHash: brightness-shifted copies collide, different content " +
     "separates, and the bucket report keeps first") {
     import Multimodal.{RasterImage, dHash56, encodePpm}
