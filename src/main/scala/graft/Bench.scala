@@ -123,23 +123,37 @@ object Bench {
       }
     }
 
-    /** (cold, median) — see scaladoc. Sub-[[FiveRunThresholdSec]] colds
-      * take a 5-sample median, everything else a 3-sample one — NO query
-      * gets a single sample (round-9 directive: the >=15 s tier used to,
-      * and those are exactly the samples one contention spike poisons).
+    /** (cold, median, samples) — see scaladoc. Sub-[[FiveRunThresholdSec]]
+      * colds take a 5-sample median, everything else a 3-sample one — NO
+      * query gets a single sample (round-9 directive: the >=15 s tier used
+      * to, and those are exactly the samples one contention spike poisons).
       * Failures report the cold value in both slots; if any rerun fails,
       * the median also falls back to cold (an even-sample "median" would
-      * just pick an arbitrary one). */
-    def measure(name: String): (Double, Double) = {
-      val cold = materialize(name, sfDir)
-      if (cold < 0) (cold, cold)
+      * just pick an arbitrary one).
+      *
+      * Each sample is recorded as [start_epoch_sec, duration_sec] into
+      * bench.json's "samples" map (round-10 verdict directive): two rounds
+      * running, mover adjudication cost a manual rerun session because the
+      * artifact could not SHOW that the slow entries shared a wall-clock
+      * window. With per-sample timestamps, a host-contention episode is
+      * provable from the artifact alone — slow samples from unrelated
+      * queries clustering in one time band, with in-band samples of the
+      * same queries outside it. */
+    def measure(name: String): (Double, Double, Seq[(Double, Double)]) = {
+      def stamped(run: => Double): (Double, Double) = {
+        val ts = System.currentTimeMillis() / 1000.0
+        (ts, run)
+      }
+      val (coldTs, cold) = stamped(materialize(name, sfDir))
+      if (cold < 0) (cold, cold, Seq((coldTs, cold)))
       else {
         val nReruns = if (cold < FiveRunThresholdSec) 4 else 2
-        val reruns = Seq.fill(nReruns)(timeQuiet(name))
-        if (reruns.exists(_ < 0)) (cold, cold)
+        val reruns = Seq.fill(nReruns)(stamped(timeQuiet(name)))
+        val samples = (coldTs, cold) +: reruns
+        if (reruns.exists(_._2 < 0)) (cold, cold, samples)
         else {
-          val all = (cold +: reruns).sorted
-          (cold, all(all.size / 2))
+          val all = (cold +: reruns.map(_._2)).sorted
+          (cold, all(all.size / 2), samples)
         }
       }
     }
@@ -154,8 +168,9 @@ object Bench {
     val names = Registry.benchSet.map(_.name)
       .filter(n => only.forall(_.exists(n.startsWith))).sorted
     val measured = names.map(n => n -> measure(n))
-    val results = measured.map { case (n, (cold, _)) => n -> cold }
-    val medians = measured.map { case (n, (_, med)) => n -> med }
+    val results = measured.map { case (n, (cold, _, _)) => n -> cold }
+    val medians = measured.map { case (n, (_, med, _)) => n -> med }
+    val samples = measured.map { case (n, (_, _, s)) => n -> s }
     val total = warmup + results.collect { case (_, t) if t >= 0 => t }.sum
     val medianTotal = warmup + medians.collect { case (_, t) if t >= 0 => t }.sum
 
@@ -259,9 +274,17 @@ object Bench {
       java.nio.file.Paths.get("bench_diag.json"), j + "\n"))
 
     val failedJson = headlineFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-sample [start_epoch_sec, dur_sec] series — file-only (bench.json
+    // is the canonical machine-readable artifact; stdout stays short for
+    // the driver's tail capture). This is what makes a host-contention
+    // window provable from the artifact instead of costing a rerun session.
+    val samplesJson = samples.map { case (n, ss) =>
+      "\"" + n + "\":" + ss.map { case (ts, d) => f"[$ts%.1f,$d%.3f]" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${timesJson(("_warmup" -> warmup) +: (results ++ layoutTimes))},"median_total":$medianTotal%.3f,"queries_median":${timesJson(medians)},"failed":$failedJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    val fileJson = json.dropRight(1) + f""","samples":$samplesJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fileJson + "\n")
     graft.ext.Dedup.clearCaches(spark)
     graft.ext.TextAnalysis.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)

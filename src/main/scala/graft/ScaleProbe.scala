@@ -40,6 +40,20 @@ object ScaleProbe {
   val eventProbeNames: Seq[String] = Seq("x15_sessionization",
     "x64_rolling_wau", "x31_asof_attribution", "x141_asof_forward")
 
+  /** Graph-family probes (round-10 directive: the heaviest standing
+    * family — PageRank trio / k-core / modularity / BFS, ~25 s of the
+    * bench — had no committed cost-curve evidence). All five build their
+    * edge set from the banded ANN candidate graph over embeddings, so
+    * the duplicated-embeddings corpus IS the edge-duplication worst
+    * case: every replica of a vector is cosine-1.0 to the original's
+    * neighbors, so each node's candidate bucket — and therefore its
+    * degree — gets ~N× hotter while the node count also grows N×. The
+    * banded bucket caps plus the iteration-bound BIGINT rounds are what
+    * must keep these sub-quadratic. */
+  val graphProbeNames: Seq[String] = Seq("x73_pagerank",
+    "x91_pagerank_weighted", "x110_kcore", "x123_community_modularity",
+    "x137_bfs_distances")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -78,17 +92,24 @@ object ScaleProbe {
     val probes = probeNames
     val embProbes = embProbeNames
     val eventProbes = eventProbeNames
+    val graphProbes = graphProbeNames
 
+    // Replica re-key stride: 1L<<40 puts every replica's id range far
+    // above any real id (the generator's ids are dense from 0), so
+    // replica ranges can never collide with base rows or each other —
+    // a fixed 10M stride would silently deflate the duplication pressure
+    // if a base corpus ever carried ids >= 10M (round-10 advice).
+    val stride = 1L << 40
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
     val docs = io.Tables(spark, base).documents
     (0 until mult)
-      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * stride)))
       .reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
     val embs = io.Tables(spark, base).embeddings
     (0 until mult)
-      .map(i => embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+      .map(i => embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * stride)))
       .reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dupDir/embeddings.parquet")
@@ -97,7 +118,7 @@ object ScaleProbe {
     // probes rather than diluting across synthetic users.
     val evs = io.Tables(spark, base).events
     (0 until mult)
-      .map(i => evs.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+      .map(i => evs.withColumn("event_id", col("event_id") + lit(i.toLong * stride)))
       .reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dupDir/events.parquet")
@@ -118,7 +139,7 @@ object ScaleProbe {
       timeQ(name, dir)
       Seq.fill(3)(timeQ(name, dir)).sorted.apply(1)
     }
-    (probes ++ embProbes ++ eventProbes).foreach { q =>
+    (probes ++ embProbes ++ eventProbes ++ graphProbes).foreach { q =>
       val t1 = medQ(q, base)
       val tN = medQ(q, dupDir)
       val exp = math.log(tN / t1) / math.log(mult.toDouble)

@@ -970,6 +970,16 @@ object Curation {
     // reuse cannot dedupe it — localCheckpoint materializes the
     // distinct'd matrix once (the ops/Graph pattern) instead of paying
     // the orders⋈lineitem+distinct chain per consumer.
+    //
+    // Storage cost of the eager materialization (stated per the ops/Graph
+    // convention): both checkpoints hold the DISTINCT (cust, part) grain
+    // — 2 longs per ownership edge, never raw lineitem rows — in
+    // executor-local block storage (memory, spilling to local disk) for
+    // the duration of the query; the capped copy is strictly smaller
+    // (≤ maxBasket rows/customer). On a cluster this is bounded by the
+    // ownership relation's size, not the fact table's, and is evicted
+    // with the session — the trade is that executor loss forces a
+    // recompute, acceptable for an intra-query reuse buffer.
     val cp0 = rawPurchaseMatrix(orders, lineitem).localCheckpoint()
     val cp = cappedPurchaseMatrix(cp0, maxBasket).localCheckpoint()
     val partCnt = cp.groupBy("part").agg(count(lit(1)).as("np"))
@@ -1741,23 +1751,42 @@ object Curation {
     *       + rows with strictly-smaller VALUES inside my bucket
     *         (cumulative over the per-bucket value histogram — a
     *         partitioned window)
-    *       + my tie rank WITHIN my exact value (partitioned window).
+    *       + rows with my exact value in strictly-smaller TIE BUCKETS
+    *         (cumulative over the per-value tie-bucket histogram — a
+    *         partitioned window; see below)
+    *       + my tie rank within my exact (value, tie-bucket) pair
+    *         (partitioned window).
     * The only un-partitioned window runs over the bucket histogram —
     * `range/bucketWidth` rows, bounded by the VALUE DOMAIN, not the row
     * count — so no user-grain data ever crosses a single-task boundary.
-    * `valueCol` must be integral; `tieCol` must be unique per row so the
-    * composite order (and therefore the rank) is total and
-    * deterministic. Descending ranks: negate the value column first.
+    *
+    * The tie dimension gets the SAME cumulative-offset treatment as the
+    * value dimension (round-10 advice): without it, one heavily-tied
+    * value — monetary = 0 for view-only users is a realistic MAJORITY —
+    * funnels all its rows through the single task that owns that value's
+    * window partition, quietly re-creating the skew this construction
+    * exists to remove. Sub-splitting by ⌊tie/tieBucketWidth⌋ bounds any
+    * single task at `tieBucketWidth` rows (ties are unique per row), at
+    * the cost of one extra keyed histogram + partitioned cumulative —
+    * both on the bounded (value, tie-bucket) grain.
+    *
+    * `valueCol` and `tieCol` must be integral; `tieCol` must be unique
+    * per row so the composite order (and therefore the rank) is total
+    * and deterministic. Descending ranks: negate the value column first.
     */
   private[graft] def exactAscRank(df: DataFrame, valueCol: String,
-      tieCol: String, bucketWidth: Long, rankName: String): DataFrame = {
+      tieCol: String, bucketWidth: Long, rankName: String,
+      tieBucketWidth: Long = 1L << 16): DataFrame = {
     val v = col(valueCol).cast("long")
     // Floor division via pmod so negative values bucket correctly; the
     // double division is exact (numerator is a multiple of the width,
     // well under 2^53).
     val bucket = ((v - pmod(v, lit(bucketWidth))) / lit(bucketWidth))
       .cast("long")
-    val withB = df.withColumn("_b", bucket)
+    val t = col(tieCol).cast("long")
+    val tieBucket = ((t - pmod(t, lit(tieBucketWidth))) / lit(tieBucketWidth))
+      .cast("long")
+    val withB = df.withColumn("_b", bucket).withColumn("_tb", tieBucket)
     val bucketHist = withB.groupBy("_b").agg(count(lit(1)).as("_bn"))
     val bucketOff = bucketHist
       .withColumn("_boff", coalesce(
@@ -1770,13 +1799,21 @@ object Curation {
         sum(col("_vn")).over(Window.partitionBy("_b").orderBy(col(valueCol))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_b", valueCol, "_voff")
+    val tieHist = withB.groupBy(valueCol, "_tb").agg(count(lit(1)).as("_tn"))
+    val tieOff = tieHist
+      .withColumn("_toff", coalesce(
+        sum(col("_tn")).over(Window.partitionBy(valueCol).orderBy(col("_tb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(valueCol), col("_tb"), col("_toff"))
     withB
       .join(broadcast(bucketOff), Seq("_b"))
       .join(valueOff, Seq("_b", valueCol))
+      .join(tieOff, Seq(valueCol, "_tb"))
       .withColumn(rankName,
-        col("_boff") + col("_voff") + row_number().over(
-          Window.partitionBy(valueCol).orderBy(col(tieCol))).cast("long"))
-      .drop("_b", "_boff", "_voff")
+        col("_boff") + col("_voff") + col("_toff") + row_number().over(
+          Window.partitionBy(col(valueCol), col("_tb")).orderBy(col(tieCol)))
+          .cast("long"))
+      .drop("_b", "_tb", "_boff", "_voff", "_toff")
   }
 
   /** [[exactAscRank]] with an optional descending value order (tie stays

@@ -358,6 +358,14 @@ object Multimodal {
     * Scale: decode+energy is one mapPartitions pass emitting frame rows
     * (linear in audio length); everything after is per-clip partitioned
     * windows and keyed aggregates — no global window, no pair join.
+    *
+    * A clip shorter than `frameSize` has zero complete frames; it still
+    * appears in the output (n_frames = n_active = n_segments =
+    * longest_run = 0, active_ratio NULL) rather than silently vanishing
+    * — the report is keyed by the INPUT docs via a left join, so every
+    * submitted clip is accounted for (round-10 advice: the frame-derived
+    * grain used to drop such clips, and the synthetic corpus's fixed
+    * 256-sample clips could never expose it).
     */
   def audioActivity(spark: SparkSession, media: DataFrame, frameSize: Int = 8,
       parallelism: Int = 0): DataFrame = {
@@ -398,8 +406,12 @@ object Multimodal {
     val longest = marked.filter(col("active"))
       .groupBy("doc_id", "run_id").agg(count(lit(1)).as("len"))
       .groupBy("doc_id").agg(max(col("len")).as("longest_run"))
-    perDoc.join(longest, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_frames"), col("n_active"), col("n_segments"),
+    val report = perDoc.join(longest, Seq("doc_id"), "left")
+    media.select(col("doc_id")).join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
         coalesce(col("longest_run"), lit(0L)).as("longest_run"),
         round(col("n_active").cast("double") / col("n_frames").cast("double"), 6)
           .as("active_ratio"))

@@ -148,19 +148,35 @@ class CurationPropertySpec extends SparkSuite {
   test("exact-rank law: the partitioned-window construction equals the " +
     "global row_number spec for any values, widths, and tie density") {
     import org.apache.spark.sql.expressions.Window
-    for ((seed, width) <- Seq((11, 1L), (12, 7L), (13, 1000L), (14, 1L << 20))) {
+    // tieWidth sweeps below/at/above the id range so the tie-bucket
+    // sub-split (round-10 advice: a majority-tied value must not funnel
+    // one window partition) is exercised with many buckets per value
+    // (tieWidth 1 and 7), a few, and the single-bucket degenerate case.
+    for ((seed, width, tieWidth) <- Seq(
+        (11, 1L, 1L), (12, 7L, 7L), (13, 1000L, 64L), (14, 1L << 20, 1L << 16))) {
       val rnd = new scala.util.Random(seed)
       // Heavy ties (values from a small domain), negatives included, and
       // a row count deliberately not aligned to any bucket width.
       val df = (1 to 100 + rnd.nextInt(100))
         .map(i => (i.toLong, (rnd.nextInt(25) - 12).toLong * rnd.nextInt(50)))
         .toDF("user_id", "v")
-      val got = Curation.exactAscRank(df, "v", "user_id", width, "r")
+      val got = Curation.exactAscRank(df, "v", "user_id", width, "r", tieWidth)
       val want = df.withColumn("r_want", row_number().over(
         Window.orderBy(col("v").asc, col("user_id").asc)).cast("long"))
       assert(got.join(want, Seq("user_id", "v"))
         .filter(col("r") =!= col("r_want")).count() == 0,
-        s"seed $seed width $width: rank drifted from the global spec")
+        s"seed $seed width $width tieWidth $tieWidth: rank drifted from the global spec")
     }
+    // The advisor's exact hot-tie scenario: 90% of rows tied on v=0
+    // (view-only users), tie ids spanning many tie buckets.
+    val hot = ((1 to 900).map(i => (i.toLong, 0L)) ++
+      (901 to 1000).map(i => (i.toLong, (i % 13).toLong + 1L)))
+      .toDF("user_id", "v")
+    val gotHot = Curation.exactAscRank(hot, "v", "user_id", 4L, "r", 32L)
+    val wantHot = hot.withColumn("r_want", row_number().over(
+      Window.orderBy(col("v").asc, col("user_id").asc)).cast("long"))
+    assert(gotHot.join(wantHot, Seq("user_id", "v"))
+      .filter(col("r") =!= col("r_want")).count() == 0,
+      "hot-tie sub-split drifted from the global spec")
   }
 }

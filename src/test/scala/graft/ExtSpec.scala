@@ -688,6 +688,18 @@ class ExtSpec extends SparkSuite {
     assert(r(1L).getDouble(5) == 0.5)
     assert(r(2L).getLong(3) == 1L && r(2L).getLong(4) == 4L,
       "a flat clip is one segment covering every frame")
+    // A clip shorter than the frame size has zero complete frames — it
+    // must still be REPORTED (n_frames=0, ratio NULL), not silently
+    // dropped from the output (round-10 advice; the synthetic corpus's
+    // fixed 256-sample clips can never exercise this path).
+    val tiny = (3L, WavType, encodeWav(8000, Array[Short](5, -5, 7)))
+    val r2 = Multimodal.audioActivity(spark,
+      Seq(burst, tiny).toDF("doc_id", "media_type", "content")).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r2.contains(3L), "sub-frame clip must not vanish from the report")
+    assert(r2(3L).getLong(1) == 0L && r2(3L).getLong(2) == 0L &&
+      r2(3L).getLong(3) == 0L && r2(3L).getLong(4) == 0L)
+    assert(r2(3L).isNullAt(5), "active_ratio is NULL when there are no frames")
   }
 
   test("x209 dHash: brightness-shifted copies collide, different content " +
