@@ -168,14 +168,31 @@ object Similarity {
     * and the verify set is the candidates only.
     */
   def annPairs(embeddings: DataFrame, threshold: Double,
-      bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    candidatePairs(embeddings, bands, bandBits, bucketCap)
-      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-  }
+      bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (embeddings.sparkSession, embeddings.queryExecution.analyzed.semanticHash(),
+        math.round(threshold * 1e9), bands, bandBits, bucketCap), {
+        val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        candidatePairs(embeddings, bands, bandBits, bucketCap)
+          .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
+          .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
+          .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
+          .filter(col("cosine") >= threshold)
+          .cache()
+      })
+
+  // The VERIFIED near-dup pairs are memoized like the banded candidate
+  // core below (round-10 directive: the PageRank trio + BFS each consume
+  // annPairs edges once per power-iteration/BFS round plus once for
+  // degrees, so without this the cosine-verify join — the expensive
+  // half — re-executed ~4x per query and once more per sibling query).
+  // cache() keeps it lazy; memory is the near-dup PAIR set (3 columns,
+  // threshold-filtered), far smaller than the corpus. Released via
+  // clearCaches, which the bench invokes before every rerun so medians
+  // still measure steady-state computation.
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[
+      (org.apache.spark.sql.SparkSession, Int, Long, Int, Int, Int), DataFrame]
 
   // annPairs and annTopK share the banded candidate set (x11 + x27 in one
   // run would otherwise band + distinct the corpus twice). Cached per
@@ -222,6 +239,9 @@ object Similarity {
 
   /** Release cached candidate frames and trained models for a session. */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    pairsCache.keys.filter(_._1 == spark).foreach { k =>
+      pairsCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
     candCache.keys.filter(_._1 == spark).foreach { k =>
       candCache.remove(k).foreach(_.unpersist(blocking = false))
     }
