@@ -589,6 +589,97 @@ object Dedup {
           .as("reduction_ratio"))
   }
 
+  /** Sampled-truth blocking-quality estimate — the BOUNDED-cost sibling
+    * of [[blockingQuality]] (round-10 directive). The exact evaluator's
+    * cost IS its uncapped common-shingle ground truth, which makes it
+    * the single most contention-sensitive query in the bench; this
+    * variant estimates the same pairs-completeness metric from a
+    * deterministic md5 document sample:
+    *
+    *  - a document is IN the sample iff hash32("bqs_" ‖ doc_id) mod
+    *    `sampleDen` = 0 — engine-portable, seedless, and reproducible,
+    *    so the "sample" is a pure function of the corpus (no RNG state
+    *    to align between engines or runs);
+    *  - EVERYTHING downstream runs on the sample: exact ground truth
+    *    (common-shingle join + Jaccard ≥ tNum/tDen) among sampled
+    *    documents — pair volume scales by (1/sampleDen)², hot-shingle
+    *    posting lists by 1/sampleDen — AND the banded candidate set over
+    *    the sampled docs. Candidate membership of a sampled pair is a
+    *    pure function of the two docs' OWN MinHash signatures (no
+    *    corpus dependence), so caught/missed for sampled true pairs is
+    *    bit-identical to what the full evaluator would decide — only
+    *    the POPULATION of judged pairs is sampled, not the judgment.
+    *    (A first cut kept the full-corpus candidate side for an exact
+    *    reduction ratio; measurement showed that uncapped full-corpus
+    *    candidate join WAS the dominant cost, so it defeated the point.)
+    *  - completeness_est = caught-in-sample / true-in-sample, with a
+    *    95% normal-approximation CI (±1.96·√(p̂(1−p̂)/n), clamped to
+    *    [0,1]) quantifying what the sampling bought away. Since md5 is
+    *    uncorrelated with the band scheme's md5 keys (different
+    *    prefixes), sampled true pairs are an unbiased draw of true
+    *    pairs for the caught/missed property.
+    *  - reduction_ratio_est is the reduction ratio measured on the
+    *    sampled pair space (1 − 2·n_cand_s/(n_s·(n_s−1))) — a consistent
+    *    estimator of the full ratio (both numerator and denominator
+    *    scale by the same pair-sampling rate in expectation).
+    *
+    * All counts are exact BIGINTs; the estimate and CI are single
+    * IEEE expressions over them (sqrt is correctly rounded, so both
+    * engines agree bit-for-bit). The exact evaluator remains the
+    * oracle-gated ground-truth diagnostic (bench=false, timed in
+    * bench_diag.json); SketchGovernanceSpec's contract test pins the
+    * exact completeness inside this estimator's CI — and the estimated
+    * reduction ratio against the exact one — on the sf0.001 corpus.
+    */
+  def blockingQualitySampled(docs: DataFrame, sampleDen: Int = 4,
+      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(sampleDen >= 1, s"sampleDen must be >= 1, got $sampleDen")
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum <= tDen, got $tNum/$tDen")
+    val inSample =
+      conv(substring(md5(concat(lit("bqs_"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % sampleDen === 0
+    val sampled = docs.filter(inSample)
+    val sh = shingles(sampled)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truePairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
+      .select("doc_a", "doc_b")
+    // The candidate pair set feeds two consumers (its count and the
+    // caught left join) on different shapes; it is tiny (sampled-pair
+    // candidates), so eager-materialize it once instead of re-running
+    // the band self-join per consumer. Truth is consumed ONCE: the
+    // caught flag rides a left join so n_true_s and n_caught_s come
+    // from the same aggregate (this query is latency-bound at bench
+    // scale — fewer distinct subtrees is the optimization).
+    val cand = bandedCandidates(sampled).localCheckpoint()
+    val truthStats = truePairs
+      .join(cand.withColumn("_c", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true_s"),
+        coalesce(sum(col("_c")), lit(0L)).as("n_caught_s"))
+    val p = col("n_caught_s").cast("double") / col("n_true_s").cast("double")
+    val se = sqrt(p * (lit(1.0) - p) / col("n_true_s").cast("double"))
+    docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(sampled.agg(countDistinct(col("doc_id")).as("n_docs_sampled")))
+      .crossJoin(truthStats)
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand_s")))
+      .select(col("n_docs"), col("n_docs_sampled"), col("n_true_s"),
+        col("n_cand_s"), col("n_caught_s"),
+        when(col("n_true_s") > 0, p).as("completeness_est"),
+        when(col("n_true_s") > 0, greatest(p - lit(1.96) * se, lit(0.0)))
+          .as("ci95_low"),
+        when(col("n_true_s") > 0, least(p + lit(1.96) * se, lit(1.0)))
+          .as("ci95_high"),
+        (lit(1.0) - (col("n_cand_s").cast("double") * lit(2.0))
+          / (col("n_docs_sampled").cast("double")
+            * (col("n_docs_sampled") - 1).cast("double")))
+          .as("reduction_ratio_est"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
     * algorithm): over each document's word `gramLen`-gram hash sequence,
     * every `window` consecutive grams elect their minimum hash (ties →

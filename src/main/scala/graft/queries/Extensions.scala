@@ -1234,6 +1234,12 @@ object Extensions {
     // completeness + reduction ratio of the LSH band scheme against
     // exact-Jaccard ground truth at 1/2 — x114 judges the estimator on
     // surfaced candidates, this judges what the blocking never surfaces.
+    // bench=false (round-10 directive): its cost IS the uncapped exact
+    // common-shingle truth, which made it the chronic contention-noise
+    // source of every round's mover list (adjudicated band 8-30 s at
+    // sf0.1). The benched path is now x211's sampled-truth estimate;
+    // this exact evaluator stays oracle-gated and timed in
+    // bench_diag.json with the other ground-truth diagnostics.
     QueryDef(
       "x162_blocking_quality",
       (s, dir) => Dedup.blockingQuality(Tables(s, dir).documents),
@@ -1275,6 +1281,75 @@ object Extensions {
            |         / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE))
            |         AS reduction_ratio
            |FROM stats""".stripMargin
+      },
+      bench = false),
+
+    // Sampled-truth blocking quality (Dedup.blockingQualitySampled) —
+    // the BENCHED sibling of x162: exact ground truth AND the banded
+    // candidate set both restricted to a deterministic md5 document
+    // sample (1/4 of docs -> ~1/16 of every pair-shaped join), with a
+    // 95% CI on the completeness estimate so the sampling error is part
+    // of the output contract. Candidate membership of a sampled pair
+    // depends only on the two docs' own signatures, so the caught/missed
+    // judgment is bit-identical to the full evaluator's — only the
+    // judged-pair population is sampled. SketchGovernanceSpec pins
+    // x162's exact completeness inside this CI on the sf0.001 corpus.
+    QueryDef(
+      "x211_blocking_quality_sampled",
+      (s, dir) => Dedup.blockingQualitySampled(Tables(s, dir).documents),
+      Some {
+        val bandUnion = (0 until Dedup.NumBands)
+          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sigs_s")
+          .mkString("\n  UNION ALL ")
+        s"""$ShingleCtes $SigCte, samp AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE CAST(('0x' || substring(md5('bqs_' || doc_id), 1, 8)) AS BIGINT) % 4 = 0
+           |), sigs_s AS (
+           |  SELECT sig.* FROM sig JOIN samp USING (doc_id)
+           |), bands AS (
+           |  $bandUnion
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |), shs AS (
+           |  SELECT sh.doc_id, sh.shingle FROM sh JOIN samp USING (doc_id)
+           |), sizes AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shs GROUP BY 1
+           |), tp AS (
+           |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM shs sa JOIN shs sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+           |  GROUP BY 1, 2
+           |), truep AS (
+           |  SELECT t.doc_a, t.doc_b
+           |  FROM tp t JOIN sizes na ON na.doc_id = t.doc_a
+           |            JOIN sizes nb ON nb.doc_id = t.doc_b
+           |  WHERE t.inter * 2 >= (na.n + nb.n - t.inter) * 1
+           |), caught AS (
+           |  SELECT doc_a, doc_b FROM truep
+           |  INTERSECT SELECT doc_a, doc_b FROM cand
+           |), stats AS (
+           |  SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents) AS n_docs,
+           |         (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM samp) AS n_docs_sampled,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM truep) AS n_true_s,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand_s,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM caught) AS n_caught_s
+           |), est AS (
+           |  SELECT *,
+           |         CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE) AS p,
+           |         sqrt((CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE))
+           |              * (1.0 - CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE))
+           |              / CAST(n_true_s AS DOUBLE)) AS se
+           |  FROM stats
+           |)
+           |SELECT n_docs, n_docs_sampled, n_true_s, n_cand_s, n_caught_s,
+           |       CASE WHEN n_true_s > 0 THEN p END AS completeness_est,
+           |       CASE WHEN n_true_s > 0 THEN greatest(p - 1.96 * se, 0.0) END AS ci95_low,
+           |       CASE WHEN n_true_s > 0 THEN least(p + 1.96 * se, 1.0) END AS ci95_high,
+           |       1.0 - (CAST(n_cand_s AS DOUBLE) * 2.0)
+           |         / (CAST(n_docs_sampled AS DOUBLE) * CAST(n_docs_sampled - 1 AS DOUBLE))
+           |         AS reduction_ratio_est
+           |FROM est""".stripMargin
       }),
 
     // Winnowing fingerprint pairs (Dedup.winnowedPairs — Schleimer et al.

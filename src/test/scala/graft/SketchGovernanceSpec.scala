@@ -85,6 +85,35 @@ class SketchGovernanceSpec extends SparkSuite {
     graft.ext.Dedup.clearCaches(spark)
   }
 
+  test("x211 sampling-error contract: the exact completeness lies inside " +
+    "the sampled estimate's 95% CI, and the exact reduction ratio is " +
+    "reproduced (both deterministic — the md5 sample has no RNG state)") {
+    val docs = graft.io.Tables(spark, Sf).documents
+    val exact = graft.ext.Dedup.blockingQuality(docs).head()
+    val s = graft.ext.Dedup.blockingQualitySampled(docs).head()
+    // Sample really is a strict subset (and non-degenerate on 500 docs).
+    assert(s.getLong(1) > 0 && s.getLong(1) < s.getLong(0),
+      s"sample ${s.getLong(1)} of ${s.getLong(0)} docs is degenerate")
+    assert(s.getLong(2) > 0, "no true pairs in the sample — CI is vacuous")
+    val (lo, hi) = (s.getDouble(6), s.getDouble(7))
+    val est = s.getDouble(5)
+    assert(lo <= est && est <= hi && lo >= 0.0 && hi <= 1.0)
+    val exactCompleteness = exact.getDouble(4)
+    assert(exactCompleteness >= lo && exactCompleteness <= hi,
+      s"exact completeness $exactCompleteness outside the CI [$lo, $hi] — " +
+        "the sampled estimator's error contract is broken")
+    // The reduction ratio is estimated on the sampled pair space; it
+    // must track the exact full-corpus ratio closely (both are ~1 minus
+    // a candidate density, and densities concentrate under the md5
+    // doc sample). 0.02 absolute is ~20x the exact-vs-estimate gap
+    // measured on this corpus — loose enough to be stable, tight
+    // enough to catch a wrong denominator or an unsampled side.
+    assert(math.abs(s.getDouble(8) - exact.getDouble(5)) <= 0.02,
+      s"estimated reduction ratio ${s.getDouble(8)} drifted from exact " +
+        s"${exact.getDouble(5)}")
+    graft.ext.Dedup.clearCaches(spark)
+  }
+
   test("decayed activity: staircase decay only shrinks nonnegative value mass") {
     val r = graft.queries.Registry.queryMap("x161_decayed_activity")(spark, Sf)
       .select("user_id", "raw_value", "decayed_value").collect()
