@@ -24,7 +24,13 @@ object ScaleProbe {
     "x126_bpe_merges", "x134_count_min_sketch", "x158_bloom_screen",
     "x160_hll_source_cardinality", "x167_winnowing_pairs",
     "x168_shard_resize_audit", "x172_dsir_weights", "x173_token_entropy",
-    "x175_minhash_merge_audit", "x179_ks_drift")
+    "x175_minhash_merge_audit", "x179_ks_drift",
+    // x212: decode+hash scan scales linearly; the Hamming band join runs
+    // over DISTINCT hashes, and the duplication replicas (stride 2^40 is
+    // divisible by the 64-group and 32-offset periods) render byte-
+    // identical images — so the distinct-hash grain must NOT grow and
+    // the measured exponent isolates the scan.
+    "x212_perceptual_near_dedup")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

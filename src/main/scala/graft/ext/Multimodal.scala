@@ -3,6 +3,7 @@ package graft.ext
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque BINARY columns with typed
@@ -661,6 +662,135 @@ object Multimodal {
         min(col("doc_id")).as("keeper_doc_id"),
         (count(lit(1)) - 1).as("n_dropped"))
       .orderBy("dhash")
+  }
+
+  /** Synthetic near-duplicate corpus WITH sub-perceptual noise — the
+    * [[syntheticNearDupImages]] family plus a deterministic single-pixel
+    * perturbation on alternate copies (`(doc_id / groups) % 2 = 1`):
+    * channels scale into [0, 191] (headroom for shift + bump, so nothing
+    * ever clamps), the uniform brightness shift stays, and perturbed
+    * copies additionally bump ONE group-derived pixel's channels by +24
+    * — a +24 integer luma change at that pixel, which flips at most the
+    * two horizontal comparisons touching it. The result: each group
+    * carries two dHash values at Hamming distance 0–2 — the "same photo,
+    * slight crop/noise" family an EXACT perceptual bucket (x209) cannot
+    * collapse and the banded near-dup join (x212) must.
+    */
+  def syntheticNoisyImages(docs: DataFrame, groups: Int = 64,
+      offsetMod: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val grp = id % groups
+        val off = ((id / groups) % offsetMod).toInt
+        val noisy = (id / groups) % 2 == 1
+        val (px, py) = ((grp % 8).toInt, ((grp / 8) % 8).toInt)
+        val rgb = new Array[Byte](8 * 8 * 3)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val d = md.digest(s"img_${grp}_${y}_${x}".getBytes(StandardCharsets.US_ASCII))
+            val bump = if (noisy && x == px && y == py) 24 else 0
+            val i = (y * 8 + x) * 3
+            rgb(i) = (((d(0) & 0xff) * 3) / 4 + off + bump).toByte
+            rgb(i + 1) = (((d(1) & 0xff) * 3) / 4 + off + bump).toByte
+            rgb(i + 2) = (((d(2) & 0xff) * 3) / 4 + off + bump).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, PpmType, encodePpm(RasterImage(8, 8, 255, rgb)))
+      }
+    }.toDF("doc_id", "media_type", "content")
+  }
+
+  /** Near-duplicate pairs over distinct dHash values — the banded
+    * Hamming-ball join on (dhash, n_images, keeper_doc_id) group rows.
+    * Pigeonhole banding: the 56-bit hash splits into `maxHamming + 1`
+    * disjoint segments, so two hashes within Hamming `maxHamming` agree
+    * on AT LEAST one whole segment — an equi-join per segment surfaces
+    * every such pair (recall 1 by construction, before the cap), and
+    * exact `bit_count(a XOR b)` verifies candidates only. The x66
+    * hot-bucket cap guards the segment join: buckets wider than
+    * `bucketCap` are dropped before pairing, bounding per-segment
+    * candidate volume at N·cap/2 under any hash distribution.
+    */
+  private[graft] def nearDupHashPairs(groups: DataFrame, maxHamming: Int,
+      bucketCap: Int): DataFrame = {
+    require(maxHamming >= 1 && 56 % (maxHamming + 1) == 0,
+      s"maxHamming+1 must divide 56 (1, 3, 6, 7, 13, 27, 55); got $maxHamming")
+    val nSegs = maxHamming + 1
+    val segBits = 56 / nSegs
+    val segKeys = (0 until nSegs).map { s =>
+      struct(lit(s).as("seg_idx"),
+        (expr(s"dhash div ${1L << (segBits * s)}") % lit(1L << segBits))
+          .as("seg_key"))
+    }
+    val segs = groups.select(col("dhash"),
+        explode(array(segKeys: _*)).as("sk"))
+      .select(col("dhash"), col("sk.seg_idx").as("seg_idx"),
+        col("sk.seg_key").as("seg_key"))
+    val capped = segs
+      .withColumn("_w", count(lit(1)).over(
+        Window.partitionBy("seg_idx", "seg_key")))
+      .filter(col("_w") <= bucketCap)
+      .drop("_w")
+    val cand = capped.select(col("seg_idx"), col("seg_key"), col("dhash").as("dhash_a"))
+      .join(capped.select(col("seg_idx"), col("seg_key"), col("dhash").as("dhash_b")),
+        Seq("seg_idx", "seg_key"))
+      .filter(col("dhash_a") < col("dhash_b"))
+      .select("dhash_a", "dhash_b").distinct()
+    val g = groups.select(col("dhash"), col("n_images"), col("keeper_doc_id"))
+    cand
+      .withColumn("hamming",
+        expr("bit_count(dhash_a ^ dhash_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .join(g.select(col("dhash").as("dhash_a"), col("n_images").as("n_images_a"),
+        col("keeper_doc_id").as("keeper_a")), Seq("dhash_a"))
+      .join(g.select(col("dhash").as("dhash_b"), col("n_images").as("n_images_b"),
+        col("keeper_doc_id").as("keeper_b")), Seq("dhash_b"))
+      .select(col("dhash_a"), col("dhash_b"), col("hamming"),
+        col("n_images_a"), col("n_images_b"), col("keeper_a"), col("keeper_b"))
+  }
+
+  /** Near-duplicate perceptual image dedup (x212) — the Hamming-ball
+    * extension of [[perceptualDedup]]: REAL decode → [[dHash56]] →
+    * exact-hash grouping (the x209 step, collapsing exposure-shifted
+    * copies to ONE row per distinct hash) → banded Hamming ≤ `maxHamming`
+    * join over the DISTINCT hashes via [[nearDupHashPairs]]. Without
+    * this second stage a one-bit hash flip (crop, noise, re-encode)
+    * defeats the dedup — the image analog of MinHash-LSH's band join,
+    * with the same pigeonhole recall guarantee and hot-bucket cap.
+    *
+    * Scale: grouping first is what makes the pair join safe — segment
+    * buckets hold distinct HASHES, bounded by content diversity, so a
+    * million exposure-shifted copies of one image still contribute ONE
+    * row to candidate generation (they cost one hot reducer key in the
+    * groupBy, never a quadratic candidate set).
+    */
+  def perceptualNearDedup(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, bucketCap: Int = 64,
+      parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val rows: Dataset[MediaRow] = media.as[MediaRow]
+    val repart = if (parallelism > 0) rows.repartition(parallelism) else rows
+    val groups = repart.mapPartitions { it =>
+      it.map { r =>
+        val img = r.media_type match {
+          case PpmType => decodePpm(r.content)
+          case BmpType => decodeBmp(r.content)
+          case t => throw new IllegalArgumentException(s"no raster decoder for $t")
+        }
+        (r.doc_id, dHash56(img))
+      }
+    }.toDF("doc_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keeper_doc_id"))
+    nearDupHashPairs(groups, maxHamming, bucketCap)
+      .orderBy("dhash_a", "dhash_b")
   }
 
   /** SQL-visible metadata pass over the binary column (no decode): byte

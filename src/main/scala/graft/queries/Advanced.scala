@@ -840,6 +840,85 @@ object Advanced {
            |FROM h GROUP BY 1 ORDER BY dhash""".stripMargin
       }),
 
+    // NEAR-duplicate perceptual dedup (round-10 directive): x209's exact
+    // buckets collapse only identical hashes, so a one-bit flip (crop,
+    // noise, re-encode) defeats them. x212 runs the banded Hamming-ball
+    // join over the DISTINCT hashes: 56 bits split into 4 disjoint
+    // 14-bit segments (pigeonhole: Hamming <= 3 implies agreement on a
+    // whole segment), equi-join per segment under the x66 hot-bucket
+    // cap, exact bit_count(a XOR b) verify on candidates only — the
+    // image analog of MinHash-LSH. The corpus is the noisy generator
+    // (exposure shifts + a single-pixel luma bump on alternate copies),
+    // and the oracle replays generator -> Rec.601 luma -> dHash ->
+    // segment keys -> capped join -> popcount, so only a correct decode
+    // AND a correct banding reproduce the pairs.
+    QueryDef(
+      "x212_perceptual_near_dedup",
+      (s, dir) => graft.ext.Multimodal.perceptualNearDedup(s,
+        graft.ext.Multimodal.syntheticNoisyImages(Tables(s, dir).documents)),
+      Some {
+        def ch(off: Int) =
+          s"(CAST(('0x' || substr(md5('img_' || (d.doc_id % 64) || '_' || ys.y || '_' || xs.x), $off, 2)) AS BIGINT) * 3) // 4"
+        s"""WITH px AS (
+           |  SELECT d.doc_id, (d.doc_id // 64) % 32 AS off,
+           |         CASE WHEN (d.doc_id // 64) % 2 = 1
+           |                   AND xs.x = (d.doc_id % 64) % 8
+           |                   AND ys.y = ((d.doc_id % 64) // 8) % 8
+           |              THEN 24 ELSE 0 END AS bump,
+           |         ys.y, xs.x,
+           |         ${ch(1)} AS r0, ${ch(3)} AS g0, ${ch(5)} AS b0
+           |  FROM documents d,
+           |       (SELECT unnest(generate_series(0, 7)) AS y) ys,
+           |       (SELECT unnest(generate_series(0, 7)) AS x) xs
+           |), lum AS (
+           |  SELECT doc_id, y, x,
+           |         (299*(r0 + off + bump) + 587*(g0 + off + bump)
+           |           + 114*(b0 + off + bump)) // 1000 AS luma
+           |  FROM px
+           |), bits AS (
+           |  SELECT a.doc_id, a.y, a.x,
+           |         CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+           |  FROM lum a
+           |  JOIN lum b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+           |  WHERE a.x < 7
+           |), h AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(CAST(bit AS BIGINT) * (1::BIGINT << (y*7 + x)))
+           |           AS BIGINT) AS dhash
+           |  FROM bits GROUP BY 1
+           |), g AS (
+           |  SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+           |         CAST(MIN(doc_id) AS BIGINT) AS keeper
+           |  FROM h GROUP BY 1
+           |), segs AS (
+           |  SELECT dhash, s.s AS seg_idx,
+           |         (dhash // (1::BIGINT << (14 * s.s))) % 16384 AS seg_key
+           |  FROM g, (SELECT unnest(generate_series(0, 3)) AS s) s
+           |), capped AS (
+           |  SELECT seg_idx, seg_key, dhash FROM (
+           |    SELECT *, COUNT(*) OVER (PARTITION BY seg_idx, seg_key) AS w
+           |    FROM segs) t
+           |  WHERE w <= 64
+           |), cand AS (
+           |  SELECT DISTINCT a.dhash AS dhash_a, b.dhash AS dhash_b
+           |  FROM capped a JOIN capped b
+           |    ON a.seg_idx = b.seg_idx AND a.seg_key = b.seg_key
+           |   AND a.dhash < b.dhash
+           |), p AS (
+           |  SELECT dhash_a, dhash_b,
+           |         CAST(bit_count(xor(dhash_a, dhash_b)) AS BIGINT) AS hamming
+           |  FROM cand
+           |)
+           |SELECT p.dhash_a, p.dhash_b, p.hamming,
+           |       ga.n_images AS n_images_a, gb.n_images AS n_images_b,
+           |       ga.keeper AS keeper_a, gb.keeper AS keeper_b
+           |FROM p
+           |JOIN g ga ON ga.dhash = p.dhash_a
+           |JOIN g gb ON gb.dhash = p.dhash_b
+           |WHERE p.hamming <= 3
+           |ORDER BY dhash_a, dhash_b""".stripMargin
+      }),
+
     // LEARNED-centroid IVF under the gate (closes the round-3 "test-gated
     // only" carve-out): spherical k-means with grid-snapped centroids —
     // snap(x) = floor(x·1e6 + 0.5)/1e6 after each Lloyd step, every op

@@ -731,6 +731,66 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("x212 pigeonhole law: every hash pair within Hamming 3 is surfaced " +
+    "by the 4x14-bit banding (recall 1 before the cap), none beyond it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 40 random 56-bit bases, each planting a partner at Hamming 1..3.
+    val bases = Seq.fill(40)(rnd.nextLong() & ((1L << 56) - 1))
+    val planted = bases.zipWithIndex.map { case (b, i) =>
+      val k = i % 3 + 1
+      var v = b
+      rnd.shuffle((0 until 56).toList).take(k).foreach(bit => v ^= 1L << bit)
+      (b, v, k)
+    }
+    val hashes = (bases ++ planted.map(_._2)).distinct.zipWithIndex
+      .map { case (h, i) => (h, 1L, i.toLong) }
+      .toDF("dhash", "n_images", "keeper_doc_id")
+    val got = Multimodal.nearDupHashPairs(hashes, maxHamming = 3, bucketCap = 1000)
+      .select("dhash_a", "dhash_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    planted.filter(p => p._1 != p._2).foreach { case (a, b, k) =>
+      val key = (math.min(a, b), math.max(a, b))
+      assert(got.contains(key), s"planted Hamming-$k pair $key missed — pigeonhole broken")
+      assert(got(key) == java.lang.Long.bitCount(a ^ b).toLong)
+    }
+    // No pair beyond the ball, and the exact-verify filter really ran.
+    got.foreach { case ((a, b), ham) =>
+      assert(ham >= 1 && ham <= 3 && ham == java.lang.Long.bitCount(a ^ b).toLong)
+    }
+    // Cap teeth: cap 1 drops every bucket that could pair anything.
+    assert(Multimodal.nearDupHashPairs(hashes, 3, bucketCap = 1).count() == 0)
+  }
+
+  test("x212 end-to-end: a single-pixel luma bump is caught as a near-dup " +
+    "pair (Hamming 1-2) that the exact x209 bucket cannot collapse") {
+    import Multimodal.{RasterImage, dHash56, encodePpm, PpmType}
+    import spark.implicits._
+    // Base: luma ramps steeply except a flat pair at (x=0,y=0)-(x=1,y=0),
+    // so bumping pixel (1,0) by +24 flips exactly that comparison (the
+    // (1,0)-(2,0) comparison stays: luma(2,0) is far above both).
+    def gray(v: Int) = Seq(v, v, v)
+    val row0 = Seq(100, 100, 200, 40, 160, 60, 180, 80)
+    val rest = (1 until 8).flatMap(y => (0 until 8).map(x => 30 + 20 * x))
+    val base = (row0 ++ rest).flatMap(gray).map(_.toByte).toArray
+    val bumped = base.clone()
+    (3 until 6).foreach(i => bumped(i) = (bumped(i) + 24).toByte)
+    val imgs = Seq(
+      (0L, PpmType, encodePpm(RasterImage(8, 8, 255, base))),
+      (1L, PpmType, encodePpm(RasterImage(8, 8, 255, bumped))),
+      (2L, PpmType, encodePpm(RasterImage(8, 8, 255, base.reverse))))
+      .toDF("doc_id", "media_type", "content")
+    val hBase = dHash56(RasterImage(8, 8, 255, base))
+    val hBump = dHash56(RasterImage(8, 8, 255, bumped))
+    assert(java.lang.Long.bitCount(hBase ^ hBump) == 1,
+      "fixture must differ in exactly the planted comparison bit")
+    val r = Multimodal.perceptualNearDedup(spark, imgs).collect()
+    assert(r.length == 1, s"exactly the planted near-dup pair: ${r.length}")
+    assert(r(0).getLong(2) == 1L)
+    assert(Set(r(0).getLong(5), r(0).getLong(6)) == Set(0L, 1L),
+      "the pair links the base and bumped images' keepers")
+  }
+
   test("BMP decode: bottom-up BGR rows with 4-byte padding normalize to top-left RGB") {
     import Multimodal.{RasterImage, decodeBmp, encodeBmp}
     // 3x2 image: rowSize 3*3=9 pads to 12 — padding is exercised.
