@@ -412,13 +412,15 @@ class PlanSpec extends SparkSuite {
     // explode must join it broadcast. A SortMergeJoin of the TOKEN stream
     // would shuffle it a second time at 100 TB. The exact-rank
     // construction over the PER-DOC frame (round 10) legitimately joins
-    // doc-grain histograms on its internal bucket key — those are the
-    // only shuffle joins allowed here.
+    // doc-grain histograms on its internal value-bucket key `_b` — and,
+    // since the round-11 hot-tie sub-split, on the (value, tie-bucket)
+    // key pair (`_negv`/`_tb`) — those are the only shuffle joins
+    // allowed here.
     val plan = executed("x172_dsir_weights")
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket log-ratios must broadcast onto the tokens:\n$plan")
     val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
-    assert(smj.forall(_.contains("_b#")),
+    assert(smj.forall(l => l.contains("_b#") || l.contains("_tb#")),
       s"only the doc-grain rank-histogram joins may shuffle:\n${smj.mkString("\n")}")
   }
 
