@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * argument from plan-shape reasoning into a measured point: exponent
   * ≈ 1 means linear scaling, ≈ 2 means a quadratic candidate path.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier]
+  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier] [onlyPrefixes]
+  * (onlyPrefixes: comma-separated query-name prefixes to restrict the
+  * probe set — the SPARK_GRAFT_BENCH_ONLY convention, for targeted
+  * before/after measurements.)
   */
 object ScaleProbe {
 
@@ -145,7 +148,10 @@ object ScaleProbe {
       timeQ(name, dir)
       Seq.fill(3)(timeQ(name, dir)).sorted.apply(1)
     }
-    (probes ++ embProbes ++ eventProbes ++ graphProbes).foreach { q =>
+    val only = args.lift(2).map(_.split(','))
+    (probes ++ embProbes ++ eventProbes ++ graphProbes)
+      .filter(q => only.forall(_.exists(q.startsWith)))
+      .foreach { q =>
       val t1 = medQ(q, base)
       val tN = medQ(q, dupDir)
       val exp = math.log(tN / t1) / math.log(mult.toDouble)

@@ -575,9 +575,19 @@ object Similarity {
     * vertex, so the join is k·N vs k·N on a composite key with no skew
     * amplification. The cosine needs no recompute on the reversed copy:
     * dot(a,b) is the same fold both directions, bit-identically.
+    *
+    * The banding preset governs the PRE-top-k candidate volume: under
+    * N× duplication of the corpus every vector's candidate list grows
+    * ~N×, so the per-vector top-k window does N²× total work at the
+    * dense uncapped preset (measured: exponents 1.1–1.2 on the x110/
+    * x123 graph probes). Graph consumers should pass the sparse capped
+    * preset (SparseBands/SparseBandBits/SparseBucketCap), which bounds
+    * any bucket — and so any candidate list — regardless of duplication.
     */
-  def mutualKnn(embeddings: DataFrame, k: Int): DataFrame = {
-    val top = annTopK(embeddings, k)
+  def mutualKnn(embeddings: DataFrame, k: Int,
+      bands: Int = AnnBands, bandBits: Int = AnnBandBits,
+      bucketCap: Int = 0): DataFrame = {
+    val top = annTopK(embeddings, k, bands, bandBits, bucketCap)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"), col("score"))
     val rev = top.select(col("dst").as("src"), col("src").as("dst"))
     top.join(rev, Seq("src", "dst"), "left_semi")

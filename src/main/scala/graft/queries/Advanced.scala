@@ -2167,16 +2167,25 @@ object Advanced {
               |FROM news GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // WEIGHTED PageRank (ops.PageRank.pagerankWeighted) over the near-dup
-    // graph with cosine-proportional edge weights quantized to 1e6
+    // graph with cosine-proportional edge weights quantized to 1e3
     // fixed point — a 0.9-similarity edge pulls rank harder than a 0.4
     // one. Same BIGINT bit-determinism contract as x73; the oracle
     // replays the weighted rounds including the quantization.
+    //
+    // Weight grid 1e3, not 1e6 (round-11 scale fix, surfaced by the
+    // graph ScaleProbe): pagerankWeighted's overflow envelope needs
+    // n_vertices * wMax * base to fit a signed 64-bit long, so 1e6
+    // weights with the default base admit only ~9,200 vertices — the
+    // 10x-duplicated probe corpus (20k) tripped the guard. At 1e3 the
+    // same envelope admits 9.2M vertices (9.2B with base=1e6), and
+    // 3 decimal digits of cosine is ample relative ordering for rank
+    // propagation.
     QueryDef(
       "x91_pagerank_weighted",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val dup = Similarity.annPairs(emb, 0.4)
-          .withColumn("w", floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long"))
+          .withColumn("w", floor(col("cosine") * lit(1e3) + lit(0.5)).cast("long"))
         val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("w"))
           .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("w")))
         graft.ops.PageRank.pagerankWeighted(edges,
@@ -2187,7 +2196,7 @@ object Advanced {
       Some {
         val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
           """, dup AS (
-            |  SELECT vec_a, vec_b, CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT) AS w FROM (
+            |  SELECT vec_a, vec_b, CAST(FLOOR(cosine * 1000.0 + 0.5) AS BIGINT) AS w FROM (
             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
             |    FROM cand c
             |    JOIN e ea ON ea.vec_id = c.vec_a
@@ -2731,19 +2740,30 @@ object Advanced {
     // synchronous drop-below-k rounds, survivors with their
     // within-subgraph degree — the density skeleton of the similarity
     // graph (which vectors sit in dense template families vs hang off
-    // them). The oracle replays x100's mutual-top-3 graph, then unrolls
+    // them). The oracle replays the mutual-top-3 graph, then unrolls
     // the three peel rounds as MATERIALIZED CTEs: DuckDB inlines CTEs
     // by default, and with 3 references per round the banded join would
     // expand 27× and exhaust file handles.
+    //
+    // SPARSE capped banding (round-11 scale fix): at the dense uncapped
+    // preset the graph ScaleProbe measured exponent 1.20 under 10x
+    // duplication — every vector's candidate list grows ~10x, so the
+    // per-vector top-k window does ~100x total work. The sparse preset's
+    // hot-bucket cap bounds any candidate list regardless of
+    // duplication (re-probed exponent below 1), the same re-banding
+    // x182 got in round 9.
     QueryDef(
       "x110_kcore",
       (s, dir) => graft.ops.Graph.kcorePeel(
-          Similarity.mutualKnn(Tables(s, dir).embeddings, 3)
+          Similarity.mutualKnn(Tables(s, dir).embeddings, 3,
+            Similarity.SparseBands, Similarity.SparseBandBits,
+            Similarity.SparseBucketCap)
             .select(col("src"), col("dst")),
           k = 2, rounds = 3)
         .orderBy("id"),
       Some {
-        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap) +
           """, sym AS (
             |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
             |  UNION ALL
@@ -3141,11 +3161,17 @@ object Advanced {
     // 4·m·e_c needs 4m² < 2^63, i.e. m < 1.5e9 edges; past that the
     // terms move to DECIMAL(38,0) with the same shape. m rides a
     // broadcast scalar aggregate, never a driver count.
+    // SPARSE capped banding (round-11 scale fix, same rationale as
+    // x110): the dense uncapped preset measured exponent 1.10 on the
+    // 10x graph probe; the sparse hot-bucket cap bounds the per-vector
+    // candidate list under any duplication.
     QueryDef(
       "x123_community_modularity",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val mk = Similarity.mutualKnn(emb, 3)
+        val mk = Similarity.mutualKnn(emb, 3,
+            Similarity.SparseBands, Similarity.SparseBandBits,
+            Similarity.SparseBucketCap)
           .select(col("src"), col("dst")).localCheckpoint()
         val comm = graft.ops.Graph.labelPropagation(
           mk, emb.select(col("vec_id").as("id")), 3)
@@ -3172,7 +3198,8 @@ object Advanced {
               .as("modularity"))
       },
       Some {
-        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap) +
           """, sym0 AS (
             |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
             |  UNION ALL
