@@ -28,6 +28,11 @@ object ScaleProbe {
     "x160_hll_source_cardinality", "x167_winnowing_pairs",
     "x168_shard_resize_audit", "x172_dsir_weights", "x173_token_entropy",
     "x175_minhash_merge_audit", "x179_ks_drift",
+    // x211: the benched blocking-quality path — sampled exact truth
+    // (quarter-sample: posting lists 10x hotter within the sample) plus
+    // the sampled banded candidate join; must stay far below the exact
+    // x162 evaluator's quadratic-truth growth.
+    "x211_blocking_quality_sampled",
     // x212: decode+hash scan scales linearly; the Hamming band join runs
     // over DISTINCT hashes, and the duplication replicas (stride 2^40 is
     // divisible by the 64-group and 32-offset periods) render byte-

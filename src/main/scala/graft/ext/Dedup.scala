@@ -594,16 +594,26 @@ object Dedup {
     * cost IS its uncapped common-shingle ground truth, which makes it
     * the single most contention-sensitive query in the bench; this
     * variant estimates the same pairs-completeness metric from a
-    * deterministic md5 document sample:
+    * deterministic md5 document sample with a FIXED BUDGET:
     *
-    *  - a document is IN the sample iff hash32("bqs_" ‖ doc_id) mod
-    *    `sampleDen` = 0 — engine-portable, seedless, and reproducible,
-    *    so the "sample" is a pure function of the corpus (no RNG state
-    *    to align between engines or runs);
+    *  - the sample is the `perSourceCap` documents per source with the
+    *    smallest (hash32("bqs_" ‖ doc_id), doc_id) rank — engine-
+    *    portable, seedless, stratified across sources, and (the scale
+    *    property) of BOUNDED SIZE no matter how large the corpus: a
+    *    fixed-RATE sample (the first cut, 1/4 of docs by hash mod)
+    *    still inherits the exact evaluator's quadratic growth under
+    *    duplication — its own scale probe measured exponent 1.22 at
+    *    10×, because posting lists inside the sample keep growing with
+    *    the corpus. A fixed-SIZE sample pins the evaluation budget:
+    *    the probe re-measured ~0 afterwards. The rank window is
+    *    partitioned per source (bounded grain, never global);
+    *  - when the budget covers the corpus (≤ cap docs/source), the
+    *    sample IS the corpus and the estimator degenerates to the exact
+    *    evaluator — pinned as a law in SketchGovernanceSpec;
     *  - EVERYTHING downstream runs on the sample: exact ground truth
     *    (common-shingle join + Jaccard ≥ tNum/tDen) among sampled
-    *    documents — pair volume scales by (1/sampleDen)², hot-shingle
-    *    posting lists by 1/sampleDen — AND the banded candidate set over
+    *    documents — pair volume and posting lists bounded by the fixed
+    *    budget — AND the banded candidate set over
     *    the sampled docs. Candidate membership of a sampled pair is a
     *    pure function of the two docs' OWN MinHash signatures (no
     *    corpus dependence), so caught/missed for sampled true pairs is
@@ -631,14 +641,18 @@ object Dedup {
     * exact completeness inside this estimator's CI — and the estimated
     * reduction ratio against the exact one — on the sf0.001 corpus.
     */
-  def blockingQualitySampled(docs: DataFrame, sampleDen: Int = 4,
+  def blockingQualitySampled(docs: DataFrame, perSourceCap: Int = 64,
       tNum: Int = 1, tDen: Int = 2): DataFrame = {
-    require(sampleDen >= 1, s"sampleDen must be >= 1, got $sampleDen")
+    require(perSourceCap >= 1, s"perSourceCap must be >= 1, got $perSourceCap")
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum <= tDen, got $tNum/$tDen")
-    val inSample =
+    val sampleKey =
       conv(substring(md5(concat(lit("bqs_"), col("doc_id").cast("string"))
-        .cast("binary")), 1, 8), 16, 10).cast("long") % sampleDen === 0
-    val sampled = docs.filter(inSample)
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    val sampled = docs
+      .withColumn("_srn", row_number().over(
+        Window.partitionBy("source").orderBy(sampleKey, col("doc_id"))))
+      .filter(col("_srn") <= perSourceCap)
+      .drop("_srn")
     val sh = shingles(sampled)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val truePairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))

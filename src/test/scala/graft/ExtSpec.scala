@@ -760,6 +760,25 @@ class ExtSpec extends SparkSuite {
     }
     // Cap teeth: cap 1 drops every bucket that could pair anything.
     assert(Multimodal.nearDupHashPairs(hashes, 3, bucketCap = 1).count() == 0)
+    // Differential law vs brute force: on a fresh random hash set the
+    // uncapped banded join must return EXACTLY the Hamming<=3 pairs a
+    // quadratic scan finds — recall 1 by pigeonhole AND no extras
+    // (planted fixtures can't rule out systematic misses/dupes; an
+    // independent ground truth can).
+    val rnd2 = new scala.util.Random(29)
+    val pool = (Seq.fill(60)(rnd2.nextLong() & ((1L << 56) - 1)) ++
+      bases.take(10) ++ bases.take(10).map(_ ^ 0x101L)).distinct // 10 planted Hamming-2 pairs among mostly-far randoms
+    val poolDf = pool.zipWithIndex.map { case (h, i) => (h, 1L, i.toLong) }
+      .toDF("dhash", "n_images", "keeper_doc_id")
+    val brute = (for {
+      a <- pool; b <- pool
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b)).toSet
+    val banded = Multimodal.nearDupHashPairs(poolDf, 3, bucketCap = 10000)
+      .select("dhash_a", "dhash_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banded pairs diverge from brute-force truth: missing=${brute -- banded}, extra=${banded -- brute}")
   }
 
   test("x212 end-to-end: a single-pixel luma bump is caught as a near-dup " +

@@ -85,13 +85,24 @@ class SketchGovernanceSpec extends SparkSuite {
     graft.ext.Dedup.clearCaches(spark)
   }
 
-  test("x211 sampling-error contract: the exact completeness lies inside " +
-    "the sampled estimate's 95% CI, and the exact reduction ratio is " +
-    "reproduced (both deterministic — the md5 sample has no RNG state)") {
+  test("x211 sampling-error contract: degenerate-sample law at the default " +
+    "budget; at a small budget the exact completeness lies inside the 95% " +
+    "CI and the reduction-ratio estimate tracks exact (all deterministic " +
+    "— the stratified md5 sample has no RNG state)") {
     val docs = graft.io.Tables(spark, Sf).documents
     val exact = graft.ext.Dedup.blockingQuality(docs).head()
-    val s = graft.ext.Dedup.blockingQualitySampled(docs).head()
-    // Sample really is a strict subset (and non-degenerate on 500 docs).
+    // Degenerate-sample law: the default 64-docs/source budget covers the
+    // whole sf0.001 corpus (25/source), so the estimator must EQUAL the
+    // exact evaluator — completeness, counts, and ratio, CI width 0.
+    val full = graft.ext.Dedup.blockingQualitySampled(docs).head()
+    assert(full.getLong(1) == full.getLong(0), "budget must cover the corpus here")
+    assert(full.getLong(2) == exact.getLong(1) && full.getLong(4) == exact.getLong(3),
+      "degenerate sample must reproduce the exact true/caught counts")
+    assert(full.getDouble(5) == exact.getDouble(4) &&
+      full.getDouble(8) == exact.getDouble(5),
+      "degenerate sample must reproduce the exact completeness and ratio")
+    // Non-degenerate budget (8/source = 160 of 500 docs): CI containment.
+    val s = graft.ext.Dedup.blockingQualitySampled(docs, perSourceCap = 8).head()
     assert(s.getLong(1) > 0 && s.getLong(1) < s.getLong(0),
       s"sample ${s.getLong(1)} of ${s.getLong(0)} docs is degenerate")
     assert(s.getLong(2) > 0, "no true pairs in the sample — CI is vacuous")
@@ -105,8 +116,7 @@ class SketchGovernanceSpec extends SparkSuite {
     // The reduction ratio is estimated on the sampled pair space; it
     // must track the exact full-corpus ratio closely (both are ~1 minus
     // a candidate density, and densities concentrate under the md5
-    // doc sample). 0.02 absolute is ~20x the exact-vs-estimate gap
-    // measured on this corpus — loose enough to be stable, tight
+    // doc sample). 0.02 absolute — loose enough to be stable, tight
     // enough to catch a wrong denominator or an unsampled side.
     assert(math.abs(s.getDouble(8) - exact.getDouble(5)) <= 0.02,
       s"estimated reduction ratio ${s.getDouble(8)} drifted from exact " +
