@@ -2423,10 +2423,17 @@ object Advanced {
     // reversed pair.
     QueryDef(
       "x100_mutual_knn",
-      (s, dir) => Similarity.mutualKnn(Tables(s, dir).embeddings, 3)
+      // SPARSE capped banding (round-11, with x110/x123): mutualKnn's
+      // per-vector candidate list must stay bounded under duplication —
+      // the dense uncapped preset measured super-linear on the graph
+      // probes, and x100 is the operator those queries build on.
+      (s, dir) => Similarity.mutualKnn(Tables(s, dir).embeddings, 3,
+          Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap)
         .orderBy("src", "dst"),
       Some {
-        bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap) +
           """, sym AS (
             |  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
             |  UNION ALL
