@@ -499,6 +499,101 @@ object Streams {
       }
   }
 
+  /** Bounded per-bucket screen state: parallel arrays of first-arrival
+    * (dhash, keeper) pairs, in admission order. Primitive arrays rather
+    * than a List of case classes — the flat shape stays inside Spark's
+    * state-encoder codegen. */
+  final case class BucketState(dhashes: Array[Long], keepers: Array[Long])
+
+  /** One per-segment screening decision for an arriving image.
+    * `matched_keeper`/`matched_dhash`/`hamming` are −1 when this bucket
+    * held nothing within the Hamming ball; `admitted` says whether the
+    * arrival's hash was recorded as a NEW first-arrival in this bucket.
+    */
+  final case class ScreenDecision(doc_id: Long, seg_idx: Int, seg_key: Long,
+      dhash: Long, matched_keeper: Long, matched_dhash: Long, hamming: Int,
+      admitted: Boolean)
+
+  /** Streaming perceptual near-duplicate screen — the ingest-time twin
+    * of the batch x212 operator (ext.Multimodal.perceptualNearDedup),
+    * and the image-space sibling of the Bloom ingest screen (x158):
+    * every arriving image is decoded, 56-bit dHashed, and checked
+    * against bounded keyed state BEFORE it enters the corpus, so
+    * crop/noise/re-encode copies are flagged at the door instead of by
+    * a later batch sweep.
+    *
+    * Shape: decode + hash ride a stateless map; the hash explodes into
+    * `maxHamming + 1` disjoint segments (the x212 pigeonhole banding —
+    * two hashes within the ball agree on a whole segment), and each
+    * (seg_idx, seg_key) group keeps AT MOST `bucketCap` first-arrival
+    * (dhash, keeper) entries in flatMapGroupsWithState state. An
+    * arrival is compared against its buckets' stored hashes by exact
+    * popcount; every within-ball match is emitted as a
+    * [[ScreenDecision]] row (−1 sentinel when the bucket has no match),
+    * and a distinct new hash is admitted into the bucket while the cap
+    * has room. The doc-level verdict is the consumer's one-line
+    * aggregate: near-dup iff ANY of its segment rows matched (min
+    * (hamming, matched_keeper) for the canonical attribution).
+    *
+    * Determinism & safety: groups process their micro-batch in doc_id
+    * order, so decisions are a pure fold over arrival order; a
+    * REDELIVERED doc matches its own stored entry (hamming 0,
+    * matched_keeper = its own doc_id) and is not re-admitted — the
+    * consumer filters self-matches, making the screen idempotent under
+    * at-least-once delivery. State per bucket is bounded by `bucketCap`
+    * entries of 16 bytes — the hot-bucket discipline of the batch
+    * family; a full bucket stops admitting (the screen degrades to
+    * pass-through for that signature region, never to unbounded state).
+    */
+  def perceptualScreenStream(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, bucketCap: Int = 64): Dataset[ScreenDecision] = {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    require(maxHamming >= 1 && 56 % (maxHamming + 1) == 0,
+      s"maxHamming+1 must divide 56 (1, 3, 6, 7, 13, 27, 55); got $maxHamming")
+    val nSegs = maxHamming + 1
+    val segBits = 56 / nSegs
+    val mask = (1L << segBits) - 1
+    val hashed = media.as[Multimodal.MediaRow].map { r =>
+      val img = r.media_type match {
+        case Multimodal.PpmType => Multimodal.decodePpm(r.content)
+        case Multimodal.BmpType => Multimodal.decodeBmp(r.content)
+        case t => throw new IllegalArgumentException(s"no raster decoder for $t")
+      }
+      (r.doc_id, Multimodal.dHash56(img))
+    }
+    val segs = hashed.flatMap { case (docId, h) =>
+      (0 until nSegs).map(s => (s, (h >>> (segBits * s)) & mask, docId, h))
+    }.toDF("seg_idx", "seg_key", "doc_id", "dhash")
+      .as[(Int, Long, Long, Long)]
+    segs
+      .groupByKey { case (segIdx, segKey, _, _) => (segIdx, segKey) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), batch: Iterator[(Int, Long, Long, Long)],
+         state: GroupState[BucketState]) =>
+          var stored: Vector[(Long, Long)] = state.getOption
+            .map(s => s.dhashes.zip(s.keepers).toVector).getOrElse(Vector.empty)
+          val out = batch.toSeq.sortBy(_._3).map { case (segIdx, segKey, docId, h) =>
+            val best = stored.iterator
+              .map { case (eh, k) => (java.lang.Long.bitCount(eh ^ h), eh, k) }
+              .filter(_._1 <= maxHamming)
+              .reduceOption { (a, b) =>
+                if (a._1 < b._1 || (a._1 == b._1 && a._3 <= b._3)) a else b
+              }
+            val alreadyStored = stored.exists(_._1 == h)
+            val admitted = !alreadyStored && stored.size < bucketCap
+            if (admitted) stored = stored :+ ((h, docId))
+            ScreenDecision(docId, segIdx, segKey, h,
+              best.map(_._3).getOrElse(-1L),
+              best.map(_._2).getOrElse(-1L),
+              best.map(_._1).getOrElse(-1),
+              admitted)
+          }
+          state.update(BucketState(stored.map(_._1).toArray, stored.map(_._2).toArray))
+          out.iterator
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

@@ -390,4 +390,72 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.getLong(0) === expected.getLong(0))
     assert(streamed.getDecimal(1).compareTo(expected.getDecimal(1)) === 0)
   }
+
+  test("perceptual screen stream: near-dups flagged at the door across " +
+    "micro-batches; redelivery self-matches without re-admission; " +
+    "decisions equal the arrival-order batch fold") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.{RasterImage, dHash56, encodePpm, PpmType}
+    implicit val sc = spark.sqlContext
+    // The x212 fixture family: base, a single-pixel bump (Hamming 1), an
+    // exposure-shifted EXACT perceptual copy (Hamming 0, different
+    // bytes), and an unrelated far image.
+    def gray(v: Int) = Seq(v, v, v)
+    val row0 = Seq(100, 100, 200, 40, 160, 60, 180, 80)
+    val rest = (1 until 8).flatMap(y => (0 until 8).map(x => 30 + 20 * x))
+    val base = (row0 ++ rest).flatMap(gray).map(_.toByte).toArray
+    val bumped = base.clone(); (3 until 6).foreach(i => bumped(i) = (bumped(i) + 24).toByte)
+    val shifted = base.map(b => ((b & 0xff) + 15).toByte) // uniform exposure
+    val far = base.reverse
+    def m(id: Long, rgb: Array[Byte]) =
+      (id, PpmType, encodePpm(RasterImage(8, 8, 255, rgb)))
+    val batch1 = Seq(m(1, base), m(4, far))
+    val batch2 = Seq(m(2, shifted), m(3, bumped), m(1, base)) // incl. redelivery of 1
+    val src = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.perceptualScreenStream(spark,
+        src.toDF().toDF("doc_id", "media_type", "content"))
+      .writeStream.format("memory").queryName("pscreen").outputMode("append").start()
+    src.addData(batch1); q.processAllAvailable()
+    src.addData(batch2); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pscreen").as[Streams.ScreenDecision].collect()
+    // Doc-level verdict = min (hamming, keeper) over segment rows,
+    // self-matches filtered (the documented consumer aggregate).
+    def verdict(id: Long): Option[(Int, Long)] = rows.toSeq
+      .filter(r => r.doc_id == id && r.hamming >= 0 && r.matched_keeper != id)
+      .map(r => (r.hamming, r.matched_keeper)).sorted.headOption
+    assert(verdict(1).isEmpty, "first arrival must pass the screen")
+    assert(verdict(4).isEmpty, "unrelated image must pass")
+    assert(verdict(2) === Some((0, 1L)), "exposure copy flagged at Hamming 0 vs the keeper")
+    assert(verdict(3) === Some((1, 1L)), "pixel bump flagged at Hamming 1 vs the keeper")
+    // Redelivered doc 1 (second arrival) self-matches and is NOT re-admitted.
+    val redelivered = rows.filter(r => r.doc_id == 1 && r.hamming == 0 && r.matched_keeper == 1)
+    assert(redelivered.nonEmpty && redelivered.forall(!_.admitted),
+      "redelivery must self-match without mutating state")
+    // Batch-equivalence law: the decision multiset equals a pure fold
+    // over arrival order (batch1 then batch2, doc_id order within each).
+    val segBits = 14
+    var stored = Map.empty[(Int, Long), List[(Long, Long)]] // bucket -> (dhash, keeper)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long, Long, Long, Int, Boolean)]
+    Seq(batch1, batch2).foreach { b =>
+      b.sortBy(_._1).foreach { case (id, _, bytes) =>
+        val h = dHash56(Multimodal.decodePpm(bytes))
+        (0 until 4).foreach { s =>
+          val key = (s, (h >>> (segBits * s)) & ((1L << segBits) - 1))
+          val bucket = stored.getOrElse(key, Nil)
+          val best = bucket.map { case (eh, k) => (java.lang.Long.bitCount(eh ^ h), k, eh) }
+            .filter(_._1 <= 3).sortBy(t => (t._1, t._2)).headOption
+          val admitted = !bucket.exists(_._1 == h) && bucket.size < 64
+          if (admitted) stored = stored.updated(key, bucket :+ (h, id))
+          expected += ((id, s, key._2, h,
+            best.map(_._2).getOrElse(-1L), best.map(_._3).getOrElse(-1L),
+            best.map(_._1).getOrElse(-1), admitted))
+        }
+      }
+    }
+    val got = rows.map(r => (r.doc_id, r.seg_idx, r.seg_key, r.dhash,
+      r.matched_keeper, r.matched_dhash, r.hamming, r.admitted)).toSeq
+    assert(got.sorted === expected.toSeq.sorted,
+      "streaming decisions must equal the arrival-order batch fold")
+  }
 }
