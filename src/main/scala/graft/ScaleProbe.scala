@@ -65,8 +65,8 @@ object ScaleProbe {
     * banded bucket caps plus the iteration-bound BIGINT rounds are what
     * must keep these sub-quadratic. */
   val graphProbeNames: Seq[String] = Seq("x73_pagerank",
-    "x91_pagerank_weighted", "x110_kcore", "x123_community_modularity",
-    "x137_bfs_distances")
+    "x77_pagerank_conserving", "x91_pagerank_weighted", "x110_kcore",
+    "x100_mutual_knn", "x123_community_modularity", "x137_bfs_distances")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
