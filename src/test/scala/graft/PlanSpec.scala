@@ -485,4 +485,35 @@ class PlanSpec extends SparkSuite {
     val nlJoins = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(nlJoins <= 2, s"expected only the duplicated truth cross join, got $nlJoins:\n$plan")
   }
+
+  test("x212 Hamming-ball pairing is an equi-join on (seg_idx, seg_key) " +
+    "over partitioned-window-capped buckets — never all-pairs") {
+    val df = queries.Registry.queryMap("x212_perceptual_near_dedup")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidate generation degenerated to all-pairs:\n$plan")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the hot-bucket cap must ride per-(seg_idx, seg_key) windows, never a global one")
+  }
+
+  test("x211 sampled blocking quality: the budget rank window is " +
+    "partitioned per source and nothing nested-loops") {
+    val df = queries.Registry.queryMap("x211_blocking_quality_sampled")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the fixed-budget sample must come from per-source partitioned rank " +
+        "windows — a global rank would re-create the single-task funnel")
+    // The stat row assembles via cross joins of 1-ROW scalar aggregates —
+    // those legitimately plan as BroadcastNestedLoopJoin Cross. What must
+    // never appear is an unbroadcast cartesian (a row-grain pair blowup).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"truth/candidate joins must stay equi-joins:\n$plan")
+  }
 }
