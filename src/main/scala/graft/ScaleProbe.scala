@@ -33,6 +33,12 @@ object ScaleProbe {
     // the sampled banded candidate join; must stay far below the exact
     // x162 evaluator's quadratic-truth growth.
     "x211_blocking_quality_sampled",
+    // x213: exact-substring removal — under 10x byte-identical
+    // duplication EVERY replica's grams are non-first, so the marked-
+    // span volume is maximal (full-document coverage); the operator
+    // must stay row-linear (keyed gram aggregates + per-doc sweep
+    // lines, no pair join anywhere).
+    "x213_exact_substring_removal",
     // x212: decode+hash scan scales linearly; the Hamming band join runs
     // over DISTINCT hashes, and the duplication replicas (stride 2^40 is
     // divisible by the 64-group and 32-offset periods) render byte-

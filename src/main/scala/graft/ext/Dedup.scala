@@ -694,6 +694,101 @@ object Dedup {
           .as("reduction_ratio_est"))
   }
 
+  /** Exact-substring removal (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the ExactSubstr dedup): every
+    * occurrence of a duplicated `gramLen`-token span, EXCEPT the
+    * globally first one, is removed from its document. x72 measures
+    * this duplication; this operator performs the edit. Semantics:
+    *
+    *   1. gram occurrences: (doc, pos) for every word `gramLen`-gram;
+    *   2. global first occurrence per gram = the (min doc_id, then min
+    *      pos within that doc) pair — two keyed min aggregates rather
+    *      than one packed doc·2²⁰+pos key, because packing overflows a
+    *      BIGINT for large doc ids (the 2⁴⁰-stride scale-probe replicas
+    *      found exactly this);
+    *   3. every NON-first occurrence of a gram seen ≥ 2 times marks its
+    *      token span [pos, pos+gramLen−1] for removal;
+    *   4. overlapping marked spans merge per doc (gaps-and-islands over
+    *      a per-doc window);
+    *   5. surviving tokens = those not covered by any merged span,
+    *      found by a sweep line: span boundaries (+1 at start, −1 at
+    *      end+1) union token rows, one per-doc running sum, keep tokens
+    *      at coverage 0. The sweep replaces a token×span containment
+    *      join, which would go quadratic on a heavily-duplicated doc
+    *      (n tokens × n/2L merged spans); the sweep is linear.
+    *
+    * Output per document: token counts before/kept/removed, merged span
+    * count, and md5 of the space-joined surviving tokens (the cleaned
+    * text's fingerprint — both engines rebuild it in position order).
+    * A fully-duplicated document cleans to zero tokens (NULL hash);
+    * the first document containing a span always keeps it.
+    *
+    * Scale shape: gram explode (linear scan) → one keyed min/count
+    * aggregate on the gram → one join back on the gram (hot grams give
+    * row-LINEAR marked output, never pairs — this operator has no
+    * quadratic path at all, unlike pair-based dedup) → per-doc windows.
+    */
+  def exactSubstringRemoval(docs: DataFrame, gramLen: Int = 8): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val tl = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+      .filter(col("n") < 1048576)
+    val grams = tl.filter(col("n") >= gramLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - (gramLen - 1))).as("pos"), col("ts"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("ts"), col("pos"), lit(gramLen)), " ")
+          .cast("binary")).as("g"))
+    val owner = grams.groupBy("g").agg(
+      min(col("doc_id")).as("fdoc"), count(lit(1)).as("occ"))
+    val firstPos = grams.join(owner, Seq("g"))
+      .filter(col("doc_id") === col("fdoc"))
+      .groupBy("g").agg(min(col("pos")).as("fpos"))
+    val marked = grams.join(owner, Seq("g")).join(firstPos, Seq("g"))
+      .filter(col("occ") >= 2 &&
+        !(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (gramLen - 1)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+    val islands = marked
+      .withColumn("maxe",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val bounds = islands
+      .select(col("doc_id"), col("s").as("pos"), lit(0).as("typ"),
+        lit(1L).as("delta"), lit(null).cast("string").as("tok"))
+      .unionByName(islands.select(col("doc_id"), (col("e") + 1).as("pos"),
+        lit(0).as("typ"), lit(-1L).as("delta"), lit(null).cast("string").as("tok")))
+    val tokRows = tl
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), lit(1).as("typ"),
+        lit(0L).as("delta"), col("tok"))
+    val sw = Window.partitionBy("doc_id").orderBy("pos", "typ")
+    val kept = bounds.unionByName(tokRows)
+      .withColumn("cov",
+        sum(col("delta")).over(sw.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("typ") === 1 && col("cov") === 0L)
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("cleaned_hash"))
+    val spanAgg = islands.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    tl.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(spanAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("cleaned_hash"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
     * algorithm): over each document's word `gramLen`-gram hash sequence,
     * every `window` consecutive grams elect their minimum hash (ties →

@@ -1360,6 +1360,86 @@ object Extensions {
            |FROM est""".stripMargin
       }),
 
+    // Exact-substring removal (Dedup.exactSubstringRemoval — Lee et al.
+    // 2022's ExactSubstr dedup): every duplicated 8-token span is
+    // REMOVED from all but its globally-first occurrence; x72 measures
+    // this duplication, x213 performs the edit. Merged removal spans +
+    // a per-doc sweep line (never a token x span containment join);
+    // the oracle replays grams -> first-occurrence keys -> marked spans
+    // -> island merge -> sweep -> the md5 of the surviving tokens.
+    QueryDef(
+      "x213_exact_substring_removal",
+      (s, dir) => Dedup.exactSubstringRemoval(Tables(s, dir).documents)
+        .orderBy("doc_id"),
+      Some(
+        raw"""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+             |), tl AS (
+             |  SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) < 1048576
+             |), g AS (
+             |  SELECT doc_id, t.i AS pos,
+             |         md5(array_to_string(ts[t.i:t.i+7], ' ')) AS g
+             |  FROM tl, unnest(generate_series(1, tl.n - 7)) AS t(i)
+             |  WHERE n >= 8
+             |), own AS (
+             |  SELECT g, MIN(doc_id) AS fdoc, COUNT(*) AS occ
+             |  FROM g GROUP BY 1
+             |), fpos AS (
+             |  SELECT g.g, MIN(g.pos) AS fpos
+             |  FROM g JOIN own USING (g) WHERE g.doc_id = own.fdoc
+             |  GROUP BY 1
+             |), mark AS (
+             |  SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+             |  FROM g JOIN own USING (g) JOIN fpos USING (g)
+             |  WHERE occ >= 2 AND NOT (g.doc_id = own.fdoc AND g.pos = fpos.fpos)
+             |), isl0 AS (
+             |  SELECT doc_id, s, e,
+             |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+             |  FROM mark
+             |), isl1 AS (
+             |  SELECT doc_id, s, e,
+             |         CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ni
+             |  FROM isl0
+             |), isl2 AS (
+             |  SELECT doc_id, s, e,
+             |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+             |           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM isl1
+             |), isl AS (
+             |  SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+             |  FROM isl2 GROUP BY 1, 2
+             |), bounds AS (
+             |  SELECT doc_id, s AS pos, 0 AS typ, 1 AS delta, NULL AS tok FROM isl
+             |  UNION ALL
+             |  SELECT doc_id, e + 1, 0, -1, NULL FROM isl
+             |), tokr AS (
+             |  SELECT doc_id, t.i AS pos, 1 AS typ, 0 AS delta, ts[t.i] AS tok
+             |  FROM tl, unnest(generate_series(1, tl.n)) AS t(i)
+             |), sw AS (
+             |  SELECT doc_id, pos, typ, tok,
+             |         SUM(delta) OVER (PARTITION BY doc_id ORDER BY pos, typ
+             |           ROWS UNBOUNDED PRECEDING) AS cov
+             |  FROM (SELECT * FROM bounds UNION ALL SELECT * FROM tokr) u
+             |), keptt AS (
+             |  SELECT doc_id, pos, tok FROM sw WHERE typ = 1 AND cov = 0
+             |), k AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
+             |  FROM keptt GROUP BY 1
+             |), spans AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM isl GROUP BY 1
+             |)
+             |SELECT tl.doc_id, CAST(tl.n AS BIGINT) AS n_tokens,
+             |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |       CAST(tl.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+             |       CAST(COALESCE(spans.n_spans, 0) AS BIGINT) AS n_spans,
+             |       k.cleaned_hash
+             |FROM tl
+             |LEFT JOIN k ON k.doc_id = tl.doc_id
+             |LEFT JOIN spans ON spans.doc_id = tl.doc_id
+             |ORDER BY tl.doc_id""".stripMargin)),
+
     // Winnowing fingerprint pairs (Dedup.winnowedPairs — Schleimer et al.
     // 2003): document pairs electing >= 2 common windowed-min gram hashes.
     // The (min hash, rightmost tie) election rides one BIGINT min over

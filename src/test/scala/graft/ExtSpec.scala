@@ -781,6 +781,53 @@ class ExtSpec extends SparkSuite {
       s"banded pairs diverge from brute-force truth: missing=${brute -- banded}, extra=${banded -- brute}")
   }
 
+  test("x213 exact-substring removal: the first occurrence keeps its span, " +
+    "later ones lose it; overlaps merge; a full duplicate cleans to zero") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 owns the span (globally first by (doc, pos) key).
+      (1L, s"alpha beta $span gamma delta"),
+      // doc 2 repeats it -> those 8 tokens are removed, the rest kept.
+      (2L, s"epsilon $span zeta"),
+      // doc 3 is a byte-identical copy of doc 2 -> EVERY 8-gram of doc 3
+      // is a repeat, so it cleans to zero tokens (null hash).
+      (3L, s"epsilon $span zeta"),
+      // doc 4: unique text, nothing removed.
+      (4L, "one two three four five six seven eight nine ten"),
+      // doc 5: the span shifted by one token -> its two dup 8-grams
+      // overlap doc 1's span occurrences... they mark overlapping spans
+      // in doc 5 which must MERGE into one island.
+      (5L, s"x $span y $span z"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.Dedup.exactSubstringRemoval(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: nothing removed (it is first everywhere it duplicates).
+    assert(r(1L).getLong(3) == 0L && r(1L).getLong(4) == 0L)
+    // doc 2: exactly the 8 span tokens removed, 2 kept.
+    assert(r(2L).getLong(1) == 10L && r(2L).getLong(2) == 2L &&
+      r(2L).getLong(3) == 8L && r(2L).getLong(4) == 1L)
+    // doc 3 (full duplicate of doc 2): all three of its 8-grams are
+    // non-first, their overlapping spans MERGE into one island covering
+    // all 10 tokens -> zero kept, NULL hash.
+    assert(r(3L).getLong(2) == 0L && r(3L).getLong(3) == 10L &&
+      r(3L).getLong(4) == 1L)
+    assert(r(3L).isNullAt(5), "fully-removed doc has a NULL cleaned hash")
+    // doc 4: untouched.
+    assert(r(4L).getLong(3) == 0L && !r(4L).isNullAt(5))
+    // doc 5: both span occurrences removed (doc 1 owns the span) as two
+    // separate islands (the filler token between them breaks coverage);
+    // the three filler tokens survive.
+    assert(r(5L).getLong(2) == 3L && r(5L).getLong(3) == 16L &&
+      r(5L).getLong(4) == 2L)
+    // Determinism: the cleaned hash of doc 2 equals md5 of the joined
+    // surviving tokens.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("epsilon zeta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(2L).getString(5) == want)
+  }
+
   test("x212 end-to-end: a single-pixel luma bump is caught as a near-dup " +
     "pair (Hamming 1-2) that the exact x209 bucket cannot collapse") {
     import Multimodal.{RasterImage, dHash56, encodePpm, PpmType}
