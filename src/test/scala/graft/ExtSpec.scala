@@ -826,6 +826,43 @@ class ExtSpec extends SparkSuite {
     val want = md.digest("epsilon zeta".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(r(2L).getString(5) == want)
+    // No edited doc is flagged skipped (the round-12 pass-through
+    // column defaults false on the edit path).
+    assert(r.values.forall(!_.getBoolean(6)))
+  }
+
+  test("x213 giant-doc contract: an over-limit doc passes through unedited " +
+    "with skipped=true — never silently dropped (pinned at a tiny cap)") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      // 18 tokens >= the tiny cap of 12 -> pass-through, even though it
+      // repeats doc 2's span and WOULD be edited under the default cap.
+      (1L, s"$span $span pad1 pad2"),
+      (2L, s"intro $span outro"),       // 10 tokens < cap -> edited path
+      (3L, s"intro $span outro"))       // duplicate of doc 2 -> span removed
+      .toDF("doc_id", "text")
+    val r = graft.ext.Dedup.exactSubstringRemoval(docs, maxDocTokens = 12)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // Per-document accounting: every input doc appears exactly once.
+    assert(r.keySet == Set(1L, 2L, 3L))
+    // The giant: skipped, kept == before, zero removed/spans, NULL hash.
+    assert(r(1L).getBoolean(6) && r(1L).getLong(1) == 18L &&
+      r(1L).getLong(2) == 18L && r(1L).getLong(3) == 0L &&
+      r(1L).getLong(4) == 0L && r(1L).isNullAt(5))
+    // The short docs stay on the edit path: with doc 1 skipped, doc 2
+    // owns every gram; doc 3 is its full duplicate and cleans to zero
+    // (its three 8-grams overlap-merge into one island over all 10
+    // tokens).
+    assert(!r(2L).getBoolean(6) && r(2L).getLong(3) == 0L)
+    assert(!r(3L).getBoolean(6) && r(3L).getLong(3) == 10L &&
+      r(3L).getLong(4) == 1L)
+    // Default cap reproduces the pre-round-12 edit results for every
+    // sub-limit doc (regression guard for the cap refactor).
+    val dflt = graft.ext.Dedup.exactSubstringRemoval(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(dflt.values.forall(!_.getBoolean(6)))
+    assert(dflt(1L).getLong(3) > 0L, "under the default cap doc 1 is edited")
   }
 
   test("x212 end-to-end: a single-pixel luma bump is caught as a near-dup " +

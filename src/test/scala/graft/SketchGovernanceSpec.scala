@@ -211,6 +211,54 @@ class SketchGovernanceSpec extends SparkSuite {
     assert(fps(1L) === fps(2L), "identical docs must elect identical fingerprints")
   }
 
+  test("winnowing giant-doc prefix law: an over-limit doc fingerprints its " +
+    "prefix instead of vanishing (pinned at a tiny maxGrams)") {
+    // 16 tokens -> 12 grams; cap at 6 grams. The capped fingerprints must
+    // equal the fingerprints of the doc TRUNCATED to its first
+    // maxGrams + gramLen - 1 = 10 tokens — and must be non-empty: before
+    // round 12 an over-limit doc silently emitted NO fingerprints and so
+    // escaped winnowing dedup entirely.
+    val toks = (1 to 16).map(i => s"w$i")
+    val full = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val trunc = Seq((1L, toks.take(10).mkString(" "))).toDF("doc_id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      graft.ext.Dedup.winnowedFingerprints(df, maxGrams = cap)
+        .as[(Long, Long, Long)].collect().toSet
+    val capped = fps(full, 6)
+    assert(capped.nonEmpty, "over-limit doc must still emit prefix fingerprints")
+    assert(capped === fps(trunc, 1048575),
+      "capped fingerprints must equal the truncated doc's fingerprints")
+    // Under the ceiling cap the same doc fingerprints in full — the cap
+    // only ever shortens, never changes, the election.
+    assert(fps(full, 1048575).size >= capped.size)
+  }
+
+  test("x211 Wilson bounds: non-degenerate at p-hat = 1 and tiny n (the Wald " +
+    "interval collapsed to zero width exactly where the estimate is weakest)") {
+    // One true pair (the identical docs), caught by every band -> p-hat
+    // = 1 with n_true_s = 1: Wald said [1, 1] ("certainty" from a single
+    // Bernoulli draw); Wilson must keep the upper bound AT 1 but pull
+    // the lower bound to 1/(1 + z^2/n) - adjacent mass, well below 1.
+    val d = Seq(
+      (0L, "web", "the quick brown fox jumps over the lazy dog again"),
+      (1L, "web", "the quick brown fox jumps over the lazy dog again"),
+      (2L, "web", "completely different content about spark query planning"),
+      (3L, "web", "unrelated third text on parquet row group statistics"))
+      .toDF("doc_id", "source", "text")
+    val r = graft.ext.Dedup.blockingQualitySampled(d).head()
+    assert(r.getLong(2) === 1L, "fixture must yield exactly one true pair")
+    assert(r.getDouble(5) === 1.0, "the exact-dup pair is always caught")
+    assert(r.getDouble(7) === 1.0, "Wilson upper bound is exactly 1 at p-hat = 1")
+    assert(r.getDouble(6) < 0.9 && r.getDouble(6) > 0.0,
+      s"Wilson lower bound must price n=1 honestly, got ${r.getDouble(6)}")
+    // Closed form at n=1, p-hat=1: lo = center - hw with z^2 = 3.8416.
+    val z2 = 3.8416
+    val lo = (1.0 + z2 / 2.0) / (1.0 + z2) - 1.96 * math.sqrt(z2 / 4.0) / (1.0 + z2)
+    assert(math.abs(r.getDouble(6) - lo) < 1e-12,
+      s"lower bound ${r.getDouble(6)} != closed-form Wilson $lo")
+    graft.ext.Dedup.clearCaches(spark)
+  }
+
   test("rendezvous sharding: total partition; resize moves keys only TO new shards") {
     val keys = (0L until 200L).toDF("doc_id")
     val a16 = graft.ops.Sharding.assign(keys, "doc_id", 16)
