@@ -21,13 +21,22 @@ import org.apache.spark.sql.SparkSession
   *     inside the JSON as "_warmup" and included in the total, since a
   *     cold engine is part of end-to-end wall-clock)
   *   - "queries"/"value" record each query's FIRST (cold) run — the
-  *     series comparable to earlier rounds. EVERY successful query then
-  *     reruns — twice for most (3-sample median), four times when cold
-  *     beat [[FiveRunThresholdSec]] (5-sample) — and "queries_median"/
-  *     "median_total" carry that median — the noise-robust series (this
-  *     host shows ±4s VM noise; r3's x10/x12/q04/r01 "regressions" were
-  *     it, and r9's single-sample 47 s x182 was the same failure mode on
-  *     the formerly rerun-exempt >=15 s tier). The library's own
+  *     series comparable to earlier rounds. The cold series measures an
+  *     END-TO-END SESSION replaying the whole set in slot order: the
+  *     library's memo caches (trained models, banded candidates, the
+  *     annPairs verified-pair set) stay WARM across sibling queries
+  *     within the cold sweep, so a graph query whose sibling already
+  *     built the shared pair set records the incremental cost — the
+  *     production shape, where a session computes the pair index once.
+  *     The per-query steady-state series is the MEDIAN below, whose
+  *     reruns clear those caches (round-12 clarification, on advice).
+  *   - EVERY successful query then reruns — twice for most (3-sample
+  *     median), four times when cold beat [[FiveRunThresholdSec]]
+  *     (5-sample) — and "queries_median"/"median_total" carry that
+  *     median — the noise-robust series (this host shows ±4s VM noise;
+  *     r3's x10/x12/q04/r01 "regressions" were it, and r9's
+  *     single-sample 47 s x182 was the same failure mode on the
+  *     formerly rerun-exempt >=15 s tier). The library's own
   *     model/candidate memo caches (trained k-means, minhash bands, ANN
   *     candidates) are CLEARED before every rerun: a median that hits
   *     the kmCache measures a TrieMap lookup, not the work (r6: x57
@@ -35,6 +44,17 @@ import org.apache.spark.sql.SparkSession
   *     caches (the warmed view) stay — legitimate shared state. A
   *     model-training query's median can therefore exceed its cold run
   *     when the cold freeloaded on a sibling's cache (x58 after x57).
+  *   - reruns are scheduled as TWO FULL SWEEPS over the query set AFTER
+  *     the cold sweep, not back-to-back per query (round-12 directive:
+  *     round 11's x28–x38 block showed one ~90 s host-contention window
+  *     poisoning cold AND all reruns of ten adjacent slots — temporally
+  *     adjacent samples made even the medians unusable as exoneration
+  *     evidence). Each query's samples now come from THREE disjoint
+  *     wall-clock windows (cold sweep, sweep 1, sweep 2, each minutes
+  *     apart), so any single contention window can poison at most one
+  *     sweep's sample(s) per query — a minority of every 3- or 5-sample
+  *     median. Movers are auto-exonerable from the "samples" series
+  *     alone (tools/bench_table.py --movers).
   *   - results are materialized through the noop sink: count() lets
   *     Catalyst drop sorts/projections, under-measuring ORDER BY queries;
   *     noop forces the full physical plan
@@ -123,39 +143,9 @@ object Bench {
       }
     }
 
-    /** (cold, median, samples) — see scaladoc. Sub-[[FiveRunThresholdSec]]
-      * colds take a 5-sample median, everything else a 3-sample one — NO
-      * query gets a single sample (round-9 directive: the >=15 s tier used
-      * to, and those are exactly the samples one contention spike poisons).
-      * Failures report the cold value in both slots; if any rerun fails,
-      * the median also falls back to cold (an even-sample "median" would
-      * just pick an arbitrary one).
-      *
-      * Each sample is recorded as [start_epoch_sec, duration_sec] into
-      * bench.json's "samples" map (round-10 verdict directive): two rounds
-      * running, mover adjudication cost a manual rerun session because the
-      * artifact could not SHOW that the slow entries shared a wall-clock
-      * window. With per-sample timestamps, a host-contention episode is
-      * provable from the artifact alone — slow samples from unrelated
-      * queries clustering in one time band, with in-band samples of the
-      * same queries outside it. */
-    def measure(name: String): (Double, Double, Seq[(Double, Double)]) = {
-      def stamped(run: => Double): (Double, Double) = {
-        val ts = System.currentTimeMillis() / 1000.0
-        (ts, run)
-      }
-      val (coldTs, cold) = stamped(materialize(name, sfDir))
-      if (cold < 0) (cold, cold, Seq((coldTs, cold)))
-      else {
-        val nReruns = if (cold < FiveRunThresholdSec) 4 else 2
-        val reruns = Seq.fill(nReruns)(stamped(timeQuiet(name)))
-        val samples = (coldTs, cold) +: reruns
-        if (reruns.exists(_._2 < 0)) (cold, cold, samples)
-        else {
-          val all = (cold +: reruns.map(_._2)).sorted
-          (cold, all(all.size / 2), samples)
-        }
-      }
+    def stamped(run: => Double): (Double, Double) = {
+      val ts = System.currentTimeMillis() / 1000.0
+      (ts, run)
     }
 
     // Warmup: build + cache the view (counts as engine cost, reported).
@@ -167,10 +157,48 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(','))
     val names = Registry.benchSet.map(_.name)
       .filter(n => only.forall(_.exists(n.startsWith))).sorted
-    val measured = names.map(n => n -> measure(n))
-    val results = measured.map { case (n, (cold, _, _)) => n -> cold }
-    val medians = measured.map { case (n, (_, med, _)) => n -> med }
-    val samples = measured.map { case (n, (_, _, s)) => n -> s }
+
+    // Sweep 0: every query's cold run, in slot order.
+    val colds = names.map(n => n -> stamped(materialize(n, sfDir)))
+
+    // Sweeps 1 and 2: one rerun per slow query, two per fast query,
+    // again in slot order over the WHOLE set — so the sweeps land in
+    // disjoint wall-clock windows minutes apart (see the methodology
+    // scaladoc: a single contention window can then poison at most a
+    // minority of any query's samples). Sub-[[FiveRunThresholdSec]]
+    // colds end up with a 5-sample median, everything else 3-sample —
+    // NO query gets a single sample (round-9 directive). If any rerun
+    // fails, the median falls back to cold (an even-sample "median"
+    // would just pick an arbitrary one).
+    def rerunSweep(): Map[String, Seq[(Double, Double)]] =
+      colds.collect { case (n, (_, c)) if c >= 0 =>
+        val perSweep = if (c < FiveRunThresholdSec) 2 else 1
+        n -> Seq.fill(perSweep)(stamped(timeQuiet(n)))
+      }.toMap
+    val sweep1 = rerunSweep()
+    val sweep2 = rerunSweep()
+
+    // Each sample is recorded as [start_epoch_sec, duration_sec] into
+    // bench.json's "samples" map (round-10 verdict directive), in
+    // chronological order: cold first, then sweep-1, then sweep-2
+    // reruns. With per-sample timestamps AND the sweep separation, a
+    // host-contention episode is both provable and EXONERABLE from the
+    // artifact alone — slow samples cluster in one time band while the
+    // same queries' other-sweep samples sit in-band.
+    val measured = colds.map { case (n, (ts, cold)) =>
+      if (cold < 0) (n, cold, cold, Seq((ts, cold)))
+      else {
+        val reruns = sweep1(n) ++ sweep2(n)
+        val samples = (ts, cold) +: reruns
+        val med =
+          if (reruns.exists(_._2 < 0)) cold
+          else { val all = (cold +: reruns.map(_._2)).sorted; all(all.size / 2) }
+        (n, cold, med, samples)
+      }
+    }
+    val results = measured.map { case (n, cold, _, _) => n -> cold }
+    val medians = measured.map { case (n, _, med, _) => n -> med }
+    val samples = measured.map { case (n, _, _, s) => n -> s }
     val total = warmup + results.collect { case (_, t) if t >= 0 => t }.sum
     val medianTotal = warmup + medians.collect { case (_, t) if t >= 0 => t }.sum
 

@@ -109,10 +109,18 @@ object ScaleProbe {
     // within-cell/bucket join sees its worst case — the caps (x174
     // cellCap, x196's SparseBucketCap) are what keep these exponents
     // bounded; x178 is pure keyed aggregates and must stay linear.
-    val probes = probeNames
-    val embProbes = embProbeNames
-    val eventProbes = eventProbeNames
-    val graphProbes = graphProbeNames
+    // The prefix filter applies to table DUPLICATION too (round-12, on
+    // advice): a targeted before/after probe of one family must not pay
+    // the multi-minute corpus rewrite for tables it never reads. Each
+    // table is written only when the filtered probe set contains a
+    // query from a family that reads it.
+    val only = args.lift(2).map(_.split(','))
+    def selected(family: Seq[String]): Seq[String] =
+      family.filter(q => only.forall(_.exists(q.startsWith)))
+    val probes = selected(probeNames)
+    val embProbes = selected(embProbeNames)
+    val eventProbes = selected(eventProbeNames)
+    val graphProbes = selected(graphProbeNames)
 
     // Replica re-key stride: 1L<<40 puts every replica's id range far
     // above any real id (the generator's ids are dense from 0), so
@@ -121,27 +129,33 @@ object ScaleProbe {
     // if a base corpus ever carried ids >= 10M (round-10 advice).
     val stride = 1L << 40
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
-    val docs = io.Tables(spark, base).documents
-    (0 until mult)
-      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * stride)))
-      .reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
-    val embs = io.Tables(spark, base).embeddings
-    (0 until mult)
-      .map(i => embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * stride)))
-      .reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dupDir/embeddings.parquet")
+    if (probes.nonEmpty) {
+      val docs = io.Tables(spark, base).documents
+      (0 until mult)
+        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * stride)))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
+    }
+    if (embProbes.nonEmpty || graphProbes.nonEmpty) {
+      val embs = io.Tables(spark, base).embeddings
+      (0 until mult)
+        .map(i => embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * stride)))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dupDir/embeddings.parquet")
+    }
     // Events: replicas RE-KEY event_id but KEEP user_id (and ts), so the
     // duplication pressure lands on the per-user windows and as-of range
     // probes rather than diluting across synthetic users.
-    val evs = io.Tables(spark, base).events
-    (0 until mult)
-      .map(i => evs.withColumn("event_id", col("event_id") + lit(i.toLong * stride)))
-      .reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dupDir/events.parquet")
+    if (eventProbes.nonEmpty) {
+      val evs = io.Tables(spark, base).events
+      (0 until mult)
+        .map(i => evs.withColumn("event_id", col("event_id") + lit(i.toLong * stride)))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dupDir/events.parquet")
+    }
 
     def timeQ(name: String, dir: String): Double = {
       graft.ext.Dedup.clearCaches(spark)
@@ -159,9 +173,7 @@ object ScaleProbe {
       timeQ(name, dir)
       Seq.fill(3)(timeQ(name, dir)).sorted.apply(1)
     }
-    val only = args.lift(2).map(_.split(','))
     (probes ++ embProbes ++ eventProbes ++ graphProbes)
-      .filter(q => only.forall(_.exists(q.startsWith)))
       .foreach { q =>
       val t1 = medQ(q, base)
       val tN = medQ(q, dupDir)

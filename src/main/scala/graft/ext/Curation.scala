@@ -1765,10 +1765,23 @@ object Curation {
     * value — monetary = 0 for view-only users is a realistic MAJORITY —
     * funnels all its rows through the single task that owns that value's
     * window partition, quietly re-creating the skew this construction
-    * exists to remove. Sub-splitting by ⌊tie/tieBucketWidth⌋ bounds any
-    * single task at `tieBucketWidth` rows (ties are unique per row), at
-    * the cost of one extra keyed histogram + partitioned cumulative —
-    * both on the bounded (value, tie-bucket) grain.
+    * exists to remove. Sub-splitting by ⌊tie/tieBucketWidth⌋ bounds the
+    * row_number task at `tieBucketWidth` rows (ties are unique per row),
+    * at the cost of one extra keyed histogram + partitioned cumulative.
+    *
+    * Boundedness caveat (round-12, on advice): the tieOff cumulative
+    * still partitions by VALUE over the (value, tie-bucket) histogram,
+    * so its per-task row count is the number of DISTINCT tie buckets
+    * under one hot value — bounded at tieRange/tieBucketWidth only when
+    * the tie domain is DENSE relative to the width (row numbers,
+    * monotonic ids: the callers here rank (metric, custkey/doc_id) with
+    * dense generator ids). Under a SPARSE 64-bit tie domain (hashed or
+    * 2⁴⁰-strided ids) each tie lands in its own bucket and a hot value
+    * funnels up to its tie-cardinality histogram rows through one task
+    * — mitigate by scaling `tieBucketWidth` to ~tieRange/2¹⁶ (it is a
+    * parameter for exactly this), since histogram ROWS (not data rows)
+    * at 8 bytes a key still tolerate millions per task before this
+    * matters.
     *
     * `valueCol` and `tieCol` must be integral; `tieCol` must be unique
     * per row so the composite order (and therefore the rank) is total

@@ -189,7 +189,12 @@ object Similarity {
   // cache() keeps it lazy; memory is the near-dup PAIR set (3 columns,
   // threshold-filtered), far smaller than the corpus. Released via
   // clearCaches, which the bench invokes before every rerun so medians
-  // still measure steady-state computation.
+  // still measure steady-state computation. Within the bench's COLD
+  // sweep the memo intentionally stays warm across sibling queries —
+  // the cold series measures an end-to-end session that computes the
+  // shared pair index once (the production shape); the per-query
+  // steady-state number is the median series. Stated in Bench.scala's
+  // methodology scaladoc (round-12 clarification, on advice).
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[
       (org.apache.spark.sql.SparkSession, Int, Long, Int, Int, Int), DataFrame]

@@ -1,39 +1,54 @@
 #!/usr/bin/env python3
 """Render BASELINE_BENCH.md — the per-query honest-median baseline table —
-from a Bench run's bench.json (round-7 directive, landed round 9).
+from a Bench run's bench.json (round-7 directive, landed round 9), and
+auto-flag movers against a committed baseline (round-12 directive: the
+adjudication table used to be hand-assembled from memory each round).
 
-Usage: python3 tools/bench_table.py [bench.json] [> BASELINE_BENCH.md]
+Usage:
+  python3 tools/bench_table.py [bench.json]                 > BASELINE_BENCH.md
+  python3 tools/bench_table.py [bench.json] --movers [BASELINE_BENCH.md]
 
-The table records, per registered bench query, the cold (first-run) time and
-the noise-robust median (3- or 5-sample, model caches cleared between reps —
-see Bench.scala's methodology scaladoc). Future rounds adjudicate movers
-against THIS table instead of re-deriving a baseline from memory each time.
+--movers parses the committed per-query medians out of the baseline table,
+computes this run's median/committed ratios, flags >2x movers, and — using
+the per-sample [start_epoch, duration] series Bench.scala records — groups
+each mover's SLOW samples into wall-clock contention windows (samples
+within 60 s of each other share a window). Because Bench schedules reruns
+as two temporally-separated sweeps, a genuine host-contention episode can
+poison at most a minority of any query's samples: a mover whose slow
+samples all share one window while its other-sweep samples sit in-band is
+exonerated BY THE ARTIFACT, no manual rerun session needed.
 """
 import json
+import re
 import sys
 from datetime import date
 
 
-def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else "bench.json"
+def load(path: str) -> dict:
     with open(path) as f:
-        b = json.load(f)
+        return json.load(f)
+
+
+def render_table(b: dict) -> None:
     cold = b["queries"]
     med = b.get("queries_median", {})
     print("# Per-query bench baseline (honest medians)")
     print()
-    print(f"Generated {date.today().isoformat()} from `{path}` "
+    print(f"Generated {date.today().isoformat()} from `bench.json` "
           f"(sf `{b['sf']}`, local[32]).")
     print(f"Total {b['value']:.1f} s cold / {b['median_total']:.1f} s median; "
           f"failed: {b['failed'] or 'none'}.")
     print()
     print("Median methodology: EVERY query reruns 2x (4x when cold is under "
-          "2 s) — no single-sample entries (round-10 fix: the >=15 s tier "
-          "used to get one sample, exactly where a contended sample poisons "
-          "the baseline); the median is over cold+reruns with the library's "
-          "model/candidate caches cleared before every rerun, so it measures "
-          "steady-state computation, not a memo lookup. `_`-prefixed rows "
-          "are engine fixtures (warmup, layout demos), not queries.")
+          "2 s) — no single-sample entries — with the library's "
+          "model/candidate caches cleared before every rerun, so the median "
+          "measures steady-state computation, not a memo lookup. Reruns are "
+          "scheduled as two full sweeps AFTER the cold sweep (round 12), so "
+          "each query's samples span three disjoint wall-clock windows and "
+          "no single host-contention episode can poison a median. The cold "
+          "series is the end-to-end session number (memo caches warm across "
+          "siblings within the sweep). `_`-prefixed rows are engine "
+          "fixtures (warmup, layout demos), not queries.")
     print()
     print("| query | cold s | median s |")
     print("|---|---:|---:|")
@@ -42,6 +57,95 @@ def main() -> None:
         m = med.get(name)
         ms = f"{m:.3f}" if m is not None else "—"
         print(f"| {name} | {c:.3f} | {ms} |")
+
+
+def parse_baseline(path: str) -> dict:
+    """Committed medians from a BASELINE_BENCH.md table."""
+    meds = {}
+    row = re.compile(r"^\|\s*([A-Za-z0-9_]+)\s*\|\s*[-0-9.]+\s*\|\s*([0-9.]+)\s*\|")
+    with open(path) as f:
+        for line in f:
+            m = row.match(line)
+            if m and not m.group(1).startswith("_"):
+                meds[m.group(1)] = float(m.group(2))
+    return meds
+
+
+def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0) -> None:
+    committed = parse_baseline(baseline_path)
+    med = b.get("queries_median", {})
+    samples = b.get("samples", {})
+    movers = []
+    for name, m in sorted(med.items()):
+        base = committed.get(name)
+        if base is None or base <= 0 or m < 0:
+            continue
+        if m > ratio_gate * base:
+            movers.append((name, base, m))
+    # Slow samples across ALL queries (not just median movers): a sample
+    # >2x its committed median AND >= 1 s over it is contention evidence
+    # for the window map (the absolute floor keeps sub-second ratio
+    # chatter — 0.3 s vs a 0.1 s committed median — from chaining
+    # unrelated windows together).
+    slow = []  # (ts, dur, name)
+    for name, ss in samples.items():
+        base = committed.get(name)
+        if base is None or base <= 0:
+            continue
+        for ts, dur in ss:
+            if dur > ratio_gate * base and dur - base >= 1.0:
+                slow.append((ts, dur, name))
+    slow.sort()
+    windows = []  # list of (t_lo, t_hi, [(name, dur)...])
+    for ts, dur, name in slow:
+        if windows and ts - windows[-1][1] <= 60.0:
+            lo, _, members = windows[-1]
+            windows[-1] = (lo, ts, members + [(name, dur)])
+        else:
+            windows.append((ts, ts, [(name, dur)]))
+    t0 = min((ss[0][0] for ss in samples.values() if ss), default=0.0)
+
+    print(f"## Mover adjudication — generated {date.today().isoformat()} "
+          f"from bench.json vs `{baseline_path}`")
+    print()
+    if not movers:
+        print(f"No median movers (> {ratio_gate}x committed). "
+              f"{len(slow)} slow SAMPLE(s) in {len(windows)} contention "
+              "window(s) were absorbed by the sweep-split medians.")
+    else:
+        print("| query | committed s | median s | ratio | slow/total samples "
+              "| verdict |")
+        print("|---|---:|---:|---:|---:|---|")
+        for name, base, m in movers:
+            ss = samples.get(name, [])
+            n_slow = sum(1 for _, d in ss if d > ratio_gate * base)
+            verdict = ("adjudicate: MAJORITY of samples slow — not "
+                       "explainable by one window"
+                       if 2 * n_slow > len(ss) else
+                       "artifact-exonerable: median poisoned by a minority "
+                       "window (should not happen under sweep split — "
+                       "check)")
+            print(f"| {name} | {base:.3f} | {m:.3f} | {m / base:.1f}x | "
+                  f"{n_slow}/{len(ss)} | {verdict} |")
+    print()
+    if windows:
+        print("Contention windows (slow samples within 60 s of each other):")
+        print()
+        for lo, hi, members in windows:
+            names = ", ".join(f"{n} ({d:.1f}s)" for n, d in members)
+            print(f"- run offset +{lo - t0:.0f}s..+{hi - t0:.0f}s: {names}")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    if "--movers" in args:
+        i = args.index("--movers")
+        baseline = args[i + 1] if len(args) > i + 1 else "BASELINE_BENCH.md"
+        bench = args[0] if i > 0 else "bench.json"
+        movers_report(load(bench), baseline)
+    else:
+        bench = args[0] if args else "bench.json"
+        render_table(load(bench))
 
 
 if __name__ == "__main__":
