@@ -778,15 +778,9 @@ object Dedup {
       maxDocTokens: Int = 1 << 20): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     require(maxDocTokens > gramLen, s"maxDocTokens must exceed gramLen, got $maxDocTokens")
-    val tl0 = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+    val tl0 = tokenLengths(docs)
     val tl = tl0.filter(col("n") < maxDocTokens)
-    val grams = tl.filter(col("n") >= gramLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), col("n") - (gramLen - 1))).as("pos"), col("ts"))
-      .select(col("doc_id"), col("pos"),
-        md5(array_join(slice(col("ts"), col("pos"), lit(gramLen)), " ")
-          .cast("binary")).as("g"))
+    val grams = gramOccurrences(tl, gramLen)
     val owner = grams.groupBy("g").agg(
       min(col("doc_id")).as("fdoc"), count(lit(1)).as("occ"))
     val firstPos = grams.join(owner, Seq("g"))
@@ -797,6 +791,40 @@ object Dedup {
         !(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + (gramLen - 1)).as("e"))
+    applySpanRemoval(tl, marked)
+      .withColumn("skipped", lit(false))
+      .unionByName(tl0.filter(col("n") >= maxDocTokens)
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("n").cast("long").as("n_kept"), lit(0L).as("n_removed"),
+          lit(0L).as("n_spans"), lit(null).cast("string").as("cleaned_hash"),
+          lit(true).as("skipped")))
+  }
+
+  /** (doc_id, ts, n): tokenized documents with token counts — the shared
+    * head of the ExactSubstr operators (batch x213 and the streaming
+    * ingest screen). */
+  private[graft] def tokenLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+
+  /** (doc_id, pos, g): every word `gramLen`-gram occurrence, keyed by the
+    * md5 of the space-joined gram — [[exactSubstringRemoval]]'s scan,
+    * shared with the streaming gram index. */
+  private[graft] def gramOccurrences(tl: DataFrame, gramLen: Int): DataFrame =
+    tl.filter(col("n") >= gramLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - (gramLen - 1))).as("pos"), col("ts"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("ts"), col("pos"), lit(gramLen)), " ")
+          .cast("binary")).as("g"))
+
+  /** Steps 4–5 of [[exactSubstringRemoval]] — merge the marked spans
+    * (doc_id, s, e) per doc and sweep out covered tokens of `tl`
+    * (doc_id, ts, n) — shared verbatim by the streaming twin so the
+    * batch-equivalence anchor compares the SAME edit machinery under
+    * two ownership sources. Returns one row per `tl` doc:
+    * (doc_id, n_tokens, n_kept, n_removed, n_spans, cleaned_hash). */
+  private[graft] def applySpanRemoval(tl: DataFrame, marked: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("s", "e")
     val islands = marked
       .withColumn("maxe",
@@ -827,21 +855,14 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").cast("binary")).as("cleaned_hash"))
     val spanAgg = islands.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val edited = tl.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+    tl.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
       .join(keptAgg, Seq("doc_id"), "left")
       .join(spanAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        col("cleaned_hash"),
-        lit(false).as("skipped"))
-    val passedThrough = tl0.filter(col("n") >= maxDocTokens)
-      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-        col("n").cast("long").as("n_kept"), lit(0L).as("n_removed"),
-        lit(0L).as("n_spans"), lit(null).cast("string").as("cleaned_hash"),
-        lit(true).as("skipped"))
-    edited.unionByName(passedThrough)
+        col("cleaned_hash"))
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS

@@ -594,6 +594,127 @@ object Streams {
       }
   }
 
+  /** Streaming exact-substring ingest screen — the incremental twin of
+    * the batch x213 operator ([[graft.ext.Dedup.exactSubstringRemoval]],
+    * Lee et al. 2022 ExactSubstr), in the PRODUCTION orientation: new
+    * documents are deduplicated against the gram index of everything
+    * already ingested (the training set), not merely within their own
+    * batch — the same index-vs-batch shape as the Bloom ingest screen
+    * (x158) and [[perceptualScreenStream]], but at SPAN grain. Two
+    * swap-maintained parquet tables:
+    *
+    *  - `indexPath`: the gram-ownership index — per gram hash, the two
+    *    smallest DISTINCT occurrence keys `k1`, `k2`, each a
+    *    struct(doc_id, pos) so struct-min IS the batch operator's
+    *    (min doc, then min pos) ownership rule. k1 is the global first
+    *    occurrence (the span keeper); k2 non-null means the gram is
+    *    duplicated somewhere. Storing the two MINIMA of the
+    *    occurrence-key SET (never counts) is what makes the merge
+    *    idempotent: a redelivered batch re-adds the same occurrence
+    *    keys and set-minima are unchanged under re-union, where counts
+    *    would double and phantom-duplicate a unique gram.
+    *  - `reportPath`: the per-document edit report, upserted by doc_id
+    *    (the batch operator's exact columns including `skipped`), so
+    *    redelivery overwrites identical rows instead of appending.
+    *
+    * Per micro-batch: (1) the batch docs' gram occurrences union the
+    * stored (k1, k2) keys; (2) two keyed min aggregates rebuild the
+    * index — one shuffle on the gram hash, the only corpus-scale
+    * motion; (3) the index swap-commits; (4) the committed index marks
+    * the batch docs' non-first duplicated spans and
+    * [[graft.ext.Dedup.applySpanRemoval]] — the SAME island-merge +
+    * sweep-line the batch operator runs — edits them; (5) the report
+    * upserts. A crash between (3) and (5) leaves the index ahead of the
+    * report, but re-screening a batch against an index already
+    * containing its own occurrences is a FIXPOINT (each occurrence
+    * either is k1 — kept, exactly as at first delivery — or sits behind
+    * the same k1), so redelivery self-heals the report; StreamingSpec
+    * pins both the fixpoint and the self-heal. Giant docs (≥
+    * `maxDocTokens`) pass through skipped, like the batch operator.
+    *
+    * Batch-equivalence anchor (StreamingSpec): when batches arrive in
+    * ascending doc_id order — so ownership never moves backwards — the
+    * final report table equals the batch operator run once over the
+    * union corpus, row for row including cleaned hashes.
+    *
+    * Scale shape: the index is one flat row per distinct gram (the
+    * keyed-aggregate stand-in for Lee et al.'s suffix array); per-batch
+    * merge cost is O(batch grams + touched index rows). On a cluster
+    * the index parquet would be bucketed by gram hash so step (2) is a
+    * co-located join; no state ever lives on the driver.
+    */
+  def exactSubstrScreenStream(spark: SparkSession, docs: DataFrame,
+      indexPath: String, reportPath: String, gramLen: Int = 8,
+      maxDocTokens: Int = 1 << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        exactSubstrScreenBatch(batch, indexPath, reportPath, gramLen, maxDocTokens)
+      }
+      .start()
+
+  /** One micro-batch of [[exactSubstrScreenStream]], factored out so the
+    * redelivery/fixpoint test can drive it directly. */
+  private[graft] def exactSubstrScreenBatch(batch: DataFrame,
+      indexPath: String, reportPath: String, gramLen: Int,
+      maxDocTokens: Int): Unit = {
+    import graft.ext.Dedup
+    val spark2 = batch.sparkSession
+    val hc = spark2.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(indexPath), hc)
+    val tl0 = Dedup.tokenLengths(batch)
+    // Multi-consumer within the batch (occurrence scan, mark join, sweep)
+    // — checkpoint once instead of re-tokenizing per consumer.
+    val tl = tl0.filter(col("n") < maxDocTokens).localCheckpoint()
+    val occB = Dedup.gramOccurrences(tl, gramLen)
+      .select(col("g"), struct(col("doc_id"), col("pos")).as("k"))
+    val occAll = readLivePath(fs, indexPath) match {
+      case Some(live) =>
+        val idx = spark2.read.parquet(live)
+        occB
+          .unionByName(idx.select(col("g"), col("k1").as("k")))
+          .unionByName(idx.filter(col("k2").isNotNull)
+            .select(col("g"), col("k2").as("k")))
+      case None => occB
+    }
+    val first = occAll.groupBy("g").agg(min(col("k")).as("k1"))
+    val second = occAll.join(first, Seq("g"))
+      .filter(col("k") > col("k1"))
+      .groupBy("g").agg(min(col("k")).as("k2"))
+    first.join(second, Seq("g"), "left")
+      .write.mode("overwrite").parquet(indexPath + "_tmp")
+    commitSwap(fs, indexPath, "exactSubstrScreen.index")
+
+    val idx = spark2.read.parquet(indexPath)
+    val marked = Dedup.gramOccurrences(tl, gramLen)
+      .join(idx, Seq("g"))
+      .filter(col("k2").isNotNull &&
+        !(col("doc_id") === col("k1.doc_id") && col("pos") === col("k1.pos")))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (gramLen - 1)).as("e"))
+    val report = Dedup.applySpanRemoval(tl, marked)
+      .withColumn("skipped", lit(false))
+      .unionByName(tl0.filter(col("n") >= maxDocTokens)
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("n").cast("long").as("n_kept"), lit(0L).as("n_removed"),
+          lit(0L).as("n_spans"), lit(null).cast("string").as("cleaned_hash"),
+          lit(true).as("skipped")))
+    val fsR = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(reportPath), hc)
+    val merged = readLivePath(fsR, reportPath) match {
+      case Some(live) =>
+        val target = spark2.read.parquet(live)
+        graft.ops.Upsert.upsert(target,
+          report.select(target.columns.map(col).toIndexedSeq: _*), Seq("doc_id"))
+      case None => report
+    }
+    merged.write.mode("overwrite").parquet(reportPath + "_tmp")
+    commitSwap(fsR, reportPath, "exactSubstrScreen.report")
+    ()
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

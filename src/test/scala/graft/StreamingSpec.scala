@@ -458,4 +458,65 @@ class StreamingSpec extends SparkSuite {
     assert(got.sorted === expected.toSeq.sorted,
       "streaming decisions must equal the arrival-order batch fold")
   }
+
+  test("streaming exact-substring screen equals batch x213 on the union; " +
+    "redelivered micro-batch is a fixpoint of index AND report") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-essx-").toString
+    val index = s"$dir/gram_index"
+    val report = s"$dir/report"
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    // Ascending doc_id batches (the ownership-never-moves-backwards
+    // precondition of the batch-equivalence anchor).
+    val b1 = Seq(
+      (1L, s"alpha beta $span gamma delta"),   // owns the span globally
+      (2L, s"epsilon $span zeta"),             // loses its repeat to doc 1
+      (3L, "one two three four five six seven eight nine ten"))
+    val b2 = Seq(
+      (4L, s"epsilon $span zeta"),             // full dup of doc 2 -> zero kept
+      (5L, s"x $span y $span z"),              // both occurrences removed (2 islands)
+      (6L, "totally fresh unique words that duplicate nothing else around"))
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.exactSubstrScreenStream(spark,
+      src.toDF().toDF("doc_id", "text"), index, report)
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val streamed = canon(spark.read.parquet(report)
+      .select("doc_id", "n_tokens", "n_kept", "n_removed", "n_spans",
+        "cleaned_hash", "skipped"))
+    val batch = canon(graft.ext.Dedup.exactSubstringRemoval(
+      (b1 ++ b2).toDF("doc_id", "text")))
+    assert(streamed === batch,
+      "incremental screen must equal batch ExactSubstr on the union corpus")
+    // Cross-batch teeth: doc 4 (arrived AFTER the index already owned its
+    // every gram) cleans to zero against HISTORY, not within-batch state.
+    val byId = spark.read.parquet(report).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(4L).getLong(2) == 0L && byId(4L).isNullAt(5))
+    assert(byId(6L).getLong(3) == 0L, "unique doc must survive untouched")
+    // Redelivery fixpoint: re-process batch 2 against the updated state —
+    // the index (set-minima, not counts) and the report (doc_id upsert)
+    // must both be byte-stable.
+    val idxBefore = spark.read.parquet(index).collect().map(_.toSeq).toSet
+    Streams.exactSubstrScreenBatch(b2.toDF("doc_id", "text"),
+      index, report, 8, 1 << 20)
+    assert(spark.read.parquet(index).collect().map(_.toSeq).toSet === idxBefore,
+      "redelivered batch must not mutate the gram index")
+    assert(canon(spark.read.parquet(report)
+      .select("doc_id", "n_tokens", "n_kept", "n_removed", "n_spans",
+        "cleaned_hash", "skipped")) === batch,
+      "redelivered batch must reproduce the identical report")
+    // Giant-doc pass-through rides the stream too (tiny cap, fresh state).
+    Streams.exactSubstrScreenBatch(
+      Seq((9L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      s"$dir/gi", s"$dir/gr", 8, 8)
+    val giant = spark.read.parquet(s"$dir/gr").head()
+    assert(giant.getBoolean(6) && giant.getLong(2) == 10L && giant.isNullAt(5),
+      "over-limit doc must pass through skipped, never vanish")
+  }
 }
