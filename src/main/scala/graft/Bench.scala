@@ -97,6 +97,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
+      // The sweep-split rerun scheduler (see methodology scaladoc) puts
+      // ~230 queries between a query's cold run and its reruns; at the
+      // default 100-entry codegen class cache every rerun then pays
+      // full re-codegen (measured: a uniform ~+0.2-0.3 s floor on every
+      // sub-second median, +50 s on the median total). Sizing the cache
+      // to hold the whole query set's generated classes restores the
+      // warm-codegen steady state the medians are defined to measure,
+      // without giving up the sweeps' temporal separation.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
