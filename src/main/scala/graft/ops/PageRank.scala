@@ -152,7 +152,18 @@ object PageRank {
       s"pagerankConserving: 85 * (n_vertices($n)+1) * base($base) would " +
         "overflow Long; pass a smaller `base` (precision is 1/base)")
     val teleport = base * 15L / 100L
-    val e = edges.cache()
+    // localCheckpoint, not cache() (round-12 perf fix): unlike the
+    // unrolled single-plan siblings, this loop launches one BROADCAST
+    // subquery job per round (the dangling share) plus the main job,
+    // and with the edge set only LAZILY cached those extra jobs
+    // re-entered the expensive upstream build (the sparse banded
+    // annPairs behind x77) instead of reading one materialized copy —
+    // measured: isolated x77 ~14 s vs sibling x73's ~6 s on the SAME
+    // edges; eager checkpointing before the loop brought x77 to ~5 s.
+    // The invariant is materialized exactly once, before any round job
+    // starts; every consumer then reads lineage-free RDD blocks (the
+    // same Pregel-state discipline hits/labelPropagation already use).
+    val e = edges.localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e, outdeg)
     var rank = vertices.select(col("id"), lit(base).as("rank"))
