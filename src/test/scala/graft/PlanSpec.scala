@@ -145,6 +145,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("the sparse-banded PageRank family never degenerates to all-pairs " +
+    "(x73/x91/x137 plans contain no cartesian/nested-loop join)") {
+    // Round-12 re-banding pin: the family's edge build is the capped
+    // sparse candidate equi-join + cosine verify; a refactor that loses
+    // the banding would surface here as a nested-loop pair join. (x77's
+    // plan is checkpoint-truncated by the conserving loop, so the three
+    // unrolled-plan siblings carry the pin for the shared build.)
+    for (name <- Seq("x73_pagerank", "x91_pagerank_weighted", "x137_bfs_distances")) {
+      val plan = executed(name)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name edge build degenerated to all-pairs:\n$plan")
+    }
+    graft.ext.Similarity.clearCaches(spark)
+  }
+
   test("sparse banding generates far fewer candidates than the dense x11 preset") {
     import graft.ext.Similarity
     val emb = Tables(spark, Sf).embeddings
