@@ -519,4 +519,42 @@ class StreamingSpec extends SparkSuite {
     assert(giant.getBoolean(6) && giant.getLong(2) == 10L && giant.isNullAt(5),
       "over-limit doc must pass through skipped, never vanish")
   }
+
+  test("streaming exact-substring screen is CONSERVATIVE under out-of-order " +
+    "arrival: already-ingested docs are never retroactively edited") {
+    // The batch-equivalence anchor requires ascending doc_id batches; this
+    // pins what happens when that precondition is violated (a lower-id doc
+    // arrives AFTER a higher-id one sharing a span): gram ownership moves
+    // to the lower id in the INDEX (struct-min semantics), but the
+    // higher-id doc's already-written report keeps its span — an ingest
+    // screen edits documents only at their own arrival, so out-of-order
+    // delivery can only UNDER-remove (both keep the span), never corrupt
+    // or over-remove.
+    val dir = java.nio.file.Files.createTempDirectory("graft-essxo-").toString
+    val span = (1 to 8).map(i => s"o$i").mkString(" ")
+    val index = s"$dir/gi"
+    val report = s"$dir/gr"
+    // Batch 1: doc 10 owns the span at arrival time.
+    Streams.exactSubstrScreenBatch(
+      Seq((10L, s"head $span tail")).toDF("doc_id", "text"),
+      index, report, 8, 1 << 20)
+    // Batch 2 (out of order): doc 5 < 10 carries the same span.
+    Streams.exactSubstrScreenBatch(
+      Seq((5L, s"pre $span post")).toDF("doc_id", "text"),
+      index, report, 8, 1 << 20)
+    val rows = spark.read.parquet(report).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(5L, 10L))
+    // Doc 10's report (written at its own arrival) is untouched.
+    assert(rows(10L).getLong(3) == 0L, "already-ingested doc must keep its span")
+    // Doc 5 now owns the gram index entries (struct-min), so its own
+    // occurrence is first — kept, not removed.
+    assert(rows(5L).getLong(3) == 0L, "the new owner keeps the span too")
+    // The index reflects the moved ownership: the shared grams now carry
+    // k1 = doc 5 with doc 10 demoted to the second-occurrence witness.
+    val moved = spark.read.parquet(index)
+      .filter(col("k1.doc_id") === 5L && col("k2.doc_id") === 10L).count()
+    assert(moved >= 1,
+      "shared grams must re-own to the lower doc_id with the higher as k2")
+  }
 }
