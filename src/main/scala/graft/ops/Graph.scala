@@ -176,8 +176,11 @@ object Graph {
     // cannot wrap at any realistic vertex count.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-    var label = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    // Tracked checkpoints (see [[Ckpt]]): each round's state releases its
+    // predecessor's blocks as soon as it has materialized, instead of
+    // accumulating one dead round-state per round until a JVM GC.
+    var (label, labelH) = Ckpt.tracked(
+      vertices.select(col("id"), col("id").as("label")))
     var sumPrev = labelSum(label)
     var executed = 0
     var converged = false
@@ -185,10 +188,13 @@ object Graph {
       if (!converged) {
         val nbrMin = sym.join(label, col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
-        label = label.join(nbrMin, col("id") === col("dst"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .localCheckpoint()
+        val (next, nextH) = Ckpt.tracked(
+          label.join(nbrMin, col("id") === col("dst"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+        labelH.release()
+        label = next
+        labelH = nextH
         executed += 1
         val sumNow = labelSum(label)
         if (sumNow.compareTo(sumPrev) == 0) converged = true else sumPrev = sumNow
@@ -231,30 +237,42 @@ object Graph {
     // left unchecked the LOGICAL plan quadruples per round, so each
     // state localCheckpoints (eager, lineage-truncating; cache alone
     // keeps the exponential plan tree alive in the analyzer).
+    // Tracked checkpoints (see [[Ckpt]]): each intermediate releases as
+    // soon as its last consumer has materialized — raw sums after their
+    // renormalized state, round i−1's hub/auth when round i's replacement
+    // exists — instead of accumulating four dead states per round.
+    var hubH = Ckpt.empty
+    var authH = Ckpt.empty
     (0 until iterations).foreach { _ =>
-      val aRaw = vertices
+      val (aRaw, aRawH) = Ckpt.tracked(vertices
         .join(e.join(hub, col("id") === col("src"))
             .groupBy("dst").agg(sum(col("hub")).as("s")),
           col("id") === col("dst"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw")))
+      hubH.release()
       val aMax = aRaw.agg(greatest(max(col("raw")), lit(1L)).as("m"))
-      auth = aRaw.crossJoin(broadcast(aMax))
-        .select(col("id"), expr(s"(raw * ${base}L) DIV m").as("auth"))
-        .localCheckpoint()
-      val hRaw = vertices
+      val (authNext, authNextH) = Ckpt.tracked(aRaw.crossJoin(broadcast(aMax))
+        .select(col("id"), expr(s"(raw * ${base}L) DIV m").as("auth")))
+      aRawH.release()
+      authH.release()
+      auth = authNext
+      authH = authNextH
+      val (hRaw, hRawH) = Ckpt.tracked(vertices
         .join(e.join(auth, col("id") === col("dst"))
             .groupBy("src").agg(sum(col("auth")).as("s")),
           col("id") === col("src"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw")))
       val hMax = hRaw.agg(greatest(max(col("raw")), lit(1L)).as("m"))
-      hub = hRaw.crossJoin(broadcast(hMax))
-        .select(col("id"), expr(s"(raw * ${base}L) DIV m").as("hub"))
-        .localCheckpoint()
+      val (hubNext, hubNextH) = Ckpt.tracked(hRaw.crossJoin(broadcast(hMax))
+        .select(col("id"), expr(s"(raw * ${base}L) DIV m").as("hub")))
+      hRawH.release()
+      hub = hubNext
+      hubH = hubNextH
     }
     val out = hub.join(auth, Seq("id"))
       .select(col("id"), col("hub"), col("auth")).localCheckpoint()
+    hubH.release()
+    authH.release()
     e.unpersist(blocking = false)
     out
   }
@@ -290,12 +308,15 @@ object Graph {
   private[graft] def kcorePeelWithRounds(edges: DataFrame, k: Int,
       rounds: Int): (DataFrame, Int) = {
     require(k >= 1 && rounds >= 1, s"kcorePeel needs k>=1, rounds>=1; got k=$k rounds=$rounds")
-    var e = edges
+    val e0 = edges
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") < col("dst"))
       .distinct()
-      .localCheckpoint()
+    // Tracked checkpoints (see [[Ckpt]]): each round's surviving edge set
+    // releases its predecessor's blocks once materialized. The FINAL
+    // round's blocks stay — the returned degree aggregate reads them.
+    var (e, eH) = Ckpt.tracked(e0)
     var nEdges = e.count()
     var executed = 0
     var converged = false
@@ -304,10 +325,13 @@ object Graph {
         val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("degree"))
         val live = deg.filter(col("degree") >= k).select(col("id"))
-        e = e.join(live.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
-          .localCheckpoint()
+        val (next, nextH) = Ckpt.tracked(
+          e.join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")))
+        eH.release()
+        e = next
+        eH = nextH
         executed += 1
         val nNow = e.count()
         if (nNow == nEdges) converged = true else nEdges = nNow
@@ -360,8 +384,11 @@ object Graph {
       val r = df.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).first()
       (r.getLong(0), r.getDecimal(1))
     }
-    var dist = sourceIds.distinct.map(id => (id, 0L)).toDF("v", "dist")
-      .localCheckpoint()
+    // Tracked checkpoints (see [[Ckpt]]): round i's distance table frees
+    // as soon as round i+1 materializes; the final round's blocks back
+    // the returned frame and stay.
+    var (dist, distH) = Ckpt.tracked(
+      sourceIds.distinct.map(id => (id, 0L)).toDF("v", "dist"))
     var state = probe(dist)
     var executed = 0
     var converged = false
@@ -369,9 +396,11 @@ object Graph {
       if (!converged) {
         val relaxed = dist.join(edges, dist("v") === edges("src"))
           .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
-        dist = dist.unionAll(relaxed)
-          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
+        val (next, nextH) = Ckpt.tracked(dist.unionAll(relaxed)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist")))
+        distH.release()
+        dist = next
+        distH = nextH
         executed += 1
         val now = probe(dist)
         if (now._1 == state._1 && now._2.compareTo(state._2) == 0) converged = true

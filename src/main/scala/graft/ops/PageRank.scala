@@ -163,9 +163,13 @@ object PageRank {
     // The invariant is materialized exactly once, before any round job
     // starts; every consumer then reads lineage-free RDD blocks (the
     // same Pregel-state discipline hits/labelPropagation already use).
-    val e = edges.localCheckpoint()
+    // Ckpt.tracked, not bare localCheckpoint: Dataset.unpersist is a
+    // no-op on checkpoint blocks (see [[graft.ops.Ckpt]]), so the edge
+    // invariant needs a real release handle for the cleanup below to
+    // actually free it.
+    val (e, eH) = graft.ops.Ckpt.tracked(edges)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e, outdeg)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](outdeg)
     var rank = vertices.select(col("id"), lit(base).as("rank"))
     (0 until iterations).foreach { _ =>
       val prev = rank.cache()
@@ -185,6 +189,7 @@ object PageRank {
     }
     val out = rank.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
+    eH.release()
     out
   }
 }

@@ -613,24 +613,34 @@ object Streams {
     *    idempotent: a redelivered batch re-adds the same occurrence
     *    keys and set-minima are unchanged under re-union, where counts
     *    would double and phantom-duplicate a unique gram.
-    *  - `reportPath`: the per-document edit report, upserted by doc_id
-    *    (the batch operator's exact columns including `skipped`), so
-    *    redelivery overwrites identical rows instead of appending.
+    *  - `reportPath`: the per-document edit report (the batch
+    *    operator's exact columns including `skipped`), INSERT-ONLY by
+    *    doc_id — first writer wins. A document's report row commits
+    *    exactly once, at its own arrival; later batches (including
+    *    redeliveries) never rewrite it. This is what makes redelivery
+    *    idempotent BY CONSTRUCTION even after out-of-order arrivals
+    *    moved gram ownership under an already-reported doc: a
+    *    redelivered batch re-screens against the moved k1 and computes
+    *    a DIFFERENT edit, but the insert-only merge discards it in
+    *    favor of the committed row (StreamingSpec pins exactly this).
     *
-    * Per micro-batch: (1) the batch docs' gram occurrences union the
-    * stored (k1, k2) keys; (2) two keyed min aggregates rebuild the
-    * index — one shuffle on the gram hash, the only corpus-scale
-    * motion; (3) the index swap-commits; (4) the committed index marks
-    * the batch docs' non-first duplicated spans and
+    * Per micro-batch: (1) one tokenize scan and one gram explode+md5
+    * scan, each checkpointed and shared by every consumer below;
+    * (2) the index merge — only grams PRESENT in the batch can change
+    * their set-minima, so stored rows for untouched grams pass through
+    * while the batch's grams union the stored (k1, k2) keys and two
+    * keyed min aggregates rebuild them: the SHUFFLE is batch-scale, not
+    * corpus-scale; (3) the index swap-commits; (4) the committed index
+    * marks the batch docs' non-first duplicated spans and
     * [[graft.ext.Dedup.applySpanRemoval]] — the SAME island-merge +
     * sweep-line the batch operator runs — edits them; (5) the report
-    * upserts. A crash between (3) and (5) leaves the index ahead of the
-    * report, but re-screening a batch against an index already
-    * containing its own occurrences is a FIXPOINT (each occurrence
-    * either is k1 — kept, exactly as at first delivery — or sits behind
-    * the same k1), so redelivery self-heals the report; StreamingSpec
-    * pins both the fixpoint and the self-heal. Giant docs (≥
-    * `maxDocTokens`) pass through skipped, like the batch operator.
+    * merge inserts rows for doc_ids not already present. A crash
+    * between (3) and (5) leaves the index ahead of the report;
+    * redelivery re-screens against the index (its own occurrences
+    * included — each occurrence either is k1, kept, or sits behind one)
+    * and the insert-only merge fills in exactly the missing rows.
+    * Giant docs (≥ `maxDocTokens`) pass through skipped, like the
+    * batch operator.
     *
     * Batch-equivalence anchor (StreamingSpec): when batches arrive in
     * ascending doc_id order — so ownership never moves backwards — the
@@ -638,10 +648,15 @@ object Streams {
     * union corpus, row for row including cleaned hashes.
     *
     * Scale shape: the index is one flat row per distinct gram (the
-    * keyed-aggregate stand-in for Lee et al.'s suffix array); per-batch
-    * merge cost is O(batch grams + touched index rows). On a cluster
-    * the index parquet would be bucketed by gram hash so step (2) is a
-    * co-located join; no state ever lives on the driver.
+    * keyed-aggregate stand-in for Lee et al.'s suffix array). Per-batch
+    * data MOTION (shuffle) is O(batch grams); the local twin still
+    * SCANS the full index (the pass-through anti-join + the mark join's
+    * probe side) and REWRITES it for the atomic swap, so per-batch IO
+    * is O(index). On a cluster the index lives bucketed by gram hash
+    * (sorted within buckets): the pass-through copy disappears — the
+    * merge partition-overwrites only the buckets it touched — and the
+    * mark join co-locates without shuffling the index; no state ever
+    * lives on the driver.
     */
   def exactSubstrScreenStream(spark: SparkSession, docs: DataFrame,
       indexPath: String, reportPath: String, gramLen: Int = 8,
@@ -664,31 +679,43 @@ object Streams {
     val hc = spark2.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(indexPath), hc)
-    val tl0 = Dedup.tokenLengths(batch)
-    // Multi-consumer within the batch (occurrence scan, mark join, sweep)
-    // — checkpoint once instead of re-tokenizing per consumer.
-    val tl = tl0.filter(col("n") < maxDocTokens).localCheckpoint()
-    val occB = Dedup.gramOccurrences(tl, gramLen)
-      .select(col("g"), struct(col("doc_id"), col("pos")).as("k"))
-    val occAll = readLivePath(fs, indexPath) match {
+    // One tokenize scan per batch (giant-doc branch included) and one
+    // gram explode+md5 scan (index merge + mark join) — every consumer
+    // reads the tracked checkpoint blocks, released at the end of the
+    // batch (a bare unpersist would be a no-op; see [[graft.ops.Ckpt]]).
+    val (tl0, tl0H) = graft.ops.Ckpt.tracked(Dedup.tokenLengths(batch))
+    val tl = tl0.filter(col("n") < maxDocTokens)
+    val (occ, occH) = graft.ops.Ckpt.tracked(Dedup.gramOccurrences(tl, gramLen))
+    val occB = occ.select(col("g"), struct(col("doc_id"), col("pos")).as("k"))
+    // Two keyed set-minima over an occurrence-key multiset (g, k):
+    // k1 = global first occurrence, k2 = second-smallest distinct key.
+    def minima(occAll: DataFrame): DataFrame = {
+      val first = occAll.groupBy("g").agg(min(col("k")).as("k1"))
+      val second = occAll.join(first, Seq("g"))
+        .filter(col("k") > col("k1"))
+        .groupBy("g").agg(min(col("k")).as("k2"))
+      first.join(second, Seq("g"), "left")
+    }
+    val newIndex = readLivePath(fs, indexPath) match {
       case Some(live) =>
         val idx = spark2.read.parquet(live)
-        occB
-          .unionByName(idx.select(col("g"), col("k1").as("k")))
-          .unionByName(idx.filter(col("k2").isNotNull)
+        val batchGrams = occB.select("g").distinct()
+        // Only grams present in the batch can change their minima: the
+        // untouched rows pass through without entering the aggregate,
+        // so the merge shuffle is batch-scale (scaladoc cost model).
+        val touched = idx.join(batchGrams, Seq("g"), "left_semi")
+        val occAll = occB
+          .unionByName(touched.select(col("g"), col("k1").as("k")))
+          .unionByName(touched.filter(col("k2").isNotNull)
             .select(col("g"), col("k2").as("k")))
-      case None => occB
+        minima(occAll).unionByName(idx.join(batchGrams, Seq("g"), "left_anti"))
+      case None => minima(occB)
     }
-    val first = occAll.groupBy("g").agg(min(col("k")).as("k1"))
-    val second = occAll.join(first, Seq("g"))
-      .filter(col("k") > col("k1"))
-      .groupBy("g").agg(min(col("k")).as("k2"))
-    first.join(second, Seq("g"), "left")
-      .write.mode("overwrite").parquet(indexPath + "_tmp")
+    newIndex.write.mode("overwrite").parquet(indexPath + "_tmp")
     commitSwap(fs, indexPath, "exactSubstrScreen.index")
 
     val idx = spark2.read.parquet(indexPath)
-    val marked = Dedup.gramOccurrences(tl, gramLen)
+    val marked = occ
       .join(idx, Seq("g"))
       .filter(col("k2").isNotNull &&
         !(col("doc_id") === col("k1.doc_id") && col("pos") === col("k1.pos")))
@@ -703,15 +730,22 @@ object Streams {
           lit(true).as("skipped")))
     val fsR = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(reportPath), hc)
+    // INSERT-ONLY merge (first-writer-wins by doc_id): committed rows are
+    // immutable — a redelivered batch whose recomputed edits differ (gram
+    // ownership moved under it after an out-of-order arrival) inserts
+    // nothing, so no document is ever retroactively edited.
     val merged = readLivePath(fsR, reportPath) match {
       case Some(live) =>
         val target = spark2.read.parquet(live)
-        graft.ops.Upsert.upsert(target,
-          report.select(target.columns.map(col).toIndexedSeq: _*), Seq("doc_id"))
+        target.unionByName(
+          report.join(target.select("doc_id"), Seq("doc_id"), "left_anti")
+            .select(target.columns.map(col).toIndexedSeq: _*))
       case None => report
     }
     merged.write.mode("overwrite").parquet(reportPath + "_tmp")
     commitSwap(fsR, reportPath, "exactSubstrScreen.report")
+    occH.release()
+    tl0H.release()
     ()
   }
 

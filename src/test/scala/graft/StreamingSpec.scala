@@ -556,5 +556,21 @@ class StreamingSpec extends SparkSuite {
       .filter(col("k1.doc_id") === 5L && col("k2.doc_id") === 10L).count()
     assert(moved >= 1,
       "shared grams must re-own to the lower doc_id with the higher as k2")
+    // The redelivery trap (round-12 review): redeliver doc 10's batch
+    // AFTER ownership moved to doc 5. The re-screen computes a DIFFERENT
+    // edit this time (doc 10's occurrence is no longer k1), but the
+    // insert-only report merge discards it — the committed row is
+    // immutable, so at-least-once delivery can never retroactively edit
+    // an already-reported document.
+    val before10 = rows(10L).toSeq
+    Streams.exactSubstrScreenBatch(
+      Seq((10L, s"head $span tail")).toDF("doc_id", "text"),
+      index, report, 8, 1 << 20)
+    val after = spark.read.parquet(report).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(after.keySet == Set(5L, 10L))
+    assert(after(10L).toSeq === before10,
+      "redelivered batch must not rewrite the committed report row " +
+        "even though gram ownership moved under it")
   }
 }

@@ -96,13 +96,17 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0) -> None:
             if dur > ratio_gate * base and dur - base >= 1.0:
                 slow.append((ts, dur, name))
     slow.sort()
+    # Chain on the previous slow sample's END (ts + dur), not its start:
+    # samples run sequentially, so a single >60 s slow sample (or 60 s of
+    # intervening fast samples inside one episode) must not split the
+    # episode into two "windows" and understate the contention evidence.
     windows = []  # list of (t_lo, t_hi, [(name, dur)...])
     for ts, dur, name in slow:
         if windows and ts - windows[-1][1] <= 60.0:
-            lo, _, members = windows[-1]
-            windows[-1] = (lo, ts, members + [(name, dur)])
+            lo, hi, members = windows[-1]
+            windows[-1] = (lo, max(hi, ts + dur), members + [(name, dur)])
         else:
-            windows.append((ts, ts, [(name, dur)]))
+            windows.append((ts, ts + dur, [(name, dur)]))
     t0 = min((ss[0][0] for ss in samples.values() if ss), default=0.0)
 
     print(f"## Mover adjudication — generated {date.today().isoformat()} "
@@ -129,7 +133,8 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0) -> None:
                   f"{n_slow}/{len(ss)} | {verdict} |")
     print()
     if windows:
-        print("Contention windows (slow samples within 60 s of each other):")
+        print("Contention windows (each slow sample starting <= 60 s after "
+              "the previous one ENDS):")
         print()
         for lo, hi, members in windows:
             names = ", ".join(f"{n} ({d:.1f}s)" for n, d in members)
