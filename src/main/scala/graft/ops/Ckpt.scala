@@ -42,13 +42,22 @@ object Ckpt {
 
   private val noop = new Handle(null, Set.empty)
 
-  /** Eager `localCheckpoint()` plus a handle that really frees its
-    * blocks. */
+  /** Eagerly-materialized `localCheckpoint()` plus a handle that really
+    * frees its blocks. The id capture brackets the LAZY checkpoint call —
+    * which registers exactly the checkpoint's backing RDD and runs no
+    * job — and materialization happens afterwards, OUTSIDE the window:
+    * an eager checkpoint's materialization job can populate `.cache()`d
+    * subtrees (loop invariants like label propagation's symmetrized edge
+    * set, or the similarity memo caches), and those register with the
+    * context mid-job — capturing around the eager call would adopt a
+    * LIVE cache into the handle and `release()` would silently evict it,
+    * forcing every later round to recompute the invariant. */
   def tracked(df: DataFrame): (DataFrame, Handle) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
+    val out = df.localCheckpoint(eager = false)
     val ids = sc.getPersistentRDDs.keySet.diff(before).toSet
+    out.count()
     (out, new Handle(sc, ids))
   }
 
