@@ -636,25 +636,37 @@ object Curation {
     * is one groupBy(day).
     */
   def theilSen(events: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
       .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
-    val slopes = daily.select(col("i").as("i1"), col("y").as("y1"))
-      .join(daily.select(col("i").as("i2"), col("y").as("y2")),
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(theilSenFit(daily))
+      .select(col("n_days"), round(col("b"), 6).as("slope"),
+        round(col("a"), 6).as("intercept"))
+  }
+
+  /** The Theil–Sen line fit itself — median pairwise slope `b` over
+    * (i, y) rows, intercept `a` = median residual under it, both
+    * medians over 1e-9-snapped values (exact dyadic arithmetic in both
+    * engines). ONE definition consumed by [[theilSen]],
+    * [[conformalBand]], and [[forecastSkill]]: the conformal/MASE docs
+    * claim they evaluate "the same robust line" the trend operator
+    * reports, which is only true by construction if the fit is never
+    * re-spelled. Returns one row (b, a); extra columns on `train` pass
+    * through the slope join harmlessly. Pair join is bounded by the
+    * CALENDAR (day×day), never the corpus. */
+  private def theilSenFit(train: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val slopes = train.select(col("i").as("i1"), col("y").as("y1"))
+      .join(train.select(col("i").as("i2"), col("y").as("y2")),
         col("i1") < col("i2"))
       .select(snap9((col("y2") - col("y1")).cast("double")
         / (col("i2") - col("i1")).cast("double")).as("s"))
-    val slope = slopes.agg(expr("percentile(s, 0.5D)").as("slope"))
-    daily.crossJoin(broadcast(slope))
-      .select(col("slope"),
-        snap9(col("y").cast("double") - col("slope") * col("i").cast("double"))
-          .as("r"))
-      .groupBy("slope")
-      .agg(count(lit(1)).as("n_days"),
-        expr("percentile(r, 0.5D)").as("intercept"))
-      .select(col("n_days"), round(col("slope"), 6).as("slope"),
-        round(col("intercept"), 6).as("intercept"))
+    val slope = slopes.agg(expr("percentile(s, 0.5D)").as("b"))
+    train.crossJoin(broadcast(slope))
+      .select(snap9(col("y").cast("double") - col("b") * col("i").cast("double"))
+        .as("r0"), col("b"))
+      .groupBy("b").agg(expr("percentile(r0, 0.5D)").as("a"))
   }
 
   // ---------------------------------------------------------------------
@@ -695,8 +707,14 @@ object Curation {
       .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("ws"))
       .select(col("r"), snap9(col("wc").cast("double") / col("ws").cast("double"))
         .as("est"))
+      // Squared term on a 1e6 grid, not 1e9: est is cents, and
+      // floor(est² · scale) must fit a BIGINT (Spark's FLOOR(double)
+      // saturates SILENTLY at Long.MaxValue — no ANSI error — which
+      // would zero boot_sd with no signal). 1e6 admits |est| up to
+      // ~3.0e6 cents ($30k mean purchase) vs ~$960 at 1e9; variance
+      // precision 1e-6 cents² is far below the round(…, 6) output grid.
       .withColumn("est2_fp",
-        floor(col("est") * col("est") * lit(1e9) + lit(0.5)).cast("long"))
+        floor(col("est") * col("est") * lit(1e6) + lit(0.5)).cast("long"))
     val point = purch.agg(
       sum(col("cents")).as("pc"), count(lit(1)).as("pn"))
     perRep.agg(count(lit(1)).as("nr"), sum(col("est")).as("s1"),
@@ -708,7 +726,7 @@ object Curation {
         col("nr").as("n_replicates"),
         round(col("s1") / col("nr").cast("double") / lit(100.0), 6).as("boot_mean"),
         round(sqrt(greatest(lit(0.0),
-          (col("s2fp").cast("double") / lit(1e9)
+          (col("s2fp").cast("double") / lit(1e6)
             - col("s1") * col("s1") / col("nr").cast("double"))
             / (col("nr") - 1).cast("double"))) / lit(100.0), 6).as("boot_sd"))
       .withColumn("ci_lo", round(col("point_mean") - lit(1.96) * col("boot_sd"), 6))
@@ -741,16 +759,7 @@ object Curation {
       ceil(count(lit(1)).cast("double") * lit(2.0) / lit(3.0)).as("n_train"))
     val withB = daily.crossJoin(broadcast(bounds))
     val train = withB.filter(col("i") <= col("n_train"))
-    val slopes = train.select(col("i").as("i1"), col("y").as("y1"))
-      .join(train.select(col("i").as("i2"), col("y").as("y2")),
-        col("i1") < col("i2"))
-      .select(snap9((col("y2") - col("y1")).cast("double")
-        / (col("i2") - col("i1")).cast("double")).as("s"))
-    val slope = slopes.agg(expr("percentile(s, 0.5D)").as("b"))
-    val inter = train.crossJoin(broadcast(slope))
-      .select(snap9(col("y").cast("double") - col("b") * col("i").cast("double"))
-        .as("r0"), col("b"))
-      .groupBy("b").agg(expr("percentile(r0, 0.5D)").as("a"))
+    val inter = theilSenFit(train)
     val cal = withB.crossJoin(broadcast(inter))
       .filter(col("i") > col("n_train"))
       .select(col("d"), col("n_train"), col("a"), col("b"),
@@ -792,12 +801,10 @@ object Curation {
     VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("emb"))
-    val quant = e
-      .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
-      .withColumn("q", transform(col("emb"),
-        x => when(col("mx") === 0, lit(0))
-          .otherwise(floor(x * lit(127.0) / col("mx") + lit(0.5))).cast("int")))
-      .withColumn("scale", col("mx") / lit(127.0))
+    // The deployed codec, not a re-spelling: Similarity.quantizeCodes is
+    // the single definition of the int8 rounding rule and scale
+    // convention this eval measures.
+    val quant = Similarity.quantizeCodes(embeddings)
       .select(col("vec_id"), col("q"), col("scale"))
     val qq = quant.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("scale").as("sa"))
@@ -857,11 +864,9 @@ object Curation {
     // Average-rank on the x2 grid: 2*avg_rank = rank_min + rank_max,
     // both from one dense pass (min rank via row_number over value, then
     // per-value min/max aggregation joined back).
-    def rank2(c: String): Column = {
-      val w = Window.orderBy(col(c), col("day"))
+    def rank2(c: String): Column =
       min(col(s"rn_$c")).over(Window.partitionBy(col(c))) +
         max(col(s"rn_$c")).over(Window.partitionBy(col(c)))
-    }
     val ranked = daily
       .withColumn("rn_ya", row_number().over(Window.orderBy(col("ya"), col("day")))
         .cast("long"))
@@ -1043,16 +1048,7 @@ object Curation {
     val withB = daily.crossJoin(broadcast(bounds))
       .withColumn("n_train", col("d") - testDays)
     val train = withB.filter(col("i") <= col("n_train"))
-    val slopes = train.select(col("i").as("i1"), col("y").as("y1"))
-      .join(train.select(col("i").as("i2"), col("y").as("y2")),
-        col("i1") < col("i2"))
-      .select(snap9((col("y2") - col("y1")).cast("double")
-        / (col("i2") - col("i1")).cast("double")).as("s"))
-    val slope = slopes.agg(expr("percentile(s, 0.5D)").as("b"))
-    val inter = train.crossJoin(broadcast(slope))
-      .select(snap9(col("y").cast("double") - col("b") * col("i").cast("double"))
-        .as("r0"), col("b"))
-      .groupBy("b").agg(expr("percentile(r0, 0.5D)").as("a"))
+    val inter = theilSenFit(train)
     // In-sample scaling denominator: the one-step naive forecaster's MAE
     // over the TRAINING days (i in [2, n_train]) — exact integers.
     val naiveTrain = withB
@@ -1135,14 +1131,17 @@ object Curation {
       .select(snap9(col("wya").cast("double") / col("wa").cast("double"))
         .minus(snap9(col("wyb").cast("double") / col("wb").cast("double")))
         .as("d"))
-      .withColumn("d2_fp", floor(col("d") * col("d") * lit(1e9) + lit(0.5))
+      // 1e6 grid for the same saturation envelope as poissonBootstrap's
+      // est2_fp: d is a cents-scale mean difference, and FLOOR(double)
+      // saturates silently past Long.MaxValue.
+      .withColumn("d2_fp", floor(col("d") * col("d") * lit(1e6) + lit(0.5))
         .cast("long"))
     val boot = perRep.agg(count(lit(1)).as("nr"), sum(col("d")).as("s1"),
       sum(col("d2_fp")).as("s2fp"))
     srm.crossJoin(broadcast(boot))
       .withColumn("diff_c", col("mean_a_c") - col("mean_b_c"))
       .withColumn("sd_c", sqrt(greatest(lit(0.0),
-        (col("s2fp").cast("double") / lit(1e9)
+        (col("s2fp").cast("double") / lit(1e6)
           - col("s1") * col("s1") / col("nr").cast("double"))
           / (col("nr") - 1).cast("double"))))
       .withColumn("srm_chi2", round(

@@ -762,11 +762,16 @@ object Dedup {
     * n_tokens, n_removed = 0, n_spans = 0, and a NULL cleaned_hash
     * (fingerprinting the untouched text would itself be the unbounded
     * per-doc task the cap exists to avoid; skipped=true disambiguates
-    * from the fully-removed NULL). Before round 12 such documents were
-    * silently DROPPED — the same silent-disappearance class the x210
-    * sub-frame fix closed. A caller who must edit giant documents
-    * shards them upstream (Lee et al. operate on a concatenated corpus
-    * string, where document boundaries are free to re-draw).
+    * from the fully-removed NULL). Their content still COUNTS as
+    * duplication evidence — grams are scanned from every document, so
+    * a span shared between a giant doc and a normal one is removed
+    * from the normal one (the gram scan is per-doc linear streaming
+    * work; only the sort-window edit needs the cap). Before round 12
+    * such documents were silently DROPPED — the same
+    * silent-disappearance class the x210 sub-frame fix closed. A
+    * caller who must edit giant documents shards them upstream (Lee et
+    * al. operate on a concatenated corpus string, where document
+    * boundaries are free to re-draw).
     *
     * Scale shape: gram explode (linear scan) → one keyed min/count
     * aggregate on the gram → one join back on the gram (hot grams give
@@ -791,14 +796,23 @@ object Dedup {
     // blocks), so they free via GC like the memo caches.
     val tl0 = tokenLengths(docs).localCheckpoint()
     val tl = tl0.filter(col("n") < maxDocTokens)
-    val grams = gramOccurrences(tl, gramLen).localCheckpoint()
+    // Evidence comes from ALL docs (tl0), including giants: a boilerplate
+    // span whose only other copy lives in a 2M-token log dump is still a
+    // duplicate, and Lee et al.'s semantics remove the normal doc's copy.
+    // (Before round 12 grams came from tl, so giant docs' content
+    // silently stopped counting as duplication evidence.) The gram scan
+    // is per-doc LINEAR streaming work — explode + md5, no sort, no
+    // buffering — so a giant doc costs one long-running task, not an
+    // unbounded-memory one; only the EDIT below (per-doc sort windows)
+    // is restricted to sub-cap docs.
+    val grams = gramOccurrences(tl0, gramLen).localCheckpoint()
     val owner = grams.groupBy("g").agg(
       min(col("doc_id")).as("fdoc"), count(lit(1)).as("occ"))
     val firstPos = grams.join(owner, Seq("g"))
       .filter(col("doc_id") === col("fdoc"))
       .groupBy("g").agg(min(col("pos")).as("fpos"))
     val marked = grams.join(owner, Seq("g")).join(firstPos, Seq("g"))
-      .filter(col("occ") >= 2 &&
+      .filter(col("occ") >= 2 && col("n") < maxDocTokens &&
         !(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + (gramLen - 1)).as("e"))
@@ -818,16 +832,19 @@ object Dedup {
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
 
-  /** (doc_id, pos, g): every word `gramLen`-gram occurrence, keyed by the
-    * md5 of the space-joined gram — [[exactSubstringRemoval]]'s scan,
-    * shared with the streaming gram index. */
+  /** (doc_id, pos, g, n): every word `gramLen`-gram occurrence, keyed by
+    * the md5 of the space-joined gram, carrying the source doc's token
+    * count `n` (one long per row — lets the edit step filter giant docs
+    * without a join back) — [[exactSubstringRemoval]]'s scan, shared
+    * with the streaming gram index. */
   private[graft] def gramOccurrences(tl: DataFrame, gramLen: Int): DataFrame =
     tl.filter(col("n") >= gramLen)
       .select(col("doc_id"),
-        explode(sequence(lit(1), col("n") - (gramLen - 1))).as("pos"), col("ts"))
+        explode(sequence(lit(1), col("n") - (gramLen - 1))).as("pos"),
+        col("ts"), col("n"))
       .select(col("doc_id"), col("pos"),
         md5(array_join(slice(col("ts"), col("pos"), lit(gramLen)), " ")
-          .cast("binary")).as("g"))
+          .cast("binary")).as("g"), col("n"))
 
   /** Steps 4–5 of [[exactSubstringRemoval]] — merge the marked spans
     * (doc_id, s, e) per doc and sweep out covered tokens of `tl`

@@ -223,7 +223,14 @@ object Multimodal {
     while (pos + 8 <= content.length) {
       val id = tag(pos)
       val size = i32(pos + 4)
-      if (size < 0 || pos + 8 + size > content.length) fail(s"chunk '$id' overruns payload")
+      // Bound check in LONG: a crafted size near Int.MaxValue would wrap
+      // pos + 8 + size negative and slip past an Int comparison, then
+      // allocate ~2 GB or index out of bounds (an OOM escapes the
+      // NonFatal quarantine upstream). Same hardening as decodePpm/
+      // decodeBmp. After this guard size <= length − pos − 8, so the
+      // Int chunk-walk advance below cannot overflow.
+      if (size < 0 || pos.toLong + 8L + size.toLong > content.length)
+        fail(s"chunk '$id' overruns payload")
       val body = pos + 8
       id match {
         case "fmt " =>

@@ -124,22 +124,6 @@ object Pipeline {
       .filter(saltedUniform(col("doc_id"), salt) < col("rate"))
   }
 
-  /** Per-source quota cap — the third mixing primitive beside
-    * [[stratifiedSample]] (rate per stratum) and [[temperatureMix]]
-    * (rate from counts): keep AT MOST `quota` documents per source,
-    * chosen by salted id-hash rank so the kept subset is uniform,
-    * reproducible, and stable under file order and repartitioning
-    * (ingestion-order rank would bias toward old data). Emits
-    * `quota_rank` (1-based within source) for auditability.
-    *
-    * Scale shape: one window per source — parallel across sources. A
-    * mega-source that dwarfs its siblings makes that source's sort wide;
-    * at that scale flip to the O(1)-state spelling: keep rows with
-    * saltedUniform < quota/count_s (a broadcast rate join like
-    * [[temperatureMix]]), which holds the quota in expectation instead
-    * of exactly. Exact rank is the right default: training mixtures are
-    * usually specified as hard caps.
-    */
   /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis 2006
     * (the A-ES scheme, exponential-race form): each row draws the key
     * −ln(u)/w from its deterministic id-hash uniform u and weight w, and
@@ -201,6 +185,22 @@ object Pipeline {
       .filter(col("pick_rank") <= k)
   }
 
+  /** Per-source quota cap — the third mixing primitive beside
+    * [[stratifiedSample]] (rate per stratum) and [[temperatureMix]]
+    * (rate from counts): keep AT MOST `quota` documents per source,
+    * chosen by salted id-hash rank so the kept subset is uniform,
+    * reproducible, and stable under file order and repartitioning
+    * (ingestion-order rank would bias toward old data). Emits
+    * `quota_rank` (1-based within source) for auditability.
+    *
+    * Scale shape: one window per source — parallel across sources. A
+    * mega-source that dwarfs its siblings makes that source's sort wide;
+    * at that scale flip to the O(1)-state spelling: keep rows with
+    * saltedUniform < quota/count_s (a broadcast rate join like
+    * [[temperatureMix]]), which holds the quota in expectation instead
+    * of exactly. Exact rank is the right default: training mixtures are
+    * usually specified as hard caps.
+    */
   def sourceQuota(docs: DataFrame, quota: Int, salt: String = "quota|"): DataFrame = {
     require(quota > 0, "quota must be positive")
     require(!docs.columns.contains("quota_rank"),
@@ -304,20 +304,6 @@ object Pipeline {
           " ").as("cleaned_text"))
   }
 
-  /** Greedy context-window packing: within each `source` partition, docs
-    * (in doc_id order) are assigned to consecutive bins of `budget`
-    * tokens — bin = tokens-before-this-doc DIV budget, so a doc starts in
-    * the bin its running offset falls into (documents are not split; a
-    * doc may run past the boundary, the standard "pack then truncate at
-    * the consumer" contract). The sequence-packing step that turns a
-    * corpus into fixed-budget training batches.
-    *
-    * Scale shape: the running sum is a window per source — parallel
-    * across sources, never a global single-partition window. At 100 TB
-    * the partition key is whatever unit packing must respect (shard,
-    * source, language); a finer pre-bucketing (hash of doc ranges) keeps
-    * any one source from skewing.
-    */
   /** Distribution-matching resampler: acceptance-sample every source so
     * its length histogram matches a REFERENCE source's — the curation
     * move of reshaping bulk scrape toward a high-quality corpus's shape
@@ -352,9 +338,17 @@ object Pipeline {
       .join(broadcast(refHist), Seq("len_bucket"), "left")
       .crossJoin(broadcast(refTot))
       .select(col("source"), col("len_bucket"), col("n_docs"),
-        least(lit(1.0),
-          (coalesce(col("n_ref"), lit(0L)).cast("double") / col("n_ref_tot")) /
-            (col("n_docs").cast("double") / col("n_src"))).as("accept_rate"))
+        // A missing/misnamed reference must FAIL, not silently keep
+        // everything: with n_ref_tot = 0 the ratio is 0/0 = NaN and
+        // least(1.0, NaN) = 1.0 (Spark orders NaN greatest), so every
+        // bucket would report a clean-looking accept_rate of 1.0.
+        when(col("n_ref_tot") > 0,
+          least(lit(1.0),
+            (coalesce(col("n_ref"), lit(0L)).cast("double") / col("n_ref_tot")) /
+              (col("n_docs").cast("double") / col("n_src"))))
+          .otherwise(raise_error(lit(
+            s"distributionMatch: reference source '$refSource' matched no rows")))
+          .as("accept_rate"))
     bucketed
       .join(broadcast(rates), Seq("source", "len_bucket"))
       .withColumn("u", saltedUniform(col("doc_id"), "distmatch|"))
@@ -410,6 +404,20 @@ object Pipeline {
       .withColumn("kept", col("cum_tokens") <= budget)
   }
 
+  /** Greedy context-window packing: within each `source` partition, docs
+    * (in doc_id order) are assigned to consecutive bins of `budget`
+    * tokens — bin = tokens-before-this-doc DIV budget, so a doc starts in
+    * the bin its running offset falls into (documents are not split; a
+    * doc may run past the boundary, the standard "pack then truncate at
+    * the consumer" contract). The sequence-packing step that turns a
+    * corpus into fixed-budget training batches.
+    *
+    * Scale shape: the running sum is a window per source — parallel
+    * across sources, never a global single-partition window. At 100 TB
+    * the partition key is whatever unit packing must respect (shard,
+    * source, language); a finer pre-bucketing (hash of doc ranges) keeps
+    * any one source from skewing.
+    */
   def packBudget(docs: DataFrame, budget: Int = 2000): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -339,6 +339,48 @@ object Similarity {
       .select("vec_id", "anchor_label", "rank", "neg_id", "neg_label", "score")
   }
 
+  /** Per-query lexical top pool: the `poolDepth` docs with the highest
+    * distinct-token Jaccard against each pinned query's text, ranked,
+    * ties to the lower doc_id. ONE definition shared by [[hybridRrf]]
+    * (the operator) and [[rankerAgreement]] (its eval) — the agreement
+    * analysis is only meaningful over exactly the rankings the fusion
+    * consumes, so the scoring/window/tie-break must never diverge.
+    * Broadcast-bounded: |queries| ≤ 64, one corpus scan. */
+  private def lexTopPool(docs: DataFrame, queryIds: Seq[Long],
+      poolDepth: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
+    val qt = toks.filter(col("doc_id").isInCollection(queryIds))
+      .select(col("doc_id").as("qid"), col("ts").as("qts"))
+    val inter = size(array_intersect(col("ts"), col("qts")))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("lex_score").desc, col("doc_id").asc)
+    toks.join(broadcast(qt), col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        (inter.cast("double") / (size(col("ts")) + size(col("qts")) - inter))
+          .as("lex_score"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= poolDepth)
+      .select("qid", "doc_id", "lex_rank")
+  }
+
+  /** Per-query dense top pool (embedding dot product), the vector twin
+    * of [[lexTopPool]] — same single-definition contract. */
+  private def denseTopPool(embeddings: DataFrame, queryIds: Seq[Long],
+      poolDepth: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val qe = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("dense_score").desc, col("doc_id").asc)
+    e.join(broadcast(qe), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        dot(col("emb"), col("qemb")).as("dense_score"))
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .filter(col("dense_rank") <= poolDepth)
+      .select("qid", "doc_id", "dense_rank")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher 2009): for each pinned query document, a lexical ranking
     * (distinct-token Jaccard against the query text) and a dense ranking
@@ -360,35 +402,8 @@ object Similarity {
   def hybridRrf(docs: DataFrame, embeddings: DataFrame, queryIds: Seq[Long],
       poolDepth: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
-    val toks = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
-    val qt = toks.filter(col("doc_id").isInCollection(queryIds))
-      .select(col("doc_id").as("qid"), col("ts").as("qts"))
-    val inter = size(array_intersect(col("ts"), col("qts")))
-    val lexScored = toks.join(broadcast(qt), col("doc_id") =!= col("qid"))
-      .select(col("qid"), col("doc_id"),
-        (inter.cast("double") / (size(col("ts")) + size(col("qts")) - inter))
-          .as("lex_score"))
-    val wl = Window.partitionBy(col("qid"))
-      .orderBy(col("lex_score").desc, col("doc_id").asc)
-    val lexTop = lexScored
-      .withColumn("lex_rank", row_number().over(wl).cast("long"))
-      .filter(col("lex_rank") <= poolDepth)
-      .select("qid", "doc_id", "lex_rank")
-
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val qe = e.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
-    val denseScored = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        dot(col("emb"), col("qemb")).as("dense_score"))
-    val wd = Window.partitionBy(col("qid"))
-      .orderBy(col("dense_score").desc, col("doc_id").asc)
-    val denseTop = denseScored
-      .withColumn("dense_rank", row_number().over(wd).cast("long"))
-      .filter(col("dense_rank") <= poolDepth)
-      .select("qid", "doc_id", "dense_rank")
-
+    val lexTop = lexTopPool(docs, queryIds, poolDepth)
+    val denseTop = denseTopPool(embeddings, queryIds, poolDepth)
     val fused = lexTop.join(denseTop, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"), col("lex_rank"), col("dense_rank"),
         (coalesce(expr(s"1000000000000 DIV ($rrfK + lex_rank)"), lit(0L)) +
@@ -524,31 +539,8 @@ object Similarity {
   def rankerAgreement(docs: DataFrame, embeddings: DataFrame,
       queryIds: Seq[Long], poolDepth: Int = 10): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
-    val toks = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
-    val qt = toks.filter(col("doc_id").isInCollection(queryIds))
-      .select(col("doc_id").as("qid"), col("ts").as("qts"))
-    val inter = size(array_intersect(col("ts"), col("qts")))
-    val wl = Window.partitionBy(col("qid"))
-      .orderBy(col("lex_score").desc, col("doc_id").asc)
-    val lexTop = toks.join(broadcast(qt), col("doc_id") =!= col("qid"))
-      .select(col("qid"), col("doc_id"),
-        (inter.cast("double") / (size(col("ts")) + size(col("qts")) - inter))
-          .as("lex_score"))
-      .withColumn("lex_rank", row_number().over(wl).cast("long"))
-      .filter(col("lex_rank") <= poolDepth)
-      .select("qid", "doc_id", "lex_rank")
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val qe = e.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
-    val wd = Window.partitionBy(col("qid"))
-      .orderBy(col("dense_score").desc, col("doc_id").asc)
-    val denseTop = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        dot(col("emb"), col("qemb")).as("dense_score"))
-      .withColumn("dense_rank", row_number().over(wd).cast("long"))
-      .filter(col("dense_rank") <= poolDepth)
-      .select("qid", "doc_id", "dense_rank")
+    val lexTop = lexTopPool(docs, queryIds, poolDepth)
+    val denseTop = denseTopPool(embeddings, queryIds, poolDepth)
     val shared = lexTop.join(denseTop, Seq("qid", "doc_id"))
     val pairs = shared.select(col("qid"), col("doc_id").as("da"),
         col("lex_rank").as("la"), col("dense_rank").as("ra"))
@@ -801,6 +793,19 @@ object Similarity {
     * portable, hashable rendering of the array).
     */
   def quantize(embeddings: DataFrame): DataFrame =
+    quantizeCodes(embeddings)
+      .select(
+        col("vec_id"), col("scale"),
+        array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"),
+        array_max(zip_with(col("emb"), col("q"),
+          (x, q) => abs(x - q.cast("double") * col("scale")))).as("max_abs_err"))
+
+  /** The int8 codec itself — (vec_id, emb, q, scale) — ONE definition
+    * consumed by [[quantize]] (the registered operator's CSV rendering)
+    * and by Curation.quantizationRecall (the eval): the recall table is
+    * only evidence about THIS codec if the rounding rule and scale
+    * convention cannot silently diverge from it. */
+  private[ext] def quantizeCodes(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
       .withColumn("scale", col("mx") / lit(127.0))
@@ -810,11 +815,7 @@ object Similarity {
       .withColumn("q", transform(col("emb"),
         x => when(col("mx") === 0, lit(0))
           .otherwise(floor(x * lit(127.0) / col("mx") + lit(0.5))).cast("int")))
-      .select(
-        col("vec_id"), col("scale"),
-        array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"),
-        array_max(zip_with(col("emb"), col("q"),
-          (x, q) => abs(x - q.cast("double") * col("scale")))).as("max_abs_err"))
+      .select(col("vec_id"), col("emb"), col("q"), col("scale"))
 
   /** The hyperplane matrix as a DuckDB list-literal, for oracle SQL. */
   def planesSqlLiteral(p: Int): String =
@@ -1111,8 +1112,10 @@ object Similarity {
     * nprobe/numCentroids of it, the scan inside a cell reads 8 codes per
     * row, and both codebooks (numCentroids·Dim + M·K·subDim doubles)
     * broadcast. Pinned conventions throughout — centroids are the first
-    * `numCentroids` vectors, residual codewords the first
-    * [[PqCodebookSize]] residuals — so the DuckDB oracle replays
+    * `numCentroids` vectors, residual codewords the [[PqCodebookSize]]
+    * residuals immediately AFTER the centroid block (disjoint from it:
+    * centroid-set vectors self-assign with zero residuals, which would
+    * zero the codebook) — so the DuckDB oracle replays
     * route→residual→encode→probe→score bit-exactly.
     */
   def ivfPqSearch(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
@@ -1131,8 +1134,18 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cluster"),
         zip_with(col("emb"), col("cemb"), (a, b) => a - b).as("res"))
     val rsub = subVectorsD(assigned.select(col("vec_id"), col("res").as("emb")))
-    val rcb = rsub.filter(col("vec_id") < PqCodebookSize)
-      .select(col("vec_id").cast("int").as("cid"), col("s"), col("x").as("cslice"))
+    // Residual codewords come from the PqCodebookSize vectors AFTER the
+    // centroid block (vec_id in [numCentroids, numCentroids+K)), rebased
+    // to codes 0..K−1. Drawing them from vec_id < K would overlap the
+    // centroid set: unit vectors self-assign (dot(x,x) is the strict
+    // max), their residuals are exactly zero, and a zero codebook makes
+    // the PQ stage a no-op — in-cell ranking would degenerate to
+    // neighbor-id order.
+    val rcb = rsub
+      .filter(col("vec_id") >= numCentroids &&
+        col("vec_id") < numCentroids + PqCodebookSize)
+      .select((col("vec_id") - numCentroids).cast("int").as("cid"),
+        col("s"), col("x").as("cslice"))
     val recon = reconstructFrom(encodeAgainst(rsub, rcb), rcb)
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))

@@ -146,13 +146,6 @@ object TextAnalysis {
       .withColumn("is_match", col("predicted_lang") === col("labeled_lang"))
   }
 
-  /** Content fingerprint: minimum MD5 over word 5-grams — the 1-hash
-    * degenerate of MinHash, the winnowing-style "pick a stable
-    * representative gram" trick. Two documents sharing a fingerprint are
-    * near-certain near-duplicates. MD5 (not xxhash) so the DuckDB oracle
-    * can reproduce it; at production scale swap in xxhash64 — the plan
-    * shape is identical.
-    */
   /** Text normalization — the first transform of every training-data
     * cleanse: lowercase, strip non-alphanumerics (whitespace kept),
     * collapse whitespace runs, trim. One codegen'd projection; emits the
@@ -372,22 +365,6 @@ object TextAnalysis {
         (count(col("hit")) > 0).as("contaminated"))
   }
 
-  /** Duplicate n-gram coverage — the per-document metric behind exact-
-    * substring deduplication (Lee et al., "Deduplicating Training Data
-    * Makes Language Models Better", ACL 2022): for each document, how
-    * many of its distinct word `n`-grams occur in at least `minDf`
-    * documents corpus-wide, and the covered fraction. A high fraction
-    * means the document is assembled from text that exists elsewhere —
-    * the drop/trim signal that catches cross-document boilerplate exact
-    * dedup misses.
-    *
-    * Shape: one distinct (doc, gram) explode, one gram-frequency
-    * aggregate, one inverted-index equi-join back — never doc×doc; the
-    * df side carries one row per distinct gram. At 100 TB the gram
-    * becomes a 64-bit hash (10× less shuffle, same plan) and the df
-    * table is exactly the suffix-array postings analog a cluster can
-    * actually build.
-    */
   /** Per-document n-gram NOVELTY — the attribution twin of
     * [[duplicateGramCoverage]]: every distinct word n-gram is owned by
     * the minimum doc_id containing it, and a document's novelty is the
@@ -416,6 +393,22 @@ object TextAnalysis {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Duplicate n-gram coverage — the per-document metric behind exact-
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): for each document, how
+    * many of its distinct word `n`-grams occur in at least `minDf`
+    * documents corpus-wide, and the covered fraction. A high fraction
+    * means the document is assembled from text that exists elsewhere —
+    * the drop/trim signal that catches cross-document boilerplate exact
+    * dedup misses.
+    *
+    * Shape: one distinct (doc, gram) explode, one gram-frequency
+    * aggregate, one inverted-index equi-join back — never doc×doc; the
+    * df side carries one row per distinct gram. At 100 TB the gram
+    * becomes a 64-bit hash (10× less shuffle, same plan) and the df
+    * table is exactly the suffix-array postings analog a cluster can
+    * actually build.
+    */
   def duplicateGramCoverage(docs: DataFrame, n: Int = 8, minDf: Long = 2): DataFrame = {
     require(n >= 2, "duplicate-gram coverage needs n >= 2")
     val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
@@ -897,6 +890,13 @@ object TextAnalysis {
         (col("cms_estimate") - col("true_count")).as("overestimate"))
   }
 
+  /** Content fingerprint: minimum MD5 over word 5-grams — the 1-hash
+    * degenerate of MinHash, the winnowing-style "pick a stable
+    * representative gram" trick. Two documents sharing a fingerprint are
+    * near-certain near-duplicates. MD5 (not xxhash) so the DuckDB oracle
+    * can reproduce it; at production scale swap in xxhash64 — the plan
+    * shape is identical.
+    */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),

@@ -4930,7 +4930,8 @@ object Advanced {
        |  SELECT res.vec_id, sub.s, list_slice(res.remb, sub.s*$d + 1, sub.s*$d + $d) AS x
        |  FROM res, sub
        |), cb AS (
-       |  SELECT CAST(vec_id AS INT) AS cid, s, x AS cslice FROM v WHERE vec_id < $k
+       |  SELECT CAST(vec_id - 16 AS INT) AS cid, s, x AS cslice
+       |  FROM v WHERE vec_id >= 16 AND vec_id < ${16 + k}
        |), enc AS (
        |  SELECT vec_id, s, code FROM (
        |    SELECT v.vec_id, v.s, c2.cid AS code,

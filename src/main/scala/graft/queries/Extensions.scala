@@ -1374,7 +1374,9 @@ object Extensions {
     // Giant docs (>= 2^20 tokens, the per-doc-window boundedness cap)
     // PASS THROUGH unedited with skipped=true (round-12 fix: they used
     // to vanish from the output; every input doc now appears exactly
-    // once — ExtSpec pins it with a tiny-cap planted giant).
+    // once — ExtSpec pins it with a tiny-cap planted giant), but their
+    // content still COUNTS as duplication evidence: the gram scan runs
+    // over all docs, only the sort-window edit is capped.
     QueryDef(
       "x213_exact_substring_removal",
       (s, dir) => Dedup.exactSubstringRemoval(Tables(s, dir).documents)
@@ -1388,8 +1390,8 @@ object Extensions {
              |  SELECT * FROM tl0 WHERE n < 1048576
              |), g AS (
              |  SELECT doc_id, t.i AS pos,
-             |         md5(array_to_string(ts[t.i:t.i+7], ' ')) AS g
-             |  FROM tl, unnest(generate_series(1, tl.n - 7)) AS t(i)
+             |         md5(array_to_string(ts[t.i:t.i+7], ' ')) AS g, n
+             |  FROM tl0, unnest(generate_series(1, tl0.n - 7)) AS t(i)
              |  WHERE n >= 8
              |), own AS (
              |  SELECT g, MIN(doc_id) AS fdoc, COUNT(*) AS occ
@@ -1401,7 +1403,8 @@ object Extensions {
              |), mark AS (
              |  SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
              |  FROM g JOIN own USING (g) JOIN fpos USING (g)
-             |  WHERE occ >= 2 AND NOT (g.doc_id = own.fdoc AND g.pos = fpos.fpos)
+             |  WHERE occ >= 2 AND g.n < 1048576
+             |    AND NOT (g.doc_id = own.fdoc AND g.pos = fpos.fpos)
              |), isl0 AS (
              |  SELECT doc_id, s, e,
              |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e

@@ -734,7 +734,7 @@ object Frontier {
              |  FROM ww GROUP BY 1
              |), per2 AS (
              |  SELECT r, est,
-             |         CAST(floor(est * est * 1e9 + 0.5) AS BIGINT) AS est2_fp
+             |         CAST(floor(est * est * 1e6 + 0.5) AS BIGINT) AS est2_fp
              |  FROM per
              |), agg AS (
              |  SELECT CAST(COUNT(*) AS BIGINT) AS nr, SUM(est) AS s1,
@@ -750,7 +750,7 @@ object Frontier {
              |         nr AS n_replicates,
              |         round(s1 / CAST(nr AS DOUBLE) / 100.0, 6) AS boot_mean,
              |         round(sqrt(greatest(0.0,
-             |           (CAST(s2fp AS DOUBLE) / 1e9 - s1 * s1 / CAST(nr AS DOUBLE))
+             |           (CAST(s2fp AS DOUBLE) / 1e6 - s1 * s1 / CAST(nr AS DOUBLE))
              |             / CAST(nr - 1 AS DOUBLE))) / 100.0, 6) AS boot_sd
              |  FROM agg CROSS JOIN pt
              |)
@@ -1486,7 +1486,7 @@ object Frontier {
              |           / 1e9 AS d
              |  FROM per WHERE wa > 0 AND wb > 0
              |), d2 AS (
-             |  SELECT d, CAST(floor(d * d * 1e9 + 0.5) AS BIGINT) AS d2_fp FROM dd
+             |  SELECT d, CAST(floor(d * d * 1e6 + 0.5) AS BIGINT) AS d2_fp FROM dd
              |), boot AS (
              |  SELECT CAST(COUNT(*) AS BIGINT) AS nr, SUM(d) AS s1,
              |         CAST(SUM(d2_fp) AS BIGINT) AS s2fp
@@ -1494,7 +1494,7 @@ object Frontier {
              |), base AS (
              |  SELECT s.n_a, s.n_b, s.mean_a_c, s.mean_b_c,
              |         s.mean_a_c - s.mean_b_c AS diff_c,
-             |         sqrt(greatest(0.0, (CAST(b.s2fp AS DOUBLE) / 1e9
+             |         sqrt(greatest(0.0, (CAST(b.s2fp AS DOUBLE) / 1e6
              |           - b.s1 * b.s1 / CAST(b.nr AS DOUBLE))
              |           / CAST(b.nr - 1 AS DOUBLE))) AS sd_c,
              |         round(CAST((s.n_a - s.n_b) * (s.n_a - s.n_b) AS DOUBLE)

@@ -685,7 +685,10 @@ object Streams {
     // batch (a bare unpersist would be a no-op; see [[graft.ops.Ckpt]]).
     val (tl0, tl0H) = graft.ops.Ckpt.tracked(Dedup.tokenLengths(batch))
     val tl = tl0.filter(col("n") < maxDocTokens)
-    val (occ, occH) = graft.ops.Ckpt.tracked(Dedup.gramOccurrences(tl, gramLen))
+    // Evidence (the gram index) covers ALL docs including giants, same
+    // as batch x213: a giant doc's spans still claim ownership and mark
+    // later copies; only the EDIT below is restricted to sub-cap docs.
+    val (occ, occH) = graft.ops.Ckpt.tracked(Dedup.gramOccurrences(tl0, gramLen))
     val occB = occ.select(col("g"), struct(col("doc_id"), col("pos")).as("k"))
     // Two keyed set-minima over an occurrence-key multiset (g, k):
     // k1 = global first occurrence, k2 = second-smallest distinct key.
@@ -717,7 +720,7 @@ object Streams {
     val idx = spark2.read.parquet(indexPath)
     val marked = occ
       .join(idx, Seq("g"))
-      .filter(col("k2").isNotNull &&
+      .filter(col("k2").isNotNull && col("n") < maxDocTokens &&
         !(col("doc_id") === col("k1.doc_id") && col("pos") === col("k1.pos")))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + (gramLen - 1)).as("e"))

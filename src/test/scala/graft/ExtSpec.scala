@@ -850,11 +850,16 @@ class ExtSpec extends SparkSuite {
     assert(r(1L).getBoolean(6) && r(1L).getLong(1) == 18L &&
       r(1L).getLong(2) == 18L && r(1L).getLong(3) == 0L &&
       r(1L).getLong(4) == 0L && r(1L).isNullAt(5))
-    // The short docs stay on the edit path: with doc 1 skipped, doc 2
-    // owns every gram; doc 3 is its full duplicate and cleans to zero
-    // (its three 8-grams overlap-merge into one island over all 10
-    // tokens).
-    assert(!r(2L).getBoolean(6) && r(2L).getLong(3) == 0L)
+    // The giant still COUNTS as duplication evidence (round-12 review
+    // fix): doc 1 is the global first owner of the span, so doc 2's
+    // copy IS removed — exactly the Lee et al. semantics ("every
+    // occurrence except the globally first") — even though doc 1
+    // itself is never edited. Before the fix, giants' grams were
+    // excluded and doc 2 would have kept its copy.
+    assert(!r(2L).getBoolean(6) && r(2L).getLong(2) == 2L &&
+      r(2L).getLong(3) == 8L && r(2L).getLong(4) == 1L)
+    // doc 3 (full duplicate of doc 2) still cleans to zero: its three
+    // 8-grams overlap-merge into one island over all 10 tokens.
     assert(!r(3L).getBoolean(6) && r(3L).getLong(3) == 10L &&
       r(3L).getLong(4) == 1L)
     // Default cap reproduces the pre-round-12 edit results for every
@@ -1002,6 +1007,16 @@ class ExtSpec extends SparkSuite {
       .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
     assert(narrow.map(assign).size === 1,
       s"nprobe=1 candidates span cells: ${narrow.map(assign)}")
+    // PQ non-degeneracy: the residual codebook must actually rank within
+    // a cell. A codebook drawn from the centroid set would be all-zero
+    // residuals → adc_score constant per (qid, cluster) and ranking by
+    // neighbor id. Require some probed cell to show >= 2 distinct scores.
+    val inCell = Similarity.ivfPqSearch(emb, Seq(0L), 20, nprobe = 16)
+      .select("neighbor_id", "adc_score").as[(Long, Double)].collect()
+      .groupBy { case (n, _) => assign(n) }
+      .map { case (_, rows) => rows.map(_._2).distinct.length }
+    assert(inCell.exists(_ >= 2),
+      "adc_score constant within every cell — degenerate PQ codebook")
   }
 
   test("prefixJaccardPairs is lossless vs brute force and includes the exact 3/5 boundary") {
@@ -1165,6 +1180,26 @@ class ExtSpec extends SparkSuite {
     val nonPcm = good.clone
     nonPcm(20) = 3 // fmt.audioFormat = IEEE float
     assertThrows[IllegalArgumentException] { Multimodal.decodeWav(nonPcm) }
+    // Crafted chunk size near Int.MaxValue: pos + 8 + size wraps negative
+    // in Int arithmetic, which would slip past the bound check and
+    // allocate a ~2 GB sample array (OOM — fatal, escapes the NonFatal
+    // quarantine) or index out of bounds. Must fail fast instead.
+    val huge = good.clone
+    val hugeSize = 0x7ffffff0
+    var o = 0
+    // encodeWav layout: the first chunk after WAVE is fmt at offset 12.
+    // Walk to the data chunk and rewrite its declared size.
+    o = 12
+    while (new String(huge, o, 4, java.nio.charset.StandardCharsets.US_ASCII) != "data") {
+      val sz = (huge(o + 4) & 0xff) | ((huge(o + 5) & 0xff) << 8) |
+        ((huge(o + 6) & 0xff) << 16) | ((huge(o + 7) & 0xff) << 24)
+      o += 8 + sz + (sz & 1)
+    }
+    huge(o + 4) = (hugeSize & 0xff).toByte
+    huge(o + 5) = ((hugeSize >> 8) & 0xff).toByte
+    huge(o + 6) = ((hugeSize >> 16) & 0xff).toByte
+    huge(o + 7) = ((hugeSize >> 24) & 0xff).toByte
+    assertThrows[IllegalArgumentException] { Multimodal.decodeWav(huge) }
   }
 
   test("audioStats recovers the generator arithmetic through the real decode") {
@@ -1528,6 +1563,16 @@ class ExtSpec extends SparkSuite {
     // Under-represented bucket caps at 1 (resampling never upsamples).
     assert(r(("skew", 1L))._4 === 1.0)
     r.values.foreach { case (_, _, n, _, kept) => assert(kept <= n) }
+    // A misnamed reference must FAIL LOUDLY, not silently keep
+    // everything (0/0 = NaN and least(1.0, NaN) = 1.0 would report a
+    // clean-looking accept_rate of 1.0 for every bucket).
+    val err = intercept[Exception] {
+      Pipeline.distributionMatch(d, "no_such_source").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("no_such_source")),
+      s"expected the reference-source name in the failure, got: $err")
   }
 
   test("covarianceMatrix matches the hand-computed population covariance") {
