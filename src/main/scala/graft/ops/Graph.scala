@@ -99,16 +99,24 @@ object Graph {
     val pairs = sym
       .join(deg.select(col("id").as("u"), col("degree").as("dx")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("degree").as("dy")), Seq("v"))
+    // The coefficient's PRODUCTS run in decimal(38,0) (the labelSum
+    // precedent): m·sxx overflows a BIGINT ~1e9× sooner than the sums
+    // themselves — a single 1e5-degree hub (exactly the hub-spoke
+    // topology the scaladoc describes) puts sxx at ~1e15 and m·sxx past
+    // 2^63, where ANSI arithmetic would kill the job. decimal(19,0)
+    // casts make each product at most 38 digits — exact to ~8.5e37.
+    val md = col("m").cast("decimal(19,0)")
+    val sxd = col("sx").cast("decimal(19,0)")
+    val num = md * col("sxy").cast("decimal(19,0)") - sxd * sxd
+    val den = md * col("sxx").cast("decimal(19,0)") - sxd * sxd
     pairs.agg(
         count(lit(1)).as("m"),
         sum(col("dx")).as("sx"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dx") * col("dy")).as("sxy"))
       .select(col("m"), col("sx"), col("sxx"), col("sxy"),
-        when(col("m") * col("sxx") - col("sx") * col("sx") <= 0, lit(null).cast("double"))
-          .otherwise(
-            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
-              / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        when(den <= 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double"))
           .as("assortativity"))
   }
 

@@ -31,8 +31,15 @@ object HistogramSketch {
     val bounds = df.agg(
       min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"),
       expr(s"percentile($valueCol, array($qArray))").as("exacts"))
-    val binCol = least(lit(bins - 1),
-      floor((v - col("lo")) * lit(bins.toDouble) / (col("hi") - col("lo"))).cast("int"))
+    // Same hi == lo degenerate guard as the grouped twin: a constant
+    // column makes the bin expression 0/0 = NaN — Spark's NaN→int cast
+    // happens to yield bin 0, but the DuckDB twin errors on
+    // CAST(FLOOR(NaN) AS INT), so without the guard the pair diverges
+    // (one answers, one crashes) on exactly the degenerate input.
+    val binCol = when(col("hi") === col("lo"), lit(0)).otherwise(
+      least(lit(bins - 1),
+        floor((v - col("lo")) * lit(bins.toDouble) / (col("hi") - col("lo")))
+          .cast("int")))
     val hist = df.crossJoin(broadcast(bounds.select("lo", "hi")))
       .select(binCol.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("bin_count"))
@@ -169,8 +176,9 @@ object HistogramSketch {
        |), ex AS (
        |  $exSelects
        |), hist AS (
-       |  SELECT least($bins - 1,
-       |           CAST(FLOOR((s.v - b.lo) * ${bins}.0 / (b.hi - b.lo)) AS INT)) AS bin,
+       |  SELECT CASE WHEN b.hi = b.lo THEN 0
+       |              ELSE least($bins - 1,
+       |                CAST(FLOOR((s.v - b.lo) * ${bins}.0 / (b.hi - b.lo)) AS INT)) END AS bin,
        |         CAST(COUNT(*) AS BIGINT) AS bin_count
        |  FROM src s, b GROUP BY 1
        |), cum AS (

@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   *    when empty buckets remain — Flajolet's small-range correction),
   *    rounded to 6 decimals to absorb libm ln() last-ulp skew.
   *
+  * NULL values carry no hash: md5(NULL) is NULL, which would land a
+  * phantom max-rank register in a NULL bucket and silently skew the
+  * estimate while `countDistinct` (the audit column) skips them — so the
+  * register stream filters NULLs, once, for every consumer. A group
+  * whose values are ALL NULL keeps its output row: zero registers means
+  * v_empty = m, the linear-counting branch yields exactly 0, and
+  * rel_error is NULL (0/0 has no honest value — 3VL).
+  *
   * Scale shape: one shuffle to (group, bucket) registers — m rows per
   * group, mergeable by max (the property that makes HLL the standard
   * distributed-cardinality sketch: shard registers union by element-wise
@@ -30,6 +38,44 @@ import org.apache.spark.sql.functions._
   * cost the sketch exists to avoid at 100 TB — gate-only, like x19's.
   */
 object Hll {
+
+  /** Bits of the hash remainder w = h div m at 32-bit h. */
+  private def remBitsOf(m: Int): Int = 32 - (31 - Integer.numberOfLeadingZeros(m))
+
+  /** (keyName, bucket, rank): the register-rank stream — ONE definition
+    * of the hash→bucket→rank kernel for both [[cardinalityByGroup]] and
+    * [[mergeAudit]] (a rank-rule or threshold tweak applied to one and
+    * not the other would silently desynchronize their estimates).
+    * NULL values are filtered here (scaladoc above). */
+  private def ranks(df: DataFrame, valueCol: String, m: Int,
+      key: Column, keyName: String): DataFrame = {
+    val remBits = remBitsOf(m)
+    val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(key.as(keyName), (h % m).as("bucket"), h.as("hv"))
+      .select(col(keyName), col("bucket"), expr(s"hv div $m").as("w"))
+      .select(col(keyName), col("bucket"),
+        when(col("w") > 0, lit(remBits + 1) - length(expr("bin(w)")))
+          .otherwise(lit(remBits + 1)).cast("int").as("rank"))
+  }
+
+  /** The estimator as ONE SQL string over (v_empty, sum_fp) — shared by
+    * both entry points for the same lockstep reason as [[ranks]]. Every
+    * constant is CAST to DOUBLE: Spark parses bare decimal literals as
+    * DECIMAL and would carry decimal-scale rounding through the first
+    * few ops (a ~1e-8 relative skew vs DuckDB, which degrades decimal
+    * division to DOUBLE immediately) — enough to flip the 6th rounded
+    * decimal. All-double on both sides = identical IEEE tree. */
+  private def correctedEstSql(m: Int): String = {
+    val scale = math.pow(2.0, (remBitsOf(m) + 1).toDouble) // exact power of two
+    def d(x: Double): String = s"cast($x as double)"
+    val alpha = s"(${d(0.7213)} / (${d(1.0)} + ${d(1.079)} / ${d(m.toDouble)}))"
+    val est = s"($alpha * ${d(m.toDouble)} * ${d(m.toDouble)} * ${d(scale)}) / cast(sum_fp as double)"
+    s"""CASE WHEN $est <= ${d(2.5)} * ${d(m.toDouble)} AND v_empty > 0
+       |     THEN ${d(m.toDouble)} * ln(${d(m.toDouble)} / cast(v_empty as double))
+       |     ELSE $est END""".stripMargin
+  }
 
   /** Per-`groupCol` HLL cardinality estimate of `valueCol`, with the
     * exact distinct count and relative error as audit columns.
@@ -39,45 +85,30 @@ object Hll {
   def cardinalityByGroup(df: DataFrame, groupCol: String, valueCol: String,
       m: Int = 64): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
-    val remBits = 32 - (31 - Integer.numberOfLeadingZeros(m)) // bits in w
-    val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 8), 16, 10)
-      .cast("long")
-    val regs = df
-      .select(col(groupCol).as("grp"), (h % m).as("bucket"),
-        h.as("hv")).select(col("grp"), col("bucket"), expr(s"hv div $m").as("w"))
-      .select(col("grp"), col("bucket"),
-        when(col("w") > 0, lit(remBits + 1) - length(expr("bin(w)")))
-          .otherwise(lit(remBits + 1)).cast("int").as("rank"))
+    val scale = math.pow(2.0, (remBitsOf(m) + 1).toDouble)
+    val regs = ranks(df, valueCol, m, col(groupCol), "grp")
       .groupBy("grp", "bucket").agg(max(col("rank")).as("reg"))
     // Fixed-point harmonic sum: 2^(remBits+1 - reg) is an exact BIGINT
     // (reg in [1, remBits+1] => exponent in [0, remBits]), order-free.
-    val scale = math.pow(2.0, (remBits + 1).toDouble) // exact power of two
     val perGroup = regs.groupBy("grp").agg(
       count(lit(1)).as("n_buckets"),
-      sum(expr(s"shiftleft(1L, ${remBits + 1} - reg)")).as("sum_fp_present"))
+      sum(expr(s"shiftleft(1L, ${remBitsOf(m) + 1} - reg)")).as("sum_fp_present"))
     val exact = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(valueCol)).as("n_exact"))
-    // Every constant is CAST to DOUBLE: Spark parses bare decimal literals
-    // as DECIMAL and would carry decimal-scale rounding through the first
-    // few ops (a ~1e-8 relative skew vs DuckDB, which degrades decimal
-    // division to DOUBLE immediately) — enough to flip the 6th rounded
-    // decimal. All-double on both sides = identical IEEE tree.
-    def d(x: Double): String = s"cast($x as double)"
-    val alpha = s"(${d(0.7213)} / (${d(1.0)} + ${d(1.079)} / ${d(m.toDouble)}))"
-    val est = s"($alpha * ${d(m.toDouble)} * ${d(m.toDouble)} * ${d(scale)}) / cast(sum_fp as double)"
-    val corrected =
-      s"""CASE WHEN $est <= ${d(2.5)} * ${d(m.toDouble)} AND v_empty > 0
-         |     THEN ${d(m.toDouble)} * ln(${d(m.toDouble)} / cast(v_empty as double))
-         |     ELSE $est END""".stripMargin
-    perGroup
+    // LEFT from the exact side: an all-NULL group has no registers but
+    // must still appear (never silently dropped) — its empty sketch
+    // linear-counts to exactly 0.
+    exact.join(perGroup, Seq("grp"), "left")
       .select(col("grp"),
-        (lit(m) - col("n_buckets")).cast("long").as("v_empty"),
-        (col("sum_fp_present") +
-          (lit(m) - col("n_buckets")) * lit(scale.toLong)).as("sum_fp"))
-      .join(exact, Seq("grp"))
+        (lit(m) - coalesce(col("n_buckets"), lit(0L))).cast("long").as("v_empty"),
+        (coalesce(col("sum_fp_present"), lit(0L)) +
+          (lit(m) - coalesce(col("n_buckets"), lit(0L))) * lit(scale.toLong))
+          .as("sum_fp"),
+        col("n_exact"))
       .selectExpr("grp as " + groupCol, "v_empty", "sum_fp", "n_exact",
-        s"round($corrected, 6) as hll_estimate",
-        s"round(abs(round($corrected, 6) - cast(n_exact as double)) / cast(n_exact as double), 6) as rel_error")
+        s"round(${correctedEstSql(m)}, 6) as hll_estimate",
+        s"case when n_exact > 0 then round(abs(round(${correctedEstSql(m)}, 6) " +
+          "- cast(n_exact as double)) / cast(n_exact as double), 6) end as rel_error")
   }
 
   /** Shard-merge audit for the HLL registers — the cardinality twin of
@@ -92,39 +123,25 @@ object Hll {
   def mergeAudit(df: DataFrame, valueCol: String, shardKey: Column,
       m: Int = 64): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
-    val remBits = 32 - (31 - Integer.numberOfLeadingZeros(m))
-    val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 8), 16, 10)
-      .cast("long")
-    val base = df
-      .select(shardKey.as("shard"), (h % m).as("bucket"), h.as("hv"))
-      .select(col("shard"), col("bucket"), expr(s"hv div $m").as("w"))
-      .select(col("shard"), col("bucket"),
-        when(col("w") > 0, lit(remBits + 1) - length(expr("bin(w)")))
-          .otherwise(lit(remBits + 1)).cast("int").as("rank"))
+    val scale = math.pow(2.0, (remBitsOf(m) + 1).toDouble)
+    val base = ranks(df, valueCol, m, shardKey, "shard")
     val merged = base.groupBy("shard", "bucket").agg(max(col("rank")).as("reg"))
       .groupBy("bucket").agg(max(col("reg")).as("reg"))
     val direct = base.groupBy("bucket").agg(max(col("rank")).as("dreg"))
     val mm = merged.join(direct, Seq("bucket"))
-      .agg(sum(when(col("reg") =!= col("dreg"), lit(1L)).otherwise(lit(0L)))
-        .as("n_mismatch"))
-    val scale = math.pow(2.0, (remBits + 1).toDouble)
+      .agg(coalesce(sum(when(col("reg") =!= col("dreg"), lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("n_mismatch"))
     val fp = merged.agg(count(lit(1)).as("n_buckets"),
-      sum(expr(s"shiftleft(1L, ${remBits + 1} - reg)")).as("sum_fp_present"))
+      sum(expr(s"shiftleft(1L, ${remBitsOf(m) + 1} - reg)")).as("sum_fp_present"))
     val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
-    def d(x: Double): String = s"cast($x as double)"
-    val alpha = s"(${d(0.7213)} / (${d(1.0)} + ${d(1.079)} / ${d(m.toDouble)}))"
-    val est = s"($alpha * ${d(m.toDouble)} * ${d(m.toDouble)} * ${d(scale)}) / cast(sum_fp as double)"
-    val corrected =
-      s"""CASE WHEN $est <= ${d(2.5)} * ${d(m.toDouble)} AND v_empty > 0
-         |     THEN ${d(m.toDouble)} * ln(${d(m.toDouble)} / cast(v_empty as double))
-         |     ELSE $est END""".stripMargin
     fp.select(
         (lit(m) - col("n_buckets")).cast("long").as("v_empty"),
-        (col("sum_fp_present") +
+        (coalesce(col("sum_fp_present"), lit(0L)) +
           (lit(m) - col("n_buckets")) * lit(scale.toLong)).as("sum_fp"))
       .crossJoin(broadcast(mm)).crossJoin(broadcast(exact))
       .selectExpr("n_mismatch", "v_empty", "sum_fp", "n_exact",
-        s"round($corrected, 6) as union_estimate",
-        s"round(abs(round($corrected, 6) - cast(n_exact as double)) / cast(n_exact as double), 6) as rel_error")
+        s"round(${correctedEstSql(m)}, 6) as union_estimate",
+        s"case when n_exact > 0 then round(abs(round(${correctedEstSql(m)}, 6) " +
+          "- cast(n_exact as double)) / cast(n_exact as double), 6) end as rel_error")
   }
 }

@@ -44,6 +44,17 @@ object Sharding {
       newShards: Int): DataFrame = {
     require(oldShards >= 1 && newShards > oldShards,
       s"need 1 <= oldShards < newShards, got $oldShards -> $newShards")
+    // The modulo baseline is only defined for integral keys. A string
+    // key would implicit-cast to NULL under %, NULL =!= NULL is NULL,
+    // and the audit would silently report frac_moved_mod = 0 — claiming
+    // modulo sharding moves nothing, the opposite of the point this
+    // audit exists to demonstrate. (assign() itself hashes any type.)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(keyCol).dataType),
+      s"resizeMovement's modulo baseline needs an integral key column, " +
+        s"got ${df.schema(keyCol).dataType.simpleString} for '$keyCol'")
     val before = assign(df, keyCol, oldShards).withColumnRenamed("shard", "old_shard")
     val after = assign(df, keyCol, newShards).withColumnRenamed("shard", "new_shard")
     before.join(after, Seq("key"))

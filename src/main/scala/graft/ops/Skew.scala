@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * the planner must be forced — e.g. a broadcast-ineligible dimension
   * with a known hot key.
   *
-  * Shape: the big side gets a deterministic salt in [0, n) derived from
-  * its whole row; the small side is replicated n times (one copy per
-  * salt). The join key becomes (key, salt), splitting each hot key's
-  * rows across n reducers. Cost: small side inflates n× — pick n ≈
+  * Shape: the big side gets a round-robin salt in [0, n) from its
+  * physical row position (NOT a hash of the row's content: exact
+  * duplicate rows of a hot key — the shape of a constant-payload fact
+  * table — would all hash to ONE salt, leaving the join exactly as
+  * skewed while still paying the replication; correctness never depends
+  * on which salt a row gets, so position is the right spread); the
+  * small side is replicated n times (one copy per salt). The join key
+  * becomes (key, salt), splitting each hot key's rows across n
+  * reducers. Cost: small side inflates n× — pick n ≈
   * (hot-key rows / target partition rows), not a blanket large value.
   */
 object Skew {
@@ -36,9 +41,12 @@ object Skew {
       s"saltedJoin supports ${SafeJoinTypes.mkString("/")}; '$joinType' would " +
         "duplicate unmatched replicated-side rows")
     val saltCol = "__graft_salt"
-    val bigCols = big.columns.map(col)
+    // monotonically_increasing_id = (partition << 33) | row-index, so
+    // mod n round-robins WITHIN every partition — an even split of each
+    // hot key's rows even when they are byte-identical. Stable under
+    // task retry (same partition, same row order).
     val saltedBig = big.withColumn(saltCol,
-      pmod(hash(bigCols.toIndexedSeq: _*), lit(numSalts)))
+      pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int"))
     val saltedSmall = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedBig.join(saltedSmall, keys :+ saltCol, joinType).drop(saltCol)

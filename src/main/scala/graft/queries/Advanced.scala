@@ -2613,9 +2613,11 @@ object Advanced {
             |  FROM p
             |)
             |SELECT m, sx, sxx, sxy,
-            |       CASE WHEN m * sxx - sx * sx <= 0 THEN NULL
-            |            ELSE CAST(m * sxy - sx * sx AS DOUBLE)
-            |                   / CAST(m * sxx - sx * sx AS DOUBLE) END AS assortativity
+            |       CASE WHEN CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
+            |            THEN NULL
+            |            ELSE CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            |                   / CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            |            END AS assortativity
             |FROM agg""".stripMargin
       }),
 
@@ -4828,7 +4830,7 @@ object Advanced {
          |     ELSE $est END""".stripMargin
     raw"""WITH h AS (
          |  SELECT source, CAST(('0x'||substring(md5(text),1,8)) AS BIGINT) AS hv
-         |  FROM documents
+         |  FROM documents WHERE text IS NOT NULL
          |), regs AS (
          |  SELECT source, hv % 64 AS bucket,
          |         MAX(CASE WHEN hv // 64 > 0 THEN 27 - length(bin(hv // 64))
@@ -4838,19 +4840,22 @@ object Advanced {
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets,
          |         CAST(SUM(1::BIGINT << (27 - reg)) AS BIGINT) AS sum_fp_present
          |  FROM regs GROUP BY 1
-         |), withfp AS (
-         |  SELECT source, CAST(64 - n_buckets AS BIGINT) AS v_empty,
-         |         CAST(sum_fp_present + (64 - n_buckets) * 134217728 AS BIGINT) AS sum_fp
-         |  FROM pg
          |), ex AS (
          |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
          |  FROM documents GROUP BY 1
+         |), withfp AS (
+         |  SELECT ex.source, ex.n_exact,
+         |         CAST(64 - COALESCE(pg.n_buckets, 0) AS BIGINT) AS v_empty,
+         |         CAST(COALESCE(pg.sum_fp_present, 0)
+         |           + (64 - COALESCE(pg.n_buckets, 0)) * 134217728 AS BIGINT) AS sum_fp
+         |  FROM ex LEFT JOIN pg USING (source)
          |)
-         |SELECT w.source, w.v_empty, w.sum_fp, ex.n_exact,
+         |SELECT source, v_empty, sum_fp, n_exact,
          |       round($corrected, 6) AS hll_estimate,
-         |       round(abs(round($corrected, 6) - CAST(n_exact AS DOUBLE))
-         |         / CAST(n_exact AS DOUBLE), 6) AS rel_error
-         |FROM withfp w JOIN ex USING (source) ORDER BY source""".stripMargin
+         |       CASE WHEN n_exact > 0 THEN
+         |         round(abs(round($corrected, 6) - CAST(n_exact AS DOUBLE))
+         |           / CAST(n_exact AS DOUBLE), 6) END AS rel_error
+         |FROM withfp ORDER BY source""".stripMargin
   }
 
   /** Oracle for x82: the two HITS rounds unrolled — per round, raw auth

@@ -879,7 +879,7 @@ object Frontier {
         raw"""WITH h AS (
              |  SELECT doc_id % 4 AS shard,
              |         CAST(('0x'||substring(md5(text),1,8)) AS BIGINT) AS hv
-             |  FROM documents
+             |  FROM documents WHERE text IS NOT NULL
              |), ranks AS (
              |  SELECT shard, hv % 64 AS bucket,
              |         CASE WHEN hv // 64 > 0 THEN 27 - length(bin(hv // 64))
@@ -909,8 +909,9 @@ object Frontier {
              |)
              |SELECT mm.n_mismatch, wf.v_empty, wf.sum_fp, ex.n_exact,
              |       round($corrected, 6) AS union_estimate,
-             |       round(abs(round($corrected, 6) - CAST(n_exact AS DOUBLE))
-             |         / CAST(n_exact AS DOUBLE), 6) AS rel_error
+             |       CASE WHEN n_exact > 0 THEN
+             |         round(abs(round($corrected, 6) - CAST(n_exact AS DOUBLE))
+             |           / CAST(n_exact AS DOUBLE), 6) END AS rel_error
              |FROM mm CROSS JOIN wf CROSS JOIN ex""".stripMargin
       }),
 

@@ -177,52 +177,78 @@ object Streams {
     }
   }
 
+  /** Latest row per key — the replay-determinism dedup shared by
+    * [[upsertSink]] and [[changelogSink]]: `orderCol` descending, then
+    * EVERY non-key/non-order column ascending in sorted-name order, so
+    * the sort is total and a replayed batch always crowns the same
+    * winner per key. ONE definition — the tie-break rule is a
+    * correctness invariant, not a style choice. ([[scd2Sink]] keeps its
+    * own variant DELIBERATELY: its tie-break order is the caller's
+    * `payload` parameter order, part of that sink's public contract.) */
+  private def latestPerKey(batch: DataFrame, keys: Seq[String],
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tieBreak = batch.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == orderCol).sorted.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc +: tieBreak: _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The live target table, if any (see [[readLivePath]] for the
+    * crash-heal rule) — shared by every parquet sink. */
+  private def liveTarget(spark2: SparkSession,
+      targetPath: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
+    readLivePath(fs, targetPath).map(spark2.read.parquet(_))
+  }
+
+  /** Write-then-swap commit — shared by every parquet sink: the merged
+    * plan reads the path being replaced, so it lands in `targetPath`_tmp
+    * first and the directories swap — distributed write, no driver-side
+    * materialization, crash-atomic via [[commitSwap]]. */
+  private[streaming] def swapWrite(df: DataFrame, targetPath: String,
+      sink: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(targetPath),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(targetPath + "_tmp")
+    commitSwap(fs, targetPath, sink)
+  }
+
   /** Streaming upsert sink: maintain a keyed parquet table from a change
     * stream via foreachBatch + ops.Upsert — last batch wins per key, the
     * MERGE-INTO shape without a transactional table format. Each micro-
-    * batch is deduplicated to its latest row per key (by `orderCol`
-    * descending, ties broken by every payload column so a replayed batch
-    * crowns the same winner) and merged into the target path; the
-    * read-merge-rewrite commits via [[commitSwap]], so no crash instant
-    * leaves the table absent. Returns the running query (caller stops
-    * it).
+    * batch is deduplicated to its latest row per key ([[latestPerKey]])
+    * and merged into the target path; the read-merge-rewrite commits via
+    * [[swapWrite]], so no crash instant leaves the table absent. Returns
+    * the running query (caller stops it).
     */
   def upsertSink(spark: SparkSession, updates: DataFrame, keys: Seq[String],
       orderCol: String, targetPath: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
+      : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Payload columns tie-break equal orderCol values (scd2Sink's
-        // convention): an under-specified sort would let a replayed
-        // batch crown a different winner per key and diverge the table.
-        val tieBreak = batch.columns.toSeq
-          .filterNot(c => keys.contains(c) || c == orderCol).sorted.map(col(_).asc)
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(orderCol).desc +: tieBreak: _*)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val spark2 = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-        val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
-        val merged = readLivePath(fs, targetPath) match {
-          case Some(live) =>
-            val target = spark2.read.parquet(live)
-            graft.ops.Upsert.upsert(target, latest.select(target.columns.map(col).toIndexedSeq: _*), keys)
-          case None => latest
+        // Empty micro-batch guard (every sink has it): without it an
+        // idle batch would read, no-op-merge, rewrite, and swap the
+        // ENTIRE target — corpus-scale IO per quiet interval, and an
+        // empty table committed before the first real data.
+        if (!batch.isEmpty) {
+          val latest = latestPerKey(batch, keys, orderCol)
+          val merged = liveTarget(batch.sparkSession, targetPath) match {
+            case Some(target) =>
+              graft.ops.Upsert.upsert(target,
+                latest.select(target.columns.map(col).toIndexedSeq: _*), keys)
+            case None => latest
+          }
+          swapWrite(merged, targetPath, "upsertSink")
         }
-        // The merged plan reads the path being replaced, so it lands in a
-        // temp dir first and the directories swap — distributed write, no
-        // driver-side materialization, crash-atomic via commitSwap.
-        merged.write.mode("overwrite").parquet(tmpP.toString)
-        commitSwap(fs, targetPath, "upsertSink")
         ()
       }
       .start()
-  }
 
   /** Streaming CDC apply — the consumer of [[graft.ops.Upsert
     * .snapshotDiff]]-shaped changelogs, and the sink [[upsertSink]]
@@ -241,45 +267,32 @@ object Streams {
     */
   def changelogSink(spark: SparkSession, updates: DataFrame, keys: Seq[String],
       orderCol: String, targetPath: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
+      : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          // action + payload columns tie-break equal orderCol values
-          // (scd2Sink's convention): without them a replayed batch could
-          // pick a different action for a key and diverge the table —
-          // exactly the replay-divergence this sink exists to prevent.
-          val tieBreak = batch.columns.toSeq
-            .filterNot(c => keys.contains(c) || c == orderCol).sorted.map(col(_).asc)
-          val w = Window.partitionBy(keys.map(col): _*)
-            .orderBy(col(orderCol).desc +: tieBreak: _*)
-          val latest = batch
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", orderCol)
-          val spark2 = batch.sparkSession
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-          val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+          // The shared latestPerKey tie-break covers action + payload
+          // (every non-key/non-order column): without it a replayed
+          // batch could pick a different action for a key and diverge
+          // the table — exactly what this sink exists to prevent. The
+          // target carries no orderCol, so it drops here.
+          val latest = latestPerKey(batch, keys, orderCol).drop(orderCol)
           val upserts = latest.filter(col("action") =!= "delete").drop("action")
           val deletes = latest.filter(col("action") === "delete")
             .select(keys.map(col): _*)
-          val merged = readLivePath(fs, targetPath) match {
-            case Some(live) =>
-              val target = spark2.read.parquet(live)
+          val merged = liveTarget(batch.sparkSession, targetPath) match {
+            case Some(target) =>
               graft.ops.Upsert
                 .upsert(target, upserts.select(target.columns.map(col).toIndexedSeq: _*), keys)
                 .join(deletes, keys, "left_anti")
             case None => upserts.join(deletes, keys, "left_anti")
           }
-          merged.write.mode("overwrite").parquet(tmpP.toString)
-          commitSwap(fs, targetPath, "changelogSink")
+          swapWrite(merged, targetPath, "changelogSink")
         }
         ()
       }
       .start()
-  }
 
   /** Streaming incremental-ROLLUP maintenance: where [[changelogSink]]
     * keeps the keyed TABLE current, this keeps a (groupKey, n, total)
@@ -300,18 +313,13 @@ object Streams {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val spark2 = batch.sparkSession
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-          val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
           // The rollup's total pins to DECIMAL(28,4): sums/additions widen
           // decimal precision per operation, and without a fixed landing
           // type the schema would creep a digit per batch until Spark's
           // 38-digit cap forces a scale change.
           val totalType = org.apache.spark.sql.types.DecimalType(28, 4)
-          val prev = readLivePath(fs, targetPath) match {
-            case Some(live) => spark2.read.parquet(live)
-            case None => batch.sparkSession.emptyDataFrame
+          val prev = liveTarget(batch.sparkSession, targetPath).getOrElse {
+            batch.sparkSession.emptyDataFrame
               .withColumn(groupKey, lit(null).cast(batch.schema(groupKey).dataType))
               .withColumn("n", lit(null).cast("long"))
               .withColumn("total", lit(null).cast(totalType))
@@ -320,8 +328,7 @@ object Streams {
           val merged = graft.ops.Incremental
             .applyCountSumDelta(prev, batch, groupKey, oldVal, newVal)
             .select(col(groupKey), col("n"), col("total").cast(totalType).as("total"))
-          merged.write.mode("overwrite").parquet(tmpP.toString)
-          commitSwap(fs, targetPath, "incrementalAggSink")
+          swapWrite(merged, targetPath, "incrementalAggSink")
         }
         ()
       }
@@ -371,20 +378,14 @@ object Streams {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1)
             .select((key +: payload).map(col): _*)
-          val spark2 = batch.sparkSession
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            java.net.URI.create(targetPath), spark2.sparkContext.hadoopConfiguration)
-          val tmpP = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
-          val merged = readLivePath(fs, targetPath) match {
-            case Some(live) =>
-              graft.ops.Upsert.scd2(spark2.read.parquet(live), upd,
-                key, payload, eff)
+          val merged = liveTarget(batch.sparkSession, targetPath) match {
+            case Some(target) =>
+              graft.ops.Upsert.scd2(target, upd, key, payload, eff)
             case None => upd
               .withColumn("valid_from", lit(eff))
               .withColumn("valid_to", lit(null).cast("string"))
           }
-          merged.write.mode("overwrite").parquet(tmpP.toString)
-          commitSwap(fs, targetPath, "scd2Sink")
+          swapWrite(merged, targetPath, "scd2Sink")
         }
         ()
       }
@@ -714,8 +715,7 @@ object Streams {
         minima(occAll).unionByName(idx.join(batchGrams, Seq("g"), "left_anti"))
       case None => minima(occB)
     }
-    newIndex.write.mode("overwrite").parquet(indexPath + "_tmp")
-    commitSwap(fs, indexPath, "exactSubstrScreen.index")
+    swapWrite(newIndex, indexPath, "exactSubstrScreen.index")
 
     val idx = spark2.read.parquet(indexPath)
     val marked = occ
@@ -745,8 +745,7 @@ object Streams {
             .select(target.columns.map(col).toIndexedSeq: _*))
       case None => report
     }
-    merged.write.mode("overwrite").parquet(reportPath + "_tmp")
-    commitSwap(fsR, reportPath, "exactSubstrScreen.report")
+    swapWrite(merged, reportPath, "exactSubstrScreen.report")
     occH.release()
     tl0H.release()
     ()

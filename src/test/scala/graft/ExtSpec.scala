@@ -1410,6 +1410,16 @@ class ExtSpec extends SparkSuite {
     // Mergeability: shard histograms summed == whole-table histogram is
     // what the grouped aggregate already proves; here pin the sketch's
     // scale contract instead — state is bins, not rows.
+    // Degenerate input (constant column): hi == lo makes the raw bin
+    // expression 0/0 = NaN; the guard must land everything in bin 0 so
+    // the estimate IS the value (the grouped twin's documented
+    // behavior) instead of riding Spark's NaN→int cast accident the
+    // DuckDB twin errors on.
+    val const = Seq.fill(7)(42.5).toDF("x")
+    val c = graft.ops.HistogramSketch.quantiles(const, "x")
+      .select("estimate", "exact", "within_one_bin")
+      .as[(Double, Double, Boolean)].collect()
+    assert(c.forall { case (est, ex, ok) => est === 42.5 && ex === 42.5 && ok })
   }
 
   test("stratifiedKFold: per-source fold sizes differ by at most one, assignment is stable") {

@@ -78,6 +78,15 @@ class FunctionsSpec extends SparkSuite {
       assert(salted.exceptAll(plain).count() === 0, jt)
       assert(plain.exceptAll(salted).count() === 0, jt)
     }
+    // Byte-identical duplicates of one hot key — the constant-payload
+    // fact-table shape where a row-CONTENT salt would collapse every
+    // copy onto one reducer (doing nothing for the skew). The positional
+    // salt must still preserve multiset semantics exactly.
+    val dupBig = Seq.fill(500)((1, "same")).toDF("k", "v")
+    val plainD = dupBig.join(small, Seq("k"), "inner")
+    val saltedD = Skew.saltedJoin(dupBig, small, Seq("k"), numSalts = 8)
+    assert(saltedD.count() === plainD.count())
+    assert(saltedD.exceptAll(plainD).count() === 0)
   }
 
   test("twoPathJoin equals the plain join with both paths populated") {

@@ -89,6 +89,16 @@ class GraphSpec extends SparkSuite {
     // Dirty edges (duplicate + reversed) do not change the answer.
     val dirty = star.union(Seq((1L, 0L), (0L, 2L)).toDF("src", "dst"))
     assert(Graph.assortativity(dirty).head().getDouble(4) === -1.0)
+    // Hub-heavy envelope: a 50k-leaf star puts m·sxx ≈ 2d⁴ ≈ 1.25e19
+    // past Long.MaxValue — BIGINT products would die under ANSI
+    // arithmetic right on the hub-spoke graphs the operator describes.
+    // The decimal(38,0) product path must return the exact −1 instead.
+    val bigStar = spark.range(1, 50001)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val b = Graph.assortativity(bigStar).head()
+    assert(b.getLong(0) === 100000L)
+    assert(b.getDouble(4) === -1.0,
+      s"hub-heavy star must survive the product envelope, got ${b.getDouble(4)}")
   }
 
   test("label propagation: min id within r hops, isolated vertices keep their own label") {

@@ -63,6 +63,28 @@ class SketchGovernanceSpec extends SparkSuite {
     assertThrows[IllegalArgumentException] {
       Hll.cardinalityByGroup(unique, "source", "text", m = 48)
     }
+    // NULL values carry no hash: a NULL row must not plant a phantom
+    // max-rank register (pre-fix: md5(NULL) landed rank 27 in a NULL
+    // bucket, inflating n_buckets while countDistinct skipped it — the
+    // estimate silently skewed against its own audit column).
+    val withNulls = ((0 until 40).map(i => ("g", s"v$i")) ++
+      Seq(("g", null: String), ("g", null: String)))
+      .toDF("source", "text")
+    assert(est(withNulls) === est(unique),
+      "NULL rows must not move the HLL estimate")
+    // An all-NULL group still appears (never silently dropped): the
+    // empty sketch linear-counts to exactly 0, rel_error is NULL (0/0).
+    val allNull = Seq(("z", null: String), ("z", null: String))
+      .toDF("source", "text")
+    val zr = Hll.cardinalityByGroup(allNull, "source", "text").head()
+    assert(zr.getLong(3) === 0L && zr.getDouble(4) === 0.0 && zr.isNullAt(5))
+    // mergeAudit shares the same kernel: NULLs change nothing there too.
+    val ma = Hll.mergeAudit(withNulls, "text", col("text").isNull.cast("int"))
+      .head()
+    val mu = Hll.mergeAudit(unique, "text", lit(0)).head()
+    assert(ma.getLong(0) === 0L)
+    assert(ma.getDouble(4) === mu.getDouble(4),
+      "NULL rows must not move the merge-audit estimate")
   }
 
   test("blocking quality: exact duplicates are always caught; ratios well-formed") {
@@ -278,6 +300,13 @@ class SketchGovernanceSpec extends SparkSuite {
     val audit = graft.ops.Sharding.resizeMovement(keys, "doc_id", 16, 20).head()
     assert(audit.getDouble(3) < audit.getDouble(4),
       s"HRW must move fewer keys than modulo: ${audit.getDouble(3)} vs ${audit.getDouble(4)}")
+    // A non-integral key must FAIL the modulo-baseline audit at plan
+    // time: 'user-1' % 16 implicit-casts to NULL and the audit would
+    // silently claim modulo sharding moves nothing.
+    val strKeys = Seq("user-1", "user-2").toDF("uid")
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Sharding.resizeMovement(strKeys, "uid", 16, 20)
+    }
   }
 
   test("zipf slope: a true Zipfian corpus fits slope -1 with high r2; uniform text does not") {
