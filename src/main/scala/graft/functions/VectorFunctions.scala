@@ -20,7 +20,14 @@ import org.apache.spark.sql.types._
   *
   * Semantics contract (shared with the DuckDB oracles): elements promote
   * to double, products accumulate LEFT TO RIGHT — bit-identical to the
-  * zip_with/aggregate fold and to DuckDB's list_dot_product.
+  * zip_with/aggregate fold and to DuckDB's list_dot_product on
+  * well-formed inputs. Malformed vectors FAIL FAST with a descriptive
+  * error instead of a silent answer: a length mismatch or a null
+  * element is corrupt data that should stop a pipeline, not truncate
+  * the accumulation or leak a bogus score (DuckDB's list_dot_product
+  * errors on mismatched lengths too; the fold would yield NULL). The
+  * per-element null check is emitted ONLY when the array type admits
+  * nulls — schemas with containsNull=false keep the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -41,17 +48,34 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
           s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  private def containsNulls: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: array length mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
+    val checkNulls = containsNulls
     var acc = 0.0
     var i = 0
     elemType(left) match {
       case FloatType =>
-        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+        while (i < n) {
+          if (checkNulls && (x.isNullAt(i) || y.isNullAt(i)))
+            throw new IllegalArgumentException(s"dot_product: null element at index $i")
+          acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+        }
       case _ =>
-        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+        while (i < n) {
+          if (checkNulls && (x.isNullAt(i) || y.isNullAt(i)))
+            throw new IllegalArgumentException(s"dot_product: null element at index $i")
+          acc += x.getDouble(i) * y.getDouble(i); i += 1
+        }
     }
     acc
   }
@@ -64,10 +88,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         case FloatType => (arr: String) => s"(double)$arr.getFloat($i)"
         case _ => (arr: String) => s"$arr.getDouble($i)"
       }
+      val nullCheck = if (containsNulls)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |  throw new IllegalArgumentException("dot_product: null element at index " + $i);
+           |}""".stripMargin
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("dot_product: array length mismatch ("
+         |    + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  ${ev.value}Acc += ${get(a)} * ${get(b)};
          |}
          |${ev.value} = ${ev.value}Acc;

@@ -121,8 +121,19 @@ object Layout {
     import org.apache.spark.sql.functions._
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: a partitioned table keeps its files under
+    // key=value subdirectories — a flat listStatus would see only
+    // directories, report bytes_before = 0, and "compact" a multi-GB
+    // table into ONE output partition (a single straggler task and one
+    // giant file). The recursion is the same metadata walk the scan
+    // itself performs.
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inPath), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) files += st
+    }
     val bytesBefore = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)

@@ -38,7 +38,13 @@ object LayoutDemo {
     val out = java.nio.file.Files.createTempDirectory("graft-demo-part").toString
     Layout.writePartitioned(t.events, out, "event_type")
     val pruned = spark.read.parquet(out).filter(col("event_type") === "click")
-    val usesPruning = pruned.queryExecution.executedPlan.toString.contains("PartitionFilters")
+    // Match a NON-EMPTY filter list: the scan always renders a
+    // "PartitionFilters:" key (as "PartitionFilters: []" when nothing
+    // prunes), so a bare contains("PartitionFilters") is vacuously true
+    // and could never catch a pruning regression.
+    val usesPruning = pruned.queryExecution.executedPlan.toString
+      .linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"))
     println(s"[layout] partitioned read: clicks=${pruned.count()} partition-pruned=$usesPruning")
     spark.stop()
   }

@@ -48,12 +48,16 @@ object Profile {
     *
     * Scale shape: one grouped count-distinct (shuffle on lhs) folded to
     * a single row — the FD never materializes pair lists. NULLs count as
-    * a value (two NULL-lhs rows with different rhs DO violate: a loader
-    * that keys on lhs would collapse them).
+    * a value ON BOTH SIDES (two NULL-lhs rows with different rhs DO
+    * violate, and a group mapping to both NULL and 'a' DOES violate: a
+    * loader that keys on lhs would collapse either). The rhs wraps in a
+    * struct because a bare countDistinct skips NULLs — which would both
+    * hide NULL-vs-value violations and break the declared
+    * pairs == groups ⇔ holds equivalence on an all-NULL-rhs group.
     */
   def fdCheck(df: DataFrame, lhs: String, rhs: String): DataFrame =
     df.groupBy(col(lhs))
-      .agg(countDistinct(col(rhs)).as("__k"))
+      .agg(countDistinct(struct(col(rhs))).as("__k"))
       .agg(count(lit(1)).as("n_groups"),
         sum(col("__k")).as("n_pairs"),
         sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating_groups"))

@@ -707,15 +707,15 @@ object Advanced {
           sub("region", "pk_unique_r_regionkey",
             "SELECT COUNT(*) FROM (SELECT r_regionkey FROM region GROUP BY 1 HAVING COUNT(*) > 1)"),
           sub("orders", "fk_o_custkey",
-            "SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+            "SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
           sub("lineitem", "fk_l_orderkey",
-            "SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"),
+            "SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"),
           sub("lineitem", "fk_l_partkey",
-            "SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"),
+            "SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"),
           sub("customer", "fk_c_nationkey",
-            "SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)"),
+            "SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)"),
           sub("nation", "fk_n_regionkey",
-            "SELECT COUNT(*) FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"))
+            "SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, rule")
       }),
 
@@ -4226,7 +4226,7 @@ object Advanced {
              |       CAST(SUM(k) AS BIGINT) AS n_pairs,
              |       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
              |       SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
-             |FROM (SELECT $l, COUNT(DISTINCT $r) AS k FROM $rel GROUP BY 1)""".stripMargin
+             |FROM (SELECT $l, COUNT(DISTINCT ROW($r)) AS k FROM $rel GROUP BY 1)""".stripMargin
         Seq(
           one("customer", "c_custkey", "c_nationkey"),
           one("customer", "c_nationkey", "c_mktsegment"),

@@ -20,11 +20,15 @@ object Service {
     QueryDef(
       "s01_any_column_search",
       (s, dir) => QueryService.search(Tables(s, dir).documents, "spark").orderBy("doc_id"),
+      // Per-COLUMN contains OR'd, like the reference's row.astype(str)
+      // .str.contains(s).any() — never a concatenated haystack (which
+      // would admit cross-column matches spanning a separator boundary).
       Some("""SELECT * FROM documents
-             |WHERE contains(lower(concat_ws('|',
-             |  COALESCE(CAST(doc_id AS VARCHAR), ''), COALESCE(text, ''),
-             |  COALESCE(lang, ''), COALESCE(source, ''),
-             |  COALESCE(CAST(n_chars AS VARCHAR), ''))), 'spark')
+             |WHERE contains(lower(COALESCE(CAST(doc_id AS VARCHAR), '')), 'spark')
+             |   OR contains(lower(COALESCE(text, '')), 'spark')
+             |   OR contains(lower(COALESCE(lang, '')), 'spark')
+             |   OR contains(lower(COALESCE(source, '')), 'spark')
+             |   OR contains(lower(COALESCE(CAST(n_chars AS VARCHAR), '')), 'spark')
              |ORDER BY doc_id""".stripMargin)),
 
     // P7: numeric range filter (slider analog), plus an equality filter.

@@ -116,6 +116,12 @@ object Sakila {
 
   /** The 11 published queries (queries_shan.sql:46-144), keyed q1..q11. */
   def queries(dw: DataFrame): Map[String, DataFrame] = Map(
+    // DELIBERATE divergence from the published SQL: queries_shan.sql:46-53
+    // titles q1 "Top 10" and carries LIMIT 10, but the reference's own
+    // exported artifact (data/q1.csv, the golden this layer is
+    // value-pinned against) contains ALL 599 customers — the author
+    // exported the un-limited ranking. We pin to the ARTIFACT; a caller
+    // wanting the published top-10 takes .limit(10) of this ordering.
     "q1" -> dw.select("Customer_Name", "Total_Revenue")
       .orderBy(col("Total_Revenue").desc),
     "q2" -> dw.select("Customer_Name", "Total_Rentals")

@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
 object QueryService {
 
   /** Case-insensitive substring search across every column
-    * (data-mgmt-streamlit.py:56-62): stringify, concat, contains. */
+    * (data-mgmt-streamlit.py:56-62): the reference runs a PER-COLUMN
+    * contains and keeps the row if ANY column matches
+    * (`row.astype(str).str.contains(s).any()`), on the strip()ped
+    * lowered term. A concatenated haystack would add cross-column false
+    * positives (a term spanning a separator boundary matches rows no
+    * single cell contains) and would miss the strip. NULL cells never
+    * match (pandas' na=False). */
   def search(df: DataFrame, term: String): DataFrame = {
-    if (term.trim.isEmpty) df
-    else {
-      val hay = lower(concat_ws("|",
-        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))).toIndexedSeq: _*))
-      df.filter(hay.contains(term.toLowerCase))
-    }
+    val s = term.trim.toLowerCase
+    if (s.isEmpty) df
+    else df.filter(df.columns
+      .map(c => lower(coalesce(col(c).cast("string"), lit(""))).contains(s))
+      .reduce(_ || _))
   }
 
   /** Numeric range slider (:129-148): cast-to-double with error→NULL
@@ -39,9 +44,14 @@ object QueryService {
 
   /** Chart cardinality cap (:193-198): keep rows whose `column` value is
     * among the top-n most frequent (value_counts().nlargest(n) + filter),
-    * as a semi-join so the big side never collects. */
+    * as a semi-join so the big side never collects. NULLs are excluded
+    * BEFORE ranking (pandas value_counts drops NaN before nlargest):
+    * otherwise a NULL-heavy column lets the NULL group burn one of the n
+    * slots and then match nothing in the semi-join — one real category
+    * silently missing from the chart. */
   def topNCategories(df: DataFrame, column: String, n: Int = 50): DataFrame = {
-    val top = df.groupBy(column).agg(count(lit(1)).as("cnt"))
+    val top = df.filter(col(column).isNotNull)
+      .groupBy(column).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(column).asc)
       .limit(n)
       .select(column)

@@ -42,6 +42,27 @@ class FunctionsSpec extends SparkSuite {
     assert(err.getMessage.contains("dot_product") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("dot_product fails fast on malformed vectors instead of silent answers") {
+    VectorFunctions.register(spark)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    // Length mismatch: the old loop silently TRUNCATED to the shorter
+    // array (dot([1,2,3],[4,5]) = 14.0) — corrupt data scoring plausibly.
+    val mism = intercept[Exception] {
+      Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+        .select(VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+    }
+    assert(msgs(mism).exists(_.contains("length mismatch")), mism.toString)
+    // Null element: getDouble on a null slot read garbage 0.0 or NPE'd
+    // depending on the array backing; must be a descriptive error.
+    val nul = intercept[Exception] {
+      Seq((Array(Option(1.0), None), Array(Option(1.0), Option(2.0))))
+        .toDF("a", "b")
+        .select(VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+    }
+    assert(msgs(nul).exists(_.contains("null element")), nul.toString)
+  }
+
   test("deterministic mode: max count wins, ties break to smallest value") {
     val df = Seq((1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"), (2, "z"))
       .toDF("k", "v")

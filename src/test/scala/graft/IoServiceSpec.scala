@@ -127,6 +127,13 @@ class IoServiceSpec extends SparkSuite {
     assert(QueryService.search(df, "alpha").select("id").as[Int].collect().sorted
       === Array(1, 2))
     assert(QueryService.search(df, "  ").count() === 3)
+    // Per-COLUMN semantics (the reference's row-wise any()): a term that
+    // only exists across a column boundary must NOT match — row 1's
+    // haystack would be "1|Alpha|x", where "a|a" spans the id/a seam.
+    assert(QueryService.search(df, "a|a").count() === 0)
+    // The reference strip()s the term before matching.
+    assert(QueryService.search(df, "  beta  ").select("id").as[Int].collect()
+      === Array(2))
   }
 
   test("rangeFilter coerces errors to NULL and drops them (pandas semantics)") {
@@ -138,6 +145,12 @@ class IoServiceSpec extends SparkSuite {
   test("topNCategories keeps only rows in the n most frequent categories") {
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
     assert(QueryService.topNCategories(df, "k", 2).count() === 5)
+    // NULLs don't burn a slot (pandas value_counts drops NaN BEFORE
+    // nlargest): with 4 NULL rows outranking everything, n=2 must still
+    // return the top 2 REAL categories, not {NULL-slot-wasted, "a"}.
+    val withNulls = (Seq.fill(4)(null: String) ++
+      Seq("a", "a", "a", "b", "b", "c")).toDF("k")
+    assert(QueryService.topNCategories(withNulls, "k", 2).count() === 5)
   }
 
   test("chartData aggregates like the app's chart builder") {

@@ -160,6 +160,26 @@ class LayoutSpec extends SparkSuite {
         assert(hi1 < lo2, s"file spans overlap: $hi1 >= $lo2")
       case _ =>
     }
+    // PARTITIONED input (files under key=value subdirs): a flat listing
+    // would see only directories, report bytes_before = 0, and compact
+    // the whole table into ONE partition. The recursive walk must find
+    // the real files and plan accordingly.
+    val pin = java.nio.file.Files.createTempDirectory("compact-part-in").toString
+    val pout = java.nio.file.Files.createTempDirectory("compact-part-out").toString + "/t"
+    Layout.writePartitioned(
+      Tables(spark, Sf).events.repartition(8), pin, "event_type")
+    val pFiles = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(pin)).filter(_.getName.endsWith(".parquet"))
+    }
+    val pBytes = pFiles.map(_.length).sum
+    val pAudit = Layout.compact(spark, pin, pout, pBytes / 3).collect()(0)
+    assert(pAudit.getLong(0) === pFiles.length.toLong,
+      s"files_before ${pAudit.getLong(0)} != ${pFiles.length} nested files")
+    assert(pAudit.getLong(1) === pBytes, "bytes_before must count nested files")
+    assert(pAudit.getLong(2) >= 3, s"planned ${pAudit.getLong(2)} — flat listing regression")
   }
 
   test("partition filter prunes at the scan (PartitionFilters, not post-filter)") {

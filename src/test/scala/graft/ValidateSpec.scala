@@ -24,11 +24,22 @@ class ValidateSpec extends SparkSuite {
     val parent = Seq(1L).toDF("c_custkey")
     val child = Seq(1L, 2L, 2L).toDF("o_custkey")
     assert(Validate.foreignKey(child, "c", "o_custkey", parent, "c_custkey").head.count === 2)
+    // SQL FK semantics: a NULL child key references nothing and is NOT
+    // an orphan — a nullable optional reference must not fail the audit.
+    val withNull = Seq[Option[Long]](Some(1L), Some(2L), Some(2L), None)
+      .toDF("o_custkey")
+    assert(Validate.foreignKey(withNull, "c", "o_custkey", parent, "c_custkey")
+      .head.count === 2)
+    val onlyNull = Seq[Option[Long]](None, None).toDF("o_custkey")
+    assert(Validate.foreignKey(onlyNull, "c", "o_custkey", parent, "c_custkey")
+      .isEmpty)
   }
 
   test("typed Dataset surface: compile-checked fields, same rows as the frames") {
     val o = graft.model.Typed.orders(spark, Sf)
-    assert(o.filter(_.o_totalprice > 0).count() === o.count())
+    // o_totalprice is Option[Double] — the schema declares it nullable,
+    // and the typed mirror must not be stricter than the declaration.
+    assert(o.filter(_.o_totalprice.exists(_ > 0)).count() === o.count())
     val byStatus = o.groupByKey(_.o_orderstatus).count().collect().toMap
     assert(byStatus.values.sum === Tables(spark, Sf).orders.count())
   }
@@ -73,5 +84,16 @@ class ValidateSpec extends SparkSuite {
     assert(!r.getAs[Boolean]("holds"))
     val ok = Profile.fdCheck(df.filter($"k" === 1), "k", "v").collect()(0)
     assert(ok.getAs[Boolean]("holds") && ok.getAs[Long]("n_violating_groups") === 0L)
+    // NULL rhs counts as a value: {NULL, 'a'} under one key violates (a
+    // bare countDistinct would skip the NULL and report holds), and an
+    // all-NULL-rhs group contributes 1 pair, keeping the documented
+    // pairs == groups ⇔ holds equivalence intact.
+    val nullRhs = Seq((1, Option("a")), (1, None: Option[String]),
+      (2, None: Option[String])).toDF("k", "v")
+    val nr = Profile.fdCheck(nullRhs, "k", "v").collect()(0)
+    assert(nr.getAs[Long]("n_groups") === 2L)
+    assert(nr.getAs[Long]("n_pairs") === 3L)
+    assert(nr.getAs[Long]("n_violating_groups") === 1L)
+    assert(!nr.getAs[Boolean]("holds"))
   }
 }
