@@ -73,15 +73,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Cold runs at or above this cost get 2 re-runs (3-sample median)
-    * instead of 4. They used to get NONE — which meant exactly the
-    * queries where one contended sample poisons the committed baseline
-    * were the ones never rerun (round 9: x182's single 47 s sample vs
-    * its 8.8 s committed median). Every query now carries >=3 samples;
-    * the extra wall-clock is bounded because genuinely-slow queries are
-    * few and the caps keep them O(n·cap). */
-  val RepeatThresholdSec = 15.0
-
   /** Queries colder than this get a 5-sample median instead of 3: the
     * host's ±1s VM noise is the same order as a sub-2s query's cost, so
     * 3-sample medians still flapped round-over-round (r3's x10/x12, r4's
@@ -280,8 +271,13 @@ object Bench {
         Seq.empty
       }
 
+    // Locale.ROOT formatting for EVERYTHING machine-parsed: the f
+    // interpolator uses the JVM default locale, so a de/fr host would
+    // render "1,234" and silently break bench.json's parser.
+    def num(v: Double, decimals: Int = 3): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     def timesJson(ts: Seq[(String, Double)]): String =
-      ts.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      ts.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
 
     // Snapshot before the diag pass: a diag-only failure shows up as a -1
     // in bench_diag.json, not in the headline's "failed" list.
@@ -297,11 +293,15 @@ object Bench {
           java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01").toString)
         if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(diagDir))) None
         else {
-          val diagNames = Registry.all.filterNot(_.bench).map(_.name).sorted
+          // Honor the SPARK_GRAFT_BENCH_ONLY filter here too: a targeted
+          // local noise check must not pay minutes of unrelated O(n²)
+          // diagnostics (or overwrite bench_diag.json with them).
+          val diagNames = Registry.all.filterNot(_.bench).map(_.name)
+            .filter(n => only.forall(_.exists(n.startsWith))).sorted
           val diag = diagNames.map(n => n -> materialize(n, diagDir))
           val diagTotal = diag.collect { case (_, t) if t >= 0 => t }.sum
           Some(
-            f"""{"metric":"diag_total","value":$diagTotal%.3f,"unit":"sec","queries":${timesJson(diag)},"sf":"$diagDir"}""")
+            s"""{"metric":"diag_total","value":${num(diagTotal)},"unit":"sec","queries":${timesJson(diag)},"sf":"$diagDir"}""")
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] diag pass failed: ${e.getMessage}")
@@ -316,11 +316,12 @@ object Bench {
     // the driver's tail capture). This is what makes a host-contention
     // window provable from the artifact instead of costing a rerun session.
     val samplesJson = samples.map { case (n, ss) =>
-      "\"" + n + "\":" + ss.map { case (ts, d) => f"[$ts%.1f,$d%.3f]" }.mkString("[", ",", "]")
+      "\"" + n + "\":" + ss.map { case (ts, d) => s"[${num(ts, 1)},${num(d)}]" }
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${timesJson(("_warmup" -> warmup) +: (results ++ layoutTimes))},"median_total":$medianTotal%.3f,"queries_median":${timesJson(medians)},"failed":$failedJson,"sf":"$sfDir"}"""
-    val fileJson = json.dropRight(1) + f""","samples":$samplesJson}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${timesJson(("_warmup" -> warmup) +: (results ++ layoutTimes))},"median_total":${num(medianTotal)},"queries_median":${timesJson(medians)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val fileJson = json.dropRight(1) + s""","samples":$samplesJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fileJson + "\n")
     graft.ext.Dedup.clearCaches(spark)
     graft.ext.TextAnalysis.clearCaches(spark)
@@ -333,6 +334,6 @@ object Bench {
     // only a line this small is guaranteed to reach its parser intact;
     // bench.json above is the canonical machine-readable copy.
     println(json)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","median_total":$medianTotal%.3f,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","median_total":${num(medianTotal)},"sf":"$sfDir"}""")
   }
 }

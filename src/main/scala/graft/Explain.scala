@@ -18,6 +18,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same extensions as Bench/Verify: without GraftExtensions'
+      // MergePercentiles rule this tool would print plans (N separate
+      // percentile buffers) that the benched session never executes.
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   * standing ">= 3-rep isolated adjudication" policy, so mover verdicts
   * stop being hand-rolled throwaway mains. One fresh session, each named
   * query run `reps` times back-to-back (rep 1 = cold build, later reps =
-  * steady state) with the library memo caches cleared before every rep,
-  * exactly like Bench's rerun sweeps.
+  * steady state) with EXACTLY the cache set Bench.timeQuiet clears
+  * cleared before every rep (Dedup/TextAnalysis/Similarity memos — NOT
+  * Report's monthly rollup, which Bench's reruns also keep warm): an
+  * adjudication only means something if it measures the same quantity
+  * as the committed median it adjudicates.
   *
   * Usage: runMain graft.QueryProbe [sfDir] [reps] query[,query...]
   */
@@ -20,6 +23,10 @@ object QueryProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // Same nanos handling as Bench/Verify: without it the event-family
+      // queries (x15/x31/x64/x141...) crash on TIMESTAMP(NANOS) parquet
+      // and the adjudication tool can't adjudicate event movers.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
@@ -30,7 +37,6 @@ object QueryProbe {
         graft.ext.Dedup.clearCaches(spark)
         graft.ext.TextAnalysis.clearCaches(spark)
         graft.ext.Similarity.clearCaches(spark)
-        graft.queries.Report.clearCaches(spark)
         val t0 = System.nanoTime()
         queries.Registry.queryMap(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
