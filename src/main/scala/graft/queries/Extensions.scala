@@ -46,6 +46,108 @@ object Extensions {
   private def bandExpr(b: Int) =
     s"md5(CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR))"
 
+  /** The LSH candidate+verify CTE chain appended after
+    * `$ShingleCtes $SigCte`: bands → (kept →) cand → sizes → inter.
+    * `cap = Some(n)` inserts the hot-bucket QUALIFY guard (x66's scale
+    * path). ONE definition for the seven LSH dedup oracles — any change
+    * to the band scheme or the verify join previously had to be
+    * replicated by hand per oracle, the drift class the x213/x188
+    * multi-site fixes showed is real. */
+  /** The MinHash band-key union over `sig` — one SELECT per band. */
+  private lazy val MinHashBandUnionSql: String = (0 until Dedup.NumBands)
+    .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
+    .mkString("\n  UNION ALL ")
+
+  private def lshCandCtes(cap: Option[Int] = None): String = {
+    val bandUnion = MinHashBandUnionSql
+    val keptCte = cap.fold("") { n =>
+      s""", kept AS (
+         |  SELECT doc_id, band_idx, band_key FROM bands
+         |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= $n
+         |)""".stripMargin
+    }
+    val candSrc = if (cap.isDefined) "kept" else "bands"
+    s""", bands AS (
+       |  $bandUnion
+       |)$keptCte, cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM $candSrc a JOIN $candSrc b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** Verified-pairs tail over inter/sizes: the thresholded Jaccard
+    * select shared by x07/x66. */
+  private val JaccardPairsSql: String =
+    """SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |         CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+      |  FROM inter
+      |  JOIN sizes na ON na.doc_id = doc_a
+      |  JOIN sizes nb ON nb.doc_id = doc_b) j
+      |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dup_pairs: the verified near-dup pair set over inter/sizes —
+    * shared head of [[ClusterCtes]] and the x117 source matrix. */
+  private val DupPairsCte: String =
+    """, dup_pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+      |    FROM inter
+      |    JOIN sizes na ON na.doc_id = doc_a
+      |    JOIN sizes nb ON nb.doc_id = doc_b) j
+      |  WHERE jaccard >= 0.3
+      |)""".stripMargin
+
+  /** dup_pairs → sym → reach: the recursive transitive-closure block
+    * shared by the four cluster-consuming oracles (x22/x96/x144/x115).
+    * The caller swaps the leading WITH for WITH RECURSIVE. */
+  private val ClusterCtes: String =
+    DupPairsCte +
+      """, sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM dup_pairs
+        |), reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        |)""".stripMargin
+
+  /** Shared oracle CTE chain tok → h → s → sim: the SQL replay of
+    * Dedup.simhash's ±1 per-bit votes from md5 hex nibbles. ONE
+    * definition for the x08/x23 oracles — two copies of the
+    * bit-extraction expressions would have to track Dedup.simhash in
+    * lockstep independently. */
+  private lazy val SimhashCtes: String = {
+    val sums = (0 until 16).map { bit =>
+      val d = bit / 4 + 1
+      val k = bit % 4
+      s"SUM((((strpos('0123456789abcdef', substring(hx, $d, 1)) - 1) >> $k) & 1) * 2 - 1) AS s$bit"
+    }.mkString(",\n    ")
+    val sim = (0 until 16).map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
+      .mkString(" + ")
+    raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
+         |), h AS (
+         |  SELECT doc_id, md5(tk) AS hx FROM tok
+         |), s AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM h GROUP BY 1
+         |), sim AS (
+         |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM s
+         |)""".stripMargin
+  }
+
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
 
   /** Hot-bucket cap for the registered capped LSH dedup variant (x66).
@@ -145,33 +247,7 @@ object Extensions {
     QueryDef(
       "x07_lsh_dedup_pairs",
       (s, dir) => Dedup.lshDedupPairs(Tables(s, dir).documents, 0.3).orderBy("doc_a", "doc_b"),
-      Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
-        s"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |), sizes AS (
-           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-           |), inter AS (
-           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.doc_a
-           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-           |  GROUP BY 1, 2
-           |)
-           |SELECT doc_a, doc_b, jaccard FROM (
-           |  SELECT doc_a, doc_b,
-           |         CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-           |  FROM inter
-           |  JOIN sizes na ON na.doc_id = doc_a
-           |  JOIN sizes nb ON nb.doc_id = doc_b) j
-           |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
-      },
+      Some(s"$ShingleCtes $SigCte${lshCandCtes()}\n$JaccardPairsSql"),
       bench = false),
 
     // The SCALE path for text dedup: same LSH→verify two-phase as x07 but
@@ -184,59 +260,13 @@ object Extensions {
       "x66_lsh_dedup_pairs_capped",
       (s, dir) => Dedup.lshDedupPairs(Tables(s, dir).documents, 0.3, bucketCap = LshBucketCap)
         .orderBy("doc_a", "doc_b"),
-      Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
-        s"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
-           |), kept AS (
-           |  SELECT doc_id, band_idx, band_key FROM bands
-           |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= $LshBucketCap
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM kept a JOIN kept b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |), sizes AS (
-           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-           |), inter AS (
-           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.doc_a
-           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-           |  GROUP BY 1, 2
-           |)
-           |SELECT doc_a, doc_b, jaccard FROM (
-           |  SELECT doc_a, doc_b,
-           |         CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-           |  FROM inter
-           |  JOIN sizes na ON na.doc_id = doc_a
-           |  JOIN sizes nb ON nb.doc_id = doc_b) j
-           |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      Some(s"$ShingleCtes $SigCte${lshCandCtes(Some(LshBucketCap))}\n$JaccardPairsSql")),
 
     QueryDef(
       "x08_simhash",
       (s, dir) => Dedup.simhash(Tables(s, dir).documents).orderBy("doc_id"),
       Some {
-        val sums = (0 until 16).map { bit =>
-          val d = bit / 4 + 1
-          val k = bit % 4
-          s"SUM((((strpos('0123456789abcdef', substring(hx, $d, 1)) - 1) >> $k) & 1) * 2 - 1) AS s$bit"
-        }.mkString(",\n    ")
-        val sim = (0 until 16).map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
-          .mkString(" + ")
-        raw"""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
-             |), h AS (
-             |  SELECT doc_id, md5(tk) AS hx FROM tok
-             |), s AS (
-             |  SELECT doc_id,
-             |    $sums
-             |  FROM h GROUP BY 1
-             |), sim AS (
-             |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM s
-             |)
+        raw"""$SimhashCtes
              |SELECT doc_id, simhash,
              |       simhash % 16 AS block0, (simhash // 16) % 16 AS block1,
              |       (simhash // 256) % 16 AS block2, (simhash // 4096) % 16 AS block3
@@ -248,29 +278,13 @@ object Extensions {
       (s, dir) => Dedup.simhashNearDupPairs(Tables(s, dir).documents, 3)
         .orderBy("doc_a", "doc_b"),
       Some {
-        // Rebuild the simhash CTE (same as x08), then 4x4-bit band
-        // equi-join (full recall for hamming<=3 by pigeonhole) + verify.
-        val sums = (0 until 16).map { bit =>
-          val d = bit / 4 + 1
-          val k = bit % 4
-          s"SUM((((strpos('0123456789abcdef', substring(hx, $d, 1)) - 1) >> $k) & 1) * 2 - 1) AS s$bit"
-        }.mkString(",\n    ")
-        val sim = (0 until 16).map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
-          .mkString(" + ")
+        // The shared simhash CTE (SimhashCtes, same as x08), then
+        // 4x4-bit band equi-join (full recall for hamming<=3 by
+        // pigeonhole) + verify.
         val bandUnion = (0 until graft.ext.Dedup.NumSimBands)
           .map(b => s"SELECT doc_id, simhash, $b AS band_idx, (simhash // ${1 << (4 * b)}) % 16 AS band_key FROM sim")
           .mkString("\n  UNION ALL ")
-        raw"""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
-             |), h AS (
-             |  SELECT doc_id, md5(tk) AS hx FROM tok
-             |), s AS (
-             |  SELECT doc_id,
-             |    $sums
-             |  FROM h GROUP BY 1
-             |), sim AS (
-             |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM s
-             |), bands AS (
+        raw"""$SimhashCtes, bands AS (
              |  $bandUnion
              |), cand AS (
              |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
@@ -312,39 +326,7 @@ object Extensions {
       "x22_duplicate_clusters",
       (s, dir) => Dedup.duplicateClusters(Tables(s, dir).documents, 0.3).orderBy("doc_id"),
       Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
-        val base = s"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |), sizes AS (
-           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-           |), inter AS (
-           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.doc_a
-           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-           |  GROUP BY 1, 2
-           |), dup_pairs AS (
-           |  SELECT doc_a, doc_b FROM (
-           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-           |    FROM inter
-           |    JOIN sizes na ON na.doc_id = doc_a
-           |    JOIN sizes nb ON nb.doc_id = doc_b) j
-           |  WHERE jaccard >= 0.3
-           |), sym AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
-           |  UNION ALL
-           |  SELECT doc_b, doc_a FROM dup_pairs
-           |), reach(a, b) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-           |)
+        val base = s"""$ShingleCtes $SigCte${lshCandCtes()}$ClusterCtes
            |SELECT a AS doc_id, MIN(b) AS cluster, MIN(b) = a AS is_canonical
            |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
         "WITH RECURSIVE" + base.stripPrefix("WITH")
@@ -362,39 +344,7 @@ object Extensions {
       (s, dir) => Dedup.keepBestPerCluster(Tables(s, dir).documents, 0.3)
         .orderBy("doc_id"),
       Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
-        val base = raw"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |), sizes AS (
-           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-           |), inter AS (
-           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.doc_a
-           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-           |  GROUP BY 1, 2
-           |), dup_pairs AS (
-           |  SELECT doc_a, doc_b FROM (
-           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-           |    FROM inter
-           |    JOIN sizes na ON na.doc_id = doc_a
-           |    JOIN sizes nb ON nb.doc_id = doc_b) j
-           |  WHERE jaccard >= 0.3
-           |), sym AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
-           |  UNION ALL
-           |  SELECT doc_b, doc_a FROM dup_pairs
-           |), reach(a, b) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-           |), clusters AS (
+        val base = raw"""$ShingleCtes $SigCte${lshCandCtes()}$ClusterCtes, clusters AS (
            |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
            |), q AS (
            |  SELECT doc_id,
@@ -421,39 +371,7 @@ object Extensions {
       (s, dir) => Dedup.effectiveTokens(Tables(s, dir).documents, 0.3)
         .orderBy("source"),
       Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
-        val base = raw"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |), sizes AS (
-           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-           |), inter AS (
-           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.doc_a
-           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-           |  GROUP BY 1, 2
-           |), dup_pairs AS (
-           |  SELECT doc_a, doc_b FROM (
-           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-           |    FROM inter
-           |    JOIN sizes na ON na.doc_id = doc_a
-           |    JOIN sizes nb ON nb.doc_id = doc_b) j
-           |  WHERE jaccard >= 0.3
-           |), sym AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
-           |  UNION ALL
-           |  SELECT doc_b, doc_a FROM dup_pairs
-           |), reach(a, b) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-           |), clusters AS (
+        val base = raw"""$ShingleCtes $SigCte${lshCandCtes()}$ClusterCtes, clusters AS (
            |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
            |), csize AS (
            |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM clusters GROUP BY 1
@@ -1192,14 +1110,11 @@ object Extensions {
       (s, dir) => Dedup.minhashCalibration(Tables(s, dir).documents)
         .orderBy("est_matches"),
       Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
         val estExpr = (0 until Dedup.MinHashK)
           .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
+           |  $MinHashBandUnionSql
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
@@ -1244,11 +1159,8 @@ object Extensions {
       "x162_blocking_quality",
       (s, dir) => Dedup.blockingQuality(Tables(s, dir).documents),
       Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
         s"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
+           |  $MinHashBandUnionSql
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
@@ -1546,39 +1458,7 @@ object Extensions {
       (s, dir) => graft.ext.Pipeline.leakageSafeSplit(Tables(s, dir).documents, 0.3, 0.8, 0.1)
         .orderBy("doc_id"),
       Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
-        val base = s"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |), sizes AS (
-           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-           |), inter AS (
-           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.doc_a
-           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-           |  GROUP BY 1, 2
-           |), dup_pairs AS (
-           |  SELECT doc_a, doc_b FROM (
-           |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-           |    FROM inter
-           |    JOIN sizes na ON na.doc_id = doc_a
-           |    JOIN sizes nb ON nb.doc_id = doc_b) j
-           |  WHERE jaccard >= 0.3
-           |), sym AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
-           |  UNION ALL
-           |  SELECT doc_b, doc_a FROM dup_pairs
-           |), reach(a, b) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-           |), clusters AS (
+        val base = s"""$ShingleCtes $SigCte${lshCandCtes()}$ClusterCtes, clusters AS (
            |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
            |), uni AS (
            |  SELECT doc_id, cluster,
@@ -1614,11 +1494,8 @@ object Extensions {
           .orderBy("source_a", "source_b")
       },
       Some {
-        val bandUnion = (0 until Dedup.NumBands)
-          .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
-          .mkString("\n  UNION ALL ")
         s"""$ShingleCtes $SigCte, bands AS (
-           |  $bandUnion
+           |  $MinHashBandUnionSql
            |), kept AS (
            |  SELECT doc_id, band_idx, band_key FROM bands
            |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= $LshBucketCap

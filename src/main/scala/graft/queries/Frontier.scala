@@ -23,7 +23,33 @@ object Frontier {
 
   private val K = Dedup.MinHashK
 
-  def defs: Seq[QueryDef] = Seq(
+  /** Poisson(1) inverse-CDF CASE ladder over a uniform `u` — the SQL
+    * twin of Curation.poissonWeight, ONE definition for the x188/x204
+    * bootstrap oracles (the est2_fp 1e9→1e6 regrind had to be applied
+    * in two copies; a future single-site ladder edit would silently
+    * desynchronize one oracle from the deployed sampler). */
+  private lazy val PoissonLadderSql: String =
+    """CASE WHEN u < exp(-1.0) THEN 0
+      |              WHEN u < exp(-1.0) * 2.0 THEN 1
+      |              WHEN u < exp(-1.0) * 2.5 THEN 2
+      |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0) THEN 3
+      |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0) THEN 4
+      |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0 + 1.0/120.0)
+      |                THEN 5
+      |              ELSE 6 END""".stripMargin
+
+  /** Derandomized bootstrap uniform from (`idCol`, replicate r): md5
+    * first-8-hex mod 1e6 midpoint on the `|boot|` salt stream — the SQL
+    * twin of the Spark side's hash32 draw, shared by both bootstrap
+    * oracles. */
+  // ONE LINE by design: continuation lines starting with "||" would be
+  // half-eaten by the CALLER's stripMargin (it strips through the first
+  // '|' of the concat operator).
+  private def bootUniformSql(idCol: String): String =
+    s"(CAST(CAST(('0x'||substring(md5(CAST($idCol AS VARCHAR) || '|boot|' " +
+      s"|| CAST(r AS VARCHAR)),1,8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0"
+
+  val defs: Seq[QueryDef] = Seq(
 
     // DSIR (Xie et al. 2023): hashed-unigram importance weights against a
     // target source, top-20% selection. The "model" is 64 bucket
@@ -713,20 +739,11 @@ object Frontier {
              |  FROM purch CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS r)
              |), uu AS (
              |  SELECT cents, r,
-             |         (CAST(CAST(('0x'||substring(md5(CAST(event_id AS VARCHAR)
-             |             || '|boot|' || CAST(r AS VARCHAR)),1,8)) AS BIGINT)
-             |           % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+             |         ${bootUniformSql("event_id")} AS u
              |  FROM expl
              |), ww AS (
              |  SELECT cents, r,
-             |         CASE WHEN u < exp(-1.0) THEN 0
-             |              WHEN u < exp(-1.0) * 2.0 THEN 1
-             |              WHEN u < exp(-1.0) * 2.5 THEN 2
-             |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0) THEN 3
-             |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0) THEN 4
-             |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0 + 1.0/120.0)
-             |                THEN 5
-             |              ELSE 6 END AS w
+             |         $PoissonLadderSql AS w
              |  FROM uu
              |), per AS (
              |  SELECT r, floor(CAST(SUM(w * cents) AS DOUBLE)
@@ -1432,14 +1449,7 @@ object Frontier {
       "x204_ab_test_harness",
       (s, dir) => Curation.abTestHarness(Tables(s, dir).events),
       Some {
-        val w = """CASE WHEN u < exp(-1.0) THEN 0
-                  |              WHEN u < exp(-1.0) * 2.0 THEN 1
-                  |              WHEN u < exp(-1.0) * 2.5 THEN 2
-                  |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0) THEN 3
-                  |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0) THEN 4
-                  |              WHEN u < exp(-1.0) * (2.5 + 1.0/6.0 + 1.0/24.0
-                  |                + 1.0/120.0) THEN 5
-                  |              ELSE 6 END""".stripMargin
+        val w = PoissonLadderSql
         raw"""WITH pu AS (
              |  SELECT user_id,
              |         CAST(SUM(CASE WHEN event_type = 'purchase'
@@ -1463,9 +1473,7 @@ object Frontier {
              |  FROM pu CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS r)
              |), uu AS (
              |  SELECT arm, y, r,
-             |         (CAST(CAST(('0x'||substring(md5(CAST(user_id AS VARCHAR)
-             |             || '|boot|' || CAST(r AS VARCHAR)),1,8)) AS BIGINT)
-             |           % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+             |         ${bootUniformSql("user_id")} AS u
              |  FROM ex
              |), ww AS (
              |  SELECT arm, y, r,
