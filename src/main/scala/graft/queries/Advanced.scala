@@ -30,6 +30,13 @@ object Advanced {
     * and the greedy left-to-right application as a recursive fold (m_k →
     * s_k). Generated, not hand-written, so the round structure matches
     * [[BpeRounds]] by construction.
+    *
+    * Each b_k carries a NULL sentinel row when its pair table is empty
+    * (every surviving word already a single symbol): the fold CROSS
+    * JOINs b_k, so an empty winner table would otherwise drop EVERY
+    * word from round k on — while the Spark side passes unmergeable
+    * words through unchanged. The NULL merge matches nothing, so the
+    * sentinel round is exactly that pass-through.
     */
   private lazy val BpeOracleStages: String = {
     val head =
@@ -51,8 +58,11 @@ object Advanced {
            |        FROM s${k - 1})
            |  GROUP BY 1, 2
            |), b$k AS (
-           |  SELECT left_sym, right_sym, pair_count FROM p$k
-           |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+           |  (SELECT left_sym, right_sym, pair_count FROM p$k
+           |   ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)
+           |  UNION ALL
+           |  (SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+           |   WHERE NOT EXISTS (SELECT 1 FROM p$k))
            |), m$k AS (
            |  SELECT word, cnt, sym, 1 AS i, []::VARCHAR[] AS acc FROM s${k - 1}
            |  UNION ALL
@@ -69,6 +79,37 @@ object Advanced {
     head + stages.mkString + "\n"
   }
 
+  /** The covariance sufficient-statistics chain fp → tri: 1e-6 snap,
+    * upper-triangle dim self-join, exact BIGINT sums. ONE text shared
+    * by [[CovOracleSql]] (x132 AND x139) and [[PcaOracleSql]]'s head.
+    */
+  private lazy val CovTriCtes: String =
+    """WITH fp AS (
+      |  SELECT e.vec_id, d.dim,
+      |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5)
+      |              AS BIGINT) AS v
+      |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
+      |), tri AS (
+      |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(a.v) AS BIGINT) AS sx,
+      |         CAST(SUM(b.v) AS BIGINT) AS sy,
+      |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+      |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** The full covariance oracle — used VERBATIM by x132 and x139: x139's
+    * gate hash-matches the incremental merge against this full
+    * recompute, a proof that only holds by construction if the two
+    * oracles are the same string. */
+  private lazy val CovOracleSql: String = CovTriCtes +
+    """
+      |SELECT dim_i, dim_j, n, sxy,
+      |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+      |         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov
+      |FROM tri ORDER BY dim_i, dim_j""".stripMargin
+
   /** x136's round count (power iteration on the covariance matrix). */
   private val PcaIters = 3
 
@@ -79,21 +120,8 @@ object Advanced {
     * so the renormalization is bit-identical.
     */
   private lazy val PcaOracleSql: String = {
-    val head =
-      """WITH fp AS (
-        |  SELECT e.vec_id, d.dim,
-        |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5)
-        |              AS BIGINT) AS v
-        |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
-        |), tri AS (
-        |  SELECT a.dim AS dim_i, b.dim AS dim_j,
-        |         CAST(COUNT(*) AS BIGINT) AS n,
-        |         CAST(SUM(a.v) AS BIGINT) AS sx,
-        |         CAST(SUM(b.v) AS BIGINT) AS sy,
-        |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
-        |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-        |  GROUP BY 1, 2
-        |), cfp AS (
+    val head = CovTriCtes +
+      """, cfp AS (
         |  SELECT dim_i, dim_j,
         |         CAST(FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
         |           / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS c_fp
@@ -201,6 +229,15 @@ object Advanced {
     * the sums are exact (BIGINT / decimal-cast-before-sum), so casting
     * them to double and running the same IEEE expression tree yields
     * identical bits in both engines. Degenerate variance → NULL.
+    *
+    * Envelope, fail-fast by construction: the n·sxx / sx·sx products run
+    * in the stats' NATIVE types (the consumers mix BIGINT counts with
+    * scale-4 decimal money sums — a forced integer-decimal recast here
+    * would silently truncate the money stats' fractional digits), so
+    * past ~2^63 the products stop loudly on BOTH sides — Spark 4's
+    * default ANSI arithmetic throws on the overflow and DuckDB raises —
+    * rather than wrapping. A corpus that large re-grids its stats (the
+    * x118 convention) instead of widening this shared tree.
     */
   private val CorrFormula =
     """CASE WHEN (n*sxx - sx*sx) <= 0 OR (n*syy - sy*sy) <= 0 THEN NULL
@@ -212,6 +249,59 @@ object Advanced {
     */
   private val KmK = 8
   private val KmIters = 2
+
+  /** The shared SCD-2 fixture of x65/x87/x93: the customer-segment
+    * history, the post-2000 PREMIUM update batch, and Upsert.scd2's
+    * merge at effective date 2001-06-01 — built ONCE so the three gates
+    * exercise the same merge convention by construction (previously
+    * three hand-kept copies on each side). */
+  private def scd2Fixture(t: Tables)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val hist = t.customer.select(col("c_custkey").as("cust_id"),
+      col("c_mktsegment").as("segment"),
+      lit("2000-01-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"))
+    val rev = t.orders.filter(col("o_orderdate") >= "2000-01-01")
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
+    val upd = rev.join(t.customer, col("cust_id") === col("c_custkey"))
+      .select(col("cust_id"),
+        when(col("rev") >= 1000000.0, lit("PREMIUM"))
+          .otherwise(col("c_mktsegment")).as("segment"))
+    val merged = graft.ops.Upsert.scd2(hist, upd, "cust_id", Seq("segment"),
+      "2001-06-01")
+    (hist, upd, merged)
+  }
+
+  /** hist → upd → merged as DuckDB CTEs — the oracle twin of
+    * [[scd2Fixture]], ONE text for the x65/x87/x93 gates. */
+  private lazy val Scd2OracleCtes: String =
+    """WITH hist AS (
+      |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+      |         '2000-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      |  FROM customer
+      |), upd AS (
+      |  SELECT r.cust_id,
+      |         CASE WHEN r.rev >= 1000000.0 THEN 'PREMIUM' ELSE c.c_mktsegment END AS segment
+      |  FROM (SELECT o_custkey AS cust_id,
+      |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |        FROM orders WHERE o_orderdate >= '2000-01-01' GROUP BY 1) r
+      |  JOIN customer c ON c.c_custkey = r.cust_id
+      |), merged AS (
+      |  SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
+      |  FROM hist h LEFT JOIN upd u ON u.cust_id = h.cust_id
+      |  WHERE u.cust_id IS NULL OR u.segment IS NOT DISTINCT FROM h.segment
+      |  UNION ALL
+      |  SELECT h.cust_id, h.segment, h.valid_from, '2001-06-01'
+      |  FROM hist h JOIN upd u ON u.cust_id = h.cust_id
+      |  WHERE u.segment IS DISTINCT FROM h.segment
+      |  UNION ALL
+      |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
+      |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
+      |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
+      |)""".stripMargin
+
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -258,7 +348,7 @@ object Advanced {
              |  FROM events WHERE event_type = 'purchase'
              |)
              |SELECT i.hour, i.n_errors,
-             |  CAST(COUNT(p.user_id) AS BIGINT) AS n_purchases,
+             |  CAST(COUNT(p.p_ts) AS BIGINT) AS n_purchases,
              |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
              |  coalesce(CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS purchase_value
              |FROM inc i LEFT JOIN pur p
@@ -1019,14 +1109,7 @@ object Advanced {
         .orderBy("vec_id"),
       Some {
         val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
-          s""", dup AS (
-             |  SELECT vec_a, vec_b FROM (
-             |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-             |    FROM cand c
-             |    JOIN e ea ON ea.vec_id = c.vec_a
-             |    JOIN e eb ON eb.vec_id = c.vec_b) p
-             |  WHERE cosine >= 0.4
-             |), sym AS (
+          dupCteSql() + s""", sym AS (
              |  SELECT vec_a AS src, vec_b AS dst FROM dup
              |  UNION ALL
              |  SELECT vec_b, vec_a FROM dup
@@ -1157,46 +1240,13 @@ object Advanced {
     QueryDef(
       "x65_scd2_segments",
       (s, dir) => {
-        val t = Tables(s, dir)
-        val hist = t.customer.select(col("c_custkey").as("cust_id"),
-          col("c_mktsegment").as("segment"),
-          lit("2000-01-01").as("valid_from"),
-          lit(null).cast("string").as("valid_to"))
-        val rev = t.orders.filter(col("o_orderdate") >= "2000-01-01")
-          .groupBy(col("o_custkey").as("cust_id"))
-          .agg(moneySum(col("o_totalprice")).as("rev"))
-        val upd = rev.join(t.customer, col("cust_id") === col("c_custkey"))
-          .select(col("cust_id"),
-            when(col("rev") >= 1000000.0, lit("PREMIUM"))
-              .otherwise(col("c_mktsegment")).as("segment"))
-        graft.ops.Upsert.scd2(hist, upd, "cust_id", Seq("segment"), "2001-06-01")
-          .orderBy("cust_id", "valid_from")
+        val (_, _, merged) = scd2Fixture(Tables(s, dir))
+        merged.orderBy("cust_id", "valid_from")
       },
-      Some("""WITH hist AS (
-             |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
-             |         '2000-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
-             |  FROM customer
-             |), upd AS (
-             |  SELECT r.cust_id,
-             |         CASE WHEN r.rev >= 1000000.0 THEN 'PREMIUM' ELSE c.c_mktsegment END AS segment
-             |  FROM (SELECT o_custkey AS cust_id,
-             |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
-             |        FROM orders WHERE o_orderdate >= '2000-01-01' GROUP BY 1) r
-             |  JOIN customer c ON c.c_custkey = r.cust_id
-             |)
-             |SELECT cust_id, segment, valid_from, valid_to FROM (
-             |  SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
-             |  FROM hist h LEFT JOIN upd u ON u.cust_id = h.cust_id
-             |  WHERE u.cust_id IS NULL OR u.segment IS NOT DISTINCT FROM h.segment
-             |  UNION ALL
-             |  SELECT h.cust_id, h.segment, h.valid_from, '2001-06-01'
-             |  FROM hist h JOIN upd u ON u.cust_id = h.cust_id
-             |  WHERE u.segment IS DISTINCT FROM h.segment
-             |  UNION ALL
-             |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
-             |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
-             |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
-             |) ORDER BY cust_id, valid_from""".stripMargin)),
+      Some(Scd2OracleCtes +
+        """
+          |SELECT cust_id, segment, valid_from, valid_to FROM merged
+          |ORDER BY cust_id, valid_from""".stripMargin)),
 
     // Benchmark decontamination (TextAnalysis.contamination): every
     // training document's distinct-8-gram overlap with the held-out eval
@@ -1397,14 +1447,7 @@ object Advanced {
       Some {
         val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
           Similarity.SparseBucketCap) +
-          """, dup AS (
-            |  SELECT vec_a, vec_b FROM (
-            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-            |    FROM cand c
-            |    JOIN e ea ON ea.vec_id = c.vec_a
-            |    JOIN e eb ON eb.vec_id = c.vec_b) p
-            |  WHERE cosine >= 0.4
-            |), sym AS (
+          dupCteSql() + """, sym AS (
             |  SELECT vec_a AS src, vec_b AS dst FROM dup
             |  UNION ALL
             |  SELECT vec_b, vec_a FROM dup
@@ -1522,14 +1565,7 @@ object Advanced {
       Some {
         val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
           Similarity.SparseBucketCap) +
-          """, dup AS (
-            |  SELECT vec_a, vec_b FROM (
-            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-            |    FROM cand c
-            |    JOIN e ea ON ea.vec_id = c.vec_a
-            |    JOIN e eb ON eb.vec_id = c.vec_b) p
-            |  WHERE cosine >= 0.4
-            |), sym AS (
+          dupCteSql() + """, sym AS (
             |  SELECT vec_a AS src, vec_b AS dst FROM dup
             |  UNION ALL
             |  SELECT vec_b, vec_a FROM dup
@@ -1666,14 +1702,7 @@ object Advanced {
           .orderBy("vec_id")
       },
       Some(bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
-        """, dup AS (
-          |  SELECT vec_a, vec_b FROM (
-          |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-          |    FROM cand c
-          |    JOIN e ea ON ea.vec_id = c.vec_a
-          |    JOIN e eb ON eb.vec_id = c.vec_b) p
-          |  WHERE cosine >= 0.4
-          |), deg AS (
+        dupCteSql() + """, deg AS (
           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
           |    SELECT vec_a AS id FROM dup UNION ALL SELECT vec_b FROM dup) u
           |  GROUP BY 1
@@ -1893,51 +1922,16 @@ object Advanced {
     QueryDef(
       "x87_scd2_asof",
       (s, dir) => {
-        val t = Tables(s, dir)
-        val hist = t.customer.select(col("c_custkey").as("cust_id"),
-          col("c_mktsegment").as("segment"),
-          lit("2000-01-01").as("valid_from"),
-          lit(null).cast("string").as("valid_to"))
-        val rev = t.orders.filter(col("o_orderdate") >= "2000-01-01")
-          .groupBy(col("o_custkey").as("cust_id"))
-          .agg(moneySum(col("o_totalprice")).as("rev"))
-        val upd = rev.join(t.customer, col("cust_id") === col("c_custkey"))
-          .select(col("cust_id"),
-            when(col("rev") >= 1000000.0, lit("PREMIUM"))
-              .otherwise(col("c_mktsegment")).as("segment"))
-        val merged = graft.ops.Upsert.scd2(hist, upd, "cust_id", Seq("segment"),
-          "2001-06-01")
+        val (_, _, merged) = scd2Fixture(Tables(s, dir))
         graft.ops.Upsert.asOfSnapshot(merged, "2000-06-01")
           .withColumn("as_of", lit("2000-06-01"))
           .unionByName(graft.ops.Upsert.asOfSnapshot(merged, "2001-06-01")
             .withColumn("as_of", lit("2001-06-01")))
           .orderBy("as_of", "cust_id")
       },
-      Some("""WITH hist AS (
-             |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
-             |         '2000-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
-             |  FROM customer
-             |), upd AS (
-             |  SELECT r.cust_id,
-             |         CASE WHEN r.rev >= 1000000.0 THEN 'PREMIUM' ELSE c.c_mktsegment END AS segment
-             |  FROM (SELECT o_custkey AS cust_id,
-             |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
-             |        FROM orders WHERE o_orderdate >= '2000-01-01' GROUP BY 1) r
-             |  JOIN customer c ON c.c_custkey = r.cust_id
-             |), merged AS (
-             |  SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
-             |  FROM hist h LEFT JOIN upd u ON u.cust_id = h.cust_id
-             |  WHERE u.cust_id IS NULL OR u.segment IS NOT DISTINCT FROM h.segment
-             |  UNION ALL
-             |  SELECT h.cust_id, h.segment, h.valid_from, '2001-06-01'
-             |  FROM hist h JOIN upd u ON u.cust_id = h.cust_id
-             |  WHERE u.segment IS DISTINCT FROM h.segment
-             |  UNION ALL
-             |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
-             |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
-             |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
-             |)
-             |SELECT cust_id, segment, as_of FROM (
+      Some(Scd2OracleCtes +
+        """
+          |SELECT cust_id, segment, as_of FROM (
              |  SELECT cust_id, segment, '2000-06-01' AS as_of FROM merged
              |  WHERE valid_from <= '2000-06-01'
              |    AND (valid_to IS NULL OR valid_to > '2000-06-01')
@@ -2091,49 +2085,15 @@ object Advanced {
       "x93_scd2_temporal_join",
       (s, dir) => {
         val t = Tables(s, dir)
-        val hist = t.customer.select(col("c_custkey").as("cust_id"),
-          col("c_mktsegment").as("segment"),
-          lit("2000-01-01").as("valid_from"),
-          lit(null).cast("string").as("valid_to"))
-        val rev = t.orders.filter(col("o_orderdate") >= "2000-01-01")
-          .groupBy(col("o_custkey").as("cust_id"))
-          .agg(moneySum(col("o_totalprice")).as("rev"))
-        val upd = rev.join(t.customer, col("cust_id") === col("c_custkey"))
-          .select(col("cust_id"),
-            when(col("rev") >= 1000000.0, lit("PREMIUM"))
-              .otherwise(col("c_mktsegment")).as("segment"))
-        val merged = graft.ops.Upsert.scd2(hist, upd, "cust_id", Seq("segment"),
-          "2001-06-01")
+        val (_, _, merged) = scd2Fixture(t)
         val facts = t.orders.select(col("o_orderkey"), col("o_custkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
         graft.ops.Upsert.temporalJoin(facts, merged,
           "o_custkey", "cust_id", "o_date")
           .orderBy("o_orderkey")
       },
-      Some("""WITH hist AS (
-             |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
-             |         '2000-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
-             |  FROM customer
-             |), upd AS (
-             |  SELECT r.cust_id,
-             |         CASE WHEN r.rev >= 1000000.0 THEN 'PREMIUM' ELSE c.c_mktsegment END AS segment
-             |  FROM (SELECT o_custkey AS cust_id,
-             |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
-             |        FROM orders WHERE o_orderdate >= '2000-01-01' GROUP BY 1) r
-             |  JOIN customer c ON c.c_custkey = r.cust_id
-             |), merged AS (
-             |  SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
-             |  FROM hist h LEFT JOIN upd u ON u.cust_id = h.cust_id
-             |  WHERE u.cust_id IS NULL OR u.segment IS NOT DISTINCT FROM h.segment
-             |  UNION ALL
-             |  SELECT h.cust_id, h.segment, h.valid_from, '2001-06-01'
-             |  FROM hist h JOIN upd u ON u.cust_id = h.cust_id
-             |  WHERE u.segment IS DISTINCT FROM h.segment
-             |  UNION ALL
-             |  SELECT u.cust_id, u.segment, '2001-06-01', CAST(NULL AS VARCHAR)
-             |  FROM upd u LEFT JOIN hist h ON h.cust_id = u.cust_id
-             |  WHERE h.cust_id IS NULL OR u.segment IS DISTINCT FROM h.segment
-             |), facts AS (
+      Some(Scd2OracleCtes +
+        """, facts AS (
              |  SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
              |  FROM orders
              |)
@@ -2216,14 +2176,7 @@ object Advanced {
       Some {
         val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
           Similarity.SparseBucketCap) +
-          """, dup AS (
-            |  SELECT vec_a, vec_b, CAST(FLOOR(cosine * 1000.0 + 0.5) AS BIGINT) AS w FROM (
-            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-            |    FROM cand c
-            |    JOIN e ea ON ea.vec_id = c.vec_a
-            |    JOIN e eb ON eb.vec_id = c.vec_b) p
-            |  WHERE cosine >= 0.4
-            |), sym AS (
+          dupCteSql(weighted = true) + """, sym AS (
             |  SELECT vec_a AS src, vec_b AS dst, w FROM dup
             |  UNION ALL
             |  SELECT vec_b, vec_a, w FROM dup
@@ -2270,10 +2223,18 @@ object Advanced {
           .select(col("nation"), abs(col("o_totalprice") - col("med")).as("dev"))
           .groupBy("nation")
           .agg(expr("percentile(dev, 0.5)").as("mad"))
+        // mad = 0 (>= half the nation's orders AT the median) must be
+        // guarded: the modified z-score is undefined, and the two
+        // engines disagree on double division by zero (Spark yields
+        // ±Infinity — every row "an outlier" — while DuckDB yields NULL
+        // — no rows). NULL mz → filtered, on both sides: a degenerate
+        // nation reports no outliers rather than all of them.
         o.join(broadcast(med), Seq("nation"))
           .join(broadcast(mad), Seq("nation"))
           .select(col("nation"), col("o_orderkey"), col("o_totalprice"),
-            (lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad")).as("mz"))
+            when(col("mad") > 0,
+              lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad"))
+              .as("mz"))
           .filter(abs(col("mz")) > 1.5)
           .orderBy("nation", "o_orderkey")
       },
@@ -2287,10 +2248,12 @@ object Advanced {
              |  FROM o JOIN med m ON m.nation = o.nation GROUP BY 1
              |)
              |SELECT o.nation, o.o_orderkey, o.o_totalprice,
-             |       0.6745 * (o.o_totalprice - m.med) / d.mad AS mz
+             |       CASE WHEN d.mad > 0
+             |            THEN 0.6745 * (o.o_totalprice - m.med) / d.mad END AS mz
              |FROM o JOIN med m ON m.nation = o.nation
              |JOIN mad d ON d.nation = o.nation
-             |WHERE abs(0.6745 * (o.o_totalprice - m.med) / d.mad) > 1.5
+             |WHERE abs(CASE WHEN d.mad > 0
+             |               THEN 0.6745 * (o.o_totalprice - m.med) / d.mad END) > 1.5
              |ORDER BY o.nation, o.o_orderkey""".stripMargin)),
 
     // One-pass data profiling (model.Profile) — per-column row/null/
@@ -2411,14 +2374,7 @@ object Advanced {
       },
       Some {
         val base = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
-          """, dup AS (
-            |  SELECT vec_a, vec_b FROM (
-            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-            |    FROM cand c
-            |    JOIN e ea ON ea.vec_id = c.vec_a
-            |    JOIN e eb ON eb.vec_id = c.vec_b) p
-            |  WHERE cosine >= 0.4
-            |), sym AS (
+          dupCteSql() + """, sym AS (
             |  SELECT vec_a AS src, vec_b AS dst FROM dup
             |  UNION ALL
             |  SELECT vec_b, vec_a FROM dup
@@ -2587,14 +2543,7 @@ object Advanced {
           .select(col("vec_a").as("src"), col("vec_b").as("dst"))),
       Some {
         bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
-          """, dup AS (
-            |  SELECT vec_a, vec_b FROM (
-            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-            |    FROM cand c
-            |    JOIN e ea ON ea.vec_id = c.vec_a
-            |    JOIN e eb ON eb.vec_id = c.vec_b) p
-            |  WHERE cosine >= 0.4
-            |), sym AS (
+          dupCteSql() + """, sym AS (
             |  SELECT vec_a AS u, vec_b AS v FROM dup
             |  UNION ALL
             |  SELECT vec_b, vec_a FROM dup
@@ -3020,6 +2969,15 @@ object Advanced {
           .join(sums.select(col("label").as("label_b"), col("dim"), col("s").as("sb")), Seq("dim"))
           .filter(col("label_a") < col("label_b"))
           .groupBy(col("label_a"), col("label_b"))
+          // BIGINT envelope, fail-fast by construction: |s| <= n_label·1e6,
+          // so the dot_fp OUTPUT (Σ_dim sa·sb, pinned exact BIGINT in both
+          // engines) saturates its own column type near ~380 vectors per
+          // label — under ANSI arithmetic (Spark 4 default) the sum THROWS
+          // there rather than wrapping, and DuckDB raises on the HUGEINT→
+          // BIGINT cast at the same point, so both engines stop loudly at
+          // the same envelope. A corpus past it needs a coarser grid
+          // (1e3), not silent widening: widening only the internal
+          // products would still overflow the published output column.
           .agg(sum(col("sa") * col("sb")).as("dot_fp"))
         val norms = sums.groupBy(col("label")).agg(sum(col("s") * col("s")).as("nrm"))
         dots
@@ -3594,24 +3552,7 @@ object Advanced {
       "x132_embedding_covariance",
       (s, dir) => graft.ext.Similarity.covarianceMatrix(Tables(s, dir).embeddings)
         .orderBy("dim_i", "dim_j"),
-      Some("""WITH fp AS (
-             |  SELECT e.vec_id, d.dim,
-             |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5)
-             |              AS BIGINT) AS v
-             |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
-             |), tri AS (
-             |  SELECT a.dim AS dim_i, b.dim AS dim_j,
-             |         CAST(COUNT(*) AS BIGINT) AS n,
-             |         CAST(SUM(a.v) AS BIGINT) AS sx,
-             |         CAST(SUM(b.v) AS BIGINT) AS sy,
-             |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
-             |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-             |  GROUP BY 1, 2
-             |)
-             |SELECT dim_i, dim_j, n, sxy,
-             |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
-             |         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov
-             |FROM tri ORDER BY dim_i, dim_j""".stripMargin)),
+      Some(CovOracleSql)),
 
     // Incremental covariance maintenance (Similarity.covarianceIncremental):
     // the corpus split into base (vec_id % 5 != 0) and an append batch
@@ -3626,24 +3567,7 @@ object Advanced {
             emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0))
           .orderBy("dim_i", "dim_j")
       },
-      Some("""WITH fp AS (
-             |  SELECT e.vec_id, d.dim,
-             |         CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1000000.0 + 0.5)
-             |              AS BIGINT) AS v
-             |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS dim) d
-             |), tri AS (
-             |  SELECT a.dim AS dim_i, b.dim AS dim_j,
-             |         CAST(COUNT(*) AS BIGINT) AS n,
-             |         CAST(SUM(a.v) AS BIGINT) AS sx,
-             |         CAST(SUM(b.v) AS BIGINT) AS sy,
-             |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
-             |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-             |  GROUP BY 1, 2
-             |)
-             |SELECT dim_i, dim_j, n, sxy,
-             |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
-             |         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov
-             |FROM tri ORDER BY dim_i, dim_j""".stripMargin)),
+      Some(CovOracleSql)),
 
     // Distribution-matching resampler (Pipeline.distributionMatch):
     // acceptance-sample every source's length histogram toward src0's
@@ -4353,14 +4277,7 @@ object Advanced {
       Some {
         val base = bandCandSql(Similarity.SparseBands, Similarity.SparseBandBits,
           Similarity.SparseBucketCap) +
-          """, dup AS (
-            |  SELECT vec_a, vec_b FROM (
-            |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-            |    FROM cand c
-            |    JOIN e ea ON ea.vec_id = c.vec_a
-            |    JOIN e eb ON eb.vec_id = c.vec_b) p
-            |  WHERE cosine >= 0.4
-            |), sym AS (
+          dupCteSql() + """, sym AS (
             |  SELECT vec_a AS src, vec_b AS dst FROM dup
             |  UNION ALL
             |  SELECT vec_b, vec_a FROM dup
@@ -4864,14 +4781,7 @@ object Advanced {
   private lazy val hitsOracleSql: String = {
     val base = 1000000L
     val graph = bandCandSql(Similarity.AnnBands, Similarity.AnnBandBits, 0) +
-      s""", dup AS (
-         |  SELECT vec_a, vec_b FROM (
-         |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
-         |    FROM cand c
-         |    JOIN e ea ON ea.vec_id = c.vec_a
-         |    JOIN e eb ON eb.vec_id = c.vec_b) p
-         |  WHERE cosine >= 0.4
-         |), ed AS (
+      dupCteSql() + s""", ed AS (
          |  SELECT vec_a AS src, vec_b AS dst FROM dup
          |), h0 AS (
          |  SELECT vec_id AS id, CAST($base AS BIGINT) AS hub FROM embeddings
@@ -5185,6 +5095,27 @@ object Advanced {
     */
   private lazy val sparseCandSql: String = bandCandSql(
     Similarity.SparseBands, Similarity.SparseBandBits, Similarity.SparseBucketCap)
+
+  /** The verified near-dup edge set over `cand`/`e` — the cosine-verify
+    * join + the 0.4 threshold, ONE definition for every graph-family
+    * oracle (the whole family must replay the SAME pair set as
+    * Similarity.annPairs; a threshold or join-shape tweak missed in one
+    * of the former nine hand-kept copies would silently gate one query
+    * against a different graph). `weighted = true` also carries the
+    * 1e-3 fixed-point edge weight (x91's weighted PageRank). */
+  private def dupCteSql(weighted: Boolean = false): String = {
+    val sel =
+      if (weighted) "vec_a, vec_b, CAST(FLOOR(cosine * 1000.0 + 0.5) AS BIGINT) AS w"
+      else "vec_a, vec_b"
+    s""", dup AS (
+       |  SELECT $sel FROM (
+       |    SELECT c.vec_a, c.vec_b, list_dot_product(ea.emb, eb.emb) AS cosine
+       |    FROM cand c
+       |    JOIN e ea ON ea.vec_id = c.vec_a
+       |    JOIN e eb ON eb.vec_id = c.vec_b) p
+       |  WHERE cosine >= 0.4
+       |)""".stripMargin
+  }
 
   /** Same chain at any banding density; cap <= 0 skips the kept filter
     * (the dense x11 preset). Shared with Frontier's x182 oracle. */
