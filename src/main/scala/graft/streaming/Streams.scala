@@ -666,7 +666,11 @@ object Streams {
     docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        exactSubstrScreenBatch(batch, indexPath, reportPath, gramLen, maxDocTokens)
+        // Empty-batch guard (the sibling-sink convention): an idle batch
+        // would otherwise pay the full O(index) read + rewrite + swap of
+        // BOTH stores for a no-op merge.
+        if (!batch.isEmpty)
+          exactSubstrScreenBatch(batch, indexPath, reportPath, gramLen, maxDocTokens)
       }
       .start()
 
