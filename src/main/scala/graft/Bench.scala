@@ -298,10 +298,16 @@ object Bench {
           // diagnostics (or overwrite bench_diag.json with them).
           val diagNames = Registry.all.filterNot(_.bench).map(_.name)
             .filter(n => only.forall(_.exists(n.startsWith))).sorted
-          val diag = diagNames.map(n => n -> materialize(n, diagDir))
-          val diagTotal = diag.collect { case (_, t) if t >= 0 => t }.sum
-          Some(
-            s"""{"metric":"diag_total","value":${num(diagTotal)},"unit":"sec","queries":${timesJson(diag)},"sf":"$diagDir"}""")
+          // A filter that matches no diagnostics writes NOTHING: an
+          // empty bench_diag.json would silently clobber the committed
+          // full-run artifact on every targeted local iteration.
+          if (diagNames.isEmpty) None
+          else {
+            val diag = diagNames.map(n => n -> materialize(n, diagDir))
+            val diagTotal = diag.collect { case (_, t) if t >= 0 => t }.sum
+            Some(
+              s"""{"metric":"diag_total","value":${num(diagTotal)},"unit":"sec","queries":${timesJson(diag)},"sf":"$diagDir"}""")
+          }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] diag pass failed: ${e.getMessage}")
