@@ -31,7 +31,7 @@ object Dedup {
   // that uses three of them tokenizes once — the dedup-family analog of
   // the warehouse's materialized view reuse.
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long), DataFrame]
 
   /** Exact dedup: annotate every document with its content-hash group —
     * group size and whether this row is the canonical (min doc_id)
@@ -51,7 +51,7 @@ object Dedup {
     */
   def shingles(docs: DataFrame): DataFrame =
     shingleCache.getOrElseUpdate(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash()),
+      (docs.sparkSession, PlanKeys.fingerprint(docs)),
       docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
         .select(col("doc_id"), col("ts"),
           explode(sequence(lit(1), greatest(size(col("ts")) - 1, lit(1)))).as("i"))
@@ -72,7 +72,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
     sigCache.getOrElseUpdate(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash()), {
+      (docs.sparkSession, PlanKeys.fingerprint(docs)), {
         val h = md5(col("shingle").cast("binary"))
         val withH = shingles(docs).select(col("doc_id"),
           conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
@@ -89,11 +89,11 @@ object Dedup {
       })
 
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long), DataFrame]
   private val setCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long), DataFrame]
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int, Double, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long, Double, Int), DataFrame]
 
   /** LSH candidate pairs verified by exact Jaccard: docs sharing any band
     * bucket are candidates (equi-join on the band key — the whole point of
@@ -118,7 +118,7 @@ object Dedup {
   def lshDedupPairs(docs: DataFrame, threshold: Double = 0.3,
       bucketCap: Int = 0): DataFrame =
     pairCache.getOrElseUpdate(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), threshold, bucketCap),
+      (docs.sparkSession, PlanKeys.fingerprint(docs), threshold, bucketCap),
       lshDedupPairsUncached(docs, threshold, bucketCap).cache())
 
   /** Banded LSH candidate pairs BEFORE exact verification — (doc_a, doc_b)
@@ -149,7 +149,7 @@ object Dedup {
     val candidates = bandedCandidates(docs, bucketCap)
 
     val sets = setCache.getOrElseUpdate(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash()),
+      (docs.sparkSession, PlanKeys.fingerprint(docs)),
       shingles(docs).groupBy("doc_id").agg(collect_set(col("shingle")).as("sh")).cache())
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

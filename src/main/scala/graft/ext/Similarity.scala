@@ -170,7 +170,7 @@ object Similarity {
   def annPairs(embeddings: DataFrame, threshold: Double,
       bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame =
     pairsCache.getOrElseUpdate(
-      (embeddings.sparkSession, embeddings.queryExecution.analyzed.semanticHash(),
+      (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         math.round(threshold * 1e9), bands, bandBits, bucketCap), {
         val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         candidatePairs(embeddings, bands, bandBits, bucketCap)
@@ -197,7 +197,7 @@ object Similarity {
   // methodology scaladoc (round-12 clarification, on advice).
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[
-      (org.apache.spark.sql.SparkSession, Int, Long, Int, Int, Int), DataFrame]
+      (org.apache.spark.sql.SparkSession, Long, Long, Int, Int, Int), DataFrame]
 
   // annPairs and annTopK share the banded candidate set (x11 + x27 in one
   // run would otherwise band + distinct the corpus twice). Cached per
@@ -205,7 +205,7 @@ object Similarity {
   // frames; released via clearCaches from the entry points' teardown.
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[
-      (org.apache.spark.sql.SparkSession, Int, Int, Int, Int), DataFrame]
+      (org.apache.spark.sql.SparkSession, Long, Int, Int, Int), DataFrame]
 
   /** Distinct undirected banded candidate pairs (vec_a < vec_b).
     *
@@ -222,7 +222,7 @@ object Similarity {
   def candidatePairs(embeddings: DataFrame,
       bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame =
     candCache.getOrElseUpdate(
-      (embeddings.sparkSession, embeddings.queryExecution.analyzed.semanticHash(),
+      (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         bands, bandBits, bucketCap), {
         val banded = annBands(embeddings, bands, bandBits)
         val kept =
@@ -251,10 +251,10 @@ object Similarity {
       candCache.remove(k).foreach(_.unpersist(blocking = false))
     }
     kmCache.keys.filter(_._1 == spark).foreach { k =>
-      // Best-effort: unpersist drops any cached lineage; the
-      // localCheckpoint RDD blocks themselves are released by the
-      // ContextCleaner once this last reference is dropped.
-      kmCache.remove(k).foreach(_._2.unpersist(blocking = false))
+      // The label frame is localCheckpointed — Dataset.unpersist would
+      // be a silent no-op on those blocks (see ops.Ckpt); the tracked
+      // handle frees them deterministically.
+      kmCache.remove(k).foreach(_._3.release())
     }
   }
 
@@ -461,6 +461,12 @@ object Similarity {
       .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
       .select(col("qid"), col("doc_id"), col("rel"), col("pen"), col("mmr"),
         lit(1).as("round"))
+    // Tracked round states (the ops/Graph Pregel-loop discipline):
+    // each round's checkpoint releases as soon as the next round has
+    // materialized — a bare localCheckpoint's blocks would outlive the
+    // call until a JVM GC ran. The final state's handle is NOT released
+    // (the returned frame reads it); it frees via GC like any result.
+    var selH = graft.ops.Ckpt.empty
     for (t <- 2 to k) {
       val remaining = cand.join(selected.select("qid", "doc_id"), Seq("qid", "doc_id"),
         "left_anti")
@@ -473,7 +479,10 @@ object Similarity {
         .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
         .select(col("qid"), col("doc_id"), col("rel"), col("pen"), col("mmr"),
           lit(t).as("round"))
-      selected = selected.unionByName(next).localCheckpoint()
+      val (sel2, h2) = graft.ops.Ckpt.tracked(selected.unionByName(next))
+      selH.release()
+      selected = sel2
+      selH = h2
     }
     selected.select(col("qid"), col("round"), col("doc_id"),
       col("rel"), col("pen"), col("mmr"))
@@ -686,15 +695,21 @@ object Similarity {
       .select(col("dim_i").as("i"), col("dim_j").as("j"), col("c_fp"))
       .localCheckpoint() // referenced once per round; truncate the corpus lineage
     var v = (1 to dim).map(d => (d, if (d == 1) 1000000L else 0L)).toDF("j", "v_fp")
+    // Tracked round states: superseded iterates free as soon as the
+    // next has materialized (the ops/Graph loop discipline); only the
+    // final state outlives the loop, via the returned frame.
+    var vH = graft.ops.Ckpt.empty
     for (_ <- 1 to iterations) {
       val w = full.join(v, Seq("j"))
         .groupBy(col("i")).agg(sum(col("c_fp") * col("v_fp")).as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
+      val (v2, h2) = graft.ops.Ckpt.tracked(w.crossJoin(broadcast(m))
         .select(col("i").as("j"),
           expr("w DIV (CASE WHEN m DIV 1000000 = 0 THEN 1 ELSE m DIV 1000000 END)")
-            .as("v_fp"))
-        .localCheckpoint()
+            .as("v_fp")))
+      vH.release()
+      v = v2
+      vH = h2
     }
     v.select(col("j").as("dim"), col("v_fp"),
       (col("v_fp").cast("double") / lit(1000000.0)).as("component"))
@@ -1209,18 +1224,20 @@ object Similarity {
   // x58 share one training run (labels are localCheckpointed, so reuse is
   // a lineage-free read); released via clearCaches.
   private val kmCache = scala.collection.concurrent.TrieMap.empty[
-    (org.apache.spark.sql.SparkSession, Int, Int, Int, Double),
-    (Array[Array[Double]], DataFrame)]
+    (org.apache.spark.sql.SparkSession, Long, Int, Int, Double),
+    (Array[Array[Double]], DataFrame, graft.ops.Ckpt.Handle)]
 
   def kMeans(embeddings: DataFrame, k: Int, iterations: Int = 5, snapScale: Double = 0)
-      : (Array[Array[Double]], DataFrame) =
-    kmCache.getOrElseUpdate(
-      (embeddings.sparkSession, embeddings.queryExecution.analyzed.semanticHash(),
+      : (Array[Array[Double]], DataFrame) = {
+    val (centroids, labels, _) = kmCache.getOrElseUpdate(
+      (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         k, iterations, snapScale),
       kMeansUncached(embeddings, k, iterations, snapScale))
+    (centroids, labels)
+  }
 
   private def kMeansUncached(embeddings: DataFrame, k: Int, iterations: Int,
-      snapScale: Double): (Array[Array[Double]], DataFrame) = {
+      snapScale: Double): (Array[Array[Double]], DataFrame, graft.ops.Ckpt.Handle) = {
     def snap(x: Double): Double =
       if (snapScale > 0) math.floor(x * snapScale + 0.5) / snapScale else x
     VectorFunctions.register(embeddings.sparkSession)
@@ -1273,9 +1290,15 @@ object Similarity {
     }
     // Materialize the final assignment so the pinned corpus cache can be
     // released (the returned frame no longer depends on `e`'s lineage).
-    val result = assigned.select("vec_id", "cluster", "score").localCheckpoint()
+    // Tracked checkpoint: `unpersist` on a localCheckpointed frame is a
+    // no-op (the blocks are context-registered), so the teardown needs
+    // the handle to actually free the assignment blocks — without it a
+    // bench rerun sweep stacks one dead label set per re-train until a
+    // JVM GC happens to run.
+    val (result, handle) = graft.ops.Ckpt.tracked(
+      assigned.select("vec_id", "cluster", "score"))
     e.unpersist(blocking = false)
-    (centroids, result)
+    (centroids, result, handle)
   }
 
   /** IVF cell assignment: each vector joins the centroid with the highest

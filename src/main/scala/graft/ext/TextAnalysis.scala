@@ -783,7 +783,7 @@ object TextAnalysis {
   private def bpeWords(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     wordCache.getOrElseUpdate(
-      (spark, docs.queryExecution.analyzed.semanticHash()),
+      (spark, PlanKeys.fingerprint(docs)),
       docs.select(explode(tokens(col("text"))).as("word"))
         .where(col("word").rlike("^[a-z]{1,20}$"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -840,7 +840,7 @@ object TextAnalysis {
   // clearCaches from the entry points' teardown. Bounded by vocabulary
   // size, which grows sublinearly in the corpus (Heaps' law).
   private val wordCache = scala.collection.concurrent.TrieMap.empty[
-    (org.apache.spark.sql.SparkSession, Int), DataFrame]
+    (org.apache.spark.sql.SparkSession, Long), DataFrame]
 
   /** Release cached word-count frames for a session. */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =

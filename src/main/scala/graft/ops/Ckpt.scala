@@ -17,18 +17,28 @@ import org.apache.spark.sql.DataFrame
   * happens to run — exactly the memory pressure the explicit cleanup
   * calls were written to prevent.
   *
-  * [[tracked]] captures the id of the RDD the eager checkpoint registers
-  * (the `getPersistentRDDs` delta across the call) and returns a
+  * [[tracked]] reads the checkpoint's backing RDD id DIRECTLY off the
+  * returned plan (the `LogicalRDD` the checkpoint wraps) and returns a
   * [[Ckpt.Handle]] whose `release()` unpersists those blocks directly.
+  * It must NOT be captured as a registration-window diff around the
+  * call: even the lazy `localCheckpoint(eager = false)` builds the
+  * physical RDD DAG inside the call, and constructing an
+  * InMemoryTableScan persist-registers its cache BUFFER RDD with the
+  * context right there (under AQE the call can even run whole stage
+  * jobs) — so a window diff ADOPTS any live `.cache()`/memo buffer the
+  * tracked plan reads first, and `release()` then evicts it
+  * permanently (the buffer builder is a lazy val; the storage level
+  * never comes back). Measured: HITS re-ran the annPairs cosine verify
+  * every half-round and the whole graph family's rerun medians sat ~2×
+  * their round-11 values until the window capture was replaced.
   *
   * Safety contract: an unreliable (local) checkpoint is UNRECOMPUTABLE
   * once its blocks are dropped — only release a state none of your live
   * datasets still read. Checkpoints are eager, so "the next round's state
   * has materialized" is exactly that proof: round i+1's blocks exist and
-  * no longer read round i's. The id capture assumes no concurrent thread
-  * persists an RDD inside the call window (true for this library's
-  * single-threaded query construction; a wrongly-captured id would at
-  * worst release a cache early, never corrupt a result).
+  * no longer read round i's. Direct id capture is per-Dataset, so
+  * concurrent `tracked` calls on other threads can never cross-adopt
+  * each other's RDDs.
   */
 object Ckpt {
 
@@ -43,20 +53,17 @@ object Ckpt {
   private val noop = new Handle(null, Set.empty)
 
   /** Eagerly-materialized `localCheckpoint()` plus a handle that really
-    * frees its blocks. The id capture brackets the LAZY checkpoint call —
-    * which registers exactly the checkpoint's backing RDD and runs no
-    * job — and materialization happens afterwards, OUTSIDE the window:
-    * an eager checkpoint's materialization job can populate `.cache()`d
-    * subtrees (loop invariants like label propagation's symmetrized edge
-    * set, or the similarity memo caches), and those register with the
-    * context mid-job — capturing around the eager call would adopt a
-    * LIVE cache into the handle and `release()` would silently evict it,
-    * forcing every later round to recompute the invariant. */
+    * frees its blocks. The handle owns EXACTLY the checkpoint's backing
+    * RDD (the `LogicalRDD` the returned Dataset wraps — the RDD that
+    * `RDD.localCheckpoint()` persist-registered), never anything a
+    * registration-window diff might sweep up (see the object scaladoc
+    * for why the diff adopts live cache buffers). */
   def tracked(df: DataFrame): (DataFrame, Handle) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(eager = false)
-    val ids = sc.getPersistentRDDs.keySet.diff(before).toSet
+    val ids = out.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
     out.count()
     (out, new Handle(sc, ids))
   }

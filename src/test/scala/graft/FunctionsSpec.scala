@@ -63,6 +63,29 @@ class FunctionsSpec extends SparkSuite {
     assert(msgs(nul).exists(_.contains("null element")), nul.toString)
   }
 
+  test("Ckpt.tracked releases ONLY the checkpoint blocks — never a live " +
+    "cache whose buffer first registers inside the tracked call") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // Cached but NOT yet materialized: the buffer RDD persist-registers
+    // during tracked()'s own DAG build — the window the old
+    // registration-diff capture swept it up in, after which release()
+    // permanently downgraded the cache to recompute-per-read (measured
+    // as the graph family's ~2x rerun medians).
+    val cached = spark.range(1000).toDF("id").cache()
+    val (ck, h) = graft.ops.Ckpt.tracked(
+      cached.groupBy((col("id") % 10).as("k")).count())
+    assert(ck.count() === 10)
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.size >= 2, s"expected cache buffer + checkpoint ids, got $during")
+    h.release()
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.size === during.size - 1,
+      s"release must drop exactly the checkpoint RDD: before=$during after=$after")
+    assert(after.nonEmpty, "live cache evicted by release — the window-diff bug")
+    cached.unpersist()
+  }
+
   test("deterministic mode: max count wins, ties break to smallest value") {
     val df = Seq((1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"), (2, "z"))
       .toDF("k", "v")
