@@ -128,7 +128,26 @@ object ScaleProbe {
     // a fixed 10M stride would silently deflate the duplication pressure
     // if a base corpus ever carried ids >= 10M (round-10 advice).
     val stride = 1L << 40
-    val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult"
+    // The dup dir is keyed by (multiplier, base-corpus path) and any
+    // table NOT rewritten by this (possibly filtered) run is deleted
+    // up front: a dir keyed by multiplier alone could carry a stale
+    // table from an earlier run against different base data, and a
+    // later filtered probe would silently measure against it. With the
+    // delete, a probe that reads a table its family gate didn't rewrite
+    // fails loudly instead.
+    val baseKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val dupDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft-scaleprobe-x$mult-$baseKey"
+    val localFs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(
+      "documents" -> probes.nonEmpty,
+      "embeddings" -> (embProbes.nonEmpty || graphProbes.nonEmpty),
+      "events" -> eventProbes.nonEmpty
+    ).collect { case (t, written) if !written =>
+      localFs.delete(new org.apache.hadoop.fs.Path(s"$dupDir/$t.parquet"), true)
+    }
     if (probes.nonEmpty) {
       val docs = io.Tables(spark, base).documents
       (0 until mult)

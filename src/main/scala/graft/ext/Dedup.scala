@@ -52,12 +52,13 @@ object Dedup {
   def shingles(docs: DataFrame): DataFrame =
     shingleCache.getOrElseUpdate(
       (docs.sparkSession, PlanKeys.fingerprint(docs)),
-      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-        .select(col("doc_id"), col("ts"),
-          explode(sequence(lit(1), greatest(size(col("ts")) - 1, lit(1)))).as("i"))
-        .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(2)), " ").as("shingle"))
-        .distinct()
-        .cache())
+      graft.ops.Ckpt.registerCached(
+        docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), greatest(size(col("ts")) - 1, lit(1)))).as("i"))
+          .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(2)), " ").as("shingle"))
+          .distinct()
+          .cache(), "Dedup.shingleCache"))
   // Explode-index + row distinct rather than array_distinct(transform(...)):
   // interpreted array lambdas cost ~10x vs the codegen'd exploded form; the
   // distinct shuffles only (doc_id, shingle) pairs.
@@ -85,7 +86,8 @@ object Dedup {
           md5(concat(col(s"mh${2 * b}").cast("string"), lit("|"),
             col(s"mh${2 * b + 1}").cast("string")).cast("binary")).as(s"band$b")
         }
-        sigs.select((col("doc_id") +: bands): _*).cache()
+        graft.ops.Ckpt.registerCached(
+          sigs.select((col("doc_id") +: bands): _*).cache(), "Dedup.sigCache")
       })
 
   private val sigCache =
@@ -119,7 +121,8 @@ object Dedup {
       bucketCap: Int = 0): DataFrame =
     pairCache.getOrElseUpdate(
       (docs.sparkSession, PlanKeys.fingerprint(docs), threshold, bucketCap),
-      lshDedupPairsUncached(docs, threshold, bucketCap).cache())
+      graft.ops.Ckpt.registerCached(
+        lshDedupPairsUncached(docs, threshold, bucketCap).cache(), "Dedup.pairCache"))
 
   /** Banded LSH candidate pairs BEFORE exact verification — (doc_a, doc_b)
     * with doc_a < doc_b, distinct. Shared by the dedup path and the
@@ -150,7 +153,9 @@ object Dedup {
 
     val sets = setCache.getOrElseUpdate(
       (docs.sparkSession, PlanKeys.fingerprint(docs)),
-      shingles(docs).groupBy("doc_id").agg(collect_set(col("shingle")).as("sh")).cache())
+      graft.ops.Ckpt.registerCached(
+        shingles(docs).groupBy("doc_id").agg(collect_set(col("shingle")).as("sh")).cache(),
+        "Dedup.setCache"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -1197,13 +1202,20 @@ object Dedup {
     * otherwise pin shingle/signature/pair blocks indefinitely).
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(shingleCache, sigCache, setCache).foreach { c =>
+    Seq(shingleCache -> "Dedup.shingleCache", sigCache -> "Dedup.sigCache",
+      setCache -> "Dedup.setCache").foreach { case (c, owner) =>
       c.keys.filter(_._1 == spark).foreach { k =>
-        c.remove(k).foreach(_.unpersist(blocking = false))
+        c.remove(k).foreach { df =>
+          graft.ops.Ckpt.unregisterCached(df, owner)
+          df.unpersist(blocking = false)
+        }
       }
     }
     pairCache.keys.filter(_._1 == spark).foreach { k =>
-      pairCache.remove(k).foreach(_.unpersist(blocking = false))
+      pairCache.remove(k).foreach { df =>
+        graft.ops.Ckpt.unregisterCached(df, "Dedup.pairCache")
+        df.unpersist(blocking = false)
+      }
     }
   }
 

@@ -173,12 +173,13 @@ object Similarity {
       (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         math.round(threshold * 1e9), bands, bandBits, bucketCap), {
         val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        candidatePairs(embeddings, bands, bandBits, bucketCap)
-          .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
-          .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
-          .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
-          .filter(col("cosine") >= threshold)
-          .cache()
+        graft.ops.Ckpt.registerCached(
+          candidatePairs(embeddings, bands, bandBits, bucketCap)
+            .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
+            .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
+            .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
+            .filter(col("cosine") >= threshold)
+            .cache(), "Similarity.pairsCache")
       })
 
   // The VERIFIED near-dup pairs are memoized like the banded candidate
@@ -236,25 +237,37 @@ object Similarity {
           }
         val a = kept.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_a"))
         val b = kept.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_b"))
-        a.join(b, Seq("band_idx", "band_key"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select("vec_a", "vec_b").distinct()
-          .cache()
+        graft.ops.Ckpt.registerCached(
+          a.join(b, Seq("band_idx", "band_key"))
+            .filter(col("vec_a") < col("vec_b"))
+            .select("vec_a", "vec_b").distinct()
+            .cache(), "Similarity.candCache")
       })
 
   /** Release cached candidate frames and trained models for a session. */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     pairsCache.keys.filter(_._1 == spark).foreach { k =>
-      pairsCache.remove(k).foreach(_.unpersist(blocking = false))
+      pairsCache.remove(k).foreach { df =>
+        graft.ops.Ckpt.unregisterCached(df, "Similarity.pairsCache")
+        df.unpersist(blocking = false)
+      }
     }
     candCache.keys.filter(_._1 == spark).foreach { k =>
-      candCache.remove(k).foreach(_.unpersist(blocking = false))
+      candCache.remove(k).foreach { df =>
+        graft.ops.Ckpt.unregisterCached(df, "Similarity.candCache")
+        df.unpersist(blocking = false)
+      }
     }
     kmCache.keys.filter(_._1 == spark).foreach { k =>
-      // The label frame is localCheckpointed — Dataset.unpersist would
-      // be a silent no-op on those blocks (see ops.Ckpt); the tracked
-      // handle frees them deterministically.
-      kmCache.remove(k).foreach(_._3.release())
+      // The label frame is a recomputable .cache() (never a tracked
+      // checkpoint — those are strictly loop-internal, see ops.Ckpt):
+      // unpersist drops the blocks, and a caller still holding a
+      // previously returned labels frame transparently recomputes one
+      // corpus pass (scan + broadcast argmin) on its next action.
+      kmCache.remove(k).foreach { case (_, df) =>
+        graft.ops.Ckpt.unregisterCached(df, "Similarity.kmCache")
+        df.unpersist(blocking = false)
+      }
     }
   }
 
@@ -1221,23 +1234,25 @@ object Similarity {
     * per-vector cluster labels under it.
     */
   // Trained models cache per (session, source plan, hyperparams): x57 and
-  // x58 share one training run (labels are localCheckpointed, so reuse is
-  // a lineage-free read); released via clearCaches.
+  // x58 share one training run. The labels frame is a recomputable
+  // .cache() — NEVER a tracked localCheckpoint. Handed-out frames must
+  // survive clearCaches (callers legitimately hold them across it), and
+  // only a recomputable storage level makes eviction safe: unpersist
+  // drops the blocks, a held frame recomputes one broadcast-argmin pass.
+  // ops.Ckpt handles are strictly loop-internal (no external readers).
   private val kmCache = scala.collection.concurrent.TrieMap.empty[
     (org.apache.spark.sql.SparkSession, Long, Int, Int, Double),
-    (Array[Array[Double]], DataFrame, graft.ops.Ckpt.Handle)]
+    (Array[Array[Double]], DataFrame)]
 
   def kMeans(embeddings: DataFrame, k: Int, iterations: Int = 5, snapScale: Double = 0)
-      : (Array[Array[Double]], DataFrame) = {
-    val (centroids, labels, _) = kmCache.getOrElseUpdate(
+      : (Array[Array[Double]], DataFrame) =
+    kmCache.getOrElseUpdate(
       (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         k, iterations, snapScale),
       kMeansUncached(embeddings, k, iterations, snapScale))
-    (centroids, labels)
-  }
 
   private def kMeansUncached(embeddings: DataFrame, k: Int, iterations: Int,
-      snapScale: Double): (Array[Array[Double]], DataFrame, graft.ops.Ckpt.Handle) = {
+      snapScale: Double): (Array[Array[Double]], DataFrame) = {
     def snap(x: Double): Double =
       if (snapScale > 0) math.floor(x * snapScale + 0.5) / snapScale else x
     VectorFunctions.register(embeddings.sparkSession)
@@ -1288,17 +1303,19 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
       assigned = assign(centroids)
     }
-    // Materialize the final assignment so the pinned corpus cache can be
-    // released (the returned frame no longer depends on `e`'s lineage).
-    // Tracked checkpoint: `unpersist` on a localCheckpointed frame is a
-    // no-op (the blocks are context-registered), so the teardown needs
-    // the handle to actually free the assignment blocks — without it a
-    // bench rerun sweep stacks one dead label set per re-train until a
-    // JVM GC happens to run.
-    val (result, handle) = graft.ops.Ckpt.tracked(
-      assigned.select("vec_id", "cluster", "score"))
+    // Cache and eagerly materialize the final assignment, then release
+    // the pinned training corpus: the labels blocks now serve reads, and
+    // if clearCaches later evicts them a still-held frame recomputes the
+    // single broadcast-argmin pass from the parquet scan (the final
+    // centroid relation is literal data — no dependency on `e`'s cached
+    // blocks survives). Deliberately NOT a tracked localCheckpoint: this
+    // frame is handed out to callers, and unreliable-checkpoint blocks
+    // are unrecomputable once released — the round-12 use-after-free.
+    val result = graft.ops.Ckpt.registerCached(
+      assigned.select("vec_id", "cluster", "score").cache(), "Similarity.kmCache")
+    result.count()
     e.unpersist(blocking = false)
-    (centroids, result, handle)
+    (centroids, result)
   }
 
   /** IVF cell assignment: each vector joins the centroid with the highest

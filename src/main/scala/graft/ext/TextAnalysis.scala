@@ -784,10 +784,11 @@ object TextAnalysis {
     val spark = docs.sparkSession
     wordCache.getOrElseUpdate(
       (spark, PlanKeys.fingerprint(docs)),
-      docs.select(explode(tokens(col("text"))).as("word"))
-        .where(col("word").rlike("^[a-z]{1,20}$"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .cache())
+      graft.ops.Ckpt.registerCached(
+        docs.select(explode(tokens(col("text"))).as("word"))
+          .where(col("word").rlike("^[a-z]{1,20}$"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .cache(), "TextAnalysis.wordCache"))
   }
 
   /** The learning loop shared by [[bpe]] and [[bpeFertility]]: per round
@@ -845,7 +846,10 @@ object TextAnalysis {
   /** Release cached word-count frames for a session. */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
     wordCache.keys.filter(_._1 == spark).foreach { k =>
-      wordCache.remove(k).foreach(_.unpersist(blocking = false))
+      wordCache.remove(k).foreach { df =>
+        graft.ops.Ckpt.unregisterCached(df, "TextAnalysis.wordCache")
+        df.unpersist(blocking = false)
+      }
     }
 
   /** Count-min sketch token counting (Cormode & Muthukrishnan 2005) —

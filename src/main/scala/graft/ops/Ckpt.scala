@@ -42,12 +42,65 @@ import org.apache.spark.sql.DataFrame
   */
 object Ckpt {
 
+  /** Mechanical enforcement of the safety contract above: every cache /
+    * memo in the codebase that stores a DataFrame it hands out to
+    * external callers registers it here (and unregisters on eviction).
+    * [[Handle.release]] refuses — loudly — to free blocks whose RDD id
+    * is still referenced by a registered cache entry: a tracked
+    * checkpoint read by a cached frame is unrecomputable once released,
+    * so release-under-registration is always a latent use-after-free
+    * (exactly the round-12 kmCache bug). The check is a few integer-set
+    * probes per release; it stays on in production. */
+  private val cachedReaders =
+    scala.collection.mutable.Map.empty[Int, List[String]]
+
+  private def logicalRddIds(df: DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
+  /** Register a frame a cache is about to store/hand out. Returns the
+    * frame for call-site convenience (`cache.getOrElseUpdate(k,
+    * Ckpt.registerCached(build, "Foo.barCache"))`). */
+  def registerCached(df: DataFrame, owner: String): DataFrame = {
+    val ids = logicalRddIds(df)
+    cachedReaders.synchronized {
+      ids.foreach(id => cachedReaders.update(id, owner :: cachedReaders.getOrElse(id, Nil)))
+    }
+    df
+  }
+
+  /** Drop one registration per RDD id for the evicted frame. */
+  def unregisterCached(df: DataFrame, owner: String): Unit = {
+    val ids = logicalRddIds(df)
+    cachedReaders.synchronized {
+      ids.foreach { id =>
+        cachedReaders.get(id).map(_.diff(List(owner))) match {
+          case Some(Nil) | None => cachedReaders.remove(id)
+          case Some(rest)       => cachedReaders.update(id, rest)
+        }
+      }
+    }
+  }
+
   /** Releases the checkpoint blocks captured by [[tracked]]. Idempotent;
-    * releasing after the owning RDD was already cleaned is a no-op. */
+    * releasing after the owning RDD was already cleaned is a no-op.
+    * Throws if a registered cache entry still reads any of the handle's
+    * RDDs — see [[registerCached]]. */
   final class Handle private[Ckpt] (sc: SparkContext, ids: Set[Int]) {
-    def release(): Unit =
+    def release(): Unit = {
+      val clash = cachedReaders.synchronized {
+        ids.toSeq.flatMap(id => cachedReaders.get(id).map(id -> _))
+      }
+      if (clash.nonEmpty)
+        throw new IllegalStateException(
+          "Ckpt.release would free unrecomputable localCheckpoint blocks " +
+            s"still registered by cache entries: ${clash.mkString(", ")}. " +
+            "Store recomputable .cache() frames in caches, or unregister " +
+            "before release.")
       ids.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   private val noop = new Handle(null, Set.empty)

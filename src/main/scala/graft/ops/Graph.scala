@@ -109,13 +109,26 @@ object Graph {
     val sxd = col("sx").cast("decimal(19,0)")
     val num = md * col("sxy").cast("decimal(19,0)") - sxd * sxd
     val den = md * col("sxx").cast("decimal(19,0)") - sxd * sxd
+    // Explicit envelope guard, FIRST branch: each product is exact in
+    // decimal(38,0) only below ~1e38, and past it Spark non-ANSI
+    // silently NULLs while a 128-bit engine (the DuckDB oracle's
+    // HUGEINT) keeps computing — the engines would diverge exactly at
+    // the envelope edge, and ANSI builds would throw instead. Guarding
+    // every product at 4.25e37 (so |num|, |den| ≤ 8.5e37 < 1e38) makes
+    // BOTH engines stop identically: the same double-precision
+    // predicate, evaluated before any decimal arithmetic can overflow
+    // or throw. The sums themselves still report exactly.
+    val over = (col("m").cast("double") * col("sxx").cast("double") > lit(4.25e37)) ||
+      (col("m").cast("double") * col("sxy").cast("double") > lit(4.25e37)) ||
+      (col("sx").cast("double") * col("sx").cast("double") > lit(4.25e37))
     pairs.agg(
         count(lit(1)).as("m"),
         sum(col("dx")).as("sx"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dx") * col("dy")).as("sxy"))
       .select(col("m"), col("sx"), col("sxx"), col("sxy"),
-        when(den <= 0, lit(null).cast("double"))
+        when(over, lit(null).cast("double"))
+          .when(den <= 0, lit(null).cast("double"))
           .otherwise(num.cast("double") / den.cast("double"))
           .as("assortativity"))
   }

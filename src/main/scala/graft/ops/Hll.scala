@@ -97,8 +97,13 @@ object Hll {
       .agg(countDistinct(col(valueCol)).as("n_exact"))
     // LEFT from the exact side: an all-NULL group has no registers but
     // must still appear (never silently dropped) — its empty sketch
-    // linear-counts to exactly 0.
-    exact.join(perGroup, Seq("grp"), "left")
+    // linear-counts to exactly 0. Null-SAFE key match (<=>): a NULL
+    // group whose values are non-null HAS registers, and a plain
+    // equi-join would orphan them — reporting a confidently wrong
+    // hll_estimate 0 against a real n_exact. EqualNullSafe is still a
+    // hash-join key, so the plan shape is unchanged.
+    exact.join(perGroup, exact("grp") <=> perGroup("grp"), "left")
+      .drop(perGroup("grp"))
       .select(col("grp"),
         (lit(m) - coalesce(col("n_buckets"), lit(0L))).cast("long").as("v_empty"),
         (coalesce(col("sum_fp_present"), lit(0L)) +

@@ -2562,7 +2562,11 @@ object Advanced {
             |  FROM p
             |)
             |SELECT m, sx, sxx, sxy,
-            |       CASE WHEN CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
+            |       CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) > 4.25e37
+            |              OR CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) > 4.25e37
+            |              OR CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 4.25e37
+            |            THEN NULL
+            |            WHEN CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
             |            THEN NULL
             |            ELSE CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE)
             |                   / CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)

@@ -26,12 +26,13 @@ object Report {
   private def monthlyRevenue(s: org.apache.spark.sql.SparkSession, dir: String) =
     monthlyCache.getOrElseUpdate((s, dir), {
       val t = Tables(s, dir)
-      t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
-        .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
-        .cache()
+      graft.ops.Ckpt.registerCached(
+        t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+          .cache(), "Report.monthlyCache")
     })
 
   /** Release this module's cached frames for a session (same teardown
@@ -40,7 +41,10 @@ object Report {
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
     monthlyCache.keys.filter(_._1 == spark).foreach { k =>
-      monthlyCache.remove(k).foreach(_.unpersist(blocking = false))
+      monthlyCache.remove(k).foreach { df =>
+        graft.ops.Ckpt.unregisterCached(df, "Report.monthlyCache")
+        df.unpersist(blocking = false)
+      }
     }
 
   val defs: Seq[QueryDef] = Seq(

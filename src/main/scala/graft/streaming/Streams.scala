@@ -689,70 +689,143 @@ object Streams {
     // reads the tracked checkpoint blocks, released at the end of the
     // batch (a bare unpersist would be a no-op; see [[graft.ops.Ckpt]]).
     val (tl0, tl0H) = graft.ops.Ckpt.tracked(Dedup.tokenLengths(batch))
-    val tl = tl0.filter(col("n") < maxDocTokens)
-    // Evidence (the gram index) covers ALL docs including giants, same
-    // as batch x213: a giant doc's spans still claim ownership and mark
-    // later copies; only the EDIT below is restricted to sub-cap docs.
-    val (occ, occH) = graft.ops.Ckpt.tracked(Dedup.gramOccurrences(tl0, gramLen))
-    val occB = occ.select(col("g"), struct(col("doc_id"), col("pos")).as("k"))
-    // Two keyed set-minima over an occurrence-key multiset (g, k):
-    // k1 = global first occurrence, k2 = second-smallest distinct key.
-    def minima(occAll: DataFrame): DataFrame = {
-      val first = occAll.groupBy("g").agg(min(col("k")).as("k1"))
-      val second = occAll.join(first, Seq("g"))
-        .filter(col("k") > col("k1"))
-        .groupBy("g").agg(min(col("k")).as("k2"))
-      first.join(second, Seq("g"), "left")
-    }
-    val newIndex = readLivePath(fs, indexPath) match {
-      case Some(live) =>
-        val idx = spark2.read.parquet(live)
-        val batchGrams = occB.select("g").distinct()
-        // Only grams present in the batch can change their minima: the
-        // untouched rows pass through without entering the aggregate,
-        // so the merge shuffle is batch-scale (scaladoc cost model).
-        val touched = idx.join(batchGrams, Seq("g"), "left_semi")
-        val occAll = occB
-          .unionByName(touched.select(col("g"), col("k1").as("k")))
-          .unionByName(touched.filter(col("k2").isNotNull)
-            .select(col("g"), col("k2").as("k")))
-        minima(occAll).unionByName(idx.join(batchGrams, Seq("g"), "left_anti"))
-      case None => minima(occB)
-    }
-    swapWrite(newIndex, indexPath, "exactSubstrScreen.index")
+    // Handles release in finally: swapWrite THROWS by design on a failed
+    // rename (commitSwap), and a success-path-only release would leak two
+    // corpus-scale checkpoint block sets per failed batch for the session
+    // lifetime — unreliable-checkpoint blocks are invisible to the cache
+    // manager, so nothing else ever frees them.
+    try {
+      val tl = tl0.filter(col("n") < maxDocTokens)
+      // Evidence (the gram index) covers ALL docs including giants, same
+      // as batch x213: a giant doc's spans still claim ownership and mark
+      // later copies; only the EDIT below is restricted to sub-cap docs.
+      val (occ, occH) = graft.ops.Ckpt.tracked(Dedup.gramOccurrences(tl0, gramLen))
+      try {
+        val occB = occ.select(col("g"), struct(col("doc_id"), col("pos")).as("k"))
+        // Two keyed set-minima over an occurrence-key multiset (g, k):
+        // k1 = global first occurrence, k2 = second-smallest distinct key.
+        def minima(occAll: DataFrame): DataFrame = {
+          val first = occAll.groupBy("g").agg(min(col("k")).as("k1"))
+          val second = occAll.join(first, Seq("g"))
+            .filter(col("k") > col("k1"))
+            .groupBy("g").agg(min(col("k")).as("k2"))
+          first.join(second, Seq("g"), "left")
+        }
+        val newIndex = readLivePath(fs, indexPath) match {
+          case Some(live) =>
+            val idx = spark2.read.parquet(live)
+            val batchGrams = occB.select("g").distinct()
+            // Only grams present in the batch can change their minima: the
+            // untouched rows pass through without entering the aggregate,
+            // so the merge shuffle is batch-scale (scaladoc cost model).
+            val touched = idx.join(batchGrams, Seq("g"), "left_semi")
+            val occAll = occB
+              .unionByName(touched.select(col("g"), col("k1").as("k")))
+              .unionByName(touched.filter(col("k2").isNotNull)
+                .select(col("g"), col("k2").as("k")))
+            minima(occAll).unionByName(idx.join(batchGrams, Seq("g"), "left_anti"))
+          case None => minima(occB)
+        }
+        swapWrite(newIndex, indexPath, "exactSubstrScreen.index")
 
-    val idx = spark2.read.parquet(indexPath)
-    val marked = occ
-      .join(idx, Seq("g"))
-      .filter(col("k2").isNotNull && col("n") < maxDocTokens &&
-        !(col("doc_id") === col("k1.doc_id") && col("pos") === col("k1.pos")))
-      .select(col("doc_id"), col("pos").as("s"),
-        (col("pos") + (gramLen - 1)).as("e"))
-    val report = Dedup.applySpanRemoval(tl, marked)
-      .withColumn("skipped", lit(false))
-      .unionByName(tl0.filter(col("n") >= maxDocTokens)
-        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-          col("n").cast("long").as("n_kept"), lit(0L).as("n_removed"),
-          lit(0L).as("n_spans"), lit(null).cast("string").as("cleaned_hash"),
-          lit(true).as("skipped")))
-    val fsR = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(reportPath), hc)
-    // INSERT-ONLY merge (first-writer-wins by doc_id): committed rows are
-    // immutable — a redelivered batch whose recomputed edits differ (gram
-    // ownership moved under it after an out-of-order arrival) inserts
-    // nothing, so no document is ever retroactively edited.
-    val merged = readLivePath(fsR, reportPath) match {
-      case Some(live) =>
-        val target = spark2.read.parquet(live)
-        target.unionByName(
-          report.join(target.select("doc_id"), Seq("doc_id"), "left_anti")
-            .select(target.columns.map(col).toIndexedSeq: _*))
-      case None => report
-    }
-    swapWrite(merged, reportPath, "exactSubstrScreen.report")
-    occH.release()
-    tl0H.release()
+        val idx = spark2.read.parquet(indexPath)
+        val marked = occ
+          .join(idx, Seq("g"))
+          .filter(col("k2").isNotNull && col("n") < maxDocTokens &&
+            !(col("doc_id") === col("k1.doc_id") && col("pos") === col("k1.pos")))
+          .select(col("doc_id"), col("pos").as("s"),
+            (col("pos") + (gramLen - 1)).as("e"))
+        val report = Dedup.applySpanRemoval(tl, marked)
+          .withColumn("skipped", lit(false))
+          .unionByName(tl0.filter(col("n") >= maxDocTokens)
+            .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+              col("n").cast("long").as("n_kept"), lit(0L).as("n_removed"),
+              lit(0L).as("n_spans"), lit(null).cast("string").as("cleaned_hash"),
+              lit(true).as("skipped")))
+        val fsR = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(reportPath), hc)
+        // INSERT-ONLY merge (first-writer-wins by doc_id): committed rows are
+        // immutable — a redelivered batch whose recomputed edits differ (gram
+        // ownership moved under it after an out-of-order arrival) inserts
+        // nothing, so no document is ever retroactively edited.
+        val merged = readLivePath(fsR, reportPath) match {
+          case Some(live) =>
+            val target = spark2.read.parquet(live)
+            target.unionByName(
+              report.join(target.select("doc_id"), Seq("doc_id"), "left_anti")
+                .select(target.columns.map(col).toIndexedSeq: _*))
+          case None => report
+        }
+        swapWrite(merged, reportPath, "exactSubstrScreen.report")
+      } finally occH.release()
+    } finally tl0H.release()
     ()
+  }
+
+  /** Maintenance compaction for [[exactSubstrScreenStream]]'s gram-
+    * ownership index — the committed lifecycle policy for its state.
+    *
+    * GROWTH CONTRACT (monotonic by design): the index holds exactly one
+    * row per DISTINCT gram ever ingested, and no row is droppable
+    * without changing verdicts — `k1` decides span ownership for every
+    * FUTURE document containing that gram, and a TTL/retention bound
+    * would silently re-admit previously-seen text as novel, which for an
+    * ingest screen is a correctness bug, not a space optimization. What
+    * IS bounded is the growth RATE: each batch adds only its NOVEL
+    * grams, and gram novelty decays as the corpus grows (the Heaps-law
+    * shape the x140 gate measures on this corpus), so the index grows
+    * sublinearly in tokens ingested. The policy is therefore: monotonic
+    * store + periodic PHYSICAL compaction + the size metric this method
+    * returns, which a production scheduler records per compaction to
+    * watch the novelty rate instead of pretending the set can shrink.
+    *
+    * Compaction is a pure physical rewrite — identical rows, better
+    * layout (the io.Layout zone-clustering move): range-partitioned and
+    * sorted by gram hash, so the per-batch mark join and pass-through
+    * anti-join get tight row-group bounds on `g` (row groups outside a
+    * batch's gram range skip on parquet statistics alone), and the file
+    * fragmentation the micro-batch swap-writes accumulate collapses to
+    * `targetPartitions` sorted files. On a cluster the same rewrite
+    * targets a bucketed table (io.Layout.writeBucketed) so the merge
+    * partition-overwrites only touched buckets; the local twin keeps the
+    * swap-commit, so a crash mid-compaction leaves the previous index
+    * live. Verdict-neutrality is pinned by StreamingSpec: a screen run
+    * whose index is compacted between batches produces byte-identical
+    * index rows and reports.
+    *
+    * Returns the size metric, one row: gram count, duplicated-gram
+    * count, and file count / bytes before and after the rewrite.
+    */
+  def compactSubstrIndex(spark: SparkSession, indexPath: String,
+      targetPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(indexPath), spark.sparkContext.hadoopConfiguration)
+    def stats(p: String): (Long, Long) = {
+      val s = fs.getContentSummary(new org.apache.hadoop.fs.Path(p))
+      (s.getFileCount, s.getLength)
+    }
+    readLivePath(fs, indexPath) match {
+      case None =>
+        Seq.empty[(Long, Long, Long, Long, Long, Long)].toDF(
+          "n_grams", "n_duplicated",
+          "files_before", "bytes_before", "files_after", "bytes_after")
+      case Some(live) =>
+        val (fb, bb) = stats(live)
+        swapWrite(
+          spark.read.parquet(live)
+            .repartitionByRange(targetPartitions, col("g"))
+            .sortWithinPartitions("g"),
+          indexPath, "exactSubstrScreen.compact")
+        val (fa, ba) = stats(indexPath)
+        val c = spark.read.parquet(indexPath).agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col("k2").isNotNull, lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("d")).head()
+        Seq((c.getLong(0), c.getLong(1), fb, bb, fa, ba)).toDF(
+          "n_grams", "n_duplicated",
+          "files_before", "bytes_before", "files_after", "bytes_after")
+    }
   }
 
   /** Drive a streaming DataFrame to completion against the in-memory

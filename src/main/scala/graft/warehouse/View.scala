@@ -16,7 +16,8 @@ object View {
 
   def dw(spark: SparkSession, dir: String): DataFrame = {
     val df = cache.getOrElseUpdate((spark, dir),
-      RevenueSummary(Tables(spark, dir)).cache())
+      graft.ops.Ckpt.registerCached(
+        RevenueSummary(Tables(spark, dir)).cache(), "View.dw"))
     // Re-register on EVERY call, not just cache miss: with two data dirs
     // in one session, a cache hit after the other dir registered would
     // leave the temp view pointing at the wrong dataset for SQL-path

@@ -78,6 +78,15 @@ class SketchGovernanceSpec extends SparkSuite {
       .toDF("source", "text")
     val zr = Hll.cardinalityByGroup(allNull, "source", "text").head()
     assert(zr.getLong(3) === 0L && zr.getDouble(4) === 0.0 && zr.isNullAt(5))
+    // A NULL GROUP with non-null values keeps its registers (null-safe
+    // key match): pre-fix the equi-join orphaned them and reported a
+    // confidently wrong hll_estimate 0 against a real n_exact.
+    val nullGrp = (0 until 40).map(i => (null: String, s"v$i"))
+      .toDF("source", "text")
+    val ng = Hll.cardinalityByGroup(nullGrp, "source", "text").head()
+    assert(ng.isNullAt(0) && ng.getLong(3) === 40L)
+    assert(math.abs(ng.getDouble(4) - 40.0) / 40.0 <= 0.25,
+      s"NULL group estimate ${ng.getDouble(4)} lost its registers")
     // mergeAudit shares the same kernel: NULLs change nothing there too.
     val ma = Hll.mergeAudit(withNulls, "text", col("text").isNull.cast("int"))
       .head()

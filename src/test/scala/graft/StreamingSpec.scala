@@ -573,4 +573,47 @@ class StreamingSpec extends SparkSuite {
       "redelivered batch must not rewrite the committed report row " +
         "even though gram ownership moved under it")
   }
+
+  test("exact-substring index compaction is verdict-neutral and bounds " +
+    "the file count (the committed lifecycle policy)") {
+    // Two identical 3-batch runs, one compacting the gram index after
+    // every batch: compaction is a pure physical rewrite, so index ROWS
+    // and screen verdicts must be byte-identical, while the compacted
+    // layout collapses per-batch file fragmentation to targetPartitions
+    // range-sorted files.
+    val dir = java.nio.file.Files.createTempDirectory("graft-essc-").toString
+    val span = (1 to 9).map(i => s"c$i").mkString(" ")
+    val b1 = Seq((1L, s"alpha $span beta"),
+      (2L, "lone wolf text one two three four five"))
+    val b2 = Seq((3L, s"$span gamma delta"), (4L, s"prefix $span"))
+    val b3 = Seq((5L, span),
+      (6L, "six seven eight nine ten eleven twelve thirteen"))
+    def run(ix: String, rp: String, compact: Boolean): Unit =
+      Seq(b1, b2, b3).foreach { b =>
+        Streams.exactSubstrScreenBatch(b.toDF("doc_id", "text"), ix, rp,
+          8, 1 << 20)
+        if (compact) {
+          val m = Streams.compactSubstrIndex(spark, ix, targetPartitions = 2)
+            .head()
+          // The size metric is real: gram count matches the live index.
+          assert(m.getLong(0) === spark.read.parquet(ix).count())
+        }
+      }
+    run(s"$dir/ia", s"$dir/ra", compact = false)
+    run(s"$dir/ib", s"$dir/rb", compact = true)
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rows(s"$dir/ib") === rows(s"$dir/ia"),
+      "compaction must not change index rows")
+    assert(rows(s"$dir/rb") === rows(s"$dir/ra"),
+      "compaction must not change screen verdicts")
+    val files = new java.io.File(s"$dir/ib").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"compacted index carries $files data files")
+    // Monotonic-growth metric sanity: duplicated grams exist (the span
+    // recurs across batches) and are counted.
+    val m = Streams.compactSubstrIndex(spark, s"$dir/ib", 2).head()
+    assert(m.getLong(1) > 0L, "duplicated-gram count must be non-zero here")
+    assert(Streams.compactSubstrIndex(spark, s"$dir/none").count() === 0L,
+      "compacting an absent index is an empty-metric no-op")
+  }
 }
