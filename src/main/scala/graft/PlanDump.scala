@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan dump for any registered query — the adjudication tool's
+  * plan-diff half (QueryProbe is the timing half): when a bench mover has
+  * a code change attached, the standing policy wants its plan inspected
+  * before the baseline row moves. Prints the formatted plan (scan
+  * pushdowns, codegen spans, exchange count) per query name.
+  *
+  * usage: runMain graft.PlanDump [sfDir] q1[,q2...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(sys.error("usage: PlanDump [sfDir] q1[,q2...]"))
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      println(s"=== plan: $name ===")
+      println(queries.Registry.queryMap(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}

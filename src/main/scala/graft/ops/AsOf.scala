@@ -68,11 +68,24 @@ object AsOf {
     * time, per key (next-event attribution: the purchase after the error,
     * the deploy after the alert, the SLA-clock stop after the start).
     *
-    * Same linear union-window shape, mirrored: one shuffle on the key,
-    * a first(ignoreNulls) over the FOLLOWING frame. At equal times the
-    * right row is visible to the left row (inclusive >=) because right
-    * rows sort after left rows within a timestamp; simultaneous right
-    * rows are ordered by `rightTieBreak` ascending, the EARLIEST winning.
+    * Same linear union-window shape, mirrored BY REVERSING THE SORT, not
+    * the frame: "first right row at-or-after me" under ascending time is
+    * exactly "last right row at-or-before me" under DESCENDING time, so
+    * the pass stays a running last(ignoreNulls) over
+    * [unboundedPreceding, currentRow] — the frame Spark accumulates
+    * incrementally, O(rows) per partition. The naive mirror (a
+    * first(ignoreNulls) over [currentRow, unboundedFollowing]) is NOT
+    * symmetric in cost: Spark's UnboundedFollowingWindowFunctionFrame
+    * re-aggregates the remaining suffix for every row, O(rows²) per key
+    * partition — a hot key with 10⁶ events would pay 10¹² frame steps at
+    * 100 TB while the running frame pays 10⁶ (the 30× ScaleProbe already
+    * showed the drift: exponent 0.77 quadratic-shaped vs 0.5-ish for the
+    * backward twin). At equal times the right row is visible to the left
+    * row (inclusive >=) because right rows sort BEFORE left rows within
+    * a timestamp under the descending order; simultaneous right rows
+    * order by `rightTieBreak` DESCENDING so the running last() crowns
+    * the tie-break-ASCENDING earliest — the same winner as the ascending
+    * formulation.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
@@ -90,13 +103,15 @@ object AsOf {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    // Left rows sort before right rows at equal time => inclusive (>=).
-    val order = Seq(col("__t").asc, col("__side").asc) ++
-      rightTieBreak.map(c => col("__p").getField(c).asc)
+    // DESCENDING time: right rows (side 2) sort before left rows (side 1)
+    // at equal time => inclusive (>=); tie-break descending so the
+    // running last() picks the tie-break-ascending earliest right row.
+    val order = Seq(col("__t").desc, col("__side").desc) ++
+      rightTieBreak.map(c => col("__p").getField(c).desc)
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select((left.columns.map(col) ++
         rPayload.map(c => col("__p").getField(c).as(prefix + c))).toIndexedSeq: _*)
