@@ -132,9 +132,18 @@ object Bench {
       // Clear the library's model/candidate memo caches so the rerun
       // measures steady-state COMPUTATION, not a memo-table hit (see
       // methodology scaladoc). Clearing costs only unpersist calls.
+      // Report's monthly rollup counts as a memo here too: without the
+      // clear, r02's median was a 0.08 s cached-frame read against a
+      // 2.2 s cold — the exact "memo-warm tell" the baseline doc uses
+      // to reject sessions. The ONE deliberate exception is View.dw:
+      // derived-view REUSE is the S3 operator itself (the reference
+      // recomputes its view per query; we materialize once per session
+      // by design), so the q/r-family reruns read the warm view and the
+      // view's build cost is the q-family cold.
       graft.ext.Dedup.clearCaches(spark)
       graft.ext.TextAnalysis.clearCaches(spark)
       graft.ext.Similarity.clearCaches(spark)
+      graft.queries.Report.clearCaches(spark)
       try timed(Registry.queryMap(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
       catch { case e: Throwable =>

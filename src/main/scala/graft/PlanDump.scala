@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = args.lift(1).map(_.split(",").toSeq)
-      .getOrElse(sys.error("usage: PlanDump [sfDir] q1[,q2...]"))
+    // One arg = just the query list (default dir); two = dir + list.
+    val (dir, names) = args.toSeq match {
+      case Seq(qs)    => ("/root/testdata/sf0.001", qs.split(",").toSeq)
+      case Seq(d, qs) => (d, qs.split(",").toSeq)
+      case _          => sys.error("usage: PlanDump [sfDir] q1[,q2...]")
+    }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,10 +27,11 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      val q = queries.Registry.queryMap.getOrElse(name,
+        sys.error(s"unknown query: $name (see queries.Registry)"))
       println(s"=== plan: $name ===")
-      println(queries.Registry.queryMap(name)(spark, dir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      println(q(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }

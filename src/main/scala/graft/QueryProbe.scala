@@ -37,6 +37,7 @@ object QueryProbe {
         graft.ext.Dedup.clearCaches(spark)
         graft.ext.TextAnalysis.clearCaches(spark)
         graft.ext.Similarity.clearCaches(spark)
+        graft.queries.Report.clearCaches(spark)
         val t0 = System.nanoTime()
         queries.Registry.queryMap(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()

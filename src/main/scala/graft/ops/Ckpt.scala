@@ -51,13 +51,19 @@ object Ckpt {
     * so release-under-registration is always a latent use-after-free
     * (exactly the round-12 kmCache bug). The check is a few integer-set
     * probes per release; it stays on in production. */
+  // Keyed by (owning SparkContext, RDD id): RDD ids restart from 0 in a
+  // fresh context, so an unscoped registry left dirty by a session that
+  // died without clearCaches could alias a NEW context's ids and fail an
+  // unrelated release.
   private val cachedReaders =
-    scala.collection.mutable.Map.empty[Int, List[String]]
+    scala.collection.mutable.Map.empty[(SparkContext, Int), List[String]]
 
-  private def logicalRddIds(df: DataFrame): Seq[Int] =
+  private def logicalRddIds(df: DataFrame): Seq[(SparkContext, Int)] = {
+    val sc = df.sparkSession.sparkContext
     df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case lr: org.apache.spark.sql.execution.LogicalRDD => (sc, lr.rdd.id)
     }
+  }
 
   /** Register a frame a cache is about to store/hand out. Returns the
     * frame for call-site convenience (`cache.getOrElseUpdate(k,
@@ -90,7 +96,7 @@ object Ckpt {
   final class Handle private[Ckpt] (sc: SparkContext, ids: Set[Int]) {
     def release(): Unit = {
       val clash = cachedReaders.synchronized {
-        ids.toSeq.flatMap(id => cachedReaders.get(id).map(id -> _))
+        ids.toSeq.flatMap(id => cachedReaders.get((sc, id)).map(id -> _))
       }
       if (clash.nonEmpty)
         throw new IllegalStateException(

@@ -693,7 +693,11 @@ object Streams {
     // rename (commitSwap), and a success-path-only release would leak two
     // corpus-scale checkpoint block sets per failed batch for the session
     // lifetime — unreliable-checkpoint blocks are invisible to the cache
-    // manager, so nothing else ever frees them.
+    // manager, so nothing else ever frees them. Releases ride
+    // [[releaseSuppressing]] because release() itself can throw (the Ckpt
+    // ownership tripwire): a bare finally would REPLACE the primary batch
+    // failure with the registry complaint and hide the root cause.
+    var primary: Throwable = null
     try {
       val tl = tl0.filter(col("n") < maxDocTokens)
       // Evidence (the gram index) covers ALL docs including giants, same
@@ -757,10 +761,22 @@ object Streams {
           case None => report
         }
         swapWrite(merged, reportPath, "exactSubstrScreen.report")
-      } finally occH.release()
-    } finally tl0H.release()
+      } catch { case t: Throwable => primary = t; throw t }
+      finally releaseSuppressing(occH, primary)
+    } catch { case t: Throwable => if (primary == null) primary = t; throw t }
+    finally releaseSuppressing(tl0H, primary)
     ()
   }
+
+  /** Release a checkpoint handle without masking an in-flight failure:
+    * if `primary` is set, a throwing release attaches as suppressed so
+    * the batch's root cause survives; on the success path it propagates
+    * (a tripwire hit with no prior failure IS the bug to surface). */
+  private def releaseSuppressing(h: graft.ops.Ckpt.Handle,
+      primary: Throwable): Unit =
+    try h.release() catch {
+      case t: Throwable if primary != null => primary.addSuppressed(t)
+    }
 
   /** Maintenance compaction for [[exactSubstrScreenStream]]'s gram-
     * ownership index — the committed lifecycle policy for its state.

@@ -24,22 +24,32 @@ class CachesSpec extends SparkSuite {
     // A derived frame reading the checkpoint carries its LogicalRDD too.
     val derived = ck.filter(org.apache.spark.sql.functions.col("x") > 1)
     Ckpt.registerCached(derived, "CachesSpec.memo")
-    val e = intercept[IllegalStateException](h.release())
-    assert(e.getMessage.contains("CachesSpec.memo"))
-    assert(ck.count() === 3, "blocks must still be live after refused release")
-    Ckpt.unregisterCached(derived, "CachesSpec.memo")
+    try {
+      val e = intercept[IllegalStateException](h.release())
+      assert(e.getMessage.contains("CachesSpec.memo"))
+      assert(ck.count() === 3, "blocks must still be live after refused release")
+    } finally Ckpt.unregisterCached(derived, "CachesSpec.memo")
     h.release() // legal now; ck is unrecomputable past this point
   }
 
   test("lint: no cache map may store a Ckpt.Handle (loop-internal only)") {
     import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get("src/main/scala")
-    val offenders = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .filter { p =>
-        val src = new String(java.nio.file.Files.readAllBytes(p))
-        src.contains("TrieMap") && src.contains("Ckpt.Handle")
-      }.toList
+    // Comments/scaladoc stripped first: a doc sentence merely MENTIONING
+    // Ckpt.Handle in a cache-bearing module must not fail the build —
+    // only code that actually names the type next to a memo map does.
+    def stripComments(src: String): String = src
+      .replaceAll("(?s)/\\*.*?\\*/", "")
+      .replaceAll("//.*", "")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+    val offenders =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filter { p =>
+          val src = stripComments(
+            new String(java.nio.file.Files.readAllBytes(p)))
+          src.contains("TrieMap") && src.contains("Ckpt.Handle")
+        }.toList
+      finally walk.close()
     assert(offenders.isEmpty,
       s"Ckpt.Handle stored in a memo cache (the r12 use-after-free shape): $offenders")
   }

@@ -41,8 +41,13 @@ def render_table(b: dict) -> None:
     print()
     print("Median methodology: EVERY query reruns 2x (4x when cold is under "
           "2 s) — no single-sample entries — with the library's "
-          "model/candidate caches cleared before every rerun, so the median "
-          "measures steady-state computation, not a memo lookup. Reruns are "
+          "model/candidate caches cleared before every rerun (incl. the "
+          "Report monthly rollup since round 13), so the median "
+          "measures steady-state computation, not a memo lookup. The ONE "
+          "deliberate exception is the S3 materialized view (View.dw): "
+          "derived-view reuse is that operator itself, so q/r-family reruns "
+          "read the warm view and its build cost is the q-family cold. "
+          "Reruns are "
           "scheduled as two full sweeps AFTER the cold sweep (round 12), so "
           "each query's samples span three disjoint wall-clock windows and "
           "no single host-contention episode can poison a median. The cold "
