@@ -485,4 +485,72 @@ object Pipeline {
         countDistinct(sensitive).as("n_sensitive"))
       .withColumn("diverse_ok", (col("n_sensitive") >= l).cast("int"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining") — the mixing rule that replaced temperature sampling
+    * for multilingual corpora: spend a token budget B as EQUALLY across
+    * groups (languages) as possible, but never take more than `epochCap`
+    * passes over any group's data. Low-resource groups get their full
+    * epoch cap; the surplus water-fills into the high-resource groups —
+    * temperatureMix's sqrt softening replaced by a hard repetition bound,
+    * which is the knob that actually matters at 100 TB (a 4-epoch cap on
+    * a 100 GB language is a real overfitting guard; a temperature is not).
+    *
+    * Closed form instead of the paper's iterative loop: sort groups by
+    * capacity c_i = epochCap·n_i ascending and note that
+    * f(i) = Σ_{j<i} c_j + c_i·(m−i+1) is NON-DECREASING in i (adjacent
+    * difference (c_i − c_{i−1})·(m−i+1) ≥ 0), so the capped set — groups
+    * whose capacity fits under an equal split of what remains — is
+    * exactly the prefix where f(i) ≤ B, found with one window scan, no
+    * iteration. Every f(i), prefix sum, and capacity is an exact BIGINT
+    * (budget = n_tokens·budgetNum div budgetDen in integer arithmetic),
+    * so the capped/uncapped partition is bit-identical in any engine;
+    * the only doubles are the final share division and epochs ratio,
+    * one shared IEEE tree, rounded to 6.
+    *
+    * Scale shape: ONE corpus aggregate (groupBy over a 2-column
+    * projection) to per-group token counts; the allocation itself is
+    * window arithmetic over m rows. Degenerate law (pinned in
+    * Batch13Spec): B ≥ Σc_i caps every group at epochCap and leaves
+    * budget unspent — allocation never invents tokens.
+    */
+  def unimaxAllocate(docs: DataFrame, groupCol: String = "lang",
+      epochCap: Int = 2, budgetNum: Int = 16, budgetDen: Int = 10): DataFrame = {
+    require(epochCap >= 1, s"epochCap must be >= 1, got $epochCap")
+    require(budgetNum > 0 && budgetDen > 0, "budget ratio must be positive")
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("capacity_tokens", col("n_tokens") * epochCap)
+    val byCap = Window.orderBy(col("capacity_tokens"), col("grp"))
+    val all = Window.partitionBy()
+    val ranked = counts
+      .withColumn("rank", row_number().over(byCap).cast("long"))
+      .withColumn("prefix",
+        coalesce(sum(col("capacity_tokens"))
+          .over(byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("budget_tokens",
+        expr(s"(sum(n_tokens) over () * $budgetNum) div $budgetDen"))
+      .withColumn("f",
+        col("prefix") + col("capacity_tokens") * (col("m") - col("rank") + 1))
+      .withColumn("capped", col("f") <= col("budget_tokens"))
+    val sized = ranked
+      .withColumn("k_capped",
+        sum(col("capped").cast("long")).over(all))
+      .withColumn("capped_sum",
+        coalesce(sum(when(col("capped"), col("capacity_tokens"))).over(all), lit(0L)))
+    val alloc = when(col("capped"), col("capacity_tokens").cast("double"))
+      .otherwise((col("budget_tokens") - col("capped_sum")).cast("double")
+        / (col("m") - col("k_capped")).cast("double"))
+    sized
+      .withColumn("alloc_tokens", round(alloc, 6))
+      .withColumn("epochs", round(alloc / col("n_tokens").cast("double"), 6))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+        col("capacity_tokens"), col("rank"), col("budget_tokens"),
+        col("capped"), col("alloc_tokens"), col("epochs"))
+  }
 }

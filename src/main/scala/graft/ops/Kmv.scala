@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-replayable KMV (k-minimum-values) distinct sketch —
+  * Bar-Yossef et al. 2002's bottom-k estimator in the multiset-operation
+  * form of Beyer et al. 2007 ("On synopses for distinct value estimation
+  * under multiset operations"): keep the k SMALLEST distinct hash values
+  * of a set; the k-th smallest normalized hash U_(k) estimates the
+  * distinct count as (k−1)/U_(k), and — the property HLL lacks — two
+  * sketches COMPOSE under set algebra: the bottom-k of (A ∪ B) is exactly
+  * computable from bottom-k(A) and bottom-k(B) (every one of the k
+  * smallest of the union is among the k smallest of its own side), and
+  * the fraction of that combined bottom-k present in BOTH sketches
+  * estimates Jaccard, hence intersection = Jaccard × union. That makes
+  * KMV the standard sketch for "how much do these corpora overlap?"
+  * without ever joining them — the question a 100 TB multi-source
+  * ingest asks per source pair before deciding what to dedup.
+  *
+  * Everything derives from the same md5-first-8-hex 32-bit hash as the
+  * HLL/MinHash family, so a SQL oracle replays the sketch bit-for-bit:
+  *
+  *  - value space: the corpus' word-bigram shingles ([[Dedup.shingles]],
+  *    the ONE shingle kernel) keyed by source;
+  *  - per-source sketch: bottom-k DISTINCT hashes via a k-BOUNDED typed
+  *    Aggregator ([[Kmv.BottomK]]) — the map-side combine never holds
+  *    more than k longs, so the shuffle carries ≤ k·partitions rows per
+  *    source and no corpus-wide distinct or sort ever happens (the
+  *    bottom-k twin of functions.BoundedTopK);
+  *  - pair algebra on the m·k sketch rows only: union membership,
+  *    rank, k-th hash — exact integers throughout;
+  *  - estimates as ONE shared IEEE tree from those integers:
+  *    union = (k−1)·2³²/(h_(k)+0.5) when the combined sketch saturates
+  *    (the +0.5 midpoint keeps the normalized hash strictly positive),
+  *    EXACT |union| when it doesn't (an unsaturated sketch IS its set —
+  *    both branches and the k≥vocab degenerate law are pinned in
+  *    Batch13Spec); jaccard = matches/k_eff; intersection = their
+  *    product, rounded to 6 decimals to absorb nothing — every input is
+  *    exact, the rounding just fixes one canonical decimal rendering.
+  *
+  * The exact per-source distinct counts and exact pair intersections
+  * ride along as audit columns (`n_exact_*`, `inter_exact`, `rel_error`)
+  * — the corpus-scale shingle self-join the sketch exists to avoid,
+  * priced gate-only like x160's countDistinct comparand. rel_error is
+  * NULL when the exact intersection is 0 (0/0 has no honest value).
+  */
+object Kmv {
+
+  val DefaultK = 256
+
+  /** Bottom-k DISTINCT longs as a typed Aggregator with a k-bounded
+    * sorted buffer: `reduce` inserts in order and drops duplicates (KMV
+    * is a sketch of the distinct-value set — a duplicate hash beyond the
+    * buffer can never enter it, and one inside it must not double), so
+    * partial aggregation discards everything above the k-th smallest
+    * BEFORE the exchange. No upstream `.distinct()` pass is needed.
+    */
+  final case class BottomK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.length == k && a >= b.last) b
+      else {
+        val i = b.indexWhere(a <= _)
+        if (i >= 0 && b(i) == a) b // already present: distinct semantics
+        else {
+          val at = if (i < 0) b.length else i
+          (b.take(at) :+ a) ++ b.drop(at).take(k - at - 1)
+        }
+      }
+
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      (b1 ++ b2).distinct.sorted.take(k)
+
+    override def finish(b: Seq[Long]): Seq[Long] = b
+
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-source-pair distinct-shingle overlap from composed KMV sketches:
+    * one row per unordered source pair with the union / Jaccard /
+    * intersection estimates and their exact comparands. m sources cost
+    * m·k sketch rows of pair algebra — the corpus is touched exactly
+    * twice (sketch pass; exact-audit pass), never joined pairwise.
+    */
+  def intersectionBySource(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // (source, shingle) occurrences — the shared shingle kernel joined
+    // back to each doc's source (co-partitioned equi-join on doc_id;
+    // BottomK needs occurrences, not a distinct pass).
+    val sh = Dedup.shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val h = conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val sketches = sh.select(col("source"), h.as("h"))
+      .groupBy("source")
+      .agg(udaf(BottomK(k)).apply(col("h")).as("sk"))
+    val sk = sketches.select(col("source"), explode(col("sk")).as("h"))
+
+    // Exact audit (gate-only cost): distinct (source, shingle) once, for
+    // both the per-source counts and the pairwise intersections.
+    val ss = sh.select("source", "shingle").distinct()
+    val nEx = ss.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val iEx = ss.select(col("source").as("sa"), col("shingle"))
+      .join(ss.select(col("source").as("sb"), col("shingle")), Seq("shingle"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("inter_exact"))
+
+    // Pair union over sketch rows only: membership flags per (pair, h).
+    val pairs = sketches.select(col("source").as("sa"))
+      .crossJoin(sketches.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val uA = pairs.join(sk.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
+    val uB = pairs.join(sk.withColumnRenamed("source", "sb"), Seq("sb"))
+      .select(col("sa"), col("sb"), col("h"), lit(0).as("ina"), lit(1).as("inb"))
+    val u = uA.union(uB).groupBy("sa", "sb", "h")
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+
+    // Rank within each pair's combined distinct-hash set; rows past k
+    // are outside the composed sketch. k_eff = min(k, |union hashes|).
+    val w = Window.partitionBy("sa", "sb").orderBy("h")
+    val ranked = u
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nu", count(lit(1)).over(Window.partitionBy("sa", "sb")).cast("long"))
+      .filter(col("rn") <= k)
+    val agg = ranked.groupBy("sa", "sb").agg(
+      max(col("nu")).as("n_union_sketch"),
+      max(col("rn")).as("k_eff"),
+      max(col("h")).as("hk"),
+      sum(col("ina") * col("inb")).cast("long").as("matches"))
+
+    // Shared IEEE tree from exact integers (same discipline as Hll's
+    // correctedEstSql): saturated → (k−1)·2³²/(h_(k)+0.5); unsaturated →
+    // the sketch IS the set, so |union| is exact.
+    val uest = when(col("n_union_sketch") >= k,
+      lit((k - 1).toDouble) * lit(4294967296.0) / (col("hk").cast("double") + lit(0.5)))
+      .otherwise(col("n_union_sketch").cast("double"))
+    val jraw = col("matches").cast("double") / col("k_eff").cast("double")
+    val est = agg
+      .withColumn("union_est", round(uest, 6))
+      .withColumn("jaccard_est", round(jraw, 6))
+      .withColumn("inter_est", round(jraw * uest, 6))
+
+    est
+      .join(nEx.select(col("source").as("sa"), col("n_exact").as("n_exact_a")), Seq("sa"))
+      .join(nEx.select(col("source").as("sb"), col("n_exact").as("n_exact_b")), Seq("sb"))
+      .join(iEx, Seq("sa", "sb"), "left")
+      .select(
+        col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_exact_a"), col("n_exact_b"),
+        col("n_union_sketch"), col("k_eff"),
+        col("union_est"), col("jaccard_est"), col("inter_est"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+        when(coalesce(col("inter_exact"), lit(0L)) > 0,
+          round(abs(col("inter_est") - col("inter_exact").cast("double"))
+            / col("inter_exact").cast("double"), 6)).as("rel_error"))
+  }
+}

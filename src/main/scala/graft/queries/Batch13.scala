@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.io.Tables
+
+/** Round-13 batch: cross-corpus overlap sketching (KMV), budget
+  * allocation (UniMax), rank statistics (Mann–Whitney U), and the
+  * t-closeness privacy audit. Implementations live in ops/ and ext/;
+  * bindings here pin parameters and carry the DuckDB oracle twins.
+  */
+object Batch13 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // KMV bottom-k overlap sketch (ops.Kmv.intersectionBySource —
+    // Bar-Yossef et al. 2002; Beyer et al. 2007's multiset form): per
+    // source pair, union/Jaccard/intersection estimates composed from
+    // two 256-value sketches, never a pairwise corpus join; exact
+    // comparands ride along gate-only. The oracle replays the sketch
+    // bit-for-bit from the shared md5-first-8-hex hash: at sf0.01+ the
+    // combined sketches saturate (estimator branch); tiny corpora fall
+    // into the unsaturated-exact branch — both gated.
+    QueryDef(
+      "x214_kmv_source_overlap",
+      (s, dir) => graft.ops.Kmv.intersectionBySource(Tables(s, dir).documents)
+        .orderBy("source_a", "source_b"),
+      Some(
+        s"""${Extensions.ShingleCtes}, ss AS (
+           |  SELECT DISTINCT d.source, sh.shingle
+           |  FROM sh JOIN documents d USING (doc_id)
+           |), hx AS (
+           |  SELECT DISTINCT source,
+           |         CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+           |  FROM ss
+           |), skr AS (
+           |  SELECT source, h,
+           |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+           |  FROM hx
+           |), sk AS (
+           |  SELECT source, h FROM skr WHERE rn <= 256
+           |), nex AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ss GROUP BY 1
+           |), iex AS (
+           |  SELECT a.source AS sa, b.source AS sb,
+           |         CAST(COUNT(*) AS BIGINT) AS inter_exact
+           |  FROM ss a JOIN ss b ON b.shingle = a.shingle AND a.source < b.source
+           |  GROUP BY 1, 2
+           |), prs AS (
+           |  SELECT a.source AS sa, b.source AS sb
+           |  FROM nex a JOIN nex b ON a.source < b.source
+           |), pu AS (
+           |  SELECT p.sa, p.sb, s.h,
+           |         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+           |         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+           |  FROM prs p JOIN sk s ON s.source IN (p.sa, p.sb)
+           |  GROUP BY 1, 2, 3
+           |), rk AS (
+           |  SELECT sa, sb, h, ina, inb,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS BIGINT) AS rn,
+           |         CAST(COUNT(*) OVER (PARTITION BY sa, sb) AS BIGINT) AS nu
+           |  FROM pu
+           |), ag AS (
+           |  SELECT sa, sb, MAX(nu) AS n_union_sketch, MAX(rn) AS k_eff,
+           |         MAX(h) AS hk, CAST(SUM(ina * inb) AS BIGINT) AS matches
+           |  FROM rk WHERE rn <= 256 GROUP BY 1, 2
+           |), est AS (
+           |  SELECT sa, sb, n_union_sketch, k_eff, matches,
+           |         CASE WHEN n_union_sketch >= 256
+           |              THEN CAST(255 AS DOUBLE) * 4294967296.0
+           |                     / (CAST(hk AS DOUBLE) + 0.5)
+           |              ELSE CAST(n_union_sketch AS DOUBLE) END AS uest,
+           |         CAST(matches AS DOUBLE) / CAST(k_eff AS DOUBLE) AS jraw
+           |  FROM ag
+           |)
+           |SELECT est.sa AS source_a, est.sb AS source_b,
+           |       na.n_exact AS n_exact_a, nb.n_exact AS n_exact_b,
+           |       n_union_sketch, k_eff,
+           |       round(uest, 6) AS union_est,
+           |       round(jraw, 6) AS jaccard_est,
+           |       round(jraw * uest, 6) AS inter_est,
+           |       COALESCE(iex.inter_exact, 0) AS inter_exact,
+           |       CASE WHEN COALESCE(iex.inter_exact, 0) > 0
+           |            THEN round(abs(round(jraw * uest, 6)
+           |                   - CAST(iex.inter_exact AS DOUBLE))
+           |                 / CAST(iex.inter_exact AS DOUBLE), 6) END AS rel_error
+           |FROM est
+           |JOIN nex na ON na.source = est.sa
+           |JOIN nex nb ON nb.source = est.sb
+           |LEFT JOIN iex ON iex.sa = est.sa AND iex.sb = est.sb
+           |ORDER BY source_a, source_b""".stripMargin)),
+
+    // UniMax budget allocation (Pipeline.unimaxAllocate — Chung et al.
+    // 2023): token budget 1.6x the corpus, epoch cap 2, grouped by the
+    // documents' language column (the paper's own setting: skewed
+    // language sizes). Low-resource langs cap at 2 epochs; the surplus
+    // water-fills into `en`. The capped/uncapped partition is exact
+    // integer arithmetic; the oracle replays the closed-form prefix
+    // scan. CASTs pin every DuckDB aggregate back to BIGINT (SUM of
+    // BIGINT widens to HUGEINT, which pandas would render differently).
+    QueryDef(
+      "x215_unimax_allocation",
+      (s, dir) => graft.ext.Pipeline.unimaxAllocate(Tables(s, dir).documents)
+        .orderBy("lang"),
+      Some(
+        raw"""WITH cnt AS (
+             |  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             |           AS n_tokens
+             |  FROM documents GROUP BY 1
+             |), cap AS (
+             |  SELECT *, n_tokens * 2 AS capacity_tokens FROM cnt
+             |), rk AS (
+             |  SELECT *,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY capacity_tokens, grp) AS BIGINT)
+             |           AS rank,
+             |         CAST(COALESCE(SUM(capacity_tokens) OVER (
+             |             ORDER BY capacity_tokens, grp
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS BIGINT) AS prefix,
+             |         CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             |         CAST((SUM(n_tokens) OVER () * 16) // 10 AS BIGINT)
+             |           AS budget_tokens
+             |  FROM cap
+             |), fl AS (
+             |  SELECT *, prefix + capacity_tokens * (m - rank + 1) AS f FROM rk
+             |), cp AS (
+             |  SELECT *, f <= budget_tokens AS capped FROM fl
+             |), ag AS (
+             |  SELECT *,
+             |         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+             |           AS k_capped,
+             |         CAST(COALESCE(SUM(CASE WHEN capped THEN capacity_tokens END)
+             |             OVER (), 0) AS BIGINT) AS capped_sum
+             |  FROM cp
+             |)
+             |SELECT grp AS lang, n_docs, n_tokens, capacity_tokens, rank,
+             |       budget_tokens, capped,
+             |       round(CASE WHEN capped THEN CAST(capacity_tokens AS DOUBLE)
+             |                  ELSE CAST(budget_tokens - capped_sum AS DOUBLE)
+             |                         / CAST(m - k_capped AS DOUBLE) END, 6)
+             |         AS alloc_tokens,
+             |       round(CASE WHEN capped THEN CAST(capacity_tokens AS DOUBLE)
+             |                  ELSE CAST(budget_tokens - capped_sum AS DOUBLE)
+             |                         / CAST(m - k_capped AS DOUBLE) END
+             |             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+             |FROM ag ORDER BY lang""".stripMargin))
+  )
+}

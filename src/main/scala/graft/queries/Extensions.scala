@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
 object Extensions {
 
   /** Shared oracle CTE: distinct word-bigram shingles per document
-    * (mirrors Dedup.shingles). */
-  private val ShingleCtes =
+    * (mirrors Dedup.shingles). `private[queries]`: Batch13's KMV oracle
+    * replays the same shingle kernel — one definition, as always. */
+  private[queries] val ShingleCtes =
     raw"""WITH tok AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
          |), sh AS (

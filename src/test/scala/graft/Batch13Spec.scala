@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.Kmv
+import org.apache.spark.sql.functions._
+
+/** Algebra pins for the round-13 batch. The real-data paths are
+  * oracle-gated (x214+); these fix the properties the value gates can't
+  * see failing on their own data.
+  */
+class Batch13Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "source", "text")
+
+  test("kmv: degenerate law — k >= vocabulary makes every estimate exact") {
+    // 3 sources, tiny vocabularies, k far above any sketch: the
+    // unsaturated branch must return EXACT unions and intersections.
+    val d = docs(
+      (0L, "a", "red green blue red green"),
+      (1L, "a", "blue yellow red blue"),
+      (2L, "b", "red green blue yellow pink"),
+      (3L, "c", "one two three four"))
+    val r = Kmv.intersectionBySource(d, k = 1024)
+      .orderBy("source_a", "source_b")
+      .select("source_a", "source_b", "union_est", "inter_est", "inter_exact",
+        "n_exact_a", "n_exact_b", "n_union_sketch")
+      .collect()
+    r.foreach { row =>
+      val (uEst, iEst, iEx) = (row.getDouble(2), row.getDouble(3), row.getLong(4))
+      val (na, nb, nu) = (row.getLong(5), row.getLong(6), row.getLong(7))
+      assert(uEst == nu.toDouble, s"unsaturated union must be exact: $row")
+      assert(uEst == (na + nb - iEx).toDouble,
+        s"inclusion-exclusion must hold exactly when unsaturated: $row")
+      assert(iEst == iEx.toDouble,
+        s"unsaturated intersection must equal the exact count: $row")
+    }
+    // Disjoint pair (a,c)/(b,c): zero intersection, NULL rel_error (3VL).
+    val ac = Kmv.intersectionBySource(d, k = 1024)
+      .filter(col("source_b") === "c").select("inter_exact", "rel_error").collect()
+    assert(ac.nonEmpty)
+    ac.foreach { row =>
+      assert(row.getLong(0) == 0L)
+      assert(row.isNullAt(1), "rel_error on a zero intersection must be NULL")
+    }
+  }
+
+  test("kmv: BottomK is a distinct bottom-k — duplicates never double, " +
+    "merge composes like a union of sets") {
+    val agg = Kmv.BottomK(4)
+    // reduce: insert out of order, with duplicates, past capacity.
+    val b = Seq(9L, 3L, 9L, 7L, 1L, 5L, 3L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(b == Seq(1L, 2L, 3L, 5L), s"buffer was $b")
+    // merge = bottom-k of the union of the two sketch SETS.
+    val b2 = Seq(4L, 1L, 8L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(b, b2) == Seq(1L, 2L, 3L, 4L))
+    assert(agg.merge(b2, b) == agg.merge(b, b2), "merge must be symmetric")
+    // full-buffer fast path: an element above the cutoff changes nothing.
+    assert(agg.reduce(b, 99L) eq b)
+  }
+
+  test("kmv: sketch composition — bottom-k of a union is computable from " +
+    "the two sides' bottom-k sketches") {
+    // The property intersectionBySource's pair algebra relies on: every
+    // one of the k smallest of A ∪ B is in bottom-k(A) or bottom-k(B).
+    val k = 8
+    val a = (1 to 100).map(_ * 3L)   // multiples of 3
+    val b = (1 to 100).map(_ * 5L)   // multiples of 5
+    val agg = Kmv.BottomK(k)
+    val skA = a.foldLeft(agg.zero)(agg.reduce)
+    val skB = b.foldLeft(agg.zero)(agg.reduce)
+    val direct = (a ++ b).distinct.sorted.take(k)
+    assert(agg.merge(skA, skB) == direct,
+      "composed sketch must equal the direct bottom-k of the union")
+  }
+
+  test("unimax: degenerate law — a budget above total capacity caps every " +
+    "group and never invents tokens") {
+    val d = docs(
+      (0L, "a", "one two three"),
+      (1L, "b", "four five"),
+      (2L, "c", "six"))
+      .withColumn("lang", col("source")).drop("source")
+    // budget = 10x tokens, cap 2: capacity 2n < budget for everyone.
+    val r = graft.ext.Pipeline.unimaxAllocate(d, "lang", epochCap = 2,
+      budgetNum = 10, budgetDen = 1).orderBy("lang").collect()
+    r.foreach { row =>
+      assert(row.getAs[Boolean]("capped"), s"all groups must cap: $row")
+      assert(row.getAs[Double]("alloc_tokens")
+        == row.getAs[Long]("capacity_tokens").toDouble)
+      assert(row.getAs[Double]("epochs") == 2.0)
+    }
+  }
+
+  test("unimax: conservation and fairness — allocations spend exactly the " +
+    "budget when any group is uncapped, and no uncapped group gets less " +
+    "than a capped one's capacity") {
+    val d = docs(
+      (0L, "lo", "one two"),                                    // 2 tokens
+      (1L, "mid", "one two three four five six"),               // 6 tokens
+      (2L, "hi", ("w " * 40).trim))                             // 40 tokens
+      .withColumn("lang", col("source")).drop("source")
+    // tokens: 48 total; budget = 48*16 div 10 = 76; capacities 4/12/80.
+    // f: 4*3+0=12<=76 capped; 12*2+4=28<=76 capped; 80+16=96>76 uncapped.
+    val r = graft.ext.Pipeline.unimaxAllocate(d, "lang").orderBy("rank").collect()
+    val allocs = r.map(_.getAs[Double]("alloc_tokens"))
+    assert(r.map(_.getAs[Boolean]("capped")).toSeq == Seq(true, true, false))
+    assert(allocs.sum == 76.0, "uncapped share must spend the budget exactly")
+    assert(allocs.toSeq == Seq(4.0, 12.0, 60.0))
+    // epochs ordering: capped groups at the cap, uncapped strictly below.
+    assert(r.last.getAs[Double]("epochs") == 1.5)
+  }
+}
