@@ -2015,4 +2015,70 @@ object Curation {
       .withColumn("lift", round(col("recall_exp") - col("recall_base"), 6))
       .orderBy("qid")
   }
+
+  /** Mann–Whitney U rank-sum screen (Mann & Whitney 1947; Wilcoxon 1945)
+    * — each source tested against the REST of the corpus on per-doc
+    * token counts: the nonparametric "is this source's length
+    * distribution shifted?" answer that KS (x195) gives for drift and
+    * the t-family can't give without a normality assumption. Because
+    * every one-vs-rest pool IS the whole corpus, pooled midranks are
+    * computed ONCE and every source's test reads the same rank map — m
+    * tests for one rank pass.
+    *
+    * Exactness discipline: midranks are kept DOUBLED so they stay
+    * integers under ties (midrank2 = 2·|{v' < v}| + |{v'' = v}| + 1);
+    * per-source rank sums and 2·U are exact BIGINTs; the corpus-wide
+    * tie term T = Σ(t³−t) is a DECIMAL(38,0) sum of per-value terms
+    * (t³ would overflow BIGINT past t ≈ 2×10⁶; the decimal envelope is
+    * ~10¹² docs sharing one length — document-scale safe; DuckDB sums
+    * the same term in HUGEINT, identical values either way). The only
+    * doubles are the final variance tree
+    * σ² = (n_a·n_b/12)·((N+1) − T/(N(N−1))) and z — one shared IEEE
+    * expression from exact integers, rounded to 6. n_a·n_b and N(N−1)
+    * stay BIGINT-exact to ~3×10⁹ docs.
+    *
+    * AUC = U_a/(n_a·n_b) is the common-language effect size (P(doc from
+    * source longer than doc from rest), ties half-counted) — 0.5 means
+    * no shift; `significant` flags |z| > 1.96. σ = 0 (every doc the
+    * same length) yields NULL z — 3VL, nothing to test.
+    *
+    * Scale shape: one groupBy over the (source, n_tokens) projection,
+    * one broadcast of the value→rank map (distinct lengths, bounded),
+    * one per-source aggregate. No corpus-wide window or sort.
+    */
+  def mannWhitneyBySource(docs: DataFrame): DataFrame = {
+    val vals = docs.select(col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("v"))
+    val byV = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy("v")
+    val rankMap = byV
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("midrank2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+      .select("v", "midrank2")
+    val totals = byV.agg(
+      sum(col("cnt")).as("n_total"),
+      sum(col("cnt").cast("decimal(12,0)") * col("cnt").cast("decimal(12,0)")
+        * col("cnt").cast("decimal(12,0)") - col("cnt").cast("decimal(38,0)"))
+        .as("tie_term"))
+    val perSource = vals.join(broadcast(rankMap), Seq("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_a"), sum(col("midrank2")).as("r_sum2"))
+    val st = perSource.crossJoin(broadcast(totals))
+      .withColumn("n_b", col("n_total") - col("n_a"))
+      .withColumn("u2", col("r_sum2") - col("n_a") * (col("n_a") + 1L))
+    val sig2 = (col("n_a") * col("n_b")).cast("double") / lit(12.0) *
+      ((col("n_total") + 1L).cast("double") -
+        col("tie_term").cast("double") /
+          (col("n_total") * (col("n_total") - 1L)).cast("double"))
+    val zRaw = ((col("u2") - col("n_a") * col("n_b")).cast("double") / lit(2.0)) /
+      sqrt(sig2)
+    st
+      .withColumn("u_a", col("u2").cast("double") / lit(2.0))
+      .withColumn("auc",
+        round(col("u2").cast("double") /
+          (lit(2L) * col("n_a") * col("n_b")).cast("double"), 6))
+      .withColumn("z", when(sig2 > 0, round(zRaw, 6)))
+      .withColumn("significant", when(sig2 > 0, abs(round(zRaw, 6)) > lit(1.96)))
+      .select("source", "n_a", "n_b", "u_a", "auc", "z", "significant")
+  }
 }

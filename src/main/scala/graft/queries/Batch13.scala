@@ -142,6 +142,60 @@ object Batch13 {
              |                  ELSE CAST(budget_tokens - capped_sum AS DOUBLE)
              |                         / CAST(m - k_capped AS DOUBLE) END
              |             / CAST(n_tokens AS DOUBLE), 6) AS epochs
-             |FROM ag ORDER BY lang""".stripMargin))
+             |FROM ag ORDER BY lang""".stripMargin)),
+
+    // Mann-Whitney U one-vs-rest sweep (Curation.mannWhitneyBySource —
+    // Mann & Whitney 1947): per source, the tie-corrected rank-sum test
+    // of its per-doc token-count distribution against the rest of the
+    // corpus, sharing ONE pooled midrank pass across all m tests. Exact
+    // doubled midranks and BIGINT 2U; the tie term sums t^3-t in
+    // HUGEINT here / DECIMAL(38,0) in Spark — identical values, cast to
+    // double only inside the shared variance tree.
+    QueryDef(
+      "x216_mann_whitney_sources",
+      (s, dir) => graft.ext.Curation.mannWhitneyBySource(Tables(s, dir).documents)
+        .orderBy("source"),
+      Some(
+        raw"""WITH vals AS (
+             |  SELECT source,
+             |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+             |  FROM documents
+             |), byv AS (
+             |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1
+             |), rkm AS (
+             |  SELECT v, CAST(2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+             |           AS BIGINT) AS midrank2
+             |  FROM byv
+             |), tot AS (
+             |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+             |         CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie_term_d
+             |  FROM byv
+             |), ps AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a,
+             |         CAST(SUM(midrank2) AS BIGINT) AS r_sum2
+             |  FROM vals JOIN rkm USING (v) GROUP BY 1
+             |), st AS (
+             |  SELECT source, n_a, r_sum2, n_total, tie_term_d,
+             |         n_total - n_a AS n_b,
+             |         r_sum2 - n_a * (n_a + 1) AS u2
+             |  FROM ps CROSS JOIN tot
+             |), fin AS (
+             |  SELECT *,
+             |         CAST(n_a * n_b AS DOUBLE) / 12.0 *
+             |           (CAST(n_total + 1 AS DOUBLE)
+             |             - tie_term_d / CAST(n_total * (n_total - 1) AS DOUBLE))
+             |           AS sig2,
+             |         (CAST(u2 - n_a * n_b AS DOUBLE) / 2.0) AS num
+             |  FROM st
+             |)
+             |SELECT source, n_a, n_b,
+             |       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+             |       round(CAST(u2 AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE), 6)
+             |         AS auc,
+             |       CASE WHEN sig2 > 0 THEN round(num / sqrt(sig2), 6) END AS z,
+             |       CASE WHEN sig2 > 0
+             |            THEN abs(round(num / sqrt(sig2), 6)) > 1.96 END
+             |         AS significant
+             |FROM fin ORDER BY source""".stripMargin))
   )
 }

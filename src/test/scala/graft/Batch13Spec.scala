@@ -110,4 +110,37 @@ class Batch13Spec extends SparkSuite {
     // epochs ordering: capped groups at the cap, uncapped strictly below.
     assert(r.last.getAs[Double]("epochs") == 1.5)
   }
+
+  test("mann-whitney: a planted length shift is detected; identical " +
+    "distributions are not; zero variance yields NULL z") {
+    // 'long' docs have 9-11 tokens, everything else 2-4: a hard shift.
+    val shifted = docs(
+      ((0L until 12L).map(i => (i, "long", ("w " * (9 + (i % 3).toInt)).trim)) ++
+        (100L until 124L).map(i => (i, s"base${i % 2}", ("w " * (2 + (i % 3).toInt)).trim)))
+        .toSeq: _*)
+    val r = graft.ext.Curation.mannWhitneyBySource(shifted)
+      .orderBy("source").collect()
+    val long = r.find(_.getString(0) == "long").get
+    assert(long.getAs[Double]("auc") == 1.0, "disjoint ranges mean AUC 1")
+    assert(long.getAs[Double]("z") > 1.96 && long.getAs[Boolean]("significant"))
+    // One-vs-rest means the planted group sits in everyone else's "rest":
+    // the base sources are legitimately shifted BELOW their rest.
+    r.filter(_.getString(0).startsWith("base")).foreach { row =>
+      assert(row.getAs[Double]("auc") < 0.5, s"base must rank low: $row")
+    }
+    // A corpus where every source draws the same values: no false alarms.
+    val same = docs((0L until 48L).map(i =>
+      (i, s"s${i % 4}", ("w " * (2 + (i % 3).toInt)).trim)).toSeq: _*)
+    graft.ext.Curation.mannWhitneyBySource(same).collect().foreach { row =>
+      assert(!row.getAs[Boolean]("significant"), s"false positive: $row")
+      assert(row.getAs[Double]("auc") == 0.5,
+        s"identical per-source value multisets must tie exactly: $row")
+    }
+    // All docs the same length: sigma = 0, z NULL (3VL), not a crash.
+    val flat = docs((0L, "a", "x y"), (1L, "a", "p q"), (2L, "b", "r s"))
+    val fr = graft.ext.Curation.mannWhitneyBySource(flat).collect()
+    fr.foreach { row =>
+      assert(row.isNullAt(row.fieldIndex("z")), s"sigma=0 must yield NULL z: $row")
+    }
+  }
 }
