@@ -486,6 +486,71 @@ object Pipeline {
       .withColumn("diverse_ok", (col("n_sensitive") >= l).cast("int"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy-audit ladder after [[kAnonymityAudit]] and
+    * [[lDiversityAudit]]: a class can be k-anonymous AND l-diverse yet
+    * still leak when its sensitive-value DISTRIBUTION differs from the
+    * table's (the skewness/similarity attacks). Per QI class, the
+    * ordered earth-mover's distance between the class's and the global
+    * sensitive distribution: EMD = (1/(v−1))·Σᵢ |Σ_{j≤i}(p_j − q_j)| —
+    * the paper's closed form for ordered attributes with unit adjacent
+    * ground distance.
+    *
+    * Exactness discipline: `sensitiveCents` must be an exact BIGINT
+    * (money through the DECIMAL cast, ×100); levels are integral
+    * division after a positive shift (so Spark `div` and DuckDB `//`
+    * agree — they differ on negatives); cumulative class and global
+    * counts are exact BIGINTs; each |cumdiff| term is two exact-integer
+    * divisions snapped onto the 1e-9 fixed-point grid, so the per-class
+    * sum is an order-free integer and the distributed aggregation
+    * cannot perturb a double. The final EMD is one shared IEEE tree,
+    * rounded to 6. The last level's term is exactly 0 (both CDFs reach
+    * 1), so summing all v terms equals the paper's v−1-term sum.
+    *
+    * Scale shape: ONE corpus aggregate to (class, level) counts; the
+    * grid fill (every class × every occupied level, absent cells 0 —
+    * without them a class missing a level would silently skip that
+    * cumdiff term) and the cumulative windows run over the tiny
+    * classes×levels frame. A single-level table (v = 1) has identical
+    * distributions by construction: EMD 0, never 0/0.
+    */
+  def tClosenessAudit(rows: DataFrame, qi: String, sensitiveCents: Column,
+      bucketCents: Long = 100000L, shiftCents: Long = 100000000L,
+      t: Double = 0.2): DataFrame = {
+    require(bucketCents > 0, "bucketCents must be positive")
+    val base = rows.select(col(qi).as("cls"),
+      (sensitiveCents + lit(shiftCents)).cast("long").as("cents"))
+      .withColumn("lvl", expr(s"cents div ${bucketCents}L"))
+    val cb = base.groupBy("cls", "lvl").agg(count(lit(1)).as("n_cl"))
+    val gb = cb.groupBy("lvl").agg(sum(col("n_cl")).as("n_l"))
+    val cls = cb.groupBy("cls").agg(sum(col("n_cl")).as("n_c"))
+    val grid = cls.crossJoin(gb)
+      .join(cb, Seq("cls", "lvl"), "left")
+      .withColumn("n_cl", coalesce(col("n_cl"), lit(0L)))
+    val wl = Window.partitionBy("cls").orderBy("lvl")
+    val wc = Window.partitionBy("cls")
+    val cum = grid
+      .withColumn("p_cum", sum(col("n_cl")).over(wl))
+      .withColumn("q_cum", sum(col("n_l")).over(wl))
+      .withColumn("n_total", sum(col("n_l")).over(wc))
+      .withColumn("term_fp",
+        floor(abs(col("p_cum").cast("double") / col("n_c").cast("double")
+          - col("q_cum").cast("double") / col("n_total").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long"))
+    cum.groupBy("cls").agg(
+        max(col("n_c")).as("class_size"),
+        count(lit(1)).as("n_levels"),
+        sum(col("term_fp")).as("sum_fp"))
+      .withColumn("emd",
+        when(col("n_levels") > 1,
+          round(col("sum_fp").cast("double") / lit(1e9)
+            / (col("n_levels") - 1L).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("t_ok", col("emd") <= t)
+      .select(col("cls").as(qi), col("class_size"), col("n_levels"),
+        col("emd"), col("t_ok"))
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     * More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining") — the mixing rule that replaced temperature sampling

@@ -196,6 +196,67 @@ object Batch13 {
              |       CASE WHEN sig2 > 0
              |            THEN abs(round(num / sqrt(sig2), 6)) > 1.96 END
              |         AS significant
-             |FROM fin ORDER BY source""".stripMargin))
+             |FROM fin ORDER BY source""".stripMargin)),
+
+    // t-closeness audit (Pipeline.tClosenessAudit — Li et al. 2007):
+    // x159/x163's third privacy rung. Per nation, the ordered EMD
+    // between the class's and the global account-balance distribution
+    // (1000-currency-unit levels via exact cents, shifted positive so
+    // Spark div == DuckDB //). Each |cumdiff| term snaps to the 1e-9
+    // fixed-point grid, so the per-class sum is an order-free BIGINT.
+    QueryDef(
+      "x217_t_closeness",
+      (s, dir) => graft.ext.Pipeline.tClosenessAudit(
+          Tables(s, dir).customer, "c_nationkey",
+          (money(org.apache.spark.sql.functions.col("c_acctbal")) * 100)
+            .cast("long"))
+        .orderBy("c_nationkey"),
+      Some(
+        raw"""WITH base AS (
+             |  SELECT c_nationkey AS cls,
+             |         (CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+             |           + 100000000) // 100000 AS lvl
+             |  FROM customer
+             |), cb AS (
+             |  SELECT cls, lvl, CAST(COUNT(*) AS BIGINT) AS n_cl
+             |  FROM base GROUP BY 1, 2
+             |), gb AS (
+             |  SELECT lvl, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM cb GROUP BY 1
+             |), cl AS (
+             |  SELECT cls, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM cb GROUP BY 1
+             |), grid AS (
+             |  SELECT cl.cls, gb.lvl, cl.n_c, gb.n_l, COALESCE(cb.n_cl, 0) AS n_cl
+             |  FROM cl CROSS JOIN gb
+             |  LEFT JOIN cb ON cb.cls = cl.cls AND cb.lvl = gb.lvl
+             |), cum AS (
+             |  SELECT cls, n_c,
+             |         CAST(SUM(n_cl) OVER (PARTITION BY cls ORDER BY lvl)
+             |           AS BIGINT) AS p_cum,
+             |         CAST(SUM(n_l) OVER (PARTITION BY cls ORDER BY lvl)
+             |           AS BIGINT) AS q_cum,
+             |         CAST(SUM(n_l) OVER (PARTITION BY cls) AS BIGINT) AS n_total
+             |  FROM grid
+             |), term AS (
+             |  SELECT cls, n_c,
+             |         CAST(floor(abs(CAST(p_cum AS DOUBLE) / CAST(n_c AS DOUBLE)
+             |               - CAST(q_cum AS DOUBLE) / CAST(n_total AS DOUBLE))
+             |             * 1e9 + 0.5) AS BIGINT) AS term_fp
+             |  FROM cum
+             |), ag AS (
+             |  SELECT cls, MAX(n_c) AS class_size,
+             |         CAST(COUNT(*) AS BIGINT) AS n_levels,
+             |         CAST(SUM(term_fp) AS BIGINT) AS sum_fp
+             |  FROM term GROUP BY 1
+             |), fin AS (
+             |  SELECT cls, class_size, n_levels,
+             |         CASE WHEN n_levels > 1
+             |              THEN round(CAST(sum_fp AS DOUBLE) / 1e9
+             |                     / CAST(n_levels - 1 AS DOUBLE), 6)
+             |              ELSE 0.0 END AS emd
+             |  FROM ag
+             |)
+             |SELECT cls AS c_nationkey, class_size, n_levels, emd,
+             |       emd <= 0.2 AS t_ok
+             |FROM fin ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -143,4 +143,36 @@ class Batch13Spec extends SparkSuite {
       assert(row.isNullAt(row.fieldIndex("z")), s"sigma=0 must yield NULL z: $row")
     }
   }
+
+  test("t-closeness: a class whose sensitive distribution mirrors the " +
+    "global one passes with EMD 0; a concentrated class violates t") {
+    import graft.ext.Pipeline
+    // Levels are cents div 100000 after a +100000000 shift. Build three
+    // classes over two levels: 'bal' mirrors the global 50/50 exactly
+    // once the skewed classes are included; 'lo'/'hi' sit entirely in
+    // one level each.
+    val rows = (
+      (0 until 10).map(i => ("bal", if (i < 5) 0L else 100000L)) ++
+        (0 until 10).map(_ => ("lo", 0L)) ++
+        (0 until 10).map(_ => ("hi", 100000L))
+      ).toDF("cls", "cents")
+    val r = Pipeline.tClosenessAudit(rows, "cls", col("cents"))
+      .orderBy("cls").collect()
+    val byCls = r.map(row => row.getString(0) -> row).toMap
+    // Global: 15/15 across two levels. 'bal' is 5/5 -> EMD 0.
+    assert(byCls("bal").getAs[Double]("emd") == 0.0)
+    assert(byCls("bal").getAs[Boolean]("t_ok"))
+    // 'lo' is 10/0 vs global 0.5/0.5: cumdiff at level 1 is 0.5,
+    // EMD = 0.5/(v-1) = 0.5 > 0.2 -> violation. Symmetric for 'hi'.
+    assert(byCls("lo").getAs[Double]("emd") == 0.5)
+    assert(!byCls("lo").getAs[Boolean]("t_ok"))
+    assert(byCls("hi").getAs[Double]("emd") == 0.5)
+    assert(!byCls("hi").getAs[Boolean]("t_ok"))
+    // Single-level degenerate law: identical by construction, EMD 0.
+    val one = Seq(("a", 0L), ("b", 50L)).toDF("cls", "cents")
+    Pipeline.tClosenessAudit(one, "cls", col("cents")).collect().foreach { row =>
+      assert(row.getAs[Double]("emd") == 0.0 && row.getAs[Boolean]("t_ok"),
+        s"single level must be EMD 0: $row")
+    }
+  }
 }
