@@ -44,7 +44,16 @@ object ScaleProbe {
     // divisible by the 64-group and 32-offset periods) render byte-
     // identical images — so the distinct-hash grain must NOT grow and
     // the measured exponent isolates the scan.
-    "x212_perceptual_near_dedup")
+    "x212_perceptual_near_dedup",
+    // x214: KMV overlap — replicas are byte-identical, so distinct
+    // (source, shingle) and every sketch are CONSTANT under the probe;
+    // only the occurrence scan into the k-bounded aggregator grows.
+    // The measured exponent isolates that linear scan.
+    "x214_kmv_source_overlap",
+    // x216: one corpus aggregate over (source, token-count); the
+    // pooled-rank map is over distinct lengths (constant under
+    // duplication), so this must probe as a pure linear scan.
+    "x216_mann_whitney_sources")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",
