@@ -2046,7 +2046,15 @@ object Curation {
     * one broadcast of the value→rank map (distinct lengths, bounded),
     * one per-source aggregate. No corpus-wide window or sort.
     */
-  def mannWhitneyBySource(docs: DataFrame): DataFrame = {
+  /** Shared pooled-midrank kernel for the rank statistics ([[mannWhitneyBySource]],
+    * [[kruskalWallis]]): per-source doubled-midrank sums over per-doc
+    * token counts, with the corpus totals (N, tie term Σ(t³−t) in
+    * DECIMAL(38,0)). ONE definition — a tie-handling tweak applied to
+    * one test and not the other would silently desynchronize them.
+    * Returns (per-source [source, n_a, r_sum2], totals [n_total,
+    * tie_term]).
+    */
+  private def pooledRankSums(docs: DataFrame): (DataFrame, DataFrame) = {
     val vals = docs.select(col("source"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("v"))
     val byV = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
@@ -2063,6 +2071,11 @@ object Curation {
     val perSource = vals.join(broadcast(rankMap), Seq("v"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_a"), sum(col("midrank2")).as("r_sum2"))
+    (perSource, totals)
+  }
+
+  def mannWhitneyBySource(docs: DataFrame): DataFrame = {
+    val (perSource, totals) = pooledRankSums(docs)
     val st = perSource.crossJoin(broadcast(totals))
       .withColumn("n_b", col("n_total") - col("n_a"))
       .withColumn("u2", col("r_sum2") - col("n_a") * (col("n_a") + 1L))
@@ -2080,5 +2093,49 @@ object Curation {
       .withColumn("z", when(sig2 > 0, round(zRaw, 6)))
       .withColumn("significant", when(sig2 > 0, abs(round(zRaw, 6)) > lit(1.96)))
       .select("source", "n_a", "n_b", "u_a", "auc", "z", "significant")
+  }
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952) — the k-group omnibus
+    * companion of [[mannWhitneyBySource]]: ONE test of "do any of the m
+    * sources' token-count distributions differ?" before (or instead of)
+    * m pairwise screens, from the SAME pooled-midrank kernel. Reported
+    * tie-corrected: H_corr = H / (1 − ΣT/(N³−N)), with
+    * H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1).
+    *
+    * Exactness discipline: R_g = r_sum2/2 squares exactly in IEEE
+    * doubles while R_g ≤ 2^26 (a ~10⁷-rank corpus; beyond that the
+    * double is still deterministic cross-engine, just not exact); each
+    * group's R_g²/(4·n_g)·1e6 term snaps onto the 1e-6 fixed-point grid
+    * so the Σ_g is an order-free BIGINT (grid envelope ~9·10¹² per
+    * term-sum — the same convention as x161's decayed grid); N³−N is
+    * computed as a product of DOUBLES (BIGINT would overflow past
+    * N ≈ 2·10⁶, and DuckDB THROWS on bigint overflow where Spark
+    * non-ANSI nulls — the x104 lesson). All-identical values make the
+    * correction factor 0: H undefined, NULL (3VL).
+    *
+    * Effect size ε² = H_corr/(N−1) rides along. Scale shape: identical
+    * to the kernel's — one corpus aggregate, broadcast rank map, and a
+    * single-row reduce over m group sums.
+    */
+  def kruskalWallis(docs: DataFrame): DataFrame = {
+    val (perSource, totals) = pooledRankSums(docs)
+    val termFp = floor(
+      (col("r_sum2").cast("double") * col("r_sum2").cast("double"))
+        / (lit(4.0) * col("n_a").cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val grouped = perSource
+      .agg(count(lit(1)).as("n_groups"), sum(termFp).as("sum_fp"))
+      .crossJoin(broadcast(totals))
+    val nD = col("n_total").cast("double")
+    val h = lit(12.0) * (col("sum_fp").cast("double") / lit(1e6)) /
+      (nD * (nD + lit(1.0))) - lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("tie_term").cast("double") /
+      (nD * (nD - lit(1.0)) * (nD + lit(1.0)))
+    grouped.select(
+      col("n_total"), col("n_groups"),
+      (col("n_groups") - 1L).as("df"),
+      round(h, 6).as("h"),
+      when(corr > 0, round(h / corr, 6)).as("h_corrected"),
+      when(corr > 0, round(h / corr / (nD - lit(1.0)), 6)).as("epsilon_sq"))
   }
 }

@@ -9,6 +9,31 @@ import graft.io.Tables
   */
 object Batch13 {
 
+  /** Shared oracle CTE chain for the pooled-midrank kernel (mirrors
+    * Curation.pooledRankSums): per-source doubled-midrank sums + corpus
+    * totals. ONE definition for the x216/x218 oracles — the same
+    * single-sourcing rule as the Spark-side kernel they replay. */
+  private val RankCtes =
+    raw"""WITH vals AS (
+         |  SELECT source,
+         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+         |  FROM documents
+         |), byv AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1
+         |), rkm AS (
+         |  SELECT v, CAST(2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+         |           AS BIGINT) AS midrank2
+         |  FROM byv
+         |), tot AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         |         CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie_term_d
+         |  FROM byv
+         |), ps AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a,
+         |         CAST(SUM(midrank2) AS BIGINT) AS r_sum2
+         |  FROM vals JOIN rkm USING (v) GROUP BY 1
+         |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // KMV bottom-k overlap sketch (ops.Kmv.intersectionBySource —
@@ -156,25 +181,7 @@ object Batch13 {
       (s, dir) => graft.ext.Curation.mannWhitneyBySource(Tables(s, dir).documents)
         .orderBy("source"),
       Some(
-        raw"""WITH vals AS (
-             |  SELECT source,
-             |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
-             |  FROM documents
-             |), byv AS (
-             |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1
-             |), rkm AS (
-             |  SELECT v, CAST(2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
-             |           AS BIGINT) AS midrank2
-             |  FROM byv
-             |), tot AS (
-             |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
-             |         CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie_term_d
-             |  FROM byv
-             |), ps AS (
-             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a,
-             |         CAST(SUM(midrank2) AS BIGINT) AS r_sum2
-             |  FROM vals JOIN rkm USING (v) GROUP BY 1
-             |), st AS (
+        s"""$RankCtes, st AS (
              |  SELECT source, n_a, r_sum2, n_total, tie_term_d,
              |         n_total - n_a AS n_b,
              |         r_sum2 - n_a * (n_a + 1) AS u2
@@ -257,6 +264,42 @@ object Batch13 {
              |)
              |SELECT cls AS c_nationkey, class_size, n_levels, emd,
              |       emd <= 0.2 AS t_ok
-             |FROM fin ORDER BY c_nationkey""".stripMargin))
+             |FROM fin ORDER BY c_nationkey""".stripMargin)),
+
+    // Kruskal-Wallis H (Curation.kruskalWallis — Kruskal & Wallis 1952):
+    // the k-group omnibus over the SAME pooled-midrank kernel as x216,
+    // tie-corrected, with the epsilon-squared effect size. One output
+    // row; the per-group R_g^2/(4 n_g) terms snap to the 1e-6 grid so
+    // the group sum is order-free; N^3-N is a product of doubles (BIGINT
+    // would overflow at scale and DuckDB throws where Spark nulls).
+    QueryDef(
+      "x218_kruskal_wallis",
+      (s, dir) => graft.ext.Curation.kruskalWallis(Tables(s, dir).documents),
+      Some(
+        s"""$RankCtes, term AS (
+           |  SELECT CAST(floor((CAST(r_sum2 AS DOUBLE) * CAST(r_sum2 AS DOUBLE))
+           |           / (4.0 * CAST(n_a AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           |         AS term_fp
+           |  FROM ps
+           |), g AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |         CAST(SUM(term_fp) AS BIGINT) AS sum_fp
+           |  FROM term
+           |), fin AS (
+           |  SELECT n_total, n_groups,
+           |         12.0 * (CAST(sum_fp AS DOUBLE) / 1e6)
+           |           / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+           |           - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+           |         1.0 - tie_term_d
+           |           / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)
+           |              * (CAST(n_total AS DOUBLE) + 1.0)) AS corr
+           |  FROM g CROSS JOIN tot
+           |)
+           |SELECT n_total, n_groups, n_groups - 1 AS df, round(h, 6) AS h,
+           |       CASE WHEN corr > 0 THEN round(h / corr, 6) END AS h_corrected,
+           |       CASE WHEN corr > 0
+           |            THEN round(h / corr / (CAST(n_total AS DOUBLE) - 1.0), 6)
+           |            END AS epsilon_sq
+           |FROM fin""".stripMargin))
   )
 }

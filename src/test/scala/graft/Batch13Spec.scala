@@ -175,4 +175,27 @@ class Batch13Spec extends SparkSuite {
         s"single level must be EMD 0: $row")
     }
   }
+
+  test("kruskal-wallis: two groups reduce to the Mann-Whitney z (H = z^2); " +
+    "zero variance yields NULL") {
+    // Disjoint length ranges across two sources: both tests see the
+    // same pooled ranks, so the chi-square(1) omnibus must equal the
+    // squared normal deviate up to the 1e-6 snapping grid.
+    val two = docs(
+      ((0L until 12L).map(i => (i, "a", ("w " * (9 + (i % 3).toInt)).trim)) ++
+        (100L until 112L).map(i => (i, "b", ("w " * (2 + (i % 3).toInt)).trim)))
+        .toSeq: _*)
+    val h = graft.ext.Curation.kruskalWallis(two).collect()(0)
+    val z = graft.ext.Curation.mannWhitneyBySource(two)
+      .filter(col("source") === "a").collect()(0).getAs[Double]("z")
+    assert(h.getAs[Long]("df") == 1L)
+    assert(math.abs(h.getAs[Double]("h_corrected") - z * z) < 1e-4,
+      s"H(2 groups) must equal z^2: H=${h.getAs[Double]("h_corrected")} z=$z")
+    // All docs the same length: the tie correction hits 0, H has no
+    // honest value -> NULL, not a division blowup.
+    val flat = docs((0L, "a", "x y"), (1L, "b", "p q"), (2L, "b", "r s"))
+    val fr = graft.ext.Curation.kruskalWallis(flat).collect()(0)
+    assert(fr.isNullAt(fr.fieldIndex("h_corrected")))
+    assert(fr.isNullAt(fr.fieldIndex("epsilon_sq")))
+  }
 }
