@@ -45,6 +45,21 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
   }
 
+  /** The shingle-explode KERNEL: one (kept-columns..., shingle) row per
+    * word-bigram occurrence — shared by [[shingles]] (which adds the
+    * per-doc distinct + session cache) and by streaming consumers,
+    * which cannot cache an unbounded stream but must shingle the same
+    * way (a kernel re-spell would silently desynchronize the streaming
+    * KMV monitor from the batch x214 sketches).
+    */
+  private[graft] def shingleRows(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
+    docs.select(kept :+ TextAnalysis.tokens(col("text")).as("ts"): _*)
+      .select(kept :+ col("ts") :+
+        explode(sequence(lit(1), greatest(size(col("ts")) - 1, lit(1)))).as("i"): _*)
+      .select(kept :+ array_join(slice(col("ts"), col("i"), lit(2)), " ").as("shingle"): _*)
+  }
+
   /** Distinct word-bigram shingles per document: (doc_id, shingle) rows.
     * The explode is the scan-shaped part; everything downstream is
     * aggregates and key joins.
@@ -53,10 +68,7 @@ object Dedup {
     shingleCache.getOrElseUpdate(
       (docs.sparkSession, PlanKeys.fingerprint(docs)),
       graft.ops.Ckpt.registerCached(
-        docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1), greatest(size(col("ts")) - 1, lit(1)))).as("i"))
-          .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(2)), " ").as("shingle"))
+        shingleRows(docs, Seq("doc_id"))
           .distinct()
           .cache(), "Dedup.shingleCache"))
   // Explode-index + row distinct rather than array_distinct(transform(...)):

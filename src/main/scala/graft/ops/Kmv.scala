@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.ext.Dedup
-import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -90,23 +90,62 @@ object Kmv {
     * m·k sketch rows of pair algebra — the corpus is touched exactly
     * twice (sketch pass; exact-audit pass), never joined pairwise.
     */
-  def intersectionBySource(docs: DataFrame, k: Int = DefaultK): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
+  /** The 32-bit shingle hash (md5 first 8 hex — the family convention). */
+  private[graft] def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Per-source bottom-k sketches: (source, sk array<long>). Shared by
+    * [[intersectionBySource]], [[cardinalityBySource]], and the
+    * streaming monitor's batch-equivalence spec. */
+  private[graft] def sketchesOf(docs: DataFrame, k: Int): DataFrame = {
     // (source, shingle) occurrences — the shared shingle kernel joined
     // back to each doc's source (co-partitioned equi-join on doc_id;
     // BottomK needs occurrences, not a distinct pass).
     val sh = Dedup.shingles(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val h = conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
-    val sketches = sh.select(col("source"), h.as("h"))
+    sh.select(col("source"), hash32(col("shingle")).as("h"))
       .groupBy("source")
       .agg(udaf(BottomK(k)).apply(col("h")).as("sk"))
+  }
+
+  /** The KMV estimator on a MATERIALIZED (sorted-ascending, distinct)
+    * sketch — the JVM twin of the DataFrame paths' estimate tree, for
+    * the streaming monitor's per-batch emission: unsaturated sketches
+    * ARE their sets (exact count); saturated ones estimate
+    * (k−1)·2³²/(h_(k)+0.5), HALF_UP-rounded to 6 like SQL `round`. */
+  def estimate(sketch: Seq[Long], k: Int): Double =
+    if (sketch.size < k) sketch.size.toDouble
+    else BigDecimal((k - 1).toDouble * 4294967296.0 / (sketch.last.toDouble + 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-source distinct-shingle cardinality from the sketches alone —
+    * the monitoring view [[graft.streaming.Streams.kmvCardinalityStream]]
+    * maintains incrementally. No exact comparand here: this is the
+    * cheap always-on shape; [[intersectionBySource]] carries the
+    * gate-only audit. */
+  def cardinalityBySource(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    sketchesOf(docs, k)
+      .select(col("source"), col("sk"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        element_at(col("sk"), -1).as("hk"))
+      .select(col("source"), col("n_sketch"),
+        when(col("n_sketch") >= k,
+          round(lit((k - 1).toDouble) * lit(4294967296.0)
+            / (col("hk").cast("double") + lit(0.5)), 6))
+          .otherwise(col("n_sketch").cast("double")).as("distinct_est"))
+  }
+
+  def intersectionBySource(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sketches = sketchesOf(docs, k)
     val sk = sketches.select(col("source"), explode(col("sk")).as("h"))
 
     // Exact audit (gate-only cost): distinct (source, shingle) once, for
     // both the per-source counts and the pairwise intersections.
-    val ss = sh.select("source", "shingle").distinct()
+    val ss = Dedup.shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select("source", "shingle").distinct()
     val nEx = ss.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val iEx = ss.select(col("source").as("sa"), col("shingle"))
       .join(ss.select(col("source").as("sb"), col("shingle")), Seq("shingle"))

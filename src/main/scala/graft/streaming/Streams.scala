@@ -844,6 +844,64 @@ object Streams {
     }
   }
 
+  /** State for [[kmvCardinalityStream]]: the source's bottom-k distinct
+    * hash sketch, sorted ascending — a flat Array[Long], ≤ k·8 bytes,
+    * the whole point of carrying a sketch instead of a distinct set. */
+  final case class KmvState(hashes: Array[Long])
+
+  /** One row per (source, micro-batch) from [[kmvCardinalityStream]]. */
+  final case class KmvEstimate(source: String, n_sketch: Long,
+      distinct_est: Double, batch_rows: Long)
+
+  /** Streaming KMV cardinality monitor — the incremental twin of the
+    * batch x214 sketches ([[graft.ops.Kmv]]): per source, maintain the
+    * bottom-k distinct-shingle-hash sketch as keyed state and emit the
+    * running distinct estimate after every micro-batch. This is the
+    * always-on "how big is each source's vocabulary getting, and when
+    * does a feed start repeating itself?" gauge an ingest pipeline
+    * wants without ever storing a distinct set: state is ≤ k longs per
+    * source, FOREVER, no compaction policy needed (contrast the
+    * exact-substring screen's growing gram index).
+    *
+    * Kernel sharing, both directions: shingles come from the SAME
+    * explode kernel as every batch dedup operator
+    * ([[graft.ext.Dedup.shingleRows]] — the cache-free projection the
+    * cached batch path is built on), hashes from the same md5-first-8
+    * convention ([[graft.ops.Kmv.hash32]]), the fold IS the batch
+    * aggregator's `reduce` ([[graft.ops.Kmv.BottomK]]), and the
+    * estimate is [[graft.ops.Kmv.estimate]] — so after any prefix of
+    * micro-batches the state equals the batch sketch of the rows so
+    * far, exactly (StreamingSpec pins sketch-array equality and
+    * estimate equality against [[graft.ops.Kmv.cardinalityBySource]]).
+    *
+    * Redelivery: inserting a hash already in the sketch is a no-op by
+    * the aggregator's distinct semantics, so at-least-once delivery
+    * never perturbs the sketch — idempotence by construction rather
+    * than by dedup bookkeeping (pinned in StreamingSpec).
+    */
+  def kmvCardinalityStream(spark: SparkSession, docs: DataFrame,
+      k: Int = graft.ops.Kmv.DefaultK): Dataset[KmvEstimate] = {
+    import spark.implicits._
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = graft.ext.Dedup.shingleRows(docs, Seq("source"))
+      .select(col("source"), graft.ops.Kmv.hash32(col("shingle")).as("h"))
+      .as[(String, Long)]
+    val agg = graft.ops.Kmv.BottomK(k)
+    hashed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[(String, Long)],
+         state: GroupState[KmvState]) =>
+          var sk: Seq[Long] = state.getOption
+            .map(_.hashes.toVector).getOrElse(Vector.empty)
+          var nBatch = 0L
+          batch.foreach { case (_, h) => sk = agg.reduce(sk, h); nBatch += 1 }
+          state.update(KmvState(sk.toArray))
+          Iterator.single(KmvEstimate(source, sk.size.toLong,
+            graft.ops.Kmv.estimate(sk, k), nBatch))
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

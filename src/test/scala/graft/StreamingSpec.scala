@@ -616,4 +616,64 @@ class StreamingSpec extends SparkSuite {
     assert(Streams.compactSubstrIndex(spark, s"$dir/none").count() === 0L,
       "compacting an absent index is an empty-metric no-op")
   }
+
+  test("kmv cardinality monitor: every micro-batch prefix equals the batch " +
+    "sketch of the rows so far; redelivery is a no-op by construction") {
+    implicit val sc = spark.sqlContext
+    val k = 16
+    // 3 sources whose vocabularies overlap and comfortably saturate k=16.
+    def doc(id: Long, src: Int) = {
+      val words = (0 until 8).map(j => s"w${(id * 3 + j * 7) % 50}_$src")
+      (id, s"src$src", words.mkString(" "))
+    }
+    val all = (0L until 90L).map(i => doc(i, (i % 3).toInt))
+    val (b1, rest) = all.splitAt(30)
+    val (b2, b3) = rest.splitAt(30)
+
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.kmvCardinalityStream(spark,
+        src.toDF().toDF("doc_id", "source", "text"), k)
+      .writeStream.format("memory").queryName("kmv_mon")
+      .outputMode("append").start()
+    def emitted(): Seq[(String, Long, Double, Long)] =
+      spark.table("kmv_mon")
+        .as[(String, Long, Double, Long)].collect().toSeq
+    def lastPerSource(prev: Seq[(String, Long, Double, Long)]):
+        Map[String, (Long, Double)] = {
+      // multiset-subtract the previous snapshot: what this round emitted
+      val pool = scala.collection.mutable.Buffer(prev: _*)
+      emitted().filterNot { r =>
+        val i = pool.indexOf(r); if (i >= 0) { pool.remove(i); true } else false
+      }.map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    def batchView(rows: Seq[(Long, String, String)]): Map[String, (Long, Double)] =
+      graft.ops.Kmv.cardinalityBySource(
+          rows.toDF("doc_id", "source", "text"), k)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+
+    src.addData(b1: _*); q.processAllAvailable()
+    val s1 = emitted()
+    assert(s1.map(r => r._1 -> (r._2, r._3)).toMap === batchView(b1),
+      "after batch 1 the stream state must equal the batch sketch of b1")
+    src.addData(b2: _*); q.processAllAvailable()
+    val s2 = emitted()
+    assert(lastPerSource(s1) === batchView(b1 ++ b2),
+      "after batch 2 the stream must equal the batch sketch of b1+b2")
+    src.addData(b3: _*); q.processAllAvailable()
+    val s3 = emitted()
+    val finalView = lastPerSource(s2)
+    assert(finalView === batchView(all),
+      "after batch 3 the stream must equal the batch sketch of everything")
+    // Saturation reached: the estimator branch (not the exact branch) is
+    // what this equivalence exercised.
+    assert(finalView.values.forall(_._1 == k.toLong),
+      s"sketches must be saturated at k=$k for the estimator branch")
+    // Redelivery: re-send batch 2 verbatim. Distinct-insert semantics
+    // make the fold a no-op — same n_sketch, same estimate.
+    src.addData(b2: _*); q.processAllAvailable()
+    assert(lastPerSource(s3) === finalView,
+      "redelivered rows must not perturb the sketch")
+    q.stop()
+  }
 }
