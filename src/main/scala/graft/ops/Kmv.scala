@@ -136,6 +136,53 @@ object Kmv {
           .otherwise(col("n_sketch").cast("double")).as("distinct_est"))
   }
 
+  /** Shard-merge audit for the KMV sketch — the bottom-k member of the
+    * mergeable-sketch audit family (x175 MinHash elementwise-min, x201
+    * HLL elementwise-max): the corpus-wide sketch computed per shard and
+    * MERGED (bottom-k of the union of the shard sketch SETS) must equal
+    * the sketch computed directly over the whole corpus, because every
+    * one of the k smallest of a union is among its own shard's k
+    * smallest — the property that lets every partition of a 100 TB scan
+    * sketch independently and merge in one m·k-row reduce. The audit
+    * proves it end-to-end (n_mismatch, expected 0 — asserted by the
+    * oracle replay, not by this code) and carries the merged sketch's
+    * estimate against the exact distinct hash count (gate-only audit
+    * column, the Hll.mergeAudit convention).
+    */
+  def mergeAudit(docs: DataFrame, nShards: Int = 8, k: Int = DefaultK): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    val hashed = Dedup.shingles(docs)
+      .select(col("doc_id"), hash32(col("shingle")).as("h"))
+    val sharded = hashed.select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"), col("h"))
+    val shardSk = sharded.groupBy("shard")
+      .agg(udaf(BottomK(k)).apply(col("h")).as("sk"))
+      .select(col("shard"), explode(col("sk")).as("h"))
+    val wAll = Window.orderBy("h")
+    val merged = shardSk.select("h").distinct()
+      .withColumn("rn", row_number().over(wAll)).filter(col("rn") <= k)
+    val direct = hashed.agg(udaf(BottomK(k)).apply(col("h")).as("sk"))
+      .select(explode(col("sk")).as("h"))
+    val mm = merged.select(col("h"), lit(1).as("in_m"))
+      .join(direct.select(col("h"), lit(1).as("in_d")), Seq("h"), "full_outer")
+      .agg(coalesce(sum(when(col("in_m").isNull || col("in_d").isNull, lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("n_mismatch"))
+    val st = merged.agg(count(lit(1)).cast("long").as("n_sketch"),
+      max(col("h")).as("hk"))
+    val exact = hashed.agg(countDistinct(col("h")).as("n_exact"))
+    val est = when(col("n_sketch") >= k,
+      round(lit((k - 1).toDouble) * lit(4294967296.0)
+        / (col("hk").cast("double") + lit(0.5)), 6))
+      .otherwise(col("n_sketch").cast("double"))
+    st.crossJoin(broadcast(mm)).crossJoin(broadcast(exact))
+      .select(lit(nShards).cast("long").as("n_shards"),
+        col("n_mismatch"), col("n_sketch"),
+        est.as("union_estimate"), col("n_exact"),
+        when(col("n_exact") > 0,
+          round(abs(est - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"), 6)).as("rel_error"))
+  }
+
   def intersectionBySource(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val sketches = sketchesOf(docs, k)

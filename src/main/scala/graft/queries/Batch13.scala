@@ -300,6 +300,58 @@ object Batch13 {
            |       CASE WHEN corr > 0
            |            THEN round(h / corr / (CAST(n_total AS DOUBLE) - 1.0), 6)
            |            END AS epsilon_sq
+           |FROM fin""".stripMargin)),
+
+    // KMV shard-merge audit (ops.Kmv.mergeAudit): the bottom-k member
+    // of the mergeable-sketch audit family (x175 MinHash min, x201 HLL
+    // max) — per-shard sketches merged as bottom-k-of-union must equal
+    // the direct corpus sketch (n_mismatch 0), with the merged
+    // estimate's rel_error against the exact distinct hash count.
+    QueryDef(
+      "x219_kmv_merge_audit",
+      (s, dir) => graft.ops.Kmv.mergeAudit(Tables(s, dir).documents),
+      Some(
+        s"""${Extensions.ShingleCtes}, hx AS (
+           |  SELECT doc_id,
+           |         CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+           |  FROM sh
+           |), shsk AS (
+           |  SELECT shard, h FROM (
+           |    SELECT shard, h, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS rn
+           |    FROM (SELECT DISTINCT doc_id % 8 AS shard, h FROM hx)
+           |  ) WHERE rn <= 256
+           |), mg AS (
+           |  SELECT h FROM (
+           |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+           |    FROM (SELECT DISTINCT h FROM shsk)
+           |  ) WHERE rn <= 256
+           |), dr AS (
+           |  SELECT h FROM (
+           |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+           |    FROM (SELECT DISTINCT h FROM hx)
+           |  ) WHERE rn <= 256
+           |), mm AS (
+           |  SELECT CAST(COALESCE(SUM(CASE WHEN m.h IS NULL OR d.h IS NULL
+           |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |           AS n_mismatch
+           |  FROM mg m FULL OUTER JOIN dr d ON d.h = m.h
+           |), st AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS hk FROM mg
+           |), ex AS (
+           |  SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact FROM hx
+           |), fin AS (
+           |  SELECT n_sketch, n_mismatch, n_exact,
+           |         CASE WHEN n_sketch >= 256
+           |              THEN round(CAST(255 AS DOUBLE) * 4294967296.0
+           |                     / (CAST(hk AS DOUBLE) + 0.5), 6)
+           |              ELSE CAST(n_sketch AS DOUBLE) END AS union_estimate
+           |  FROM st CROSS JOIN mm CROSS JOIN ex
+           |)
+           |SELECT CAST(8 AS BIGINT) AS n_shards, n_mismatch, n_sketch,
+           |       union_estimate, n_exact,
+           |       CASE WHEN n_exact > 0
+           |            THEN round(abs(union_estimate - CAST(n_exact AS DOUBLE))
+           |                 / CAST(n_exact AS DOUBLE), 6) END AS rel_error
            |FROM fin""".stripMargin))
   )
 }

@@ -198,4 +198,22 @@ class Batch13Spec extends SparkSuite {
     assert(fr.isNullAt(fr.fieldIndex("h_corrected")))
     assert(fr.isNullAt(fr.fieldIndex("epsilon_sq")))
   }
+
+  test("kmv merge audit: shard sketches merge losslessly even when one " +
+    "shard owns every small hash, and the unsaturated estimate is exact") {
+    // 40 docs with heavily shared vocabulary across 4 shards (doc_id%8
+    // folds them to 8 shard keys): whatever the hash distribution, the
+    // merged bottom-k must equal the direct bottom-k — the property is
+    // algebraic, so 0 mismatches ALWAYS, not just on friendly splits.
+    val d = docs((0L until 40L).map(i =>
+      (i, s"s${i % 3}", (0 until 6).map(j => s"t${(i + j) % 25}").mkString(" "))).toSeq: _*)
+    val r = graft.ops.Kmv.mergeAudit(d, nShards = 8, k = 16).collect()(0)
+    assert(r.getAs[Long]("n_mismatch") == 0L, s"merge must be lossless: $r")
+    assert(r.getAs[Long]("n_sketch") == 16L, "25 distinct bigrams saturate k=16")
+    // Unsaturated branch: k above the vocabulary -> estimate == exact.
+    val r2 = graft.ops.Kmv.mergeAudit(d, nShards = 8, k = 1024).collect()(0)
+    assert(r2.getAs[Long]("n_mismatch") == 0L)
+    assert(r2.getAs[Double]("union_estimate") == r2.getAs[Long]("n_exact").toDouble)
+    assert(r2.getAs[Double]("rel_error") == 0.0)
+  }
 }
