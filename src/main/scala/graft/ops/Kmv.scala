@@ -84,12 +84,6 @@ object Kmv {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
-  /** Per-source-pair distinct-shingle overlap from composed KMV sketches:
-    * one row per unordered source pair with the union / Jaccard /
-    * intersection estimates and their exact comparands. m sources cost
-    * m·k sketch rows of pair algebra — the corpus is touched exactly
-    * twice (sketch pass; exact-audit pass), never joined pairwise.
-    */
   /** The 32-bit shingle hash (md5 first 8 hex — the family convention). */
   private[graft] def hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
@@ -183,6 +177,12 @@ object Kmv {
             / col("n_exact").cast("double"), 6)).as("rel_error"))
   }
 
+  /** Per-source-pair distinct-shingle overlap from composed KMV sketches:
+    * one row per unordered source pair with the union / Jaccard /
+    * intersection estimates and their exact comparands. m sources cost
+    * m·k sketch rows of pair algebra — the corpus is touched exactly
+    * twice (sketch pass; exact-audit pass), never joined pairwise.
+    */
   def intersectionBySource(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val sketches = sketchesOf(docs, k)
