@@ -144,6 +144,7 @@ object Bench {
       graft.ext.TextAnalysis.clearCaches(spark)
       graft.ext.Similarity.clearCaches(spark)
       graft.queries.Report.clearCaches(spark)
+      graft.ops.Kmv.clearCaches(spark)
       try timed(Registry.queryMap(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
       catch { case e: Throwable =>
@@ -342,6 +343,7 @@ object Bench {
     graft.ext.TextAnalysis.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
     graft.queries.Report.clearCaches(spark)
+    graft.ops.Kmv.clearCaches(spark)
     spark.stop()
     // Printed after spark.stop() so no executor/log line can interleave.
     // The full JSON first, then the SHORT headline as the very last line:

@@ -38,6 +38,7 @@ object QueryProbe {
         graft.ext.TextAnalysis.clearCaches(spark)
         graft.ext.Similarity.clearCaches(spark)
         graft.queries.Report.clearCaches(spark)
+        graft.ops.Kmv.clearCaches(spark)
         val t0 = System.nanoTime()
         queries.Registry.queryMap(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()

@@ -189,6 +189,7 @@ object ScaleProbe {
       graft.ext.Dedup.clearCaches(spark)
       graft.ext.Similarity.clearCaches(spark)
       graft.ext.TextAnalysis.clearCaches(spark)
+      graft.ops.Kmv.clearCaches(spark)
       val t0 = System.nanoTime()
       queries.Registry.queryMap(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

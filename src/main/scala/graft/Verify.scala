@@ -49,6 +49,7 @@ object Verify {
     graft.ext.TextAnalysis.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
     graft.queries.Report.clearCaches(spark)
+    graft.ops.Kmv.clearCaches(spark)
     spark.stop()
   }
 }

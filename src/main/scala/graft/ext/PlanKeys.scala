@@ -17,7 +17,7 @@ import org.apache.spark.sql.DataFrame
   * cost (the canonicalized form normalizes expression ids, so the
   * fingerprint is stable across re-analysis of the same query).
   */
-private[ext] object PlanKeys {
+private[graft] object PlanKeys {
   def fingerprint(df: DataFrame): Long = {
     val a = df.queryExecution.analyzed
     (a.semanticHash().toLong << 32) |

@@ -91,6 +91,16 @@ class CachesSpec extends SparkSuite {
     TextAnalysis.clearCaches(spark)
   }
 
+  test("Kmv sketches held across clearCaches recompute identically") {
+    val sk = graft.ops.Kmv.sketchesOf(docs, 16)
+    val before = sk.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1)).toMap
+    graft.ops.Kmv.clearCaches(spark)
+    assert(sk.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1)).toMap === before)
+    graft.ops.Kmv.clearCaches(spark)
+  }
+
   test("Report monthly rollup held across clearCaches recomputes identically") {
     val m = SparkEntry.queries("r02_monthly_revenue_trend")(spark, Sf)
     val before = m.collect().toSeq
