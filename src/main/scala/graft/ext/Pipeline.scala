@@ -582,17 +582,29 @@ object Pipeline {
     */
   def unimaxAllocate(docs: DataFrame, groupCol: String = "lang",
       epochCap: Int = 2, budgetNum: Int = 16, budgetDen: Int = 10): DataFrame = {
-    require(epochCap >= 1, s"epochCap must be >= 1, got $epochCap")
-    require(budgetNum > 0 && budgetDen > 0, "budget ratio must be positive")
     val counts = docs
       .select(col(groupCol).as("grp"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-      .withColumn("capacity_tokens", col("n_tokens") * epochCap)
+    unimaxFromCounts(counts, groupCol, epochCap, budgetNum, budgetDen)
+  }
+
+  /** The allocation core of [[unimaxAllocate]], over a precomputed
+    * per-group counts frame (columns grp, n_docs, n_tokens) — the
+    * composable form: any token-mass notion (raw counts, x144's
+    * dedup-discounted effective mass, a priced byte budget) water-fills
+    * the same way. `n_tokens` only needs to be an exact BIGINT in a
+    * consistent unit; ratios (epochs) are unit-free.
+    */
+  def unimaxFromCounts(counts: DataFrame, groupOut: String,
+      epochCap: Int, budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(epochCap >= 1, s"epochCap must be >= 1, got $epochCap")
+    require(budgetNum > 0 && budgetDen > 0, "budget ratio must be positive")
+    val withCap = counts.withColumn("capacity_tokens", col("n_tokens") * epochCap)
     val byCap = Window.orderBy(col("capacity_tokens"), col("grp"))
     val all = Window.partitionBy()
-    val ranked = counts
+    val ranked = withCap
       .withColumn("rank", row_number().over(byCap).cast("long"))
       .withColumn("prefix",
         coalesce(sum(col("capacity_tokens"))
@@ -614,7 +626,7 @@ object Pipeline {
     sized
       .withColumn("alloc_tokens", round(alloc, 6))
       .withColumn("epochs", round(alloc / col("n_tokens").cast("double"), 6))
-      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+      .select(col("grp").as(groupOut), col("n_docs"), col("n_tokens"),
         col("capacity_tokens"), col("rank"), col("budget_tokens"),
         col("capped"), col("alloc_tokens"), col("epochs"))
   }

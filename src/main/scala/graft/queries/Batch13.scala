@@ -34,6 +34,53 @@ object Batch13 {
          |  FROM vals JOIN rkm USING (v) GROUP BY 1
          |)""".stripMargin
 
+  /** The UniMax water-filling oracle chain (mirrors
+    * Pipeline.unimaxFromCounts), appended after a CTE named `src` with
+    * columns (grp, n_docs, n_tokens). ONE definition for the x215 (raw
+    * token) and x220 (effective-token) allocation oracles. Every DuckDB
+    * aggregate CASTs back to BIGINT (SUM widens to HUGEINT, which
+    * pandas would render differently).
+    */
+  private[queries] def unimaxSql(src: String, epochCap: Int,
+      budgetNum: Int, budgetDen: Int, outName: String): String =
+    raw""", cap AS (
+         |  SELECT *, n_tokens * $epochCap AS capacity_tokens FROM $src
+         |), rk AS (
+         |  SELECT *,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY capacity_tokens, grp) AS BIGINT)
+         |           AS rank,
+         |         CAST(COALESCE(SUM(capacity_tokens) OVER (
+         |             ORDER BY capacity_tokens, grp
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS prefix,
+         |         CAST(COUNT(*) OVER () AS BIGINT) AS m,
+         |         CAST((SUM(n_tokens) OVER () * $budgetNum) // $budgetDen AS BIGINT)
+         |           AS budget_tokens
+         |  FROM cap
+         |), fl AS (
+         |  SELECT *, prefix + capacity_tokens * (m - rank + 1) AS f FROM rk
+         |), cp AS (
+         |  SELECT *, f <= budget_tokens AS capped FROM fl
+         |), ag AS (
+         |  SELECT *,
+         |         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+         |           AS k_capped,
+         |         CAST(COALESCE(SUM(CASE WHEN capped THEN capacity_tokens END)
+         |             OVER (), 0) AS BIGINT) AS capped_sum
+         |  FROM cp
+         |)
+         |SELECT grp AS $outName, n_docs, n_tokens, capacity_tokens, rank,
+         |       budget_tokens, capped,
+         |       round(CASE WHEN capped THEN CAST(capacity_tokens AS DOUBLE)
+         |                  ELSE CAST(budget_tokens - capped_sum AS DOUBLE)
+         |                         / CAST(m - k_capped AS DOUBLE) END, 6)
+         |         AS alloc_tokens,
+         |       round(CASE WHEN capped THEN CAST(capacity_tokens AS DOUBLE)
+         |                  ELSE CAST(budget_tokens - capped_sum AS DOUBLE)
+         |                         / CAST(m - k_capped AS DOUBLE) END
+         |             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         |FROM ag ORDER BY $outName""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // KMV bottom-k overlap sketch (ops.Kmv.intersectionBySource —
@@ -131,43 +178,7 @@ object Batch13 {
              |         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
              |           AS n_tokens
              |  FROM documents GROUP BY 1
-             |), cap AS (
-             |  SELECT *, n_tokens * 2 AS capacity_tokens FROM cnt
-             |), rk AS (
-             |  SELECT *,
-             |         CAST(ROW_NUMBER() OVER (ORDER BY capacity_tokens, grp) AS BIGINT)
-             |           AS rank,
-             |         CAST(COALESCE(SUM(capacity_tokens) OVER (
-             |             ORDER BY capacity_tokens, grp
-             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |           AS BIGINT) AS prefix,
-             |         CAST(COUNT(*) OVER () AS BIGINT) AS m,
-             |         CAST((SUM(n_tokens) OVER () * 16) // 10 AS BIGINT)
-             |           AS budget_tokens
-             |  FROM cap
-             |), fl AS (
-             |  SELECT *, prefix + capacity_tokens * (m - rank + 1) AS f FROM rk
-             |), cp AS (
-             |  SELECT *, f <= budget_tokens AS capped FROM fl
-             |), ag AS (
-             |  SELECT *,
-             |         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
-             |           AS k_capped,
-             |         CAST(COALESCE(SUM(CASE WHEN capped THEN capacity_tokens END)
-             |             OVER (), 0) AS BIGINT) AS capped_sum
-             |  FROM cp
-             |)
-             |SELECT grp AS lang, n_docs, n_tokens, capacity_tokens, rank,
-             |       budget_tokens, capped,
-             |       round(CASE WHEN capped THEN CAST(capacity_tokens AS DOUBLE)
-             |                  ELSE CAST(budget_tokens - capped_sum AS DOUBLE)
-             |                         / CAST(m - k_capped AS DOUBLE) END, 6)
-             |         AS alloc_tokens,
-             |       round(CASE WHEN capped THEN CAST(capacity_tokens AS DOUBLE)
-             |                  ELSE CAST(budget_tokens - capped_sum AS DOUBLE)
-             |                         / CAST(m - k_capped AS DOUBLE) END
-             |             / CAST(n_tokens AS DOUBLE), 6) AS epochs
-             |FROM ag ORDER BY lang""".stripMargin)),
+             |)""".stripMargin + unimaxSql("cnt", 2, 16, 10, "lang"))),
 
     // Mann-Whitney U one-vs-rest sweep (Curation.mannWhitneyBySource —
     // Mann & Whitney 1947): per source, the tie-corrected rank-sum test

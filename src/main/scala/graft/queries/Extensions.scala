@@ -391,6 +391,43 @@ object Extensions {
       },
       bench = false), // shares x22's iterative cluster loop; gated at sf0.01
 
+    // UniMax over EFFECTIVE token mass (Pipeline.unimaxFromCounts ∘
+    // Dedup.effectiveTokens): the allocation a real mixing pipeline
+    // wants — budget water-fills over x144's dedup-discounted per-source
+    // mass (1e-6 fp-grid BIGINTs; units cancel in epochs), with epoch
+    // cap 1: never allocate more than a source's DEDUPLICATED data.
+    // Duplicated sources hit their (shrunken) cap and the surplus flows
+    // to genuinely-novel sources — composing x22's clusters, x144's
+    // discount, and x215's closed-form water-filling in one oracle-gated
+    // query (the allocation CTE chain is Batch13.unimaxSql, single-
+    // sourced with x215's).
+    QueryDef(
+      "x220_unimax_effective",
+      (s, dir) => graft.ext.Pipeline.unimaxFromCounts(
+          Dedup.effectiveTokens(Tables(s, dir).documents, 0.3)
+            .select(col("source").as("grp"), col("n_docs"),
+              col("eff_tokens_fp").as("n_tokens")),
+          "source", 1, 9, 10)
+        .orderBy("source"),
+      Some {
+        val base = raw"""$ShingleCtes $SigCte${lshCandCtes()}$ClusterCtes, clusters AS (
+           |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
+           |), csize AS (
+           |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM clusters GROUP BY 1
+           |), toks AS (
+           |  SELECT doc_id, source,
+           |         CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), effc AS (
+           |  SELECT t.source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(t.n_tokens * 1000000 // cs.csz) AS BIGINT) AS n_tokens
+           |  FROM toks t JOIN clusters c USING (doc_id) JOIN csize cs USING (cluster)
+           |  GROUP BY 1
+           |)""".stripMargin + Batch13.unimaxSql("effc", 1, 9, 10, "source")
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      },
+      bench = false), // shares x22's iterative cluster loop; gated at sf0.01
+
     // ---- embedding similarity -----------------------------------------
     QueryDef(
       "x10_embedding_knn",
