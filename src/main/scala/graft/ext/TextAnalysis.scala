@@ -608,6 +608,74 @@ object TextAnalysis {
         (col("kl_fp").cast("double") / lit(1e12)).as("kl_divergence"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — [[sourceDivergence]]'s symmetric, bounded pair
+    * form, and x214's distributional companion: KMV measures how much
+    * VOCABULARY two sources share; JS measures whether they USE the
+    * shared vocabulary the same way (two sources can overlap 90% in
+    * types yet weight them so differently that mixing them is still
+    * worth it). Symmetric, no absolute-continuity requirement, bounded
+    * by ln 2 — the redundancy matrix a source-mixing planner reads.
+    *
+    * The decomposition that makes it a JOIN-SHAPED computation: with
+    * M = (P+Q)/2, one-sided words (in P only) contribute exactly
+    * p·ln 2, so
+    *   JS(P,Q) = ln 2 + ½·Σ_{w ∈ P∩Q} [p·ln(p/(p+q)) + q·ln(q/(p+q))]
+    * — only the INTERSECTION vocabulary carries a nonzero correction,
+    * so the pair computation is an inner join of the two sources' token
+    * tables, never a union-of-supports outer join. A pair with zero
+    * shared vocabulary is exactly ln 2 (disjoint distributions), filled
+    * from the pair grid.
+    *
+    * Determinism: p/(p+q) = cₐ·n_b/(cₐ·n_b + c_b·nₐ) is computed
+    * all-double (no BIGINT product to overflow at corpus scale); each
+    * ln snaps to the 1e-9 grid and the whole per-word correction to a
+    * 1e-12 fixed-point BIGINT ([[sourceDivergence]]'s discipline), so
+    * per-pair sums are order-free integers. ln 2 enters as the explicit
+    * double literal 0.6931471805599453 — identical by construction, not
+    * by libm agreement. The grid makes values exact-on-the-grid rather
+    * than exactly-true-JS: identical distributions (true JS = 0) can
+    * land a few 1e-10 BELOW zero, since each snapped ln carries up to
+    * 5e-10 of grid error (Batch13Spec pins the slack bound).
+    *
+    * Scale shape: one (source, token) aggregate, a token-keyed
+    * self-join whose fan-out per token is bounded by the source count
+    * (sources are few by construction), one per-pair aggregate.
+    */
+  def jsDivergenceMatrix(docs: DataFrame): DataFrame = {
+    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = st.groupBy("source").agg(sum(col("c")).as("n"))
+    val withTot = st.join(tot, Seq("source"))
+    val av = withTot.select(col("source").as("sa"), col("tok"),
+      col("c").as("ca"), col("n").as("na"))
+    val bv = withTot.select(col("source").as("sb"), col("tok"),
+      col("c").as("cb"), col("n").as("nb"))
+    val denom = col("ca").cast("double") * col("nb").cast("double") +
+      col("cb").cast("double") * col("na").cast("double")
+    val terms = av.join(bv, Seq("tok")).filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        floor((
+          (col("ca").cast("double") / col("na").cast("double")) *
+            snap9(log(col("ca").cast("double") * col("nb").cast("double") / denom)) +
+          (col("cb").cast("double") / col("nb").cast("double")) *
+            snap9(log(col("cb").cast("double") * col("na").cast("double") / denom))
+          ) * lit(1e12) + lit(0.5)).cast("long").as("term_fp"))
+    val agg = terms.groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_shared"), sum(col("term_fp")).as("js_fp"))
+    val pairs = tot.select(col("source").as("sa"))
+      .crossJoin(tot.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    pairs.join(agg, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_vocab"),
+        coalesce(col("js_fp"), lit(0L)).as("js_fp"))
+      .withColumn("js_divergence",
+        lit(0.6931471805599453) +
+          lit(0.5) * col("js_fp").cast("double") / lit(1e12))
+  }
+
   /** Mutual information between the source label and a cheap document
     * feature (length bucket) — the metadata-leakage audit: high MI means
     * the feature alone predicts provenance, so a "source-blind" model or

@@ -313,6 +313,65 @@ object Batch13 {
            |            END AS epsilon_sq
            |FROM fin""".stripMargin)),
 
+    // Pairwise Jensen-Shannon divergence (TextAnalysis.jsDivergenceMatrix):
+    // x122's symmetric bounded pair form, and x214's distributional
+    // companion (shared vocabulary vs shared USAGE). One-sided words
+    // contribute exactly p*ln2, so only the intersection vocabulary
+    // carries a correction - an inner token join, never a
+    // union-of-supports. snapped-ln 1e-12 fixed-point terms; ln 2 is an
+    // explicit double literal on both engines.
+    QueryDef(
+      "x221_js_divergence_matrix",
+      (s, dir) => graft.ext.TextAnalysis.jsDivergenceMatrix(
+          Tables(s, dir).documents)
+        .orderBy("source_a", "source_b"),
+      Some(
+        raw"""WITH st AS (
+             |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT source,
+             |               unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1
+             |), av AS (
+             |  SELECT st.source AS sa, tok, c AS ca, n AS na
+             |  FROM st JOIN tot USING (source)
+             |), bv AS (
+             |  SELECT st.source AS sb, tok, c AS cb, n AS nb
+             |  FROM st JOIN tot USING (source)
+             |), terms AS (
+             |  SELECT sa, sb,
+             |         CAST(floor((
+             |           (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) *
+             |             (floor(ln(CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+             |               / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+             |                  + CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+             |               * 1e9 + 0.5) / 1e9) +
+             |           (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+             |             (floor(ln(CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)
+             |               / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+             |                  + CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+             |               * 1e9 + 0.5) / 1e9)
+             |         ) * 1e12 + 0.5) AS BIGINT) AS term_fp
+             |  FROM av JOIN bv USING (tok) WHERE sa < sb
+             |), ag AS (
+             |  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_shared,
+             |         CAST(SUM(term_fp) AS BIGINT) AS js_fp
+             |  FROM terms GROUP BY 1, 2
+             |), prs AS (
+             |  SELECT a.source AS sa, b.source AS sb
+             |  FROM tot a JOIN tot b ON a.source < b.source
+             |)
+             |SELECT prs.sa AS source_a, prs.sb AS source_b,
+             |       COALESCE(n_shared, 0) AS n_shared_vocab,
+             |       COALESCE(js_fp, 0) AS js_fp,
+             |       0.6931471805599453
+             |         + 0.5 * CAST(COALESCE(js_fp, 0) AS DOUBLE) / 1e12
+             |         AS js_divergence
+             |FROM prs LEFT JOIN ag ON ag.sa = prs.sa AND ag.sb = prs.sb
+             |ORDER BY source_a, source_b""".stripMargin)),
+
     // KMV shard-merge audit (ops.Kmv.mergeAudit): the bottom-k member
     // of the mergeable-sketch audit family (x175 MinHash min, x201 HLL
     // max) — per-shard sketches merged as bottom-k-of-union must equal

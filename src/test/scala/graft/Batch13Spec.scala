@@ -199,6 +199,31 @@ class Batch13Spec extends SparkSuite {
     assert(fr.isNullAt(fr.fieldIndex("epsilon_sq")))
   }
 
+  test("js divergence: disjoint vocabularies hit ln 2 exactly; identical " +
+    "usage is ~0; everything stays inside [0, ln 2]") {
+    val d = docs(
+      (0L, "a", "x y x y z"), (1L, "a", "x y z z"),
+      (2L, "b", "x y x y z x y z z"),            // b == 'a' pooled: same dist
+      (3L, "c", "p q r p q r"))                  // disjoint from everyone
+    val r = graft.ext.TextAnalysis.jsDivergenceMatrix(d)
+      .orderBy("source_a", "source_b").collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (row.getLong(2), row.getAs[Double]("js_divergence"))).toMap
+    val ln2 = 0.6931471805599453
+    // a and b have IDENTICAL unigram distributions -> correction cancels
+    // to ~0 (within the 1e-12 grid per shared word).
+    assert(math.abs(r(("a", "b"))._2) < 1e-9, s"identical dists: ${r(("a", "b"))}")
+    // c shares nothing: zero shared vocab, JS = ln 2 by the grid fill.
+    assert(r(("a", "c"))._1 == 0L && r(("a", "c"))._2 == ln2)
+    assert(r(("b", "c"))._2 == ln2)
+    // The 1e-9 ln grid can dip a few 1e-10 below 0 on identical
+    // distributions (each snapped ln deviates by <= 5e-10 and the true
+    // value is exactly 0) — the bound is [0 - grid slack, ln 2].
+    r.values.foreach { case (_, js) =>
+      assert(js >= -1e-8 && js <= ln2 + 1e-9, s"JS out of [0, ln2]: $js")
+    }
+  }
+
   test("kmv merge audit: shard sketches merge losslessly even when one " +
     "shard owns every small hash, and the unsaturated estimate is exact") {
     // 40 docs with heavily shared vocabulary across 4 shards (doc_id%8
