@@ -199,6 +199,58 @@ class Batch13Spec extends SparkSuite {
     assert(fr.isNullAt(fr.fieldIndex("epsilon_sq")))
   }
 
+  test("property: BottomK equals distinct.sorted.take(k) on seeded random " +
+    "streams for any insertion order and any merge split") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(12)
+      val agg = graft.ops.Kmv.BottomK(k)
+      // duplicates, adversarial orders, values clustered near each other
+      val xs = Vector.fill(80 + rnd.nextInt(120))(rnd.nextInt(60).toLong)
+      val expect = xs.distinct.sorted.take(k)
+      assert(xs.foldLeft(agg.zero)(agg.reduce) == expect,
+        s"seed $seed k=$k sequential fold diverged")
+      // any split point: merge(fold(left), fold(right)) == direct
+      val cut = rnd.nextInt(xs.size)
+      val (l, r) = xs.splitAt(cut)
+      assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)) == expect,
+        s"seed $seed k=$k split-at-$cut merge diverged")
+    }
+  }
+
+  test("property: unimax conservation laws hold on seeded random count " +
+    "tables — alloc <= capacity everywhere, budget spent exactly when " +
+    "any group is uncapped, never overspent otherwise") {
+    import graft.ext.Pipeline
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val m = 2 + rnd.nextInt(8)
+      val counts = (0 until m).map(i =>
+        (s"g$i", 1L + rnd.nextInt(5).toLong, 10L + rnd.nextInt(5000).toLong))
+        .toDF("grp", "n_docs", "n_tokens")
+      val cap = 1 + rnd.nextInt(3)
+      val r = Pipeline.unimaxFromCounts(counts, "grp", cap,
+        budgetNum = 1 + rnd.nextInt(30), budgetDen = 10).collect()
+      val budget = r.head.getAs[Long]("budget_tokens")
+      val allocs = r.map(_.getAs[Double]("alloc_tokens"))
+      r.foreach { row =>
+        assert(row.getAs[Double]("alloc_tokens")
+          <= row.getAs[Long]("capacity_tokens") + 1e-6,
+          s"seed $seed: alloc above capacity: $row")
+        assert(row.getAs[Double]("epochs") <= cap + 1e-9,
+          s"seed $seed: epochs above cap: $row")
+      }
+      val anyUncapped = r.exists(!_.getAs[Boolean]("capped"))
+      if (anyUncapped)
+        assert(math.abs(allocs.sum - budget) < 1e-3,
+          s"seed $seed: uncapped run must spend the budget: ${allocs.sum} vs $budget")
+      else
+        assert(allocs.sum <= budget + 1e-6,
+          s"seed $seed: all-capped run overspent: ${allocs.sum} vs $budget")
+    }
+  }
+
   test("js divergence: disjoint vocabularies hit ln 2 exactly; identical " +
     "usage is ~0; everything stays inside [0, ln 2]") {
     val d = docs(
