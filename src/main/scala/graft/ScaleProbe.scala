@@ -53,7 +53,11 @@ object ScaleProbe {
     // x216: one corpus aggregate over (source, token-count); the
     // pooled-rank map is over distinct lengths (constant under
     // duplication), so this must probe as a pure linear scan.
-    "x216_mann_whitney_sources")
+    "x216_mann_whitney_sources",
+    // x221: the (source, token) count table is CONSTANT under
+    // byte-identical duplication (only counts grow), so the pair join
+    // and per-pair sums cost the same — only the token scan grows.
+    "x221_js_divergence_matrix")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",
