@@ -569,6 +569,73 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "maxval", "sum_r", "sum_g", "sum_b", "luma_hist")
   }
 
+  /** Nearest-neighbor raster resize — the standard thumbnail/normalize
+    * step before batching images into a training pipeline, in exact
+    * integer form: target pixel (ty, tx) copies source pixel
+    * (ty·H div newH, tx·W div newW) (floor mapping, the canonical NN
+    * convention). No interpolation means no float filter kernel to
+    * disagree about across engines — an oracle can replay the index
+    * arithmetic exactly, which is what makes a resize GATEABLE here.
+    */
+  def resizeNearest(img: RasterImage, newW: Int, newH: Int): RasterImage = {
+    require(newW > 0 && newH > 0, s"target dims must be positive: ${newW}x$newH")
+    val out = new Array[Byte](newW * newH * 3)
+    var ty = 0
+    while (ty < newH) {
+      val sy = ty * img.height / newH
+      var tx = 0
+      while (tx < newW) {
+        val sx = tx * img.width / newW
+        val si = (sy * img.width + sx) * 3
+        val di = (ty * newW + tx) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1)
+        out(di + 2) = img.rgb(si + 2)
+        tx += 1
+      }
+      ty += 1
+    }
+    RasterImage(newW, newH, img.maxval, out)
+  }
+
+  /** [[imageStats]] of the [[resizeNearest]]-ed raster: REAL decode →
+    * integer NN resample → exact per-channel sums + luma histogram of
+    * the TARGET raster, with the source dimensions carried for audit.
+    * Non-divisor targets (8×8 → 5×3 in the x222 gate) exercise the
+    * floor index mapping: a one-off in either axis shifts which source
+    * pixels survive and flips the hash. Same scale shape as imageStats:
+    * one mapPartitions decode pass, rows:images 1:1, no shuffle.
+    */
+  def resizeStats(spark: SparkSession, media: DataFrame,
+      newW: Int = 5, newH: Int = 3, parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val rows: Dataset[MediaRow] = media.as[MediaRow]
+    val repart = if (parallelism > 0) rows.repartition(parallelism) else rows
+    repart.mapPartitions { it =>
+      it.map { r =>
+        val src = r.media_type match {
+          case PpmType => decodePpm(r.content)
+          case BmpType => decodeBmp(r.content)
+          case t => throw new IllegalArgumentException(s"no raster decoder for $t")
+        }
+        val img = resizeNearest(src, newW, newH)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](4)
+        var i = 0
+        while (i < img.rgb.length) {
+          val pr = img.rgb(i) & 0xff
+          val pg = img.rgb(i + 1) & 0xff
+          val pb = img.rgb(i + 2) & 0xff
+          sr += pr; sg += pg; sb += pb
+          hist(((299L * pr + 587L * pg + 114L * pb) / 1000L).toInt / 64) += 1
+          i += 3
+        }
+        (r.doc_id, src.width, src.height, img.width, img.height, sr, sg, sb,
+          s"${hist(0)},${hist(1)},${hist(2)},${hist(3)}")
+      }
+    }.toDF("doc_id", "src_width", "src_height", "width", "height",
+      "sum_r", "sum_g", "sum_b", "luma_hist")
+  }
+
   /** Synthetic near-duplicate image corpus: documents sharing
     * `doc_id % groups` render the SAME md5-derived base raster, each
     * copy uniformly brightness-shifted by `(doc_id / groups) % offsetMod`

@@ -887,6 +887,20 @@ object Advanced {
           fmt = graft.ext.Multimodal.BmpType)).orderBy("doc_id"),
       Some(imageStatsOracle)),
 
+    // REAL image resize under the gate (Multimodal.resizeNearest): the
+    // thumbnail/normalize step of an image-ingest pipeline, in exact
+    // integer nearest-neighbor form — decode the PPM bytes, floor-map
+    // 8x8 -> 5x3 (non-divisor target, so the index arithmetic matters),
+    // and emit the TARGET raster's stats. The oracle replays the
+    // generator pixels at the mapped source coords; a one-off in either
+    // axis flips the hash.
+    QueryDef(
+      "x222_image_resize_stats",
+      (s, dir) => graft.ext.Multimodal.resizeStats(s,
+        graft.ext.Multimodal.syntheticImages(Tables(s, dir).documents,
+          fmt = graft.ext.Multimodal.PpmType)).orderBy("doc_id"),
+      Some(resizeStatsOracle)),
+
     // Perceptual image dedup (dHash): exposure-shifted copies of the
     // same base image (the planted near-dup family the generator builds)
     // collapse into one 56-bit difference-hash bucket via REAL PPM
@@ -5069,18 +5083,21 @@ object Advanced {
     * luma, channel sums and a 4-bucket histogram. Pure integer
     * arithmetic, so any decoder byte error flips the hash.
     */
-  private lazy val imageStatsOracle: String = {
-    def ch(off: Int) =
-      s"CAST(('0x' || substr(md5('img_' || d.doc_id || '_' || ys.y || '_' || xs.x), $off, 2)) AS BIGINT)"
+  /** Generator-pixel channel extraction at source coords (yExpr, xExpr):
+    * byte `off` of md5('img_<doc>_<y>_<x>') — the arithmetic
+    * syntheticImages runs, shared by the x55/x56 and x222 oracles. */
+  private def genCh(off: Int, yExpr: String, xExpr: String) =
+    s"CAST(('0x' || substr(md5('img_' || d.doc_id || '_' || ($yExpr) || '_' || ($xExpr)), $off, 2)) AS BIGINT)"
+
+  /** The integer stats body (Rec.601 luma, 4-bucket histogram) over a
+    * pixel CTE — ONE definition for every raster-stats oracle. */
+  private def imageStatsSql(pxSelect: String, dimCols: String): String =
     s"""WITH px AS (
-       |  SELECT d.doc_id, ${ch(1)} AS r, ${ch(3)} AS g, ${ch(5)} AS b
-       |  FROM documents d,
-       |       (SELECT unnest(generate_series(0, 7)) AS y) ys,
-       |       (SELECT unnest(generate_series(0, 7)) AS x) xs
+       |$pxSelect
        |), lum AS (
        |  SELECT doc_id, r, g, b, (299*r + 587*g + 114*b) // 1000 AS luma FROM px
        |)
-       |SELECT doc_id, 8 AS width, 8 AS height, 255 AS maxval,
+       |SELECT doc_id, $dimCols,
        |       CAST(SUM(r) AS BIGINT) AS sum_r,
        |       CAST(SUM(g) AS BIGINT) AS sum_g,
        |       CAST(SUM(b) AS BIGINT) AS sum_b,
@@ -5089,7 +5106,26 @@ object Advanced {
        |       CAST(SUM(CASE WHEN luma // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) || ',' ||
        |       CAST(SUM(CASE WHEN luma // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS luma_hist
        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+
+  private lazy val imageStatsOracle: String = imageStatsSql(
+    s"""  SELECT d.doc_id, ${genCh(1, "ys.y", "xs.x")} AS r,
+       |         ${genCh(3, "ys.y", "xs.x")} AS g, ${genCh(5, "ys.y", "xs.x")} AS b
+       |  FROM documents d,
+       |       (SELECT unnest(generate_series(0, 7)) AS y) ys,
+       |       (SELECT unnest(generate_series(0, 7)) AS x) xs""".stripMargin,
+    "8 AS width, 8 AS height, 255 AS maxval")
+
+  /** x222: the resized raster's pixels are the generator pixels at the
+    * NN floor-mapped source coords sy = ty*8//3, sx = tx*8//5 — only a
+    * correct decode AND a correct index mapping reproduce the stats. */
+  private lazy val resizeStatsOracle: String = imageStatsSql(
+    s"""  SELECT d.doc_id, ${genCh(1, "ys.ty * 8 // 3", "xs.tx * 8 // 5")} AS r,
+       |         ${genCh(3, "ys.ty * 8 // 3", "xs.tx * 8 // 5")} AS g,
+       |         ${genCh(5, "ys.ty * 8 // 3", "xs.tx * 8 // 5")} AS b
+       |  FROM documents d,
+       |       (SELECT unnest(generate_series(0, 2)) AS ty) ys,
+       |       (SELECT unnest(generate_series(0, 4)) AS tx) xs""".stripMargin,
+    "8 AS src_width, 8 AS src_height, 5 AS width, 3 AS height")
 
   /** Shared oracle CTE chain for the sparse-banded ANN family (x53/x54):
     * band keys from the MD5-derived plane literals, the hot-bucket cap as

@@ -276,6 +276,25 @@ class Batch13Spec extends SparkSuite {
     }
   }
 
+  test("resizeNearest: identity resize is byte-identical; 1x1 picks the " +
+    "top-left source pixel; upscale replicates, never invents") {
+    import graft.ext.Multimodal
+    val rgb = Array.tabulate(4 * 4 * 3)(i => (i * 7 % 251).toByte)
+    val img = Multimodal.RasterImage(4, 4, 255, rgb)
+    assert(Multimodal.resizeNearest(img, 4, 4).rgb.toSeq == rgb.toSeq,
+      "identity resize must copy bytes")
+    val one = Multimodal.resizeNearest(img, 1, 1)
+    assert(one.rgb.toSeq == rgb.take(3).toSeq, "1x1 is the (0,0) pixel")
+    // 2x upscale: every target pixel must be SOME source pixel (NN never
+    // interpolates), and the floor mapping means each source pixel
+    // appears exactly 4 times.
+    val up = Multimodal.resizeNearest(img, 8, 8)
+    val srcPixels = rgb.grouped(3).map(_.toSeq).toSet
+    val upPixels = up.rgb.grouped(3).map(_.toSeq).toVector
+    assert(upPixels.forall(srcPixels.contains), "NN must never invent a pixel")
+    assert(upPixels.groupBy(identity).values.forall(_.size % 4 == 0))
+  }
+
   test("kmv merge audit: shard sketches merge losslessly even when one " +
     "shard owns every small hash, and the unsaturated estimate is exact") {
     // 40 docs with heavily shared vocabulary across 4 shards (doc_id%8
