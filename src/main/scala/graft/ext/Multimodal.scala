@@ -636,6 +636,116 @@ object Multimodal {
       "sum_r", "sum_g", "sum_b", "luma_hist")
   }
 
+  val FramesType = "video/x-graft-frames"
+
+  /** Minimal multi-frame container ("video" for pipeline purposes):
+    * magic "GVF1", big-endian frame count, then length-prefixed PPM
+    * frames. Real container plumbing — magic check, bounds-checked
+    * lengths (the WAV lesson: sizes validated in Long BEFORE any
+    * allocation, so a crafted count/length fails loudly instead of
+    * OOMing an executor), per-frame decode through the real PPM parser.
+    */
+  def encodeFrames(frames: Seq[RasterImage]): Array[Byte] = {
+    require(frames.nonEmpty, "a frame container needs at least one frame")
+    val encoded = frames.map(encodePpm)
+    val bb = java.nio.ByteBuffer.allocate(8 + encoded.map(_.length + 4).sum)
+    bb.put("GVF1".getBytes(StandardCharsets.US_ASCII)).putInt(frames.size)
+    encoded.foreach { e => bb.putInt(e.length); bb.put(e) }
+    bb.array()
+  }
+
+  /** Parse the container into raw frame byte slices (decode is the
+    * caller's per-frame step — sampling wants to SKIP frames without
+    * paying their decode, which is the point of frame sampling). */
+  def decodeFrameSlices(content: Array[Byte]): Vector[Array[Byte]] = {
+    require(content.length >= 8, "frame container truncated before header")
+    val bb = java.nio.ByteBuffer.wrap(content)
+    val magic = new Array[Byte](4); bb.get(magic)
+    require(new String(magic, StandardCharsets.US_ASCII) == "GVF1",
+      "not a GVF1 frame container")
+    val n = bb.getInt
+    require(n > 0 && n.toLong * 4L <= content.length.toLong,
+      s"frame count $n impossible for ${content.length} bytes")
+    (0 until n).map { _ =>
+      require(bb.remaining >= 4, "frame container truncated at a length prefix")
+      val len = bb.getInt
+      require(len > 0 && len.toLong <= bb.remaining.toLong,
+        s"frame length $len exceeds remaining ${bb.remaining} bytes")
+      val slice = new Array[Byte](len); bb.get(slice); slice
+    }.toVector
+  }
+
+  /** Synthetic frame-sequence corpus: `frames` rasters per document,
+    * frame f's pixels md5-derived from (doc, f, y, x) — the same
+    * generator-replay gating as [[syntheticImages]], one more dimension.
+    */
+  def syntheticVideos(docs: DataFrame, frames: Int = 6,
+      width: Int = 4, height: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val fs = (0 until frames).map { f =>
+          val rgb = new Array[Byte](width * height * 3)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val d = md.digest(
+                s"vid_${id}_${f}_${y}_${x}".getBytes(StandardCharsets.US_ASCII))
+              val i = (y * width + x) * 3
+              rgb(i) = d(0); rgb(i + 1) = d(1); rgb(i + 2) = d(2)
+              x += 1
+            }
+            y += 1
+          }
+          RasterImage(width, height, 255, rgb)
+        }
+        (id, FramesType, encodeFrames(fs))
+      }
+    }.toDF("doc_id", "media_type", "content")
+  }
+
+  /** Frame sampling + per-doc stats — the "don't decode every frame"
+    * step a video-ingest pipeline runs before feature extraction: parse
+    * the container, decode ONLY frames 0, stride, 2·stride, … through
+    * the real PPM parser, and aggregate exact integer channel sums and
+    * the luma histogram over the sampled frames. Skipped frames are
+    * never decoded (slices stay raw bytes) — the I/O-shape claim frame
+    * sampling exists to make. One mapPartitions pass, rows:videos 1:1.
+    */
+  def frameSampleStats(spark: SparkSession, media: DataFrame,
+      stride: Int = 2, parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val rows: Dataset[MediaRow] = media.as[MediaRow]
+    val repart = if (parallelism > 0) rows.repartition(parallelism) else rows
+    repart.mapPartitions { it =>
+      it.map { r =>
+        require(r.media_type == FramesType, s"not a frame container: ${r.media_type}")
+        val slices = decodeFrameSlices(r.content)
+        val sampled = slices.indices.by(stride).map(i => decodePpm(slices(i)))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](4)
+        sampled.foreach { img =>
+          var i = 0
+          while (i < img.rgb.length) {
+            val pr = img.rgb(i) & 0xff
+            val pg = img.rgb(i + 1) & 0xff
+            val pb = img.rgb(i + 2) & 0xff
+            sr += pr; sg += pg; sb += pb
+            hist(((299L * pr + 587L * pg + 114L * pb) / 1000L).toInt / 64) += 1
+            i += 3
+          }
+        }
+        (r.doc_id, slices.size.toLong, sampled.size.toLong, sr, sg, sb,
+          s"${hist(0)},${hist(1)},${hist(2)},${hist(3)}")
+      }
+    }.toDF("doc_id", "n_frames", "n_sampled",
+      "sum_r", "sum_g", "sum_b", "luma_hist")
+  }
+
   /** Synthetic near-duplicate image corpus: documents sharing
     * `doc_id % groups` render the SAME md5-derived base raster, each
     * copy uniformly brightness-shifted by `(doc_id / groups) % offsetMod`

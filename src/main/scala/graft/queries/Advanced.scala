@@ -887,6 +887,31 @@ object Advanced {
           fmt = graft.ext.Multimodal.BmpType)).orderBy("doc_id"),
       Some(imageStatsOracle)),
 
+    // REAL frame sampling under the gate (Multimodal.frameSampleStats):
+    // the "don't decode every frame" video-ingest step — parse the GVF1
+    // frame container (magic + count + length-prefixed frames, all
+    // bounds-checked), decode ONLY frames 0/2/4 of 6 through the real
+    // PPM parser, aggregate exact integer stats over the sampled frames.
+    // The oracle replays the generator pixels at exactly the sampled
+    // frame indices, so sampling the wrong frames (or decoding a frame
+    // slice at the wrong offset) flips the hash.
+    QueryDef(
+      "x223_frame_sample_stats",
+      (s, dir) => graft.ext.Multimodal.frameSampleStats(s,
+        graft.ext.Multimodal.syntheticVideos(Tables(s, dir).documents))
+        .orderBy("doc_id"),
+      Some {
+        def ch(off: Int) =
+          s"CAST(('0x' || substr(md5('vid_' || d.doc_id || '_' || fs.f || '_' || ys.y || '_' || xs.x), $off, 2)) AS BIGINT)"
+        imageStatsSql(
+          s"""  SELECT d.doc_id, ${ch(1)} AS r, ${ch(3)} AS g, ${ch(5)} AS b
+             |  FROM documents d,
+             |       (SELECT unnest([0, 2, 4]) AS f) fs,
+             |       (SELECT unnest(generate_series(0, 3)) AS y) ys,
+             |       (SELECT unnest(generate_series(0, 3)) AS x) xs""".stripMargin,
+          "CAST(6 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_sampled")
+      }),
+
     // REAL image resize under the gate (Multimodal.resizeNearest): the
     // thumbnail/normalize step of an image-ingest pipeline, in exact
     // integer nearest-neighbor form — decode the PPM bytes, floor-map

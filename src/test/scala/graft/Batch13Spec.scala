@@ -295,6 +295,31 @@ class Batch13Spec extends SparkSuite {
     assert(upPixels.groupBy(identity).values.forall(_.size % 4 == 0))
   }
 
+  test("frame container: round-trips byte-exactly; crafted counts and " +
+    "lengths fail loudly before any allocation") {
+    import graft.ext.Multimodal
+    val frames = (0 until 3).map { f =>
+      Multimodal.RasterImage(2, 2, 255,
+        Array.tabulate(12)(i => ((i + f * 13) % 251).toByte))
+    }
+    val bytes = Multimodal.encodeFrames(frames)
+    val back = Multimodal.decodeFrameSlices(bytes).map(Multimodal.decodePpm)
+    assert(back.size == 3)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(a.rgb.toSeq == b.rgb.toSeq, "container round-trip must be exact")
+    }
+    // Crafted frame count far beyond the payload: loud failure, no OOM.
+    val evil = bytes.clone()
+    evil(4) = 0x7f.toByte // count high byte -> ~2^31 frames
+    intercept[IllegalArgumentException](Multimodal.decodeFrameSlices(evil))
+    // Truncated mid-frame: loud failure.
+    intercept[IllegalArgumentException](
+      Multimodal.decodeFrameSlices(bytes.take(bytes.length - 5)))
+    // Wrong magic: loud failure.
+    val m = bytes.clone(); m(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeFrameSlices(m))
+  }
+
   test("kmv merge audit: shard sketches merge losslessly even when one " +
     "shard owns every small hash, and the unsaturated estimate is exact") {
     // 40 docs with heavily shared vocabulary across 4 shards (doc_id%8
