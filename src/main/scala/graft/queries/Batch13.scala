@@ -2,10 +2,14 @@ package graft.queries
 
 import graft.io.Tables
 
-/** Round-13 batch: cross-corpus overlap sketching (KMV), budget
-  * allocation (UniMax), rank statistics (Mann–Whitney U), and the
-  * t-closeness privacy audit. Implementations live in ops/ and ext/;
-  * bindings here pin parameters and carry the DuckDB oracle twins.
+/** Round-13 batch: cross-corpus overlap sketching (x214 KMV pairs, x219
+  * shard-merge audit), budget allocation (x215 UniMax; its
+  * effective-token composition x220 lives in Extensions next to the
+  * cluster CTEs it reuses), rank statistics (x216 Mann–Whitney, x218
+  * Kruskal–Wallis — one pooled-midrank kernel), source redundancy
+  * (x221 Jensen–Shannon matrix), and the t-closeness privacy audit
+  * (x217). Implementations live in ops/ and ext/; bindings here pin
+  * parameters and carry the DuckDB oracle twins.
   */
 object Batch13 {
 
