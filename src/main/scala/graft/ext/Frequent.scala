@@ -73,4 +73,65 @@ object Frequent {
       .select(col("tok"), col("cnt"), col("n_total"))
       .orderBy(col("cnt").desc, col("tok"))
   }
+
+  /** AMS/tug-of-war F₂ sketch (Alon, Matias & Szegedy 1996) — the
+    * second frequency moment Σc² of the token stream from d = 96
+    * ±1-projection counters instead of a full frequency table. F₂ IS
+    * the self-join size of the stream keyed on the token, which makes
+    * this the classical sketch behind join-size/skew estimation: x135
+    * computes Σ cnt_l·cnt_r exactly from key histograms; this answers
+    * the same class of question in d counters of mergeable state —
+    * each S_j = Σ_t sign_j(t)·c_t is a plain distributed SUM, so
+    * partitions sketch independently and merge by addition, and
+    * E[S²] = F₂ with variance tamed by median-of-means (3 groups × 32 —
+    * relative spread √(2/32) ≈ 25% per group mean; the exact-F₂ audit
+    * column prices the realized draw).
+    *
+    * Cross-engine exactness: sign_j(t) is the parity of the first hex
+    * digit of md5(t·'|ams|'·j) (the family hash convention), so every
+    * S_j is an exact BIGINT; squares and the 32-estimator group sums
+    * stay BIGINT; the 3-way median is the branch-free
+    * greatest(least(a,b), least(greatest(a,b), c)) — one shared integer
+    * expression tree, then ONE division by 32 into a double. The exact
+    * F₂ and relative error ride along gate-only (the audit cost the
+    * sketch exists to avoid — at 100 TB you keep the 96 counters, not
+    * the frequency table).
+    *
+    * Scale shape: one token aggregate to the Heaps-bounded count table,
+    * one 96-way projection over it, a 96-row reduce. (Direct streaming
+    * form — skip the count table, update counters per token — is the
+    * same SUM; the count-table route shares the scan with the exact
+    * audit here.)
+    */
+  def amsF2(docs: DataFrame): DataFrame = {
+    val d = 96
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val est = counts
+      .select(col("tok"), col("c"),
+        explode(array((0 until d).map(lit): _*)).as("j"))
+      .select(col("j"), col("c"),
+        (conv(substring(md5(concat(col("tok"), lit("|ams|"), col("j"))), 1, 1),
+          16, 10).cast("long") % 2L * 2L - 1L).as("sign"))
+      .groupBy("j").agg(sum(col("sign") * col("c")).as("s"))
+      .groupBy((col("j") / lit(32)).cast("int").as("g"))
+      .agg(sum(col("s") * col("s")).as("grp_fp"))
+      .agg(max(when(col("g") === 0, col("grp_fp"))).as("g0"),
+        max(when(col("g") === 1, col("grp_fp"))).as("g1"),
+        max(when(col("g") === 2, col("grp_fp"))).as("g2"))
+      .select((greatest(least(col("g0"), col("g1")),
+        least(greatest(col("g0"), col("g1")), col("g2")))
+        .cast("double") / lit(32.0)).as("f2_est"))
+    val exact = counts.agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("c") * col("c")).as("f2_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_tokens"), col("n_distinct"), lit(d).as("d"),
+        col("f2_exact"), round(col("f2_est"), 6).as("f2_est"),
+        when(col("f2_exact") > 0,
+          round(abs(round(col("f2_est"), 6) - col("f2_exact").cast("double"))
+            / col("f2_exact").cast("double"), 6)).as("rel_error"))
+  }
 }

@@ -376,6 +376,50 @@ object Batch13 {
              |FROM prs LEFT JOIN ag ON ag.sa = prs.sa AND ag.sb = prs.sb
              |ORDER BY source_a, source_b""".stripMargin)),
 
+    // AMS tug-of-war F2 sketch (Frequent.amsF2 — Alon-Matias-Szegedy
+    // 1996): the self-join-size moment from 96 +-1-projection counters,
+    // median-of-means (3x32). Every counter is an exact BIGINT (parity
+    // sign from the family md5 hash); the only double is one division
+    // by 32. Exact F2 and rel_error ride along gate-only - the sketch
+    // family's fourth member beside CMS (x134), HLL (x160), KMV (x214).
+    QueryDef(
+      "x224_ams_f2_sketch",
+      (s, dir) => graft.ext.Frequent.amsF2(Tables(s, dir).documents),
+      Some(
+        raw"""WITH cnt AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1
+             |), sj AS (
+             |  SELECT js.j,
+             |         CAST(SUM((CAST(('0x' || substr(md5(tok || '|ams|' || js.j), 1, 1))
+             |             AS BIGINT) % 2 * 2 - 1) * c) AS BIGINT) AS s
+             |  FROM cnt, (SELECT unnest(generate_series(0, 95)) AS j) js
+             |  GROUP BY 1
+             |), gg AS (
+             |  SELECT j // 32 AS g, CAST(SUM(s * s) AS BIGINT) AS grp_fp
+             |  FROM sj GROUP BY 1
+             |), med AS (
+             |  SELECT CAST(greatest(least(g0, g1),
+             |           least(greatest(g0, g1), g2)) AS DOUBLE) / 32.0 AS f2_est
+             |  FROM (SELECT MAX(CASE WHEN g = 0 THEN grp_fp END) AS g0,
+             |               MAX(CASE WHEN g = 1 THEN grp_fp END) AS g1,
+             |               MAX(CASE WHEN g = 2 THEN grp_fp END) AS g2
+             |        FROM gg)
+             |), ex AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |         CAST(SUM(c * c) AS BIGINT) AS f2_exact
+             |  FROM cnt
+             |)
+             |SELECT n_tokens, n_distinct, 96 AS d, f2_exact,
+             |       round(f2_est, 6) AS f2_est,
+             |       CASE WHEN f2_exact > 0
+             |            THEN round(abs(round(f2_est, 6) - CAST(f2_exact AS DOUBLE))
+             |                 / CAST(f2_exact AS DOUBLE), 6) END AS rel_error
+             |FROM ex CROSS JOIN med""".stripMargin)),
+
     // KMV shard-merge audit (ops.Kmv.mergeAudit): the bottom-k member
     // of the mergeable-sketch audit family (x175 MinHash min, x201 HLL
     // max) — per-shard sketches merged as bottom-k-of-union must equal

@@ -295,6 +295,31 @@ class Batch13Spec extends SparkSuite {
     assert(upPixels.groupBy(identity).values.forall(_.size % 4 == 0))
   }
 
+  test("ams f2: all-distinct corpus has F2 = N exactly; the estimator " +
+    "stays within the median-of-means envelope on seeded corpora") {
+    // Every token unique: c = 1 everywhere, so F2 = n_tokens exactly.
+    val uniq = docs((0L until 20L).map(i =>
+      (i, s"s${i % 2}", (0 until 5).map(j => s"u${i}_$j").mkString(" "))).toSeq: _*)
+    val r0 = graft.ext.Frequent.amsF2(uniq).collect()(0)
+    assert(r0.getAs[Long]("f2_exact") == r0.getAs[Long]("n_tokens"))
+    // Seeded skewed corpora: the deterministic hash draw must land
+    // within 1.5x of exact (6 sigma of the 32-estimator group mean) —
+    // fixed hashes make this a stable regression pin, not a flake.
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val d = docs((0L until 60L).map { i =>
+        val n = 1 + rnd.nextInt(20)
+        (i, s"s${i % 3}",
+          Seq.fill(n)(s"w${rnd.nextInt(1 + rnd.nextInt(15))}").mkString(" "))
+      }.toSeq: _*)
+      val r = graft.ext.Frequent.amsF2(d).collect()(0)
+      val (ex, est) = (r.getAs[Long]("f2_exact").toDouble,
+        r.getAs[Double]("f2_est"))
+      assert(est > 0 && math.abs(est - ex) / ex < 1.5,
+        s"seed $seed: est $est vs exact $ex outside the envelope")
+    }
+  }
+
   test("frame container: round-trips byte-exactly; crafted counts and " +
     "lengths fail loudly before any allocation") {
     import graft.ext.Multimodal
