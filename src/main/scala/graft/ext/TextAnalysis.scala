@@ -665,7 +665,7 @@ object TextAnalysis {
     val agg = terms.groupBy("sa", "sb")
       .agg(count(lit(1)).as("n_shared"), sum(col("term_fp")).as("js_fp"))
     val pairs = tot.select(col("source").as("sa"))
-      .crossJoin(tot.select(col("source").as("sb")))
+      .crossJoin(broadcast(tot.select(col("source").as("sb"))))
       .filter(col("sa") < col("sb"))
     pairs.join(agg, Seq("sa", "sb"), "left")
       .select(col("sa").as("source_a"), col("sb").as("source_b"),

@@ -224,8 +224,12 @@ object Kmv {
       .groupBy("sa", "sb").agg(count(lit(1)).as("inter_exact"))
 
     // Pair union over sketch rows only: membership flags per (pair, h).
+    // m-row pair grid: broadcast the right side so the grid plans as a
+    // broadcast nested loop, never a CartesianProduct (PlanSpec-pinned —
+    // harmless at m rows, but the broadcast shape is the one that stays
+    // shuffle-free if m ever grows).
     val pairs = sketches.select(col("source").as("sa"))
-      .crossJoin(sketches.select(col("source").as("sb")))
+      .crossJoin(broadcast(sketches.select(col("source").as("sb"))))
       .filter(col("sa") < col("sb"))
     val uA = pairs.join(sk.withColumnRenamed("source", "sa"), Seq("sa"))
       .select(col("sa"), col("sb"), col("h"), lit(1).as("ina"), lit(0).as("inb"))

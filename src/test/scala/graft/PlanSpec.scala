@@ -531,4 +531,52 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       s"truth/candidate joins must stay equi-joins:\n$plan")
   }
+
+  test("x214 KMV sketches aggregate with a partial (map-side) phase — " +
+    "the k-bounded buffer must discard losers BEFORE the exchange") {
+    graft.ops.Kmv.clearCaches(spark)
+    val df = queries.Registry.queryMap("x214_kmv_source_overlap")(spark, Sf)
+    // The sketch frame sits behind the memoized InMemoryRelation, so the
+    // aggregate pair lives in the CACHED plan — walk into it. The typed
+    // BottomK aggregator must plan as an ObjectHashAggregate pair:
+    // partial_bottomk on the scan side of the exchange, final bottomk
+    // after it. Losing the partial phase would ship EVERY (source, hash)
+    // occurrence through the shuffle — the exact cost the k-bounded
+    // buffer exists to avoid.
+    // AQE wraps subtrees in AdaptiveSparkPlanExec (childless to collect),
+    // so walk the LOGICAL plan's InMemoryRelation leaves for the cached
+    // build plan instead.
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    assert(cached.nonEmpty, "the sketch memo cache must be in the plan")
+    val full = df.queryExecution.executedPlan.toString + cached.mkString
+    assert(full.contains("partial_bottomk"),
+      s"BottomK lost its map-side combine:\n${full.take(4000)}")
+    assert(!full.contains("CartesianProduct"),
+      "pair assembly must stay broadcast/equi-join shaped")
+    graft.ops.Kmv.clearCaches(spark)
+  }
+
+  test("x216/x218 rank kernel: every ranking window runs over the " +
+    "distinct-value table, never the corpus, and the corpus join is " +
+    "a broadcast of that map") {
+    for (name <- Seq("x216_mann_whitney_sources", "x218_kruskal_wallis")) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      // The pooled-midrank cumsum is the ONE window, over byv (distinct
+      // token counts — bounded by max doc length, not corpus rows). An
+      // unpartitioned window is acceptable exactly because its input is
+      // that bounded frame; what must never appear is a rank window fed
+      // by the corpus-grain vals relation (a sort of every document).
+      assert(windows.size == 1,
+        s"$name: expected exactly the one midrank window, got ${windows.size}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name: the value->rank map must broadcast to the corpus side")
+    }
+  }
 }
