@@ -676,6 +676,60 @@ object TextAnalysis {
           lit(0.5) * col("js_fp").cast("double") / lit(1e12))
   }
 
+  /** Rank-biased overlap of each source's head vocabulary against the
+    * corpus ranking (Webber, Moffat & Zobel 2010) — the top-weighted
+    * list-agreement measure: [[jsDivergenceMatrix]] compares whole
+    * distributions; RBO asks the narrower operational question "do this
+    * source's MOST FREQUENT tokens look like the corpus head?", which is
+    * what vocabulary sizing and head-truncation decisions read. At each
+    * depth dd, the overlap proportion |topₐ(dd) ∩ top_c(dd)|/dd is
+    * weighted (1−p)·p^(dd−1); truncated at `depth` with p = ½, so EVERY
+    * weight is an exact power of two — no libm pow disagreement to
+    * absorb, identical by construction.
+    *
+    * Shape of the sum that makes it join-shaped: a token with source
+    * rank rₐ and corpus rank r_c enters every depth dd ≥ max(rₐ, r_c),
+    * so RBO = Σ_matched Σ_{dd=max..depth} (½)^dd/dd — a join of the two
+    * ranked heads (≤ depth rows each) and one small explode. Each term
+    * (½)^dd/dd snaps to the 1e-12 fixed-point grid so the per-source
+    * sum is an order-free integer. `rbo_norm` divides by the truncated
+    * maximum 1 − (½)^depth (exact), so identical heads score exactly 1.
+    *
+    * Scale shape: one (source, token) count aggregate; ranking windows
+    * run over the Heaps-bounded count tables (the corpus window is
+    * global but its input is the vocabulary, not the corpus); the join
+    * and explode touch ≤ m·depth rows.
+    */
+  def rboHeadVocab(docs: DataFrame, depth: Int = 20): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val corpus = st.groupBy("tok").agg(sum(col("c")).as("cc"))
+    val ra = st.withColumn("ra", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("tok"))))
+      .filter(col("ra") <= depth).select("source", "tok", "ra")
+    val rb = corpus.withColumn("rb", row_number().over(
+        Window.orderBy(col("cc").desc, col("tok"))))
+      .filter(col("rb") <= depth).select("tok", "rb")
+    val matched = ra.join(rb, Seq("tok"))
+      .select(col("source"), greatest(col("ra"), col("rb")).as("m"))
+    val terms = matched
+      .select(col("source"), explode(sequence(col("m"), lit(depth))).as("dd"))
+      .select(col("source"),
+        floor(pow(lit(0.5), col("dd")) / col("dd").cast("double")
+          * lit(1e12) + lit(0.5)).cast("long").as("term_fp"))
+    val agg = terms.groupBy("source")
+      .agg(count(lit(1)).as("n_depth_hits"), sum(col("term_fp")).as("rbo_fp"))
+    val maxRbo = 1.0 - math.pow(0.5, depth.toDouble) // exact powers of two
+    val srcs = st.select("source").distinct()
+    srcs.join(agg, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("rbo_fp"), lit(0L)).as("rbo_fp"))
+      .withColumn("rbo", round(col("rbo_fp").cast("double") / lit(1e12), 6))
+      .withColumn("rbo_norm",
+        round(col("rbo_fp").cast("double") / lit(1e12) / lit(maxRbo), 6))
+  }
+
   /** Mutual information between the source label and a cheap document
     * feature (length bucket) — the metadata-leakage audit: high MI means
     * the feature alone predicts provenance, so a "source-blind" model or

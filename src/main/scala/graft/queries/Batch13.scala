@@ -376,6 +376,57 @@ object Batch13 {
              |FROM prs LEFT JOIN ag ON ag.sa = prs.sa AND ag.sb = prs.sb
              |ORDER BY source_a, source_b""".stripMargin)),
 
+    // Rank-biased overlap of source head vocabularies vs the corpus
+    // ranking (TextAnalysis.rboHeadVocab — Webber et al. 2010), p = 1/2
+    // truncated at depth 20: every geometric weight is an exact power
+    // of two, each (1/2)^dd/dd term snaps to the 1e-12 grid, and a
+    // token contributes from depth max(rank_src, rank_corpus) on — the
+    // join-shaped spelling of the per-depth overlap sum.
+    QueryDef(
+      "x225_rbo_head_vocab",
+      (s, dir) => graft.ext.TextAnalysis.rboHeadVocab(Tables(s, dir).documents)
+        .orderBy("source"),
+      Some(
+        raw"""WITH st AS (
+             |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT source,
+             |               unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |), corpus AS (
+             |  SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY 1
+             |), ra AS (
+             |  SELECT source, tok, rn AS ra FROM (
+             |    SELECT source, tok,
+             |           ROW_NUMBER() OVER (PARTITION BY source
+             |             ORDER BY c DESC, tok) AS rn
+             |    FROM st) WHERE rn <= 20
+             |), rb AS (
+             |  SELECT tok, rn AS rb FROM (
+             |    SELECT tok, ROW_NUMBER() OVER (ORDER BY cc DESC, tok) AS rn
+             |    FROM corpus) WHERE rn <= 20
+             |), matched AS (
+             |  SELECT source, greatest(ra.ra, rb.rb) AS m
+             |  FROM ra JOIN rb USING (tok)
+             |), terms AS (
+             |  SELECT source,
+             |         CAST(floor(pow(0.5, dd.dd) / CAST(dd.dd AS DOUBLE)
+             |             * 1e12 + 0.5) AS BIGINT) AS term_fp
+             |  FROM matched, unnest(generate_series(matched.m, 20)) AS dd(dd)
+             |), ag AS (
+             |  SELECT source, CAST(SUM(term_fp) AS BIGINT) AS rbo_fp
+             |  FROM terms GROUP BY 1
+             |), srcs AS (
+             |  SELECT DISTINCT source FROM st
+             |)
+             |SELECT s.source,
+             |       COALESCE(ag.rbo_fp, 0) AS rbo_fp,
+             |       round(CAST(COALESCE(ag.rbo_fp, 0) AS DOUBLE) / 1e12, 6) AS rbo,
+             |       round(CAST(COALESCE(ag.rbo_fp, 0) AS DOUBLE) / 1e12
+             |             / (1.0 - pow(0.5, 20)), 6) AS rbo_norm
+             |FROM srcs s LEFT JOIN ag ON ag.source = s.source
+             |ORDER BY s.source""".stripMargin)),
+
     // AMS tug-of-war F2 sketch (Frequent.amsF2 — Alon-Matias-Szegedy
     // 1996): the self-join-size moment from 96 +-1-projection counters,
     // median-of-means (3x32). Every counter is an exact BIGINT (parity

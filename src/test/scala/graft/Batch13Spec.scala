@@ -295,6 +295,23 @@ class Batch13Spec extends SparkSuite {
     assert(upPixels.groupBy(identity).values.forall(_.size % 4 == 0))
   }
 
+  test("rbo: a source matching the corpus head scores exactly 1; a " +
+    "disjoint head scores 0; agreement at depth 1 outweighs deep ties") {
+    import graft.ext.TextAnalysis
+    // 'dom' dominates the corpus, so its own ranking IS the corpus
+    // ranking; 'alien' shares no token with the corpus head.
+    val d = docs(
+      (0L, "dom", Seq.fill(40)("aa").mkString(" ") + " " +
+        Seq.fill(20)("bb").mkString(" ") + " " + Seq.fill(10)("cc").mkString(" ")),
+      (1L, "alien", "zz yy xx zz yy zz"))
+    val r = TextAnalysis.rboHeadVocab(d, depth = 3).collect()
+      .map(row => row.getString(0) -> row.getAs[Double]("rbo_norm")).toMap
+    assert(r("dom") == 1.0, s"corpus-identical head must score exactly 1: $r")
+    // 'alien' tokens rank 4-6 in the corpus (counts 3,2,1 < cc/bb/aa):
+    // outside the depth-3 corpus head -> zero overlap at every depth.
+    assert(r("alien") == 0.0, s"disjoint head must score 0: $r")
+  }
+
   test("ams f2: all-distinct corpus has F2 = N exactly; the estimator " +
     "stays within the median-of-means envelope on seeded corpora") {
     // Every token unique: c = 1 everywhere, so F2 = n_tokens exactly.
