@@ -104,17 +104,47 @@ object Frequent {
     * audit here.)
     */
   def amsF2(docs: DataFrame): DataFrame = {
-    val d = 96
     val counts = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val est = counts
-      .select(col("tok"), col("c"),
-        explode(array((0 until d).map(lit): _*)).as("j"))
-      .select(col("j"), col("c"),
+    val est = amsEstimate(amsCounters(counts))
+    val exact = counts.agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("c") * col("c")).as("f2_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_tokens"), col("n_distinct"), lit(AmsD).as("d"),
+        col("f2_exact"), round(col("f2_est"), 6).as("f2_est"),
+        when(col("f2_exact") > 0,
+          round(abs(round(col("f2_est"), 6) - col("f2_exact").cast("double"))
+            / col("f2_exact").cast("double"), 6)).as("rel_error"))
+  }
+
+  /** AMS counter width (3 median groups × 32 mean estimators). */
+  private val AmsD = 96
+
+  /** The d ±1-projection counters S_j = Σ sign_j(tok)·c over a token
+    * count table carrying extra grouping columns — shared by the
+    * corpus sketch ([[amsF2]]) and the per-shard sketches of
+    * [[amsF2MergeAudit]]. Input columns: `groupCols ++ (tok, c)`;
+    * output: `groupCols ++ (j, s)`. */
+  private def amsCounters(counts: DataFrame, groupCols: String*): DataFrame = {
+    val keep = groupCols.map(col)
+    counts
+      .select(keep ++ Seq(col("tok"), col("c"),
+        explode(array((0 until AmsD).map(lit): _*)).as("j")): _*)
+      .select(keep ++ Seq(col("j"), col("c"),
         (conv(substring(md5(concat(col("tok"), lit("|ams|"), col("j"))), 1, 1),
-          16, 10).cast("long") % 2L * 2L - 1L).as("sign"))
-      .groupBy("j").agg(sum(col("sign") * col("c")).as("s"))
+          16, 10).cast("long") % 2L * 2L - 1L).as("sign")): _*)
+      .groupBy(keep :+ col("j"): _*)
+      .agg(sum(col("sign") * col("c")).as("s"))
+  }
+
+  /** Median-of-means over a (j, s) counter frame → one-row `f2_est`
+    * (unrounded double): 3 groups of 32 squared counters, branch-free
+    * 3-way median, one division by 32. */
+  private def amsEstimate(ctr: DataFrame): DataFrame =
+    ctr
       .groupBy((col("j") / lit(32)).cast("int").as("g"))
       .agg(sum(col("s") * col("s")).as("grp_fp"))
       .agg(max(when(col("g") === 0, col("grp_fp"))).as("g0"),
@@ -123,13 +153,47 @@ object Frequent {
       .select((greatest(least(col("g0"), col("g1")),
         least(greatest(col("g0"), col("g1")), col("g2")))
         .cast("double") / lit(32.0)).as("f2_est"))
-    val exact = counts.agg(
-      sum(col("c")).as("n_tokens"),
-      count(lit(1)).as("n_distinct"),
-      sum(col("c") * col("c")).as("f2_exact"))
-    exact.crossJoin(broadcast(est))
-      .select(col("n_tokens"), col("n_distinct"), lit(d).as("d"),
-        col("f2_exact"), round(col("f2_est"), 6).as("f2_est"),
+
+  /** AMS shard-merge audit — the tug-of-war member of the
+    * mergeable-sketch audit family (x175 MinHash min-merge, x191/x201
+    * HLL max-merge, x219 KMV bottom-k-of-union): each shard sketches
+    * its own token stream into d counters, shards merge by plain
+    * ADDITION (S_j is a sum, so Σ_shard S_{shard,j} must equal the
+    * direct corpus counter bit-for-bit — every term is an exact
+    * BIGINT), and `n_mismatch` counts the j where they disagree
+    * (contract: 0). The merged estimate's median-of-means F₂ and its
+    * rel_error against exact F₂ ride along, priced gate-only like
+    * x224's audit columns.
+    *
+    * This is the property that makes the sketch a 100 TB primitive:
+    * 1000 executors each keep 96 longs, the driver adds 96-vectors —
+    * no frequency table ever exists off-shard.
+    *
+    * Scale shape: one (shard × vocab) count aggregate (shard =
+    * doc_id mod nShards), one d-way projection over it, nShards·d
+    * reduce rows; the direct comparand reuses the corpus count table
+    * summed out of the same aggregate.
+    */
+  def amsF2MergeAudit(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    val shardCounts = docs
+      .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("shard", "tok").agg(count(lit(1)).as("c"))
+    val merged = amsCounters(shardCounts, "shard")
+      .groupBy("j").agg(sum(col("s")).as("s_merged"))
+    val corpusCounts = shardCounts.groupBy("tok").agg(sum(col("c")).as("c"))
+    val direct = amsCounters(corpusCounts)
+    val mm = merged.join(direct, Seq("j"), "full_outer")
+      .agg(coalesce(sum(when(col("s_merged").isNull || col("s").isNull
+        || col("s_merged") =!= col("s"), lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("n_mismatch"))
+    val est = amsEstimate(merged.select(col("j"), col("s_merged").as("s")))
+    val exact = corpusCounts.agg(sum(col("c") * col("c")).as("f2_exact"))
+    exact.crossJoin(broadcast(mm)).crossJoin(broadcast(est))
+      .select(lit(nShards.toLong).as("n_shards"), lit(AmsD).as("d"),
+        col("n_mismatch"), col("f2_exact"),
+        round(col("f2_est"), 6).as("f2_est"),
         when(col("f2_exact") > 0,
           round(abs(round(col("f2_est"), 6) - col("f2_exact").cast("double"))
             / col("f2_exact").cast("double"), 6)).as("rel_error"))

@@ -568,8 +568,9 @@ object Pipeline {
     * difference (c_i − c_{i−1})·(m−i+1) ≥ 0), so the capped set — groups
     * whose capacity fits under an equal split of what remains — is
     * exactly the prefix where f(i) ≤ B, found with one window scan, no
-    * iteration. Every f(i), prefix sum, and capacity is an exact BIGINT
-    * (budget = n_tokens·budgetNum div budgetDen in integer arithmetic),
+    * iteration. Every f(i), prefix sum, and budget is an exact
+    * DECIMAL(38,0) integer (capacities stay BIGINT; see
+    * [[unimaxFromCounts]] for the overflow envelope),
     * so the capped/uncapped partition is bit-identical in any engine;
     * the only doubles are the final share division and epochs ratio,
     * one shared IEEE tree, rounded to 6.
@@ -601,27 +602,45 @@ object Pipeline {
       epochCap: Int, budgetNum: Int, budgetDen: Int): DataFrame = {
     require(epochCap >= 1, s"epochCap must be >= 1, got $epochCap")
     require(budgetNum > 0 && budgetDen > 0, "budget ratio must be positive")
+    // The prefix/f/budget chain runs in DECIMAL(38,0), not LongType:
+    // non-ANSI Spark wraps silently once sum(n_tokens)*budgetNum or
+    // capacity*(m-rank+1) exceeds 2^63 — with x220 feeding 1e6-scaled
+    // eff_tokens_fp that long envelope shrinks to ~5.7e11 effective
+    // tokens, below the 100 TB target, and DuckDB (HUGEINT) would
+    // diverge instead of wrapping (round-13 advice). The capped set is
+    // therefore decided overflow-free; the residual envelope is the
+    // OUTPUT columns, where budget_tokens casts back to BIGINT (exact to
+    // 9.2e18 budget tokens; the budget division itself is exact for
+    // budgetDen < ~2e6 — floor of a scale-11 HALF_UP quotient can only
+    // disagree with integer division when the remainder/den lands
+    // within 1e-11 of 1, impossible for den below that bound).
+    require(budgetDen < 2000000, s"budgetDen must stay below 2e6 for the exact floor, got $budgetDen")
     val withCap = counts.withColumn("capacity_tokens", col("n_tokens") * epochCap)
+      .withColumn("cap_dec", col("capacity_tokens").cast("decimal(38,0)"))
     val byCap = Window.orderBy(col("capacity_tokens"), col("grp"))
     val all = Window.partitionBy()
+    val budgetDec = floor(sum(col("n_tokens")).over(all).cast("decimal(38,0)")
+      * lit(budgetNum) / lit(budgetDen))
     val ranked = withCap
       .withColumn("rank", row_number().over(byCap).cast("long"))
       .withColumn("prefix",
-        coalesce(sum(col("capacity_tokens"))
-          .over(byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        coalesce(sum(col("cap_dec"))
+          .over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L).cast("decimal(38,0)")))
       .withColumn("m", count(lit(1)).over(all))
-      .withColumn("budget_tokens",
-        expr(s"(sum(n_tokens) over () * $budgetNum) div $budgetDen"))
+      .withColumn("budget_dec", budgetDec)
+      .withColumn("budget_tokens", budgetDec.cast("long"))
       .withColumn("f",
-        col("prefix") + col("capacity_tokens") * (col("m") - col("rank") + 1))
-      .withColumn("capped", col("f") <= col("budget_tokens"))
+        col("prefix") + col("cap_dec") * (col("m") - col("rank") + 1))
+      .withColumn("capped", col("f") <= col("budget_dec"))
     val sized = ranked
       .withColumn("k_capped",
         sum(col("capped").cast("long")).over(all))
       .withColumn("capped_sum",
-        coalesce(sum(when(col("capped"), col("capacity_tokens"))).over(all), lit(0L)))
+        coalesce(sum(when(col("capped"), col("cap_dec"))).over(all),
+          lit(0L).cast("decimal(38,0)")))
     val alloc = when(col("capped"), col("capacity_tokens").cast("double"))
-      .otherwise((col("budget_tokens") - col("capped_sum")).cast("double")
+      .otherwise((col("budget_dec") - col("capped_sum")).cast("double")
         / (col("m") - col("k_capped")).cast("double"))
     sized
       .withColumn("alloc_tokens", round(alloc, 6))

@@ -64,14 +64,36 @@ object Kmv {
 
     override def zero: Seq[Long] = Vector.empty
 
+    /** Zero-copy view of the sorted buffer: `reduce` always returns an
+      * `ArraySeq.ofLong`, so after the first insert the hot path reads
+      * the backing array directly (never mutated — inserts copy into a
+      * fresh array). The fallback covers `zero` and whatever Seq the
+      * buffer encoder deserializes between partial and final stages. */
+    private def backing(b: Seq[Long]): Array[Long] = b match {
+      case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+      case _ => b.toArray
+    }
+
     override def reduce(b: Seq[Long], a: Long): Seq[Long] =
-      if (b.length == k && a >= b.last) b
+      if (b.length == k && a >= b.last) b // saturated fast reject
       else {
-        val i = b.indexWhere(a <= _)
-        if (i >= 0 && b(i) == a) b // already present: distinct semantics
+        // Binary search + one arraycopy build — this is the
+        // per-OCCURRENCE hot path of the sketch pass, and the previous
+        // linear indexWhere + take/:+/drop rebuild was O(k) scan plus
+        // several intermediate allocations per accepted element while
+        // the buffer fills (round-13 advice).
+        val arr = backing(b)
+        val n = arr.length
+        val pos = java.util.Arrays.binarySearch(arr, 0, n, a)
+        if (pos >= 0) b // already present: distinct semantics
         else {
-          val at = if (i < 0) b.length else i
-          (b.take(at) :+ a) ++ b.drop(at).take(k - at - 1)
+          val at = -(pos + 1)
+          val outLen = math.min(n + 1, k)
+          val out = new Array[Long](outLen)
+          System.arraycopy(arr, 0, out, 0, at)
+          out(at) = a
+          System.arraycopy(arr, at, out, at + 1, outLen - at - 1)
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
         }
       }
 

@@ -29,8 +29,13 @@ object Batch13 {
          |           AS BIGINT) AS midrank2
          |  FROM byv
          |), tot AS (
+         |  -- cnt cubes in HUGEINT: a bare cnt*cnt*cnt multiplies in
+         |  -- BIGINT and DuckDB THROWS on overflow at cnt ~ 2.1e6,
+         |  -- narrower than the Spark side's DECIMAL(38,0) envelope the
+         |  -- kernel scaladoc documents (round-13 advice).
          |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
-         |         CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie_term_d
+         |         CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE)
+         |           AS tie_term_d
          |  FROM byv
          |), ps AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a,

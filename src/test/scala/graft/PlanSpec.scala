@@ -579,4 +579,24 @@ class PlanSpec extends SparkSuite {
         s"$name: the value->rank map must broadcast to the corpus side")
     }
   }
+
+  test("x225 RBO corpus head never runs an unpartitioned window over the " +
+    "vocabulary — only the per-source partitioned rank window remains") {
+    // Round-13 verdict residual #3: the corpus-head ranking used a global
+    // row_number window over the FULL vocabulary count table — Heaps-
+    // bounded at sf0.1 but a single-task wall on a web-corpus vocabulary.
+    // The fix extracts the head via orderBy+limit (TakeOrderedAndProject /
+    // a bounded top-k merge) and broadcasts the <= depth ranked rows back,
+    // so every remaining WindowExec must be partitioned.
+    val df = queries.Registry.queryMap("x225_rbo_head_vocab")(spark, Sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "x225 lost its per-source rank window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "x225 has an UNPARTITIONED window (single-task over the vocabulary at scale)"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the ranked corpus head must broadcast back to the per-source side:\n$plan")
+  }
 }
