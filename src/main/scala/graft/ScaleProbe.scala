@@ -57,7 +57,28 @@ object ScaleProbe {
     // x221: the (source, token) count table is CONSTANT under
     // byte-identical duplication (only counts grow), so the pair join
     // and per-pair sums cost the same — only the token scan grows.
-    "x221_js_divergence_matrix")
+    "x221_js_divergence_matrix",
+    // Round-14 probe-discipline additions (r13 verdict stretch #7):
+    // x219: distinct shingle hashes are constant under duplication, so
+    // every sketch (per-shard and direct) and the exact countDistinct
+    // audit stay constant-size — only the occurrence scan into the
+    // k-bounded aggregator grows.
+    "x219_kmv_merge_audit",
+    // x222/x223: one mapPartitions decode pass, rows:images 1:1, no
+    // shuffle — must probe as pure linear scans (the container parse
+    // and per-image decode cost is per-row constant).
+    "x222_image_resize_stats", "x223_frame_sample_stats",
+    // x224/x226: the token count table is Heaps-bounded (constant under
+    // byte-identical duplication — only counts grow), so the 96-way
+    // sign projection and the 96/nShards*96 reduce rows cost the same;
+    // only the token scan grows. x226 additionally shards by doc_id,
+    // and the (shard x vocab) table grows with the REPLICA count's
+    // shard spread — still bounded by nShards x vocab.
+    "x224_ams_f2_sketch", "x226_ams_merge_audit",
+    // x225: per-source and corpus head tables are vocab-bounded and
+    // constant; the head extraction is TakeOrderedAndProject over the
+    // vocab table; only the token scan grows.
+    "x225_rbo_head_vocab")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

@@ -35,6 +35,23 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Partitioned AND bucketed catalog table — the layout for MUTABLE
+    * big tables maintained by partition-overwrite merges (the streaming
+    * gram index's cluster shape, [[graft.streaming.Streams
+    * .mergeSubstrIndexPartitioned]]): the partition column bounds what a
+    * merge must rewrite (dynamic partition overwrite touches only
+    * partitions present in the written frame), while bucketing+sorting
+    * on the probe key keeps per-partition files sorted for tight
+    * row-group statistics on that key. */
+  def writeBucketedPartitioned(df: DataFrame, table: String,
+      bucketCol: String, partitionCol: String, numBuckets: Int = 4): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Zone-clustered parquet — the READER half of zone-map statistics
     * (x63 computes the stats; this layout makes them selective): a global
     * sort on the cluster key before writing gives every parquet row group

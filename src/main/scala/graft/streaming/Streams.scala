@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -801,11 +801,14 @@ object Streams {
     * anti-join get tight row-group bounds on `g` (row groups outside a
     * batch's gram range skip on parquet statistics alone), and the file
     * fragmentation the micro-batch swap-writes accumulate collapses to
-    * `targetPartitions` sorted files. On a cluster the same rewrite
-    * targets a bucketed table (io.Layout.writeBucketed) so the merge
-    * partition-overwrites only touched buckets; the local twin keeps the
-    * swap-commit, so a crash mid-compaction leaves the previous index
-    * live. Verdict-neutrality is pinned by StreamingSpec: a screen run
+    * `targetPartitions` sorted files. On a cluster the same index
+    * targets a partitioned+bucketed catalog table so the merge
+    * partition-overwrites only touched partitions — that shape is
+    * EXECUTABLE, not aspirational: [[mergeSubstrIndexPartitioned]],
+    * pinned by StreamingSpec (untouched partitions keep their files
+    * byte-stable, rows identical to this local twin's). The local twin
+    * keeps the swap-commit, so a crash mid-compaction leaves the
+    * previous index live. Verdict-neutrality is pinned by StreamingSpec: a screen run
     * whose index is compacted between batches produces byte-identical
     * index rows and reports.
     *
@@ -841,6 +844,74 @@ object Streams {
         Seq((c.getLong(0), c.getLong(1), fb, bb, fa, ba)).toDF(
           "n_grams", "n_duplicated",
           "files_before", "bytes_before", "files_after", "bytes_after")
+    }
+  }
+
+  /** The CLUSTER production shape the [[compactSubstrIndex]] scaladoc
+    * documents, executable (round-13 directive #5): the gram index
+    * lives as a catalog table partitioned by `pb = pmod(hash(g),
+    * nPartitions)` and bucketed+sorted on `g` within each partition
+    * ([[graft.io.Layout.writeBucketedPartitioned]]). A batch merge
+    * receives the batch's NEW/UPDATED index rows (the batch-scale
+    * output of the minima algebra in [[exactSubstrScreenBatch]] — at
+    * most one row per batch gram), unions them with the UNTOUCHED rows
+    * of the AFFECTED partitions only, and dynamic-partition-OVERWRITES
+    * exactly those partitions: a partition none of whose grams appear
+    * in the batch keeps its files byte-for-byte (StreamingSpec pins
+    * this from the file listing), so per-batch write cost is bounded by
+    * the touched-partition row count, not the index size — the
+    * replacement for the local twin's whole-index swap-write, whose
+    * full rewrite is exactly what does not scale to a 100 TB corpus's
+    * gram index.
+    *
+    * Atomicity note: dynamic partition overwrite commits per partition
+    * via the staging protocol — same crash story as any lakehouse
+    * INSERT OVERWRITE; the local twin keeps the swap-commit because a
+    * single-directory rename is the strongest atomicity a bare
+    * filesystem offers.
+    *
+    * Returns a one-row audit frame: partitions touched, updated rows
+    * written, pass-through rows rewritten alongside them, and the
+    * table's total row count after the merge.
+    */
+  def mergeSubstrIndexPartitioned(spark: SparkSession, updated: DataFrame,
+      table: String, nPartitions: Int = 32, nBuckets: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(nPartitions >= 1 && nBuckets >= 1, "layout knobs must be positive")
+    val withPb = updated.withColumn("pb",
+      pmod(hash(col("g")), lit(nPartitions)))
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Layout.writeBucketedPartitioned(withPb, table, "g", "pb", nBuckets)
+      val n = spark.table(table).count()
+      val nParts = spark.table(table).select("pb").distinct().count()
+      Seq((nParts, n, 0L, n)).toDF(
+        "n_partitions_touched", "n_updated", "n_passthrough", "n_total")
+    } else {
+      // Affected partitions: a bounded pull (<= nPartitions values).
+      val affected = withPb.select("pb").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existing = spark.table(table)
+      // Pass-through = affected partitions' rows whose gram is NOT in
+      // this batch — they must be rewritten with the partition (an
+      // overwrite replaces whole partitions), and ONLY they: untouched
+      // partitions never enter the plan (partition pruning on pb).
+      val passThrough = existing
+        .filter(col("pb").isInCollection(affected.map(Integer.valueOf)))
+        .join(withPb.select("g"), Seq("g"), "left_anti")
+      val outCols = existing.columns.map(col).toIndexedSeq
+      val merged = passThrough.select(outCols: _*)
+        .unionByName(withPb.select(outCols: _*))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode(SaveMode.Overwrite).insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val nUp = withPb.count()
+      val nPass = passThrough.count()
+      Seq((affected.length.toLong, nUp, nPass, spark.table(table).count()))
+        .toDF("n_partitions_touched", "n_updated", "n_passthrough", "n_total")
     }
   }
 

@@ -617,6 +617,67 @@ class StreamingSpec extends SparkSuite {
       "compacting an absent index is an empty-metric no-op")
   }
 
+  test("bucketed gram-index merge: the catalog-table production shape " +
+    "matches the swap-write index row-for-row while partitions untouched " +
+    "by a batch keep their files byte-stable") {
+    import graft.ext.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-essb-").toString
+    val tbl = "gram_index_bkt"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(s"/tmp/graft-test-warehouse/$tbl")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    val span = (1 to 9).map(i => s"g$i").mkString(" ")
+    val batches = Seq(
+      Seq((1L, s"alpha $span beta"),
+        (2L, "common stem one two three four five six seven eight")),
+      Seq((3L, s"$span gamma"), (4L, s"prefix $span")),
+      // Batch 3 shares no token with batches 1-2: its single novel gram
+      // touches one partition; every other populated partition must
+      // keep its files.
+      Seq((5L, "eleven twelve thirteen fourteen fifteen sixteen " +
+        "seventeen eighteen")))
+    def filesByPartition(): Map[String, Set[String]] =
+      loc.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}:${f.lastModified()}:${f.length()}").toSet
+      }.toMap
+    var before: Map[String, Set[String]] = Map.empty
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("doc_id", "text")
+      Streams.exactSubstrScreenBatch(df, s"$dir/ix", s"$dir/rp", 8, 1 << 20)
+      val idx = spark.read.parquet(s"$dir/ix")
+      val bg = Dedup.gramOccurrences(Dedup.tokenLengths(df), 8)
+        .select("g").distinct()
+      val updated = idx.join(bg, Seq("g"), "left_semi")
+      if (i == 2) before = filesByPartition()
+      val audit = Streams
+        .mergeSubstrIndexPartitioned(spark, updated, tbl, nPartitions = 8)
+        .head()
+      if (i == 2) {
+        val after = filesByPartition()
+        val touched = audit.getLong(0)
+        assert(touched === 1L, s"batch 3 carries one novel gram: $audit")
+        val stable = before.keySet.filter(p => after.get(p).contains(before(p)))
+        assert((before.keySet -- stable).size <= touched,
+          s"merge rewrote partitions it did not touch: stable=$stable before=${before.keySet}")
+        assert(stable.nonEmpty,
+          "expected at least one populated partition to keep its files byte-stable")
+      }
+    }
+    // The catalog table (minus its layout column) must equal the local
+    // twin's swap-write index exactly — same rows, same minima.
+    val tblRows = spark.table(tbl).drop("pb").collect().map(_.toSeq).toSet
+    val pqRows = spark.read.parquet(s"$dir/ix").collect().map(_.toSeq).toSet
+    assert(tblRows === pqRows,
+      "bucketed-table merge diverged from the swap-write index")
+  }
+
   test("kmv cardinality monitor: every micro-batch prefix equals the batch " +
     "sketch of the rows so far; redelivery is a no-op by construction") {
     implicit val sc = spark.sqlContext

@@ -17,6 +17,16 @@ as two temporally-separated sweeps, a genuine host-contention episode can
 poison at most a minority of any query's samples: a mover whose slow
 samples all share one window while its other-sweep samples sit in-band is
 exonerated BY THE ARTIFACT, no manual rerun session needed.
+
+Round 14: bench.json additionally carries a "canaries" series — pinned,
+memo-free queries rerun at fixed slot offsets through the whole session.
+Each canary reading divided by its committed median measures the HOST
+FACTOR at that instant. --movers interpolates that factor at every mover
+sample's timestamp (median of the 3 nearest readings) and reports a
+NORMALIZED ratio next to the raw one: a mover whose normalized ratio sits
+inside the gate is host-degradation, provably from the artifact; one that
+stays outside is a genuine regression candidate. Factors below 1 are
+clamped to 1 — a fast host never inflates a mover's normalized ratio.
 """
 import json
 import re
@@ -32,6 +42,7 @@ def load(path: str) -> dict:
 def render_table(b: dict) -> None:
     cold = b["queries"]
     med = b.get("queries_median", {})
+    mn = b.get("queries_min", {})
     print("# Per-query bench baseline (honest medians)")
     print()
     print(f"Generated {date.today().isoformat()} from `bench.json` "
@@ -52,16 +63,25 @@ def render_table(b: dict) -> None:
           "each query's samples span three disjoint wall-clock windows and "
           "no single host-contention episode can poison a median. The cold "
           "series is the end-to-end session number (memo caches warm across "
-          "siblings within the sweep). `_`-prefixed rows are engine "
+          "siblings within the sweep; the three canary queries' colds are "
+          "codegen-warm since round 14 — see below). `min s` is the "
+          "smallest of the query's samples — the standing treat-the-LOWER-"
+          "same-code-run-as-the-code's-cost policy, machine-readable. "
+          "Pinned memo-free canaries (q01/x05/x83) rerun at fixed slot "
+          "offsets through the session; their reading/committed ratios are "
+          "the session host-factor series `--movers` normalizes movers by. "
+          "`_`-prefixed rows are engine "
           "fixtures (warmup, layout demos), not queries.")
     print()
-    print("| query | cold s | median s |")
-    print("|---|---:|---:|")
+    print("| query | cold s | median s | min s |")
+    print("|---|---:|---:|---:|")
     for name in sorted(cold):
         c = cold[name]
         m = med.get(name)
         ms = f"{m:.3f}" if m is not None else "—"
-        print(f"| {name} | {c:.3f} | {ms} |")
+        lo = mn.get(name)
+        los = f"{lo:.3f}" if lo is not None else "—"
+        print(f"| {name} | {c:.3f} | {ms} | {los} |")
 
 
 def parse_baseline(path: str) -> dict:
@@ -76,10 +96,41 @@ def parse_baseline(path: str) -> dict:
     return meds
 
 
+def canary_factors(b: dict, committed: dict):
+    """(ts, factor) host-factor series from the canary readings, plus a
+    per-canary summary. factor = reading / committed median."""
+    pts = []
+    summary = {}
+    for name, ss in b.get("canaries", {}).items():
+        base = committed.get(name)
+        if base is None or base <= 0:
+            continue
+        fs = [(ts, dur / base) for ts, dur in ss if dur > 0]
+        pts.extend(fs)
+        if fs:
+            vals = sorted(f for _, f in fs)
+            summary[name] = (len(vals), vals[len(vals) // 2],
+                             vals[0], vals[-1])
+    pts.sort()
+    return pts, summary
+
+
+def factor_at(pts, ts: float) -> float:
+    """Host factor at a timestamp: median of the 3 nearest canary
+    readings (robust to one outlier reading), clamped at >= 1 so a
+    fast host never inflates a normalized ratio."""
+    if not pts:
+        return 1.0
+    near = sorted(pts, key=lambda p: abs(p[0] - ts))[:3]
+    fs = sorted(f for _, f in near)
+    return max(1.0, fs[len(fs) // 2])
+
+
 def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0) -> None:
     committed = parse_baseline(baseline_path)
     med = b.get("queries_median", {})
     samples = b.get("samples", {})
+    pts, canary_summary = canary_factors(b, committed)
     movers = []
     for name, m in sorted(med.items()):
         base = committed.get(name)
@@ -117,25 +168,48 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0) -> None:
     print(f"## Mover adjudication — generated {date.today().isoformat()} "
           f"from bench.json vs `{baseline_path}`")
     print()
+    if canary_summary:
+        all_f = sorted(f for _, f in pts)
+        print(f"Session host factor (canary readings / committed medians): "
+              f"median {all_f[len(all_f) // 2]:.2f}x over {len(all_f)} "
+              f"readings, range {all_f[0]:.2f}x..{all_f[-1]:.2f}x.")
+        for name, (n, med_f, lo, hi) in sorted(canary_summary.items()):
+            print(f"- {name}: {n} readings, median {med_f:.2f}x "
+                  f"({lo:.2f}x..{hi:.2f}x)")
+        print()
+    else:
+        print("No canary series in bench.json (pre-round-14 artifact): "
+              "normalized ratios fall back to raw.")
+        print()
     if not movers:
         print(f"No median movers (> {ratio_gate}x committed). "
               f"{len(slow)} slow SAMPLE(s) in {len(windows)} contention "
               "window(s) were absorbed by the sweep-split medians.")
     else:
-        print("| query | committed s | median s | ratio | slow/total samples "
-              "| verdict |")
-        print("|---|---:|---:|---:|---:|---|")
+        print("| query | committed s | median s | ratio | norm ratio | "
+              "slow/total samples | verdict |")
+        print("|---|---:|---:|---:|---:|---:|---|")
         for name, base, m in movers:
             ss = samples.get(name, [])
             n_slow = sum(1 for _, d in ss if d > ratio_gate * base)
-            verdict = ("adjudicate: MAJORITY of samples slow — not "
-                       "explainable by one window"
-                       if 2 * n_slow > len(ss) else
-                       "artifact-exonerable: median poisoned by a minority "
-                       "window (should not happen under sweep split — "
-                       "check)")
+            # Normalized median: each sample deflated by the host factor
+            # measured nearest it in time, then the same median rule.
+            norm = sorted(d / factor_at(pts, ts) for ts, d in ss if d >= 0)
+            nm = norm[len(norm) // 2] if norm else m
+            nr = nm / base
+            if nr <= ratio_gate:
+                verdict = ("EXONERATED by canary normalization: host "
+                           "factor explains the ratio")
+            elif 2 * n_slow > len(ss):
+                verdict = ("GENUINE REGRESSION CANDIDATE: majority of "
+                           "samples slow even after host-factor "
+                           "normalization — adjudicate with QueryProbe")
+            else:
+                verdict = ("artifact-exonerable: median poisoned by a "
+                           "minority window (should not happen under "
+                           "sweep split — check)")
             print(f"| {name} | {base:.3f} | {m:.3f} | {m / base:.1f}x | "
-                  f"{n_slow}/{len(ss)} | {verdict} |")
+                  f"{nr:.1f}x | {n_slow}/{len(ss)} | {verdict} |")
     print()
     if windows:
         print("Contention windows (each slow sample starting <= 60 s after "
