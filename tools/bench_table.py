@@ -7,6 +7,11 @@ adjudication table used to be hand-assembled from memory each round).
 Usage:
   python3 tools/bench_table.py [bench.json]                 > BASELINE_BENCH.md
   python3 tools/bench_table.py [bench.json] --movers [BASELINE_BENCH.md]
+  python3 tools/bench_table.py [bench.json] --merge-lower OLD.md \
+      [--new-rows x214,x219,...]   # committed-table update rule: per query
+      # elementwise MIN with the committed table (lower-run policy);
+      # --new-rows prefixes (code changed this round) take the new run's
+      # values outright so a deliberate perf trade is never hidden
 
 --movers parses the committed per-query medians out of the baseline table,
 computes this run's median/committed ratios, flags >2x movers, and — using
@@ -94,6 +99,50 @@ def parse_baseline(path: str) -> dict:
             if m and not m.group(1).startswith("_"):
                 meds[m.group(1)] = float(m.group(2))
     return meds
+
+
+def parse_baseline_full(path: str) -> dict:
+    """(cold, median) per query from a BASELINE_BENCH.md table."""
+    rows = {}
+    row = re.compile(r"^\|\s*([A-Za-z0-9_]+)\s*\|\s*([-0-9.]+)\s*\|\s*([0-9.]+)\s*\|")
+    with open(path) as f:
+        for line in f:
+            m = row.match(line)
+            if m and not m.group(1).startswith("_"):
+                rows[m.group(1)] = (float(m.group(2)), float(m.group(3)))
+    return rows
+
+
+def merge_lower(b: dict, old_path: str, new_rows: list) -> None:
+    """The committed-table UPDATE RULE, mechanized: per query, the code's
+    cost is the elementwise MIN of the committed table and the new run
+    (the standing lower-run policy — same-code sessions differ by a host
+    contention band, so the lower reading is the code). Queries whose
+    CODE changed this round (--new-rows prefixes) and queries absent from
+    the old table take the new run's values outright, so a deliberate
+    perf trade is never hidden by a stale lower row. Mutates b in place;
+    render_table then prints the merged table."""
+    old = parse_baseline_full(old_path)
+    changed = tuple(new_rows)
+    for name in list(b["queries"]):
+        if name.startswith("_") or name not in old:
+            continue
+        if changed and name.startswith(changed):
+            continue
+        oc, om = old[name]
+        nc = b["queries"][name]
+        if oc >= 0 and (nc < 0 or oc < nc):
+            b["queries"][name] = oc
+        nm = b.get("queries_median", {}).get(name)
+        if nm is not None and om > 0 and om < nm:
+            b["queries_median"][name] = om
+    # Recompute the headline totals from the merged rows (warmup + query
+    # colds / medians — the same accounting Bench.scala uses).
+    warm = b["queries"].get("_warmup", 0.0)
+    b["value"] = warm + sum(v for k, v in b["queries"].items()
+                            if not k.startswith("_") and v >= 0)
+    b["median_total"] = warm + sum(v for v in b["queries_median"].values()
+                                   if v >= 0)
 
 
 def canary_factors(b: dict, committed: dict):
@@ -227,10 +276,25 @@ def main() -> None:
         baseline = args[i + 1] if len(args) > i + 1 else "BASELINE_BENCH.md"
         bench = args[0] if i > 0 else "bench.json"
         movers_report(load(bench), baseline)
+    elif "--merge-lower" in args:
+        i = args.index("--merge-lower")
+        old = args[i + 1]
+        new_rows = []
+        if "--new-rows" in args:
+            j = args.index("--new-rows")
+            new_rows = args[j + 1].split(",")
+        bench = args[0] if i > 0 else "bench.json"
+        b = load(bench)
+        merge_lower(b, old, new_rows)
+        render_table(b)
     else:
         bench = args[0] if args else "bench.json"
         render_table(load(bench))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. piped into head
+        import os
+        os._exit(0)
