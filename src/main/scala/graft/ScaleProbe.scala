@@ -78,11 +78,21 @@ object ScaleProbe {
     // x225: per-source and corpus head tables are vocab-bounded and
     // constant; the head extraction is TakeOrderedAndProject over the
     // vocab table; only the token scan grows.
-    "x225_rbo_head_vocab")
+    "x225_rbo_head_vocab",
+    // x228: both counter grids are depth×width-bounded (constant) and
+    // the (shard × vocab) table is nShards×vocab-bounded; only the
+    // token scan grows — a pure linear probe like x134/x226.
+    "x228_cms_merge_audit")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",
-    "x178_embedding_outliers", "x196_label_noise_screen")
+    "x178_embedding_outliers", "x196_label_noise_screen",
+    // x227: the triangle explode is d(d+1)/2 terms PER ROW (constant
+    // width), the moment tables are groups×2,080 rows regardless of
+    // corpus size, and all pair algebra runs on them — the probe must
+    // isolate the linear moment scan. x229 is the same kernel split
+    // base/append: two moment scans instead of one, identical shape.
+    "x227_mmd_matrix", "x229_mmd_incremental")
 
   /** Event-family probes (events.parquet) — the window-heavy temporal
     * shapes (round-10 directive): sessionization's per-user gap windows,

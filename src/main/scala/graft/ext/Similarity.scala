@@ -654,6 +654,148 @@ object Similarity {
         .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
           sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy")))
 
+  /** Kernel two-sample discrepancy (unbiased MMD², Gretton et al. 2012)
+    * between every pair of embedding label groups, for the LINEAR and
+    * QUADRATIC polynomial kernels — the embedding-space answer to "do
+    * these two sources/snapshots draw from the same distribution?" that
+    * the scalar drift tests (x195 KS, x221 Jensen–Shannon) cannot give:
+    * the linear kernel detects mean shift, the quadratic kernel detects
+    * covariance/shape shift with the mean matched.
+    *
+    * The kernel trick is run BACKWARDS to kill the pair join: for
+    * k(x,y) = x·y, Σ_{i≠j} k = ‖Σx‖² − Σ‖x‖²; for k(x,y) = (x·y)²,
+    * Σ_ij k = ⟨M_a, M_b⟩_F where M = Σ x xᵀ — so every MMD term is an
+    * inner product of per-group MOMENT statistics (first moments: d
+    * values; second moments: the d(d+1)/2 upper triangle), and the
+    * corpus is touched by exactly two map-side-combinable aggregation
+    * passes (triangle moments; fourth-power norms). The pair algebra
+    * runs on groups×2,080 moment rows — never on row pairs. The moment
+    * tables are sums, hence mergeable and incrementally maintainable
+    * (the [[covarianceIncremental]] argument applies verbatim).
+    *
+    * Exactness: coordinates on the ×10⁶ fixed-point grid (floor(x·10⁶
+    * + 0.5), the [[covarianceMatrix]] convention); all moments and
+    * their products are exact DECIMAL(38,0)/BIGINT integers; each MMD²
+    * is ONE shared IEEE double tree over those exact integers, rounded
+    * to 1e-9 (the x41 determinism argument — engine-native reductions
+    * over doubles could never hash-match). Overflow envelope: with
+    * unit-norm embeddings ⟨M,M⟩_F ≤ n²·10²⁴, so the quadratic kernel
+    * stays inside DECIMAL(38,0) to n ≈ 10⁷ rows PER GROUP (the linear
+    * kernel to ~10¹² — s² ≤ n²·10¹²); past that, subsample per group —
+    * MMD estimation error shrinks as 1/√n long before 10⁷, which is why
+    * production MMD is routinely computed on bounded per-group samples.
+    * Groups with n < 2 have no unbiased within term and yield NULL
+    * MMD² (3VL, nothing to test).
+    */
+  def mmdMatrix(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
+    val (tri, q4) = mmdMoments(embeddings, dim)
+    mmdFromMoments(tri, q4)
+  }
+
+  /** Incremental maintenance of [[mmdMatrix]] under an append-only
+    * batch: every MMD sufficient statistic is an integer SUM (group
+    * sizes, first/second-moment triangles, fourth-power norms), so
+    * base + delta is EXACTLY the full recompute — the
+    * [[covarianceIncremental]] argument, kernel-ized. The x229 gate
+    * proves it by hash-matching this path against the full-recompute
+    * oracle (x227's SQL verbatim). At 100 TB the drift monitor
+    * re-reads the day's partition, never the corpus: persist the
+    * groups×2,080 moment rows and fold each batch in.
+    */
+  def mmdIncremental(base: DataFrame, append: DataFrame,
+      dim: Int = Dim): DataFrame = {
+    val (triB, q4B) = mmdMoments(base, dim)
+    val (triA, q4A) = mmdMoments(append, dim)
+    mmdFromMoments(
+      triB.unionByName(triA).groupBy("label", "i", "j")
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sxi")).as("sxi"),
+          sum(col("m")).as("m")),
+      q4B.unionByName(q4A).groupBy("label")
+        .agg(sum(col("q4")).as("q4")))
+  }
+
+  /** The mergeable sufficient-statistics stage of [[mmdMatrix]]:
+    * (triangle moments, fourth-power norms) per label — all sums. */
+  private def mmdMoments(embeddings: DataFrame, dim: Int): (DataFrame, DataFrame) = {
+    require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
+    val fp = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    // Pass 1: per-(label, i≤j) triangle moments — m = Σ x_i·x_j (exact
+    // DECIMAL), sxi = Σ x_i (BIGINT; read off the diagonal rows where
+    // it is the group's first moment), cnt = group size.
+    val tri = embeddings
+      .select(col("label"), fp.as("v"))
+      .select(col("label"), col("v"),
+        explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("label"), col("v"), col("i"),
+        explode(sequence(col("i"), lit(dim - 1))).as("j"))
+      .select(col("label"), (col("i") + 1).as("i"), (col("j") + 1).as("j"),
+        element_at(col("v"), col("i") + 1).as("xi"),
+        element_at(col("v"), col("j") + 1).as("xj"))
+      .groupBy("label", "i", "j")
+      .agg(count(lit(1)).as("cnt"), sum(col("xi")).as("sxi"),
+        sum(col("xi").cast("decimal(19,0)") * col("xj").cast("decimal(19,0)"))
+          .as("m"))
+    // Pass 2: per-group Σ‖x‖⁴ — the one term a second moment cannot
+    // give (it is a fourth moment), needed by the quadratic within sum.
+    val q4 = embeddings
+      .select(col("label"),
+        aggregate(fp, lit(0L), (acc, x) => acc + x * x).as("r2"))
+      .groupBy("label")
+      .agg(sum(col("r2").cast("decimal(19,0)") * col("r2").cast("decimal(19,0)"))
+        .as("q4"))
+    (tri, q4)
+  }
+
+  /** The MMD² projection over [[mmdMoments]] output. */
+  private def mmdFromMoments(tri: DataFrame, q4: DataFrame): DataFrame = {
+    val w = when(col("i") === col("j"), lit(1)).otherwise(lit(2))
+    val per = tri.groupBy("label")
+      .agg(max(when(col("i") === lit(1) && col("j") === lit(1), col("cnt"))).as("n"),
+        sum(when(col("i") === col("j"), col("m"))).as("q"),
+        sum(when(col("i") === col("j"),
+          col("sxi").cast("decimal(19,0)") * col("sxi").cast("decimal(19,0)")))
+          .as("s2"),
+        sum(w * col("m") * col("m")).as("w2"))
+      .join(q4, Seq("label"))
+    // Pair algebra over the moment tables only: ⟨S_a,S_b⟩ and
+    // ⟨M_a,M_b⟩_F via one equi-join on the triangle coordinates.
+    val cross = tri
+      .select(col("label").as("label_a"), col("i"), col("j"),
+        col("m").as("ma"), col("sxi").as("sa"))
+      .join(broadcast(tri.select(col("label").as("label_b"), col("i"), col("j"),
+        col("m").as("mb"), col("sxi").as("sb"))), Seq("i", "j"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(when(col("i") === col("j"),
+        col("sa").cast("decimal(19,0)") * col("sb").cast("decimal(19,0)")))
+        .as("sab"),
+        sum(w * col("ma") * col("mb")).as("wab"))
+    def withinT(s2: Column, q: Column, n: Column): Column =
+      (s2 - q).cast("double") / (n * (n - lit(1L))).cast("double")
+    def crossT(c: Column, na: Column, nb: Column): Column =
+      lit(2.0) * c.cast("double") / (na * nb).cast("double")
+    val sa = per.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("q").as("q_a"), col("s2").as("s2_a"), col("w2").as("w2_a"),
+      col("q4").as("q4_a"))
+    val sb = per.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("q").as("q_b"), col("s2").as("s2_b"), col("w2").as("w2_b"),
+      col("q4").as("q4_b"))
+    cross.join(broadcast(sa), Seq("label_a")).join(broadcast(sb), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("n_a") > 1 && col("n_b") > 1,
+          round((withinT(col("s2_a"), col("q_a"), col("n_a"))
+            + withinT(col("s2_b"), col("q_b"), col("n_b"))
+            - crossT(col("sab"), col("n_a"), col("n_b"))) / lit(1.0e12), 9))
+          .as("mmd2_lin"),
+        when(col("n_a") > 1 && col("n_b") > 1,
+          round((withinT(col("w2_a"), col("q4_a"), col("n_a"))
+            + withinT(col("w2_b"), col("q4_b"), col("n_b"))
+            - crossT(col("wab"), col("n_a"), col("n_b"))) / lit(1.0e24), 9))
+          .as("mmd2_quad"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** The mergeable sufficient-statistics stage of [[covarianceMatrix]]. */
   private def covSums(embeddings: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")

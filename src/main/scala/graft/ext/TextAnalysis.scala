@@ -1008,26 +1008,111 @@ object TextAnalysis {
       minCount: Long = 50): DataFrame = {
     require(depth >= 1 && depth <= 8 && width >= 16 && width <= 65536,
       s"unreasonable sketch shape ${depth}x$width")
-    def cell(h: Int, tok: Column): Column =
-      pmod(conv(substring(md5(concat(lit(s"cms$h|"), tok).cast("binary")), 1, 8),
-        16, 10).cast("long"), lit(width.toLong))
     val toks = docs.select(explode(tokens(col("text"))).as("tok"))
-    val counters = (0 until depth)
-      .map(h => toks.select(lit(h).as("h"), cell(h, col("tok")).as("cell")))
-      .reduce(_ unionAll _)
+    // One explode-struct pass per grid build — a per-h UNION of the
+    // corpus subtree re-expands the scan depth× per consumer (the
+    // round-14 x228 probe measured the difference), while one
+    // generator row per (token, h) keeps a single scan in codegen.
+    val counters = toks
+      .select(cmsCells(col("tok"), depth, width).as("hc"))
+      .select(col("hc.h").as("h"), col("hc.cell").as("cell"))
       .groupBy("h", "cell").agg(count(lit(1)).as("cell_count"))
     val heavy = toks.groupBy("tok").agg(count(lit(1)).as("true_count"))
       .filter(col("true_count") >= minCount)
-    val probes = (0 until depth)
-      .map(h => heavy.select(col("tok"), col("true_count"),
-        lit(h).as("h"), cell(h, col("tok")).as("cell")))
-      .reduce(_ unionAll _)
+    val probes = heavy
+      .select(col("tok"), col("true_count"),
+        cmsCells(col("tok"), depth, width).as("hc"))
+      .select(col("tok"), col("true_count"),
+        col("hc.h").as("h"), col("hc.cell").as("cell"))
     probes
       .join(broadcast(counters), Seq("h", "cell"))
       .groupBy("tok", "true_count")
       .agg(min(col("cell_count")).as("cms_estimate"))
       .select(col("tok"), col("true_count"), col("cms_estimate"),
         (col("cms_estimate") - col("true_count")).as("overestimate"))
+  }
+
+  /** The CMS cell hash shared by [[countMinSketch]] and
+    * [[countMinMergeAudit]] — salted md5 so the DuckDB twin reproduces
+    * it character for character. */
+  private def cmsCell(h: Int, tok: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$h|"), tok).cast("binary")), 1, 8),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** All depth cells of a token as ONE generator (array of (h, cell)
+    * structs): explode keeps a single corpus scan where a per-h union
+    * would re-expand the upstream subtree depth times. */
+  private def cmsCells(tok: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(h =>
+      struct(lit(h).as("h"), cmsCell(h, tok, width).as("cell"))): _*))
+
+  /** Count-min shard-merge audit — the counting sketch's membership
+    * proof in the mergeable-sketch audit family (x175 MinHash
+    * elementwise-min, x191/x201 HLL register-max, x219 KMV
+    * bottom-k-of-union, x226 AMS addition): per-shard depth×width
+    * counter grids merged by plain ADDITION must equal the grid built
+    * directly over the whole corpus, cell for cell (`n_mismatch`
+    * contract 0 — every cell an exact BIGINT occurrence sum), and every
+    * hash row of the merged grid must conserve total token mass
+    * (Σ cells = corpus token count per row — `mass_mismatch` 0, the
+    * invariant a dropped or double-counted shard breaks first). The
+    * merged sketch is then USED, not just compared: the heavy set
+    * (true count ≥ minCount) probes it and the worst one-sided
+    * overestimate rides along, proving the merged counters answer
+    * point queries exactly as a direct build would.
+    *
+    * Scale shape: one (shard × vocab) count aggregate over the corpus;
+    * every later step runs on depth·width-bounded counter grids (4×256
+    * here) or the vocabulary-sized count table with the grid broadcast.
+    * At 100 TB this is the sketch whose per-shard state a fleet ships
+    * to the coordinator: depth·width longs per shard, merged by one
+    * addition — the property exact counting loses once the vocabulary
+    * outgrows memory.
+    */
+  def countMinMergeAudit(docs: DataFrame, nShards: Int = 8, depth: Int = 4,
+      width: Int = 256, minCount: Long = 50): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    require(depth >= 1 && depth <= 8 && width >= 16 && width <= 65536,
+      s"unreasonable sketch shape ${depth}x$width")
+    val shardCounts = docs
+      .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("shard", "tok").agg(count(lit(1)).as("c"))
+    val merged = shardCounts
+      .select(col("shard"), col("c"), cmsCells(col("tok"), depth, width).as("hc"))
+      .select(col("shard"), col("hc.h").as("h"), col("hc.cell").as("cell"), col("c"))
+      .groupBy("shard", "h", "cell").agg(sum(col("c")).as("cc"))
+      // the merge under audit: per-shard grids folded by plain addition
+      .groupBy("h", "cell").agg(sum(col("cc")).as("c_merged"))
+    val corpusCounts = shardCounts.groupBy("tok").agg(sum(col("c")).as("c"))
+    val direct = corpusCounts
+      .select(col("c"), cmsCells(col("tok"), depth, width).as("hc"))
+      .select(col("hc.h").as("h"), col("hc.cell").as("cell"), col("c"))
+      .groupBy("h", "cell").agg(sum(col("c")).as("c_direct"))
+    val mm = merged.join(direct, Seq("h", "cell"), "full_outer")
+      .agg(coalesce(sum(when(col("c_merged").isNull || col("c_direct").isNull
+        || col("c_merged") =!= col("c_direct"), lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_mismatch"))
+    val nTok = corpusCounts.agg(sum(col("c")).as("n_tokens"))
+    val mass = merged.groupBy("h").agg(sum(col("c_merged")).as("row_mass"))
+      .crossJoin(broadcast(nTok))
+      .agg(coalesce(sum(when(col("row_mass") =!= col("n_tokens"), lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("mass_mismatch"))
+    val probes = corpusCounts.filter(col("c") >= minCount)
+      .select(col("tok"), col("c").as("true_count"),
+        cmsCells(col("tok"), depth, width).as("hc"))
+      .select(col("tok"), col("true_count"),
+        col("hc.h").as("h"), col("hc.cell").as("cell"))
+    val est = probes.join(broadcast(merged), Seq("h", "cell"))
+      .groupBy("tok", "true_count")
+      .agg(min(col("c_merged")).as("cms_estimate"))
+      .agg(count(lit(1)).as("n_heavy"),
+        max(col("cms_estimate") - col("true_count")).as("max_overestimate"))
+    nTok.crossJoin(broadcast(mm)).crossJoin(broadcast(mass))
+      .crossJoin(broadcast(est))
+      .select(lit(nShards.toLong).as("n_shards"), lit(depth).as("depth"),
+        lit(width).as("width"), col("n_mismatch"), col("mass_mismatch"),
+        col("n_tokens"), col("n_heavy"), col("max_overestimate"))
   }
 
   /** Content fingerprint: minimum MD5 over word 5-grams — the 1-hash

@@ -1,15 +1,86 @@
 package graft.queries
 
 import graft.io.Tables
+import org.apache.spark.sql.functions.col
 
 /** Round-14 batch: the AMS shard-merge audit (x226) — the tug-of-war
   * sketch's membership proof in the mergeable-sketch audit family
   * (x175 MinHash, x191/x201 HLL, x219 KMV), closing the round-13
-  * verdict's sketch-family-symmetry stretch. Implementation lives in
-  * ext/Frequent; the binding here pins parameters and carries the
-  * DuckDB oracle twin.
+  * verdict's sketch-family-symmetry stretch — plus the kernel
+  * two-sample MMD² matrix between embedding label groups (x227: the
+  * embedding-space drift test, pair-join-free via per-group moment
+  * statistics), the count-min shard-merge audit (x228: the counting
+  * sketch's membership proof in the same audit family), and incremental
+  * MMD maintenance (x229: base+delta moment fold == full recompute,
+  * proven against x227's oracle verbatim). Implementations
+  * live in ext/Frequent, ext/Similarity, ext/TextAnalysis; the bindings
+  * here pin parameters and carry the DuckDB oracle twins.
   */
 object Batch14 {
+
+  /** The full MMD² recompute oracle — used VERBATIM by x227 and x229:
+    * x229's whole claim is that the Spark side's base+delta moment fold
+    * equals THIS full recompute bit for bit (the x132/x139 convention).
+    */
+  private val MmdOracleSql: String =
+    raw"""WITH fp AS (
+         |  SELECT label,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings
+         |), idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |tri AS (
+         |  SELECT label, gi.i AS i, gj.i AS j,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         CAST(SUM(v[gi.i]) AS BIGINT) AS sxi,
+         |         SUM(CAST(v[gi.i] AS HUGEINT) * v[gj.i]) AS m
+         |  FROM fp, idx gi, idx gj
+         |  WHERE gj.i >= gi.i
+         |  GROUP BY 1, 2, 3
+         |), q4 AS (
+         |  SELECT label, SUM(CAST(r2 AS HUGEINT) * r2) AS q4
+         |  FROM (SELECT label,
+         |               CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS r2
+         |        FROM fp)
+         |  GROUP BY 1
+         |), per AS (
+         |  SELECT t.label,
+         |         MAX(CASE WHEN i = 1 AND j = 1 THEN cnt END) AS n,
+         |         SUM(CASE WHEN i = j THEN m END) AS q,
+         |         SUM(CASE WHEN i = j THEN CAST(sxi AS HUGEINT) * sxi END) AS s2,
+         |         SUM((CASE WHEN i = j THEN 1 ELSE 2 END) * m * m) AS w2
+         |  FROM tri t GROUP BY 1
+         |), perq AS (
+         |  SELECT per.*, q4.q4 FROM per JOIN q4 USING (label)
+         |), crs AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |         SUM(CASE WHEN a.i = a.j
+         |                  THEN CAST(a.sxi AS HUGEINT) * b.sxi END) AS sab,
+         |         SUM((CASE WHEN a.i = a.j THEN 1 ELSE 2 END) * a.m * b.m) AS wab
+         |  FROM tri a JOIN tri b ON a.i = b.i AND a.j = b.j AND a.label < b.label
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.label_a, c.label_b, pa.n AS n_a, pb.n AS n_b,
+         |  CASE WHEN pa.n > 1 AND pb.n > 1 THEN
+         |    round((CAST(CAST(pa.s2 - pa.q AS VARCHAR) AS DOUBLE)
+         |             / CAST(pa.n * (pa.n - 1) AS DOUBLE)
+         |         + CAST(CAST(pb.s2 - pb.q AS VARCHAR) AS DOUBLE)
+         |             / CAST(pb.n * (pb.n - 1) AS DOUBLE)
+         |         - 2.0 * CAST(CAST(c.sab AS VARCHAR) AS DOUBLE)
+         |             / CAST(pa.n * pb.n AS DOUBLE)) / 1e12, 9)
+         |  END AS mmd2_lin,
+         |  CASE WHEN pa.n > 1 AND pb.n > 1 THEN
+         |    round((CAST(CAST(pa.w2 - pa.q4 AS VARCHAR) AS DOUBLE)
+         |             / CAST(pa.n * (pa.n - 1) AS DOUBLE)
+         |         + CAST(CAST(pb.w2 - pb.q4 AS VARCHAR) AS DOUBLE)
+         |             / CAST(pb.n * (pb.n - 1) AS DOUBLE)
+         |         - 2.0 * CAST(CAST(c.wab AS VARCHAR) AS DOUBLE)
+         |             / CAST(pa.n * pb.n AS DOUBLE)) / 1e24, 9)
+         |  END AS mmd2_quad
+         |FROM crs c
+         |JOIN perq pa ON pa.label = c.label_a
+         |JOIN perq pb ON pb.label = c.label_b
+         |ORDER BY 1, 2""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -69,6 +140,108 @@ object Batch14 {
              |       CASE WHEN f2_exact > 0
              |            THEN round(abs(round(f2_est, 6) - CAST(f2_exact AS DOUBLE))
              |                 / CAST(f2_exact AS DOUBLE), 6) END AS rel_error
-             |FROM ex CROSS JOIN mm CROSS JOIN med""".stripMargin))
+             |FROM ex CROSS JOIN mm CROSS JOIN med""".stripMargin)),
+
+    // Kernel two-sample MMD² matrix (Similarity.mmdMatrix): unbiased
+    // linear- and quadratic-kernel MMD between every pair of embedding
+    // label groups, computed ENTIRELY from per-group moment statistics
+    // (first moments, the d(d+1)/2 second-moment triangle, Σ‖x‖⁴) — the
+    // kernel sums are inner products of moments, so no row-pair join
+    // ever forms. Exact fixed-point/HUGEINT integers to the last step;
+    // one shared IEEE tree per statistic (the x41 VARCHAR-cast
+    // convention for DuckDB's wide-integer→double).
+    QueryDef(
+      "x227_mmd_matrix",
+      (s, dir) => graft.ext.Similarity.mmdMatrix(Tables(s, dir).embeddings),
+      Some(MmdOracleSql)),
+
+    // Incremental MMD maintenance (Similarity.mmdIncremental): the
+    // moment statistics are integer sums, so folding an append batch
+    // into the base moments EQUALS the full recompute — proven by
+    // hash-matching against x227's full-recompute oracle verbatim (the
+    // x139 convention; split on vec_id % 5). The drift monitor's
+    // production shape: persist the groups×2,080 moment rows, touch
+    // only the day's partition.
+    QueryDef(
+      "x229_mmd_incremental",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        graft.ext.Similarity.mmdIncremental(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0))
+      },
+      Some(MmdOracleSql)),
+
+    // Count-min shard-merge audit (TextAnalysis.countMinMergeAudit):
+    // per-shard 4×256 counter grids merged by plain ADDITION equal the
+    // direct corpus grid cell for cell (n_mismatch 0), every hash row
+    // of the merged grid conserves total token mass (mass_mismatch 0),
+    // and the merged sketch answers the heavy-set point queries with
+    // the usual one-sided error (max_overestimate rides along).
+    QueryDef(
+      "x228_cms_merge_audit",
+      (s, dir) => graft.ext.TextAnalysis.countMinMergeAudit(
+        Tables(s, dir).documents),
+      Some {
+        val cellSql = (h: Int, tok: String) =>
+          s"CAST(('0x' || substring(md5('cms$h|' || $tok), 1, 8)) AS BIGINT) % 256"
+        val shardGrid = (0 until 4)
+          .map(h => s"SELECT shard, $h AS h, ${cellSql(h, "tok")} AS cell, c FROM cnt")
+          .mkString("\n  UNION ALL ")
+        val directGrid = (0 until 4)
+          .map(h => s"SELECT $h AS h, ${cellSql(h, "tok")} AS cell, c FROM ccnt")
+          .mkString("\n  UNION ALL ")
+        val probeGrid = (0 until 4)
+          .map(h => s"SELECT tok, true_count, $h AS h, ${cellSql(h, "tok")} AS cell FROM hv")
+          .mkString("\n  UNION ALL ")
+        raw"""WITH cnt AS (
+             |  SELECT doc_id % 8 AS shard, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id,
+             |               unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |), mgd AS (
+             |  SELECT h, cell, CAST(SUM(cc) AS BIGINT) AS c_merged
+             |  FROM (SELECT shard, h, cell, CAST(SUM(c) AS BIGINT) AS cc
+             |        FROM ($shardGrid)
+             |        GROUP BY 1, 2, 3)
+             |  GROUP BY 1, 2
+             |), ccnt AS (
+             |  SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM cnt GROUP BY 1
+             |), dg AS (
+             |  SELECT h, cell, CAST(SUM(c) AS BIGINT) AS c_direct
+             |  FROM ($directGrid)
+             |  GROUP BY 1, 2
+             |), mm AS (
+             |  SELECT CAST(COALESCE(SUM(CASE WHEN m.c_merged IS NULL
+             |                                 OR d.c_direct IS NULL
+             |                                 OR m.c_merged <> d.c_direct
+             |                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |           AS n_mismatch
+             |  FROM mgd m FULL OUTER JOIN dg d ON d.h = m.h AND d.cell = m.cell
+             |), nt AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM ccnt
+             |), ms AS (
+             |  SELECT CAST(COALESCE(SUM(CASE WHEN row_mass <> n_tokens
+             |                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |           AS mass_mismatch
+             |  FROM (SELECT h, CAST(SUM(c_merged) AS BIGINT) AS row_mass
+             |        FROM mgd GROUP BY 1) CROSS JOIN nt
+             |), hv AS (
+             |  SELECT tok, c AS true_count FROM ccnt WHERE c >= 50
+             |), est AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy,
+             |         CAST(MAX(cms_estimate - true_count) AS BIGINT)
+             |           AS max_overestimate
+             |  FROM (SELECT tok, true_count,
+             |               CAST(MIN(c_merged) AS BIGINT) AS cms_estimate
+             |        FROM ($probeGrid) p JOIN mgd USING (h, cell)
+             |        GROUP BY 1, 2)
+             |)
+             |SELECT CAST(8 AS BIGINT) AS n_shards, 4 AS depth, 256 AS width,
+             |       n_mismatch, mass_mismatch, n_tokens, n_heavy,
+             |       max_overestimate
+             |FROM nt CROSS JOIN mm CROSS JOIN ms CROSS JOIN est""".stripMargin
+      })
   )
 }

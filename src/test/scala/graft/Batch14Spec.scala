@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Algebra pins for the round-14 batch: the AMS shard-merge audit's
-  * family contract and the unimax DECIMAL(38,0) overflow envelope
-  * (round-13 advice). Real-data paths stay oracle-gated (x226).
+  * family contract, the unimax DECIMAL(38,0) overflow envelope
+  * (round-13 advice), the MMD² moment identity vs an explicit pairwise
+  * kernel fold, and the count-min merge audit's invariants. Real-data
+  * paths stay oracle-gated (x226–x228).
   */
 class Batch14Spec extends SparkSuite {
   import spark.implicits._
@@ -55,5 +57,102 @@ class Batch14Spec extends SparkSuite {
     assert(r("small").getAs[Double]("alloc_tokens") == 8.0e17)
     assert(r("large").getAs[Double]("alloc_tokens") == 8.0e17,
       "surplus (budget - capped capacity) water-fills the uncapped group")
+  }
+
+  test("mmdMatrix: the moment-statistics spelling equals the explicit " +
+    "pairwise kernel fold, for both kernels") {
+    val rnd = new scala.util.Random(27)
+    val dim = 3
+    def vec() = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    // Label 0 and 1 drawn alike; label 2 mean-shifted along coord 0.
+    val rows =
+      (0 until 7).map(i => (i.toLong, vec(), 0)) ++
+      (0 until 6).map(i => (100L + i, vec(), 1)) ++
+      (0 until 5).map(i => (200L + i, vec().updated(0, (rnd.nextDouble() + 2.0).toFloat), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity.mmdMatrix(emb, dim = dim).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+
+    def fp(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+    val groups = rows.groupBy(_._3).view
+      .mapValues(_.map(t => fp(t._2)).toIndexedSeq).toMap
+    def dot(a: Array[Long], b: Array[Long]): BigInt =
+      (0 until dim).map(p => BigInt(a(p)) * b(p)).sum
+    def mmd(a: Int, b: Int, k: BigInt => BigInt, descale: Double): Double = {
+      val (xs, ys) = (groups(a), groups(b))
+      val (na, nb) = (xs.size.toLong, ys.size.toLong)
+      val wa = (for (i <- xs.indices; j <- xs.indices if i != j)
+        yield k(dot(xs(i), xs(j)))).sum
+      val wb = (for (i <- ys.indices; j <- ys.indices if i != j)
+        yield k(dot(ys(i), ys(j)))).sum
+      val cab = (for (x <- xs; y <- ys) yield k(dot(x, y))).sum
+      (wa.toDouble / (na * (na - 1)).toDouble
+        + wb.toDouble / (nb * (nb - 1)).toDouble
+        - 2.0 * cab.toDouble / (na * nb).toDouble) / descale
+    }
+    for ((a, b) <- Seq((0, 1), (0, 2), (1, 2))) {
+      val r = got((a, b))
+      assert(math.abs(r.getAs[Double]("mmd2_lin") - mmd(a, b, identity, 1.0e12)) < 1e-9,
+        s"linear kernel ($a,$b)")
+      assert(math.abs(r.getAs[Double]("mmd2_quad") - mmd(a, b, d => d * d, 1.0e24)) < 1e-9,
+        s"quadratic kernel ($a,$b)")
+    }
+    // The shifted group is farther from both same-distribution groups
+    // than they are from each other, under both kernels.
+    assert(got((0, 2)).getAs[Double]("mmd2_lin") > got((0, 1)).getAs[Double]("mmd2_lin"))
+    assert(got((1, 2)).getAs[Double]("mmd2_lin") > got((0, 1)).getAs[Double]("mmd2_lin"))
+    assert(got((0, 2)).getAs[Double]("mmd2_quad") > got((0, 1)).getAs[Double]("mmd2_quad"))
+  }
+
+  test("mmdIncremental: folding an append batch into the base moments " +
+    "equals the full recompute, bit for bit") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 24).map(i =>
+      (i.toLong, Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat), i % 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val full = graft.ext.Similarity.mmdMatrix(emb, dim = 4).collect()
+    val inc = graft.ext.Similarity.mmdIncremental(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0), dim = 4).collect()
+    assert(full.toSeq == inc.toSeq,
+      "integer-sum moments must make incremental == full EXACTLY")
+  }
+
+  test("mmdMatrix: a singleton group has no unbiased within term -> NULL (3VL)") {
+    val emb = Seq(
+      (1L, Array(0.1f, 0.2f), 0), (2L, Array(0.3f, 0.1f), 0),
+      (3L, Array(0.2f, 0.2f), 1)).toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.mmdMatrix(emb, dim = 2).collect()
+    assert(r.length == 1)
+    assert(r(0).isNullAt(r(0).fieldIndex("mmd2_lin")))
+    assert(r(0).isNullAt(r(0).fieldIndex("mmd2_quad")))
+  }
+
+  test("cms merge audit: shard grids merged by addition equal the direct " +
+    "grid, every hash row conserves token mass, estimates stay one-sided") {
+    val rnd = new scala.util.Random(28)
+    val d = docs((0L until 60L).map { i =>
+      val n = 5 + rnd.nextInt(20)
+      (i, s"s${i % 4}",
+        Seq.fill(n)(s"w${rnd.nextInt(1 + rnd.nextInt(9))}").mkString(" "))
+    }.toSeq: _*)
+    val audit = graft.ext.TextAnalysis
+      .countMinMergeAudit(d, nShards = 8, minCount = 20).collect()(0)
+    assert(audit.getAs[Long]("n_mismatch") == 0L,
+      "addition-merged shard grids must equal the direct grid")
+    assert(audit.getAs[Long]("mass_mismatch") == 0L,
+      "every hash row must sum to the corpus token count")
+    val nTok = d.select(explode(split(trim(col("text")), "\\s+"))).count()
+    assert(audit.getAs[Long]("n_tokens") == nTok)
+    assert(audit.getAs[Long]("n_heavy") > 0, "fixture must exercise the probe")
+    assert(audit.getAs[Long]("max_overestimate") >= 0L,
+      "count-min error is one-sided: estimates never undercount")
+    // Degenerate sharding (more shards than documents) still merges clean.
+    val sparse = graft.ext.TextAnalysis
+      .countMinMergeAudit(d.limit(3), nShards = 16, minCount = 1).collect()(0)
+    assert(sparse.getAs[Long]("n_mismatch") == 0L)
+    assert(sparse.getAs[Long]("mass_mismatch") == 0L)
   }
 }

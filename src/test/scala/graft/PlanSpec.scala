@@ -599,4 +599,40 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"the ranked corpus head must broadcast back to the per-source side:\n$plan")
   }
+
+  test("x227/x229 MMD: every join runs on moment tables as a broadcast " +
+    "equi-join — no row-pair join, no shuffle join, no window") {
+    for (name <- Seq("x227_mmd_matrix", "x229_mmd_incremental")) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // The kernel trick run backwards: MMD terms are inner products of
+      // per-group moments, so the corpus is touched only by aggregation
+      // passes. A CartesianProduct or nested loop here means the pair
+      // join the operator exists to avoid crept back in.
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must never form a row-pair join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"moment tables are groups x d(d+1)/2 rows — they broadcast:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the triangle self-join must broadcast its right side:\n$plan")
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"$name is pure aggregation algebra — a window means a global sort crept in")
+    }
+  }
+
+  test("x228 CMS merge audit: no all-pairs anywhere; the heavy probe " +
+    "joins against the BROADCAST merged grid") {
+    val df = queries.Registry.queryMap("x228_cms_merge_audit")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x228 degenerated to all-pairs:\n$plan")
+    // (The full-outer cell compare may legitimately sort-merge — grids
+    // are depth·width-bounded; the scalar stitches are 1-row BNLJs.)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the probe-vs-grid join must broadcast the bounded grid:\n$plan")
+  }
 }
