@@ -85,4 +85,111 @@ object Bloom {
       .select(col(idCol), col("bloom_hit"),
         when(col("eh").isNotNull, 1).otherwise(0).as("exact_dup"))
   }
+
+  /** Bloom shard-merge audit — the membership sketch's proof in the
+    * mergeable-sketch audit family (x175 MinHash elementwise-min,
+    * x191/x201 HLL register-max, x219 KMV bottom-k-of-union, x226 AMS
+    * addition, x228 CMS addition): per-shard packed bit-word grids
+    * merged by plain bitwise OR must equal the grid built directly over
+    * the whole corpus, word for word (`n_mismatch` contract 0 — OR is
+    * the filter's union operator, idempotent and order-free, so shard
+    * layout can never change a bit). The merged filter is then USED,
+    * not just compared: a deterministic probe set of guaranteed-fresh
+    * strings measures the false-positive rate (with an exact-membership
+    * audit column so the rate is honest even if a probe collides with a
+    * real document), and the popcount/fill ratio ride along — the
+    * quantities that tell an ingest pipeline when the filter is
+    * saturating and needs re-sizing.
+    *
+    * Representation note: the AUDIT packs positions into 32-bit words
+    * (mask ≤ 2³¹, sign-safe in every engine — DuckDB's BIGINT `<<`
+    * raises on bit 63, so a 64-bit-packed oracle could not replay the
+    * top bit), while the production [[screen]] keeps 64-bit words; the
+    * OR-merge property is representation-independent, the word size is
+    * layout, not semantics.
+    *
+    * Scale shape: one k·N position explode into m/32 packed words per
+    * shard — bounded state regardless of corpus size, merged by one
+    * `bit_or` aggregation; probes join the widx-keyed merged grid
+    * (broadcast — m/32 rows). At 100 TB this is the per-ingest-shard
+    * filter fleet of the [[screen]] scaladoc: each shard ships m/32
+    * longs, the coordinator ORs them, membership answers never need the
+    * corpus again.
+    */
+  def mergeAudit(docs: DataFrame, nShards: Int = 8, mBits: Int = 4096,
+      k: Int = 4, nProbes: Int = 2048, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    require(mBits % 32 == 0 && mBits > 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    require(nProbes >= 1, s"nProbes must be positive, got $nProbes")
+    val spark = docs.sparkSession
+
+    def positions(df: DataFrame, c: Column): DataFrame = df.select(
+      (df.columns.map(col).toSeq :+
+        explode(array((0 until k).map(j =>
+          (h1(c) + lit(j.toLong) * h2(c)) % mBits): _*)).as("pos")): _*)
+    def packed(df: DataFrame, keys: Column*): DataFrame = df
+      .select((keys :+ (col("pos") / 32).cast("int").as("widx") :+
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("mask")): _*)
+      .groupBy((keys :+ col("widx")): _*)
+      .agg(expr("bit_or(mask)").as("word"))
+
+    val pos = positions(
+      docs.select(pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        col(textCol).as("t")), col("t"))
+    val shardWords = packed(pos, col("shard"))
+    // The merge under audit: per-shard grids folded by plain bitwise OR.
+    val merged = shardWords.groupBy("widx")
+      .agg(expr("bit_or(word)").as("w_merged"))
+    val direct = packed(pos.drop("shard"))
+      .withColumnRenamed("word", "w_direct")
+    val mm = merged.join(direct, Seq("widx"), "full_outer")
+      .agg(coalesce(sum(when(col("w_merged").isNull || col("w_direct").isNull
+        || col("w_merged") =!= col("w_direct"), lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_mismatch"))
+    val bits = merged.agg(
+      coalesce(sum(expr("bit_count(w_merged)")).cast("long"), lit(0L))
+        .as("bits_set"))
+
+    // Probe the MERGED filter with a deterministic fresh-string set; the
+    // exact-membership join keeps the fp rate honest if a probe string
+    // ever equals a real document.
+    val probes = positions(
+      spark.range(nProbes.toLong)
+        .select(concat(lit("bloomprobe|"), col("id").cast("string")).as("t")),
+      col("t"))
+    val probePos = probes.select(col("t"),
+      (col("pos") / 32).cast("int").as("widx"),
+      expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+    val hits = probePos
+      .join(broadcast(merged), Seq("widx"), "left")
+      .groupBy("t")
+      .agg(min(when(col("w_merged").isNotNull &&
+        col("w_merged").bitwiseAND(col("mask")) =!= 0L, lit(1))
+        .otherwise(lit(0))).as("hit"))
+    // Exact-membership audit, corpus-side-streamable: the probe set is
+    // the bounded side (nProbes rows), so it BROADCASTS and the
+    // corpus-sized hash table streams past it — a probe-side left join
+    // would instead put the corpus in the build position at scale.
+    val docHash = docs.select(md5(col(textCol).cast("binary")).as("eh")).distinct()
+    val probeAudit = docHash
+      .join(broadcast(hits.withColumn("ph", md5(col("t").cast("binary")))),
+        col("eh") === col("ph"), "right")
+      .agg(count(lit(1)).as("n_probes"),
+        coalesce(sum(when(col("eh").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_probe_members"),
+        coalesce(sum(col("hit").cast("long")), lit(0L)).as("n_bloom_hits"))
+
+    bits.crossJoin(broadcast(mm)).crossJoin(broadcast(probeAudit))
+      .select(lit(nShards.toLong).as("n_shards"), lit(mBits).as("m_bits"),
+        lit(k).as("k"), col("n_mismatch"), col("bits_set"),
+        round(col("bits_set").cast("double") / lit(mBits.toDouble), 6)
+          .as("fill_ratio"),
+        col("n_probes"), col("n_probe_members"), col("n_bloom_hits"),
+        round((col("n_bloom_hits") - col("n_probe_members")).cast("double")
+          / (col("n_probes") - col("n_probe_members")).cast("double"), 6)
+          .as("fp_rate"))
+  }
 }

@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions.col
   * statistics), the count-min shard-merge audit (x228: the counting
   * sketch's membership proof in the same audit family), and incremental
   * MMD maintenance (x229: base+delta moment fold == full recompute,
-  * proven against x227's oracle verbatim). Implementations
-  * live in ext/Frequent, ext/Similarity, ext/TextAnalysis; the bindings
-  * here pin parameters and carry the DuckDB oracle twins.
+  * proven against x227's oracle verbatim), the Bloom shard-merge audit
+  * (x230: OR-merge, word for word — the membership sketch's entry in
+  * the audit family), and the histogram shard-merge audit (x231:
+  * addition-merged bin counters under shared bounds, with the merged
+  * quantile estimates' within-one-bin-width verdict riding along).
+  * Implementations live in ext/Frequent, ext/Similarity,
+  * ext/TextAnalysis, ops/Bloom, ops/HistogramSketch; the bindings here
+  * pin parameters and carry the DuckDB oracle twins.
   */
 object Batch14 {
 
@@ -242,6 +247,105 @@ object Batch14 {
              |       n_mismatch, mass_mismatch, n_tokens, n_heavy,
              |       max_overestimate
              |FROM nt CROSS JOIN mm CROSS JOIN ms CROSS JOIN est""".stripMargin
-      })
+      }),
+
+    // Bloom shard-merge audit (Bloom.mergeAudit): per-shard packed
+    // bit-word grids merged by plain bitwise OR equal the direct corpus
+    // grid word for word (n_mismatch 0), and the merged filter is
+    // probed with a deterministic fresh-string set — popcount, fill
+    // ratio, and honest fp rate (exact-membership-audited) ride along.
+    // 32-bit packing so DuckDB replays every mask (its BIGINT << raises
+    // on bit 63); the OR-merge property is representation-independent.
+    QueryDef(
+      "x230_bloom_merge_audit",
+      (s, dir) => graft.ops.Bloom.mergeAudit(Tables(s, dir).documents),
+      Some(
+        raw"""WITH d AS (
+             |  SELECT doc_id % 8 AS shard, md5(text) AS h FROM documents
+             |), pos AS (
+             |  SELECT shard,
+             |         ((CAST(('0x'||substring(h,1,8)) AS BIGINT)
+             |           + j.j * CAST(('0x'||substring(h,9,8)) AS BIGINT)) % 4096) AS pos
+             |  FROM d CROSS JOIN generate_series(0, 3) j(j)
+             |), sw AS (
+             |  SELECT shard, pos // 32 AS widx,
+             |         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+             |  FROM pos GROUP BY 1, 2
+             |), mgd AS (
+             |  SELECT widx, bit_or(word) AS w_merged FROM sw GROUP BY 1
+             |), dw AS (
+             |  SELECT pos // 32 AS widx,
+             |         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+             |  FROM pos GROUP BY 1
+             |), mm AS (
+             |  SELECT CAST(COALESCE(SUM(CASE WHEN m.w_merged IS NULL
+             |                                 OR d.word IS NULL
+             |                                 OR m.w_merged <> d.word
+             |                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |           AS n_mismatch
+             |  FROM mgd m FULL OUTER JOIN dw d ON d.widx = m.widx
+             |), bs AS (
+             |  SELECT CAST(COALESCE(SUM(bit_count(w_merged)), 0) AS BIGINT)
+             |           AS bits_set
+             |  FROM mgd
+             |), pr AS (
+             |  SELECT 'bloomprobe|' || CAST(i AS VARCHAR) AS t,
+             |         md5('bloomprobe|' || CAST(i AS VARCHAR)) AS h
+             |  FROM generate_series(0, 2047) g(i)
+             |), ppos AS (
+             |  SELECT t,
+             |         ((CAST(('0x'||substring(h,1,8)) AS BIGINT)
+             |           + j.j * CAST(('0x'||substring(h,9,8)) AS BIGINT)) % 4096) AS pos
+             |  FROM pr CROSS JOIN generate_series(0, 3) j(j)
+             |), phit AS (
+             |  SELECT t, MIN(CASE WHEN m.w_merged IS NOT NULL
+             |                      AND (m.w_merged
+             |                           & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+             |                 THEN 1 ELSE 0 END) AS hit
+             |  FROM ppos p LEFT JOIN mgd m ON m.widx = p.pos // 32
+             |  GROUP BY 1
+             |), pa AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             |         CAST(COALESCE(SUM(CASE WHEN dh.h IS NOT NULL
+             |                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |           AS n_probe_members,
+             |         CAST(COALESCE(SUM(ph.hit), 0) AS BIGINT) AS n_bloom_hits
+             |  FROM phit ph
+             |  JOIN pr p USING (t)
+             |  LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents) dh
+             |    ON dh.h = p.h
+             |)
+             |SELECT CAST(8 AS BIGINT) AS n_shards, 4096 AS m_bits, 4 AS k,
+             |       mm.n_mismatch, bs.bits_set,
+             |       round(CAST(bs.bits_set AS DOUBLE) / 4096.0, 6) AS fill_ratio,
+             |       pa.n_probes, pa.n_probe_members, pa.n_bloom_hits,
+             |       round(CAST(pa.n_bloom_hits - pa.n_probe_members AS DOUBLE)
+             |             / CAST(pa.n_probes - pa.n_probe_members AS DOUBLE), 6)
+             |         AS fp_rate
+             |FROM mm CROSS JOIN bs CROSS JOIN pa""".stripMargin)),
+
+    // Histogram shard-merge audit (HistogramSketch.mergeAudit): shard
+    // bin counters under shared corpus bounds, addition-merged, equal
+    // the direct histogram bin for bin; merged-histogram quantile
+    // estimates carry the family's within-one-bin-width verdict. Over
+    // per-document token counts — the length distribution a curation
+    // pipeline actually monitors per shard. bins=32 (not the generic
+    // 256 default): token counts are INTEGERS spanning ~10–100, and the
+    // one-bin-width verdict is only meaningful while the bin width
+    // stays above the value spacing (a 0.35-token bin can never bracket
+    // an interpolated exact quantile that falls between two integers).
+    QueryDef(
+      "x231_histogram_merge_audit",
+      (s, dir) => graft.ops.HistogramSketch.mergeAudit(
+        Tables(s, dir).documents.select(col("doc_id"),
+          org.apache.spark.sql.functions.size(
+            graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens")),
+        "doc_id", "n_tokens", bins = 32),
+      Some(graft.ops.HistogramSketch.mergeAuditOracleSql(
+        raw"""(SELECT doc_id,
+             |        length(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |      FROM documents)""".stripMargin,
+        "doc_id", "n_tokens", bins = 32)))
   )
 }

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 /** Algebra pins for the round-14 batch: the AMS shard-merge audit's
   * family contract, the unimax DECIMAL(38,0) overflow envelope
   * (round-13 advice), the MMD² moment identity vs an explicit pairwise
-  * kernel fold, and the count-min merge audit's invariants. Real-data
-  * paths stay oracle-gated (x226–x228).
+  * kernel fold, and the merge-audit invariants of the count-min,
+  * Bloom, and histogram sketches. Real-data paths stay oracle-gated
+  * (x226–x231).
   */
 class Batch14Spec extends SparkSuite {
   import spark.implicits._
@@ -154,5 +155,84 @@ class Batch14Spec extends SparkSuite {
       .countMinMergeAudit(d.limit(3), nShards = 16, minCount = 1).collect()(0)
     assert(sparse.getAs[Long]("n_mismatch") == 0L)
     assert(sparse.getAs[Long]("mass_mismatch") == 0L)
+  }
+
+  test("bloom merge audit: OR-merged shard words equal the direct filter, " +
+    "member probes always hit, fp rate reads against true non-members") {
+    val rnd = new scala.util.Random(30)
+    val base = (0L until 40L).map(i =>
+      (i, s"s${i % 3}", s"doc ${rnd.nextInt(1000)} body ${rnd.alphanumeric.take(8).mkString}"))
+    // One document whose text IS a probe string: the exact-membership
+    // audit must count it as a member (honest fp accounting), and the
+    // filter must hit it (no false negatives, by construction).
+    val d = docs((base :+ ((40L, "s0", "bloomprobe|7"))): _*)
+    val audit = graft.ops.Bloom.mergeAudit(d, nShards = 8).collect()(0)
+    assert(audit.getAs[Long]("n_mismatch") == 0L,
+      "OR-merged shard words must equal the direct corpus words")
+    val bitsSet = audit.getAs[Long]("bits_set")
+    assert(bitsSet > 0L && bitsSet <= 4096L)
+    assert(bitsSet <= 4L * 41L, "k*n positions bound the popcount")
+    assert(audit.getAs[Long]("n_probes") == 2048L)
+    assert(audit.getAs[Long]("n_probe_members") == 1L,
+      "the planted probe-text document must be counted as a member")
+    assert(audit.getAs[Long]("n_bloom_hits") >= 1L,
+      "a member probe can never miss — Bloom has no false negatives")
+    val fp = audit.getAs[Double]("fp_rate")
+    assert(fp >= 0.0 && fp <= 1.0)
+    // Degenerate sharding (more shards than documents) still merges clean.
+    val sparse = graft.ops.Bloom.mergeAudit(d.limit(3), nShards = 16).collect()(0)
+    assert(sparse.getAs[Long]("n_mismatch") == 0L)
+  }
+
+  test("histogram merge audit: addition-merged shard bins equal the direct " +
+    "histogram, conserve mass, and the merged estimates stay within one bin") {
+    val rnd = new scala.util.Random(31)
+    val d = docs((0L until 80L).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      (i, s"s${i % 3}", Seq.fill(n)("w").mkString(" "))
+    }: _*)
+    val proj = d.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val rows = graft.ops.HistogramSketch
+      .mergeAudit(proj, "doc_id", "n_tokens").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_mismatch") == 0L,
+        "addition-merged shard bins must equal the direct histogram")
+      assert(r.getAs[Long]("mass_mismatch") == 0L,
+        "merged bins must sum to the corpus row count")
+    }
+    // Merged == direct means the merged estimates equal the single-build
+    // sketch's estimates exactly.
+    val single = graft.ops.HistogramSketch.quantiles(proj, "n_tokens")
+      .orderBy("q").collect().map(_.getAs[Double]("estimate")).toSeq
+    assert(rows.sortBy(_.getAs[Double]("q"))
+      .map(_.getAs[Double]("estimate")).toSeq == single)
+    // The one-bin-width verdict holds when the bin width sits above the
+    // data's value spacing: dense continuous values, 16 bins over 300
+    // rows (an interpolated exact quantile moves by at most one
+    // order-stat gap << bin width). The integer-valued fixture above
+    // deliberately does NOT assert it — a 0.23-token bin cannot bracket
+    // interpolation between integers, and the column is a measured
+    // verdict, not a claimed bound (both engines compute it alike).
+    val dense = (0L until 300L).map(i => (i, rnd.nextDouble() * 100.0))
+      .toDF("doc_id", "v")
+    val dr = graft.ops.HistogramSketch
+      .mergeAudit(dense, "doc_id", "v", bins = 16).collect()
+    dr.foreach { r =>
+      assert(r.getAs[Long]("n_mismatch") == 0L)
+      assert(r.getAs[Long]("mass_mismatch") == 0L)
+      assert(r.getAs[Boolean]("within_one_bin"),
+        s"q=${r.getAs[Double]("q")}: dense-data estimate must stay within one bin width")
+    }
+    // Degenerate constant column: every value in bin 0, audit still clean.
+    val const = graft.ops.HistogramSketch.mergeAudit(
+      d.select(col("doc_id"), lit(7L).as("n_tokens")), "doc_id", "n_tokens")
+      .collect()
+    const.foreach { r =>
+      assert(r.getAs[Long]("n_mismatch") == 0L)
+      assert(r.getAs[Long]("mass_mismatch") == 0L)
+      assert(r.getAs[Double]("estimate") == 7.0 || r.getAs[Boolean]("within_one_bin"))
+    }
   }
 }

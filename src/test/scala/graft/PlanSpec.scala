@@ -635,4 +635,49 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the probe-vs-grid join must broadcast the bounded grid:\n$plan")
   }
+
+  test("x230 Bloom merge audit: probes join the broadcast word grid; the " +
+    "membership audit STREAMS the corpus past the broadcast probe side") {
+    val df = queries.Registry.queryMap("x230_bloom_merge_audit")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x230 degenerated to all-pairs:\n$plan")
+    val smjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
+      "the only sort-merge allowed is the m/32-bounded full-outer word " +
+        s"compare — something corpus-sized stopped broadcasting:\n$plan")
+    // The fp audit must keep the corpus on the STREAMED side: a
+    // right-outer BHJ building the (bounded) probe side. A left join
+    // from the probes would put the corpus hash set in the build
+    // position — the shape that stops working at 100 TB.
+    val bhjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhjs.exists(j => j.joinType.sql == "RIGHT OUTER" &&
+      j.buildSide.toString == "BuildLeft"),
+      s"the membership audit must broadcast the probe side:\n$plan")
+  }
+
+  test("x231 histogram merge audit: bounded-state shape — no all-pairs, " +
+    "sort-merge only on the bins-bounded full-outer compare") {
+    val df = queries.Registry.queryMap("x231_histogram_merge_audit")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x231 degenerated to all-pairs:\n$plan")
+    val smjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
+      "the only sort-merge allowed is the bins-bounded full-outer bin " +
+        s"compare:\n$plan")
+    // The cumulative window runs over the MERGED bin table (<= bins
+    // rows) — unpartitioned by design, bounded by construction; the
+    // corpus itself must never enter a window here.
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, "exactly one bounded cumulative window")
+  }
 }
