@@ -82,7 +82,17 @@ object ScaleProbe {
     // x228: both counter grids are depth×width-bounded (constant) and
     // the (shard × vocab) table is nShards×vocab-bounded; only the
     // token scan grows — a pure linear probe like x134/x226.
-    "x228_cms_merge_audit")
+    "x228_cms_merge_audit",
+    // x230: every word grid is m/32-bounded (128 rows, constant) and
+    // the probe set is a fixed 2048 rows; replicas are byte-identical,
+    // so even the distinct md5 membership set is constant — only the
+    // k·N position explode and the hash scan grow.
+    "x230_bloom_merge_audit",
+    // x231: bin grids are bins-bounded (constant); the bounds pass and
+    // the (shard, bin) count pass are the only corpus scans. The exact
+    // `percentile` audit is the one corpus-mass aggregate that grows —
+    // gate-only cost, same convention as the KMV exact audit.
+    "x231_histogram_merge_audit")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

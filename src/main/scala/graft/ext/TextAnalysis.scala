@@ -1035,14 +1035,14 @@ object TextAnalysis {
   /** The CMS cell hash shared by [[countMinSketch]] and
     * [[countMinMergeAudit]] — salted md5 so the DuckDB twin reproduces
     * it character for character. */
-  private def cmsCell(h: Int, tok: Column, width: Int): Column =
+  private[graft] def cmsCell(h: Int, tok: Column, width: Int): Column =
     pmod(conv(substring(md5(concat(lit(s"cms$h|"), tok).cast("binary")), 1, 8),
       16, 10).cast("long"), lit(width.toLong))
 
   /** All depth cells of a token as ONE generator (array of (h, cell)
     * structs): explode keeps a single corpus scan where a per-h union
     * would re-expand the upstream subtree depth times. */
-  private def cmsCells(tok: Column, depth: Int, width: Int): Column =
+  private[graft] def cmsCells(tok: Column, depth: Int, width: Int): Column =
     explode(array((0 until depth).map(h =>
       struct(lit(h).as("h"), cmsCell(h, tok, width).as("cell"))): _*))
 

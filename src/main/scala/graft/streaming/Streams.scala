@@ -973,6 +973,71 @@ object Streams {
       }
   }
 
+  /** State for [[cmsTokenStream]]: one exact BIGINT counter — a count-min
+    * cell. The whole grid is depth·width counters across all keys. */
+  final case class CmsCellState(count: Long)
+
+  /** One row per (touched cell, micro-batch) from [[cmsTokenStream]]. */
+  final case class CmsCellUpdate(h: Int, cell: Int, count: Long,
+      batch_tokens: Long)
+
+  /** Streaming count-min sketch — the incremental twin of the batch
+    * x134/x228 counter grid ([[graft.ext.TextAnalysis.countMinSketch]]):
+    * maintain the depth×width token-frequency sketch as keyed state, one
+    * exact BIGINT counter per (hash row, cell), and emit each touched
+    * cell's running count after every micro-batch. This is the always-on
+    * "which tokens are getting heavy, and is a feed's mass shifting?"
+    * gauge an ingest pipeline wants without ever storing a vocabulary:
+    * state is depth·width longs, FOREVER, regardless of corpus size.
+    *
+    * Kernel sharing: cells come from the SAME salted-md5 hash the batch
+    * sketch and its shard-merge audit use
+    * ([[graft.ext.TextAnalysis.cmsCells]]), and the fold is the same
+    * addition the x228 audit proves shard-mergeable — so after any
+    * prefix of micro-batches the state equals the batch grid of the
+    * rows so far, exactly (StreamingSpec pins cell-for-cell equality
+    * against the direct batch build).
+    *
+    * Delivery contract — the honest CONTRAST with [[kmvCardinalityStream]]:
+    * counting state is NOT redelivery-idempotent. KMV's distinct-insert
+    * makes re-sent rows a no-op; a counter adds them again (StreamingSpec
+    * pins the doubling). The sketch therefore relies on Structured
+    * Streaming's checkpointed exactly-once state updates; a source that
+    * re-delivers data as a NEW batch double-counts by design — the same
+    * property batch shard-merge has (adding a shard twice is wrong),
+    * surfaced at the delivery layer.
+    *
+    * Scale note: flatMapGroupsWithState shuffles per-occurrence rows to
+    * the depth·width key space with no map-side combine — fine while the
+    * per-batch token volume is shuffle-sized. A 100 TB-rate feed would
+    * pre-reduce each micro-batch to (h, cell, n) inside `foreachBatch`
+    * (one bounded aggregation, the x228 merge shape) and fold those ≤
+    * depth·width rows into the same state; the state contract and the
+    * emitted surface are identical.
+    */
+  def cmsTokenStream(spark: SparkSession, docs: DataFrame,
+      depth: Int = 4, width: Int = 256): Dataset[CmsCellUpdate] = {
+    import spark.implicits._
+    require(depth >= 1 && depth <= 8 && width >= 16 && width <= 65536,
+      s"unreasonable sketch shape ${depth}x$width")
+    val cells = docs
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width).as("hc"))
+      .select(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
+      .as[(Int, Int)]
+    cells
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Int), batch: Iterator[(Int, Int)],
+         state: GroupState[CmsCellState]) =>
+          var n = 0L
+          batch.foreach(_ => n += 1)
+          val total = state.getOption.map(_.count).getOrElse(0L) + n
+          state.update(CmsCellState(total))
+          Iterator.single(CmsCellUpdate(key._1, key._2, total, n))
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

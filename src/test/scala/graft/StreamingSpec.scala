@@ -737,4 +737,60 @@ class StreamingSpec extends SparkSuite {
       "redelivered rows must not perturb the sketch")
     q.stop()
   }
+
+  test("cms token stream: every micro-batch prefix equals the batch grid " +
+    "cell for cell; redelivery DOUBLE-counts (the honest KMV contrast)") {
+    implicit val sc = spark.sqlContext
+    val depth = 4
+    val width = 64
+    def doc(id: Long) = (id, s"src${id % 2}",
+      (0 until 6).map(j => s"t${(id * 5 + j * 11) % 40}").mkString(" "))
+    val all = (0L until 60L).map(doc)
+    val (b1, rest) = all.splitAt(20)
+    val (b2, b3) = rest.splitAt(20)
+
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.cmsTokenStream(spark,
+        src.toDF().toDF("doc_id", "source", "text"), depth, width)
+      .writeStream.format("memory").queryName("cms_mon")
+      .outputMode("append").start()
+    // Emitted counts are RUNNING totals, so the latest value per cell is
+    // the max — no ordering assumption on the memory sink needed.
+    def streamGrid(): Map[(Int, Int), Long] =
+      spark.table("cms_mon").groupBy("h", "cell")
+        .agg(max(col("count")).as("c"))
+        .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def batchGrid(rows: Seq[(Long, String, String)]): Map[(Int, Int), Long] =
+      rows.toDF("doc_id", "source", "text")
+        .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width).as("hc"))
+        .groupBy(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("c"))
+        .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    src.addData(b1: _*); q.processAllAvailable()
+    assert(streamGrid() === batchGrid(b1),
+      "after batch 1 the state must equal the batch grid of b1")
+    src.addData(b2: _*); q.processAllAvailable()
+    assert(streamGrid() === batchGrid(b1 ++ b2),
+      "after batch 2 the state must equal the batch grid of b1+b2")
+    src.addData(b3: _*); q.processAllAvailable()
+    val full = streamGrid()
+    assert(full === batchGrid(all),
+      "after batch 3 the state must equal the batch grid of everything")
+    // Mass conservation per hash row: every h's cells sum to the total
+    // token count — the same invariant the x228 shard-merge audit pins.
+    val nTokens = all.map(_._3.split("\\s+").length.toLong).sum
+    (0 until depth).foreach { h =>
+      assert(full.collect { case ((`h`, _), c) => c }.sum == nTokens,
+        s"hash row $h must conserve token mass")
+    }
+    // Redelivery contrast with KMV: re-sending batch 2 as a NEW batch
+    // ADDS it again — counters are not idempotent; the sketch depends on
+    // the engine's exactly-once state updates, not on the fold.
+    src.addData(b2: _*); q.processAllAvailable()
+    assert(streamGrid() === batchGrid(b1 ++ b2 ++ b3 ++ b2),
+      "a counting sketch double-counts redelivered data by design")
+    q.stop()
+  }
 }
