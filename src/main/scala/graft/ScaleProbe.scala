@@ -92,7 +92,19 @@ object ScaleProbe {
     // the (shard, bin) count pass are the only corpus scans. The exact
     // `percentile` audit is the one corpus-mass aggregate that grows —
     // gate-only cost, same convention as the KMV exact audit.
-    "x231_histogram_merge_audit")
+    "x231_histogram_merge_audit",
+    // x232: one scoring projection + one 10-bin aggregate — bounded bin
+    // table, must probe as a pure linear scan.
+    "x232_langid_calibration",
+    // x233: (doc, tok) then (tok) keyed aggregates; replicas multiply
+    // cf/df/df2 counts but the vocabulary (output grain) is constant.
+    "x233_token_burstiness",
+    // x234: one projection + one 64-group aggregate — THE bounded-state
+    // shape; only the row-hash scan grows.
+    "x234_table_checksum",
+    // x235: one vocab aggregate, then width-sweep passes over the
+    // vocab-bounded count table — duplication grows only the token scan.
+    "x235_cms_calibration")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

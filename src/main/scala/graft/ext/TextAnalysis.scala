@@ -126,7 +126,12 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "ist", "ein"),
     "zh" -> Seq.empty) // CJK is detected by charset, not tokens
 
-  def languageId(docs: DataFrame): DataFrame = {
+  /** Shared lang-ID scoring kernel ([[languageId]], [[langIdCalibration]]):
+    * per-language marker scores, the deterministic arg-max prediction
+    * (first language in LangMarkers order at the row maximum), and the
+    * label match. ONE definition — a marker tweak applied to the
+    * classifier and not its calibration audit would silently desync them. */
+  private def langScored(docs: DataFrame): DataFrame = {
     val ts = tokens(col("text"))
     val scores = LangMarkers.map { case (lang, words) =>
       lang -> (if (lang == "zh") regexp_count(col("text"), lit("[\\u4e00-\\u9fff]"))
@@ -144,6 +149,109 @@ object TextAnalysis {
     withScores
       .withColumn("predicted_lang", predicted)
       .withColumn("is_match", col("predicted_lang") === col("labeled_lang"))
+  }
+
+  def languageId(docs: DataFrame): DataFrame = langScored(docs)
+
+  /** Lang-ID calibration / reliability audit (the ECE of the x03
+    * classifier against the labeled column): per confidence decile, how
+    * often is the classifier RIGHT vs how sure it claimed to be? The
+    * eval-family companion to x156's confusion matrix — a confusion
+    * matrix says WHERE the classifier errs, a reliability diagram says
+    * whether its confidence can be believed (the property that decides
+    * if "keep docs the classifier is >90% sure about" is a sound
+    * curation rule).
+    *
+    * Confidence is the arg-max share of the marker mass, kept on a 1e6
+    * FIXED-POINT grid (conf_fp = floor(1e6·max/Σ) — exact BIGINTs both
+    * engines, so bin assignment and the per-bin confidence sums are
+    * order-free integers; the x221/x225 grid convention). Rows with no
+    * marker hits ('und', Σ = 0) carry no confidence and are excluded —
+    * reported via the n_scored/n_total columns so the exclusion is
+    * visible, not silent. Expected calibration error folds per-bin
+    * |accuracy − avg confidence| weighted by bin mass, each bin's term
+    * snapped to a 1e-12 grid before the ≤10-row sum (order-free).
+    *
+    * Scale shape: one projection + one 10-group aggregate; the bin
+    * table is bounded by construction. ECE rides on every row.
+    */
+  def langIdCalibration(docs: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"unreasonable bin count $bins")
+    val scoreSum = LangMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce(_ + _).cast("long")
+    val maxScore = greatest(
+      LangMarkers.map { case (l, _) => col(s"score_$l") }: _*).cast("long")
+    val scored = langScored(docs)
+      .withColumn("ssum", scoreSum)
+      .withColumn("smax", maxScore)
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    val conf = scored.filter(col("ssum") > 0)
+      .select(col("is_match"),
+        floor(lit(1000000L) * col("smax") / col("ssum")).cast("long")
+          .as("conf_fp"))
+      .withColumn("bin",
+        least(lit(bins - 1), floor(col("conf_fp") * lit(bins.toLong)
+          / lit(1000000L)).cast("int")))
+    val perBin = conf.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_match"), 1L).otherwise(0L)).as("n_correct"),
+      sum(col("conf_fp")).as("sum_conf_fp"))
+    val nScored = conf.agg(count(lit(1)).as("n_scored"))
+    // Per-bin ECE term on a 1e-12 grid: the |acc - conf| tree is one
+    // shared IEEE expression from exact integers; snapping before the
+    // bounded sum makes the fold order-free across engines.
+    val acc = col("n_correct").cast("double") / col("n").cast("double")
+    val avgConf = col("sum_conf_fp").cast("double") /
+      (col("n").cast("double") * lit(1000000.0))
+    val terms = perBin.crossJoin(broadcast(nScored))
+      .withColumn("ece_term_fp",
+        floor(lit(1.0e12) * abs(acc - avgConf) * col("n").cast("double")
+          / col("n_scored").cast("double") + lit(0.5)).cast("long"))
+    val ece = terms.agg(
+      (sum(col("ece_term_fp")).cast("double") / lit(1.0e12)).as("e"))
+    terms.crossJoin(broadcast(total)).crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_correct"), col("sum_conf_fp"),
+        round(acc, 6).as("accuracy"),
+        round(avgConf, 6).as("avg_conf"),
+        round(abs(acc - avgConf), 6).as("gap"),
+        col("n_scored"), col("n_total"),
+        round(col("e"), 6).as("ece"))
+      .orderBy("bin")
+  }
+
+  /** Token burstiness / adaptation (Church & Gale: content words are
+    * BURSTY — once a document uses one, it reuses it; function words
+    * and template boilerplate spread thin-and-everywhere): per heavy
+    * token, collection frequency cf, document frequency df, repeat-doc
+    * frequency df2 (documents using it at least twice), burstiness =
+    * cf/df (mean in-document count) and adaptation = df2/df (Church's
+    * P(second occurrence | first) estimate). The curation signal: a
+    * high-cf token with LOW adaptation that is not a stopword is
+    * template/boilerplate mass; high-adaptation tokens are topical
+    * content worth keeping.
+    *
+    * All counts are exact BIGINTs from one (doc, token) aggregate; each
+    * ratio is one double division, rounded to 6 — no order-sensitive
+    * folds anywhere.
+    *
+    * Scale shape: one groupBy(doc, tok) + one groupBy(tok), both
+    * map-side combinable; output bounded by the heavy-set filter.
+    */
+  def tokenBurstiness(docs: DataFrame, minCount: Long = 50): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("tok").agg(
+        sum(col("c")).as("cf"),
+        count(lit(1)).as("df"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df2"))
+      .filter(col("cf") >= minCount)
+      .select(col("tok"), col("cf"), col("df"), col("df2"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("burstiness"),
+        round(col("df2").cast("double") / col("df").cast("double"), 6)
+          .as("adaptation"))
+      .orderBy(desc("cf"), asc("tok"))
   }
 
   /** Text normalization — the first transform of every training-data
@@ -1113,6 +1221,60 @@ object TextAnalysis {
       .select(lit(nShards.toLong).as("n_shards"), lit(depth).as("depth"),
         lit(width).as("width"), col("n_mismatch"), col("mass_mismatch"),
         col("n_tokens"), col("n_heavy"), col("max_overestimate"))
+  }
+
+  /** Count-min width calibration — the x114 convention (MinHash's
+    * bands/rows curve) applied to the counting sketch: the SAME corpus
+    * counted through a sweep of sketch widths, reporting the heavy
+    * set's worst and mean one-sided overestimate per width next to the
+    * classical expectation bound N/width. This is the table an operator
+    * reads to SIZE the sketch — "how wide before the heavy-hitter
+    * estimates are trustworthy at our token volume?" — measured on
+    * their data instead of assumed from the 1/width folklore.
+    *
+    * Everything derives from ONE vocabulary count aggregate; each width
+    * re-projects the vocab table through [[cmsCells]] (vocab-bounded,
+    * not corpus-bounded) and probes the heavy set against its own grid.
+    * Counts are exact BIGINTs; mean_overestimate and the bound are one
+    * double division each, rounded to 6.
+    */
+  def countMinCalibration(docs: DataFrame,
+      widths: Seq[Int] = Seq(64, 128, 256, 512), depth: Int = 4,
+      minCount: Long = 50): DataFrame = {
+    require(widths.nonEmpty && widths.forall(w => w >= 16 && w <= 65536),
+      s"unreasonable width sweep $widths")
+    require(depth >= 1 && depth <= 8, s"unreasonable depth $depth")
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nTok = counts.agg(sum(col("c")).as("n_tokens"))
+    val perWidth = widths.map { w =>
+      val grid = counts
+        .select(col("c"), cmsCells(col("tok"), depth, w).as("hc"))
+        .select(col("hc.h").as("h"), col("hc.cell").as("cell"), col("c"))
+        .groupBy("h", "cell").agg(sum(col("c")).as("cell_count"))
+      val probes = counts.filter(col("c") >= minCount)
+        .select(col("tok"), col("c").as("true_count"),
+          cmsCells(col("tok"), depth, w).as("hc"))
+        .select(col("tok"), col("true_count"),
+          col("hc.h").as("h"), col("hc.cell").as("cell"))
+      probes.join(broadcast(grid), Seq("h", "cell"))
+        .groupBy("tok", "true_count")
+        .agg(min(col("cell_count")).as("est"))
+        .agg(count(lit(1)).as("n_heavy"),
+          max(col("est") - col("true_count")).as("max_overestimate"),
+          sum(col("est") - col("true_count")).as("sum_overestimate"))
+        .select(lit(w).as("width"), col("n_heavy"), col("max_overestimate"),
+          col("sum_overestimate"))
+    }.reduce(_ unionByName _)
+    perWidth.crossJoin(broadcast(nTok))
+      .select(col("width"), lit(depth).as("depth"), col("n_tokens"),
+        col("n_heavy"), col("max_overestimate"),
+        round(col("sum_overestimate").cast("double")
+          / col("n_heavy").cast("double"), 6).as("mean_overestimate"),
+        round(col("n_tokens").cast("double") / col("width").cast("double"), 6)
+          .as("bound_n_over_w"))
+      .orderBy("width")
   }
 
   /** Content fingerprint: minimum MD5 over word 5-grams — the 1-hash

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order-free table fingerprints for data reconciliation — "did the
+  * migration/replica/backfill preserve every row?" answered with one
+  * bounded exchange instead of a row-by-row diff. This is the operator a
+  * team adopting this library against an existing warehouse runs FIRST:
+  * the same fingerprint computed by any engine (the DuckDB twin is the
+  * gate) matches iff the tables match, and a mismatch localizes to a
+  * hash bucket so the expensive row-level diff runs on 1/nBuckets of the
+  * data.
+  *
+  * Per row: a canonical string (columns joined on an unprintable
+  * delimiter, NULL carried as an explicit sentinel — `concat_ws` SKIPS
+  * nulls, which would make ("a", NULL) collide with ("a")) is md5-hashed
+  * twice under different salts; 60-bit prefixes keep every value
+  * positive in a signed BIGINT in both engines. Per bucket (pmod of the
+  * row hash): the row count, two independent XOR accumulators
+  * (order-free, overflow-free), and a modular SUM accumulator
+  * (multiset-sensitive where XOR alone would cancel duplicate row
+  * PAIRS; terms < 2³⁰ keep the BIGINT sum exact to ~8.5e9 rows per
+  * bucket). Any single-row change flips all three of its bucket's
+  * accumulators with overwhelming probability.
+  *
+  * Column discipline: callers pass STRING/INTEGER columns only —
+  * float→string rendering differs across engines, so a double column
+  * must be fixed-pointed (the x221 grid convention) before it enters a
+  * cross-engine fingerprint.
+  *
+  * Scale shape: one codegen'd projection + one map-side-combinable
+  * aggregation into nBuckets groups — bounded state, shard-mergeable
+  * (XOR and modular SUM both fold associatively), no joins, no windows.
+  */
+object Reconcile {
+
+  private val Delim = "\u0001"
+  private val NullSentinel = "\u0002NULL\u0002"
+  private val SumMod = 1073741789L // largest prime < 2^30
+
+  private def canonical(cols: Seq[String]): Column =
+    concat_ws(Delim, cols.map(c =>
+      coalesce(col(c).cast("string"), lit(NullSentinel))): _*)
+
+  /** 60-bit salted row hash: positive in a signed 64-bit integer in
+    * every engine (16 hex would need unsigned). */
+  private def rowHash(canon: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), canon).cast("binary")), 1, 15),
+      16, 10).cast("long")
+
+  /** Fingerprint `df` over `cols` into `nBuckets` rows of
+    * (bucket, n_rows, xor1, xor2, sum1). Buckets with no rows are
+    * absent — a count mismatch, not a silent equality. */
+  def tableChecksum(df: DataFrame, cols: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"unreasonable bucket count $nBuckets")
+    val canon = canonical(cols)
+    val h1 = rowHash(canon, "rc1|")
+    val h2 = rowHash(canon, "rc2|")
+    df.select(pmod(h1, lit(nBuckets.toLong)).as("bucket"),
+        h1.as("h1"), h2.as("h2"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h1)").as("xor1"),
+        expr("bit_xor(h2)").as("xor2"),
+        sum(pmod(col("h1"), lit(SumMod))).as("sum1"))
+  }
+
+  /** Compare two fingerprints (same cols/nBuckets): one row per bucket
+    * present on either side, with a match verdict — the localization
+    * step of a reconciliation. */
+  def checksumDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val an = a.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq
+    val bn = b.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq
+    a.select(an: _*).join(b.select(bn: _*),
+        col("a_bucket") === col("b_bucket"), "full_outer")
+      .select(coalesce(col("a_bucket"), col("b_bucket")).as("bucket"),
+        col("a_n_rows"), col("b_n_rows"),
+        (col("a_n_rows").isNotNull && col("b_n_rows").isNotNull &&
+          col("a_n_rows") === col("b_n_rows") &&
+          col("a_xor1") === col("b_xor1") &&
+          col("a_xor2") === col("b_xor2") &&
+          col("a_sum1") === col("b_sum1")).as("bucket_match"))
+      .orderBy("bucket")
+  }
+
+  /** The DuckDB twin of [[tableChecksum]] over relation `from`. */
+  def oracleSql(from: String, cols: Seq[String], nBuckets: Int = 64): String = {
+    val canon = cols.map(c =>
+      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
+      .mkString(s" || chr(1) || ")
+    def h(salt: String) =
+      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+    s"""WITH rows_ AS (
+       |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $from
+       |)
+       |SELECT h1 % $nBuckets AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(bit_xor(h1) AS BIGINT) AS xor1,
+       |       CAST(bit_xor(h2) AS BIGINT) AS xor2,
+       |       CAST(SUM(h1 % $SumMod) AS BIGINT) AS sum1
+       |FROM rows_ GROUP BY 1""".stripMargin
+  }
+}

@@ -346,6 +346,179 @@ object Batch14 {
         raw"""(SELECT doc_id,
              |        length(string_split_regex(trim(text), '\s+')) AS n_tokens
              |      FROM documents)""".stripMargin,
-        "doc_id", "n_tokens", bins = 32)))
+        "doc_id", "n_tokens", bins = 32))),
+
+    // Lang-ID calibration (TextAnalysis.langIdCalibration): reliability
+    // diagram + ECE of the x03 classifier vs the labeled column —
+    // confidence on a 1e6 fixed-point grid, per-bin exact BIGINTs, ECE
+    // terms snapped to 1e-12 before the bounded sum (order-free, the
+    // x221/x225 convention). The no-marker rows are excluded from
+    // calibration and accounted in n_scored/n_total.
+    QueryDef(
+      "x232_langid_calibration",
+      (s, dir) => graft.ext.TextAnalysis.langIdCalibration(
+        Tables(s, dir).documents),
+      Some {
+        val markers = graft.ext.TextAnalysis.LangMarkers
+        val scoreExprs = markers.map { case (l, words) =>
+          if (l == "zh")
+            raw"length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS score_$l"
+          else s"length(list_filter(ts, x -> x IN (${
+            words.map(w => s"'$w'").mkString(", ")}))) AS score_$l"
+        }.mkString(",\n    ")
+        val maxExpr = markers.map { case (l, _) => s"score_$l" }
+          .mkString("greatest(", ", ", ")")
+        val sumExpr = markers.map { case (l, _) => s"score_$l" }
+          .mkString(" + ")
+        val caseExpr = markers.map { case (l, _) =>
+          s"WHEN score_$l = m AND m > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        raw"""WITH t AS (
+             |  SELECT doc_id, lang AS labeled_lang, text,
+             |         string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, labeled_lang,
+             |    $scoreExprs
+             |  FROM t
+             |), p AS (
+             |  SELECT doc_id, labeled_lang, m, ssum,
+             |         ($caseExpr) AS predicted_lang
+             |  FROM (SELECT *, $maxExpr AS m,
+             |               CAST($sumExpr AS BIGINT) AS ssum FROM s)
+             |), tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM p
+             |), conf AS (
+             |  SELECT (predicted_lang = labeled_lang) AS is_match,
+             |         CAST(FLOOR((1000000 * CAST(m AS BIGINT)) / ssum)
+             |           AS BIGINT) AS conf_fp
+             |  FROM p WHERE ssum > 0
+             |), ns AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM conf
+             |), pb AS (
+             |  SELECT least(9, CAST(FLOOR((conf_fp * 10) / 1000000) AS INT)) AS bin,
+             |         CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_correct,
+             |         CAST(SUM(conf_fp) AS BIGINT) AS sum_conf_fp
+             |  FROM conf GROUP BY 1
+             |), terms AS (
+             |  SELECT pb.*, ns.n_scored,
+             |         CAST(FLOOR(1e12 * ABS(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)
+             |                - CAST(sum_conf_fp AS DOUBLE)
+             |                  / (CAST(n AS DOUBLE) * 1000000.0))
+             |              * CAST(n AS DOUBLE) / CAST(n_scored AS DOUBLE) + 0.5)
+             |           AS BIGINT) AS ece_term_fp
+             |  FROM pb CROSS JOIN ns
+             |), e AS (
+             |  SELECT CAST(SUM(ece_term_fp) AS DOUBLE) / 1e12 AS ee FROM terms
+             |)
+             |SELECT bin, n, n_correct, sum_conf_fp,
+             |       round(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             |         AS accuracy,
+             |       round(CAST(sum_conf_fp AS DOUBLE)
+             |             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS avg_conf,
+             |       round(ABS(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)
+             |             - CAST(sum_conf_fp AS DOUBLE)
+             |               / (CAST(n AS DOUBLE) * 1000000.0)), 6) AS gap,
+             |       n_scored, tot.n_total, round(e.ee, 6) AS ece
+             |FROM terms CROSS JOIN tot CROSS JOIN e ORDER BY bin""".stripMargin
+      }),
+
+    // Token burstiness / adaptation (TextAnalysis.tokenBurstiness):
+    // Church-Gale burstiness (cf/df) and adaptation (df2/df) per heavy
+    // token — the template-vs-topical screen. Exact BIGINT counts, one
+    // double division per ratio.
+    QueryDef(
+      "x233_token_burstiness",
+      (s, dir) => graft.ext.TextAnalysis.tokenBurstiness(
+        Tables(s, dir).documents),
+      Some(
+        raw"""WITH pd AS (
+             |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id,
+             |               unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |), agg AS (
+             |  SELECT tok, CAST(SUM(c) AS BIGINT) AS cf,
+             |         CAST(COUNT(*) AS BIGINT) AS df,
+             |         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS df2
+             |  FROM pd GROUP BY 1
+             |)
+             |SELECT tok, cf, df, df2,
+             |       round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+             |         AS burstiness,
+             |       round(CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE), 6)
+             |         AS adaptation
+             |FROM agg WHERE cf >= 50
+             |ORDER BY cf DESC, tok""".stripMargin)),
+
+    // Table checksum (Reconcile.tableChecksum): the cross-engine
+    // reconciliation fingerprint — 64 bucket rows of exact
+    // (count, xor1, xor2, modular-sum) accumulators over the full
+    // documents row set. The DuckDB twin computing the identical
+    // fingerprint IS the point of the operator: matching here proves
+    // table equality across engines with one bounded exchange.
+    QueryDef(
+      "x234_table_checksum",
+      (s, dir) => graft.ops.Reconcile.tableChecksum(
+        Tables(s, dir).documents,
+        Seq("doc_id", "source", "lang", "n_chars", "text")).orderBy("bucket"),
+      Some(graft.ops.Reconcile.oracleSql("documents",
+        Seq("doc_id", "source", "lang", "n_chars", "text")) + "\nORDER BY 1")),
+
+    // CMS width calibration (TextAnalysis.countMinCalibration): the
+    // x114 convention for the counting sketch — heavy-set max/mean
+    // one-sided overestimate across a width sweep, next to the N/width
+    // expectation bound, all from ONE vocabulary aggregate.
+    QueryDef(
+      "x235_cms_calibration",
+      (s, dir) => graft.ext.TextAnalysis.countMinCalibration(
+        Tables(s, dir).documents),
+      Some {
+        val widths = Seq(64, 128, 256, 512)
+        val depth = 4
+        def cellSql(h: Int, w: Int) =
+          s"CAST(('0x' || substring(md5('cms$h|' || tok), 1, 8)) AS BIGINT) % $w"
+        val perW = widths.map { w =>
+          val grid = (0 until depth)
+            .map(h => s"SELECT $h AS h, ${cellSql(h, w)} AS cell, c FROM ccnt")
+            .mkString("\n    UNION ALL ")
+          val probe = (0 until depth)
+            .map(h =>
+              s"SELECT tok, c AS true_count, $h AS h, ${cellSql(h, w)} AS cell FROM hv")
+            .mkString("\n    UNION ALL ")
+          s"""SELECT $w AS width,
+             |       CAST(COUNT(*) AS BIGINT) AS n_heavy,
+             |       CAST(MAX(est - true_count) AS BIGINT) AS max_overestimate,
+             |       CAST(SUM(est - true_count) AS BIGINT) AS sum_overestimate
+             |FROM (SELECT tok, true_count, CAST(MIN(cell_count) AS BIGINT) AS est
+             |      FROM ($probe) p
+             |      JOIN (SELECT h, cell, CAST(SUM(c) AS BIGINT) AS cell_count
+             |            FROM ($grid) GROUP BY 1, 2) g USING (h, cell)
+             |      GROUP BY 1, 2)""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        raw"""WITH ccnt AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1
+             |), hv AS (
+             |  SELECT tok, c FROM ccnt WHERE c >= 50
+             |), nt AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM ccnt
+             |), pw AS (
+             |  $perW
+             |)
+             |SELECT width, $depth AS depth, nt.n_tokens, n_heavy,
+             |       max_overestimate,
+             |       round(CAST(sum_overestimate AS DOUBLE)
+             |             / CAST(n_heavy AS DOUBLE), 6) AS mean_overestimate,
+             |       round(CAST(nt.n_tokens AS DOUBLE) / CAST(width AS DOUBLE), 6)
+             |         AS bound_n_over_w
+             |FROM pw CROSS JOIN nt ORDER BY width""".stripMargin
+      })
   )
 }

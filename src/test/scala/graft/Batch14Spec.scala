@@ -235,4 +235,132 @@ class Batch14Spec extends SparkSuite {
       assert(r.getAs[Double]("estimate") == 7.0 || r.getAs[Boolean]("within_one_bin"))
     }
   }
+
+  private def langDocs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "lang", "text")
+
+  test("langIdCalibration: a perfectly confident, perfectly right classifier " +
+    "has one top bin and ECE 0; unscorable docs are excluded but accounted") {
+    // Pure-marker docs: every token is an 'en' marker -> conf 1.0,
+    // predicted en, labeled en -> accuracy 1, avg_conf 1, ece 0.
+    val perfect = langDocs((0L until 6L).map(i =>
+      (i, "en", "the of and is to")): _*)
+    val p = graft.ext.TextAnalysis.langIdCalibration(perfect).collect()
+    assert(p.length == 1 && p(0).getAs[Int]("bin") == 9)
+    assert(p(0).getAs[Double]("accuracy") == 1.0)
+    assert(p(0).getAs[Double]("avg_conf") == 1.0)
+    assert(p(0).getAs[Double]("ece") == 0.0)
+    assert(p(0).getAs[Long]("n_scored") == 6L &&
+      p(0).getAs[Long]("n_total") == 6L)
+
+    // Mixed: 4 scorable docs (2 right at mixed confidence, 2 wrong) plus
+    // 2 marker-free docs that must drop out of calibration but stay in
+    // n_total.
+    val mixed = langDocs(
+      (1L, "en", "the of and xx yy"),        // en right, conf 3/3 = 1.0
+      (2L, "en", "the la de xx"),            // en vs es/fr markers, mixed
+      (3L, "fr", "the of and"),              // predicted en, labeled fr
+      (4L, "es", "the of"),                  // predicted en, labeled es
+      (5L, "en", "zz qq ww"),                // no markers -> excluded
+      (6L, "de", "zz qq"))                   // no markers -> excluded
+    val m = graft.ext.TextAnalysis.langIdCalibration(mixed).collect()
+    val nScored = m.head.getAs[Long]("n_scored")
+    assert(nScored == 4L && m.head.getAs[Long]("n_total") == 6L)
+    assert(m.map(_.getAs[Long]("n")).sum == nScored,
+      "bins must partition the scored docs")
+    val ece = m.head.getAs[Double]("ece")
+    assert(ece > 0.0 && ece <= 1.0, s"mixed fixture must have positive ECE, got $ece")
+    assert(m.forall(r => r.getAs[Double]("ece") == ece),
+      "ECE rides identically on every row")
+    m.foreach { r =>
+      assert(r.getAs[Double]("accuracy") >= 0.0 && r.getAs[Double]("accuracy") <= 1.0)
+      assert(r.getAs[Double]("avg_conf") >= 0.0 && r.getAs[Double]("avg_conf") <= 1.0)
+    }
+  }
+
+  test("tokenBurstiness: cf/df/df2 and both ratios are exact on a " +
+    "hand-checkable fixture") {
+    // 'a': doc0 x2, doc1 x1, doc2 x3 -> cf 6, df 3, df2 2.
+    // 'b': once in each of 4 docs -> cf 4, df 4, df2 0 (spread thin).
+    val d = docs(
+      (0L, "s0", "a a b"),
+      (1L, "s0", "a b"),
+      (2L, "s1", "a a a b"),
+      (3L, "s1", "b"))
+    val r = graft.ext.TextAnalysis.tokenBurstiness(d, minCount = 1)
+      .collect().map(x => x.getAs[String]("tok") -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("cf") == 6L && a.getAs[Long]("df") == 3L &&
+      a.getAs[Long]("df2") == 2L)
+    assert(a.getAs[Double]("burstiness") == 2.0)
+    assert(a.getAs[Double]("adaptation") == 0.666667)
+    val b = r("b")
+    assert(b.getAs[Long]("cf") == 4L && b.getAs[Long]("df") == 4L &&
+      b.getAs[Long]("df2") == 0L)
+    assert(b.getAs[Double]("burstiness") == 1.0)
+    assert(b.getAs[Double]("adaptation") == 0.0,
+      "a token never repeated within a doc has zero adaptation")
+    // The heavy filter drops below-threshold tokens.
+    assert(graft.ext.TextAnalysis.tokenBurstiness(d, minCount = 5)
+      .collect().map(_.getAs[String]("tok")).toSeq == Seq("a"))
+  }
+
+  test("tableChecksum: equal tables match on every bucket; one mutated row " +
+    "localizes to its bucket(s); NULL is distinguished from empty and 'NULL'") {
+    val rnd = new scala.util.Random(32)
+    val rows = (0L until 200L).map(i =>
+      (i, s"s${i % 4}", s"body ${rnd.nextInt(100000)}"))
+    val a = rows.toDF("id", "src", "body")
+    val cs = (df: org.apache.spark.sql.DataFrame) =>
+      graft.ops.Reconcile.tableChecksum(df, Seq("id", "src", "body"), 16)
+    val same = graft.ops.Reconcile.checksumDiff(cs(a),
+      cs(rows.toDF("id", "src", "body"))).collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Boolean]("bucket_match")),
+      "identical tables must match bucket for bucket")
+    // Mutate ONE row: at most its old and new bucket can mismatch.
+    val b = rows.map { case r @ (i, s, t) =>
+      if (i == 77L) (i, s, t + "!") else r }.toDF("id", "src", "body")
+    val diff = graft.ops.Reconcile.checksumDiff(cs(a), cs(b)).collect()
+    val bad = diff.filterNot(_.getAs[Boolean]("bucket_match"))
+    assert(bad.length >= 1 && bad.length <= 2,
+      s"one mutated row must flip 1-2 buckets, flipped ${bad.length}")
+    // NULL vs empty vs the literal string "NULL": three distinct tables.
+    def one(v: Option[String]) =
+      Seq((1L, v.orNull)).toDF("id", "src")
+    val fps = Seq(None, Some(""), Some("NULL")).map(v =>
+      graft.ops.Reconcile.tableChecksum(one(v), Seq("id", "src"), 4)
+        .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("xor1"))).toSet)
+    assert(fps.distinct.length == 3,
+      "the null sentinel must keep NULL, '', and 'NULL' apart")
+  }
+
+  test("countMinCalibration: one row per width, one-sided everywhere, " +
+    "heavy set constant, and the 256 column equals the x134 sketch exactly") {
+    val rnd = new scala.util.Random(33)
+    val d = docs((0L until 80L).map { i =>
+      val n = 10 + rnd.nextInt(30)
+      (i, s"s${i % 4}",
+        Seq.fill(n)(s"w${rnd.nextInt(1 + rnd.nextInt(25))}").mkString(" "))
+    }: _*)
+    val rows = graft.ext.TextAnalysis.countMinCalibration(d, minCount = 20)
+      .collect()
+    assert(rows.map(_.getAs[Int]("width")).toSeq == Seq(64, 128, 256, 512))
+    val heavies = rows.map(_.getAs[Long]("n_heavy")).distinct
+    assert(heavies.length == 1 && heavies.head > 0,
+      "the heavy set is width-independent")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_overestimate") >= 0L,
+        "count-min never undercounts")
+      assert(r.getAs[Double]("mean_overestimate") >= 0.0)
+      assert(r.getAs[Double]("mean_overestimate")
+        <= r.getAs[Long]("max_overestimate").toDouble)
+    }
+    // Shared-kernel pin: the width-256 sweep entry must agree with the
+    // standalone x134 sketch bit for bit.
+    val direct = graft.ext.TextAnalysis.countMinSketch(d, 4, 256, 20).collect()
+    val w256 = rows.find(_.getAs[Int]("width") == 256).get
+    assert(w256.getAs[Long]("max_overestimate")
+      == direct.map(_.getAs[Long]("overestimate")).max)
+    assert(w256.getAs[Long]("n_heavy") == direct.length.toLong)
+  }
 }
