@@ -680,4 +680,34 @@ class PlanSpec extends SparkSuite {
     }
     assert(windows.size == 1, "exactly one bounded cumulative window")
   }
+
+  private def joinNodes(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+
+  test("x233/x234 are pure aggregation pipelines — zero join operators") {
+    for (name <- Seq("x233_token_burstiness", "x234_table_checksum")) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      assert(joinNodes(df).isEmpty,
+        s"$name must be keyed aggregates only:\n" +
+          df.queryExecution.executedPlan.toString)
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$name must not sort anything into a window")
+    }
+  }
+
+  test("x232/x235: the only joins are broadcast stitches of bounded " +
+    "aggregates — no sort-merge, no all-pairs") {
+    for (name <- Seq("x232_langid_calibration", "x235_cms_calibration")) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to all-pairs:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name joins only bin tables and scalar totals — they broadcast:\n$plan")
+    }
+  }
 }
