@@ -154,6 +154,68 @@ object Frequent {
         least(greatest(col("g0"), col("g1")), col("g2")))
         .cast("double") / lit(32.0)).as("f2_est"))
 
+  /** AMS join-size estimate (Alon, Matias, Szegedy & Gibbons 1999 —
+    * the TWO-stream application of the tug-of-war sketch): |L ⋈ R| =
+    * Σ_k cnt_L(k)·cnt_R(k) estimated by the inner product of the two
+    * sides' sign-counters, E[S_L·S_R] = join size, median-of-means
+    * over the same 3×32 estimator layout as [[amsF2]] (F₂ IS the
+    * self-join special case, so the kernels are shared by
+    * construction). This answers x135's join-planning question —
+    * "how big is this join, and is it skew-dangerous?" — from d = 96
+    * longs PER SIDE instead of two key histograms: each side sketches
+    * independently (different tables, different days, different
+    * clusters), sketches are mergeable by addition, and the planner
+    * dots two 96-vectors. The exact Σ cnt_L·cnt_R audit (the x135
+    * computation) rides along gate-only.
+    *
+    * Numeric envelope: |S| ≤ side row count, so the per-estimator
+    * product reaches N_L·N_R — past BIGINT at ~3×10⁹×3×10⁹; the
+    * product/group sums therefore run in DECIMAL(38,0) (DuckDB
+    * HUGEINT — identical values, the x218 convention) and only the
+    * final ÷32 is a double. The estimator is signed: a draw can come
+    * out negative near zero — reported as-is, not clamped (the
+    * unbiasedness contract, priced by rel_error).
+    *
+    * Scale shape: one count aggregate per side (map-side combinable),
+    * one d-way projection over each Heaps/key-bounded count table, a
+    * d-row join of the two counter vectors.
+    */
+  def amsJoinEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    def keyCounts(df: DataFrame, k: String): DataFrame =
+      df.select(col(k).cast("string").as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+    val lc = keyCounts(left, leftKey)
+    val rc = keyCounts(right, rightKey)
+    val sl = amsCounters(lc).withColumnRenamed("s", "s_l")
+    val sr = amsCounters(rc).withColumnRenamed("s", "s_r")
+    val est = sl.join(sr, Seq("j"))
+      .select(col("j"),
+        (col("s_l").cast("decimal(38,0)") * col("s_r")).as("p"))
+      .groupBy((col("j") / lit(32)).cast("int").as("g"))
+      .agg(sum(col("p")).as("grp_fp"))
+      .agg(max(when(col("g") === 0, col("grp_fp"))).as("g0"),
+        max(when(col("g") === 1, col("grp_fp"))).as("g1"),
+        max(when(col("g") === 2, col("grp_fp"))).as("g2"))
+      .select((greatest(least(col("g0"), col("g1")),
+        least(greatest(col("g0"), col("g1")), col("g2")))
+        .cast("double") / lit(32.0)).as("join_est"))
+    val nl = lc.agg(sum(col("c")).as("n_left"))
+    val nr = rc.agg(sum(col("c")).as("n_right"))
+    val exact = lc.withColumnRenamed("c", "cl")
+      .join(rc.withColumnRenamed("c", "cr"), Seq("tok"))
+      .agg(coalesce(sum(col("cl").cast("decimal(38,0)") * col("cr")),
+        lit(0L).cast("decimal(38,0)")).as("jx"))
+    nl.crossJoin(broadcast(nr)).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(est))
+      .select(col("n_left"), col("n_right"), lit(AmsD).as("d"),
+        col("jx").cast("long").as("join_exact"),
+        round(col("join_est"), 6).as("join_est"),
+        when(col("jx") > 0,
+          round(abs(round(col("join_est"), 6) - col("jx").cast("double"))
+            / col("jx").cast("double"), 6)).as("rel_error"))
+  }
+
   /** AMS shard-merge audit — the tug-of-war member of the
     * mergeable-sketch audit family (x175 MinHash min-merge, x191/x201
     * HLL max-merge, x219 KMV bottom-k-of-union): each shard sketches

@@ -519,6 +519,66 @@ object Batch14 {
              |       round(CAST(nt.n_tokens AS DOUBLE) / CAST(width AS DOUBLE), 6)
              |         AS bound_n_over_w
              |FROM pw CROSS JOIN nt ORDER BY width""".stripMargin
+      }),
+
+    // AMS join-size estimate (Frequent.amsJoinEstimate): the two-stream
+    // tug-of-war — |L ⋈ R| from the inner product of each side's 96
+    // sign-counters, median-of-means, on the SAME key pair x135's
+    // exact join advisor prices (lineitem ⋈ orders on orderkey). The
+    // exact Σ cnt_L·cnt_R audit rides along gate-only; products/group
+    // sums in DECIMAL(38,0)/HUGEINT (|S| ≤ side rows, so the product
+    // passes BIGINT at ~3e9-row sides).
+    QueryDef(
+      "x236_ams_join_estimate",
+      (s, dir) => graft.ext.Frequent.amsJoinEstimate(
+        Tables(s, dir).lineitem, "l_orderkey",
+        Tables(s, dir).orders, "o_orderkey"),
+      Some {
+        val sign = (tbl: String) =>
+          raw"""SELECT js.j,
+               |       CAST(SUM((CAST(('0x' || substr(md5(tok || '|ams|' || js.j), 1, 1))
+               |           AS BIGINT) % 2 * 2 - 1) * c) AS BIGINT) AS s
+               |FROM $tbl, (SELECT unnest(generate_series(0, 95)) AS j) js
+               |GROUP BY 1""".stripMargin
+        raw"""WITH lc AS (
+             |  SELECT CAST(l_orderkey AS VARCHAR) AS tok,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1
+             |), rc AS (
+             |  SELECT CAST(o_orderkey AS VARCHAR) AS tok,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1
+             |), sl AS (
+             |  ${sign("lc")}
+             |), sr AS (
+             |  ${sign("rc")}
+             |), gg AS (
+             |  SELECT sl.j // 32 AS g,
+             |         SUM(CAST(sl.s AS HUGEINT) * sr.s) AS grp_fp
+             |  FROM sl JOIN sr ON sr.j = sl.j
+             |  GROUP BY 1
+             |), med AS (
+             |  SELECT CAST(greatest(least(g0, g1),
+             |           least(greatest(g0, g1), g2)) AS DOUBLE) / 32.0 AS join_est
+             |  FROM (SELECT MAX(CASE WHEN g = 0 THEN grp_fp END) AS g0,
+             |               MAX(CASE WHEN g = 1 THEN grp_fp END) AS g1,
+             |               MAX(CASE WHEN g = 2 THEN grp_fp END) AS g2
+             |        FROM gg)
+             |), nl AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n_left FROM lc
+             |), nr AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n_right FROM rc
+             |), jx AS (
+             |  SELECT COALESCE(SUM(CAST(l.c AS HUGEINT) * r.c), 0) AS jx
+             |  FROM lc l JOIN rc r ON r.tok = l.tok
+             |)
+             |SELECT n_left, n_right, 96 AS d,
+             |       CAST(jx AS BIGINT) AS join_exact,
+             |       round(join_est, 6) AS join_est,
+             |       CASE WHEN jx > 0
+             |            THEN round(abs(round(join_est, 6) - CAST(jx AS DOUBLE))
+             |                 / CAST(jx AS DOUBLE), 6) END AS rel_error
+             |FROM nl CROSS JOIN nr CROSS JOIN jx CROSS JOIN med""".stripMargin
       })
   )
 }

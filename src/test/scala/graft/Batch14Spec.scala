@@ -363,4 +363,24 @@ class Batch14Spec extends SparkSuite {
       == direct.map(_.getAs[Long]("overestimate")).max)
     assert(w256.getAs[Long]("n_heavy") == direct.length.toLong)
   }
+
+  test("amsJoinEstimate: exact join size is the count inner product; the " +
+    "self-join case is F2 and its estimator is a sum of squares >= 0") {
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 2L, 2L, 4L).toDF("k")
+    val row = graft.ext.Frequent.amsJoinEstimate(l, "k", r, "k").collect()(0)
+    assert(row.getAs[Long]("n_left") == 4L && row.getAs[Long]("n_right") == 4L)
+    assert(row.getAs[Long]("join_exact") == 4L,
+      "counts {1:2,2:1,3:1} x {1:1,2:2,4:1} -> 2*1 + 1*2 = 4")
+    // Self-join: exact = sum of squared counts = F2; every per-estimator
+    // product is a square, so the signed estimator cannot go negative.
+    val self = graft.ext.Frequent.amsJoinEstimate(l, "k", l, "k").collect()(0)
+    assert(self.getAs[Long]("join_exact") == 6L, "2^2 + 1 + 1 = 6")
+    assert(self.getAs[Double]("join_est") >= 0.0)
+    // Disjoint keys: exact 0, rel_error NULL (3VL — nothing to divide by).
+    val disj = graft.ext.Frequent.amsJoinEstimate(
+      l, "k", Seq(9L, 10L).toDF("k"), "k").collect()(0)
+    assert(disj.getAs[Long]("join_exact") == 0L)
+    assert(disj.isNullAt(disj.fieldIndex("rel_error")))
+  }
 }
