@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-bin histogram quantile sketch — the quantile counterpart of the
@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object HistogramSketch {
 
+  /** Shared bin index — ONE definition for the batch sketches
+    * ([[quantiles]], [[quantilesByGroup]], [[mergeAudit]]) and the
+    * streaming twin ([[graft.streaming.Streams.histogramStream]]): a
+    * bin-boundary tweak applied to one and not the others would
+    * silently desynchronize state that is supposed to merge. Degenerate
+    * hi == lo maps everything to bin 0 (the NaN-cast guard). */
+  private[graft] def binIndex(v: Column, lo: Column, hi: Column,
+      bins: Int): Column =
+    when(hi === lo, lit(0)).otherwise(
+      least(lit(bins - 1),
+        floor((v - lo) * lit(bins.toDouble) / (hi - lo)).cast("int")))
+
   def quantiles(df: DataFrame, valueCol: String, bins: Int = 256,
       qs: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99)): DataFrame = {
     require(bins >= 2 && bins <= 65536, s"unreasonable bin count $bins")
@@ -31,15 +43,12 @@ object HistogramSketch {
     val bounds = df.agg(
       min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"),
       expr(s"percentile($valueCol, array($qArray))").as("exacts"))
-    // Same hi == lo degenerate guard as the grouped twin: a constant
+    // Degenerate hi == lo guard lives in the shared binIndex: a constant
     // column makes the bin expression 0/0 = NaN — Spark's NaN→int cast
     // happens to yield bin 0, but the DuckDB twin errors on
     // CAST(FLOOR(NaN) AS INT), so without the guard the pair diverges
     // (one answers, one crashes) on exactly the degenerate input.
-    val binCol = when(col("hi") === col("lo"), lit(0)).otherwise(
-      least(lit(bins - 1),
-        floor((v - col("lo")) * lit(bins.toDouble) / (col("hi") - col("lo")))
-          .cast("int")))
+    val binCol = binIndex(v, col("lo"), col("hi"), bins)
     val hist = df.crossJoin(broadcast(bounds.select("lo", "hi")))
       .select(binCol.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("bin_count"))
@@ -84,10 +93,7 @@ object HistogramSketch {
     val bounds = df.groupBy(g.as("g")).agg(
       min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"),
       expr(s"percentile($valueCol, array($qArray))").as("exacts"))
-    val binCol = when(col("hi") === col("lo"), lit(0)).otherwise(
-      least(lit(bins - 1),
-        floor((col("v") - col("lo")) * lit(bins.toDouble) / (col("hi") - col("lo")))
-          .cast("int")))
+    val binCol = binIndex(col("v"), col("lo"), col("hi"), bins)
     val data = df.select(g.as("gd"), v.as("v"))
     val hist = data
       .join(broadcast(bounds.select(col("g"), col("lo"), col("hi"))),
@@ -246,10 +252,7 @@ object HistogramSketch {
       count(lit(1)).as("n"),
       expr(s"percentile(v, array($qArray))").as("exacts"))
     // Same hi == lo degenerate guard as the quantile entry points.
-    val binCol = when(col("hi") === col("lo"), lit(0)).otherwise(
-      least(lit(bins - 1),
-        floor((col("v") - col("lo")) * lit(bins.toDouble)
-          / (col("hi") - col("lo"))).cast("int")))
+    val binCol = binIndex(col("v"), col("lo"), col("hi"), bins)
     val binned = src.crossJoin(broadcast(bounds.select("lo", "hi")))
       .select(col("shard"), binCol.as("bin"))
     val shardHist = binned.groupBy("shard", "bin")

@@ -1038,6 +1038,56 @@ object Streams {
       }
   }
 
+  /** One row per (touched bin, micro-batch) from [[histogramStream]]. */
+  final case class HistBinUpdate(bin: Int, count: Long, batch_rows: Long)
+
+  /** Streaming fixed-bin histogram — the incremental twin of the batch
+    * quantile sketch ([[graft.ops.HistogramSketch]]) and the third
+    * member of the streaming-sketch trio (KMV cardinality, count-min
+    * counts, histogram quantiles): maintain `bins` exact BIGINT bin
+    * counters as keyed state against PINNED bounds and emit each
+    * touched bin's running count after every micro-batch. The always-on
+    * "is the length/value distribution of this feed drifting?" gauge —
+    * any consumer can turn the emitted bin table into quantile
+    * estimates with the batch sketch's bounded cumulative math.
+    *
+    * The bounds are an explicit CONFIG argument, not data-derived — a
+    * stream cannot know its corpus min/max, and the batch mergeAudit's
+    * contract is the same: histograms only merge when built against
+    * the same agreed (lo, hi, bins). Bin assignment IS the batch
+    * kernel ([[graft.ops.HistogramSketch.binIndex]] — one definition),
+    * so after any micro-batch prefix the state equals the batch
+    * histogram of the rows so far against those bounds, exactly
+    * (StreamingSpec pins bin-for-bin equality). Out-of-range values
+    * clamp into the edge bins exactly as the batch kernel clamps
+    * (floor <0 never occurs batch-side because batch bounds are true
+    * min/max; the stream pins the clamp explicitly).
+    *
+    * Delivery contract: counting state, like [[cmsTokenStream]] — NOT
+    * redelivery-idempotent; relies on checkpointed exactly-once state
+    * updates (pinned contrast with KMV).
+    */
+  def histogramStream(spark: SparkSession, df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 64): Dataset[HistBinUpdate] = {
+    import spark.implicits._
+    require(bins >= 2 && bins <= 65536, s"unreasonable bin count $bins")
+    require(lo <= hi, s"bounds must be ordered, got [$lo, $hi]")
+    val binned = df.select(
+      greatest(lit(0), graft.ops.HistogramSketch.binIndex(
+        col(valueCol).cast("double"), lit(lo), lit(hi), bins)).as("bin"))
+      .as[Int]
+    binned
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bin: Int, batch: Iterator[Int], state: GroupState[CmsCellState]) =>
+          var n = 0L
+          batch.foreach(_ => n += 1)
+          val total = state.getOption.map(_.count).getOrElse(0L) + n
+          state.update(CmsCellState(total))
+          Iterator.single(HistBinUpdate(bin, total, n))
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the in-memory
     * sink and return the materialized result (test/local harness; a
     * production run would write to a real sink with the same plan).

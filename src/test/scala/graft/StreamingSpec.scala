@@ -793,4 +793,39 @@ class StreamingSpec extends SparkSuite {
       "a counting sketch double-counts redelivered data by design")
     q.stop()
   }
+
+  test("histogram stream: every micro-batch prefix equals the batch " +
+    "histogram against the pinned bounds; out-of-range values clamp") {
+    implicit val sc = spark.sqlContext
+    val (lo, hi, bins) = (0.0, 100.0, 16)
+    val all = (0L until 90L).map(i => (i, (i * 37 % 117).toDouble - 5.0))
+    val (b1, b2) = all.splitAt(45) // values span [-5, 111]: both clamps hit
+    val src = MemoryStream[(Long, Double)]
+    val q = Streams.histogramStream(spark,
+        src.toDF().toDF("id", "v"), "v", lo, hi, bins)
+      .writeStream.format("memory").queryName("hist_mon")
+      .outputMode("append").start()
+    def streamBins(): Map[Int, Long] =
+      spark.table("hist_mon").groupBy("bin").agg(max(col("count")).as("c"))
+        .as[(Int, Long)].collect().toMap
+    def batchBins(rows: Seq[(Long, Double)]): Map[Int, Long] =
+      rows.toDF("id", "v")
+        .select(greatest(lit(0), graft.ops.HistogramSketch.binIndex(
+          col("v").cast("double"), lit(lo), lit(hi), bins)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .as[(Int, Long)].collect().toMap
+
+    src.addData(b1: _*); q.processAllAvailable()
+    assert(streamBins() === batchBins(b1),
+      "after batch 1 the state must equal the batch histogram of b1")
+    src.addData(b2: _*); q.processAllAvailable()
+    val full = streamBins()
+    assert(full === batchBins(all),
+      "after batch 2 the state must equal the batch histogram of everything")
+    assert(full.values.sum == all.size.toLong, "bins must conserve row mass")
+    assert(full.contains(0) && full.contains(bins - 1),
+      "the fixture must actually exercise both clamp edges")
+    assert(full.keySet.forall(b => b >= 0 && b < bins))
+    q.stop()
+  }
 }
