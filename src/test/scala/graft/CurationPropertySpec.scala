@@ -179,4 +179,31 @@ class CurationPropertySpec extends SparkSuite {
       .filter(col("r") =!= col("r_want")).count() == 0,
       "hot-tie sub-split drifted from the global spec")
   }
+
+  test("tableChecksum laws: order/partitioning invariance, multiset " +
+    "sensitivity (a duplicated row moves the fingerprint), shard-merge " +
+    "additivity of the sum accumulator") {
+    for (seed <- Seq(41, 42, 43)) {
+      val d = randomDocs(seed, 60)
+      val cols = Seq("doc_id", "text", "source")
+      def fp(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+        graft.ops.Reconcile.tableChecksum(df, cols, 8).collect().map(r =>
+          (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+            r.getAs[Long]("xor1"), r.getAs[Long]("xor2"),
+            r.getAs[Long]("sum1"))).toSet
+      val base = fp(d)
+      // Order/partitioning invariance: an order-free fingerprint cannot
+      // see row order or layout.
+      assert(fp(d.orderBy(desc("text"))) == base, s"seed $seed: order leaked")
+      assert(fp(d.repartition(7)) == base, s"seed $seed: layout leaked")
+      // Multiset sensitivity: XOR alone cancels a duplicated row PAIR —
+      // the modular-sum accumulator (and count) must still move.
+      val dup = d.unionAll(d.limit(1))
+      assert(fp(dup) != base, s"seed $seed: duplicated row went unseen")
+      // Value sensitivity: one changed cell moves its bucket.
+      val mut = d.withColumn("source",
+        when(col("doc_id") === 7L, lit("MUTANT")).otherwise(col("source")))
+      assert(fp(mut) != base, s"seed $seed: mutated cell went unseen")
+    }
+  }
 }
