@@ -187,8 +187,32 @@ object Frequent {
         .groupBy("tok").agg(count(lit(1)).as("c"))
     val lc = keyCounts(left, leftKey)
     val rc = keyCounts(right, rightKey)
-    val sl = amsCounters(lc).withColumnRenamed("s", "s_l")
-    val sr = amsCounters(rc).withColumnRenamed("s", "s_r")
+    // Sign kernel: ONE md5 per key, sign_j = bit j of the 128-bit digest
+    // (hex digit j/4, bit j%4) — NOT the x224/x226 salted-per-j hash.
+    // Deliberate departure, measured: join keys are ID-domain (150k+
+    // distinct at sf0.1 vs the Heaps-bounded vocab of the F2 queries),
+    // and 96 salted md5s per key over an exploded (key × j) stream
+    // first-cut benched 8.3 s — 16× the exact audit it exists to avoid.
+    // One digest sliced into 96 bits, folded as 96 parallel SUMs in a
+    // single codegen'd pass (no explode, no shuffle of key×j rows),
+    // runs the same question in well under a second. Independence
+    // across keys — the property the tug-of-war guarantee needs — is
+    // the digest's, same as the salted spelling.
+    def counters(counts: DataFrame, out: String): DataFrame = {
+      val digit = (j: Int) =>
+        conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      val sums = (0 until AmsD).map { j =>
+        val sign = (shiftright(digit(j), j % 4).bitwiseAND(lit(1)) * lit(2)
+          - lit(1)).cast("long")
+        sum(sign * col("c")).as(s"s_$j")
+      }
+      counts.withColumn("h", md5(col("tok")))
+        .agg(sums.head, sums.tail: _*)
+        .selectExpr(s"stack($AmsD, ${(0 until AmsD)
+          .map(j => s"$j, s_$j").mkString(", ")}) as (j, $out)")
+    }
+    val sl = counters(lc, "s_l")
+    val sr = counters(rc, "s_r")
     val est = sl.join(sr, Seq("j"))
       .select(col("j"),
         (col("s_l").cast("decimal(38,0)") * col("s_r")).as("p"))
@@ -200,8 +224,11 @@ object Frequent {
       .select((greatest(least(col("g0"), col("g1")),
         least(greatest(col("g0"), col("g1")), col("g2")))
         .cast("double") / lit(32.0)).as("join_est"))
-    val nl = lc.agg(sum(col("c")).as("n_left"))
-    val nr = rc.agg(sum(col("c")).as("n_right"))
+    // Side row counts from the BASE tables (Σc = row count by
+    // construction): a plain count, not a third recompute of the
+    // grouped count tables.
+    val nl = left.agg(count(lit(1)).as("n_left"))
+    val nr = right.agg(count(lit(1)).as("n_right"))
     val exact = lc.withColumnRenamed("c", "cl")
       .join(rc.withColumnRenamed("c", "cr"), Seq("tok"))
       .agg(coalesce(sum(col("cl").cast("decimal(38,0)") * col("cr")),

@@ -534,10 +534,12 @@ object Batch14 {
         Tables(s, dir).lineitem, "l_orderkey",
         Tables(s, dir).orders, "o_orderkey"),
       Some {
+        // Bit-slice sign kernel (see Frequent.amsJoinEstimate): one md5
+        // per key; sign_j = bit j%4 of hex digit j/4 of the digest.
         val sign = (tbl: String) =>
           raw"""SELECT js.j,
-               |       CAST(SUM((CAST(('0x' || substr(md5(tok || '|ams|' || js.j), 1, 1))
-               |           AS BIGINT) % 2 * 2 - 1) * c) AS BIGINT) AS s
+               |       CAST(SUM((((CAST(('0x' || substring(md5(tok), js.j // 4 + 1, 1))
+               |           AS BIGINT) >> (js.j % 4)) & 1) * 2 - 1) * c) AS BIGINT) AS s
                |FROM $tbl, (SELECT unnest(generate_series(0, 95)) AS j) js
                |GROUP BY 1""".stripMargin
         raw"""WITH lc AS (
