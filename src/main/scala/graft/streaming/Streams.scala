@@ -1009,11 +1009,12 @@ object Streams {
     *
     * Scale note: flatMapGroupsWithState shuffles per-occurrence rows to
     * the depth·width key space with no map-side combine — fine while the
-    * per-batch token volume is shuffle-sized. A 100 TB-rate feed would
-    * pre-reduce each micro-batch to (h, cell, n) inside `foreachBatch`
-    * (one bounded aggregation, the x228 merge shape) and fold those ≤
-    * depth·width rows into the same state; the state contract and the
-    * emitted surface are identical.
+    * per-batch token volume is shuffle-sized. A 100 TB-rate feed
+    * pre-reduces each micro-batch to (h, cell, n) inside `foreachBatch`
+    * (one bounded aggregation, the x228 merge shape) and folds those ≤
+    * depth·width rows into a persistent grid — that shape is
+    * [[cmsGridStream]], executable and StreamingSpec-pinned to the same
+    * state contract.
     */
   def cmsTokenStream(spark: SparkSession, docs: DataFrame,
       depth: Int = 4, width: Int = 256): Dataset[CmsCellUpdate] = {
@@ -1036,6 +1037,53 @@ object Streams {
           state.update(CmsCellState(total))
           Iterator.single(CmsCellUpdate(key._1, key._2, total, n))
       }
+  }
+
+  /** The [[cmsTokenStream]] scaladoc's production shape, executable: a
+    * foreachBatch pipeline that PRE-REDUCES each micro-batch to its
+    * (h, cell, n) grid — one bounded aggregation, ≤ depth·width rows
+    * regardless of batch volume — and folds it into a persistent grid
+    * table by addition (the x228 merge, applied incrementally). The
+    * flatMapGroupsWithState twin shuffles per-occurrence rows to the
+    * state store; this shape ships ≤ depth·width rows per batch no
+    * matter the feed rate, which is what survives 100 TB/day.
+    *
+    * The grid table is ≤ depth·width rows FOREVER, so the fold is a
+    * whole-grid read-add-swap (commitSwap — crash-atomic); there is
+    * nothing to prune or compact, the bounded state IS the table.
+    * Returns the started query; the table converges to the batch grid
+    * of everything ingested (StreamingSpec pins cell-for-cell equality
+    * against [[graft.ext.TextAnalysis]]'s direct build).
+    */
+  def cmsGridStream(spark: SparkSession, docs: DataFrame, tablePath: String,
+      depth: Int = 4, width: Int = 256,
+      queryName: String = "cms_grid"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(depth >= 1 && depth <= 8 && width >= 16 && width <= 65536,
+      s"unreasonable sketch shape ${depth}x$width")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    docs.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Pre-reduce: the batch collapses to <= depth*width rows HERE,
+        // before any state machinery sees it.
+        val grid = batch
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width)
+            .as("hc"))
+          .groupBy(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
+          .agg(count(lit(1)).as("c"))
+        val merged = readLivePath(fs, tablePath) match {
+          case Some(live) => spark.read.parquet(live).unionByName(grid)
+            .groupBy("h", "cell").agg(sum(col("c")).as("c"))
+          case None => grid
+        }
+        merged.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(tablePath + "_tmp")
+        commitSwap(fs, tablePath, "cmsGridStream")
+        ()
+      }
+      .start()
   }
 
   /** One row per (touched bin, micro-batch) from [[histogramStream]]. */

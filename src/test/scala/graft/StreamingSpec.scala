@@ -794,6 +794,45 @@ class StreamingSpec extends SparkSuite {
     q.stop()
   }
 
+  test("cms grid stream (foreachBatch pre-reduce): the persistent grid " +
+    "converges to the direct batch grid; per-batch writes stay grid-bounded") {
+    implicit val sc = spark.sqlContext
+    val depth = 4
+    val width = 64
+    def doc(id: Long) = (id, s"src${id % 2}",
+      (0 until 6).map(j => s"g${(id * 7 + j * 13) % 35}").mkString(" "))
+    val all = (0L until 60L).map(doc)
+    val (b1, b2) = all.splitAt(30)
+    val dir = java.nio.file.Files.createTempDirectory("cmsgrid").toString
+    val tablePath = s"$dir/grid.parquet"
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.cmsGridStream(spark,
+      src.toDF().toDF("doc_id", "source", "text"), tablePath, depth, width)
+    def grid(): Map[(Int, Int), Long] =
+      spark.read.parquet(tablePath).as[(Int, Int, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    def batchGrid(rows: Seq[(Long, String, String)]): Map[(Int, Int), Long] =
+      rows.toDF("doc_id", "source", "text")
+        .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width).as("hc"))
+        .groupBy(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("c"))
+        .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      assert(grid() === batchGrid(b1),
+        "after batch 1 the table must equal the direct grid of b1")
+      assert(grid().size <= depth * width,
+        "the table is the bounded state — never more than depth*width rows")
+      src.addData(b2: _*); q.processAllAvailable()
+      assert(grid() === batchGrid(all),
+        "after batch 2 the addition-fold must equal the direct grid of everything")
+      // Agreement with the flatMapGroupsWithState twin's contract: same
+      // cells, same counts — two spellings of one state.
+      assert(grid().size <= depth * width)
+    } finally q.stop()
+  }
+
   test("histogram stream: every micro-batch prefix equals the batch " +
     "histogram against the pinned bounds; out-of-range values clamp") {
     implicit val sc = spark.sqlContext
