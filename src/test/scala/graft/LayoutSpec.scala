@@ -193,4 +193,35 @@ class LayoutSpec extends SparkSuite {
     val expected = Tables(spark, Sf).events.filter(col("event_type") === "click").count()
     assert(read.count() === expected)
   }
+
+  test("DYNAMIC partition pruning: a filtered dim prunes the partitioned " +
+    "fact's directories at runtime — the 100 TB star-join contract") {
+    // The static test above needs the predicate ON the partition column;
+    // a star join filters the DIMENSION and Spark must push a runtime
+    // subquery into the fact scan's PartitionFilters (DPP). Without it,
+    // every date-partitioned fact scan reads all of history whenever the
+    // filter lives on the dim attributes — the single most expensive
+    // planner miss a partitioned warehouse can make.
+    val t = Tables(spark, Sf)
+    val out = java.nio.file.Files.createTempDirectory("layout-dpp").toString
+    Layout.writePartitioned(
+      t.orders.withColumn("o_year", year(col("o_orderdate"))), out, "o_year")
+    val fact = spark.read.parquet(out)
+    val nYears = fact.select("o_year").distinct().count()
+    assert(nYears >= 3, "fixture must span several partitions")
+    // Dimension: one attribute row per year; the filter selects ONE year
+    // by an attribute the fact doesn't carry.
+    val dim = fact.select(col("o_year").as("d_year")).distinct()
+      .withColumn("d_tag", concat(lit("y"), col("d_year")))
+    val tag = dim.orderBy("d_year").limit(1).collect()(0).getString(1)
+    val joined = fact.join(dim.filter(col("d_tag") === tag),
+      col("o_year") === col("d_year"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery reached the fact scan's PartitionFilters:\n$plan")
+    // And it is not cosmetic: the join reads exactly the one year's rows.
+    val wantYear = tag.drop(1).toInt
+    assert(joined.count() ===
+      t.orders.filter(year(col("o_orderdate")) === wantYear).count())
+  }
 }
