@@ -104,7 +104,13 @@ object ScaleProbe {
     "x234_table_checksum",
     // x235: one vocab aggregate, then width-sweep passes over the
     // vocab-bounded count table — duplication grows only the token scan.
-    "x235_cms_calibration")
+    "x235_cms_calibration",
+    // x237: one projection + one (source x 16)-group fold — the x234
+    // shape keyed by source; only the row-hash scan grows.
+    "x237_source_checksum",
+    // x238: one groupBy(source) distinct-count; replicas multiply n_docs
+    // but n_distinct stays constant, so the probe isolates the scan.
+    "x238_dup_rate_wilson")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

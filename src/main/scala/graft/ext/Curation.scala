@@ -2138,4 +2138,46 @@ object Curation {
       when(corr > 0, round(h / corr, 6)).as("h_corrected"),
       when(corr > 0, round(h / corr / (nD - lit(1.0)), 6)).as("epsilon_sq"))
   }
+
+  /** Per-source exact-duplicate rate with a Wilson 95% score interval —
+    * the UNCERTAINTY the point estimate x140's datasheet reports lacks:
+    * a 40%-dup feed of 50 documents and a 40%-dup feed of 5 million are
+    * different operational facts, and the decision column
+    * (`credibly_above`: is the LOWER bound above the policy threshold?)
+    * is what a quarantine rule should key on, not the point rate.
+    * Wilson rather than the Wald ±z√(p(1-p)/n) because Wald collapses
+    * to a zero-width interval at p̂ ∈ {0,1} — exactly the degenerate
+    * feeds a dup audit meets (all-unique or all-duplicate sources).
+    *
+    * Cross-engine exactness: counts are exact BIGINTs (duplicates =
+    * n − distinct md5s); the interval is one shared IEEE tree of
+    * division / multiplication / sqrt — every operation correctly
+    * rounded, no transcendentals (erf/exp would differ in last ulps
+    * between libm implementations; sqrt does not) — rounded to 6.
+    *
+    * Scale shape: one groupBy(source) with a distinct-count — at 100 TB
+    * swap the exact distinct for the KMV sketch (x214) and the same
+    * interval math applies to the estimated rate.
+    */
+  def dupRateWilson(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
+    require(threshold >= 0 && threshold < 1, s"threshold $threshold outside [0,1)")
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+    val n = col("n_docs").cast("double")
+    val d = (col("n_docs") - col("n_distinct")).cast("double")
+    val p = d / n
+    val z2 = lit(1.96) * lit(1.96)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n)) / denom
+    per.select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_distinct")).as("n_dups"),
+        round(p, 6).as("dup_rate"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"),
+        (round(center - half, 6) > lit(threshold)).as("credibly_above"))
+      .orderBy("source")
+  }
 }

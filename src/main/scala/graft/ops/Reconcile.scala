@@ -69,6 +69,50 @@ object Reconcile {
         sum(pmod(col("h1"), lit(SumMod))).as("sum1"))
   }
 
+  /** [[tableChecksum]] per group — the feed-level reconciliation shape:
+    * one fingerprint row per (group, bucket), so a mismatch localizes
+    * to WHICH SOURCE diverged before any bucket drill-down. State is
+    * |groups|·nBuckets rows; the scan and fold shapes are unchanged. */
+  def tableChecksumByGroup(df: DataFrame, groupCol: String,
+      cols: Seq[String], nBuckets: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(!cols.contains(groupCol),
+      "the group column partitions the fingerprint; include it in `cols` " +
+        "only if it should ALSO be fingerprinted content")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"unreasonable bucket count $nBuckets")
+    val canon = canonical(cols)
+    val h1 = rowHash(canon, "rc1|")
+    val h2 = rowHash(canon, "rc2|")
+    df.select(col(groupCol), pmod(h1, lit(nBuckets.toLong)).as("bucket"),
+        h1.as("h1"), h2.as("h2"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h1)").as("xor1"),
+        expr("bit_xor(h2)").as("xor2"),
+        sum(pmod(col("h1"), lit(SumMod))).as("sum1"))
+  }
+
+  /** The DuckDB twin of [[tableChecksumByGroup]]. */
+  def groupedOracleSql(from: String, groupCol: String, cols: Seq[String],
+      nBuckets: Int = 16): String = {
+    val canon = cols.map(c =>
+      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
+      .mkString(s" || chr(1) || ")
+    def h(salt: String) =
+      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+    s"""WITH rows_ AS (
+       |  SELECT $groupCol AS g, ${h("rc1|")} AS h1, ${h("rc2|")} AS h2
+       |  FROM $from
+       |)
+       |SELECT g AS $groupCol, h1 % $nBuckets AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(bit_xor(h1) AS BIGINT) AS xor1,
+       |       CAST(bit_xor(h2) AS BIGINT) AS xor2,
+       |       CAST(SUM(h1 % $SumMod) AS BIGINT) AS sum1
+       |FROM rows_ GROUP BY 1, 2""".stripMargin
+  }
+
   /** Compare two fingerprints (same cols/nBuckets): one row per bucket
     * present on either side, with a match verdict — the localization
     * step of a reconciliation. */

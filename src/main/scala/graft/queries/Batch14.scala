@@ -581,6 +581,59 @@ object Batch14 {
              |            THEN round(abs(round(join_est, 6) - CAST(jx AS DOUBLE))
              |                 / CAST(jx AS DOUBLE), 6) END AS rel_error
              |FROM nl CROSS JOIN nr CROSS JOIN jx CROSS JOIN med""".stripMargin
-      })
+      }),
+
+    // Per-source table checksum (Reconcile.tableChecksumByGroup): the
+    // feed-level reconciliation fingerprint — a mismatch localizes to
+    // WHICH SOURCE diverged before any bucket drill-down. Same exact
+    // accumulators as x234, keyed by (source, bucket).
+    QueryDef(
+      "x237_source_checksum",
+      (s, dir) => graft.ops.Reconcile.tableChecksumByGroup(
+        Tables(s, dir).documents, "source",
+        Seq("doc_id", "lang", "n_chars", "text")).orderBy("source", "bucket"),
+      Some(graft.ops.Reconcile.groupedOracleSql("documents", "source",
+        Seq("doc_id", "lang", "n_chars", "text")) + "\nORDER BY 1, 2")),
+
+    // Per-source dup rate with a Wilson 95% interval
+    // (Curation.dupRateWilson): the quarantine decision keys on the
+    // LOWER bound vs the policy threshold, not the point rate. One
+    // shared IEEE tree of division/multiplication/sqrt — correctly
+    // rounded everywhere, no transcendentals.
+    QueryDef(
+      "x238_dup_rate_wilson",
+      (s, dir) => graft.ext.Curation.dupRateWilson(
+        Tables(s, dir).documents),
+      Some(
+        raw"""WITH per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+             |  FROM documents GROUP BY 1
+             |), w AS (
+             |  SELECT source, n_docs, n_docs - n_distinct AS n_dups,
+             |         CAST(n_docs - n_distinct AS DOUBLE)
+             |           / CAST(n_docs AS DOUBLE) AS p,
+             |         CAST(n_docs AS DOUBLE) AS nd
+             |  FROM per
+             |)
+             |SELECT source, n_docs, n_dups,
+             |       round(p, 6) AS dup_rate,
+             |       round((p + 1.96 * 1.96 / (2.0 * nd))
+             |               / (1.0 + 1.96 * 1.96 / nd)
+             |             - 1.96 * sqrt(p * (1.0 - p) / nd
+             |                 + 1.96 * 1.96 / (4.0 * nd * nd))
+             |               / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_lo,
+             |       round((p + 1.96 * 1.96 / (2.0 * nd))
+             |               / (1.0 + 1.96 * 1.96 / nd)
+             |             + 1.96 * sqrt(p * (1.0 - p) / nd
+             |                 + 1.96 * 1.96 / (4.0 * nd * nd))
+             |               / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi,
+             |       round((p + 1.96 * 1.96 / (2.0 * nd))
+             |               / (1.0 + 1.96 * 1.96 / nd)
+             |             - 1.96 * sqrt(p * (1.0 - p) / nd
+             |                 + 1.96 * 1.96 / (4.0 * nd * nd))
+             |               / (1.0 + 1.96 * 1.96 / nd), 6) > 0.1
+             |         AS credibly_above
+             |FROM w ORDER BY source""".stripMargin))
   )
 }

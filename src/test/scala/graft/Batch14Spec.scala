@@ -383,4 +383,62 @@ class Batch14Spec extends SparkSuite {
     assert(disj.getAs[Long]("join_exact") == 0L)
     assert(disj.isNullAt(disj.fieldIndex("rel_error")))
   }
+
+  test("tableChecksumByGroup: each group's fingerprint equals the whole-" +
+    "table checksum of that group's slice — the kernel is one definition") {
+    val rnd = new scala.util.Random(34)
+    val d = docs((0L until 80L).map(i =>
+      (i, s"s${i % 3}", s"text ${rnd.nextInt(10000)}")): _*)
+    val cols = Seq("doc_id", "text")
+    val grouped = graft.ops.Reconcile
+      .tableChecksumByGroup(d, "source", cols, 8).collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("xor1"),
+        r.getAs[Long]("xor2"), r.getAs[Long]("sum1"))).toSet).toMap
+    for (g <- Seq("s0", "s1", "s2")) {
+      val slice = graft.ops.Reconcile
+        .tableChecksum(d.filter(col("source") === g), cols, 8).collect()
+        .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("xor1"), r.getAs[Long]("xor2"),
+          r.getAs[Long]("sum1"))).toSet
+      assert(grouped(g) == slice, s"group $g fingerprint diverged from its slice")
+    }
+    assert(grouped.values.flatten.map(_._2).sum == 80L,
+      "group fingerprints must conserve total row mass")
+  }
+
+  test("dupRateWilson: hand-checkable interval, exact-zero lower bound on " +
+    "an all-unique source, and the quarantine flag keys on the lower bound") {
+    val d = docs(
+      // s0: 4 docs, 2 distinct texts -> 2 dups, p = 0.5
+      (0L, "s0", "aaa"), (1L, "s0", "aaa"), (2L, "s0", "bbb"), (3L, "s0", "bbb"),
+      // s1: all unique -> p = 0, Wilson lower bound is EXACTLY 0
+      (4L, "s1", "c"), (5L, "s1", "d"), (6L, "s1", "e"),
+      // s2: 10 copies of one text -> 9 dups of 10, lower bound far above 0.1
+      (7L, "s2", "z"), (8L, "s2", "z"), (9L, "s2", "z"), (10L, "s2", "z"),
+      (11L, "s2", "z"), (12L, "s2", "z"), (13L, "s2", "z"), (14L, "s2", "z"),
+      (15L, "s2", "z"), (16L, "s2", "z"))
+    val r = graft.ext.Curation.dupRateWilson(d)
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    val s0 = r("s0")
+    assert(s0.getAs[Long]("n_dups") == 2L && s0.getAs[Double]("dup_rate") == 0.5)
+    assert(s0.getAs[Double]("ci_lo") > 0.1 && s0.getAs[Double]("ci_lo") < 0.5)
+    assert(s0.getAs[Double]("ci_hi") > 0.5 && s0.getAs[Double]("ci_hi") < 0.9)
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("n_dups") == 0L)
+    assert(s1.getAs[Double]("ci_lo") == 0.0,
+      "Wilson lower bound at p-hat = 0 is exactly 0 (center == half)")
+    assert(!s1.getAs[Boolean]("credibly_above"))
+    val s2 = r("s2")
+    assert(s2.getAs[Double]("dup_rate") == 0.9)
+    assert(s2.getAs[Boolean]("credibly_above"),
+      "9/10 dups must be credibly above a 10% threshold")
+    // CI sanity on every row: lo <= rate <= hi, both inside [0, 1].
+    r.values.foreach { row =>
+      val (lo, p, hi) = (row.getAs[Double]("ci_lo"),
+        row.getAs[Double]("dup_rate"), row.getAs[Double]("ci_hi"))
+      assert(lo <= p && p <= hi && lo >= 0.0 && hi <= 1.0)
+    }
+  }
 }
