@@ -686,8 +686,10 @@ class PlanSpec extends SparkSuite {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
 
-  test("x233/x234 are pure aggregation pipelines — zero join operators") {
-    for (name <- Seq("x233_token_burstiness", "x234_table_checksum")) {
+  test("x233/x234/x237/x238 are pure aggregation pipelines — zero join " +
+    "operators") {
+    for (name <- Seq("x233_token_burstiness", "x234_table_checksum",
+        "x237_source_checksum", "x238_dup_rate_wilson")) {
       val df = queries.Registry.queryMap(name)(spark, Sf)
       assert(joinNodes(df).isEmpty,
         s"$name must be keyed aggregates only:\n" +
