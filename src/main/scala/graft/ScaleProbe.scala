@@ -110,7 +110,10 @@ object ScaleProbe {
     "x237_source_checksum",
     // x238: one groupBy(source) distinct-count; replicas multiply n_docs
     // but n_distinct stays constant, so the probe isolates the scan.
-    "x238_dup_rate_wilson")
+    "x238_dup_rate_wilson",
+    // x239: two x234-shaped scans + a 64-row full-outer compare — only
+    // the row-hash scans grow.
+    "x239_checksum_diff")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

@@ -131,21 +131,44 @@ object Reconcile {
       .orderBy("bucket")
   }
 
-  /** The DuckDB twin of [[tableChecksum]] over relation `from`. */
-  def oracleSql(from: String, cols: Seq[String], nBuckets: Int = 64): String = {
+  /** The shared fingerprint CTE pair for the oracle builders: a hashed
+    * rows CTE and its bucket-grouped fingerprint, with suffixed names so
+    * two sides can coexist in one WITH clause. */
+  private def oracleCtes(from: String, cols: Seq[String], nBuckets: Int,
+      suffix: String): String = {
     val canon = cols.map(c =>
       s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
       .mkString(s" || chr(1) || ")
     def h(salt: String) =
       s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
-    s"""WITH rows_ AS (
+    s"""rows_$suffix AS (
        |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $from
-       |)
-       |SELECT h1 % $nBuckets AS bucket,
-       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       |       CAST(bit_xor(h1) AS BIGINT) AS xor1,
-       |       CAST(bit_xor(h2) AS BIGINT) AS xor2,
-       |       CAST(SUM(h1 % $SumMod) AS BIGINT) AS sum1
-       |FROM rows_ GROUP BY 1""".stripMargin
+       |), fp_$suffix AS (
+       |  SELECT h1 % $nBuckets AS bucket,
+       |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         CAST(bit_xor(h1) AS BIGINT) AS xor1,
+       |         CAST(bit_xor(h2) AS BIGINT) AS xor2,
+       |         CAST(SUM(h1 % $SumMod) AS BIGINT) AS sum1
+       |  FROM rows_$suffix GROUP BY 1
+       |)""".stripMargin
   }
+
+  /** The DuckDB twin of [[tableChecksum]] over relation `from`. */
+  def oracleSql(from: String, cols: Seq[String], nBuckets: Int = 64): String =
+    s"""WITH ${oracleCtes(from, cols, nBuckets, "a")}
+       |SELECT bucket, n_rows, xor1, xor2, sum1 FROM fp_a""".stripMargin
+
+  /** The DuckDB twin of [[checksumDiff]] over two relations fingerprinted
+    * with the same cols/nBuckets. */
+  def diffOracleSql(fromA: String, fromB: String, cols: Seq[String],
+      nBuckets: Int = 64): String =
+    s"""WITH ${oracleCtes(fromA, cols, nBuckets, "a")},
+       |${oracleCtes(fromB, cols, nBuckets, "b")}
+       |SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+       |       a.n_rows AS a_n_rows, b.n_rows AS b_n_rows,
+       |       (a.n_rows IS NOT NULL AND b.n_rows IS NOT NULL
+       |        AND a.n_rows = b.n_rows AND a.xor1 = b.xor1
+       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1) AS bucket_match
+       |FROM fp_a a FULL OUTER JOIN fp_b b ON b.bucket = a.bucket
+       |ORDER BY 1""".stripMargin
 }

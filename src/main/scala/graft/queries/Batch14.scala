@@ -634,6 +634,36 @@ object Batch14 {
              |                 + 1.96 * 1.96 / (4.0 * nd * nd))
              |               / (1.0 + 1.96 * 1.96 / nd), 6) > 0.1
              |         AS credibly_above
-             |FROM w ORDER BY source""".stripMargin))
+             |FROM w ORDER BY source""".stripMargin)),
+
+    // Checksum diff (Reconcile.checksumDiff): the localization half of
+    // the reconciliation — fingerprint documents against a copy whose
+    // every-97th document is deterministically corrupted, and report
+    // per-bucket match verdicts. At the gate the mismatching buckets
+    // are exactly the corrupted rows' old/new hash buckets; a 3VL-safe
+    // verdict (a bucket absent on one side is FALSE, never NULL).
+    QueryDef(
+      "x239_checksum_diff",
+      (s, dir) => {
+        val cols = Seq("doc_id", "source", "lang", "n_chars", "text")
+        val d = Tables(s, dir).documents
+        val corrupted = d.withColumn("text",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.pmod(col("doc_id"),
+              org.apache.spark.sql.functions.lit(97L)) === 0L,
+            org.apache.spark.sql.functions.concat(col("text"),
+              org.apache.spark.sql.functions.lit(" CORRUPTED")))
+            .otherwise(col("text")))
+        graft.ops.Reconcile.checksumDiff(
+          graft.ops.Reconcile.tableChecksum(d, cols),
+          graft.ops.Reconcile.tableChecksum(corrupted, cols))
+      },
+      Some(graft.ops.Reconcile.diffOracleSql(
+        "documents",
+        """(SELECT doc_id, source, lang, n_chars,
+          |        CASE WHEN doc_id % 97 = 0 THEN text || ' CORRUPTED'
+          |             ELSE text END AS text
+          |      FROM documents)""".stripMargin,
+        Seq("doc_id", "source", "lang", "n_chars", "text"))))
   )
 }
