@@ -170,17 +170,21 @@ object Bloom {
         col("w_merged").bitwiseAND(col("mask")) =!= 0L, lit(1))
         .otherwise(lit(0))).as("hit"))
     // Exact-membership audit, corpus-side-streamable: the probe set is
-    // the bounded side (nProbes rows), so it BROADCASTS and the
-    // corpus-sized hash table streams past it — a probe-side left join
-    // would instead put the corpus in the build position at scale.
+    // the bounded side (nProbes rows), so it BROADCASTS as the build
+    // side of a LEFT SEMI join and the corpus-sized hash table streams
+    // past it. (An outer join that PRESERVES the probe side cannot
+    // build it — a right-outer BHJ must build left, i.e. the corpus —
+    // so membership is counted separately here and stitched to the
+    // probe-side aggregates, keeping the corpus out of every build
+    // position.)
     val docHash = docs.select(md5(col(textCol).cast("binary")).as("eh")).distinct()
-    val probeAudit = docHash
-      .join(broadcast(hits.withColumn("ph", md5(col("t").cast("binary")))),
-        col("eh") === col("ph"), "right")
-      .agg(count(lit(1)).as("n_probes"),
-        coalesce(sum(when(col("eh").isNotNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_probe_members"),
-        coalesce(sum(col("hit").cast("long")), lit(0L)).as("n_bloom_hits"))
+    val probeHash = hits.select(md5(col("t").cast("binary")).as("ph"))
+    val members = docHash
+      .join(broadcast(probeHash), col("eh") === col("ph"), "left_semi")
+      .agg(count(lit(1)).as("n_probe_members"))
+    val probeAgg = hits.agg(count(lit(1)).as("n_probes"),
+      coalesce(sum(col("hit").cast("long")), lit(0L)).as("n_bloom_hits"))
+    val probeAudit = probeAgg.crossJoin(broadcast(members))
 
     bits.crossJoin(broadcast(mm)).crossJoin(broadcast(probeAudit))
       .select(lit(nShards.toLong).as("n_shards"), lit(mBits).as("m_bits"),

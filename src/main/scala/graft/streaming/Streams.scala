@@ -1039,6 +1039,73 @@ object Streams {
       }
   }
 
+  /** The committed high-water batchId of a swap-maintained fold table —
+    * the replay guard for ADDITIVE foreachBatch sinks. foreachBatch is
+    * at-least-once: a crash after [[commitSwap]] but before the
+    * checkpoint commits its offsets replays the same micro-batch, and a
+    * counter fold that re-applies it double-counts forever (the keyed
+    * sinks are immune — latestPerKey makes a replayed batch crown the
+    * same winner — but addition is not). The marker is a `_`-prefixed
+    * file INSIDE the fold table directory (parquet readers skip `_`
+    * names), written before the swap, so "grid state" and "which batch
+    * produced it" commit in the same atomic rename — no instant exists
+    * where one is visible without the other. */
+  private[graft] def readBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_last_batch")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        Option(s).map(_.trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writeBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_last_batch")
+    val out = fs.create(p, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One fold step of [[cmsGridStream]], factored out so the replay
+    * contract is directly testable: folding the same (batch, batchId)
+    * twice must be a no-op the second time. Returns true iff the batch
+    * was applied (false = replay skipped). */
+  private[graft] def cmsGridFold(spark: SparkSession, batch: DataFrame,
+      batchId: Long, tablePath: String, depth: Int, width: Int): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // Sibling-sink convention: an idle micro-batch must not rewrite the
+    // table (and must never commit an empty grid before real data).
+    if (batch.isEmpty) return false
+    // Replay guard: at-least-once redelivery of an already-folded batch
+    // (same batchId) is skipped, making the additive fold idempotent.
+    val committed = readLivePath(fs, tablePath).flatMap(readBatchMarker(fs, _))
+    if (committed.exists(_ >= batchId)) return false
+    // Pre-reduce: the batch collapses to <= depth*width rows HERE,
+    // before any state machinery sees it.
+    val grid = batch
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width)
+        .as("hc"))
+      .groupBy(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val merged = readLivePath(fs, tablePath) match {
+      case Some(live) => spark.read.parquet(live).unionByName(grid)
+        .groupBy("h", "cell").agg(sum(col("c")).as("c"))
+      case None => grid
+    }
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tablePath + "_tmp")
+    writeBatchMarker(fs, tablePath + "_tmp", batchId)
+    commitSwap(fs, tablePath, "cmsGridStream")
+    true
+  }
+
   /** The [[cmsTokenStream]] scaladoc's production shape, executable: a
     * foreachBatch pipeline that PRE-REDUCES each micro-batch to its
     * (h, cell, n) grid — one bounded aggregation, ≤ depth·width rows
@@ -1051,36 +1118,24 @@ object Streams {
     * The grid table is ≤ depth·width rows FOREVER, so the fold is a
     * whole-grid read-add-swap (commitSwap — crash-atomic); there is
     * nothing to prune or compact, the bounded state IS the table.
-    * Returns the started query; the table converges to the batch grid
-    * of everything ingested (StreamingSpec pins cell-for-cell equality
-    * against [[graft.ext.TextAnalysis]]'s direct build).
+    * Unlike the keyed sinks' latestPerKey dedup, an additive fold is
+    * not naturally replay-safe, so each swap also commits the batchId
+    * it folded ([[writeBatchMarker]]) and a redelivered batch (id ≤
+    * committed) is skipped — at-least-once delivery cannot double-count
+    * the grid. Returns the started query; the table converges to the
+    * batch grid of everything ingested (StreamingSpec pins cell-for-cell
+    * equality against [[graft.ext.TextAnalysis]]'s direct build, and
+    * replay-idempotence of the fold).
     */
   def cmsGridStream(spark: SparkSession, docs: DataFrame, tablePath: String,
       depth: Int = 4, width: Int = 256,
       queryName: String = "cms_grid"): org.apache.spark.sql.streaming.StreamingQuery = {
     require(depth >= 1 && depth <= 8 && width >= 16 && width <= 65536,
       s"unreasonable sketch shape ${depth}x$width")
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
     docs.writeStream
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Pre-reduce: the batch collapses to <= depth*width rows HERE,
-        // before any state machinery sees it.
-        val grid = batch
-          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
-          .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width)
-            .as("hc"))
-          .groupBy(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
-          .agg(count(lit(1)).as("c"))
-        val merged = readLivePath(fs, tablePath) match {
-          case Some(live) => spark.read.parquet(live).unionByName(grid)
-            .groupBy("h", "cell").agg(sum(col("c")).as("c"))
-          case None => grid
-        }
-        merged.coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(tablePath + "_tmp")
-        commitSwap(fs, tablePath, "cmsGridStream")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmsGridFold(spark, batch, batchId, tablePath, depth, width)
         ()
       }
       .start()

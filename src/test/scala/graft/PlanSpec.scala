@@ -648,16 +648,17 @@ class PlanSpec extends SparkSuite {
     assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
       "the only sort-merge allowed is the m/32-bounded full-outer word " +
         s"compare — something corpus-sized stopped broadcasting:\n$plan")
-    // The fp audit must keep the corpus on the STREAMED side: a
-    // right-outer BHJ building the (bounded) probe side. A left join
-    // from the probes would put the corpus hash set in the build
-    // position — the shape that stops working at 100 TB.
+    // The fp audit must keep the corpus on the STREAMED side: a LEFT
+    // SEMI BHJ whose BUILD side is the bounded probe-hash set
+    // (BuildRight). An outer join preserving the probe side cannot
+    // build it — Spark would broadcast the corpus hash set instead,
+    // the shape that stops working at 100 TB.
     val bhjs = df.queryExecution.sparkPlan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
-    assert(bhjs.exists(j => j.joinType.sql == "RIGHT OUTER" &&
-      j.buildSide.toString == "BuildLeft"),
-      s"the membership audit must broadcast the probe side:\n$plan")
+    assert(bhjs.exists(j => j.joinType.sql == "LEFT SEMI" &&
+      j.buildSide.toString == "BuildRight"),
+      s"the membership audit must broadcast the probe side as the build side:\n$plan")
   }
 
   test("x231 histogram merge audit: bounded-state shape — no all-pairs, " +

@@ -830,6 +830,25 @@ class StreamingSpec extends SparkSuite {
       // Agreement with the flatMapGroupsWithState twin's contract: same
       // cells, same counts — two spellings of one state.
       assert(grid().size <= depth * width)
+
+      // Replay idempotence — the at-least-once contract: foreachBatch
+      // can redeliver a batch whose swap committed but whose offsets did
+      // not. Re-folding batch 1 (an already-committed batchId) must be a
+      // skipped no-op, NOT a double-count; a genuinely new batchId must
+      // still apply; and an empty batch must not rewrite the table.
+      val before = grid()
+      assert(!Streams.cmsGridFold(spark, b1.toDF("doc_id", "source", "text"),
+        0L, tablePath, depth, width), "replayed batchId must be skipped")
+      assert(grid() === before,
+        "a replayed micro-batch must not change the grid")
+      assert(!Streams.cmsGridFold(spark,
+        Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"),
+        99L, tablePath, depth, width), "empty batch must be a no-op")
+      assert(grid() === before)
+      assert(Streams.cmsGridFold(spark, b1.toDF("doc_id", "source", "text"),
+        2L, tablePath, depth, width), "a new batchId must apply")
+      assert(grid() === batchGrid(all ++ b1),
+        "a genuinely new batch folds in by addition")
     } finally q.stop()
   }
 
