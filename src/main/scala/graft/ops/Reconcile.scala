@@ -131,6 +131,80 @@ object Reconcile {
       .orderBy("bucket")
   }
 
+  /** Compare two grouped fingerprints ([[tableChecksumByGroup]] outputs
+    * keyed on the same groupCol/cols/nBuckets): one verdict row per
+    * (group, bucket) present on either side — the feed-grain
+    * localization that completes the fingerprint/localize/drill triad
+    * at source level. NULL group keys match each other (null-safe
+    * equality), so a NULL-sourced feed reconciles like any other. */
+  def checksumDiffByGroup(a: DataFrame, b: DataFrame,
+      groupCol: String): DataFrame = {
+    val an = a.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq
+    val bn = b.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq
+    a.select(an: _*).join(b.select(bn: _*),
+        (col(s"a_$groupCol") <=> col(s"b_$groupCol")) &&
+          col("a_bucket") === col("b_bucket"), "full_outer")
+      .select(coalesce(col(s"a_$groupCol"), col(s"b_$groupCol")).as(groupCol),
+        coalesce(col("a_bucket"), col("b_bucket")).as("bucket"),
+        col("a_n_rows"), col("b_n_rows"),
+        (col("a_n_rows").isNotNull && col("b_n_rows").isNotNull &&
+          col("a_n_rows") === col("b_n_rows") &&
+          col("a_xor1") === col("b_xor1") &&
+          col("a_xor2") === col("b_xor2") &&
+          col("a_sum1") === col("b_sum1")).as("bucket_match"))
+      .orderBy(groupCol, "bucket")
+  }
+
+  /** Row-level drill-down — the step a user takes immediately after a
+    * `bucket_match = false` verdict: re-fingerprint both sides, take the
+    * MISMATCHED bucket set (tiny — it broadcasts), and scan each side
+    * once more keeping only rows that hash into a mismatched bucket (a
+    * broadcast left-semi join, so the expensive per-row grouping touches
+    * ~|bad|/nBuckets of each table — the bucketing's entire purpose).
+    * Surviving rows are grouped by their canonical hash per side and
+    * full-outer matched: any hash whose multiplicities differ is a
+    * genuinely differing row, emitted as (side, bucket, row, n_a, n_b)
+    * where `side` names the side holding the surplus. Equal tables
+    * return zero rows without any row-level work at all (empty bucket
+    * set ⇒ empty semi-join).
+    *
+    * Scale shape: two fingerprint aggregations (nBuckets rows each), one
+    * broadcast of the mismatched bucket ids, two filtered scans, and a
+    * hash-grouped full-outer join whose input is only the rows of the
+    * mismatched buckets. Nothing row-sized ever reaches the driver. */
+  def rowDiff(a: DataFrame, b: DataFrame, cols: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"unreasonable bucket count $nBuckets")
+    val bad = checksumDiff(tableChecksum(a, cols, nBuckets),
+        tableChecksum(b, cols, nBuckets))
+      .filter(!col("bucket_match")).select("bucket")
+    def grouped(df: DataFrame, p: String): DataFrame = {
+      val canon = canonical(cols)
+      val h1 = rowHash(canon, "rc1|")
+      df.select(pmod(h1, lit(nBuckets.toLong)).as("bucket") +:
+          h1.as("rh") +: cols.map(col): _*)
+        .join(broadcast(bad), Seq("bucket"), "left_semi")
+        .groupBy(col("bucket") +: col("rh") +: cols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket").as(s"${p}_bucket") +: col("rh").as(s"${p}_rh") +:
+          col("n").as(s"${p}_n") +: cols.map(c => col(c).as(s"${p}_$c")): _*)
+    }
+    val ga = grouped(a, "a")
+    val gb = grouped(b, "b")
+    ga.join(gb, col("a_rh") === col("b_rh"), "full_outer")
+      .withColumn("n_a", coalesce(col("a_n"), lit(0L)))
+      .withColumn("n_b", coalesce(col("b_n"), lit(0L)))
+      .filter(col("n_a") =!= col("n_b"))
+      .select((when(col("n_a") > col("n_b"), lit("a")).otherwise(lit("b"))
+          .as("side") +:
+        coalesce(col("a_bucket"), col("b_bucket")).as("bucket") +:
+        cols.map(c => coalesce(col(s"a_$c"), col(s"b_$c")).as(c))) ++
+        Seq(col("n_a"), col("n_b")): _*)
+      .orderBy(col("bucket") +: cols.map(col) :+ col("side"): _*)
+  }
+
   /** The shared fingerprint CTE pair for the oracle builders: a hashed
     * rows CTE and its bucket-grouped fingerprint, with suffixed names so
     * two sides can coexist in one WITH clause. */
@@ -171,4 +245,75 @@ object Reconcile {
        |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1) AS bucket_match
        |FROM fp_a a FULL OUTER JOIN fp_b b ON b.bucket = a.bucket
        |ORDER BY 1""".stripMargin
+
+  /** The DuckDB twin of [[checksumDiffByGroup]] — the two grouped
+    * fingerprints are the [[groupedOracleSql]] text VERBATIM as
+    * subqueries, so the grouped-diff oracle can never drift from the
+    * grouped-fingerprint oracle. */
+  def groupedDiffOracleSql(fromA: String, fromB: String, groupCol: String,
+      cols: Seq[String], nBuckets: Int = 16): String =
+    s"""SELECT COALESCE(a.$groupCol, b.$groupCol) AS $groupCol,
+       |       COALESCE(a.bucket, b.bucket) AS bucket,
+       |       a.n_rows AS a_n_rows, b.n_rows AS b_n_rows,
+       |       (a.n_rows IS NOT NULL AND b.n_rows IS NOT NULL
+       |        AND a.n_rows = b.n_rows AND a.xor1 = b.xor1
+       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1) AS bucket_match
+       |FROM (${groupedOracleSql(fromA, groupCol, cols, nBuckets)}) a
+       |FULL OUTER JOIN (${groupedOracleSql(fromB, groupCol, cols, nBuckets)}) b
+       |  ON (b.$groupCol IS NOT DISTINCT FROM a.$groupCol)
+       |     AND b.bucket = a.bucket
+       |ORDER BY 1, 2""".stripMargin
+
+  /** The DuckDB twin of [[rowDiff]]: same fingerprint → mismatched
+    * bucket set → bucket-filtered per-row multiplicity compare. */
+  def rowDiffOracleSql(fromA: String, fromB: String, cols: Seq[String],
+      nBuckets: Int = 64): String = {
+    val canon = cols.map(c =>
+      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
+      .mkString(s" || chr(1) || ")
+    def h(salt: String) =
+      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+    val colList = cols.mkString(", ")
+    val rowGroup = (1 to cols.length + 2).mkString(", ")
+    def fpCte(rows: String) =
+      s"""SELECT h1 % $nBuckets AS bucket, COUNT(*) AS n_rows,
+         |       bit_xor(h1) AS xor1, bit_xor(h2) AS xor2,
+         |       SUM(h1 % $SumMod) AS sum1
+         |  FROM $rows GROUP BY 1""".stripMargin
+    def rowCte(rows: String) =
+      s"""SELECT h1 % $nBuckets AS bucket, h1, $colList,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM $rows WHERE h1 % $nBuckets IN (SELECT bucket FROM bad)
+         |  GROUP BY $rowGroup""".stripMargin
+    s"""WITH ra AS (
+       |  SELECT $colList, ${h("rc1|")} AS h1, ${h("rc2|")} AS h2
+       |  FROM $fromA
+       |), rb AS (
+       |  SELECT $colList, ${h("rc1|")} AS h1, ${h("rc2|")} AS h2
+       |  FROM $fromB
+       |), fa AS (
+       |  ${fpCte("ra")}
+       |), fb AS (
+       |  ${fpCte("rb")}
+       |), bad AS (
+       |  SELECT COALESCE(a.bucket, b.bucket) AS bucket
+       |  FROM fa a FULL OUTER JOIN fb b ON b.bucket = a.bucket
+       |  WHERE NOT COALESCE(a.n_rows = b.n_rows AND a.xor1 = b.xor1
+       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1, FALSE)
+       |), ga AS (
+       |  ${rowCte("ra")}
+       |), gb AS (
+       |  ${rowCte("rb")}
+       |)
+       |SELECT CASE WHEN COALESCE(ga.n, 0) > COALESCE(gb.n, 0)
+       |            THEN 'a' ELSE 'b' END AS side,
+       |       COALESCE(ga.bucket, gb.bucket) AS bucket,
+       |       ${cols.map(c => s"COALESCE(ga.$c, gb.$c) AS $c")
+                  .mkString(",\n       |       ".stripMargin)},
+       |       CAST(COALESCE(ga.n, 0) AS BIGINT) AS n_a,
+       |       CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_b
+       |FROM ga FULL OUTER JOIN gb ON gb.h1 = ga.h1
+       |WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)
+       |ORDER BY 2, ${(3 to cols.length + 2).mkString(", ")}, 1""".stripMargin
+  }
 }

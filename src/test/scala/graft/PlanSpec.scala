@@ -713,4 +713,40 @@ class PlanSpec extends SparkSuite {
         s"$name joins only bin tables and scalar totals — they broadcast:\n$plan")
     }
   }
+
+  test("x240 row diff: each side's row scan carries a BROADCAST left-semi " +
+    "join on the mismatched bucket set — never a full re-diff — and the " +
+    "only sort-merge is the row-hash full-outer match") {
+    val df = queries.Registry.queryMap("x240_row_diff")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x240 degenerated to all-pairs:\n$plan")
+    val bhjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhjs.count(j => j.joinType.sql == "LEFT SEMI" &&
+      j.buildSide.toString == "BuildRight") >= 2,
+      "both sides must semi-join the broadcast bucket set before any " +
+        s"row-level grouping:\n$plan")
+    val smjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
+      "the only sort-merge allowed is the bucket-filtered row-hash " +
+        s"full-outer compare:\n$plan")
+  }
+
+  test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
+    "the verdict join touches only (group x bucket)-bounded tables") {
+    val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x241 degenerated to all-pairs:\n$plan")
+    val smjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
+      "the only sort-merge allowed is the bounded fingerprint-vs-" +
+        s"fingerprint full-outer compare:\n$plan")
+  }
 }
