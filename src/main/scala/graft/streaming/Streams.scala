@@ -1071,40 +1071,52 @@ object Streams {
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
   }
 
+  /** The shared skeleton of the ADDITIVE foreachBatch sinks: pre-reduce
+    * the micro-batch to its bounded state rows (`toState`), fold them
+    * into the live table (`merge` — associative, so any batch order
+    * converges), and swap-commit with the folded batchId riding in the
+    * same atomic rename. Empty batches are no-ops (sibling-sink
+    * convention) and an already-committed batchId is skipped — the
+    * replay guard that makes addition idempotent under at-least-once
+    * delivery. Returns true iff the batch was applied. */
+  private def additiveFold(spark: SparkSession, batch: DataFrame,
+      batchId: Long, tablePath: String, sink: String)(
+      toState: DataFrame => DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    if (batch.isEmpty) return false
+    val committed = readLivePath(fs, tablePath).flatMap(readBatchMarker(fs, _))
+    if (committed.exists(_ >= batchId)) return false
+    val part = toState(batch)
+    val merged = readLivePath(fs, tablePath) match {
+      case Some(live) => merge(spark.read.parquet(live), part)
+      case None => part
+    }
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tablePath + "_tmp")
+    writeBatchMarker(fs, tablePath + "_tmp", batchId)
+    commitSwap(fs, tablePath, sink)
+    true
+  }
+
   /** One fold step of [[cmsGridStream]], factored out so the replay
     * contract is directly testable: folding the same (batch, batchId)
     * twice must be a no-op the second time. Returns true iff the batch
     * was applied (false = replay skipped). */
   private[graft] def cmsGridFold(spark: SparkSession, batch: DataFrame,
-      batchId: Long, tablePath: String, depth: Int, width: Int): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    // Sibling-sink convention: an idle micro-batch must not rewrite the
-    // table (and must never commit an empty grid before real data).
-    if (batch.isEmpty) return false
-    // Replay guard: at-least-once redelivery of an already-folded batch
-    // (same batchId) is skipped, making the additive fold idempotent.
-    val committed = readLivePath(fs, tablePath).flatMap(readBatchMarker(fs, _))
-    if (committed.exists(_ >= batchId)) return false
-    // Pre-reduce: the batch collapses to <= depth*width rows HERE,
-    // before any state machinery sees it.
-    val grid = batch
-      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width)
-        .as("hc"))
-      .groupBy(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
-      .agg(count(lit(1)).as("c"))
-    val merged = readLivePath(fs, tablePath) match {
-      case Some(live) => spark.read.parquet(live).unionByName(grid)
-        .groupBy("h", "cell").agg(sum(col("c")).as("c"))
-      case None => grid
+      batchId: Long, tablePath: String, depth: Int, width: Int): Boolean =
+    additiveFold(spark, batch, batchId, tablePath, "cmsGridStream") { b =>
+      // Pre-reduce: the batch collapses to <= depth*width rows HERE,
+      // before any state machinery sees it.
+      b.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(graft.ext.TextAnalysis.cmsCells(col("tok"), depth, width)
+          .as("hc"))
+        .groupBy(col("hc.h").as("h"), col("hc.cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("c"))
+    } { (live, grid) =>
+      live.unionByName(grid).groupBy("h", "cell").agg(sum(col("c")).as("c"))
     }
-    merged.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tablePath + "_tmp")
-    writeBatchMarker(fs, tablePath + "_tmp", batchId)
-    commitSwap(fs, tablePath, "cmsGridStream")
-    true
-  }
 
   /** The [[cmsTokenStream]] scaladoc's production shape, executable: a
     * foreachBatch pipeline that PRE-REDUCES each micro-batch to its
@@ -1136,6 +1148,66 @@ object Streams {
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cmsGridFold(spark, batch, batchId, tablePath, depth, width)
+        ()
+      }
+      .start()
+  }
+
+  /** One fold step of [[checksumSink]], factored out so the replay
+    * contract is directly testable (the [[cmsGridFold]] convention).
+    * Each micro-batch pre-reduces to its own [[graft.ops.Reconcile]]
+    * fingerprint (≤ nBuckets rows regardless of batch volume) and folds
+    * into the live table by the accumulators' own algebra: counts and
+    * modular-sum terms ADD, the two XOR accumulators XOR — all
+    * associative and order-free, so after any prefix of micro-batches
+    * the table equals [[graft.ops.Reconcile.tableChecksum]] of every
+    * row ingested, bit for bit. (The batch `sum1` is a plain BIGINT sum
+    * of pre-reduced terms < 2³⁰, NOT re-reduced mod p, so the stream
+    * adds raw — identical overflow envelope, ~8.5e9 rows per bucket.) */
+  private[graft] def checksumFold(spark: SparkSession, batch: DataFrame,
+      batchId: Long, tablePath: String, cols: Seq[String],
+      nBuckets: Int): Boolean =
+    additiveFold(spark, batch, batchId, tablePath, "checksumSink") { b =>
+      graft.ops.Reconcile.tableChecksum(b, cols, nBuckets)
+    } { (live, fp) =>
+      live.unionByName(fp).groupBy("bucket")
+        .agg(sum(col("n_rows")).as("n_rows"),
+          expr("bit_xor(xor1)").as("xor1"),
+          expr("bit_xor(xor2)").as("xor2"),
+          sum(col("sum1")).as("sum1"))
+    }
+
+  /** Streaming reconciliation fingerprint — the continuously-maintained
+    * twin of [[graft.ops.Reconcile.tableChecksum]] (x234) and the shape
+    * a CDC-fed warehouse team actually runs: every micro-batch of
+    * ingested rows folds into a persistent ≤ nBuckets-row fingerprint
+    * table, so "does the replica still equal everything we ever shipped
+    * it?" is answerable at ANY moment by handing this table and the
+    * replica's batch fingerprint to [[graft.ops.Reconcile.checksumDiff]]
+    * — no re-scan of the source side, whose rows may long since be gone
+    * from the feed. A mismatch then localizes (x239) and drills to rows
+    * (x240) on the replica alone.
+    *
+    * Kernel sharing: the per-batch fingerprint IS `tableChecksum` — same
+    * canonicalization, same salted hashes, same accumulators — and the
+    * fold is the accumulators' own associative algebra, so
+    * stream-vs-batch equality is exact, not approximate (StreamingSpec
+    * pins it). State is ≤ nBuckets rows FOREVER; the fold ships ≤
+    * nBuckets rows per batch no matter the feed rate. Replay-safe via
+    * the committed-batchId guard ([[writeBatchMarker]]): at-least-once
+    * redelivery cannot double-fold a batch (StreamingSpec pins the
+    * skip), unlike a bare additive counter.
+    */
+  def checksumSink(spark: SparkSession, rows: DataFrame, cols: Seq[String],
+      tablePath: String, nBuckets: Int = 64,
+      queryName: String = "checksum_fp"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cols.nonEmpty, "at least one column")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"unreasonable bucket count $nBuckets")
+    rows.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        checksumFold(spark, batch, batchId, tablePath, cols, nBuckets)
         ()
       }
       .start()

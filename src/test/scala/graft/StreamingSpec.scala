@@ -852,6 +852,63 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checksum sink: the persistent fingerprint equals the batch " +
+    "tableChecksum of everything ingested, bit for bit; replay and " +
+    "empty batches are no-ops") {
+    implicit val sc = spark.sqlContext
+    val cols = Seq("id", "src", "v")
+    val nBuckets = 8
+    def row(i: Long) =
+      (i, s"s${i % 3}", if (i % 11 == 0) null else s"v$i")
+    val all = (0L until 80L).map(row)
+    val (b1, b2) = all.splitAt(40)
+    val dir = java.nio.file.Files.createTempDirectory("cksink").toString
+    val tablePath = s"$dir/fp.parquet"
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "src", "v")
+    def fpMap(fp: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long, Long)] =
+      fp.as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def state() = fpMap(spark.read.parquet(tablePath))
+    def batchFp(rows: Seq[(Long, String, String)]) =
+      fpMap(graft.ops.Reconcile.tableChecksum(df(rows), cols, nBuckets))
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.checksumSink(spark,
+      src.toDF().toDF("id", "src", "v"), cols, tablePath, nBuckets)
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      assert(state() === batchFp(b1),
+        "after batch 1 the table must equal the batch fingerprint of b1")
+      src.addData(b2: _*); q.processAllAvailable()
+      assert(state() === batchFp(all),
+        "the accumulators' own algebra (add/xor/add) must reproduce the " +
+          "batch fingerprint of everything ingested")
+      assert(state().size <= nBuckets, "state is nBuckets-bounded forever")
+      // The operational loop: the streamed fingerprint hands straight to
+      // checksumDiff against a replica's batch fingerprint — all green
+      // when the replica holds exactly what was ingested.
+      val diff = graft.ops.Reconcile.checksumDiff(
+        spark.read.parquet(tablePath),
+        graft.ops.Reconcile.tableChecksum(df(all), cols, nBuckets))
+      assert(diff.collect().forall(_.getAs[Boolean]("bucket_match")),
+        "stream-maintained vs batch fingerprint must reconcile green")
+      // Replay idempotence (the additive-fold contract): a committed
+      // batchId is skipped, an empty batch is a no-op, a new id applies.
+      val before = state()
+      assert(!Streams.checksumFold(spark, df(b1), 0L, tablePath, cols,
+        nBuckets), "replayed batchId must be skipped")
+      assert(state() === before)
+      assert(!Streams.checksumFold(spark,
+        df(Seq.empty), 99L, tablePath, cols, nBuckets),
+        "empty batch must be a no-op")
+      assert(state() === before)
+      assert(Streams.checksumFold(spark, df(b1), 2L, tablePath, cols,
+        nBuckets), "a new batchId must apply")
+      assert(state() === batchFp(all ++ b1),
+        "a genuinely new batch folds in by the same algebra")
+    } finally q.stop()
+  }
+
   test("histogram stream: every micro-batch prefix equals the batch " +
     "histogram against the pinned bounds; out-of-range values clamp") {
     implicit val sc = spark.sqlContext
