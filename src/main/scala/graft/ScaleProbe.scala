@@ -113,7 +113,17 @@ object ScaleProbe {
     "x238_dup_rate_wilson",
     // x239: two x234-shaped scans + a 64-row full-outer compare — only
     // the row-hash scans grow.
-    "x239_checksum_diff")
+    "x239_checksum_diff",
+    // x240 (round 15): two fingerprint scans plus the bucket-filtered
+    // row regroup. Duplication re-keys doc_id, so the corrupted-row
+    // population grows ~N× and the mismatched bucket set SATURATES to
+    // all nBuckets — the semi-join prunes nothing and the probe times
+    // the drill-down's worst case: a full per-row regroup of both
+    // sides. Must stay a linear keyed-aggregate scan even then.
+    "x240_row_diff",
+    // x241 (round 15): two (source × 16)-bounded grouped fingerprint
+    // scans + a bounded verdict join — only the row-hash scans grow.
+    "x241_checksum_diff_by_group")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",
@@ -134,6 +144,16 @@ object ScaleProbe {
     * n·log n at worst, never quadratically. */
   val eventProbeNames: Seq[String] = Seq("x15_sessionization",
     "x64_rolling_wau", "x31_asof_attribution", "x141_asof_forward")
+
+  /** Fact-table probes (lineitem/orders) — round-15 directive: x236
+    * reads the FACT tables, so the documents-duplication matrix never
+    * exercised it and its scale statement was a cost-shape note only.
+    * Replicas re-key BOTH sides' orderkey by the same stride, so each
+    * replica joins within itself: the distinct-key domain grows N× —
+    * the worst case for the per-key md5 sign projection and for the
+    * gate-only exact Σ cnt_L·cnt_R audit join — while the 96-counter
+    * sketch state and the 96-row estimate algebra stay constant. */
+  val factProbeNames: Seq[String] = Seq("x236_ams_join_estimate")
 
   /** Graph-family probes (round-10 directive: the heaviest standing
     * family — PageRank trio / k-core / modularity / BFS, ~25 s of the
@@ -196,6 +216,7 @@ object ScaleProbe {
     val embProbes = selected(embProbeNames)
     val eventProbes = selected(eventProbeNames)
     val graphProbes = selected(graphProbeNames)
+    val factProbes = selected(factProbeNames)
 
     // Replica re-key stride: 1L<<40 puts every replica's id range far
     // above any real id (the generator's ids are dense from 0), so
@@ -219,7 +240,9 @@ object ScaleProbe {
     Seq(
       "documents" -> probes.nonEmpty,
       "embeddings" -> (embProbes.nonEmpty || graphProbes.nonEmpty),
-      "events" -> eventProbes.nonEmpty
+      "events" -> eventProbes.nonEmpty,
+      "lineitem" -> factProbes.nonEmpty,
+      "orders" -> factProbes.nonEmpty
     ).collect { case (t, written) if !written =>
       localFs.delete(new org.apache.hadoop.fs.Path(s"$dupDir/$t.parquet"), true)
     }
@@ -251,6 +274,26 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dupDir/events.parquet")
     }
 
+    // Fact tables: BOTH sides' orderkey shifts by the same replica
+    // stride, so each replica joins within itself — the key domain
+    // grows N×, per-key counts stay constant.
+    if (factProbes.nonEmpty) {
+      val li = io.Tables(spark, base).lineitem
+      (0 until mult)
+        .map(i => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i.toLong * stride)))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dupDir/lineitem.parquet")
+      val ord = io.Tables(spark, base).orders
+      (0 until mult)
+        .map(i => ord.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i.toLong * stride)))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dupDir/orders.parquet")
+    }
+
     def timeQ(name: String, dir: String): Double = {
       graft.ext.Dedup.clearCaches(spark)
       graft.ext.Similarity.clearCaches(spark)
@@ -268,7 +311,7 @@ object ScaleProbe {
       timeQ(name, dir)
       Seq.fill(3)(timeQ(name, dir)).sorted.apply(1)
     }
-    (probes ++ embProbes ++ eventProbes ++ graphProbes)
+    (probes ++ embProbes ++ eventProbes ++ graphProbes ++ factProbes)
       .foreach { q =>
       val t1 = medQ(q, base)
       val tN = medQ(q, dupDir)

@@ -27,7 +27,8 @@ class RegistrySpec extends SparkSuite {
     // References ScaleProbe's OWN constants (round-9 advice): a probe
     // list edit is guarded automatically instead of via a stale copy.
     val probes = ScaleProbe.probeNames ++ ScaleProbe.embProbeNames ++
-      ScaleProbe.eventProbeNames ++ ScaleProbe.graphProbeNames
+      ScaleProbe.eventProbeNames ++ ScaleProbe.graphProbeNames ++
+      ScaleProbe.factProbeNames
     assert(probes.size >= 23, "probe list shrank unexpectedly")
     val missing = probes.filterNot(Registry.queryMap.contains)
     assert(missing.isEmpty, s"probe names drifted from the registry: $missing")
