@@ -123,7 +123,15 @@ object ScaleProbe {
     "x240_row_diff",
     // x241 (round 15): two (source × 16)-bounded grouped fingerprint
     // scans + a bounded verdict join — only the row-hash scans grow.
-    "x241_checksum_diff_by_group")
+    "x241_checksum_diff_by_group",
+    // x242 (round 15): two bucket-bounded fingerprint aggregations +
+    // a 2×nBuckets-row fold — only the row-hash scans grow.
+    "x242_checksum_incremental",
+    // x243 (round 15): the (shard × vocab) count table is constant
+    // under byte-identical duplication (only counts grow), so the rank
+    // window, compress, merge, and every audit join cost the same —
+    // only the token scan grows.
+    "x243_mg_merge_audit")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

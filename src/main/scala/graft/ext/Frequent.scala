@@ -287,4 +287,82 @@ object Frequent {
           round(abs(round(col("f2_est"), 6) - col("f2_exact").cast("double"))
             / col("f2_exact").cast("double"), 6)).as("rel_error"))
   }
+
+  /** Misra–Gries shard-merge audit — the mergeable-summary family's
+    * APPROXIMATE member (Agarwal et al. 2013, "Mergeable Summaries"):
+    * unlike the exactness audits (MinHash/HLL/KMV/AMS/CMS/Bloom/
+    * histogram, all n_mismatch = 0), a merged MG summary is NOT equal
+    * to the direct one — its contract is a provable ERROR BOUND, and
+    * that bound is what this audit verifies, term for term.
+    *
+    * Per shard (doc_id mod nShards): exact in-shard counts, then the
+    * deterministic offline k-counter compress — subtract the
+    * (k+1)-largest count s_{k+1} from every count and keep the ≤ k
+    * strictly-positive survivors. The compress introduces ≤ s_{k+1}
+    * underestimate per key, and the MG pigeonhole gives (k+1)·s_{k+1}
+    * ≤ N_shard. Merged summary = per-key SUM of shard summaries (≤
+    * nShards·k rows). Three theorems become contract columns:
+    * m_est ≤ exact always (n_bound_violations counts m_est > exact OR
+    * underestimate > Σ s_{k+1} — must be 0); any key with exact count
+    * > Σ s_{k+1} MUST survive the merge (n_missed_heavy = 0); and
+    * Σ s_{k+1} ≤ N/(k+1) (eps_within_bound — the merged summary's
+    * error budget obeys the single-stream bound). Ranking ties break
+    * on the token itself, so both engines compress identically.
+    *
+    * Scale shape: one (shard × vocab) count aggregate, a per-shard
+    * rank window over that Heaps-bounded table (never over rows), the
+    * nShards-row s_{k+1} table broadcast back, and a ≤ nShards·k-row
+    * merge; the exact corpus recount is the gate-only audit (the cost
+    * the summary exists to avoid — at 100 TB each shard ships k
+    * counters and the coordinator adds them).
+    */
+  def mgMergeAudit(docs: DataFrame, nShards: Int = 8,
+      k: Int = 64): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    require(k >= 1 && k <= 65536, s"unreasonable counter budget $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val shardCounts = toks.groupBy("shard", "tok").agg(count(lit(1)).as("c"))
+    val ranked = shardCounts.withColumn("rnk", row_number().over(
+      Window.partitionBy("shard").orderBy(col("c").desc, col("tok").asc)))
+    val sk1 = ranked.groupBy("shard")
+      .agg(coalesce(max(when(col("rnk") === k + 1, col("c"))), lit(0L))
+        .as("sk1"))
+    val summary = ranked.join(broadcast(sk1), Seq("shard"))
+      .filter(col("rnk") <= k && col("c") - col("sk1") > 0L)
+      .select(col("tok"), (col("c") - col("sk1")).as("s"))
+    val merged = summary.groupBy("tok").agg(sum(col("s")).as("m_est"))
+    val eps = sk1.agg(sum(col("sk1")).as("eps_budget"))
+    val total = shardCounts.agg(sum(col("c")).as("n_tokens"))
+    val exact = shardCounts.groupBy("tok").agg(sum(col("c")).as("c_exact"))
+    // ONE audit pass: the vocab-sized exact table streams once past the
+    // BROADCAST merged summary (left outer, BuildRight) — membership,
+    // bound, and missed-heavy checks fold into a single aggregation,
+    // with eps_budget riding through it so no branch re-expands the
+    // window subtree a second time.
+    val audit = exact.join(broadcast(merged), Seq("tok"), "left")
+      .crossJoin(broadcast(eps))
+      .agg(
+        coalesce(sum(when(col("m_est").isNotNull, lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("n_summary"),
+        max(col("eps_budget")).as("eps_budget"),
+        coalesce(max(when(col("m_est").isNotNull,
+          col("c_exact") - col("m_est"))), lit(0L)).as("max_underestimate"),
+        coalesce(sum(when(col("m_est").isNotNull &&
+          (col("m_est") > col("c_exact") ||
+            col("c_exact") - col("m_est") > col("eps_budget")), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("n_bound_violations"),
+        coalesce(sum(when(col("m_est").isNull &&
+          col("c_exact") > col("eps_budget"), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("n_missed_heavy"))
+    total.crossJoin(broadcast(audit))
+      .select(lit(nShards.toLong).as("n_shards"), lit(k.toLong).as("k"),
+        col("n_tokens"), col("n_summary"), col("eps_budget"),
+        (col("eps_budget") * lit((k + 1).toLong) <= col("n_tokens"))
+          .as("eps_within_bound"),
+        col("max_underestimate"), col("n_bound_violations"),
+        col("n_missed_heavy"))
+  }
 }

@@ -131,6 +131,37 @@ object Reconcile {
       .orderBy("bucket")
   }
 
+  /** The fingerprint accumulators' own merge algebra — ONE definition,
+    * shared by [[checksumIncremental]] and the streaming
+    * [[graft.streaming.Streams.checksumSink]]: counts and modular-sum
+    * terms ADD, the two XOR accumulators XOR. All three operations are
+    * associative and commutative, so any shard/batch order converges to
+    * the same fingerprint. (The batch `sum1` is a plain BIGINT sum of
+    * pre-reduced terms < 2³⁰, NOT re-reduced mod p — adding raw keeps
+    * the identical overflow envelope, ~8.5e9 rows per bucket.) */
+  private[graft] def mergeChecksums(parts: DataFrame): DataFrame =
+    parts.groupBy("bucket")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        expr("bit_xor(xor1)").as("xor1"),
+        expr("bit_xor(xor2)").as("xor2"),
+        sum(col("sum1")).as("sum1"))
+
+  /** Incremental fingerprint maintenance — the x132/x139/x229
+    * convention applied to the reconciliation family: the fingerprint
+    * of (base ∪ delta) computed by FOLDING the two tables' own
+    * fingerprints ([[mergeChecksums]]) rather than re-scanning base.
+    * The gate hash-matches the full-recompute oracle VERBATIM, proving
+    * the fold exact cross-engine — which is what lets a 100 TB
+    * warehouse maintain its parity fingerprint by pricing only the
+    * day's delta partition, and is the batch proof of the streaming
+    * sink's convergence claim. */
+  def checksumIncremental(base: DataFrame, delta: DataFrame,
+      cols: Seq[String], nBuckets: Int = 64): DataFrame =
+    mergeChecksums(
+      tableChecksum(base, cols, nBuckets)
+        .unionByName(tableChecksum(delta, cols, nBuckets)))
+      .orderBy("bucket")
+
   /** Compare two grouped fingerprints ([[tableChecksumByGroup]] outputs
     * keyed on the same groupCol/cols/nBuckets): one verdict row per
     * (group, bucket) present on either side — the feed-grain

@@ -16,6 +16,12 @@ import org.apache.spark.sql.DataFrame
   * row is touched). Both gates replay x239's deterministically
   * corrupted copy (every 97th document's text suffixed) so the three
   * operators' verdicts corroborate one another on the same scenario.
+  * x242 proves the fingerprint's incremental-maintenance claim (the
+  * base+delta fold hash-matches the full recompute's oracle verbatim —
+  * the x132/x139/x229 convention, and the batch proof of the streaming
+  * checksumSink), and x243 adds the mergeable-summary family's
+  * APPROXIMATE member: the Misra–Gries shard-merge whose contract is
+  * the Agarwal-et-al error bound rather than bit equality.
   */
 object Batch15 {
 
@@ -74,6 +80,93 @@ object Batch15 {
           |        CASE WHEN doc_id % 97 = 0 THEN text || ' CORRUPTED'
           |             ELSE text END AS text
           |      FROM documents)""".stripMargin,
-        "source", Seq("doc_id", "lang", "n_chars", "text"))))
+        "source", Seq("doc_id", "lang", "n_chars", "text")))),
+
+    // Incremental checksum maintenance (Reconcile.checksumIncremental):
+    // the x132/x139/x229 convention applied to the reconciliation
+    // family — the fingerprint of base ∪ delta computed by FOLDING the
+    // two fingerprints (counts/modular sums add, XORs xor) must
+    // hash-match the full recompute's oracle VERBATIM. This is the
+    // batch proof of the streaming checksumSink's convergence claim,
+    // and what lets a warehouse maintain its parity fingerprint by
+    // pricing only the day's delta partition.
+    QueryDef(
+      "x242_checksum_incremental",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        graft.ops.Reconcile.checksumIncremental(
+          d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+          d.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+          DiffCols)
+      },
+      // The FULL-recompute oracle, verbatim x234 shape over the whole
+      // table — equality proves the fold associative cross-engine.
+      Some(graft.ops.Reconcile.oracleSql("documents", DiffCols)
+        + "\nORDER BY 1")),
+
+    // Misra–Gries shard-merge audit (Frequent.mgMergeAudit): the
+    // mergeable-summary family's APPROXIMATE member — merged shard
+    // summaries are NOT bit-equal to the direct one; the contract is
+    // the Agarwal-et-al error bound, verified term for term
+    // (n_bound_violations = 0, n_missed_heavy = 0, eps_within_bound).
+    QueryDef(
+      "x243_mg_merge_audit",
+      (s, dir) => graft.ext.Frequent.mgMergeAudit(
+        Tables(s, dir).documents, nShards = 8, k = 8),
+      Some(
+        raw"""WITH tk AS (
+             |  SELECT doc_id % 8 AS shard,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |), sc AS (
+             |  SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tk GROUP BY 1, 2
+             |), rk AS (
+             |  SELECT shard, tok, c,
+             |         row_number() OVER (PARTITION BY shard
+             |                            ORDER BY c DESC, tok) AS rnk
+             |  FROM sc
+             |), s1 AS (
+             |  SELECT shard,
+             |         CAST(COALESCE(MAX(CASE WHEN rnk = 9 THEN c END), 0)
+             |              AS BIGINT) AS sk1
+             |  FROM rk GROUP BY 1
+             |), summ AS (
+             |  SELECT r.tok, r.c - s.sk1 AS s
+             |  FROM rk r JOIN s1 s USING (shard)
+             |  WHERE r.rnk <= 8 AND r.c - s.sk1 > 0
+             |), mg AS (
+             |  SELECT tok, CAST(SUM(s) AS BIGINT) AS m_est
+             |  FROM summ GROUP BY 1
+             |), eps AS (
+             |  SELECT CAST(SUM(sk1) AS BIGINT) AS eps_budget FROM s1
+             |), tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk
+             |), ex AS (
+             |  SELECT tok, CAST(SUM(c) AS BIGINT) AS c_exact
+             |  FROM sc GROUP BY 1
+             |), est AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_summary,
+             |         CAST(COALESCE(MAX(e.c_exact - m.m_est), 0) AS BIGINT)
+             |           AS max_underestimate,
+             |         CAST(COALESCE(SUM(CASE WHEN m.m_est > e.c_exact
+             |                OR e.c_exact - m.m_est > p.eps_budget
+             |                THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |           AS n_bound_violations
+             |  FROM ex e JOIN mg m USING (tok) CROSS JOIN eps p
+             |), msd AS (
+             |  SELECT CAST(COALESCE(SUM(CASE WHEN e.c_exact > p.eps_budget
+             |                THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |           AS n_missed_heavy
+             |  FROM (SELECT e.tok, e.c_exact FROM ex e
+             |        ANTI JOIN mg m USING (tok)) e
+             |  CROSS JOIN eps p
+             |)
+             |SELECT CAST(8 AS BIGINT) AS n_shards, CAST(8 AS BIGINT) AS k,
+             |       t.n_tokens, est.n_summary, p.eps_budget,
+             |       (p.eps_budget * 9 <= t.n_tokens) AS eps_within_bound,
+             |       est.max_underestimate, est.n_bound_violations,
+             |       msd.n_missed_heavy
+             |FROM tot t CROSS JOIN eps p CROSS JOIN est CROSS JOIN msd""".stripMargin))
   )
 }

@@ -1170,11 +1170,8 @@ object Streams {
     additiveFold(spark, batch, batchId, tablePath, "checksumSink") { b =>
       graft.ops.Reconcile.tableChecksum(b, cols, nBuckets)
     } { (live, fp) =>
-      live.unionByName(fp).groupBy("bucket")
-        .agg(sum(col("n_rows")).as("n_rows"),
-          expr("bit_xor(xor1)").as("xor1"),
-          expr("bit_xor(xor2)").as("xor2"),
-          sum(col("sum1")).as("sum1"))
+      // ONE merge definition for batch-incremental and streaming folds.
+      graft.ops.Reconcile.mergeChecksums(live.unionByName(fp))
     }
 
   /** Streaming reconciliation fingerprint — the continuously-maintained

@@ -60,6 +60,56 @@ class Batch15Spec extends SparkSuite {
       "(1, NULL) and (1, '') must not collide")
   }
 
+  test("checksumIncremental: the base+delta fold equals the full " +
+    "fingerprint bit for bit, for disjoint splits, duplicated rows, " +
+    "and an empty delta") {
+    val rows = (0L until 60L).map(i =>
+      (i, if (i % 7 == 0) null else s"v${i % 13}")) // dup values + NULLs
+    val all = rows.toDF("id", "v")
+    val cols = Seq("id", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Reconcile.tableChecksum(df, cols, nBuckets = 8)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val base = all.filter(col("id") % 3 =!= 0L)
+    val delta = all.filter(col("id") % 3 === 0L)
+    assert(graft.ops.Reconcile.checksumIncremental(base, delta, cols, 8)
+      .collect().map(_.toSeq).toSeq === fp(all),
+      "fold of a disjoint split must equal the full fingerprint")
+    // Multiset semantics: folding the SAME rows again must equal the
+    // fingerprint of the doubled table, not collapse to the original.
+    assert(graft.ops.Reconcile.checksumIncremental(all, all, cols, 8)
+      .collect().map(_.toSeq).toSeq === fp(all.unionByName(all)),
+      "the fold is multiset addition, not set union")
+    assert(graft.ops.Reconcile.checksumIncremental(all, all.limit(0), cols, 8)
+      .collect().map(_.toSeq).toSeq === fp(all),
+      "an empty delta is the identity of the fold")
+  }
+
+  test("mgMergeAudit: the merged summary obeys every Agarwal-et-al " +
+    "bound on a skewed stream that genuinely compresses") {
+    // 3 heavy tokens (spread across all shards) + a long tail: with
+    // k=4 counters every shard must evict, so eps_budget > 0 and the
+    // audit exercises real compression, not the degenerate exact case.
+    val docs = (0L until 64L).map { i =>
+      val heavy = s"h${i % 3} " * 6
+      val tail = s"t${i % 29} u${(i * 7) % 31}"
+      (i, s"s${i % 2}", heavy + tail)
+    }.toDF("doc_id", "source", "text")
+    val r = graft.ext.Frequent.mgMergeAudit(docs, nShards = 4, k = 4)
+      .collect()(0)
+    assert(r.getAs[Long]("eps_budget") > 0L,
+      "the fixture must force real compression")
+    assert(r.getAs[Boolean]("eps_within_bound"),
+      "sum of per-shard s_(k+1) must obey the N/(k+1) pigeonhole")
+    assert(r.getAs[Long]("n_bound_violations") == 0L,
+      "every merged estimate must sit in [exact - eps, exact]")
+    assert(r.getAs[Long]("n_missed_heavy") == 0L,
+      "any token heavier than the error budget must survive the merge")
+    assert(r.getAs[Long]("n_summary") <= 4L * 4L,
+      "the merged summary is nShards*k-bounded")
+    assert(r.getAs[Long]("max_underestimate") <= r.getAs[Long]("eps_budget"))
+  }
+
   test("checksumDiffByGroup: divergence localizes to the corrupted " +
     "group only; NULL group keys reconcile null-safely") {
     val a = Seq((1L, "f1", "x"), (2L, "f1", "y"), (3L, "f2", "z"),

@@ -736,6 +736,45 @@ class PlanSpec extends SparkSuite {
         s"full-outer compare:\n$plan")
   }
 
+  test("x242 incremental checksum: a pure aggregation pipeline — zero " +
+    "joins, zero windows (the fold is union + re-aggregate)") {
+    val df = queries.Registry.queryMap("x242_checksum_incremental")(spark, Sf)
+    assert(joinNodes(df).isEmpty,
+      "the fold must be keyed aggregates only:\n" +
+        df.queryExecution.executedPlan.toString)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty)
+  }
+
+  test("x243 MG merge audit: the rank window runs over the Heaps-bounded " +
+    "shard count table, every stitch broadcasts, no all-pairs") {
+    val df = queries.Registry.queryMap("x243_mg_merge_audit")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x243 degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "x243 joins only the broadcast s_(k+1)/summary/scalar tables — " +
+        s"something vocab-sized stopped broadcasting:\n$plan")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // The ranked count table feeds three consumers (eps, s_(k+1) inside
+    // the summary, the summary itself), so the plan re-instantiates the
+    // rank window per branch — every instance must partition by shard
+    // (i.e. run over the Heaps-bounded count table, never over rows),
+    // and the summary branch's rnk <= k filter must have become a
+    // WindowGroupLimit (top-k pushed INTO the window, never a full
+    // sort-then-filter of the vocab table).
+    assert(windows.nonEmpty && windows.size <= 3,
+      "rank windows only over the (shard x vocab) count table")
+    assert(windows.forall(_.partitionSpec.map(_.sql).forall(_.contains("shard"))),
+      s"every window must partition by shard:\n$plan")
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "the rnk <= k branch must push the limit into the window")
+  }
+
   test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
     "the verdict join touches only (group x bucket)-bounded tables") {
     val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)
