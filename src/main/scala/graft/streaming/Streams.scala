@@ -1014,7 +1014,9 @@ object Streams {
     * (one bounded aggregation, the x228 merge shape) and folds those ≤
     * depth·width rows into a persistent grid — that shape is
     * [[cmsGridStream]], executable and StreamingSpec-pinned to the same
-    * state contract.
+    * state contract — and, unlike this keyed-state twin, made
+    * replay-idempotent by the committed-batchId guard (an additive
+    * fold has no engine-managed exactly-once state to lean on).
     */
   def cmsTokenStream(spark: SparkSession, docs: DataFrame,
       depth: Int = 4, width: Int = 256): Dataset[CmsCellUpdate] = {
