@@ -131,7 +131,13 @@ object ScaleProbe {
     // under byte-identical duplication (only counts grow), so the rank
     // window, compress, merge, and every audit join cost the same —
     // only the token scan grows.
-    "x243_mg_merge_audit")
+    "x243_mg_merge_audit",
+    // x244 (round 15): the full repair roundtrip — like x240 the
+    // mismatched bucket set saturates under duplication, so the diff,
+    // the broadcast repair plan, the renumber window (plan-bounded
+    // groups), and both re-fingerprints see their worst case; the
+    // pass-through anti-join and every scan must stay row-linear.
+    "x244_repair_roundtrip")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

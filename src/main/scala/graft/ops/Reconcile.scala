@@ -236,6 +236,41 @@ object Reconcile {
       .orderBy(col("bucket") +: cols.map(col) :+ col("side"): _*)
   }
 
+  /** Executable repair — the final step of the reconciliation loop
+    * (fingerprint → localize → drill → REPAIR → re-verify): apply a
+    * [[rowDiff]] plan to the divergent side so it becomes multiset-equal
+    * to the reference side. Per planned row hash the target multiplicity
+    * is `n_a`: surplus copies are dropped (any copies — they are
+    * byte-identical by construction, so which ones is immaterial) and
+    * missing copies are replicated from the diff's own carried row.
+    *
+    * Scale shape: the plan is bounded by the divergence size, so it
+    * BROADCASTS; untouched rows pass through an anti-join with no
+    * window; only the planned row-hash groups are renumbered (a window
+    * over plan-bounded rows). Equal tables repair to themselves with
+    * zero row-level work. */
+  def applyRepair(b: DataFrame, diff: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val canon = canonical(cols)
+    val h = rowHash(canon, "rc1|")
+    val plan = diff.select(h.as("rh"), col("n_a").as("keep_n"), col("n_b"))
+    val bk = b.select(cols.map(col) :+ h.as("rh"): _*)
+    val untouched = bk
+      .join(broadcast(plan.select("rh")), Seq("rh"), "left_anti")
+      .select(cols.map(col): _*)
+    val touchedKept = bk.join(broadcast(plan), Seq("rh"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("rh").orderBy("rh")))
+      .filter(col("rn") <= col("keep_n"))
+      .select(cols.map(col): _*)
+    val inserts = diff.filter(col("n_a") > col("n_b"))
+      .withColumn("_i", explode(sequence(lit(1L), col("n_a") - col("n_b"))))
+      .select(cols.map(col): _*)
+    untouched.unionByName(touchedKept).unionByName(inserts)
+  }
+
   /** The shared fingerprint CTE pair for the oracle builders: a hashed
     * rows CTE and its bucket-grouped fingerprint, with suffixed names so
     * two sides can coexist in one WITH clause. */
@@ -346,5 +381,84 @@ object Reconcile {
        |FROM ga FULL OUTER JOIN gb ON gb.h1 = ga.h1
        |WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)
        |ORDER BY 2, ${(3 to cols.length + 2).mkString(", ")}, 1""".stripMargin
+  }
+
+  /** The DuckDB twin of the full repair roundtrip (x244's gate): diff →
+    * repair applied on the hash plane (the repaired fingerprint needs
+    * only (h1, h2) pairs, and surplus copies are byte-identical, so
+    * which copies are kept is immaterial) → re-fingerprint → verdicts.
+    * Output: one row of (n_inserts, n_deletes, n_buckets, n_matched,
+    * repaired_ok). */
+  def repairRoundtripOracleSql(fromA: String, fromB: String,
+      cols: Seq[String], nBuckets: Int = 64): String = {
+    val canon = cols.map(c =>
+      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
+      .mkString(s" || chr(1) || ")
+    def h(salt: String) =
+      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+    def fpCte(rows: String) =
+      s"""SELECT h1 % $nBuckets AS bucket, COUNT(*) AS n_rows,
+         |       bit_xor(h1) AS xor1, bit_xor(h2) AS xor2,
+         |       SUM(h1 % $SumMod) AS sum1
+         |  FROM $rows GROUP BY 1""".stripMargin
+    def hashCte(rows: String) =
+      s"""SELECT h1, MAX(h2) AS h2, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM $rows WHERE h1 % $nBuckets IN (SELECT bucket FROM bad)
+         |  GROUP BY 1""".stripMargin
+    s"""WITH ra AS (
+       |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $fromA
+       |), rb AS (
+       |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $fromB
+       |), fa AS (
+       |  ${fpCte("ra")}
+       |), fb AS (
+       |  ${fpCte("rb")}
+       |), bad AS (
+       |  SELECT COALESCE(a.bucket, b.bucket) AS bucket
+       |  FROM fa a FULL OUTER JOIN fb b ON b.bucket = a.bucket
+       |  WHERE NOT COALESCE(a.n_rows = b.n_rows AND a.xor1 = b.xor1
+       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1, FALSE)
+       |), ga AS (
+       |  ${hashCte("ra")}
+       |), gb AS (
+       |  ${hashCte("rb")}
+       |), d AS (
+       |  SELECT COALESCE(ga.h1, gb.h1) AS h1,
+       |         COALESCE(ga.h2, gb.h2) AS h2,
+       |         CAST(COALESCE(ga.n, 0) AS BIGINT) AS n_a,
+       |         CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_b
+       |  FROM ga FULL OUTER JOIN gb ON gb.h1 = ga.h1
+       |  WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)
+       |), bnum AS (
+       |  SELECT h1, h2, row_number() OVER (PARTITION BY h1) AS rn FROM rb
+       |), kept AS (
+       |  SELECT b.h1, b.h2 FROM bnum b LEFT JOIN d ON d.h1 = b.h1
+       |  WHERE d.h1 IS NULL OR b.rn <= d.n_a
+       |), ins AS (
+       |  SELECT d.h1, d.h2
+       |  FROM d, UNNEST(generate_series(1, CAST(d.n_a - d.n_b AS BIGINT)))
+       |  WHERE d.n_a > d.n_b
+       |), rep AS (
+       |  SELECT h1, h2 FROM kept UNION ALL SELECT h1, h2 FROM ins
+       |), fr AS (
+       |  ${fpCte("rep")}
+       |), cmp AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |         CAST(COALESCE(SUM(CASE WHEN a.n_rows IS NOT NULL
+       |                AND r.n_rows IS NOT NULL AND a.n_rows = r.n_rows
+       |                AND a.xor1 = r.xor1 AND a.xor2 = r.xor2
+       |                AND a.sum1 = r.sum1 THEN 1 ELSE 0 END), 0)
+       |              AS BIGINT) AS n_matched
+       |  FROM fa a FULL OUTER JOIN fr r ON r.bucket = a.bucket
+       |), acts AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN n_a > n_b THEN n_a - n_b
+       |                ELSE 0 END), 0) AS BIGINT) AS n_inserts,
+       |         CAST(COALESCE(SUM(CASE WHEN n_b > n_a THEN n_b - n_a
+       |                ELSE 0 END), 0) AS BIGINT) AS n_deletes
+       |  FROM d
+       |)
+       |SELECT acts.n_inserts, acts.n_deletes, cmp.n_buckets, cmp.n_matched,
+       |       (cmp.n_buckets = cmp.n_matched) AS repaired_ok
+       |FROM acts CROSS JOIN cmp""".stripMargin
   }
 }

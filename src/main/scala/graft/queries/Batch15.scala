@@ -104,6 +104,44 @@ object Batch15 {
       Some(graft.ops.Reconcile.oracleSql("documents", DiffCols)
         + "\nORDER BY 1")),
 
+    // Repair roundtrip (Reconcile.applyRepair): the reconciliation
+    // loop CLOSED — fingerprint the corrupted copy, drill to the
+    // differing rows, apply the repair plan (surplus copies dropped,
+    // missing copies replicated from the diff's carried rows), and
+    // re-fingerprint: every bucket must verdict green against the
+    // reference. If any upstream step were wrong — a missed bucket, a
+    // wrong multiplicity, a mangled carried row — the final verdicts
+    // would not all match, so the single output row gates the whole
+    // chain. A production pipeline materializes diff and repaired
+    // tables between steps; the gate composes them in one plan so the
+    // oracle can replay it.
+    QueryDef(
+      "x244_repair_roundtrip",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.select(DiffCols.map(col): _*)
+        val corr = corrupted(Tables(s, dir).documents)
+          .select(DiffCols.map(col): _*)
+        val diff = graft.ops.Reconcile.rowDiff(d, corr, DiffCols)
+        val repaired = graft.ops.Reconcile.applyRepair(corr, diff, DiffCols)
+        val verdict = graft.ops.Reconcile.checksumDiff(
+          graft.ops.Reconcile.tableChecksum(d, DiffCols),
+          graft.ops.Reconcile.tableChecksum(repaired, DiffCols))
+        val acts = diff.agg(
+          coalesce(sum(when(col("n_a") > col("n_b"),
+            col("n_a") - col("n_b"))), lit(0L)).as("n_inserts"),
+          coalesce(sum(when(col("n_b") > col("n_a"),
+            col("n_b") - col("n_a"))), lit(0L)).as("n_deletes"))
+        val agg = verdict.agg(count(lit(1)).as("n_buckets"),
+          coalesce(sum(when(col("bucket_match"), lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("n_matched"))
+        acts.crossJoin(broadcast(agg))
+          .select(col("n_inserts"), col("n_deletes"), col("n_buckets"),
+            col("n_matched"),
+            (col("n_buckets") === col("n_matched")).as("repaired_ok"))
+      },
+      Some(graft.ops.Reconcile.repairRoundtripOracleSql(
+        "documents", CorruptedSql, DiffCols))),
+
     // Misra–Gries shard-merge audit (Frequent.mgMergeAudit): the
     // mergeable-summary family's APPROXIMATE member — merged shard
     // summaries are NOT bit-equal to the direct one; the contract is

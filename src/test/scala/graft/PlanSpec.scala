@@ -775,6 +775,32 @@ class PlanSpec extends SparkSuite {
       "the rnk <= k branch must push the limit into the window")
   }
 
+  test("x244 repair roundtrip: the plan broadcasts (anti/inner) over the " +
+    "untouched pass-through, the renumber window is plan-bounded, and " +
+    "nothing degenerates to all-pairs") {
+    val df = queries.Registry.queryMap("x244_repair_roundtrip")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x244 degenerated to all-pairs:\n$plan")
+    val bhjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhjs.exists(_.joinType.sql == "LEFT ANTI"),
+      "untouched rows must pass through a broadcast anti-join, " +
+        s"never a window:\n$plan")
+    val smjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
+      "sort-merge only on the row-hash and fingerprint full-outer " +
+        s"compares:\n$plan")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.map(_.sql).forall(_.contains("rh"))),
+      s"the renumber window must partition by the plan's row hash:\n$plan")
+  }
+
   test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
     "the verdict join touches only (group x bucket)-bounded tables") {
     val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)

@@ -100,6 +100,26 @@ class ReconcilePropertySpec extends SparkSuite {
     }
   }
 
+  test("repair law: applyRepair(B, rowDiff(A, B)) is multiset-equal to " +
+    "A for ANY two random multisets — the loop closes exactly") {
+    for (seed <- 16 to 19) {
+      val a = randomRows(seed)
+      val b = randomRows(seed + 100)
+      val diff = Reconcile.rowDiff(df(a), df(b), Cols, nBuckets = 8)
+      val repaired = Reconcile.applyRepair(df(b), diff, Cols)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"),
+          r.getAs[String]("v"))).sortBy(t => (t._1, s"${t._2}", s"${t._3}"))
+      val want = a.sortBy(t => (t._1, s"${t._2}", s"${t._3}"))
+      assert(repaired.toSeq === want, s"seed $seed: repair != reference")
+      // And the repaired side must now fingerprint green.
+      val verdict = Reconcile.checksumDiff(
+        Reconcile.tableChecksum(df(a), Cols, 8),
+        Reconcile.tableChecksum(Reconcile.applyRepair(df(b), diff, Cols),
+          Cols, 8)).collect()
+      assert(verdict.forall(_.getAs[Boolean]("bucket_match")))
+    }
+  }
+
   test("incremental law: fold(fingerprint(A), fingerprint(B)) equals " +
     "fingerprint(A ++ B) for ANY split, including overlapping multisets") {
     for (seed <- 12 to 15) {
