@@ -19,9 +19,11 @@ import org.apache.spark.sql.DataFrame
   * x242 proves the fingerprint's incremental-maintenance claim (the
   * base+delta fold hash-matches the full recompute's oracle verbatim —
   * the x132/x139/x229 convention, and the batch proof of the streaming
-  * checksumSink), and x243 adds the mergeable-summary family's
-  * APPROXIMATE member: the Misra–Gries shard-merge whose contract is
-  * the Agarwal-et-al error bound rather than bit equality.
+  * checksumSink), x243 adds the mergeable-summary family's
+  * APPROXIMATE member (the Misra–Gries shard-merge whose contract is
+  * the Agarwal-et-al error bound rather than bit equality), and x244
+  * CLOSES the loop: the rowDiff plan applied as an executable repair,
+  * re-fingerprinted to an all-buckets-green verdict.
   */
 object Batch15 {
 
