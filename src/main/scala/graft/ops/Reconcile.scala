@@ -39,6 +39,22 @@ object Reconcile {
   private val NullSentinel = "\u0002NULL\u0002"
   private val SumMod = 1073741789L // largest prime < 2^30
 
+  /** Names the family uses internally alongside the caller's payload
+    * columns (rowDiff / applyRepair carry `cols` through their plans):
+    * a payload column with one of these names would collide into an
+    * ambiguous-reference analysis error deep inside the plan, so fail
+    * fast with a real message instead. */
+  private val Reserved = Set("bucket", "rh", "n", "n_a", "n_b", "side",
+    "rn", "keep_n", "h1", "h2", "_i", "bucket_match")
+
+  private def requireUnreserved(cols: Seq[String]): Unit = {
+    val bad = cols.filter(Reserved.contains)
+    require(bad.isEmpty,
+      s"column name(s) ${bad.mkString(", ")} collide with the " +
+        "reconciliation family's internal names (bucket/rh/n/n_a/n_b/" +
+        "side/rn/keep_n/h1/h2/_i/bucket_match); alias them first")
+  }
+
   private def canonical(cols: Seq[String]): Column =
     concat_ws(Delim, cols.map(c =>
       coalesce(col(c).cast("string"), lit(NullSentinel))): _*)
@@ -206,6 +222,7 @@ object Reconcile {
   def rowDiff(a: DataFrame, b: DataFrame, cols: Seq[String],
       nBuckets: Int = 64): DataFrame = {
     require(cols.nonEmpty, "at least one column")
+    requireUnreserved(cols)
     require(nBuckets >= 1 && nBuckets <= 65536,
       s"unreasonable bucket count $nBuckets")
     val bad = checksumDiff(tableChecksum(a, cols, nBuckets),
@@ -252,6 +269,7 @@ object Reconcile {
   def applyRepair(b: DataFrame, diff: DataFrame,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
+    requireUnreserved(cols)
     val canon = canonical(cols)
     val h = rowHash(canon, "rc1|")
     val plan = diff.select(h.as("rh"), col("n_a").as("keep_n"), col("n_b"))

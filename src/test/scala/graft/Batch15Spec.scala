@@ -110,6 +110,22 @@ class Batch15Spec extends SparkSuite {
     assert(r.getAs[Long]("max_underestimate") <= r.getAs[Long]("eps_budget"))
   }
 
+  test("reserved-name guard: rowDiff and applyRepair fail fast with a " +
+    "real message when a payload column collides with an internal name") {
+    val a = t((1L, "x"))
+    val bad = a.withColumnRenamed("v", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Reconcile.rowDiff(bad, bad, Seq("id", "bucket"))
+    }
+    assert(e.getMessage.contains("bucket"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Reconcile.applyRepair(bad,
+        a.select(col("id"), col("v"), lit(1L).as("n_a"), lit(0L).as("n_b")),
+        Seq("id", "n_a"))
+    }
+    assert(e2.getMessage.contains("n_a"))
+  }
+
   test("checksumDiffByGroup: divergence localizes to the corrupted " +
     "group only; NULL group keys reconcile null-safely") {
     val a = Seq((1L, "f1", "x"), (2L, "f1", "y"), (3L, "f2", "z"),
