@@ -109,14 +109,30 @@ object Reconcile {
         sum(pmod(col("h1"), lit(SumMod))).as("sum1"))
   }
 
+  /** The DuckDB spellings of the canonicalization, the salted 60-bit
+    * row hash, and the bucket-fingerprint aggregation — ONE definition
+    * each, used by EVERY oracle builder in the family. The hash and
+    * sentinel conventions are the cross-engine contract the whole
+    * family hangs on; they must never fork between oracles. */
+  private def canonSql(cols: Seq[String]): String =
+    cols.map(c =>
+      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
+      .mkString(s" || chr(1) || ")
+
+  private def hashSql(salt: String, canon: String): String =
+    s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+
+  private def fpSelectSql(rows: String, nBuckets: Int): String =
+    s"""SELECT h1 % $nBuckets AS bucket, COUNT(*) AS n_rows,
+       |       bit_xor(h1) AS xor1, bit_xor(h2) AS xor2,
+       |       SUM(h1 % $SumMod) AS sum1
+       |  FROM $rows GROUP BY 1""".stripMargin
+
   /** The DuckDB twin of [[tableChecksumByGroup]]. */
   def groupedOracleSql(from: String, groupCol: String, cols: Seq[String],
       nBuckets: Int = 16): String = {
-    val canon = cols.map(c =>
-      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
-      .mkString(s" || chr(1) || ")
-    def h(salt: String) =
-      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+    val canon = canonSql(cols)
+    def h(salt: String) = hashSql(salt, canon)
     s"""WITH rows_ AS (
        |  SELECT $groupCol AS g, ${h("rc1|")} AS h1, ${h("rc2|")} AS h2
        |  FROM $from
@@ -294,11 +310,8 @@ object Reconcile {
     * two sides can coexist in one WITH clause. */
   private def oracleCtes(from: String, cols: Seq[String], nBuckets: Int,
       suffix: String): String = {
-    val canon = cols.map(c =>
-      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
-      .mkString(s" || chr(1) || ")
-    def h(salt: String) =
-      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+    val canon = canonSql(cols)
+    def h(salt: String) = hashSql(salt, canon)
     s"""rows_$suffix AS (
        |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $from
        |), fp_$suffix AS (
@@ -352,18 +365,11 @@ object Reconcile {
     * bucket set → bucket-filtered per-row multiplicity compare. */
   def rowDiffOracleSql(fromA: String, fromB: String, cols: Seq[String],
       nBuckets: Int = 64): String = {
-    val canon = cols.map(c =>
-      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
-      .mkString(s" || chr(1) || ")
-    def h(salt: String) =
-      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
+    val canon = canonSql(cols)
+    def h(salt: String) = hashSql(salt, canon)
     val colList = cols.mkString(", ")
     val rowGroup = (1 to cols.length + 2).mkString(", ")
-    def fpCte(rows: String) =
-      s"""SELECT h1 % $nBuckets AS bucket, COUNT(*) AS n_rows,
-         |       bit_xor(h1) AS xor1, bit_xor(h2) AS xor2,
-         |       SUM(h1 % $SumMod) AS sum1
-         |  FROM $rows GROUP BY 1""".stripMargin
+    def fpCte(rows: String) = fpSelectSql(rows, nBuckets)
     def rowCte(rows: String) =
       s"""SELECT h1 % $nBuckets AS bucket, h1, $colList,
          |       CAST(COUNT(*) AS BIGINT) AS n
@@ -409,16 +415,9 @@ object Reconcile {
     * repaired_ok). */
   def repairRoundtripOracleSql(fromA: String, fromB: String,
       cols: Seq[String], nBuckets: Int = 64): String = {
-    val canon = cols.map(c =>
-      s"COALESCE(CAST($c AS VARCHAR), chr(2) || 'NULL' || chr(2))")
-      .mkString(s" || chr(1) || ")
-    def h(salt: String) =
-      s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
-    def fpCte(rows: String) =
-      s"""SELECT h1 % $nBuckets AS bucket, COUNT(*) AS n_rows,
-         |       bit_xor(h1) AS xor1, bit_xor(h2) AS xor2,
-         |       SUM(h1 % $SumMod) AS sum1
-         |  FROM $rows GROUP BY 1""".stripMargin
+    val canon = canonSql(cols)
+    def h(salt: String) = hashSql(salt, canon)
+    def fpCte(rows: String) = fpSelectSql(rows, nBuckets)
     def hashCte(rows: String) =
       s"""SELECT h1, MAX(h2) AS h2, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM $rows WHERE h1 % $nBuckets IN (SELECT bucket FROM bad)

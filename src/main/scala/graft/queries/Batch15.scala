@@ -77,11 +77,7 @@ object Batch15 {
           "source")
       },
       Some(graft.ops.Reconcile.groupedDiffOracleSql(
-        "documents",
-        """(SELECT doc_id, source, lang, n_chars,
-          |        CASE WHEN doc_id % 97 = 0 THEN text || ' CORRUPTED'
-          |             ELSE text END AS text
-          |      FROM documents)""".stripMargin,
+        "documents", CorruptedSql,
         "source", Seq("doc_id", "lang", "n_chars", "text")))),
 
     // Incremental checksum maintenance (Reconcile.checksumIncremental):

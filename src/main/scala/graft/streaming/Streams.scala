@@ -1080,7 +1080,12 @@ object Streams {
     * same atomic rename. Empty batches are no-ops (sibling-sink
     * convention) and an already-committed batchId is skipped — the
     * replay guard that makes addition idempotent under at-least-once
-    * delivery. Returns true iff the batch was applied. */
+    * delivery. Upgrade path: a fold table written before the marker
+    * existed reads as committed=None, so its FIRST post-upgrade fold
+    * cannot distinguish a replay (the legacy table carries no record of
+    * which batch it last absorbed — no guess would be safe); the marker
+    * commits with that fold and every later batch is guarded. Returns
+    * true iff the batch was applied. */
   private def additiveFold(spark: SparkSession, batch: DataFrame,
       batchId: Long, tablePath: String, sink: String)(
       toState: DataFrame => DataFrame)(

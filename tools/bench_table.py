@@ -46,11 +46,11 @@ Round 15 (judge directive + advisor): the round-14 union rule ("inside
 the gate under EITHER normalization exonerates") strictly weakened the
 gate — one noisy canary in a mover's magnitude class could exonerate a
 genuine regression. Now: both normalizations inside -> exonerated; both
-outside -> regression candidate; DISAGREEMENT is only resolved in favor
-of the magnitude-matched normalization when its canary's own factor
-series is TIGHT (>= 3 readings, max/min <= 2 — a consistently elevated
-band, not one noisy reading); every other disagreement is AMBIGUOUS and
-goes to QueryProbe.
+outside -> regression candidate; a DISAGREEMENT is resolved by the
+magnitude-matched normalization — in EITHER direction — only when its
+canary's own factor series is TIGHT (>= 3 readings, max/min <= 2, a
+consistent band rather than one noisy reading); a disagreement under a
+noisy matched series is AMBIGUOUS and goes to QueryProbe.
 
 Round 15 staleness policy (round-14 verdict directive): committed rows
 are historical-best minima under the merge-lower ratchet, and four
@@ -243,19 +243,26 @@ def update_staleness(state_path: str, b: dict, committed: dict) -> dict:
     here). Both prices are kept: the committed row stays the code's
     best-known cost; `rebased` (median of the breaching sessions'
     medians) is the current-host cost. Sessions are deduplicated by the
-    run's first sample timestamp so re-rendering a report never
-    double-counts a session."""
+    run's first sample timestamp against the full SET of recorded
+    sessions (not just the latest), so re-rendering ANY older
+    bench.json never re-counts it into a streak out of order."""
     try:
         with open(state_path) as f:
             state = json.load(f)
     except (OSError, json.JSONDecodeError):
-        state = {"last_session_t0": None, "rows": {}}
+        state = {"seen_session_t0s": [], "rows": {}}
     med = b.get("queries_median", {})
     samples = b.get("samples", {})
     t0 = min((ss[0][0] for ss in samples.values() if ss), default=None)
-    if t0 is None or state.get("last_session_t0") == t0:
+    seen = state.setdefault("seen_session_t0s", [])
+    if state.get("last_session_t0") is not None:  # migrate pre-set state
+        if state["last_session_t0"] not in seen:
+            seen.append(state["last_session_t0"])
+        state.pop("last_session_t0", None)
+    if t0 is None or t0 in seen:
         return state  # no samples, or this session already recorded
-    state["last_session_t0"] = t0
+    seen.append(t0)
+    state["seen_session_t0s"] = seen[-64:]
     for name, m in med.items():
         base = committed.get(name)
         if base is None or base <= 0 or m < 0:
@@ -387,14 +394,24 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0,
                 verdict = ("EXONERATED: both normalizations inside the "
                            "gate — host factor explains the ratio"
                            + stale_note)
-            elif in_m and not in_n and tight:
-                verdict = (f"EXONERATED by MAGNITUDE-MATCHED canary "
-                           f"({mc.split('_')[0]}: tight elevated band)"
-                           + stale_note)
+            elif in_n != in_m and tight:
+                # A tight magnitude-matched series is trusted in BOTH
+                # directions: it exonerates when inside the gate, and it
+                # convicts when outside (the blended factor under- or
+                # over-corrects across magnitude classes).
+                if in_m:
+                    verdict = (f"EXONERATED by MAGNITUDE-MATCHED canary "
+                               f"({mc.split('_')[0]}: tight elevated band)"
+                               + stale_note)
+                else:
+                    verdict = (f"GENUINE REGRESSION CANDIDATE: the tight "
+                               f"magnitude-matched canary "
+                               f"({mc.split('_')[0]}) stays outside the "
+                               "gate — adjudicate with QueryProbe")
             elif in_n != in_m:
-                noisy = "" if tight else " (matched canary series noisy)"
-                verdict = (f"AMBIGUOUS: normalizations disagree{noisy} — "
-                           "adjudicate with QueryProbe before moving the row")
+                verdict = ("AMBIGUOUS: normalizations disagree (matched "
+                           "canary series noisy) — adjudicate with "
+                           "QueryProbe before moving the row")
             elif 2 * n_slow > len(ss):
                 verdict = ("GENUINE REGRESSION CANDIDATE: majority of "
                            "samples slow even after host-factor "
