@@ -101,9 +101,16 @@ object Streams {
     */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String): DataFrame =
-    events.join(
-      org.apache.spark.sql.functions.broadcast(dim),
-      col(eventKey) === col(dimKey), "left")
+    // Same-named keys take a USING join (one key column out, no
+    // ambiguity); distinct names join on SIDE-QUALIFIED references — a
+    // bare col(eventKey) === col(dimKey) is an AMBIGUOUS_REFERENCE
+    // error whenever both sides carry either name.
+    if (eventKey == dimKey)
+      events.join(org.apache.spark.sql.functions.broadcast(dim),
+        Seq(eventKey), "left")
+    else
+      events.join(org.apache.spark.sql.functions.broadcast(dim),
+        events.col(eventKey) === dim.col(dimKey), "left")
 
   /** Stream-stream interval join: attribute each purchase to the same
     * user's clicks in the preceding `windowMinutes`. Both sides carry
@@ -187,6 +194,9 @@ object Streams {
     * `payload` parameter order, part of that sink's public contract.) */
   private def latestPerKey(batch: DataFrame, keys: Seq[String],
       orderCol: String): DataFrame = {
+    require(!batch.columns.contains("__rn"),
+      "payload column '__rn' collides with the sink's internal " +
+        "row-number column; rename it first")
     import org.apache.spark.sql.expressions.Window
     val tieBreak = batch.columns.toSeq
       .filterNot(c => keys.contains(c) || c == orderCol).sorted.map(col(_).asc)
@@ -311,28 +321,49 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     changelog.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // The rollup's total pins to DECIMAL(28,4): sums/additions widen
-          // decimal precision per operation, and without a fixed landing
-          // type the schema would creep a digit per batch until Spark's
-          // 38-digit cap forces a scale change.
-          val totalType = org.apache.spark.sql.types.DecimalType(28, 4)
-          val prev = liveTarget(batch.sparkSession, targetPath).getOrElse {
-            batch.sparkSession.emptyDataFrame
-              .withColumn(groupKey, lit(null).cast(batch.schema(groupKey).dataType))
-              .withColumn("n", lit(null).cast("long"))
-              .withColumn("total", lit(null).cast(totalType))
-              .filter(lit(false))
-          }
-          val merged = graft.ops.Incremental
-            .applyCountSumDelta(prev, batch, groupKey, oldVal, newVal)
-            .select(col(groupKey), col("n"), col("total").cast(totalType).as("total"))
-          swapWrite(merged, targetPath, "incrementalAggSink")
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalAggFold(batch, batchId, groupKey, oldVal, newVal,
+          targetPath)
         ()
       }
       .start()
+  }
+
+  /** One fold step of [[incrementalAggSink]], factored out so the
+    * replay contract is directly testable (the [[cmsGridFold]]
+    * convention). Delta application is ADDITIVE, so like the other
+    * additive folds it carries the committed-batchId guard: an
+    * at-least-once redelivery of an already-folded micro-batch is
+    * skipped instead of double-applying its deltas. Returns true iff
+    * the batch was applied. */
+  private[graft] def incrementalAggFold(batch: DataFrame, batchId: Long,
+      groupKey: String, oldVal: String, newVal: String,
+      targetPath: String): Boolean = {
+    if (batch.isEmpty) return false
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(targetPath),
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val committed = readLivePath(fs, targetPath).flatMap(readBatchMarker(fs, _))
+    if (committed.exists(_ >= batchId)) return false
+    // The rollup's total pins to DECIMAL(28,4): sums/additions widen
+    // decimal precision per operation, and without a fixed landing
+    // type the schema would creep a digit per batch until Spark's
+    // 38-digit cap forces a scale change.
+    val totalType = org.apache.spark.sql.types.DecimalType(28, 4)
+    val prev = liveTarget(batch.sparkSession, targetPath).getOrElse {
+      batch.sparkSession.emptyDataFrame
+        .withColumn(groupKey, lit(null).cast(batch.schema(groupKey).dataType))
+        .withColumn("n", lit(null).cast("long"))
+        .withColumn("total", lit(null).cast(totalType))
+        .filter(lit(false))
+    }
+    val merged = graft.ops.Incremental
+      .applyCountSumDelta(prev, batch, groupKey, oldVal, newVal)
+      .select(col(groupKey), col("n"), col("total").cast(totalType).as("total"))
+    merged.write.mode("overwrite").parquet(targetPath + "_tmp")
+    writeBatchMarker(fs, targetPath + "_tmp", batchId)
+    commitSwap(fs, targetPath, "incrementalAggSink")
+    true
   }
 
   /** Streaming SCD-2 sink: maintain a HISTORY-PRESERVING dimension from a
@@ -372,6 +403,9 @@ object Streams {
           // Payload columns tie-break equal orderCol values: row_number
           // over an under-specified sort would let a replay crown a
           // different row and diverge the history.
+          require(!batch.columns.contains("__rn"),
+            "payload column '__rn' collides with the sink's internal " +
+              "row-number column; rename it first")
           val w = Window.partitionBy(col(key))
             .orderBy(col(orderCol).desc +: payload.map(c => col(c).asc): _*)
           val upd = batch
@@ -901,6 +935,13 @@ object Streams {
       val outCols = existing.columns.map(col).toIndexedSeq
       val merged = passThrough.select(outCols: _*)
         .unionByName(withPb.select(outCols: _*))
+      // Audit counts run BEFORE the overwrite: `updated`/`existing` may
+      // derive from the live catalog table, and counting after the
+      // commit would lazily re-evaluate them against the post-merge
+      // state (wrong numbers, plus two extra scans of the rewritten
+      // partitions).
+      val nUp = withPb.count()
+      val nPass = passThrough.count()
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try merged.write.mode(SaveMode.Overwrite).insertInto(table)
@@ -908,8 +949,6 @@ object Streams {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      val nUp = withPb.count()
-      val nPass = passThrough.count()
       Seq((affected.length.toLong, nUp, nPass, spark.table(table).count()))
         .toDF("n_partitions_touched", "n_updated", "n_passthrough", "n_total")
     }
@@ -1090,7 +1129,12 @@ object Streams {
       batchId: Long, tablePath: String, sink: String)(
       toState: DataFrame => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+    // Resolve the FILESYSTEM FROM THE TABLE PATH (hdfs://, s3a://, ...),
+    // like every other sink — a getLocal here would read the replay
+    // marker and run the swap against the wrong filesystem on any
+    // non-local deployment.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tablePath),
       spark.sparkContext.hadoopConfiguration)
     if (batch.isEmpty) return false
     val committed = readLivePath(fs, tablePath).flatMap(readBatchMarker(fs, _))
@@ -1251,7 +1295,10 @@ object Streams {
     import spark.implicits._
     require(bins >= 2 && bins <= 65536, s"unreasonable bin count $bins")
     require(lo <= hi, s"bounds must be ordered, got [$lo, $hi]")
-    val binned = df.select(
+    // NULLs are excluded explicitly: least()/greatest() SKIP nulls, so
+    // an unfiltered NULL value would silently land in the top bin
+    // (binIndex's least(bins-1, NULL) = bins-1) and inflate the hi edge.
+    val binned = df.filter(col(valueCol).isNotNull).select(
       greatest(lit(0), graft.ops.HistogramSketch.binIndex(
         col(valueCol).cast("double"), lit(lo), lit(hi), bins)).as("bin"))
       .as[Int]

@@ -255,6 +255,27 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
     assert(rollup === Map(10L -> ((2L, 13.5)), 30L -> ((1L, 1.25))))
+
+    // Replay idempotence: delta application is additive, so like the
+    // grid/checksum folds a redelivered batchId must be SKIPPED — a
+    // re-applied update would double-shift the rollup.
+    def mkBatch(rows: (Long, String, Option[Double], Option[Double])*) =
+      rows.toDF("grp", "action", "old_d", "new_d")
+        .select(col("grp"), col("action"),
+          queries.money(col("old_d")).as("old_p"),
+          queries.money(col("new_d")).as("new_p"))
+    val before = rollup
+    assert(!Streams.incrementalAggFold(
+      mkBatch((10L, "update", Some(5.0), Some(6.5))), 1L,
+      "grp", "old_p", "new_p", target),
+      "replayed batchId must be skipped")
+    assert(rollup === before, "a replayed micro-batch must not re-shift")
+    assert(!Streams.incrementalAggFold(mkBatch(), 99L,
+      "grp", "old_p", "new_p", target), "empty batch must be a no-op")
+    assert(Streams.incrementalAggFold(
+      mkBatch((30L, "update", Some(1.25), Some(2.25))), 2L,
+      "grp", "old_p", "new_p", target), "a new batchId must apply")
+    assert(rollup === Map(10L -> ((2L, 13.5)), 30L -> ((1L, 2.25))))
   }
 
   test("streaming SCD-2 sink: history equals sequential batch scd2 application") {
