@@ -156,10 +156,9 @@ object Bloom {
     // Probe the MERGED filter with a deterministic fresh-string set; the
     // exact-membership join keeps the fp rate honest if a probe string
     // ever equals a real document.
-    val probes = positions(
-      spark.range(nProbes.toLong)
-        .select(concat(lit("bloomprobe|"), col("id").cast("string")).as("t")),
-      col("t"))
+    val probeStrings = spark.range(nProbes.toLong)
+      .select(concat(lit("bloomprobe|"), col("id").cast("string")).as("t"))
+    val probes = positions(probeStrings, col("t"))
     val probePos = probes.select(col("t"),
       (col("pos") / 32).cast("int").as("widx"),
       expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
@@ -178,7 +177,11 @@ object Bloom {
     // probe-side aggregates, keeping the corpus out of every build
     // position.)
     val docHash = docs.select(md5(col(textCol).cast("binary")).as("eh")).distinct()
-    val probeHash = hits.select(md5(col("t").cast("binary")).as("ph"))
+    // The probe-hash build side comes from the PRE-JOIN probe set (the
+    // generated strings themselves), not from the filter-probe pipeline
+    // — same values, but the broadcast build is independent of the
+    // grid-join subtree.
+    val probeHash = probeStrings.select(md5(col("t").cast("binary")).as("ph"))
     val members = docHash
       .join(broadcast(probeHash), col("eh") === col("ph"), "left_semi")
       .agg(count(lit(1)).as("n_probe_members"))

@@ -48,7 +48,9 @@ object Reconcile {
     "rn", "keep_n", "h1", "h2", "_i", "bucket_match")
 
   private def requireUnreserved(cols: Seq[String]): Unit = {
-    val bad = cols.filter(Reserved.contains)
+    // Case-INSENSITIVE: Spark's default analyzer is, so a payload
+    // column "Bucket" collides with the internal "bucket" just the same.
+    val bad = cols.filter(c => Reserved.contains(c.toLowerCase))
     require(bad.isEmpty,
       s"column name(s) ${bad.mkString(", ")} collide with the " +
         "reconciliation family's internal names (bucket/rh/n/n_a/n_b/" +
@@ -123,10 +125,28 @@ object Reconcile {
     s"CAST(('0x' || substring(md5('$salt' || ($canon)), 1, 15)) AS BIGINT)"
 
   private def fpSelectSql(rows: String, nBuckets: Int): String =
-    s"""SELECT h1 % $nBuckets AS bucket, COUNT(*) AS n_rows,
-       |       bit_xor(h1) AS xor1, bit_xor(h2) AS xor2,
-       |       SUM(h1 % $SumMod) AS sum1
+    s"""SELECT h1 % $nBuckets AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(bit_xor(h1) AS BIGINT) AS xor1,
+       |       CAST(bit_xor(h2) AS BIGINT) AS xor2,
+       |       CAST(SUM(h1 % $SumMod) AS BIGINT) AS sum1
        |  FROM $rows GROUP BY 1""".stripMargin
+
+  /** The 3VL-safe bucket-match predicate between two fingerprint
+    * aliases — the SQL spelling of [[fpDiff]]'s verdict, one
+    * definition for every oracle builder. */
+  private def matchPredSql(a: String, b: String): String =
+    s"""$a.n_rows IS NOT NULL AND $b.n_rows IS NOT NULL
+       |        AND $a.n_rows = $b.n_rows AND $a.xor1 = $b.xor1
+       |        AND $a.xor2 = $b.xor2 AND $a.sum1 = $b.sum1""".stripMargin
+
+  /** The mismatched-bucket CTE body shared by the drill-down oracles:
+    * every bucket present on either side whose verdict is NOT a match
+    * (an absent side fails the IS NOT NULL terms, so it is bad). */
+  private def badCteSql(fpA: String, fpB: String): String =
+    s"""SELECT COALESCE(a.bucket, b.bucket) AS bucket
+       |  FROM $fpA a FULL OUTER JOIN $fpB b ON b.bucket = a.bucket
+       |  WHERE NOT (${matchPredSql("a", "b")})""".stripMargin
 
   /** The DuckDB twin of [[tableChecksumByGroup]]. */
   def groupedOracleSql(from: String, groupCol: String, cols: Seq[String],
@@ -145,23 +165,33 @@ object Reconcile {
        |FROM rows_ GROUP BY 1, 2""".stripMargin
   }
 
-  /** Compare two fingerprints (same cols/nBuckets): one row per bucket
-    * present on either side, with a match verdict — the localization
-    * step of a reconciliation. */
-  def checksumDiff(a: DataFrame, b: DataFrame): DataFrame = {
+  /** The 3VL-safe per-bucket verdict and the prefixed full-outer diff —
+    * ONE definition for the grouped and ungrouped diffs: a change to
+    * the accumulator set (the verdict's terms) must never fork between
+    * them. `keyCols` are the join keys beyond `bucket` (null-safe). */
+  private def fpDiff(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     val an = a.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq
     val bn = b.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq
-    a.select(an: _*).join(b.select(bn: _*),
-        col("a_bucket") === col("b_bucket"), "full_outer")
-      .select(coalesce(col("a_bucket"), col("b_bucket")).as("bucket"),
-        col("a_n_rows"), col("b_n_rows"),
+    val cond = (keyCols.map(k => col(s"a_$k") <=> col(s"b_$k")) :+
+      (col("a_bucket") === col("b_bucket"))).reduce(_ && _)
+    a.select(an: _*).join(b.select(bn: _*), cond, "full_outer")
+      .select((keyCols.map(k =>
+          coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) :+
+        coalesce(col("a_bucket"), col("b_bucket")).as("bucket") :+
+        col("a_n_rows") :+ col("b_n_rows") :+
         (col("a_n_rows").isNotNull && col("b_n_rows").isNotNull &&
           col("a_n_rows") === col("b_n_rows") &&
           col("a_xor1") === col("b_xor1") &&
           col("a_xor2") === col("b_xor2") &&
-          col("a_sum1") === col("b_sum1")).as("bucket_match"))
-      .orderBy("bucket")
+          col("a_sum1") === col("b_sum1")).as("bucket_match")): _*)
   }
+
+  /** Compare two fingerprints (same cols/nBuckets): one row per bucket
+    * present on either side, with a match verdict — the localization
+    * step of a reconciliation. */
+  def checksumDiff(a: DataFrame, b: DataFrame): DataFrame =
+    fpDiff(a, b, Nil).orderBy("bucket")
 
   /** The fingerprint accumulators' own merge algebra — ONE definition,
     * shared by [[checksumIncremental]] and the streaming
@@ -201,22 +231,8 @@ object Reconcile {
     * at source level. NULL group keys match each other (null-safe
     * equality), so a NULL-sourced feed reconciles like any other. */
   def checksumDiffByGroup(a: DataFrame, b: DataFrame,
-      groupCol: String): DataFrame = {
-    val an = a.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq
-    val bn = b.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq
-    a.select(an: _*).join(b.select(bn: _*),
-        (col(s"a_$groupCol") <=> col(s"b_$groupCol")) &&
-          col("a_bucket") === col("b_bucket"), "full_outer")
-      .select(coalesce(col(s"a_$groupCol"), col(s"b_$groupCol")).as(groupCol),
-        coalesce(col("a_bucket"), col("b_bucket")).as("bucket"),
-        col("a_n_rows"), col("b_n_rows"),
-        (col("a_n_rows").isNotNull && col("b_n_rows").isNotNull &&
-          col("a_n_rows") === col("b_n_rows") &&
-          col("a_xor1") === col("b_xor1") &&
-          col("a_xor2") === col("b_xor2") &&
-          col("a_sum1") === col("b_sum1")).as("bucket_match"))
-      .orderBy(groupCol, "bucket")
-  }
+      groupCol: String): DataFrame =
+    fpDiff(a, b, Seq(groupCol)).orderBy(groupCol, "bucket")
 
   /** Row-level drill-down — the step a user takes immediately after a
     * `bucket_match = false` verdict: re-fingerprint both sides, take the
@@ -257,7 +273,14 @@ object Reconcile {
     }
     val ga = grouped(a, "a")
     val gb = grouped(b, "b")
-    ga.join(gb, col("a_rh") === col("b_rh"), "full_outer")
+    // Match on the hash AND the carried content (null-safe): at the
+    // 100 TB regime a 60-bit hash has even odds of a collision by
+    // ~2^30 rows, and two DISTINCT rows sharing rh must not
+    // cross-match into a wrong diff. rh stays first as the cheap
+    // equi-join prefix; the content conjuncts make the match exact.
+    val matchCond = (col("a_rh") === col("b_rh")) && cols
+      .map(c => col(s"a_$c") <=> col(s"b_$c")).reduce(_ && _)
+    ga.join(gb, matchCond, "full_outer")
       .withColumn("n_a", coalesce(col("a_n"), lit(0L)))
       .withColumn("n_b", coalesce(col("b_n"), lit(0L)))
       .filter(col("n_a") =!= col("n_b"))
@@ -288,17 +311,26 @@ object Reconcile {
     requireUnreserved(cols)
     val canon = canonical(cols)
     val h = rowHash(canon, "rc1|")
-    val plan = diff.select(h.as("rh"), col("n_a").as("keep_n"), col("n_b"))
+    // The plan carries the CONTENT, not just the hash: a 60-bit hash
+    // collision between a planned row and an innocent identical-on-both-
+    // sides row of b must not pull the innocent row into the renumber
+    // (where keep_n could silently delete it). Plan columns are
+    // _p-prefixed and matched null-safely alongside rh.
+    val plan = diff.select(h.as("rh") +: col("n_a").as("keep_n") +:
+      col("n_b").as("plan_n_b") +: cols.map(c => col(c).as(s"_p_$c")): _*)
     val bk = b.select(cols.map(col) :+ h.as("rh"): _*)
-    val untouched = bk
-      .join(broadcast(plan.select("rh")), Seq("rh"), "left_anti")
+    val bplan = broadcast(plan)
+    val cond = (bk("rh") === bplan("rh")) && cols
+      .map(c => bk(c) <=> bplan(s"_p_$c")).reduce(_ && _)
+    val untouched = bk.join(bplan, cond, "left_anti")
       .select(cols.map(col): _*)
-    val touchedKept = bk.join(broadcast(plan), Seq("rh"))
+    val touchedKept = bk.join(bplan, cond)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("rh").orderBy("rh")))
+          .partitionBy(bk("rh") +: cols.map(bk(_)): _*)
+          .orderBy(bk("rh"))))
       .filter(col("rn") <= col("keep_n"))
-      .select(cols.map(col): _*)
+      .select(cols.map(bk(_)): _*)
     val inserts = diff.filter(col("n_a") > col("n_b"))
       .withColumn("_i", explode(sequence(lit(1L), col("n_a") - col("n_b"))))
       .select(cols.map(col): _*)
@@ -315,12 +347,7 @@ object Reconcile {
     s"""rows_$suffix AS (
        |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $from
        |), fp_$suffix AS (
-       |  SELECT h1 % $nBuckets AS bucket,
-       |         CAST(COUNT(*) AS BIGINT) AS n_rows,
-       |         CAST(bit_xor(h1) AS BIGINT) AS xor1,
-       |         CAST(bit_xor(h2) AS BIGINT) AS xor2,
-       |         CAST(SUM(h1 % $SumMod) AS BIGINT) AS sum1
-       |  FROM rows_$suffix GROUP BY 1
+       |  ${fpSelectSql(s"rows_$suffix", nBuckets)}
        |)""".stripMargin
   }
 
@@ -337,9 +364,7 @@ object Reconcile {
        |${oracleCtes(fromB, cols, nBuckets, "b")}
        |SELECT COALESCE(a.bucket, b.bucket) AS bucket,
        |       a.n_rows AS a_n_rows, b.n_rows AS b_n_rows,
-       |       (a.n_rows IS NOT NULL AND b.n_rows IS NOT NULL
-       |        AND a.n_rows = b.n_rows AND a.xor1 = b.xor1
-       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1) AS bucket_match
+       |       (${matchPredSql("a", "b")}) AS bucket_match
        |FROM fp_a a FULL OUTER JOIN fp_b b ON b.bucket = a.bucket
        |ORDER BY 1""".stripMargin
 
@@ -352,9 +377,7 @@ object Reconcile {
     s"""SELECT COALESCE(a.$groupCol, b.$groupCol) AS $groupCol,
        |       COALESCE(a.bucket, b.bucket) AS bucket,
        |       a.n_rows AS a_n_rows, b.n_rows AS b_n_rows,
-       |       (a.n_rows IS NOT NULL AND b.n_rows IS NOT NULL
-       |        AND a.n_rows = b.n_rows AND a.xor1 = b.xor1
-       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1) AS bucket_match
+       |       (${matchPredSql("a", "b")}) AS bucket_match
        |FROM (${groupedOracleSql(fromA, groupCol, cols, nBuckets)}) a
        |FULL OUTER JOIN (${groupedOracleSql(fromB, groupCol, cols, nBuckets)}) b
        |  ON (b.$groupCol IS NOT DISTINCT FROM a.$groupCol)
@@ -386,10 +409,7 @@ object Reconcile {
        |), fb AS (
        |  ${fpCte("rb")}
        |), bad AS (
-       |  SELECT COALESCE(a.bucket, b.bucket) AS bucket
-       |  FROM fa a FULL OUTER JOIN fb b ON b.bucket = a.bucket
-       |  WHERE NOT COALESCE(a.n_rows = b.n_rows AND a.xor1 = b.xor1
-       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1, FALSE)
+       |  ${badCteSql("fa", "fb")}
        |), ga AS (
        |  ${rowCte("ra")}
        |), gb AS (
@@ -398,43 +418,47 @@ object Reconcile {
        |SELECT CASE WHEN COALESCE(ga.n, 0) > COALESCE(gb.n, 0)
        |            THEN 'a' ELSE 'b' END AS side,
        |       COALESCE(ga.bucket, gb.bucket) AS bucket,
-       |       ${cols.map(c => s"COALESCE(ga.$c, gb.$c) AS $c")
-                  .mkString(",\n       |       ".stripMargin)},
+       |       ${cols.map(c => s"COALESCE(ga.$c, gb.$c) AS $c").mkString(", ")},
        |       CAST(COALESCE(ga.n, 0) AS BIGINT) AS n_a,
        |       CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_b
        |FROM ga FULL OUTER JOIN gb ON gb.h1 = ga.h1
+       |  ${cols.map(c => s"AND gb.$c IS NOT DISTINCT FROM ga.$c").mkString(" ")}
        |WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)
        |ORDER BY 2, ${(3 to cols.length + 2).mkString(", ")}, 1""".stripMargin
   }
 
   /** The DuckDB twin of the full repair roundtrip (x244's gate): diff →
-    * repair applied on the hash plane (the repaired fingerprint needs
-    * only (h1, h2) pairs, and surplus copies are byte-identical, so
-    * which copies are kept is immaterial) → re-fingerprint → verdicts.
-    * Output: one row of (n_inserts, n_deletes, n_buckets, n_matched,
-    * repaired_ok). */
+    * repair → re-fingerprint → verdicts. Like the Spark side, the diff
+    * and the repair match on the hash AND the carried content
+    * (IS NOT DISTINCT FROM per column), so a 60-bit hash collision can
+    * never cross-match distinct rows; the re-fingerprint then needs
+    * only the (h1, h2) pairs. Output: one row of (n_inserts, n_deletes,
+    * n_buckets, n_matched, repaired_ok). */
   def repairRoundtripOracleSql(fromA: String, fromB: String,
       cols: Seq[String], nBuckets: Int = 64): String = {
     val canon = canonSql(cols)
     def h(salt: String) = hashSql(salt, canon)
     def fpCte(rows: String) = fpSelectSql(rows, nBuckets)
+    val colList = cols.mkString(", ")
+    val rowGroup = (1 to cols.length + 1).mkString(", ")
     def hashCte(rows: String) =
-      s"""SELECT h1, MAX(h2) AS h2, CAST(COUNT(*) AS BIGINT) AS n
+      s"""SELECT h1, $colList, MAX(h2) AS h2, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM $rows WHERE h1 % $nBuckets IN (SELECT bucket FROM bad)
-         |  GROUP BY 1""".stripMargin
+         |  GROUP BY $rowGroup""".stripMargin
+    def contentEq(l: String, r: String) =
+      cols.map(c => s"$r.$c IS NOT DISTINCT FROM $l.$c").mkString(" AND ")
     s"""WITH ra AS (
-       |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $fromA
+       |  SELECT $colList, ${h("rc1|")} AS h1, ${h("rc2|")} AS h2
+       |  FROM $fromA
        |), rb AS (
-       |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM $fromB
+       |  SELECT $colList, ${h("rc1|")} AS h1, ${h("rc2|")} AS h2
+       |  FROM $fromB
        |), fa AS (
        |  ${fpCte("ra")}
        |), fb AS (
        |  ${fpCte("rb")}
        |), bad AS (
-       |  SELECT COALESCE(a.bucket, b.bucket) AS bucket
-       |  FROM fa a FULL OUTER JOIN fb b ON b.bucket = a.bucket
-       |  WHERE NOT COALESCE(a.n_rows = b.n_rows AND a.xor1 = b.xor1
-       |        AND a.xor2 = b.xor2 AND a.sum1 = b.sum1, FALSE)
+       |  ${badCteSql("fa", "fb")}
        |), ga AS (
        |  ${hashCte("ra")}
        |), gb AS (
@@ -442,14 +466,19 @@ object Reconcile {
        |), d AS (
        |  SELECT COALESCE(ga.h1, gb.h1) AS h1,
        |         COALESCE(ga.h2, gb.h2) AS h2,
+       |         ${cols.map(c => s"COALESCE(ga.$c, gb.$c) AS $c").mkString(", ")},
        |         CAST(COALESCE(ga.n, 0) AS BIGINT) AS n_a,
        |         CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_b
        |  FROM ga FULL OUTER JOIN gb ON gb.h1 = ga.h1
+       |    AND ${contentEq("ga", "gb")}
        |  WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)
        |), bnum AS (
-       |  SELECT h1, h2, row_number() OVER (PARTITION BY h1) AS rn FROM rb
+       |  SELECT h1, h2, $colList,
+       |         row_number() OVER (PARTITION BY h1, $colList) AS rn
+       |  FROM rb
        |), kept AS (
        |  SELECT b.h1, b.h2 FROM bnum b LEFT JOIN d ON d.h1 = b.h1
+       |    AND ${contentEq("b", "d")}
        |  WHERE d.h1 IS NULL OR b.rn <= d.n_a
        |), ins AS (
        |  SELECT d.h1, d.h2

@@ -797,7 +797,9 @@ class PlanSpec extends SparkSuite {
     val windows = df.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.forall(_.partitionSpec.map(_.sql).forall(_.contains("rh"))),
+    // Partition spec = (rh, payload cols): rh is the cheap prefix, the
+    // content columns make collision groups exact.
+    assert(windows.forall(_.partitionSpec.map(_.sql).exists(_.contains("rh"))),
       s"the renumber window must partition by the plan's row hash:\n$plan")
   }
 
