@@ -65,7 +65,7 @@ object Dedup {
     * aggregates and key joins.
     */
   def shingles(docs: DataFrame): DataFrame =
-    shingleCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(shingleCache,
       (docs.sparkSession, PlanKeys.fingerprint(docs)),
       graft.ops.Ckpt.registerCached(
         shingleRows(docs, Seq("doc_id"))
@@ -84,23 +84,35 @@ object Dedup {
     * Banded into NumBands LSH keys; one shuffle (groupBy doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    sigCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(sigCache,
       (docs.sparkSession, PlanKeys.fingerprint(docs)), {
-        val h = md5(col("shingle").cast("binary"))
-        val withH = shingles(docs).select(col("doc_id"),
-          conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
-        val mhs = (0 until MinHashK).map { j =>
-          min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"mh$j")
-        }
-        val sigs = withH.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
-        val bands = (0 until NumBands).map { b =>
-          md5(concat(col(s"mh${2 * b}").cast("string"), lit("|"),
-            col(s"mh${2 * b + 1}").cast("string")).cast("binary")).as(s"band$b")
-        }
+        val bands = (0 until NumBands).map(b => bandKey(b).as(s"band$b"))
         graft.ops.Ckpt.registerCached(
-          sigs.select((col("doc_id") +: bands): _*).cache(), "Dedup.sigCache")
+          rawSignatures(docs).select((col("doc_id") +: bands): _*).cache(),
+          "Dedup.sigCache")
       })
+
+  /** The raw k-minhash signature table (doc_id, mh0..mh{k-1}) — ONE
+    * definition of the signature math, consumed by the banded cache
+    * above and by [[minhashCalibration]]'s estimate columns (a re-spell
+    * would silently desynchronize the calibration curve from the sketch
+    * it calibrates). */
+  private def rawSignatures(docs: DataFrame): DataFrame = {
+    val h = md5(col("shingle").cast("binary"))
+    val withH = shingles(docs).select(col("doc_id"),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+    val mhs = (0 until MinHashK).map { j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"mh$j")
+    }
+    withH.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
+  }
+
+  /** Band b's LSH key over the raw signature columns — the other half
+    * of the one-definition kernel. */
+  private def bandKey(b: Int) =
+    md5(concat(col(s"mh${2 * b}").cast("string"), lit("|"),
+      col(s"mh${2 * b + 1}").cast("string")).cast("binary"))
 
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long), DataFrame]
@@ -131,7 +143,7 @@ object Dedup {
     */
   def lshDedupPairs(docs: DataFrame, threshold: Double = 0.3,
       bucketCap: Int = 0): DataFrame =
-    pairCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(pairCache,
       (docs.sparkSession, PlanKeys.fingerprint(docs), threshold, bucketCap),
       graft.ops.Ckpt.registerCached(
         lshDedupPairsUncached(docs, threshold, bucketCap).cache(), "Dedup.pairCache"))
@@ -163,7 +175,7 @@ object Dedup {
       bucketCap: Int): DataFrame = {
     val candidates = bandedCandidates(docs, bucketCap)
 
-    val sets = setCache.getOrElseUpdate(
+    val sets = graft.ops.Ckpt.memo(setCache,
       (docs.sparkSession, PlanKeys.fingerprint(docs)),
       graft.ops.Ckpt.registerCached(
         shingles(docs).groupBy("doc_id").agg(collect_set(col("shingle")).as("sh")).cache(),
@@ -261,6 +273,27 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Distinct tokens, per-doc token counts, and the lossless df-ranked
+    * threshold prefix — ONE definition for the PPJoin-style prefix
+    * filters: the integer ceil bound `n - ceil(t*n) + 1` (spelled
+    * `($tNum*n + tDen-1) DIV tDen`) is correctness-critical for the
+    * lossless-prefix proofs both consumers cite and must never fork. */
+  private def dfRankedPrefix(docs: DataFrame, tNum: Int, tDen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
+    val prefix = tok.join(df, Seq("tok"))
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rnk") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("tok"))
+    (tok, sizes, prefix)
+  }
+
   /** EXACT token-set similarity self-join with PPJoin-style prefix
     * filtering (Chaudhuri et al. ICDE 2006; Xiao et al. WWW 2008) — the
     * exact-at-scale complement to the LSH family: where banding trades
@@ -289,17 +322,7 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, tNum: Int = 3, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
-    val tok = docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .distinct()
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
-    val prefix = tok.join(df, Seq("tok"))
-      .withColumn("rnk", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rnk") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("doc_id"), col("tok"))
+    val (tok, sizes, prefix) = dfRankedPrefix(docs, tNum, tDen)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
@@ -345,17 +368,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
-    val tok = docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .distinct()
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
-    val prefix = tok.join(df, Seq("tok"))
-      .withColumn("rnk", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rnk") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("doc_id"), col("tok"))
+    val (tok, sizes, prefix) = dfRankedPrefix(docs, tNum, tDen)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
       .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b"))
@@ -506,29 +519,13 @@ object Dedup {
     */
   def minhashCalibration(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
-    val h = md5(col("shingle").cast("binary"))
-    val withH = sh.select(col("doc_id"),
-      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
-    val mhs = (0 until MinHashK).map { j =>
-      min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"mh$j")
-    }
-    val sigs = withH.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
-
-    val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat(col(s"mh${2 * b}").cast("string"), lit("|"),
-          col(s"mh${2 * b + 1}").cast("string")).cast("binary")).as("band_key"))
-    }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
-        col("bk.band_key").as("band_key"))
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
-        Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    // The signature math and the banded candidate join are the SHARED
+    // kernels (rawSignatures / bandedCandidates through the signature
+    // cache) — the calibration measures the exact sketch it would
+    // otherwise silently drift from, and the candidate join reuses the
+    // cached band frame instead of a third signature pass.
+    val sigs = rawSignatures(docs)
+    val cand = bandedCandidates(docs)
 
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       (0 until MinHashK).map(j => col(s"mh$j").as(s"a$j")): _*)
@@ -559,6 +556,27 @@ object Dedup {
         col("sum_jaccard_fp").cast("double") / col("n_pairs").cast("double") / lit(1.0e9))
   }
 
+  /** Exact >= tNum/tDen-Jaccard ground-truth pairs over a corpus's
+    * distinct shingles — ONE definition shared by the exact and sampled
+    * blocking evaluators: the SketchGovernanceSpec law pins the sampled
+    * estimator against the exact one, which is only meaningful while
+    * both compute the IDENTICAL truth predicate. Cost is the uncapped
+    * common-shingle self-join — gate/evaluation only, never a
+    * production path. */
+  private def trueJaccardPairs(corpus: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
+    val sh = shingles(corpus)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
+      .select("doc_a", "doc_b")
+  }
+
   /** Blocking-quality evaluation of the MinHash LSH band scheme
     * (Christen 2012's record-linkage metrics): against ground truth =
     * every pair with exact shingle Jaccard ≥ tNum/tDen,
@@ -581,16 +599,7 @@ object Dedup {
     */
   def blockingQuality(docs: DataFrame, tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum <= tDen, got $tNum/$tDen")
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val truePairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
-      .select("doc_a", "doc_b")
+    val truePairs = trueJaccardPairs(docs, tNum, tDen)
     val cand = bandedCandidates(docs)
     val caught = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     docs.agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -601,8 +610,9 @@ object Dedup {
         when(col("n_true") > 0,
           col("n_caught").cast("double") / col("n_true").cast("double"))
           .as("pairs_completeness"),
-        (lit(1.0) - (col("n_cand").cast("double") * lit(2.0))
-          / (col("n_docs").cast("double") * (col("n_docs") - 1).cast("double")))
+        when(col("n_docs") > 1,
+          lit(1.0) - (col("n_cand").cast("double") * lit(2.0))
+            / (col("n_docs").cast("double") * (col("n_docs") - 1).cast("double")))
           .as("reduction_ratio"))
   }
 
@@ -686,16 +696,7 @@ object Dedup {
         Window.partitionBy("source").orderBy(sampleKey, col("doc_id"))))
       .filter(col("_srn") <= perSourceCap)
       .drop("_srn")
-    val sh = shingles(sampled)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val truePairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
-      .select("doc_a", "doc_b")
+    val truePairs = trueJaccardPairs(sampled, tNum, tDen)
     // The candidate pair set feeds two consumers (its count and the
     // caught left join) on different shapes; it is tiny (sampled-pair
     // candidates), so eager-materialize it once instead of re-running
@@ -734,9 +735,10 @@ object Dedup {
           .as("ci95_low"),
         when(col("n_true_s") > 0, least(greatest(center + hw, p), lit(1.0)))
           .as("ci95_high"),
-        (lit(1.0) - (col("n_cand_s").cast("double") * lit(2.0))
-          / (col("n_docs_sampled").cast("double")
-            * (col("n_docs_sampled") - 1).cast("double")))
+        when(col("n_docs_sampled") > 1,
+          lit(1.0) - (col("n_cand_s").cast("double") * lit(2.0))
+            / (col("n_docs_sampled").cast("double")
+              * (col("n_docs_sampled") - 1).cast("double")))
           .as("reduction_ratio_est"))
   }
 
@@ -976,8 +978,22 @@ object Dedup {
   /** Near-dup candidate pairs from shared winnowed fingerprints: document
     * pairs electing at least `minShared` common fingerprints, with the
     * shared count as evidence weight. */
-  def winnowedPairs(docs: DataFrame, minShared: Long = 2): DataFrame = {
-    val fp = winnowedFingerprints(docs).select("doc_id", "h").distinct()
+  def winnowedPairs(docs: DataFrame, minShared: Long = 2,
+      postingCap: Int = 0): DataFrame = {
+    val raw = winnowedFingerprints(docs).select("doc_id", "h").distinct()
+    // Hot-key guard, the bandedCandidates bucketCap discipline: a
+    // boilerplate span shared by m documents elects the same
+    // fingerprint in all of them and the posting-list self-join emits
+    // m²/2 rows. postingCap drops fingerprints wider than the cap
+    // (losing a hot fingerprint's pairs only loses boilerplate
+    // evidence, never corrupts a verdict) — the switch a 100 TB run
+    // flips; 0 = uncapped, the gate's exact-oracle setting.
+    val fp =
+      if (postingCap <= 0) raw
+      else raw
+        .withColumn("_w", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("_w") <= postingCap)
+        .drop("_w")
     fp.select(col("doc_id").as("doc_a"), col("h"))
       .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
@@ -1071,12 +1087,17 @@ object Dedup {
     val win = Window.partitionBy(col("lang"), col("source"))
       .orderBy(col("n_chars"), col("doc_id"))
     val base = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val cand = (1 to w).map(j =>
-        base.withColumn("nbr", lead(col("doc_id"), j).over(win))
-          .filter(col("nbr").isNotNull)
-          .select(least(col("doc_id"), col("nbr")).as("doc_a"),
-            greatest(col("doc_id"), col("nbr")).as("doc_b")))
-      .reduce(_ unionByName _)
+    // ONE window pass computing all w lead columns, then an explode —
+    // the per-j union of the first cut re-scanned the projection and
+    // re-ran the per-block sort w times for identical output.
+    val cand = base
+      .select(col("doc_id") +:
+        (1 to w).map(j => lead(col("doc_id"), j).over(win).as(s"nbr$j")): _*)
+      .select(col("doc_id"),
+        explode(array((1 to w).map(j => col(s"nbr$j")): _*)).as("nbr"))
+      .filter(col("nbr").isNotNull)
+      .select(least(col("doc_id"), col("nbr")).as("doc_a"),
+        greatest(col("doc_id"), col("nbr")).as("doc_b"))
       .distinct()
 
     val tok = docs
@@ -1126,8 +1147,23 @@ object Dedup {
     */
   def duplicateClustersWithRounds(docs: DataFrame, threshold: Double = 0.3,
       maxIterations: Int = 20, bucketCap: Int = 0): (DataFrame, Int) =
-    componentsFromEdges(lshDedupPairs(docs, threshold, bucketCap).select("doc_a", "doc_b"),
-      docs.select(col("doc_id")), maxIterations)
+    // Memoized like every cheaper intermediate below it (shingles,
+    // signatures, pairs): the star-contraction loop runs EAGER Spark
+    // jobs per round, so a session running keep-best plus two
+    // effective-token queries on one corpus would otherwise execute the
+    // whole loop three times. The result frame reads the final round's
+    // checkpoint blocks (which stay — the same lifetime the uncached
+    // path had); clearCaches drops the entry.
+    graft.ops.Ckpt.memo(clusterCache,
+      (docs.sparkSession, PlanKeys.fingerprint(docs), threshold,
+        maxIterations, bucketCap),
+      componentsFromEdges(
+        lshDedupPairs(docs, threshold, bucketCap).select("doc_a", "doc_b"),
+        docs.select(col("doc_id")), maxIterations))
+
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Long, Double, Int, Int),
+      (DataFrame, Int)]
 
   /** Generic two-phase large-star/small-star connected components over an
     * undirected edge list (`doc_a`/`doc_b` columns) — the loop behind
@@ -1229,6 +1265,9 @@ object Dedup {
         df.unpersist(blocking = false)
       }
     }
+    // Cluster results are not .cache()'d (they read the loop's final
+    // checkpoint blocks); dropping the entry is the whole cleanup.
+    clusterCache.keys.filter(_._1 == spark).foreach(clusterCache.remove)
   }
 
   /** Scale guard for the inverted-index join: drop shingles present in
@@ -1238,9 +1277,15 @@ object Dedup {
     */
   def shingleDfCapped(docs: DataFrame, maxDocFrac: Double): DataFrame = {
     val sh = shingles(docs)
-    val nDocs = docs.select(approx_count_distinct("doc_id")).first().getLong(0)
+    // The doc-count threshold rides as a broadcast scalar so plan
+    // COMPOSITION stays lazy (every other operator here composes
+    // without running a job; the first cut ran an eager corpus count
+    // per call).
+    val nDocs = docs.agg(
+      approx_count_distinct("doc_id").cast("double").as("_nd"))
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > lit(maxDocFrac * nDocs))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df").cast("double") > lit(maxDocFrac) * col("_nd"))
       .select("shingle")
     sh.join(broadcast(hot), Seq("shingle"), "left_anti")
   }

@@ -169,7 +169,7 @@ object Similarity {
     */
   def annPairs(embeddings: DataFrame, threshold: Double,
       bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame =
-    pairsCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(pairsCache,
       (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         math.round(threshold * 1e9), bands, bandBits, bucketCap), {
         val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -222,7 +222,7 @@ object Similarity {
     */
   def candidatePairs(embeddings: DataFrame,
       bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame =
-    candCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(candCache,
       (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         bands, bandBits, bucketCap), {
         val banded = annBands(embeddings, bands, bandBits)
@@ -1388,7 +1388,7 @@ object Similarity {
 
   def kMeans(embeddings: DataFrame, k: Int, iterations: Int = 5, snapScale: Double = 0)
       : (Array[Array[Double]], DataFrame) =
-    kmCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(kmCache,
       (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         k, iterations, snapScale),
       kMeansUncached(embeddings, k, iterations, snapScale))

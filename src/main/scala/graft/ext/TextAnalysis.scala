@@ -1026,7 +1026,7 @@ object TextAnalysis {
     * oracle's recursion). */
   private def bpeWords(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    wordCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(wordCache,
       (spark, PlanKeys.fingerprint(docs)),
       graft.ops.Ckpt.registerCached(
         docs.select(explode(tokens(col("text"))).as("word"))

@@ -65,8 +65,20 @@ object Ckpt {
     }
   }
 
+  /** Atomic memo-cache insert: TrieMap.getOrElseUpdate does NOT
+    * evaluate its builder atomically, so two threads racing on the
+    * first build for the same key would BOTH build and
+    * [[registerCached]] a frame — the loser's registration (and cache
+    * buffer) then leaks because clearCaches only unregisters the stored
+    * frame. Builds are plan construction (no Spark job), so one lock
+    * per cache map costs nothing; every library memo cache inserts
+    * through this. */
+  def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
+      key: K, build: => V): V =
+    cache.synchronized { cache.getOrElseUpdate(key, build) }
+
   /** Register a frame a cache is about to store/hand out. Returns the
-    * frame for call-site convenience (`cache.getOrElseUpdate(k,
+    * frame for call-site convenience (`Ckpt.memo(cache, k)(
     * Ckpt.registerCached(build, "Foo.barCache"))`). */
   def registerCached(df: DataFrame, owner: String): DataFrame = {
     val ids = logicalRddIds(df)

@@ -123,7 +123,7 @@ object Kmv {
     * [[intersectionBySource]], [[cardinalityBySource]], and the
     * streaming monitor's batch-equivalence spec. */
   private[graft] def sketchesOf(docs: DataFrame, k: Int): DataFrame =
-    sketchCache.getOrElseUpdate(
+    graft.ops.Ckpt.memo(sketchCache,
       (docs.sparkSession, graft.ext.PlanKeys.fingerprint(docs), k),
       Ckpt.registerCached({
         // (source, shingle) occurrences — the shared shingle kernel
