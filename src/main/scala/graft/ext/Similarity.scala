@@ -226,15 +226,17 @@ object Similarity {
       (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         bands, bandBits, bucketCap), {
         val banded = annBands(embeddings, bands, bandBits)
+        // One pass: the bucket width rides a window over the band table
+        // (the Dedup.bandedCandidates discipline) — the aggregate-then-
+        // rejoin first cut scanned the corpus-wide banding projection
+        // twice.
         val kept =
           if (bucketCap <= 0) banded
-          else {
-            val smallBuckets = banded.groupBy("band_idx", "band_key")
-              .agg(count(lit(1)).as("_bucket_width"))
-              .filter(col("_bucket_width") <= bucketCap)
-              .drop("_bucket_width")
-            banded.join(broadcast(smallBuckets), Seq("band_idx", "band_key"))
-          }
+          else banded
+            .withColumn("_bucket_width", count(lit(1)).over(
+              Window.partitionBy("band_idx", "band_key")))
+            .filter(col("_bucket_width") <= bucketCap)
+            .drop("_bucket_width")
         val a = kept.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_a"))
         val b = kept.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_b"))
         graft.ops.Ckpt.registerCached(
@@ -414,6 +416,7 @@ object Similarity {
     */
   def hybridRrf(docs: DataFrame, embeddings: DataFrame, queryIds: Seq[Long],
       poolDepth: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
     val lexTop = lexTopPool(docs, queryIds, poolDepth)
     val denseTop = denseTopPool(embeddings, queryIds, poolDepth)
@@ -446,6 +449,7 @@ object Similarity {
     */
   def mmrRerank(embeddings: DataFrame, queryIds: Seq[Long], poolK: Int = 10,
       k: Int = 3, lambda: Double = 0.5): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
     require(k >= 1 && k <= poolK, s"k must be in [1, poolK=$poolK]")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -560,6 +564,7 @@ object Similarity {
     */
   def rankerAgreement(docs: DataFrame, embeddings: DataFrame,
       queryIds: Seq[Long], poolDepth: Int = 10): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     require(queryIds.nonEmpty && queryIds.size <= 64, "queryIds must be a small pinned set")
     val lexTop = lexTopPool(docs, queryIds, poolDepth)
     val denseTop = denseTopPool(embeddings, queryIds, poolDepth)
@@ -811,11 +816,18 @@ object Similarity {
       .groupBy("dim_i", "dim_j")
       .agg(count(lit(1)).as("n"),
         sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
-        sum(col("xi") * col("xj")).as("sxy"))
+        // The cross-moment accumulates in DECIMAL(38,0): per-row
+        // products reach ~1e12, so a LongType SUM would silently wrap
+        // past ~9.2e6 worst-case rows — the mmdMoments convention. sx/sy
+        // terms are ~1e6 per row; long holds them to ~9.2e12 rows.
+        sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxy"))
   }
 
   private def covFromSums(sums: DataFrame): DataFrame =
-    sums.selectExpr("dim_i", "dim_j", "n", "sxy",
+    // sxy ACCUMULATES in decimal (no silent partial wrap) and lands as
+    // BIGINT: the cast fails loudly (null / ANSI error) if the true
+    // total ever exceeds 2^63, instead of wrapping mid-aggregation.
+    sums.selectExpr("dim_i", "dim_j", "n", "CAST(sxy AS BIGINT) AS sxy",
       "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))" +
         " / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov")
 
@@ -905,22 +917,33 @@ object Similarity {
     * the approx side is the registered [[annTopK]] path, so the number
     * measures the exact operator users run, not a test double.
     */
-  def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      bands: Int = AnnBands, bandBits: Int = AnnBandBits,
+      bucketCap: Int = 0): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val truth = bruteKnn(embeddings, queryIds, k)
-    val approx = annTopK(embeddings, k)
+    // The banding knobs pass through to the index under test — the
+    // documented sweep-bands/bits/cap tuning loop measures the preset
+    // being tuned, not always the dense default.
+    val approx = annTopK(embeddings, k, bands, bandBits, bucketCap)
       .filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("rank").as("arank"), col("neighbor_id"))
     val joined = truth.select(col("qid"), col("rank"), col("neighbor_id"))
       .join(approx, Seq("qid", "neighbor_id"), "left")
     val hits = joined.groupBy("qid")
-      .agg(sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .agg(sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        count(lit(1)).as("_n_truth"))
     val rr = joined.filter(col("rank") === 1)
       .select(col("qid"),
         coalesce(lit(1.0) / col("arank").cast("double"), lit(0.0)).as("rr"))
     hits.join(rr, Seq("qid"))
       .select(col("qid"), col("n_hits"),
-        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall_at_k"),
+        // Denominator: the truth actually available — on a corpus with
+        // fewer than k+1 vectors a perfect index must read recall 1.0,
+        // not n_truth/k.
+        (col("n_hits").cast("double")
+          / least(lit(k.toDouble), col("_n_truth").cast("double")))
+          .as("recall_at_k"),
         col("rr"))
   }
 
@@ -1311,11 +1334,22 @@ object Similarity {
     // max), their residuals are exactly zero, and a zero codebook makes
     // the PQ stage a no-op — in-cell ranking would degenerate to
     // neighbor-id order.
-    val rcb = rsub
+    val rcbRaw = rsub
       .filter(col("vec_id") >= numCentroids &&
         col("vec_id") < numCentroids + PqCodebookSize)
       .select((col("vec_id") - numCentroids).cast("int").as("cid"),
         col("s"), col("x").as("cslice"))
+    // Fail FAST (plan-level assert, no eager job) if the pinned-id
+    // precondition is unmet: a corpus missing vec_ids
+    // [numCentroids, numCentroids+K) would otherwise shrink or empty
+    // the codebook and the search would silently return zero rows.
+    val rcb = rcbRaw
+      .crossJoin(broadcast(rcbRaw.agg(countDistinct(col("cid")).as("_ncb"))))
+      .filter(assert_true(col("_ncb") === lit(PqCodebookSize),
+        lit(s"ivfPqSearch: residual codebook needs all vec_ids in " +
+          s"[numCentroids, numCentroids+$PqCodebookSize) present"))
+        .isNull)
+      .drop("_ncb")
     val recon = reconstructFrom(encodeAgainst(rsub, rcb), rcb)
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))

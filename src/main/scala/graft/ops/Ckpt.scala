@@ -65,17 +65,29 @@ object Ckpt {
     }
   }
 
+  private val memoLocks =
+    scala.collection.concurrent.TrieMap.empty[(AnyRef, Any), Object]
+
   /** Atomic memo-cache insert: TrieMap.getOrElseUpdate does NOT
     * evaluate its builder atomically, so two threads racing on the
     * first build for the same key would BOTH build and
     * [[registerCached]] a frame — the loser's registration (and cache
     * buffer) then leaks because clearCaches only unregisters the stored
-    * frame. Builds are plan construction (no Spark job), so one lock
-    * per cache map costs nothing; every library memo cache inserts
-    * through this. */
+    * frame. The lock is PER (cache, key), not per cache map: some
+    * builds run real Spark jobs (k-means training, the clustering
+    * loop), and a map-wide lock would serialize unrelated keys behind
+    * them. Lock objects are tiny and bounded by the number of distinct
+    * keys ever built; every library memo cache inserts through this. */
   def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
       key: K, build: => V): V =
-    cache.synchronized { cache.getOrElseUpdate(key, build) }
+    cache.get(key).getOrElse {
+      val candidate = new Object
+      val lock = memoLocks.putIfAbsent((cache, key), candidate)
+        .getOrElse(candidate)
+      lock.synchronized {
+        cache.get(key).getOrElse { val v = build; cache.put(key, v); v }
+      }
+    }
 
   /** Register a frame a cache is about to store/hand out. Returns the
     * frame for call-site convenience (`Ckpt.memo(cache, k)(

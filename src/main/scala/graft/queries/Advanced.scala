@@ -94,7 +94,7 @@ object Advanced {
       |         CAST(COUNT(*) AS BIGINT) AS n,
       |         CAST(SUM(a.v) AS BIGINT) AS sx,
       |         CAST(SUM(b.v) AS BIGINT) AS sy,
-      |         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+      |         CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS BIGINT) AS sxy
       |  FROM fp a JOIN fp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
       |  GROUP BY 1, 2
       |)""".stripMargin
@@ -2027,7 +2027,8 @@ object Advanced {
            |  WHERE rank <= 5
            |), hits AS (
            |  SELECT t.qid,
-           |         CAST(SUM(CASE WHEN a.arank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |         CAST(SUM(CASE WHEN a.arank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |         CAST(COUNT(*) AS BIGINT) AS n_truth
            |  FROM truth t LEFT JOIN approx a
            |    ON a.qid = t.qid AND a.neighbor_id = t.neighbor_id
            |  GROUP BY 1
@@ -2038,7 +2039,8 @@ object Advanced {
            |  WHERE t.rank = 1
            |)
            |SELECT h.qid, h.n_hits,
-           |       CAST(h.n_hits AS DOUBLE) / 5.0 AS recall_at_k,
+           |       CAST(h.n_hits AS DOUBLE)
+           |         / LEAST(5.0, CAST(h.n_truth AS DOUBLE)) AS recall_at_k,
            |       rr.rr
            |FROM hits h JOIN rr USING (qid)
            |ORDER BY qid""".stripMargin
