@@ -30,6 +30,14 @@ object Curation {
   private def snapFp(x: Column): Column =
     floor(x * lit(1e9) + lit(0.5)).cast("long")
 
+  /** A double snapped to the 1e-9 grid IN double space (the sibling of
+    * [[snapFp]] for values that stay double) — ONE definition: eight
+    * operators previously re-spelled this locally, and a grid-convention
+    * tweak applied to one copy would silently desynchronize the others'
+    * shared-contract claims. */
+  private def snap9(x: Column): Column =
+    floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+
   /** First 32 bits of md5 as a non-negative long — the engine-portable
     * hash (DuckDB: CAST('0x'||substring(md5(x),1,8) AS BIGINT)).
     */
@@ -77,6 +85,13 @@ object Curation {
     val b = lit(buckets.toDouble)
     val lr = raw.join(tgt, Seq("bucket"), "left")
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      // Fail FAST (plan-level assert, no eager job) when targetSource
+      // matches nothing: tt would be NULL, every log-ratio NULL, and
+      // the rank join would silently return ZERO rows — a typo'd source
+      // name must be a diagnosable error, not an empty selection.
+      .filter(assert_true(col("tt").isNotNull,
+        lit(s"dsirWeights: targetSource '$targetSource' matched no " +
+          "documents")).isNull)
       .select(col("bucket"),
         snapFp(log(
           (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))
@@ -465,7 +480,6 @@ object Curation {
     * over one row per distinct DURATION (calendar-bounded).
     */
   def kaplanMeier(events: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val base = events.select(col("user_id"),
       expr("unix_micros(ts)").as("us"), col("event_type"))
     val perUser = base.groupBy("user_id").agg(
@@ -487,15 +501,16 @@ object Curation {
       .withColumn("cum_obs", sum(col("c_obs")).over(wCum))
       .withColumn("n_risk", col("n_users") - col("cum_obs") + col("c_obs"))
       .filter(col("d_i") > 0)
-    val wEvt = Window.orderBy("dur")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDur
       .withColumn("lnf_fp", when(col("d_i") < col("n_risk"),
         snapFp(log((col("n_risk") - col("d_i")).cast("double")
           / col("n_risk").cast("double")))))
-      .withColumn("cum_ln_fp", sum(col("lnf_fp")).over(wEvt))
+      // Same cumulative spec as the risk-set window above — one
+      // definition; a drifted re-spell would desynchronize the survival
+      // product from the risk sets.
+      .withColumn("cum_ln_fp", sum(col("lnf_fp")).over(wCum))
       .withColumn("zeroed",
-        max(when(col("d_i") === col("n_risk"), lit(1)).otherwise(lit(0))).over(wEvt))
+        max(when(col("d_i") === col("n_risk"), lit(1)).otherwise(lit(0))).over(wCum))
       .select(col("dur").as("duration_days"),
         col("n_risk").as("n_at_risk"), col("d_i").as("n_events"),
         when(col("zeroed") === 1, lit(0.0))
@@ -554,8 +569,14 @@ object Curation {
     * the threshold crosses inside a run of equal values, the selected
     * value IS that run's value.
     *
-    * Scale: one per-group window (partitioned, never global) + one
-    * aggregate.
+    * Scale: one per-group window + one aggregate — but the group key
+    * (return flag) has a HANDFUL of values, so each window partition
+    * funnels ~1/|groups| of the fact table through one task's sort. At
+    * the 100 TB posture this is a single-executor sort bottleneck: use
+    * the [[exactAscRank]] bucket-histogram offset construction (which
+    * exists for exactly this shape) to compute the cumulative weight
+    * without a low-cardinality window; this spelling is the gate-scale
+    * reference implementation.
     */
   def weightedPercentiles(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(col("l_returnflag").as("grp"),
@@ -656,7 +677,6 @@ object Curation {
     * through the slope join harmlessly. Pair join is bounded by the
     * CALENDAR (day×day), never the corpus. */
   private def theilSenFit(train: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val slopes = train.select(col("i").as("i1"), col("y").as("y1"))
       .join(train.select(col("i").as("i2"), col("y").as("y2")),
         col("i1") < col("i2"))
@@ -691,7 +711,6 @@ object Curation {
     * keyed aggregate — the whole point of the Poisson bootstrap.
     */
   def poissonBootstrap(events: DataFrame, reps: Int = 20): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val purch = events.filter(col("event_type") === "purchase")
       .select(col("event_id"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
@@ -705,6 +724,12 @@ object Curation {
       .withColumn("w", poissonWeight(col("u")))
     val perRep = exploded.groupBy("r")
       .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("ws"))
+      // A replicate whose Poisson weights all drew zero has no estimate
+      // (ws = 0 makes est NULL); it must leave BOTH the count and the
+      // sums — counting it in nr while the sums skip it biases boot_mean
+      // low and can clamp the variance to a zero-width CI. The sibling
+      // abTestHarness carries the same guard.
+      .filter(col("ws") > 0)
       .select(col("r"), snap9(col("wc").cast("double") / col("ws").cast("double"))
         .as("est"))
       // Squared term on a 1e6 grid, not 1e9: est is cents, and
@@ -751,7 +776,6 @@ object Curation {
     * interpolation.
     */
   def conformalBand(events: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
       .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
@@ -762,14 +786,19 @@ object Curation {
     val inter = theilSenFit(train)
     val cal = withB.crossJoin(broadcast(inter))
       .filter(col("i") > col("n_train"))
-      .select(col("d"), col("n_train"), col("a"), col("b"),
+      .select(col("d"), col("n_train"), col("a"), col("b"), col("i"),
         snap9(abs(col("y").cast("double")
           - (col("a") + col("b") * col("i").cast("double")))).as("ar"))
     val m = cal.groupBy("d", "n_train", "a", "b").agg(count(lit(1)).as("m"))
     val q = cal.join(m, Seq("d", "n_train", "a", "b"))
       .withColumn("k", ceil((col("m") + 1).cast("double") * lit(0.9)))
+      // Tie-break on the row-varying day index i: d is the constant
+      // total day count, so ordering by (ar, d) left tied residuals in
+      // arbitrary partition order — harmless today only because ar is
+      // the sole row-varying column the select reads, and a trap for
+      // any future edit that reads another.
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("ar").asc, col("d").asc)).cast("long"))
+        Window.orderBy(col("ar").asc, col("i").asc)).cast("long"))
       .filter(col("rn") === least(col("k"), col("m")))
     q.select(col("d").as("n_days"), col("n_train"), col("m").as("n_cal"),
       round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"),
@@ -1039,7 +1068,6 @@ object Curation {
     * exact integers.
     */
   def forecastSkill(events: DataFrame, testDays: Int = 10): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
       .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
@@ -1093,7 +1121,6 @@ object Curation {
     * spec's contract — is an interval that covers zero.
     */
   def abTestHarness(events: DataFrame, reps: Int = 20): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val perUser = events
       .groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase",
@@ -1191,7 +1218,6 @@ object Curation {
     * (user_id % 10), giving stable group sizes at every sf.
     */
   def jamesSteinShrinkage(events: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val purch = events.filter(col("event_type") === "purchase")
       .select((col("user_id") % 10).as("grp"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
@@ -1246,7 +1272,11 @@ object Curation {
     * integer cents, and the comparison column carries the untrimmed
     * mean.
     *
-    * Scale: one per-group rank window (partitioned) + one aggregate.
+    * Scale: one per-group rank window + one aggregate — same
+    * low-cardinality-partition caveat as [[weightedPercentiles]]: with
+    * ~5 event types each partition sorts ~1/5 of the event table in one
+    * task; at 100 TB use the [[exactAscRank]] bucket-offset
+    * construction for the ranks instead.
     */
   def trimmedMean(events: DataFrame): DataFrame = {
     val base = events.select(col("event_type"),
@@ -1642,7 +1672,6 @@ object Curation {
     * over #sources rows.
     */
   def neymanAllocation(docs: DataFrame, budget: Int = 100): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val strata = docs.groupBy("source").agg(
       count(lit(1)).as("nh"),
       sum(col("n_chars")).as("sy"),
@@ -1686,12 +1715,17 @@ object Curation {
   def captureRecapture(docs: DataFrame, pct: Int = 30): DataFrame = {
     val hA = hash32(concat(col("text"), lit("|capA"))) % 100
     val hB = hash32(concat(col("text"), lit("|capB"))) % 100
-    val marked = docs.select(col("text"), (hA < pct).as("in_a"), (hB < pct).as("in_b"))
+    // Distinct-count the 32-byte content hash, not the document body:
+    // the four distinct sets otherwise shuffle every full text (the
+    // dupRateWilson convention; identity semantics are already
+    // content-hash anyway).
+    val marked = docs.select(md5(col("text").cast("binary")).as("th"),
+      (hA < pct).as("in_a"), (hB < pct).as("in_b"))
     marked.agg(
-        count_distinct(when(col("in_a"), col("text"))).as("n_a"),
-        count_distinct(when(col("in_b"), col("text"))).as("n_b"),
-        count_distinct(when(col("in_a") && col("in_b"), col("text"))).as("n_both"),
-        count_distinct(col("text")).as("n_exact"))
+        count_distinct(when(col("in_a"), col("th"))).as("n_a"),
+        count_distinct(when(col("in_b"), col("th"))).as("n_b"),
+        count_distinct(when(col("in_a") && col("in_b"), col("th"))).as("n_both"),
+        count_distinct(col("th")).as("n_exact"))
       .select(col("n_a"), col("n_b"), col("n_both"), col("n_exact"),
         when(col("n_both") > 0,
           round(col("n_a").cast("double") * col("n_b").cast("double")

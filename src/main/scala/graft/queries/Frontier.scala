@@ -749,6 +749,7 @@ object Frontier {
              |  SELECT r, floor(CAST(SUM(w * cents) AS DOUBLE)
              |           / CAST(SUM(w) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS est
              |  FROM ww GROUP BY 1
+             |  HAVING SUM(w) > 0
              |), per2 AS (
              |  SELECT r, est,
              |         CAST(floor(est * est * 1e6 + 0.5) AS BIGINT) AS est2_fp
