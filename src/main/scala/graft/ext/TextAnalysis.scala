@@ -15,8 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization of a text column. */
+  /** Whitespace tokenization of a text column. CONVENTION: empty or
+    * whitespace-only text tokenizes to [""] (one empty token), exactly
+    * like DuckDB's string_split_regex — the two engines share the wart,
+    * which is what keeps every token-level oracle bit-comparable. Do
+    * NOT "fix" one side alone; a curation pipeline that must exclude
+    * empty docs filters upstream (the qualityGates length floor). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** A double snapped to the 1e-9 grid (the x61 convention) — ONE
+    * definition; six operators previously re-spelled it locally and a
+    * grid tweak to one copy would silently desynchronize the others. */
+  private def snap9(x: Column): Column =
+    floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+
+  /** (doc_id, gram) rows — every word n-gram of each document, with the
+    * short-document convention (a doc shorter than n tokens contributes
+    * its whole token sequence as ONE gram via greatest(size-n+1, 1)) —
+    * ONE definition for the gram-grain operators (boilerplate, novelty,
+    * duplicate-gram coverage, contamination): a short-doc bound fixed in
+    * one re-spell and not the others would silently desynchronize
+    * novelty attribution from the dedup policy it predicts. */
+  private def gramRows(d: DataFrame, n: Int): DataFrame = d
+    .select(col("doc_id"), tokens(col("text")).as("ts"))
+    .select(col("doc_id"), col("ts"),
+      explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
+    .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
 
   /** Common-word list used by the quality score and language ID. */
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "is", "to", "in")
@@ -43,19 +67,23 @@ object TextAnalysis {
     * are arbitrary but fixed; what matters at scale is that the whole
     * score is one projection over the scan.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val ts = tokens(col("text"))
-    val nTok = size(ts)
-    val stopRatio = countIn(ts, EnStopwords).cast("double") / nTok
-    val specialRatio = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
-      greatest(length(col("text")), lit(1))
+  def qualityScore(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      nTok.as("n_tokens"),
-      stopRatio.as("stopword_ratio"),
-      specialRatio.as("special_ratio"),
+      size(tokens(col("text"))).as("n_tokens"),
+      stopRatioExpr.as("stopword_ratio"),
+      specialRatioExpr.as("special_ratio"),
       qualityScoreExpr.as("quality_score"))
-  }
+
+  // The two ratio expressions are shared with qualityScoreExpr — ONE
+  // definition each, so the reported ratio columns can never describe a
+  // different formula than the score beside them.
+  private def stopRatioExpr: Column =
+    countIn(tokens(col("text")), EnStopwords).cast("double") /
+      size(tokens(col("text")))
+  private def specialRatioExpr: Column =
+    regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(col("text")), lit(1))
 
   /** The [[qualityScore]] composite as ONE reusable Column over a frame
     * with a `text` column — so pipeline stages (Pipeline.curate) can
@@ -64,13 +92,10 @@ object TextAnalysis {
     * cross-engine deterministic.
     */
   def qualityScoreExpr: Column = {
-    val ts = tokens(col("text"))
-    val nTok = size(ts)
-    val stopRatio = countIn(ts, EnStopwords).cast("double") / nTok
-    val specialRatio = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
-      greatest(length(col("text")), lit(1))
-    val lengthPrior = least(lit(1.0), nTok.cast("double") / lit(100.0))
-    lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - specialRatio) + lit(0.3) * lengthPrior
+    val lengthPrior = least(lit(1.0),
+      size(tokens(col("text"))).cast("double") / lit(100.0))
+    lit(0.4) * stopRatioExpr + lit(0.3) * (lit(1.0) - specialRatioExpr) +
+      lit(0.3) * lengthPrior
   }
 
   /** Rule-based quality gate in the style of Gopher's repetition-free
@@ -196,7 +221,9 @@ object TextAnalysis {
       count(lit(1)).as("n"),
       sum(when(col("is_match"), 1L).otherwise(0L)).as("n_correct"),
       sum(col("conf_fp")).as("sum_conf_fp"))
-    val nScored = conf.agg(count(lit(1)).as("n_scored"))
+    // n_scored == sum(n) over the <= bins-row table — deriving it there
+    // saves a second full tokenize+score corpus pass.
+    val nScored = perBin.agg(sum(col("n")).as("n_scored"))
     // Per-bin ECE term on a 1e-12 grid: the |acc - conf| tree is one
     // shared IEEE expression from exact integers; snapping before the
     // bounded sum makes the fold order-free across engines.
@@ -342,7 +369,10 @@ object TextAnalysis {
           .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
-          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // 3VL parity with the expression operators: a NULL text is an
+          // empty document here, not a task-killing NPE.
+          val raw = (if (text == null) ""
+            else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
           deflater.finish()
@@ -365,10 +395,7 @@ object TextAnalysis {
     */
   def boilerplateNgrams(docs: DataFrame, n: Int = 5, minDf: Long = 3,
       k: Int = 20): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
-      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+    gramRows(docs, n)
       .distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -455,11 +482,7 @@ object TextAnalysis {
     */
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, "contamination n-grams need n >= 2")
-    def gramsRaw(d: DataFrame) = d
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
-      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+    def gramsRaw(d: DataFrame) = gramRows(d, n)
     // Eval side distincts on the gram ALONE — a per-(doc, gram) distinct
     // first would shuffle the eval corpus twice for the same result.
     val evalGrams = gramsRaw(evalDocs).select("gram").distinct()
@@ -487,10 +510,7 @@ object TextAnalysis {
     */
   def gramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, "gram novelty needs n >= 2")
-    val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
-      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+    val grams = gramRows(docs, n)
       .distinct()
     val owner = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
     grams.join(owner, Seq("gram"))
@@ -519,10 +539,7 @@ object TextAnalysis {
     */
   def duplicateGramCoverage(docs: DataFrame, n: Int = 8, minDf: Long = 2): DataFrame = {
     require(n >= 2, "duplicate-gram coverage needs n >= 2")
-    val grams = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"))
-      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("gram"))
+    val grams = gramRows(docs, n)
       .distinct()
     val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     grams.join(df, Seq("gram"))
@@ -554,7 +571,11 @@ object TextAnalysis {
   def bm25(docs: DataFrame, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
+    require(queryTerms == queryTerms.distinct,
+      "duplicate query terms would create ambiguous tf_ columns")
+    require(queryTerms.forall(_.matches("[A-Za-z0-9_-]+")),
+      "query terms name the per-term tf_/df_ columns; only identifier-" +
+        "safe terms ([A-Za-z0-9_-]+) are supported")
     val ts = tokens(col("text"))
     val base = docs.select(
       (col("doc_id") +: size(ts).cast("long").as("dl") +:
@@ -605,7 +626,6 @@ object TextAnalysis {
     * (3VL, not a silent drop).
     */
   def lmScore(docs: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
     val big = toks.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(zip_with(
@@ -649,7 +669,6 @@ object TextAnalysis {
     * more than chance) surface.
     */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
@@ -694,7 +713,6 @@ object TextAnalysis {
     * doc×doc anything.
     */
   def sourceDivergence(docs: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val toks = docs.select(col("source"), tokens(col("text")).as("ts"))
     val st = toks.select(col("source"), explode(col("ts")).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
@@ -751,7 +769,6 @@ object TextAnalysis {
     * (sources are few by construction), one per-pair aggregate.
     */
   def jsDivergenceMatrix(docs: DataFrame): DataFrame = {
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val st = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
     val tot = st.groupBy("source").agg(sum(col("c")).as("n"))
@@ -841,7 +858,7 @@ object TextAnalysis {
         floor(pow(lit(0.5), col("dd")) / col("dd").cast("double")
           * lit(1e12) + lit(0.5)).cast("long").as("term_fp"))
     val agg = terms.groupBy("source")
-      .agg(count(lit(1)).as("n_depth_hits"), sum(col("term_fp")).as("rbo_fp"))
+      .agg(sum(col("term_fp")).as("rbo_fp"))
     val maxRbo = 1.0 - math.pow(0.5, depth.toDouble) // exact powers of two
     val srcs = st.select("source").distinct()
     srcs.join(agg, Seq("source"), "left")
@@ -868,7 +885,6 @@ object TextAnalysis {
     */
   def sourceFeatureMi(docs: DataFrame, bucketChars: Int = 100): DataFrame = {
     require(bucketChars > 0, "bucketChars must be positive")
-    def snap9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     val b = docs.select(col("source"),
       expr(s"length(text) DIV $bucketChars").cast("long").as("len_bucket"))
     val cxy = b.groupBy("source", "len_bucket").agg(count(lit(1)).as("cxy"))
@@ -904,6 +920,9 @@ object TextAnalysis {
   def vocabCoverageCurve(docs: DataFrame,
       caps: Seq[Int] = Seq(100, 500, 1000, 2000)): DataFrame = {
     require(caps.nonEmpty && caps.forall(_ > 0), "caps must be positive")
+    // A duplicated cap would double that cap's covered_tokens (two
+    // identical rows land in one group and the sums merge).
+    val uniqCaps = caps.distinct
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = docs.select(explode(tokens(col("text"))).as("tok"))
@@ -912,9 +931,9 @@ object TextAnalysis {
     val w = Window.orderBy(col("c").desc, col("tok").asc)
     val ranked = counts
       .orderBy(col("c").desc, col("tok").asc)
-      .limit(caps.max)
+      .limit(uniqCaps.max)
       .withColumn("rank", row_number().over(w).cast("long"))
-    val capsDf = caps.map(n => Tuple1(n.toLong)).toDF("vocab_cap")
+    val capsDf = uniqCaps.map(n => Tuple1(n.toLong)).toDF("vocab_cap")
     ranked.crossJoin(broadcast(capsDf))
       .filter(col("rank") <= col("vocab_cap"))
       .groupBy("vocab_cap")
@@ -944,10 +963,13 @@ object TextAnalysis {
   def phraseSearch(docs: DataFrame, phrases: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val terms = phrases.flatMap { p =>
+    // A duplicated phrase would double every vote: a true match then
+    // fails the n_terms == phrase_len test and a half-match can pass it.
+    val uniq = phrases.distinct
+    val terms = uniq.flatMap { p =>
       p.trim.split("\\s+").toSeq.zipWithIndex.map { case (w, i) => (p, i, w) }
     }.toDF("phrase", "i", "w")
-    val lens = phrases.map(p => (p, p.trim.split("\\s+").length.toLong))
+    val lens = uniq.map(p => (p, p.trim.split("\\s+").length.toLong))
       .toDF("phrase", "phrase_len")
     val postings = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
