@@ -123,9 +123,18 @@ object Graph {
       (col("sx").cast("double") * col("sx").cast("double") > lit(4.25e37))
     pairs.agg(
         count(lit(1)).as("m"),
-        sum(col("dx")).as("sx"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dx") * col("dy")).as("sxy"))
+        // The SUMS themselves accumulate in decimal(38,0), not long: a
+        // hub of degree d contributes ~d³ to sxx (d instances × d²), so
+        // d ≥ ~2.1e6 would wrap a LongType partial SILENTLY long before
+        // the product-envelope guard below ever evaluates — on wrapped
+        // garbage. Outputs land as BIGINT (loud cast failure, never a
+        // silent wrap).
+        sum(col("dx").cast("decimal(38,0)")).as("sxd_"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxxd_"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxyd_"))
+      .select(col("m"), col("sxd_").cast("long").as("sx"),
+        col("sxxd_").cast("long").as("sxx"),
+        col("sxyd_").cast("long").as("sxy"))
       .select(col("m"), col("sx"), col("sxx"), col("sxy"),
         when(over, lit(null).cast("double"))
           .when(den <= 0, lit(null).cast("double"))
@@ -197,12 +206,19 @@ object Graph {
     // cannot wrap at any realistic vertex count.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    // Empty vertex sets make labelSum null and the convergence probe
+    // would NPE opaquely mid-round; fail like the sibling ops do.
     // Tracked checkpoints (see [[Ckpt]]): each round's state releases its
     // predecessor's blocks as soon as it has materialized, instead of
     // accumulating one dead round-state per round until a JVM GC.
     var (label, labelH) = Ckpt.tracked(
       vertices.select(col("id"), col("id").as("label")))
     var sumPrev = labelSum(label)
+    if (sumPrev == null) {
+      labelH.release()
+      sym.unpersist(blocking = false)
+      require(false, "labelPropagation: vertices is empty")
+    }
     var executed = 0
     var converged = false
     (0 until rounds).foreach { _ =>
@@ -250,9 +266,16 @@ object Graph {
     require(n > 0 && n <= Long.MaxValue / base / base,
       s"hits: n_vertices($n) * base($base)^2 would overflow Long; " +
         "pass a smaller `base` (precision is 1/base)")
-    val e = edges.select(col("src"), col("dst")).cache()
+    // Deduplicate defensively (the triangleStats/kcore convention): the
+    // n·base² guard assumes a vertex has at most n in-EDGES, which only
+    // holds for a simple graph — duplicate/parallel edges would let a
+    // raw score exceed n·base and the renormalization product wrap a
+    // long silently despite the guard passing.
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
     var hub = vertices.select(col("id"), lit(base).as("hub"))
-    var auth = vertices.select(col("id"), lit(base).as("auth"))
+    // auth carries no real initial value: the first half-round computes
+    // it from hub alone and overwrites this placeholder before any read.
+    var auth = hub.select(col("id"), col("hub").as("auth"))
     // Per half-round the raw sums are referenced twice (the max and the
     // renormalization) and each round references the previous state —
     // left unchecked the LOGICAL plan quadruples per round, so each
@@ -365,7 +388,7 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("degree")), executed)
   }
 
-  /** Multi-source BFS shortest distances, bounded to `rounds` hops — the
+  /** Multi-source BFS shortest distances, bounded to `rounds` hops (capped at 16 — past that the frontier loop's plan depth outgrows its usefulness; the early-exit probe already stops expanded graphs sooner) — the
     * frontier-expansion traversal (hop distance from seed documents
     * through the near-dup graph: contamination blast radius, dedup
     * neighborhood depth, "how far does this template spread"). Round t

@@ -92,8 +92,17 @@ object PageRank {
     require(iterations >= 1, "pagerank needs at least one iteration")
     val n = vertices.count()
     require(n > 0, "pagerankWeighted needs at least one vertex")
-    val wStats = edges.agg(min(col("w").cast("long")).as("wmin"),
-      max(col("w").cast("long")).as("wmax")).first()
+    // Checkpoint the edge projection BEFORE the guard aggregate (the
+    // pagerankConserving round-12 pattern): the min/max probe is an
+    // eager action, and on an un-memoized expensive edge generator it
+    // would evaluate the whole upstream build once for the guard and
+    // again for outw + every iteration join. The blocks back the
+    // returned lazy plan, so the handle stays (the componentsFromEdges
+    // final-round convention).
+    val (e, _) = graft.ops.Ckpt.tracked(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    val wStats = e.agg(min(col("w")).as("wmin"),
+      max(col("w")).as("wmax")).first()
     require(!wStats.isNullAt(0), "pagerankWeighted: empty edge set")
     val wMin = wStats.getLong(0)
     val wMax = wStats.getLong(1)
@@ -105,12 +114,12 @@ object PageRank {
       s"pagerankWeighted: n($n) * base($base) * max(85, wMax=$wMax) would " +
         "overflow Long; pass a smaller `base` or rescale weights")
     val teleport = base * 15L / 100L
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val outw = e.groupBy("src").agg(sum(col("w")).as("wsum"))
     var rank = vertices.select(col("id"), lit(base).as("rank"))
     (0 until iterations).foreach { _ =>
       val contrib = rank.join(outw, col("id") === col("src"))
         .select(col("src").as("csrc"), col("rank"), col("wsum"))
-      val incoming = edges.join(contrib, col("src") === col("csrc"))
+      val incoming = e.join(contrib, col("src") === col("csrc"))
         .select(col("dst"), expr("(rank * w) DIV wsum").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("insum"))
       rank = vertices.join(incoming, col("id") === col("dst"), "left")
