@@ -47,7 +47,13 @@ object Anomaly {
     require(lookback >= 2 && minWindow >= 2 && minWindow <= lookback,
       "need at least 2 trailing rows for a sample variance")
     require(kSigma >= 1, "kSigma must be a positive integer")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    // Tie-break on the value: duplicate (key, time) pairs would leave
+    // the within-tie order — and therefore the trailing frame contents —
+    // up to shuffle nondeterminism, voiding the bit-replay contract for
+    // exactly the tied rows. (Rows identical in key, time AND value are
+    // interchangeable, so (time, value) is a sufficient total order.)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("x"))
       .rowsBetween(-lookback, -1)
     val n = col("trail_n")
     val s = col("trail_sum")
@@ -58,10 +64,14 @@ object Anomaly {
       .withColumn("trail_n", count(x).over(w))
       .withColumn("trail_sum", coalesce(sum(x).over(w), lit(0L)))
       .withColumn("trail_sumsq", coalesce(sum(x * x).over(w), lit(0L)))
+      // coalesce: a NULL value (or a non-numeric string the cast
+      // nulled) is a NON-alert, not a 3VL leak into the flag column.
       .withColumn("is_anomaly",
-        n >= minWindow &&
-          (n * x - s) * (n * x - s) * (n - lit(1L)) >
-            lit(kSigma.toLong * kSigma) * n * (n * ss - s * s))
+        coalesce(
+          n >= minWindow &&
+            (n * x - s) * (n * x - s) * (n - lit(1L)) >
+              lit(kSigma.toLong * kSigma) * n * (n * ss - s * s),
+          lit(false)))
       .withColumnRenamed("x", valueCol)
   }
 }

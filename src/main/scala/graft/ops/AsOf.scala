@@ -44,8 +44,14 @@ object AsOf {
     // last(ignoreNulls) would stitch a chimera of several right rows —
     // not what ASOF means). The struct itself is never NULL for right
     // rows, so last(ignoreNulls) skips exactly the left rows.
-    val r = right.select(col(key),
-        struct(rPayload.map(col).toIndexedSeq: _*).as("__p"))
+    // A right row with a NULL event time precedes NOTHING — ascending
+    // sort is NULLS FIRST, so an unfiltered NULL-time row would sort to
+    // the head of every key partition and become the default enrichment
+    // for every early left row (one corrupt timestamp poisoning the
+    // key). Such rows are excluded; the affected left rows correctly
+    // read NULL.
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(key), struct(rPayload.map(col).toIndexedSeq: _*).as("__p"))
       .withColumn("__t", col("__p").getField(rightTime))
       .withColumn("__side", lit(0))
     val l = left
@@ -96,8 +102,11 @@ object AsOf {
     val reserved = Seq("__t", "__side", "__p")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"columns ${reserved.mkString("/")} are reserved by asofJoinForward")
-    val r = right.select(col(key),
-        struct(rPayload.map(col).toIndexedSeq: _*).as("__p"))
+    // NULL-time right rows follow nothing — excluded, mirroring
+    // [[asofJoin]] (descending sort puts them last, where they would
+    // attach to NULL-time left rows as a phantom "next event").
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(key), struct(rPayload.map(col).toIndexedSeq: _*).as("__p"))
       .withColumn("__t", col("__p").getField(rightTime))
       .withColumn("__side", lit(2))
     val l = left

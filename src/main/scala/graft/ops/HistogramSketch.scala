@@ -40,7 +40,12 @@ object HistogramSketch {
     import spark.implicits._
     val v = col(valueCol).cast("double")
     val qArray = qs.mkString(", ")
-    val bounds = df.agg(
+    // NULL values are excluded up front: least() skips NULLs, so an
+    // unfiltered NULL would land in the TOP bin while count(*) counted
+    // it into n and percentile() skipped it — phantom top-bin mass and
+    // an inflated target_rank for every quantile.
+    val rows = df.filter(col(valueCol).isNotNull)
+    val bounds = rows.agg(
       min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"),
       expr(s"percentile($valueCol, array($qArray))").as("exacts"))
     // Degenerate hi == lo guard lives in the shared binIndex: a constant
@@ -49,7 +54,7 @@ object HistogramSketch {
     // CAST(FLOOR(NaN) AS INT), so without the guard the pair diverges
     // (one answers, one crashes) on exactly the degenerate input.
     val binCol = binIndex(v, col("lo"), col("hi"), bins)
-    val hist = df.crossJoin(broadcast(bounds.select("lo", "hi")))
+    val hist = rows.crossJoin(broadcast(bounds.select("lo", "hi")))
       .select(binCol.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("bin_count"))
     // Bounded window: `bins` rows, never the data.
@@ -90,14 +95,18 @@ object HistogramSketch {
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
     val qArray = qs.mkString(", ")
-    val bounds = df.groupBy(g.as("g")).agg(
+    // NULL-value filter: see [[quantiles]]. NULL-SAFE group joins (the
+    // Hll.cardinalityByGroup convention): plain equality would silently
+    // drop a NULL group from the output.
+    val rows = df.filter(col(valueCol).isNotNull)
+    val bounds = rows.groupBy(g.as("g")).agg(
       min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"),
       expr(s"percentile($valueCol, array($qArray))").as("exacts"))
     val binCol = binIndex(col("v"), col("lo"), col("hi"), bins)
-    val data = df.select(g.as("gd"), v.as("v"))
+    val data = rows.select(g.as("gd"), v.as("v"))
     val hist = data
       .join(broadcast(bounds.select(col("g"), col("lo"), col("hi"))),
-        col("gd") === col("g"))
+        col("gd") <=> col("g"))
       .select(col("g"), binCol.as("bin"))
       .groupBy("g", "bin").agg(count(lit(1)).as("bin_count"))
     val wc = org.apache.spark.sql.expressions.Window
@@ -110,7 +119,7 @@ object HistogramSketch {
         ceil(col("q") * col("n").cast("double")).cast("long").as("target_rank"),
         element_at(col("exacts"), col("qi") + 1).as("exact"))
     targets
-      .join(cum, col("gc") === col("g") && col("cum") >= col("target_rank"))
+      .join(cum, (col("gc") <=> col("g")) && col("cum") >= col("target_rank"))
       .groupBy(col("g").as("grp"), col("qi"), col("q"), col("lo"), col("hi"),
         col("n"), col("target_rank"), col("exact"))
       .agg(min(col("bin")).as("est_bin"))
@@ -245,8 +254,9 @@ object HistogramSketch {
     import spark.implicits._
     val v = col(valueCol).cast("double")
     val qArray = qs.mkString(", ")
-    val src = df.select(pmod(col(idCol), lit(nShards.toLong)).as("shard"),
-      v.as("v"))
+    // NULL-value filter: see [[quantiles]].
+    val src = df.filter(col(valueCol).isNotNull)
+      .select(pmod(col(idCol), lit(nShards.toLong)).as("shard"), v.as("v"))
     val bounds = src.agg(
       min(col("v")).as("lo"), max(col("v")).as("hi"),
       count(lit(1)).as("n"),

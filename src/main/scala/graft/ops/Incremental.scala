@@ -51,8 +51,13 @@ object Incremental {
           .when(col("action") === "delete", -coalesce(col(oldVal), lit(0)))
           .otherwise(coalesce(col(newVal), lit(0)) - coalesce(col(oldVal), lit(0))))
           .as("__dtotal"))
-    agg.join(delta, Seq(groupKey), "full_outer")
-      .select(col(groupKey),
+    // NULL-SAFE group match (the Hll.cardinalityByGroup convention): a
+    // plain equi-join would split a NULL group into two output rows —
+    // the prior state on one, the delta on the other — breaking the
+    // bit-identical-to-recompute guarantee for NULL-keyed groups.
+    val d = delta.withColumnRenamed(groupKey, "__dkey")
+    agg.join(d, col(groupKey) <=> col("__dkey"), "full_outer")
+      .select(coalesce(col(groupKey), col("__dkey")).as(groupKey),
         (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
         (coalesce(col("total"), lit(0)) + coalesce(col("__dtotal"), lit(0)))
           .as("total"))

@@ -165,15 +165,23 @@ object Kmv {
     * gate-only audit. */
   def cardinalityBySource(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    sketchesOf(docs, k)
-      .select(col("source"), col("sk"),
+    val est = sketchesOf(docs, k)
+      .select(col("source").as("_sksrc"), col("sk"),
         size(col("sk")).cast("long").as("n_sketch"),
         element_at(col("sk"), -1).as("hk"))
-      .select(col("source"), col("n_sketch"),
+      .select(col("_sksrc"), col("n_sketch"),
         when(col("n_sketch") >= k,
           round(lit((k - 1).toDouble) * lit(4294967296.0)
             / (col("hk").cast("double") + lit(0.5)), 6))
           .otherwise(col("n_sketch").cast("double")).as("distinct_est"))
+    // Preserve sources whose documents yield NO shingles (all
+    // single-word docs): the monitor must read 0 for them, never
+    // silently drop the source — the Hll.cardinalityByGroup convention.
+    docs.select(col("source")).distinct()
+      .join(est, col("source") <=> col("_sksrc"), "left")
+      .select(col("source"),
+        coalesce(col("n_sketch"), lit(0L)).as("n_sketch"),
+        coalesce(col("distinct_est"), lit(0.0)).as("distinct_est"))
   }
 
   /** Shard-merge audit for the KMV sketch — the bottom-k member of the

@@ -29,7 +29,12 @@ object Sharding {
     require(shards >= 1, s"need shards >= 1, got $shards")
     val w = Window.partitionBy(col("key"))
       .orderBy(col("hw").desc, col("shard").asc)
-    df.select(col(keyCol).as("key"))
+    // One row per DISTINCT key before the explode: the output is one
+    // (key, shard) row per distinct key regardless, and a fact table
+    // where one key repeats 1e8 times would otherwise funnel
+    // repeats x shards rows through that key's single window partition
+    // — the exact hot-key straggler the Skew module exists to avoid.
+    df.select(col(keyCol).as("key")).distinct()
       .select(col("key"), explode(sequence(lit(0), lit(shards - 1))).as("shard"))
       .select(col("key"), col("shard"), weight(col("key"), col("shard")).as("hw"))
       .withColumn("rn", row_number().over(w))

@@ -25,8 +25,12 @@ object Upsert {
     require(target.columns.toSeq == updates.columns.toSeq,
       s"schemas must align: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     require(keys.forall(target.columns.contains), s"missing key column in ${keys.mkString(",")}")
-    updates.unionByName(
-      target.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+    // NULL-SAFE anti join: a plain equi-anti never matches NULL keys, so
+    // a NULL-key update would ADD a row beside the stale NULL-key target
+    // row instead of replacing it — the table would grow on every merge.
+    val ukeys = updates.select(keys.map(k => col(k).as(s"_u_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"_u_$k")).reduce(_ && _)
+    updates.unionByName(target.join(ukeys, cond, "left_anti"))
   }
 
   /** SCD type-2 MERGE — history-preserving dimension maintenance: the
@@ -61,26 +65,35 @@ object Upsert {
       "updates must carry key and payload")
 
     val closed = history.filter(col("valid_to").isNotNull)
+    // Side-presence MARKERS, not key nullability: a NULL-key open row
+    // used to satisfy neither keep (key.isNotNull) nor close/openNew
+    // (no NULL==NULL match) and silently VANISHED from the history.
+    // With markers it passes through `keep` untouched; a NULL-key
+    // update opens its own row (standard join semantics — NULL keys
+    // never match each other; an SCD dimension should not have them,
+    // but a merge primitive must never lose rows).
     val open = history.filter(col("valid_to").isNull)
+      .withColumn("_h", org.apache.spark.sql.functions.lit(1))
     val u = updates.select(
-      (col(key).as("_u_key") +: payload.map(c => col(c).as(s"_u_$c"))): _*)
+      (org.apache.spark.sql.functions.lit(1).as("_u") +:
+        col(key).as("_u_key") +: payload.map(c => col(c).as(s"_u_$c"))): _*)
     val j = open.join(u, col(key) === col("_u_key"), "full_outer")
     val samePayload = payload.map(c => col(c) <=> col(s"_u_$c")).reduce(_ && _)
     val histCols = history.columns.map(col)
 
     // Open rows with no update, or with an identical payload: unchanged.
-    // (The key-not-null guard keeps an unseen-key update whose payload is
+    // (The history marker keeps an unseen-key update whose payload is
     // entirely NULL — null-safe-equal to the absent history side — from
     // materializing a phantom all-null history row here.)
-    val keep = j.filter(col(key).isNotNull && (col("_u_key").isNull || samePayload))
+    val keep = j.filter(col("_h").isNotNull && (col("_u").isNull || samePayload))
       .select(histCols.toIndexedSeq: _*)
     // Changed: the old row closes at the effective date...
-    val close = j.filter(col(key).isNotNull && col("_u_key").isNotNull && !samePayload)
+    val close = j.filter(col("_h").isNotNull && col("_u").isNotNull && !samePayload)
       .select(history.columns.map(c =>
         if (c == "valid_to") org.apache.spark.sql.functions.lit(effectiveDate).as(c)
         else col(c)).toIndexedSeq: _*)
     // ...and the update (changed or brand-new key) opens the new row.
-    val openNew = j.filter(col("_u_key").isNotNull && (col(key).isNull || !samePayload))
+    val openNew = j.filter(col("_u").isNotNull && (col("_h").isNull || !samePayload))
       .select(history.columns.map(c =>
         if (c == key) col("_u_key").as(c)
         else if (payload.contains(c)) col(s"_u_$c").as(c)

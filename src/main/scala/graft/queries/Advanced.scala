@@ -2344,13 +2344,13 @@ object Advanced {
              |    CAST(COALESCE(SUM(x) OVER tw, 0) AS BIGINT) AS trail_sum,
              |    CAST(COALESCE(SUM(x * x) OVER tw, 0) AS BIGINT) AS trail_sumsq
              |  FROM h
-             |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+             |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour, x
              |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
              |)
              |SELECT event_type, hour, x AS n_events, trail_n, trail_sum, trail_sumsq,
-             |  (trail_n >= 12 AND
+             |  COALESCE(trail_n >= 12 AND
              |   (trail_n * x - trail_sum) * (trail_n * x - trail_sum) * (trail_n - 1)
-             |     > 9 * trail_n * (trail_n * trail_sumsq - trail_sum * trail_sum)) AS is_anomaly
+             |     > 9 * trail_n * (trail_n * trail_sumsq - trail_sum * trail_sum), FALSE) AS is_anomaly
              |FROM w ORDER BY event_type, hour""".stripMargin)),
 
     // Asymmetric containment near-dups (Dedup.containmentPairs): pairs
