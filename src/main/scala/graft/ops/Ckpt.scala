@@ -65,8 +65,25 @@ object Ckpt {
     }
   }
 
+  /** Identity key for the lock map below: the cache itself is a MUTABLE
+    * TrieMap whose content-based equals/hashCode change with every
+    * insert, so keying locks by the map value would strand every
+    * existing lock entry the moment the cache gains an entry (stale
+    * unremovable growth) — and worse, two threads first-building the
+    * same key could hash the tuple differently if the cache mutates
+    * between their lookups, acquire DIFFERENT locks, and both build:
+    * exactly the double-registerCached leak memo exists to close.
+    * Reference identity is the only stable notion of "the same cache". */
+  private final class IdKey(val ref: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(ref)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.ref eq ref
+      case _        => false
+    }
+  }
+
   private val memoLocks =
-    scala.collection.concurrent.TrieMap.empty[(AnyRef, Any), Object]
+    scala.collection.concurrent.TrieMap.empty[(IdKey, Any), Object]
 
   /** Atomic memo-cache insert: TrieMap.getOrElseUpdate does NOT
     * evaluate its builder atomically, so two threads racing on the
@@ -82,7 +99,7 @@ object Ckpt {
       key: K, build: => V): V =
     cache.get(key).getOrElse {
       val candidate = new Object
-      val lock = memoLocks.putIfAbsent((cache, key), candidate)
+      val lock = memoLocks.putIfAbsent((new IdKey(cache), key), candidate)
         .getOrElse(candidate)
       lock.synchronized {
         cache.get(key).getOrElse { val v = build; cache.put(key, v); v }
@@ -90,8 +107,9 @@ object Ckpt {
     }
 
   /** Register a frame a cache is about to store/hand out. Returns the
-    * frame for call-site convenience (`Ckpt.memo(cache, k)(
-    * Ckpt.registerCached(build, "Foo.barCache"))`). */
+    * frame for call-site convenience (`Ckpt.memo(cache, k,
+    * Ckpt.registerCached(build, "Foo.barCache"))` — the build argument
+    * is by-name, so registration still runs only on first build). */
   def registerCached(df: DataFrame, owner: String): DataFrame = {
     val ids = logicalRddIds(df)
     cachedReaders.synchronized {

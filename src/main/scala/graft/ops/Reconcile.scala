@@ -45,7 +45,8 @@ object Reconcile {
     * ambiguous-reference analysis error deep inside the plan, so fail
     * fast with a real message instead. */
   private val Reserved = Set("bucket", "rh", "n", "n_a", "n_b", "side",
-    "rn", "keep_n", "h1", "h2", "_i", "bucket_match")
+    "rn", "keep_n", "h1", "h2", "_i", "bucket_match",
+    "present", "dup", "verdict", "changed_columns")
 
   private def requireUnreserved(cols: Seq[String]): Unit = {
     // Case-INSENSITIVE: Spark's default analyzer is, so a payload
@@ -54,7 +55,69 @@ object Reconcile {
     require(bad.isEmpty,
       s"column name(s) ${bad.mkString(", ")} collide with the " +
         "reconciliation family's internal names (bucket/rh/n/n_a/n_b/" +
-        "side/rn/keep_n/h1/h2/_i/bucket_match); alias them first")
+        "side/rn/keep_n/h1/h2/_i/bucket_match/present/dup/verdict/" +
+        "changed_columns); alias them first")
+  }
+
+  /** The column discipline, ENFORCED instead of documented: a raw
+    * FLOAT/DOUBLE column must never enter a cross-engine fingerprint —
+    * float→string rendering differs between engines (shortest-roundtrip
+    * vs %g, negative zero, exponent thresholds), so the same bytes
+    * would fingerprint differently and every verdict downstream would
+    * be noise. Fail fast at the entry points with the fix in the
+    * message rather than let the user discover it as a permanently
+    * red bucket. */
+  private def requireFingerprintable(df: DataFrame, cols: Seq[String],
+      op: String): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val floaty = cols.filter(c =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(f => f.dataType == DoubleType || f.dataType == FloatType))
+    require(floaty.isEmpty,
+      s"Reconcile.$op: column(s) ${floaty.mkString(", ")} are " +
+        "FLOAT/DOUBLE — float-to-string rendering differs across " +
+        "engines, so a raw floating-point fingerprint is not a " +
+        "cross-engine contract; canonicalize with " +
+        "Reconcile.fixedPoint(col, scale) first (the x221 grid " +
+        "convention)")
+  }
+
+  /** Canonicalize a floating-point column for fingerprinting: snap to
+    * the 10^-scale fixed-point grid (floor(x·10^scale + 0.5) — the x221
+    * grid convention, round-half-up) and land as BIGINT, which every
+    * engine renders identically. Both engines evaluate the SAME IEEE
+    * double product before the floor, so the snap is deterministic
+    * cross-engine; [[fixedPointSql]] is the DuckDB spelling of this
+    * expression, one definition for every oracle.
+    *
+    * Loud contract, not silent drift: NaN/±Inf raise (no grid point
+    * exists — pre-filter or encode them explicitly), and |x|·10^scale
+    * beyond the BIGINT envelope raises (Spark's double→long cast would
+    * saturate silently while DuckDB errors — a cross-engine fork).
+    * Above 2^53 the double grid is coarser than 1 so the snap loses
+    * resolution, but it stays deterministic — both engines floor the
+    * same double. */
+  def fixedPoint(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0,9], got $scale")
+    val d = c.cast("double")
+    val scaled = d * lit(math.pow(10.0, scale)) // exact binary for scale <= 9
+    when(isnan(d) || d === lit(Double.PositiveInfinity) ||
+        d === lit(Double.NegativeInfinity),
+      raise_error(lit("Reconcile.fixedPoint: non-finite value (NaN/Inf) " +
+        "has no fixed-point grid cell; filter or encode non-finite " +
+        "values before fingerprinting")).cast("long"))
+      .when(abs(scaled) >= lit(9.0e18),
+        raise_error(lit("Reconcile.fixedPoint: |x|*10^scale exceeds the " +
+          "BIGINT envelope; lower the scale")).cast("long"))
+      .otherwise(floor(scaled + lit(0.5)).cast("long"))
+  }
+
+  /** The DuckDB twin of [[fixedPoint]] over SQL expression `expr` —
+    * the same IEEE product, floor, and BIGINT landing (DuckDB's cast
+    * errors loudly on overflow, matching the Spark side's raise). */
+  def fixedPointSql(expr: String, scale: Int): String = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0,9], got $scale")
+    s"CAST(FLOOR(CAST($expr AS DOUBLE) * 1e$scale + 0.5) AS BIGINT)"
   }
 
   private def canonical(cols: Seq[String]): Column =
@@ -73,6 +136,7 @@ object Reconcile {
   def tableChecksum(df: DataFrame, cols: Seq[String],
       nBuckets: Int = 64): DataFrame = {
     require(cols.nonEmpty, "at least one column")
+    requireFingerprintable(df, cols, "tableChecksum")
     require(nBuckets >= 1 && nBuckets <= 65536,
       s"unreasonable bucket count $nBuckets")
     val canon = canonical(cols)
@@ -94,6 +158,7 @@ object Reconcile {
   def tableChecksumByGroup(df: DataFrame, groupCol: String,
       cols: Seq[String], nBuckets: Int = 16): DataFrame = {
     require(cols.nonEmpty, "at least one column")
+    requireFingerprintable(df, cols, "tableChecksumByGroup")
     require(!cols.contains(groupCol),
       "the group column partitions the fingerprint; include it in `cols` " +
         "only if it should ALSO be fingerprinted content")
@@ -255,6 +320,8 @@ object Reconcile {
       nBuckets: Int = 64): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     requireUnreserved(cols)
+    requireFingerprintable(a, cols, "rowDiff")
+    requireFingerprintable(b, cols, "rowDiff")
     require(nBuckets >= 1 && nBuckets <= 65536,
       s"unreasonable bucket count $nBuckets")
     val bad = checksumDiff(tableChecksum(a, cols, nBuckets),
@@ -292,6 +359,67 @@ object Reconcile {
       .orderBy(col("bucket") +: cols.map(col) :+ col("side"): _*)
   }
 
+  /** Keyed update classification of the drill-down — [[rowDiff]]'s
+    * multiset surplus turned into the changelog a warehouse team
+    * actually applies. With `keyCols` a primary key on both sides, an
+    * a-surplus row and a b-surplus row sharing a key are the two
+    * versions of ONE updated row; pairing them on the key yields, per
+    * divergent key: `insert` (a-only — the divergent side b is missing
+    * the row), `delete` (b-only — b holds a row the reference lacks),
+    * or `update` with `changed_columns` naming exactly the payload
+    * columns whose values differ (comma-joined in `cols` order,
+    * null-safe comparison so NULL↔value counts as a change).
+    *
+    * Keys must be UNIQUE per side: classification is only meaningful
+    * against a primary key, so a key holding more than one surplus row
+    * on either side raises (in-plan, lazily — the guard costs a window
+    * over the divergence-bounded surplus) instead of emitting a wrong
+    * changelog; un-keyed multisets stay [[rowDiff]]'s domain. NULL key
+    * components pair null-safely, so a NULL-keyed row classifies like
+    * any other.
+    *
+    * Scale shape: [[rowDiff]]'s cost (the bucket-localized drill-down)
+    * plus one window and one key-equality full-outer join, both over
+    * ONLY the surplus rows — divergence-bounded, never corpus-sized. */
+  def rowDiffByKey(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      cols: Seq[String], nBuckets: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(cols.nonEmpty, "at least one payload column")
+    require(keyCols.intersect(cols).isEmpty,
+      "key and payload columns must be disjoint")
+    val all = keyCols ++ cols
+    val d = rowDiff(a, b, all, nBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("side") +: keyCols.map(col): _*)
+    val dd = d.withColumn("dup", count(lit(1)).over(w))
+    def sideRows(tag: String): DataFrame = dd.filter(col("side") === tag)
+      .select(all.map(c => col(c).as(s"${tag}_$c")) ++
+        Seq(lit(1).as(s"${tag}_present"), col("dup").as(s"${tag}_dup")): _*)
+    val aS = sideRows("a") // rows only the reference holds -> INSERT into b
+    val bS = sideRows("b") // rows only the divergent side holds -> DELETE
+    val cond = keyCols.map(k => col(s"a_$k") <=> col(s"b_$k")).reduce(_ && _)
+    val verdict =
+      when(coalesce(col("a_dup"), lit(1L)) > 1L ||
+          coalesce(col("b_dup"), lit(1L)) > 1L,
+        raise_error(lit("Reconcile.rowDiffByKey: a key holds more than " +
+          "one differing row on one side — keyCols are not a primary " +
+          "key here, so insert/delete/update classification would be " +
+          "wrong; use rowDiff for multiset semantics")).cast("string"))
+        .when(col("b_present").isNull, lit("insert"))
+        .when(col("a_present").isNull, lit("delete"))
+        .otherwise(lit("update"))
+    // concat_ws skips NULLs in both engines, so unchanged columns
+    // (their `when` yields NULL) simply drop out of the list.
+    val changed = when(
+      col("a_present").isNotNull && col("b_present").isNotNull,
+      concat_ws(",", cols.map(c =>
+        when(!(col(s"a_$c") <=> col(s"b_$c")), lit(c))): _*))
+    aS.join(bS, cond, "full_outer")
+      .select(keyCols.map(k => coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) ++
+        Seq(verdict.as("verdict"), changed.as("changed_columns")): _*)
+      .orderBy(keyCols.map(col) :+ col("verdict"): _*)
+  }
+
   /** Executable repair — the final step of the reconciliation loop
     * (fingerprint → localize → drill → REPAIR → re-verify): apply a
     * [[rowDiff]] plan to the divergent side so it becomes multiset-equal
@@ -309,6 +437,7 @@ object Reconcile {
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     requireUnreserved(cols)
+    requireFingerprintable(b, cols, "applyRepair")
     val canon = canonical(cols)
     val h = rowHash(canon, "rc1|")
     // The plan carries the CONTENT, not just the hash: a 60-bit hash
@@ -384,10 +513,14 @@ object Reconcile {
        |     AND b.bucket = a.bucket
        |ORDER BY 1, 2""".stripMargin
 
-  /** The DuckDB twin of [[rowDiff]]: same fingerprint → mismatched
-    * bucket set → bucket-filtered per-row multiplicity compare. */
-  def rowDiffOracleSql(fromA: String, fromB: String, cols: Seq[String],
-      nBuckets: Int = 64): String = {
+  /** The [[rowDiff]] oracle's CTE chain (hashed rows → fingerprints →
+    * mismatched buckets → bucket-filtered per-row multiplicities) and
+    * its diff SELECT — split so [[rowDiffOracleSql]] and
+    * [[rowDiffByKeyOracleSql]] are built from the SAME text: the keyed
+    * classification must classify exactly the diff the row drill-down
+    * emits, never a fork of it. */
+  private def rowDiffCtesSql(fromA: String, fromB: String,
+      cols: Seq[String], nBuckets: Int): String = {
     val canon = canonSql(cols)
     def h(salt: String) = hashSql(salt, canon)
     val colList = cols.mkString(", ")
@@ -398,7 +531,7 @@ object Reconcile {
          |       CAST(COUNT(*) AS BIGINT) AS n
          |  FROM $rows WHERE h1 % $nBuckets IN (SELECT bucket FROM bad)
          |  GROUP BY $rowGroup""".stripMargin
-    s"""WITH ra AS (
+    s"""ra AS (
        |  SELECT $colList, ${h("rc1|")} AS h1, ${h("rc2|")} AS h2
        |  FROM $fromA
        |), rb AS (
@@ -414,8 +547,11 @@ object Reconcile {
        |  ${rowCte("ra")}
        |), gb AS (
        |  ${rowCte("rb")}
-       |)
-       |SELECT CASE WHEN COALESCE(ga.n, 0) > COALESCE(gb.n, 0)
+       |)""".stripMargin
+  }
+
+  private def rowDiffSelectSql(cols: Seq[String]): String =
+    s"""SELECT CASE WHEN COALESCE(ga.n, 0) > COALESCE(gb.n, 0)
        |            THEN 'a' ELSE 'b' END AS side,
        |       COALESCE(ga.bucket, gb.bucket) AS bucket,
        |       ${cols.map(c => s"COALESCE(ga.$c, gb.$c) AS $c").mkString(", ")},
@@ -423,8 +559,46 @@ object Reconcile {
        |       CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_b
        |FROM ga FULL OUTER JOIN gb ON gb.h1 = ga.h1
        |  ${cols.map(c => s"AND gb.$c IS NOT DISTINCT FROM ga.$c").mkString(" ")}
-       |WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)
+       |WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)""".stripMargin
+
+  /** The DuckDB twin of [[rowDiff]]: same fingerprint → mismatched
+    * bucket set → bucket-filtered per-row multiplicity compare. */
+  def rowDiffOracleSql(fromA: String, fromB: String, cols: Seq[String],
+      nBuckets: Int = 64): String =
+    s"""WITH ${rowDiffCtesSql(fromA, fromB, cols, nBuckets)}
+       |${rowDiffSelectSql(cols)}
        |ORDER BY 2, ${(3 to cols.length + 2).mkString(", ")}, 1""".stripMargin
+
+  /** The DuckDB twin of [[rowDiffByKey]]: the [[rowDiffOracleSql]] text
+    * VERBATIM as a `d` CTE (the classification must never fork from the
+    * drill-down it classifies), split by side and paired on the key. */
+  def rowDiffByKeyOracleSql(fromA: String, fromB: String,
+      keyCols: Seq[String], cols: Seq[String],
+      nBuckets: Int = 64): String = {
+    val all = keyCols ++ cols
+    val keyList = keyCols.mkString(", ")
+    val allList = all.mkString(", ")
+    def sideCte(tag: String) =
+      s"""SELECT $allList, 1 AS present FROM d WHERE side = '$tag'"""
+    val keyJoin = keyCols
+      .map(k => s"b.$k IS NOT DISTINCT FROM a.$k").mkString(" AND ")
+    val changed = cols.map(c =>
+      s"CASE WHEN a.$c IS DISTINCT FROM b.$c THEN '$c' END").mkString(", ")
+    s"""WITH ${rowDiffCtesSql(fromA, fromB, all, nBuckets)}, d AS (
+       |${rowDiffSelectSql(all)}
+       |), s_a AS (
+       |  ${sideCte("a")}
+       |), s_b AS (
+       |  ${sideCte("b")}
+       |)
+       |SELECT ${keyCols.map(k => s"COALESCE(a.$k, b.$k) AS $k").mkString(", ")},
+       |       CASE WHEN b.present IS NULL THEN 'insert'
+       |            WHEN a.present IS NULL THEN 'delete'
+       |            ELSE 'update' END AS verdict,
+       |       CASE WHEN a.present IS NOT NULL AND b.present IS NOT NULL
+       |            THEN concat_ws(',', $changed) END AS changed_columns
+       |FROM s_a a FULL OUTER JOIN s_b b ON $keyJoin
+       |ORDER BY ${(1 to keyCols.length + 1).mkString(", ")}""".stripMargin
   }
 
   /** The DuckDB twin of the full repair roundtrip (x244's gate): diff →

@@ -29,19 +29,20 @@ object Batch15 {
 
   /** The reconciliation family's shared corruption scenario — x239's
     * every-97th-document text suffix, one definition for every gate
-    * that replays it. */
-  private def corrupted(docs: DataFrame): DataFrame =
+    * that replays it (Batch16's keyed classification included). */
+  private[queries] def corrupted(docs: DataFrame): DataFrame =
     docs.withColumn("text",
       when(pmod(col("doc_id"), lit(97L)) === 0L,
         concat(col("text"), lit(" CORRUPTED"))).otherwise(col("text")))
 
-  private val CorruptedSql =
+  private[queries] val CorruptedSql =
     """(SELECT doc_id, source, lang, n_chars,
       |        CASE WHEN doc_id % 97 = 0 THEN text || ' CORRUPTED'
       |             ELSE text END AS text
       |      FROM documents)""".stripMargin
 
-  private val DiffCols = Seq("doc_id", "source", "lang", "n_chars", "text")
+  private[queries] val DiffCols =
+    Seq("doc_id", "source", "lang", "n_chars", "text")
 
   def defs: Seq[QueryDef] = Seq(
 

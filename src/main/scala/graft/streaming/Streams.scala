@@ -343,8 +343,10 @@ object Streams {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(targetPath),
       batch.sparkSession.sparkContext.hadoopConfiguration)
+    val qid = currentQueryId(batch.sparkSession)
     val committed = readLivePath(fs, targetPath).flatMap(readBatchMarker(fs, _))
-    if (committed.exists(_ >= batchId)) return false
+    if (alreadyCommitted(committed, batchId, qid, "incrementalAggSink",
+        targetPath)) return false
     // The rollup's total pins to DECIMAL(28,4): sums/additions widen
     // decimal precision per operation, and without a fixed landing
     // type the schema would creep a digit per batch until Spark's
@@ -361,7 +363,7 @@ object Streams {
       .applyCountSumDelta(prev, batch, groupKey, oldVal, newVal)
       .select(col(groupKey), col("n"), col("total").cast(totalType).as("total"))
     merged.write.mode("overwrite").parquet(targetPath + "_tmp")
-    writeBatchMarker(fs, targetPath + "_tmp", batchId)
+    writeBatchMarker(fs, targetPath + "_tmp", batchId, qid)
     commitSwap(fs, targetPath, "incrementalAggSink")
     true
   }
@@ -1090,9 +1092,22 @@ object Streams {
     * file INSIDE the fold table directory (parquet readers skip `_`
     * names), written before the swap, so "grid state" and "which batch
     * produced it" commit in the same atomic rename — no instant exists
-    * where one is visible without the other. */
+    * where one is visible without the other.
+    *
+    * The marker also records WHICH streaming query committed the batch:
+    * batchIds are only monotone WITHIN one query (they restart at 0
+    * under a fresh checkpoint location), so a fold table re-fed by a
+    * NEW query would read every restarted id as `<= committed` and
+    * silently skip it — data loss dressed as a replay skip. The guard
+    * therefore compares batchIds only within the same query id (the
+    * Delta txn-idempotence convention) and FAILS FAST on a mismatch:
+    * neither skipping (loses data) nor applying (double-counts any
+    * genuinely redelivered rows) is safe, and the operator must choose
+    * — resume the original checkpoint, or start a fresh fold table.
+    * Legacy markers (batchId only) and direct batch-context calls (no
+    * stream thread, no query id) keep the id-only compare. */
   private[graft] def readBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: String): Option[Long] = {
+      tableDir: String): Option[(Long, Option[String])] = {
     val p = new org.apache.hadoop.fs.Path(tableDir, "_last_batch")
     if (!fs.exists(p)) None
     else {
@@ -1100,17 +1115,50 @@ object Streams {
       try {
         val s = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, "UTF-8")).readLine()
-        Option(s).map(_.trim.toLong)
+        Option(s).map(_.trim.split("\\s+")).collect {
+          case Array(id)      => (id.toLong, None)
+          case Array(id, qid) => (id.toLong, Some(qid))
+        }
       } finally in.close()
     }
   }
 
   private[graft] def writeBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: String, batchId: Long): Unit = {
+      tableDir: String, batchId: Long, queryId: Option[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(tableDir, "_last_batch")
     val out = fs.create(p, true)
-    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    val line = queryId.fold(s"$batchId")(q => s"$batchId $q")
+    try out.write(s"$line\n".getBytes("UTF-8")) finally out.close()
   }
+
+  /** The streaming query id of the CURRENT foreachBatch invocation, read
+    * off the stream-execution thread's local property (Spark sets
+    * `sql.streaming.queryId` on the thread that drives each batch; the
+    * id is stable across restarts of the same checkpoint, unlike runId).
+    * None outside a stream (the folds' direct batch-context tests). */
+  private def currentQueryId(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+
+  /** The shared replay verdict of the additive folds: true = this
+    * batchId is already committed, skip it. Fails fast when the marker
+    * was committed by a DIFFERENT streaming query (see
+    * [[readBatchMarker]] — restarted batchIds make both skip and apply
+    * unsafe). */
+  private def alreadyCommitted(committed: Option[(Long, Option[String])],
+      batchId: Long, queryId: Option[String], sink: String,
+      tablePath: String): Boolean =
+    committed.exists { case (id, markerQid) =>
+      (markerQid, queryId) match {
+        case (Some(m), Some(q)) if m != q => throw new IllegalStateException(
+          s"$sink: fold table $tablePath was last committed by streaming " +
+            s"query $m but this batch comes from query $q. BatchIds " +
+            "restart at 0 under a new checkpoint location, so the replay " +
+            "guard cannot tell a replay from new data — resume the " +
+            "original checkpoint, or point the new query at a fresh " +
+            "fold table.")
+        case _ => id >= batchId
+      }
+    }
 
   /** The shared skeleton of the ADDITIVE foreachBatch sinks: pre-reduce
     * the micro-batch to its bounded state rows (`toState`), fold them
@@ -1137,8 +1185,9 @@ object Streams {
       java.net.URI.create(tablePath),
       spark.sparkContext.hadoopConfiguration)
     if (batch.isEmpty) return false
+    val qid = currentQueryId(spark)
     val committed = readLivePath(fs, tablePath).flatMap(readBatchMarker(fs, _))
-    if (committed.exists(_ >= batchId)) return false
+    if (alreadyCommitted(committed, batchId, qid, sink, tablePath)) return false
     val part = toState(batch)
     val merged = readLivePath(fs, tablePath) match {
       case Some(live) => merge(spark.read.parquet(live), part)
@@ -1146,7 +1195,7 @@ object Streams {
     }
     merged.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(tablePath + "_tmp")
-    writeBatchMarker(fs, tablePath + "_tmp", batchId)
+    writeBatchMarker(fs, tablePath + "_tmp", batchId, qid)
     commitSwap(fs, tablePath, sink)
     true
   }

@@ -120,6 +120,131 @@ class ReconcilePropertySpec extends SparkSuite {
     }
   }
 
+  test("fixedPoint law: round-half-up onto the 10^-scale grid, NULL " +
+    "passes through, and non-finite or envelope-breaking values raise") {
+    val vals: Seq[java.lang.Double] = Seq(1.005, -1.005, 0.0, -0.0,
+      2.675, 1234.56, -99.994, -99.995, null)
+    val got = vals.toDF("x")
+      .select(Reconcile.fixedPoint(col("x"), 2).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    val want = vals.map {
+      case null => null
+      case d    => math.floor(d * 100.0 + 0.5).toLong
+    }
+    assert(got.toSeq === want,
+      "the snap must be floor(x*10^s + 0.5) — bit-deterministic, not " +
+        "engine-native rounding")
+    // NaN / Inf have no grid cell: loud failure, never a silent NULL
+    // (which would collide with genuine NULLs in the fingerprint).
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("x").select(Reconcile.fixedPoint(col("x"), 2))
+          .collect()
+      }
+      assert(e.getMessage.contains("non-finite"), s"for $bad")
+    }
+    // Past the BIGINT envelope Spark's double->long would saturate
+    // silently while DuckDB errors — so the Spark side must raise too.
+    val e2 = intercept[Exception] {
+      Seq(1.0e18).toDF("x").select(Reconcile.fixedPoint(col("x"), 2))
+        .collect()
+    }
+    assert(e2.getMessage.contains("BIGINT envelope"))
+    intercept[IllegalArgumentException](Reconcile.fixedPoint(col("x"), 10))
+    intercept[IllegalArgumentException](Reconcile.fixedPointSql("x", -1))
+  }
+
+  test("column discipline is enforced, not documented: a raw FLOAT/" +
+    "DOUBLE column is rejected at every fingerprint entry point, and " +
+    "the fixedPoint canonicalization is accepted") {
+    val d = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "score")
+    val withFp = d.select(col("id"),
+      Reconcile.fixedPoint(col("score"), 6).as("score_fp"))
+    for (call <- Seq[() => Any](
+        () => Reconcile.tableChecksum(d, Seq("id", "score"), 8),
+        () => Reconcile.tableChecksumByGroup(d, "id", Seq("score"), 8),
+        () => Reconcile.rowDiff(d, d, Seq("id", "score"), 8),
+        () => Reconcile.applyRepair(d,
+          Reconcile.rowDiff(withFp, withFp, Seq("id", "score_fp"), 8),
+          Seq("id", "score")))) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("fixedPoint"),
+        "the rejection must name the fix")
+    }
+    // The canonicalized spelling goes straight through.
+    assert(Reconcile.tableChecksum(withFp, Seq("id", "score_fp"), 8)
+      .count() > 0)
+  }
+
+  test("rowDiffByKey law: keyed insert/delete/update classification " +
+    "matches the naive driver-side diff, NULL keys pair null-safely, " +
+    "and changed_columns names exactly the differing payload columns") {
+    // Reference side a: keys 0..39 (+ a NULL key), payload (grp, v)
+    // with NULLs sprinkled in.
+    def payload(k: Long) =
+      (if (k % 13 == 0) null else s"g${k % 4}",
+        if (k % 11 == 0) null else s"v$k")
+    val aRows = (0L until 40L).map(k => (Option(k), payload(k)._1, payload(k)._2)) :+
+      ((Option.empty[Long], "gN", "vN"))
+    // Divergent side b: keys %7==0 missing (-> insert), extra keys
+    // 100..102 (-> delete), v mutated for %5==1, grp AND v mutated for
+    // %9==4 (incl. NULL->value and value->NULL flips), NULL key's
+    // payload mutated (-> the NULL key must classify as update).
+    val bRows = aRows.flatMap {
+      case (Some(k), _, _) if k % 7 == 0 => Nil
+      case (Some(k), g, v) if k % 5 == 1 => Seq((Option(k), g, s"MUT$k"))
+      case (Some(k), _, _) if k % 9 == 4 => Seq((Option(k), "MUTG", s"MUTV$k"))
+      case (None, g, _)                  => Seq((Option.empty[Long], g, "MUTN"))
+      case r                             => Seq(r)
+    } ++ Seq((Option(100L), "gX", "vX"), (Option(101L), null, null),
+      (Option(102L), "gY", null))
+    def kdf(rows: Seq[(Option[Long], String, String)]) =
+      rows.map(r => (r._1.map(Long.box).orNull, r._2, r._3))
+        .toDF("id", "grp", "v")
+    val got = Reconcile.rowDiffByKey(kdf(aRows), kdf(bRows),
+        Seq("id"), Seq("grp", "v"), nBuckets = 8)
+      .collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("id")).map(_.toLong),
+        r.getAs[String]("verdict"), r.getAs[String]("changed_columns")))
+      .toSet
+    val am = aRows.map(r => r._1 -> ((r._2, r._3))).toMap
+    val bm = bRows.map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = (am.keySet ++ bm.keySet).flatMap { k =>
+      (am.get(k), bm.get(k)) match {
+        case (Some(_), None) => Some((k, "insert", null: String))
+        case (None, Some(_)) => Some((k, "delete", null: String))
+        case (Some(pa), Some(pb)) if pa != pb =>
+          val changed = Seq("grp" -> (pa._1 != pb._1), "v" -> (pa._2 != pb._2))
+            .collect { case (c, true) => c }.mkString(",")
+          Some((k, "update", changed))
+        case _ => None
+      }
+    }
+    assert(got === want, "classification must equal the naive keyed diff")
+    assert(got.exists(_._1.isEmpty), "the NULL key must classify")
+    assert(got.exists(t => t._2 == "update" && t._3 == "grp,v"),
+      "a both-columns mutation must list both, in cols order")
+    // Equal tables classify to nothing, with zero row-level work.
+    assert(Reconcile.rowDiffByKey(kdf(aRows), kdf(aRows),
+      Seq("id"), Seq("grp", "v"), nBuckets = 8).count() === 0L)
+  }
+
+  test("rowDiffByKey law: a key holding more than one differing row on " +
+    "a side is a primary-key violation — loud failure, never a wrong " +
+    "changelog") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    // Key 1 appears twice in b with two DIFFERENT payloads: pairing is
+    // ambiguous, so classification must refuse.
+    val b = Seq((1L, "p"), (1L, "q"), (2L, "y")).toDF("id", "v")
+    val e = intercept[Exception] {
+      Reconcile.rowDiffByKey(a, b, Seq("id"), Seq("v"), nBuckets = 8)
+        .collect()
+    }
+    assert(e.getMessage.contains("primary"),
+      "the failure must say WHY: keyCols are not a primary key")
+  }
+
   test("incremental law: fold(fingerprint(A), fingerprint(B)) equals " +
     "fingerprint(A ++ B) for ANY split, including overlapping multisets") {
     for (seed <- 12 to 15) {

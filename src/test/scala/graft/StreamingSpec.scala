@@ -930,6 +930,109 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checksum sink end-to-end CDC reconciliation: streamed fingerprint " +
+    "-> checksumDiff localizes a diverged replica -> rowDiff drills to " +
+    "exactly the divergent rows -> applyRepair closes the loop green " +
+    "against the STREAM-maintained table") {
+    implicit val sc = spark.sqlContext
+    val cols = Seq("id", "src", "v")
+    val nBuckets = 8
+    val all = (0L until 80L).map(i =>
+      (i, s"s${i % 3}", if (i % 11 == 0) null else s"v$i"))
+    val (b1, b2) = all.splitAt(40)
+    val dir = java.nio.file.Files.createTempDirectory("ckcdc").toString
+    val tablePath = s"$dir/fp.parquet"
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("id", "src", "v")
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.checksumSink(spark,
+      src.toDF().toDF("id", "src", "v"), cols, tablePath, nBuckets)
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      // The replica diverged three ways: one payload mutated, one row
+      // lost, one spurious row appended. The source FEED is gone — only
+      // the streamed fingerprint table and the replica's rows remain.
+      val replica = all.map { case r @ (i, s, _) =>
+        if (i == 7L) (i, s, "MUTATED") else r
+      }.filterNot(_._1 == 23L) :+ ((999L, "sX", "vX"))
+      val streamedFp = spark.read.parquet(tablePath)
+      val diff = graft.ops.Reconcile.checksumDiff(streamedFp,
+        graft.ops.Reconcile.tableChecksum(df(replica), cols, nBuckets))
+      val badBuckets = diff.filter(!col("bucket_match"))
+        .select("bucket").as[Long].collect().toSet
+      assert(badBuckets.nonEmpty && badBuckets.size <= 4,
+        "three corruptions flag at least one and at most four buckets " +
+          "(the mutated row's two versions can straddle two)")
+      // Row drill-down: the streamed verdicts must corroborate it —
+      // every differing row lands in a bucket the stream flagged.
+      val drill = graft.ops.Reconcile.rowDiff(df(all), df(replica), cols,
+        nBuckets)
+      val drillRows = drill.collect()
+      assert(drillRows.length == 4,
+        "mutation (2 rows: both versions) + loss (1) + spurious (1)")
+      assert(drillRows.map(_.getAs[Long]("bucket")).toSet.subsetOf(badBuckets),
+        "the streamed fingerprint localizes exactly where the row " +
+          "drill-down finds the rows")
+      // Repair the replica and re-verdict against the STREAMED table:
+      // the loop closes without ever re-fingerprinting the source side.
+      val repaired = graft.ops.Reconcile.applyRepair(df(replica), drill, cols)
+      val verdict = graft.ops.Reconcile.checksumDiff(streamedFp,
+        graft.ops.Reconcile.tableChecksum(repaired, cols, nBuckets))
+      assert(verdict.collect().forall(_.getAs[Boolean]("bucket_match")),
+        "after repair every bucket must verdict green vs the stream")
+    } finally q.stop()
+  }
+
+  test("additive-fold replay guard is scoped to the streaming query id: " +
+    "the real sink stamps its id into the marker, a batch from a " +
+    "DIFFERENT query fails fast (restarted batchIds must not read as " +
+    "replays), and legacy id-only markers keep the plain guard") {
+    implicit val sc = spark.sqlContext
+    val cols = Seq("id", "src", "v")
+    val rows = (0L until 20L).map(i => (i, s"s${i % 3}", s"v$i"))
+    def df(rs: Seq[(Long, String, String)]) = rs.toDF("id", "src", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ckqid").toString
+    val tablePath = s"$dir/fp.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tablePath),
+      spark.sparkContext.hadoopConfiguration)
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.checksumSink(spark,
+      src.toDF().toDF("id", "src", "v"), cols, tablePath, 8)
+    try {
+      src.addData(rows: _*); q.processAllAvailable()
+    } finally q.stop()
+    // The streaming path must have stamped its query id into the marker.
+    val marker = Streams.readBatchMarker(fs, tablePath)
+    assert(marker.exists(_._2.contains(q.id.toString)),
+      s"marker $marker must carry the committing query's id ${q.id}")
+    val sc2 = spark.sparkContext
+    try {
+      // Same query id, replayed batchId -> skipped (the normal guard).
+      sc2.setLocalProperty("sql.streaming.queryId", q.id.toString)
+      assert(!Streams.checksumFold(spark, df(rows), 0L, tablePath, cols, 8),
+        "same query, committed batchId: replay skip")
+      // A DIFFERENT query id against the same fold table: batchIds
+      // restarted at 0 are indistinguishable from replays, so both
+      // skipping (silent data loss) and applying (double-count on a
+      // true redelivery) are wrong — the fold must fail fast.
+      sc2.setLocalProperty("sql.streaming.queryId",
+        java.util.UUID.randomUUID().toString)
+      val e = intercept[IllegalStateException] {
+        Streams.checksumFold(spark, df(rows), 0L, tablePath, cols, 8)
+      }
+      assert(e.getMessage.contains("checkpoint"),
+        "the failure must tell the operator the two ways out")
+    } finally sc2.setLocalProperty("sql.streaming.queryId", null)
+    // Legacy (pre-upgrade) marker carries no query id: the plain
+    // batchId guard still applies, and the next fold upgrades it.
+    Streams.writeBatchMarker(fs, tablePath, 1L, None)
+    assert(!Streams.checksumFold(spark, df(rows), 1L, tablePath, cols, 8),
+      "legacy marker: committed id still skips")
+    assert(Streams.checksumFold(spark, df(rows), 2L, tablePath, cols, 8),
+      "legacy marker: a new batchId still applies")
+  }
+
   test("histogram stream: every micro-batch prefix equals the batch " +
     "histogram against the pinned bounds; out-of-range values clamp") {
     implicit val sc = spark.sqlContext
