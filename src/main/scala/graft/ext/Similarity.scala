@@ -631,12 +631,12 @@ object Similarity {
     * product terms and hash-aggregates into d(d+1)/2 groups, which
     * map-side partial aggregation collapses WITHIN each task, so the
     * shuffle carries one partial triangle per task (2,080 rows for
-    * d = 64) regardless of corpus size. Overflow envelope: |x_fp| ≤ 10^6
-    * (unit-norm coords), so each product ≤ 10^12 and 9.2·10^18 / 10^12 ≈
-    * 9M rows per partition before a partial sum could overflow — and the
-    * GLOBAL sum stays exact because partials combine into a BIGINT that
-    * would need ~10^6 × the corpus of any plausible shard to overflow;
-    * require() guards the dimension so the triangle stays bounded.
+    * d = 64) regardless of corpus size. Overflow safety: |x_fp| ≤ 10^6
+    * (unit-norm coords) so each product ≤ 10^12; the cross-moment sums
+    * its hi/lo split words in plain LONGs (wrap-free to ~8.8e12 rows —
+    * see [[covSums]]) and recombines exactly in decimal at the triangle
+    * grain, with a loud envelope assert at 2e12 rows; require() guards
+    * the dimension so the triangle stays bounded.
     */
   def covarianceMatrix(embeddings: DataFrame, dim: Int = Dim): DataFrame =
     covFromSums(covSums(embeddings, dim))
@@ -657,7 +657,11 @@ object Similarity {
       covSums(base, dim).unionByName(covSums(append, dim))
         .groupBy("dim_i", "dim_j")
         .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
-          sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy")))
+          sum(col("sy")).as("sy"),
+          // The split-word partials fold by plain addition, same
+          // envelope argument as within one pass (the combined n is
+          // what covFromSums asserts against).
+          sum(col("sxy_hi")).as("sxy_hi"), sum(col("sxy_lo")).as("sxy_lo")))
 
   /** Kernel two-sample discrepancy (unbiased MMD², Gretton et al. 2012)
     * between every pair of embedding label groups, for the LINEAR and
@@ -806,30 +810,81 @@ object Similarity {
     require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
     val fp = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
-    embeddings
-      .select(fp.as("v"))
+    val v = embeddings.select(fp.as("v"))
+    // n and the first moments are PER-DIMENSION facts, not per-pair:
+    // count(*) per (i,j) is the row count for EVERY pair, and
+    // sx(i,j) = S(i) regardless of j — so hauling them through the
+    // d(d+1)/2 triangle aggregation (as this kernel originally did)
+    // multiplied their cost 32x for d=64. One d-term explode computes
+    // them; the triangle join-assembles from 64 broadcast rows.
+    val dims = v
+      .select(explode(sequence(lit(0), lit(dim - 1))).as("i"), col("v"))
+      .select((col("i") + 1).as("dim"),
+        element_at(col("v"), col("i") + 1).as("x"))
+      .groupBy("dim")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+    // The triangle pass carries exactly two long words per term. The
+    // cross-moment must not wrap silently: per-row products reach
+    // ~1e12, so a single LongType SUM would wrap past ~9.2e6 worst-case
+    // rows, and a DECIMAL(38,0) SUM is exact but its accumulator is
+    // ~3.5x slower than a long's (measured on the x132/x139 isolated
+    // probes, round 16). Instead the product is SPLIT into its
+    // arithmetic-shift hi word and its low 20 bits — xy =
+    // (xy >> 20)·2^20 + (xy & 0xFFFFF) holds exactly in two's
+    // complement, negatives included — and each part sums in a plain
+    // codegen'd LONG: |hi| ≤ ~9.6e5 and lo < 2^20 per row, so neither
+    // partial can wrap before ~8.8e12 rows, two orders past a 100 TB
+    // embedding corpus (~4e11 vectors). covFromSums recombines exactly
+    // in decimal at the 2,080-row grain and asserts the row-count
+    // envelope LOUDLY.
+    // Plan shape chosen by measurement (round 16): the chained
+    // explode(sequence)/element_at triangle beats a per-row
+    // build-the-product-array + posexplode variant by ~1.7x here —
+    // the nested transform/flatten allocates a 2,080-element array per
+    // input row, which costs more than the generator pipeline's row
+    // traffic saves.
+    val tri = v
       .select(col("v"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
       .select(col("v"), col("i"), explode(sequence(col("i"), lit(dim - 1))).as("j"))
       .select((col("i") + 1).as("dim_i"), (col("j") + 1).as("dim_j"),
-        element_at(col("v"), col("i") + 1).as("xi"),
-        element_at(col("v"), col("j") + 1).as("xj"))
+        (element_at(col("v"), col("i") + 1) *
+          element_at(col("v"), col("j") + 1)).as("xy"))
       .groupBy("dim_i", "dim_j")
-      .agg(count(lit(1)).as("n"),
-        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
-        // The cross-moment accumulates in DECIMAL(38,0): per-row
-        // products reach ~1e12, so a LongType SUM would silently wrap
-        // past ~9.2e6 worst-case rows — the mmdMoments convention. sx/sy
-        // terms are ~1e6 per row; long holds them to ~9.2e12 rows.
-        sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxy"))
+      .agg(sum(shiftright(col("xy"), 20)).as("sxy_hi"),
+        sum(col("xy").bitwiseAND(lit((1L << 20) - 1))).as("sxy_lo"))
+    tri
+      .join(broadcast(dims.select(col("dim").as("dim_i"),
+        col("s").as("sx"), col("cnt").as("n"))), Seq("dim_i"))
+      .join(broadcast(dims.select(col("dim").as("dim_j"),
+        col("s").as("sy"))), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"), col("n"), col("sx"), col("sy"),
+        col("sxy_hi"), col("sxy_lo"))
   }
 
+  /** The row-count envelope under which the split-word long sums in
+    * [[covSums]] are provably wrap-free (see the agg comment): 2e12
+    * keeps 4x headroom below the ~8.8e12 wrap point. Checked loudly in
+    * [[covFromSums]] — n rides the same aggregate, so the assert sees
+    * the true count even if a sum had wrapped. */
+  private val CovRowEnvelope = 2_000_000_000_000L
+
   private def covFromSums(sums: DataFrame): DataFrame =
-    // sxy ACCUMULATES in decimal (no silent partial wrap) and lands as
-    // BIGINT: the cast fails loudly (null / ANSI error) if the true
-    // total ever exceeds 2^63, instead of wrapping mid-aggregation.
-    sums.selectExpr("dim_i", "dim_j", "n", "CAST(sxy AS BIGINT) AS sxy",
-      "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))" +
-        " / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov")
+    // Exact recombination at the triangle grain (2,080 rows): the two
+    // long partials rejoin in DECIMAL(38,0) — no precision loss — and
+    // sxy lands as BIGINT (the cast fails loudly, null / ANSI error, if
+    // the true total ever exceeds 2^63). The envelope assert fires
+    // before any result row is consumable.
+    sums
+      .withColumn("sxy",
+        when(col("n") > lit(CovRowEnvelope),
+          raise_error(lit("covarianceMatrix: row count exceeds the " +
+            "exact-sum envelope (2e12); shard the moment pass and fold " +
+            "with covarianceIncremental")).cast("decimal(38,0)"))
+          .otherwise(col("sxy_hi").cast("decimal(38,0)") * lit(1048576L) +
+            col("sxy_lo")))
+      .selectExpr("dim_i", "dim_j", "n", "CAST(sxy AS BIGINT) AS sxy",
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))" +
+          " / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS cov")
 
   /** Top principal component of the embedding cloud by power iteration
     * on the [[covarianceMatrix]] (the PCA front-end: the direction along

@@ -326,9 +326,21 @@ class PlanSpec extends SparkSuite {
       s"phrase search must stay equi-join shaped:\n$plan")
   }
 
-  test("x132 covariance is join-free: aggregates and generators only") {
+  test("x132 covariance: the corpus never joins — the triangle aggregate " +
+    "assembles with the per-dimension moments by BROADCAST only") {
     val plan = executed("x132_embedding_covariance")
-    assert(!plan.contains("Join"), s"covariance must not join:\n$plan")
+    // Round 16: n/sx/sy moved out of the d(d+1)/2 triangle aggregation
+    // (they are per-DIMENSION facts — hauling them through the triangle
+    // multiplied their cost 32x for d=64) into a d-term pass that joins
+    // back onto the 2,080-row triangle. Those joins must be broadcast
+    // hash joins of the d-row moment table — never a corpus-side
+    // shuffle join.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-dimension moments must broadcast onto the triangle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no shuffle or nested-loop join anywhere in covariance:\n$plan")
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
       s"expected the triangle aggregate:\n$plan")
   }
