@@ -137,7 +137,14 @@ object ScaleProbe {
     // the broadcast repair plan, the renumber window (plan-bounded
     // groups), and both re-fingerprints see their worst case; the
     // pass-through anti-join and every scan must stay row-linear.
-    "x244_repair_roundtrip")
+    "x244_repair_roundtrip",
+    // x246 (round 16): keyed changelog classification — replicas re-key
+    // doc_id, so the divergent (every-97th) population grows ~N× and
+    // the bad-bucket set saturates like x240; the dup-guard window and
+    // the key-pairing full-outer join then run over the N×-grown
+    // surplus (its worst case). Must stay linear: every per-row step is
+    // keyed aggregation/join over the surplus, never a pair blow-up.
+    "x246_row_diff_by_key")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",
@@ -167,7 +174,13 @@ object ScaleProbe {
     * the worst case for the per-key md5 sign projection and for the
     * gate-only exact Σ cnt_L·cnt_R audit join — while the 96-counter
     * sketch state and the 96-row estimate algebra stay constant. */
-  val factProbeNames: Seq[String] = Seq("x236_ams_join_estimate")
+  val factProbeNames: Seq[String] = Seq("x236_ams_join_estimate",
+    // x245 (round 16): the fixed-point double canonicalization + x234
+    // fingerprint over lineitem — one codegen'd projection into a
+    // 64-group bounded aggregate, THE linear-scan shape; duplication
+    // grows only the row-hash scan (re-keyed orderkeys spread the
+    // same mass over the same 64 buckets).
+    "x245_fixed_point_checksum")
 
   /** Graph-family probes (round-10 directive: the heaviest standing
     * family — PageRank trio / k-core / modularity / BFS, ~25 s of the

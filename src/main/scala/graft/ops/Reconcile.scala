@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   * bucket). Any single-row change flips all three of its bucket's
   * accumulators with overwhelming probability.
   *
-  * Column discipline: callers pass STRING/INTEGER columns only —
-  * float→string rendering differs across engines, so a double column
-  * must be fixed-pointed (the x221 grid convention) before it enters a
-  * cross-engine fingerprint.
+  * Column discipline (ENFORCED since round 16): callers pass
+  * STRING/INTEGER columns only — float→string rendering differs across
+  * engines, so a raw FLOAT/DOUBLE column is rejected at every entry
+  * point; canonicalize doubles with [[fixedPoint]] (the x221 grid
+  * convention, with a DuckDB twin in [[fixedPointSql]]) first.
   *
   * Scale shape: one codegen'd projection + one map-side-combinable
   * aggregation into nBuckets groups — bounded state, shard-mergeable

@@ -156,8 +156,26 @@ def merge_lower(b: dict, old_path: str, new_rows: list) -> None:
     render_table then prints the merged table."""
     old = parse_baseline_full(old_path)
     changed = tuple(new_rows)
+    # Auto-rebase (round-16 policy): a row whose breach streak reached
+    # REBASE_SESSIONS with green plan pins takes the new session's
+    # values outright, exactly like a --new-rows entry — the committed
+    # value was historical-best pricing this host has not reproduced in
+    # 6+ sessions, and keeping it re-flags the same family every round.
+    rebased = set()
+    try:
+        with open("bench_staleness.json") as f:
+            for name, row in json.load(f).get("rows", {}).items():
+                if row.get("streak", 0) >= REBASE_SESSIONS:
+                    rebased.add(name)
+    except FileNotFoundError:
+        pass
+    if rebased:
+        print(f"<!-- auto-rebased rows (breach streak >= {REBASE_SESSIONS} "
+              f"sessions): {', '.join(sorted(rebased))} -->")
     for name in list(b["queries"]):
         if name.startswith("_") or name not in old:
+            continue
+        if name in rebased:
             continue
         if changed and name.startswith(changed):
             continue
@@ -230,6 +248,13 @@ def matched_canary(series: dict, base: float):
 
 STALE_GATE = 2.0     # session median >= this x committed counts as a breach
 STALE_SESSIONS = 3   # consecutive breaching sessions before a row is STALE
+REBASE_SESSIONS = 6  # consecutive breaches after which the rebased value
+                     # REPLACES the committed one at the next merge (the
+                     # round-16 policy: a STALE row that breaches for 3
+                     # FURTHER sessions is golden-era pricing this host
+                     # demonstrably never reproduces — keeping it only
+                     # re-flags the same latency-band family every round;
+                     # the historical best stays in git history)
 
 
 def update_staleness(state_path: str, b: dict, committed: dict) -> dict:
@@ -435,12 +460,16 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0,
         print(f"STALE committed rows (session median >= {STALE_GATE:.0f}x "
               f"committed for {STALE_SESSIONS}+ consecutive sessions, plan "
               "pins green — 'host band, row stale', vs transient movers "
-              "above). The committed value stays: it is the code's "
-              "best-known cost; the rebased value is the current host's.")
+              "above). The committed value stays until the streak reaches "
+              f"{REBASE_SESSIONS}; from then on merge-lower REBASES the row "
+              "to the next session's own values (round-16 policy — the "
+              "historical best lives on in git history).")
         print()
         for n, r in sorted(stale.items()):
+            due = (" — REBASE DUE at next merge"
+                   if r["streak"] >= REBASE_SESSIONS else "")
             print(f"- {n}: committed {committed.get(n, 0.0):.3f} s, rebased "
-                  f"~{r['rebased']:.3f} s ({r['streak']} sessions)")
+                  f"~{r['rebased']:.3f} s ({r['streak']} sessions){due}")
 
 
 def main() -> None:
