@@ -180,7 +180,11 @@ object ScaleProbe {
     // 64-group bounded aggregate, THE linear-scan shape; duplication
     // grows only the row-hash scan (re-keyed orderkeys spread the
     // same mass over the same 64 buckets).
-    "x245_fixed_point_checksum")
+    "x245_fixed_point_checksum",
+    // x247 (round 16): the epoch-micros timestamp canonicalization +
+    // x234 fingerprint — identical shape to x245 (projection into the
+    // 64-group fold); only the row-hash scan grows.
+    "x247_timestamp_checksum")
 
   /** Graph-family probes (round-10 directive: the heaviest standing
     * family — PageRank trio / k-core / modularity / BFS, ~25 s of the

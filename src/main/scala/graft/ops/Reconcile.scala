@@ -121,6 +121,28 @@ object Reconcile {
     s"CAST(FLOOR(CAST($expr AS DOUBLE) * 1e$scale + 0.5) AS BIGINT)"
   }
 
+  /** Canonicalize a TIMESTAMP column for fingerprinting: the instant as
+    * BIGINT microseconds since the epoch. Timestamp→string rendering
+    * USUALLY agrees between engines, but it is exposure-prone in ways a
+    * parity check must not be: fractional-second trimming rules differ
+    * across engine versions, Spark renders instants in the SESSION
+    * timezone (a fingerprint computed under another session TZ would
+    * silently diverge), and naive-vs-instant parquet semantics
+    * (isAdjustedToUTC) shift the rendered wall-clock. The epoch integer
+    * is immune to all three — both engines hash the same BIGINT no
+    * matter the session. [[epochMicrosSql]] is the DuckDB spelling
+    * (epoch_us — naive timestamps treated as UTC, matching a UTC
+    * session on the Spark side, the library-wide convention). Accepts
+    * both TIMESTAMP and TIMESTAMP_NTZ (the type Spark gives
+    * non-UTC-adjusted parquet): the cast is a no-op for instants and
+    * interprets NTZ wall-clocks in the session timezone — under the
+    * library's UTC-session convention, exactly epoch_us's reading of
+    * the same naive parquet value. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** The DuckDB twin of [[epochMicros]] over SQL expression `expr`. */
+  def epochMicrosSql(expr: String): String = s"epoch_us($expr)"
+
   private def canonical(cols: Seq[String]): Column =
     concat_ws(Delim, cols.map(c =>
       coalesce(col(c).cast("string"), lit(NullSentinel))): _*)
@@ -373,11 +395,12 @@ object Reconcile {
     *
     * Keys must be UNIQUE per side: classification is only meaningful
     * against a primary key, so a key holding more than one surplus row
-    * on either side raises (in-plan, lazily — the guard costs a window
-    * over the divergence-bounded surplus) instead of emitting a wrong
-    * changelog; un-keyed multisets stay [[rowDiff]]'s domain. NULL key
-    * components pair null-safely, so a NULL-keyed row classifies like
-    * any other.
+    * on either side — or a surplus row with multiplicity beyond the
+    * clean (1,0)/(0,1), e.g. the same bytes once in a and twice in b —
+    * raises (in-plan, lazily; the guard costs a window over the
+    * divergence-bounded surplus) instead of emitting a wrong changelog;
+    * un-keyed multisets stay [[rowDiff]]'s domain. NULL key components
+    * pair null-safely, so a NULL-keyed row classifies like any other.
     *
     * Scale shape: [[rowDiff]]'s cost (the bucket-localized drill-down)
     * plus one window and one key-equality full-outer join, both over
@@ -392,7 +415,15 @@ object Reconcile {
     val d = rowDiff(a, b, all, nBuckets)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("side") +: keyCols.map(col): _*)
-    val dd = d.withColumn("dup", count(lit(1)).over(w))
+    // A primary key on both sides means every diff row is a clean
+    // (1,0) or (0,1): more than one differing row per (side, key) is a
+    // two-versions-on-one-side violation (the window), and n_a+n_b != 1
+    // is a MULTIPLICITY violation the window alone cannot see — e.g.
+    // the same bytes once in a and twice in b emit a single side-b row
+    // with (n_a, n_b) = (1, 2), which would otherwise masquerade as a
+    // clean delete.
+    val dd = d.withColumn("dup",
+      (count(lit(1)).over(w) > 1L) || (col("n_a") + col("n_b") =!= 1L))
     def sideRows(tag: String): DataFrame = dd.filter(col("side") === tag)
       .select(all.map(c => col(c).as(s"${tag}_$c")) ++
         Seq(lit(1).as(s"${tag}_present"), col("dup").as(s"${tag}_dup")): _*)
@@ -400,12 +431,13 @@ object Reconcile {
     val bS = sideRows("b") // rows only the divergent side holds -> DELETE
     val cond = keyCols.map(k => col(s"a_$k") <=> col(s"b_$k")).reduce(_ && _)
     val verdict =
-      when(coalesce(col("a_dup"), lit(1L)) > 1L ||
-          coalesce(col("b_dup"), lit(1L)) > 1L,
+      when(coalesce(col("a_dup"), lit(false)) ||
+          coalesce(col("b_dup"), lit(false)),
         raise_error(lit("Reconcile.rowDiffByKey: a key holds more than " +
-          "one differing row on one side — keyCols are not a primary " +
-          "key here, so insert/delete/update classification would be " +
-          "wrong; use rowDiff for multiset semantics")).cast("string"))
+          "one differing row, or a differing row with multiplicity > 1, " +
+          "on one side — keyCols are not a primary key here, so insert/" +
+          "delete/update classification would be wrong; use rowDiff " +
+          "for multiset semantics")).cast("string"))
         .when(col("b_present").isNull, lit("insert"))
         .when(col("a_present").isNull, lit("delete"))
         .otherwise(lit("update"))

@@ -49,6 +49,31 @@ object Batch16 {
            |      FROM lineitem)""".stripMargin,
         PriceCols) + "\nORDER BY 1")),
 
+    // Timestamp fingerprint canonicalization (Reconcile.epochMicros +
+    // tableChecksum): timestamps enter the cross-engine contract as
+    // BIGINT epoch microseconds — immune to session-timezone rendering,
+    // fractional-trimming differences, and naive-vs-instant parquet
+    // semantics (the scaladoc's three exposure modes). The gate
+    // fingerprints lineitem's shipdate against DuckDB's epoch_us over
+    // the same parquet; a hash match proves the instant integers
+    // identical, which a string-rendered fingerprint could not promise
+    // across sessions.
+    QueryDef(
+      "x247_timestamp_checksum",
+      (s, dir) => {
+        val l = Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.ops.Reconcile.epochMicros(col("l_shipdate")).as("ship_us"))
+        graft.ops.Reconcile.tableChecksum(l,
+          Seq("l_orderkey", "l_linenumber", "ship_us")).orderBy("bucket")
+      },
+      Some(graft.ops.Reconcile.oracleSql(
+        s"""(SELECT l_orderkey, l_linenumber,
+           |        ${graft.ops.Reconcile.epochMicrosSql("l_shipdate")}
+           |          AS ship_us
+           |      FROM lineitem)""".stripMargin,
+        Seq("l_orderkey", "l_linenumber", "ship_us")) + "\nORDER BY 1")),
+
     // Keyed update classification (Reconcile.rowDiffByKey): the x239/
     // x240 corrupted-copy scenario keyed on doc_id — the multiset diff's
     // paired surplus rows collapse to one verdict per divergent key.

@@ -155,6 +155,25 @@ class ReconcilePropertySpec extends SparkSuite {
     intercept[IllegalArgumentException](Reconcile.fixedPointSql("x", -1))
   }
 
+  test("epochMicros law: the canonical instant is the epoch integer — " +
+    "NULL passes through, a known instant lands on its exact " +
+    "microsecond count, and TIMESTAMP_NTZ inputs are accepted under " +
+    "the UTC-session convention") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456")
+    val got = Seq(Some(ts), None).toDF("t")
+      .select(Reconcile.epochMicros(col("t")).as("us"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    // 2024-01-01T00:00:00Z = 1704067200 s (the DuckDB epoch_us twin
+    // returns the same integer for the same naive value).
+    assert(got.toSeq === Seq(1704067200123456L, null))
+    val ntz = Seq(Some(ts), None).toDF("t")
+      .select(col("t").cast("timestamp_ntz").as("t"))
+      .select(Reconcile.epochMicros(col("t")).as("us"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(ntz.toSeq === Seq(1704067200123456L, null),
+      "NTZ wall-clocks read in the UTC session = epoch_us's reading")
+  }
+
   test("column discipline is enforced, not documented: a raw FLOAT/" +
     "DOUBLE column is rejected at every fingerprint entry point, and " +
     "the fixedPoint canonicalization is accepted") {
@@ -243,6 +262,17 @@ class ReconcilePropertySpec extends SparkSuite {
     }
     assert(e.getMessage.contains("primary"),
       "the failure must say WHY: keyCols are not a primary key")
+    // The sneakier violation: the SAME bytes at different multiplicities
+    // (once in a, twice in b) emit a single diff row with n_a+n_b = 3 —
+    // invisible to the per-side dup window — which would masquerade as
+    // a clean delete. Must raise, not classify.
+    val b2 = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("id", "v")
+    val e2 = intercept[Exception] {
+      Reconcile.rowDiffByKey(a, b2, Seq("id"), Seq("v"), nBuckets = 8)
+        .collect()
+    }
+    assert(e2.getMessage.contains("multiplicity"),
+      "a multiplicity violation must raise too")
   }
 
   test("incremental law: fold(fingerprint(A), fingerprint(B)) equals " +
