@@ -347,9 +347,19 @@ object Reconcile {
     requireFingerprintable(b, cols, "rowDiff")
     require(nBuckets >= 1 && nBuckets <= 65536,
       s"unreasonable bucket count $nBuckets")
+    // The mismatched-bucket set is referenced by BOTH sides' semi-joins,
+    // and Spark does not dedupe identical plan subtrees across branches
+    // (no ReusedExchange in this shape, verified round 16) — without
+    // pinning, the two fingerprint aggregations (two full corpus scans)
+    // would run once PER SIDE. A lazy localCheckpoint makes the ≤
+    // nBuckets-row set compute-once by construction: the first branch
+    // materializes it, the second reads the persisted blocks. Laziness
+    // is preserved (eager = false); the blocks are a one-shot
+    // operator's bounded state (≤ 64 rows), released by GC.
     val bad = checksumDiff(tableChecksum(a, cols, nBuckets),
         tableChecksum(b, cols, nBuckets))
       .filter(!col("bucket_match")).select("bucket")
+      .localCheckpoint(false)
     def grouped(df: DataFrame, p: String): DataFrame = {
       val canon = canonical(cols)
       val h1 = rowHash(canon, "rc1|")
@@ -473,12 +483,20 @@ object Reconcile {
     requireFingerprintable(b, cols, "applyRepair")
     val canon = canonical(cols)
     val h = rowHash(canon, "rc1|")
+    // The diff is consumed TWICE here (the broadcast repair plan and
+    // the insert replication) and its upstream is typically the full
+    // rowDiff plan — two corpus fingerprint passes per evaluation. A
+    // lazy localCheckpoint pins the divergence-bounded rows so both
+    // consumers read the same materialized blocks instead of
+    // re-deriving the diff from the corpus (the same justification as
+    // broadcasting it: the repair plan is bounded by the divergence).
+    val planned = diff.localCheckpoint(false)
     // The plan carries the CONTENT, not just the hash: a 60-bit hash
     // collision between a planned row and an innocent identical-on-both-
     // sides row of b must not pull the innocent row into the renumber
     // (where keep_n could silently delete it). Plan columns are
     // _p-prefixed and matched null-safely alongside rh.
-    val plan = diff.select(h.as("rh") +: col("n_a").as("keep_n") +:
+    val plan = planned.select(h.as("rh") +: col("n_a").as("keep_n") +:
       col("n_b").as("plan_n_b") +: cols.map(c => col(c).as(s"_p_$c")): _*)
     val bk = b.select(cols.map(col) :+ h.as("rh"): _*)
     val bplan = broadcast(plan)
@@ -493,7 +511,7 @@ object Reconcile {
           .orderBy(bk("rh"))))
       .filter(col("rn") <= col("keep_n"))
       .select(cols.map(bk(_)): _*)
-    val inserts = diff.filter(col("n_a") > col("n_b"))
+    val inserts = planned.filter(col("n_a") > col("n_b"))
       .withColumn("_i", explode(sequence(lit(1L), col("n_a") - col("n_b"))))
       .select(cols.map(col): _*)
     untouched.unionByName(touchedKept).unionByName(inserts)
