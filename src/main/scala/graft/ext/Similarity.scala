@@ -817,12 +817,18 @@ object Similarity {
     // d(d+1)/2 triangle aggregation (as this kernel originally did)
     // multiplied their cost 32x for d=64. One d-term explode computes
     // them; the triangle join-assembles from 64 broadcast rows.
+    // dims is broadcast TWICE below under different projections
+    // (dim_i/sx/n vs dim_j/sy) — two non-identical exchanges that
+    // cannot dedupe, so without the pin the d-term corpus scan would
+    // run once per role. The lazy checkpoint makes the d-row moment
+    // table compute-once (probe-gated, the round-16 discipline).
     val dims = v
       .select(explode(sequence(lit(0), lit(dim - 1))).as("i"), col("v"))
       .select((col("i") + 1).as("dim"),
         element_at(col("v"), col("i") + 1).as("x"))
       .groupBy("dim")
       .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     // The triangle pass carries exactly two long words per term. The
     // cross-moment must not wrap silently: per-row products reach
     // ~1e12, so a single LongType SUM would wrap past ~9.2e6 worst-case

@@ -1115,9 +1115,16 @@ object Streams {
       try {
         val s = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, "UTF-8")).readLine()
-        Option(s).map(_.trim.split("\\s+")).collect {
+        // An unparseable marker must FAIL, not read as "no marker": a
+        // None here would re-fold an already-committed batch (silent
+        // double-count) — the one outcome the marker exists to prevent.
+        Option(s).map(_.trim.split("\\s+")).map {
           case Array(id)      => (id.toLong, None)
           case Array(id, qid) => (id.toLong, Some(qid))
+          case other => throw new IllegalStateException(
+            s"unparseable _last_batch marker in $tableDir: " +
+              s"'${other.mkString(" ")}' — refusing to guess the replay " +
+              "state; repair or remove the fold table")
         }
       } finally in.close()
     }

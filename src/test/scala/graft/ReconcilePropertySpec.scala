@@ -194,6 +194,16 @@ class ReconcilePropertySpec extends SparkSuite {
     // The canonicalized spelling goes straight through.
     assert(Reconcile.tableChecksum(withFp, Seq("id", "score_fp"), 8)
       .count() > 0)
+    // Containers must not smuggle floats past the guard: ARRAY<DOUBLE>
+    // and a struct with a float field render engine-dependently too.
+    val arr = Seq((1L, Seq(0.5, 1.5))).toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException](
+      Reconcile.tableChecksum(arr, Seq("id", "vec"), 8))
+    assert(e1.getMessage.contains("vec"))
+    val st = Seq((1L, (0.5f, "a"))).toDF("id", "s")
+    val e2 = intercept[IllegalArgumentException](
+      Reconcile.tableChecksum(st, Seq("id", "s"), 8))
+    assert(e2.getMessage.contains("s"))
   }
 
   test("rowDiffByKey law: keyed insert/delete/update classification " +

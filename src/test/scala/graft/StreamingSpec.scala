@@ -1031,6 +1031,15 @@ class StreamingSpec extends SparkSuite {
       "legacy marker: committed id still skips")
     assert(Streams.checksumFold(spark, df(rows), 2L, tablePath, cols, 8),
       "legacy marker: a new batchId still applies")
+    // An unparseable marker must FAIL the fold, never read as "no
+    // marker" — a None there would re-fold an already-committed batch.
+    val p = new org.apache.hadoop.fs.Path(tablePath, "_last_batch")
+    val out = fs.create(p, true)
+    out.write("5 some-qid garbage\n".getBytes("UTF-8")); out.close()
+    val e3 = intercept[IllegalStateException] {
+      Streams.checksumFold(spark, df(rows), 9L, tablePath, cols, 8)
+    }
+    assert(e3.getMessage.contains("unparseable"))
   }
 
   test("histogram stream: every micro-batch prefix equals the batch " +

@@ -161,13 +161,22 @@ def merge_lower(b: dict, old_path: str, new_rows: list) -> None:
     # values outright, exactly like a --new-rows entry — the committed
     # value was historical-best pricing this host has not reproduced in
     # 6+ sessions, and keeping it re-flags the same family every round.
+    # The state file is resolved NEXT TO THE BASELINE (the same rule
+    # movers_report uses) — a CWD-relative read would silently skip the
+    # rebase when the tool runs from another directory. Corruption is
+    # tolerated like update_staleness tolerates it (fresh state), but a
+    # MISSING file is only fine because a repo without the tracker has
+    # nothing to rebase.
     rebased = set()
+    import os
+    spath = os.path.join(os.path.dirname(os.path.abspath(old_path)),
+                         "bench_staleness.json")
     try:
-        with open("bench_staleness.json") as f:
+        with open(spath) as f:
             for name, row in json.load(f).get("rows", {}).items():
                 if row.get("streak", 0) >= REBASE_SESSIONS:
                     rebased.add(name)
-    except FileNotFoundError:
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
     if rebased:
         print(f"<!-- auto-rebased rows (breach streak >= {REBASE_SESSIONS} "
@@ -257,7 +266,8 @@ REBASE_SESSIONS = 6  # consecutive breaches after which the rebased value
                      # the historical best stays in git history)
 
 
-def update_staleness(state_path: str, b: dict, committed: dict) -> dict:
+def update_staleness(state_path: str, b: dict, committed: dict,
+                     exclude: set = frozenset()) -> dict:
     """Consecutive-session committed-row breach tracking (round-15
     policy). For every query with samples this session, the session
     median / committed ratio either extends that row's consecutive-
@@ -270,7 +280,16 @@ def update_staleness(state_path: str, b: dict, committed: dict) -> dict:
     medians) is the current-host cost. Sessions are deduplicated by the
     run's first sample timestamp against the full SET of recorded
     sessions (not just the latest), so re-rendering ANY older
-    bench.json never re-counts it into a streak out of order."""
+    bench.json never re-counts it into a streak out of order.
+
+    `exclude` names rows whose breach this session carries a GENUINE or
+    AMBIGUOUS movers verdict: those are unadjudicated possible CODE
+    regressions, and counting them toward the band streak would let a
+    real sustained regression ride the streak into the round-16
+    auto-rebase and get baked into the committed table. Excluded rows
+    are skipped for the session — neither incremented nor reset — and
+    resume accumulating once adjudication exonerates (or repricing
+    resets) them."""
     try:
         with open(state_path) as f:
             state = json.load(f)
@@ -291,6 +310,8 @@ def update_staleness(state_path: str, b: dict, committed: dict) -> dict:
     for name, m in med.items():
         base = committed.get(name)
         if base is None or base <= 0 or m < 0:
+            continue
+        if name in exclude:
             continue
         row = state["rows"].setdefault(name, {"streak": 0, "breach_medians": []})
         if m >= STALE_GATE * base:
@@ -323,7 +344,16 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0,
         staleness_path = os.path.join(
             os.path.dirname(os.path.abspath(baseline_path)),
             "bench_staleness.json")
-    stale = stale_rows(update_staleness(staleness_path, b, committed))
+    # Previous state (read-only) feeds the per-row stale notes; the
+    # tracker itself updates AFTER the verdict loop so GENUINE/AMBIGUOUS
+    # breaches can be excluded from streak accumulation (a possible code
+    # regression must be adjudicated, never ridden into an auto-rebase).
+    try:
+        with open(staleness_path) as f:
+            stale = stale_rows(json.load(f))
+    except (OSError, json.JSONDecodeError):
+        stale = {}
+    unadjudicated = set()
     movers = []
     for name, m in sorted(med.items()):
         base = committed.get(name)
@@ -445,8 +475,18 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0,
                 verdict = ("artifact-exonerable: median poisoned by a "
                            "minority window (should not happen under "
                            "sweep split — check)")
+            if verdict.startswith(("GENUINE", "AMBIGUOUS")):
+                unadjudicated.add(name)
             print(f"| {name} | {base:.3f} | {m:.3f} | {m / base:.1f}x | "
                   f"{nr:.1f}x | {mcell} | {n_slow}/{len(ss)} | {verdict} |")
+    # The tracker updates AFTER the verdicts so unadjudicated
+    # (GENUINE/AMBIGUOUS) breaches never accumulate toward the
+    # auto-rebase streak — a real sustained code regression must be
+    # adjudicated, not ridden into the committed table. The per-row
+    # stale notes above reflect the PREVIOUS session's state; the list
+    # below is post-update.
+    stale = stale_rows(update_staleness(staleness_path, b, committed,
+                                        exclude=unadjudicated))
     print()
     if windows:
         print("Contention windows (each slow sample starting <= 60 s after "
