@@ -627,11 +627,15 @@ object Similarity {
     * (Σxy − ΣxΣy/n)/n evaluated on the SAME double expression tree by
     * both engines from the SAME exact integer sums.
     *
-    * Scale shape: NO join anywhere — each row explodes to d(d+1)/2
-    * product terms and hash-aggregates into d(d+1)/2 groups, which
-    * map-side partial aggregation collapses WITHIN each task, so the
-    * shuffle carries one partial triangle per task (2,080 rows for
-    * d = 64) regardless of corpus size. Overflow safety: |x_fp| ≤ 10^6
+    * Scale shape: the CORPUS never joins — each row explodes to
+    * d(d+1)/2 product terms and hash-aggregates into d(d+1)/2 groups,
+    * which map-side partial aggregation collapses WITHIN each task, so
+    * the shuffle carries one partial triangle per task (2,080 rows for
+    * d = 64) regardless of corpus size. The per-dimension moments
+    * (n, Σx — a d-row table, hoisted out of the triangle in round 16)
+    * then BROADCAST-join twice onto the 2,080-row triangle to assemble
+    * (n, sx, sy, sxy) — both joins are bounded-by-d stitches, pinned
+    * broadcast in PlanSpec, never corpus-sized. Overflow safety: |x_fp| ≤ 10^6
     * (unit-norm coords) so each product ≤ 10^12; the cross-moment sums
     * its hi/lo split words in plain LONGs (wrap-free to ~8.8e12 rows —
     * see [[covSums]]) and recombines exactly in decimal at the triangle

@@ -132,8 +132,17 @@ object Reconcile {
     * while DuckDB computes. One raise predicate, both engines. */
   def fixedPointSql(expr: String, scale: Int): String = {
     require(scale >= 0 && scale <= 9, s"scale must be in [0,9], got $scale")
-    val scaled = s"CAST($expr AS DOUBLE) * 1e$scale"
-    s"""CASE WHEN ABS($scaled) >= 9.0e18
+    val d = s"CAST($expr AS DOUBLE)"
+    val scaled = s"$d * 1e$scale"
+    // The non-finite branch is EXPLICIT, not an accident of NaN
+    // ordering: without it the envelope's ABS(x) >= 9.0e18 catches NaN
+    // only because DuckDB sorts NaN above all values — parity with the
+    // Spark twin's dedicated raise would be incidental and the error
+    // message would diverge. One branch per failure mode, both engines.
+    s"""CASE WHEN isnan($d) OR isinf($d)
+       | THEN CAST(error('Reconcile.fixedPoint: non-finite value (NaN/Inf) ' ||
+       |   'has no fixed-point grid cell') AS BIGINT)
+       | WHEN ABS($scaled) >= 9.0e18
        | THEN CAST(error('Reconcile.fixedPoint: BIGINT envelope') AS BIGINT)
        | ELSE CAST(FLOOR($scaled + 0.5) AS BIGINT) END""".stripMargin
       .replace("\n", "")
@@ -199,7 +208,12 @@ object Reconcile {
   def tableChecksumByGroup(df: DataFrame, groupCol: String,
       cols: Seq[String], nBuckets: Int = 16): DataFrame = {
     require(cols.nonEmpty, "at least one column")
-    requireFingerprintable(df, cols, "tableChecksumByGroup")
+    // The group key is not hashed, but it IS emitted as an output value
+    // the comparison layer renders per engine — a FLOAT/DOUBLE group
+    // key would make the grouped fingerprints unjoinable cross-engine
+    // through the same rendering divergence the hashed columns are
+    // guarded against.
+    requireFingerprintable(df, cols :+ groupCol, "tableChecksumByGroup")
     require(!cols.contains(groupCol),
       "the group column partitions the fingerprint; include it in `cols` " +
         "only if it should ALSO be fingerprinted content")
@@ -337,8 +351,14 @@ object Reconcile {
     * at source level. NULL group keys match each other (null-safe
     * equality), so a NULL-sourced feed reconciles like any other. */
   def checksumDiffByGroup(a: DataFrame, b: DataFrame,
-      groupCol: String): DataFrame =
+      groupCol: String): DataFrame = {
+    // Same group-key discipline as tableChecksumByGroup: the verdict
+    // table carries the group value as an emitted key, so a float here
+    // would fork the comparison layer even though nothing hashes it.
+    requireFingerprintable(a, Seq(groupCol), "checksumDiffByGroup")
+    requireFingerprintable(b, Seq(groupCol), "checksumDiffByGroup")
     fpDiff(a, b, Seq(groupCol)).orderBy(groupCol, "bucket")
+  }
 
   /** Row-level drill-down — the step a user takes immediately after a
     * `bucket_match = false` verdict: re-fingerprint both sides, take the
@@ -421,14 +441,23 @@ object Reconcile {
     * columns whose values differ (comma-joined in `cols` order,
     * null-safe comparison so NULL↔value counts as a change).
     *
-    * Keys must be UNIQUE per side: classification is only meaningful
-    * against a primary key, so a key holding more than one surplus row
-    * on either side — or a surplus row with multiplicity beyond the
-    * clean (1,0)/(0,1), e.g. the same bytes once in a and twice in b —
-    * raises (in-plan, lazily; the guard costs a window over the
-    * divergence-bounded surplus) instead of emitting a wrong changelog;
-    * un-keyed multisets stay [[rowDiff]]'s domain. NULL key components
-    * pair null-safely, so a NULL-keyed row classifies like any other.
+    * Keys must be UNIQUE per side — classification is only meaningful
+    * against a primary key. The guard catches every violation the DIFF
+    * CAN SEE: a key holding more than one surplus row on either side
+    * (the window), or a surplus row with multiplicity beyond the clean
+    * (1,0)/(0,1), e.g. the same bytes once in a and twice in b (the
+    * n_a+n_b ≠ 1 check) — those raise in-plan, lazily, at the cost of
+    * one window over the divergence-bounded surplus. It is necessarily
+    * PARTIAL: a duplicate key whose second copy is byte-identical on
+    * BOTH sides never enters the diff, so its surviving surplus row
+    * classifies as a clean insert/delete — diff-invisible violations
+    * are the caller's contract, not the guard's. The DuckDB twin
+    * ([[rowDiffByKeyOracleSql]]) has NO guard at all and classifies
+    * PK-violating data where Spark raises — on violating inputs the
+    * two engines intentionally diverge (loud vs permissive), so gates
+    * must feed key-unique data. Un-keyed multisets stay [[rowDiff]]'s
+    * domain. NULL key components pair null-safely, so a NULL-keyed row
+    * classifies like any other.
     *
     * Scale shape: [[rowDiff]]'s cost (the bucket-localized drill-down)
     * plus one window and one key-equality full-outer join, both over
@@ -440,16 +469,6 @@ object Reconcile {
     require(keyCols.intersect(cols).isEmpty,
       "key and payload columns must be disjoint")
     val all = keyCols ++ cols
-    val d = rowDiff(a, b, all, nBuckets)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("side") +: keyCols.map(col): _*)
-    // A primary key on both sides means every diff row is a clean
-    // (1,0) or (0,1): more than one differing row per (side, key) is a
-    // two-versions-on-one-side violation (the window), and n_a+n_b != 1
-    // is a MULTIPLICITY violation the window alone cannot see — e.g.
-    // the same bytes once in a and twice in b emit a single side-b row
-    // with (n_a, n_b) = (1, 2), which would otherwise masquerade as a
-    // clean delete.
     // dd is consumed by BOTH sides of the key-pairing join below; the
     // lazy checkpoint pins the divergence-bounded drill-down (two
     // bucket-filtered corpus scans + row join + window) compute-once.
@@ -457,8 +476,7 @@ object Reconcile {
     // isolated median) — kept because it halves the drill-down's
     // corpus scans at warehouse scale, where the saved work dominates
     // the bounded materialization.
-    val dd = d.withColumn("dup",
-      (count(lit(1)).over(w) > 1L) || (col("n_a") + col("n_b") =!= 1L))
+    val dd = keyGuardedDiff(a, b, keyCols, cols, nBuckets)
       .localCheckpoint(false)
     def sideRows(tag: String): DataFrame = dd.filter(col("side") === tag)
       .select(all.map(c => col(c).as(s"${tag}_$c")) ++
@@ -487,6 +505,26 @@ object Reconcile {
       .select(keyCols.map(k => coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) ++
         Seq(verdict.as("verdict"), changed.as("changed_columns")): _*)
       .orderBy(keyCols.map(col) :+ col("verdict"): _*)
+  }
+
+  /** [[rowDiffByKey]]'s drill-down + primary-key-guard subtree, BEFORE
+    * the compute-once checkpoint hides it behind an RDD scan — split
+    * out so PlanSpec can pin its shape (the guard window partitions by
+    * (side, key) over ONLY the surplus rows; the corpus appears only
+    * under the x240 bucket-localized scans). A primary key on both
+    * sides means every diff row is a clean (1,0) or (0,1): more than
+    * one differing row per (side, key) is a two-versions-on-one-side
+    * violation (the window), and n_a+n_b != 1 is a MULTIPLICITY
+    * violation the window alone cannot see — e.g. the same bytes once
+    * in a and twice in b emit a single side-b row with (n_a, n_b) =
+    * (1, 2), which would otherwise masquerade as a clean delete. */
+  private[graft] def keyGuardedDiff(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String], cols: Seq[String], nBuckets: Int): DataFrame = {
+    val d = rowDiff(a, b, keyCols ++ cols, nBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("side") +: keyCols.map(col): _*)
+    d.withColumn("dup",
+      (count(lit(1)).over(w) > 1L) || (col("n_a") + col("n_b") =!= 1L))
   }
 
   /** Executable repair — the final step of the reconciliation loop

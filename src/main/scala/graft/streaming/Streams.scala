@@ -1118,13 +1118,22 @@ object Streams {
         // An unparseable marker must FAIL, not read as "no marker": a
         // None here would re-fold an already-committed batch (silent
         // double-count) — the one outcome the marker exists to prevent.
-        Option(s).map(_.trim.split("\\s+")).map {
-          case Array(id)      => (id.toLong, None)
-          case Array(id, qid) => (id.toLong, Some(qid))
-          case other => throw new IllegalStateException(
+        // EVERY malformed shape routes through the same operator
+        // message — including a non-numeric or Long-overflowing batch
+        // id, which would otherwise throw a bare NumberFormatException
+        // from toLong and lose the repair-or-remove guidance.
+        def fail(tokens: Array[String]): Nothing =
+          throw new IllegalStateException(
             s"unparseable _last_batch marker in $tableDir: " +
-              s"'${other.mkString(" ")}' — refusing to guess the replay " +
+              s"'${tokens.mkString(" ")}' — refusing to guess the replay " +
               "state; repair or remove the fold table")
+        def idOf(tokens: Array[String]): Long =
+          try tokens.head.toLong
+          catch { case _: NumberFormatException => fail(tokens) }
+        Option(s).map(_.trim.split("\\s+")).map {
+          case t @ Array(_)    => (idOf(t), None)
+          case t @ Array(_, q) => (idOf(t), Some(q))
+          case other           => fail(other)
         }
       } finally in.close()
     }

@@ -815,6 +815,91 @@ class PlanSpec extends SparkSuite {
       s"the renumber window must partition by the plan's row hash:\n$plan")
   }
 
+  test("x245/x247 canonicalized checksums: pure aggregation pipelines — " +
+    "zero joins, zero windows, and the parquet scan reads ONLY the " +
+    "fingerprinted columns (the canonicalizers are codegen'd " +
+    "projections, not a reason to widen the scan)") {
+    val wanted = Map(
+      "x245_fixed_point_checksum" ->
+        Set("l_orderkey", "l_linenumber", "l_extendedprice"),
+      "x247_timestamp_checksum" ->
+        Set("l_orderkey", "l_linenumber", "l_shipdate"))
+    for ((name, cols) <- wanted) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      assert(joinNodes(df).isEmpty,
+        s"$name must be one projection + one bucket aggregation:\n" +
+          df.queryExecution.executedPlan.toString)
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$name must not sort anything into a window")
+      // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec is
+      // childless to collect().
+      val scans = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1, s"$name reads lineitem exactly once")
+      assert(scans.head.requiredSchema.fieldNames.toSet == cols,
+        s"$name must prune the scan to $cols, got " +
+          scans.head.requiredSchema.fieldNames.mkString(", "))
+    }
+  }
+
+  test("x246 keyed changelog: the drill-down feeds BOTH sides of the " +
+    "key-pairing join from ONE localCheckpoint (no corpus re-scan in " +
+    "the final plan), and the guard window runs over surplus-only rows") {
+    val df = queries.Registry.queryMap("x246_row_diff_by_key")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x246 degenerated to all-pairs:\n$plan")
+    // Compute-once pin: the classification plan must read the
+    // checkpointed drill-down — TWO RDD scans of the SAME underlying
+    // RDD — and contain ZERO parquet scans: every corpus touch lives
+    // inside the checkpoint, priced once, never once per join side.
+    val rddScans = df.queryExecution.sparkPlan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.size == 2,
+      s"both join sides must read the checkpointed drill-down:\n$plan")
+    assert(rddScans.map(_.rdd.id).distinct.size == 1,
+      "the two sides must share ONE checkpointed RDD (compute-once), " +
+        s"got rdd ids ${rddScans.map(_.rdd.id).mkString(", ")}")
+    val fileScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fileScans.isEmpty,
+      s"corpus scans must live behind the checkpoint, not per branch:\n$plan")
+    val smjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
+      s"the key pairing is the only (full-outer) shuffle join:\n$plan")
+    // The guard subtree (pre-checkpoint — the checkpoint hides it from
+    // the final plan): the dup window partitions by (side, key) and its
+    // input is the x240 bucket-localized drill-down — the broadcast
+    // left-semi scans and the row-hash full-outer, never a full corpus
+    // re-diff or an unpartitioned sort.
+    val docs = Tables(spark, Sf).documents
+    val guarded = graft.ops.Reconcile.keyGuardedDiff(docs, docs,
+      Seq("doc_id"), Seq("source", "lang", "n_chars", "text"), 64)
+    val gplan = guarded.queryExecution.executedPlan.toString
+    val gwindows = guarded.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(gwindows.size == 1, s"exactly one guard window:\n$gplan")
+    val parts = gwindows.head.partitionSpec.map(_.sql)
+    assert(parts.exists(_.contains("side")) &&
+      parts.exists(_.contains("doc_id")),
+      s"the guard window must partition by (side, key), got $parts")
+    val gsemis = guarded.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(gsemis.size >= 2,
+      "the window's input is the bucket-localized drill-down — both " +
+        s"corpus scans semi-join the broadcast bucket set:\n$gplan")
+  }
+
   test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
     "the verdict join touches only (group x bucket)-bounded tables") {
     val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)

@@ -183,6 +183,13 @@ class ReconcilePropertySpec extends SparkSuite {
     for (call <- Seq[() => Any](
         () => Reconcile.tableChecksum(d, Seq("id", "score"), 8),
         () => Reconcile.tableChecksumByGroup(d, "id", Seq("score"), 8),
+        // A float GROUP KEY is rejected too: it is never hashed, but it
+        // IS emitted as an output value the comparison layer renders
+        // per engine (the same divergence, one layer up).
+        () => Reconcile.tableChecksumByGroup(d, "score", Seq("id"), 8),
+        () => Reconcile.checksumDiffByGroup(
+          d.withColumnRenamed("score", "g"),
+          d.withColumnRenamed("score", "g"), "g"),
         () => Reconcile.rowDiff(d, d, Seq("id", "score"), 8),
         () => Reconcile.applyRepair(d,
           Reconcile.rowDiff(withFp, withFp, Seq("id", "score_fp"), 8),

@@ -1040,6 +1040,17 @@ class StreamingSpec extends SparkSuite {
       Streams.checksumFold(spark, df(rows), 9L, tablePath, cols, 8)
     }
     assert(e3.getMessage.contains("unparseable"))
+    // A single-token NON-NUMERIC marker (and a Long-overflowing id)
+    // must route through the SAME operator message — not a bare
+    // NumberFormatException from toLong that loses the guidance.
+    for (junk <- Seq("garbage", "99999999999999999999 some-qid")) {
+      val o2 = fs.create(p, true)
+      o2.write(s"$junk\n".getBytes("UTF-8")); o2.close()
+      val e4 = intercept[IllegalStateException] {
+        Streams.checksumFold(spark, df(rows), 9L, tablePath, cols, 8)
+      }
+      assert(e4.getMessage.contains("unparseable"), s"for marker '$junk'")
+    }
   }
 
   test("histogram stream: every micro-batch prefix equals the batch " +
