@@ -144,7 +144,14 @@ object ScaleProbe {
     // the key-pairing full-outer join then run over the N×-grown
     // surplus (its worst case). Must stay linear: every per-row step is
     // keyed aggregation/join over the surplus, never a pair blow-up.
-    "x246_row_diff_by_key")
+    "x246_row_diff_by_key",
+    // x248 (round 17): the changelog roundtrip — the x246 worst case
+    // (saturated bad buckets, N×-grown surplus through the guard window
+    // and key pairing) plus the apply: the N×-grown changelog broadcast
+    // anti-joins the divergent side's single scan and re-fingerprints.
+    // Every step is keyed aggregation/broadcast join over surplus or
+    // corpus-linear rows; must probe linear like x244.
+    "x248_changelog_roundtrip")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

@@ -463,7 +463,33 @@ object Reconcile {
     * plus one window and one key-equality full-outer join, both over
     * ONLY the surplus rows — divergence-bounded, never corpus-sized. */
   def rowDiffByKey(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      cols: Seq[String], nBuckets: Int = 64): DataFrame = {
+      cols: Seq[String], nBuckets: Int = 64): DataFrame =
+    classified(a, b, keyCols, cols, nBuckets)
+      .select(keyCols.map(col) ++
+        Seq(col("verdict"), col("changed_columns")): _*)
+      .orderBy(keyCols.map(col) :+ col("verdict"): _*)
+
+  /** [[rowDiffByKey]] WITH the new row content — the changelog a
+    * downstream MERGE can actually execute: alongside each divergent
+    * key's verdict and changed-column list, the payload columns carry
+    * the REFERENCE side's values (the row to insert, the update's new
+    * image; NULL for deletes, which need only the key). This is the
+    * bridge from classification to action: [[applyChangelog]] consumes
+    * it verbatim, and a warehouse team holding the x246 verdicts no
+    * longer recomputes the multiset diff to act on them. Same primary-
+    * key contract, guard, and scale shape as [[rowDiffByKey]] — the
+    * classification join is shared code, so the two can never fork. */
+  def changelog(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      cols: Seq[String], nBuckets: Int = 64): DataFrame =
+    classified(a, b, keyCols, cols, nBuckets)
+      .orderBy(keyCols.map(col) :+ col("verdict"): _*)
+
+  /** The shared classification join of [[rowDiffByKey]] and
+    * [[changelog]]: (keys, verdict, changed_columns, reference-side
+    * payload). ONE definition — a guard or verdict change must never
+    * fork between the verdict-only and payload-carrying spellings. */
+  private def classified(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      cols: Seq[String], nBuckets: Int): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     require(cols.nonEmpty, "at least one payload column")
     require(keyCols.intersect(cols).isEmpty,
@@ -503,8 +529,49 @@ object Reconcile {
         when(!(col(s"a_$c") <=> col(s"b_$c")), lit(c))): _*))
     aS.join(bS, cond, "full_outer")
       .select(keyCols.map(k => coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) ++
-        Seq(verdict.as("verdict"), changed.as("changed_columns")): _*)
-      .orderBy(keyCols.map(col) :+ col("verdict"): _*)
+        Seq(verdict.as("verdict"), changed.as("changed_columns")) ++
+        // The reference side's payload: the new row image for inserts
+        // and updates; deletes carry NULLs (a-side absent).
+        cols.map(c => col(s"a_$c").as(c)): _*)
+  }
+
+  /** Execute a [[changelog]] against the divergent side — the keyed twin
+    * of [[applyRepair]], and the closing arc of the CDC symmetry:
+    * fingerprint → localize → drill → CLASSIFY → APPLY → re-verify.
+    * Deletes drop their key's row, updates replace the row's payload
+    * with the carried new image, inserts add theirs — exactly the
+    * [[Upsert.upsert]] MERGE shape (changed rows UNION the anti-joined
+    * pass-through), driven by the changelog's verdicts instead of a
+    * raw update batch.
+    *
+    * Contract: `changelog` came from [[changelog]] over the same
+    * keyCols/cols (so keys are unique and the new images are the
+    * reference side's); `b` is keyed by keyCols. Applying the changelog
+    * makes b row-equal to the reference side a.
+    *
+    * Scale shape: the changelog is divergence-bounded, so it BROADCASTS
+    * onto b's single scan (a null-safe anti join — NULL keys must
+    * replace their row, not duplicate it, the [[Upsert.upsert]]
+    * lesson); the inserted/updated rows are a projection of the
+    * changelog itself. No window, no shuffle of b, one corpus scan. */
+  def applyChangelog(b: DataFrame, changelog: DataFrame,
+      keyCols: Seq[String], cols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(cols.nonEmpty, "at least one payload column")
+    requireUnreserved(keyCols ++ cols)
+    // The changelog feeds BOTH the anti-join (all verdicts mask their
+    // key's existing row — an update must not keep the old image) and
+    // the new-image union; the lazy checkpoint pins the bounded rows
+    // compute-once, same as applyRepair's diff argument.
+    val planned = changelog.localCheckpoint(false)
+    val keys = broadcast(
+      planned.select(keyCols.map(k => col(k).as(s"_cl_$k")): _*))
+    val cond = keyCols.map(k => col(k) <=> col(s"_cl_$k")).reduce(_ && _)
+    val untouched = b.select((keyCols ++ cols).map(col): _*)
+      .join(keys, cond, "left_anti")
+    val newImages = planned.filter(col("verdict") =!= "delete")
+      .select((keyCols ++ cols).map(col): _*)
+    untouched.unionByName(newImages)
   }
 
   /** [[rowDiffByKey]]'s drill-down + primary-key-guard subtree, BEFORE
@@ -714,6 +781,73 @@ object Reconcile {
        |            THEN concat_ws(',', $changed) END AS changed_columns
        |FROM s_a a FULL OUTER JOIN s_b b ON $keyJoin
        |ORDER BY ${(1 to keyCols.length + 1).mkString(", ")}""".stripMargin
+  }
+
+  /** The DuckDB twin of the full CHANGELOG roundtrip (x248's gate):
+    * keyed changelog → apply → re-fingerprint → verdicts. The changelog
+    * CTE is the [[rowDiffByKeyOracleSql]] classification VERBATIM plus
+    * the reference side's payload (the new row images); the apply is
+    * the MERGE shape (anti-joined pass-through UNION non-delete
+    * images); the re-fingerprint re-hashes the applied rows from their
+    * columns and compares bucket-by-bucket against the reference
+    * fingerprint. Output: one row of (n_inserts, n_deletes, n_updates,
+    * n_buckets, n_matched, applied_ok). */
+  def changelogRoundtripOracleSql(fromA: String, fromB: String,
+      keyCols: Seq[String], cols: Seq[String],
+      nBuckets: Int = 64): String = {
+    val all = keyCols ++ cols
+    val allList = all.mkString(", ")
+    val canon = canonSql(all)
+    def h(salt: String) = hashSql(salt, canon)
+    def sideCte(tag: String) =
+      s"""SELECT $allList, 1 AS present FROM d WHERE side = '$tag'"""
+    val keyJoin = keyCols
+      .map(k => s"b.$k IS NOT DISTINCT FROM a.$k").mkString(" AND ")
+    val clKeyJoin = keyCols
+      .map(k => s"cl.$k IS NOT DISTINCT FROM rb.$k").mkString(" AND ")
+    s"""WITH ${rowDiffCtesSql(fromA, fromB, all, nBuckets)}, d AS (
+       |${rowDiffSelectSql(all)}
+       |), s_a AS (
+       |  ${sideCte("a")}
+       |), s_b AS (
+       |  ${sideCte("b")}
+       |), cl AS (
+       |  SELECT ${keyCols.map(k => s"COALESCE(a.$k, b.$k) AS $k").mkString(", ")},
+       |         CASE WHEN b.present IS NULL THEN 'insert'
+       |              WHEN a.present IS NULL THEN 'delete'
+       |              ELSE 'update' END AS verdict,
+       |         ${cols.map(c => s"a.$c AS $c").mkString(", ")}
+       |  FROM s_a a FULL OUTER JOIN s_b b ON $keyJoin
+       |), applied AS (
+       |  SELECT $allList FROM rb
+       |   WHERE NOT EXISTS (SELECT 1 FROM cl WHERE $clKeyJoin)
+       |  UNION ALL
+       |  SELECT $allList FROM cl WHERE verdict <> 'delete'
+       |), rap AS (
+       |  SELECT ${h("rc1|")} AS h1, ${h("rc2|")} AS h2 FROM applied
+       |), fap AS (
+       |  ${fpSelectSql("rap", nBuckets)}
+       |), cmp AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |         CAST(COALESCE(SUM(CASE WHEN a.n_rows IS NOT NULL
+       |                AND r.n_rows IS NOT NULL AND a.n_rows = r.n_rows
+       |                AND a.xor1 = r.xor1 AND a.xor2 = r.xor2
+       |                AND a.sum1 = r.sum1 THEN 1 ELSE 0 END), 0)
+       |              AS BIGINT) AS n_matched
+       |  FROM fa a FULL OUTER JOIN fap r ON r.bucket = a.bucket
+       |), acts AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN verdict = 'insert'
+       |                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_inserts,
+       |         CAST(COALESCE(SUM(CASE WHEN verdict = 'delete'
+       |                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_deletes,
+       |         CAST(COALESCE(SUM(CASE WHEN verdict = 'update'
+       |                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_updates
+       |  FROM cl
+       |)
+       |SELECT acts.n_inserts, acts.n_deletes, acts.n_updates,
+       |       cmp.n_buckets, cmp.n_matched,
+       |       (cmp.n_buckets = cmp.n_matched) AS applied_ok
+       |FROM acts CROSS JOIN cmp""".stripMargin
   }
 
   /** The DuckDB twin of the full repair roundtrip (x244's gate): diff →

@@ -6,7 +6,7 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QueryDef] =
-    Warehouse.defs ++ Report.defs ++ Service.defs ++ Procs.defs ++ Extensions.defs ++ Advanced.defs ++ Frontier.defs ++ Batch13.defs ++ Batch14.defs ++ Batch15.defs ++ Batch16.defs
+    Warehouse.defs ++ Report.defs ++ Service.defs ++ Procs.defs ++ Extensions.defs ++ Advanced.defs ++ Frontier.defs ++ Batch13.defs ++ Batch14.defs ++ Batch15.defs ++ Batch16.defs ++ Batch17.defs
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap

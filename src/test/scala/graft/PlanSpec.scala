@@ -900,6 +900,45 @@ class PlanSpec extends SparkSuite {
         s"corpus scans semi-join the broadcast bucket set:\n$gplan")
   }
 
+  test("x248 changelog roundtrip: the apply is a broadcast anti-join " +
+    "pass-through (the Upsert MERGE shape, no window over the corpus), " +
+    "the checkpointed changelog feeds every consumer, and the whole " +
+    "classify+apply+re-verify composition scans parquet exactly twice") {
+    val df = queries.Registry.queryMap("x248_changelog_roundtrip")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x248 degenerated to all-pairs:\n$plan")
+    val bhjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhjs.exists(_.joinType.sql == "LEFT ANTI"),
+      "untouched rows must pass through a broadcast anti-join on the " +
+        s"changelog keys, never a window or shuffle of b:\n$plan")
+    val smjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.forall(_.joinType.sql == "FULL OUTER"),
+      "sort-merge only on the key-pairing and fingerprint full-outer " +
+        s"compares:\n$plan")
+    // One parquet scan per SIDE for the whole composition: reference
+    // (its fingerprint) + divergent copy (the anti-join pass-through).
+    // The drill-down's own corpus scans live behind the dd checkpoint,
+    // priced once — a third scan would mean a consumer re-derived the
+    // changelog from the corpus.
+    val fileScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fileScans.size == 2,
+      s"expected exactly 2 corpus scans, got ${fileScans.size}:\n$plan")
+    // No corpus-sized window: the only windows run inside the
+    // checkpointed guard subtree (pinned by the x246 test).
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"the apply path must not window anything:\n$plan")
+  }
+
   test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
     "the verdict join touches only (group x bucket)-bounded tables") {
     val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)

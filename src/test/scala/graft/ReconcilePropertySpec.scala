@@ -266,6 +266,72 @@ class ReconcilePropertySpec extends SparkSuite {
       Seq("id"), Seq("grp", "v"), nBuckets = 8).count() === 0L)
   }
 
+  test("applyChangelog law: executing the changelog reproduces the " +
+    "reference side exactly, agrees with the applyRepair write path, " +
+    "and the changelog is the verdict table plus the new row images") {
+    // The same keyed divergence shapes as the classification law:
+    // inserts (keys missing from b), deletes (extra keys in b), updates
+    // (payload mutations incl. NULL flips), and a NULL key.
+    def payload(k: Long) =
+      (if (k % 13 == 0) null else s"g${k % 4}",
+        if (k % 11 == 0) null else s"v$k")
+    val aRows = (0L until 40L).map(k =>
+      (Option(k), payload(k)._1, payload(k)._2)) :+
+      ((Option.empty[Long], "gN", "vN"))
+    val bRows = aRows.flatMap {
+      case (Some(k), _, _) if k % 7 == 0 => Nil
+      case (Some(k), g, v) if k % 5 == 1 => Seq((Option(k), g, s"MUT$k"))
+      case (Some(k), _, _) if k % 9 == 4 => Seq((Option(k), "MUTG", s"MUTV$k"))
+      case (None, g, _)                  => Seq((Option.empty[Long], g, "MUTN"))
+      case r                             => Seq(r)
+    } ++ Seq((Option(100L), "gX", "vX"), (Option(101L), null, null),
+      (Option(102L), "gY", null))
+    def kdf(rows: Seq[(Option[Long], String, String)]) =
+      rows.map(r => (r._1.map(Long.box).orNull, r._2, r._3))
+        .toDF("id", "grp", "v")
+    val (keys, cols) = (Seq("id"), Seq("grp", "v"))
+    val a = kdf(aRows)
+    val b = kdf(bRows)
+    val cl = Reconcile.changelog(a, b, keys, cols, nBuckets = 8)
+    // The changelog IS rowDiffByKey plus the reference-side images:
+    // same keys/verdicts/changed_columns (the shared classification),
+    // a-side payload on inserts/updates, NULLs on deletes.
+    val clRows = cl.collect()
+    val verdictOnly = clRows.map(r => (r.getAs[java.lang.Long]("id"),
+      r.getAs[String]("verdict"), r.getAs[String]("changed_columns"))).toSet
+    val fromRdbk = Reconcile.rowDiffByKey(a, b, keys, cols, nBuckets = 8)
+      .collect().map(r => (r.getAs[java.lang.Long]("id"),
+        r.getAs[String]("verdict"), r.getAs[String]("changed_columns"))).toSet
+    assert(verdictOnly === fromRdbk,
+      "changelog must never fork from rowDiffByKey's classification")
+    val am = aRows.map(r => (r._1.map(Long.box).orNull, (r._2, r._3))).toMap
+    clRows.foreach { r =>
+      val img = (r.getAs[String]("grp"), r.getAs[String]("v"))
+      if (r.getAs[String]("verdict") == "delete")
+        assert(img == ((null, null)), "deletes carry no image")
+      else
+        assert(img == am(r.getAs[java.lang.Long]("id")),
+          "insert/update images are the reference side's row")
+    }
+    // Executing the changelog reproduces the reference side exactly...
+    def multiset(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[java.lang.Long]("id"),
+        r.getAs[String]("grp"), r.getAs[String]("v")))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val applied = Reconcile.applyChangelog(b, cl, keys, cols)
+    assert(multiset(applied) === multiset(a),
+      "applyChangelog(b, changelog(a, b)) must equal a")
+    // ...and agrees with the multiset write path on the same scenario.
+    val repaired = Reconcile.applyRepair(b,
+      Reconcile.rowDiff(a, b, keys ++ cols, 8), keys ++ cols)
+    assert(multiset(applied) === multiset(repaired),
+      "the keyed and multiset write paths must converge")
+    // An empty changelog applies to the identity.
+    val idApplied = Reconcile.applyChangelog(a,
+      Reconcile.changelog(a, a, keys, cols, nBuckets = 8), keys, cols)
+    assert(multiset(idApplied) === multiset(a))
+  }
+
   test("rowDiffByKey law: a key holding more than one differing row on " +
     "a side is a primary-key violation — loud failure, never a wrong " +
     "changelog") {

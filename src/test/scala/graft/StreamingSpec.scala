@@ -980,6 +980,28 @@ class StreamingSpec extends SparkSuite {
         graft.ops.Reconcile.tableChecksum(repaired, cols, nBuckets))
       assert(verdict.collect().forall(_.getAs[Boolean]("bucket_match")),
         "after repair every bucket must verdict green vs the stream")
+      // The keyed symmetry: CDC tables have primary keys, so the same
+      // divergence classifies as the changelog a downstream MERGE
+      // applies — id 7 an UPDATE (changed_columns = v), id 23 an
+      // INSERT (the replica lost it), id 999 a DELETE (spurious) — and
+      // executing it via applyChangelog closes the loop green against
+      // the STREAMED table too, without the multiset diff.
+      val cl = graft.ops.Reconcile.changelog(df(all), df(replica),
+        Seq("id"), Seq("src", "v"), nBuckets)
+      val clRows = cl.collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("changed_columns"),
+          r.getAs[String]("v")))).toMap
+      assert(clRows.keySet === Set(7L, 23L, 999L))
+      assert(clRows(7L) === (("update", "v", "v7")),
+        "the mutation classifies as an update carrying the true image")
+      assert(clRows(23L)._1 === "insert" && clRows(23L)._3 === "v23")
+      assert(clRows(999L) === (("delete", null, null)))
+      val applied = graft.ops.Reconcile.applyChangelog(df(replica), cl,
+        Seq("id"), Seq("src", "v"))
+      val kVerdict = graft.ops.Reconcile.checksumDiff(streamedFp,
+        graft.ops.Reconcile.tableChecksum(applied, cols, nBuckets))
+      assert(kVerdict.collect().forall(_.getAs[Boolean]("bucket_match")),
+        "after the keyed apply every bucket must verdict green vs the stream")
     } finally q.stop()
   }
 
