@@ -171,16 +171,45 @@ def merge_lower(b: dict, old_path: str, new_rows: list) -> None:
     import os
     spath = os.path.join(os.path.dirname(os.path.abspath(old_path)),
                          "bench_staleness.json")
+    state = None
     try:
         with open(spath) as f:
-            for name, row in json.load(f).get("rows", {}).items():
-                if row.get("streak", 0) >= REBASE_SESSIONS:
-                    rebased.add(name)
+            state = json.load(f)
+        for name, row in state.get("rows", {}).items():
+            if row.get("streak", 0) >= REBASE_SESSIONS:
+                rebased.add(name)
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
     if rebased:
         print(f"<!-- auto-rebased rows (breach streak >= {REBASE_SESSIONS} "
               f"sessions): {', '.join(sorted(rebased))} -->")
+    # Round-17 instrument rule: every reprice (auto-rebase or an
+    # adjudicated --new-rows move) is RECORDED in the state file and
+    # RESETS the row's breach streak — the committed value is now
+    # current-host by construction, so (a) the next sessions read it
+    # ~1x and the old streak must not linger into a spurious cascade,
+    # and (b) --movers can tell a current-era row (a credible GENUINE
+    # flag) from a golden-era row (an instrument gap: QueryProbe +
+    # reprice, never a streak wait) when a canary in its magnitude
+    # class stops measuring the band after its own rebase.
+    if state is not None:
+        today = date.today().isoformat()
+        repriced = state.setdefault("repriced", {})
+        for name in sorted(rebased):
+            repriced[name] = {"t": today, "kind": "auto-rebase"}
+        for name in list(b["queries"]):
+            if name.startswith("_"):
+                continue
+            if name in old and new_rows and name.startswith(changed):
+                repriced[name] = {"t": today, "kind": "new-rows"}
+        for name in rebased | {n for n in b["queries"]
+                               if new_rows and n.startswith(changed)}:
+            row = state.get("rows", {}).get(name)
+            if row is not None:
+                row.update(streak=0, breach_medians=[], stale=False,
+                           rebased=None)
+        with open(spath, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
     for name in list(b["queries"]):
         if name.startswith("_") or name not in old:
             continue
@@ -348,9 +377,12 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0,
     # tracker itself updates AFTER the verdict loop so GENUINE/AMBIGUOUS
     # breaches can be excluded from streak accumulation (a possible code
     # regression must be adjudicated, never ridden into an auto-rebase).
+    repriced = {}
     try:
         with open(staleness_path) as f:
-            stale = stale_rows(json.load(f))
+            _st = json.load(f)
+        stale = stale_rows(_st)
+        repriced = _st.get("repriced", {})
     except (OSError, json.JSONDecodeError):
         stale = {}
     unadjudicated = set()
@@ -477,6 +509,25 @@ def movers_report(b: dict, baseline_path: str, ratio_gate: float = 2.0,
                            "sweep split — check)")
             if verdict.startswith(("GENUINE", "AMBIGUOUS")):
                 unadjudicated.add(name)
+                # Era context (round-17 instrument rule): a canary that
+                # was itself repriced reads ~1x by construction and can
+                # no longer measure the band for GOLDEN-ERA committed
+                # rows in its magnitude class — such a flag is an
+                # instrument gap (QueryProbe + reprice at adjudication,
+                # never a streak wait). A flag on a row whose own
+                # committed value is current-host-priced has no such
+                # excuse and is credible as filed.
+                if name in repriced:
+                    verdict += (" — row committed value is current-host "
+                                f"(repriced {repriced[name]['t']}): "
+                                "flag is credible")
+                elif mc is not None and mc in repriced:
+                    verdict += (f" — matched canary {mc.split('_')[0]} was "
+                                f"repriced {repriced[mc]['t']} and reads "
+                                "~1x by construction; this row's committed "
+                                "value predates that reprice — likely an "
+                                "instrument gap: QueryProbe, then reprice "
+                                "per the round-17 rule")
             print(f"| {name} | {base:.3f} | {m:.3f} | {m / base:.1f}x | "
                   f"{nr:.1f}x | {mcell} | {n_slow}/{len(ss)} | {verdict} |")
     # The tracker updates AFTER the verdicts so unadjudicated
