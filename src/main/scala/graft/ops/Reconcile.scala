@@ -475,7 +475,10 @@ object Reconcile {
     * the REFERENCE side's values (the row to insert, the update's new
     * image; NULL for deletes, which need only the key). This is the
     * bridge from classification to action: [[applyChangelog]] consumes
-    * it verbatim, and a warehouse team holding the x246 verdicts no
+    * it verbatim, a `verdict`→`action` rename feeds it straight into
+    * the streaming CDC apply sink
+    * ([[graft.streaming.Streams.changelogSink]] — pinned in
+    * StreamingSpec), and a warehouse team holding the x246 verdicts no
     * longer recomputes the multiset diff to act on them. Same primary-
     * key contract, guard, and scale shape as [[rowDiffByKey]] — the
     * classification join is shared code, so the two can never fork. */
