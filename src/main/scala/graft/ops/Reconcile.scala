@@ -569,9 +569,13 @@ object Reconcile {
     val planned = changelog.localCheckpoint(false)
     val keys = broadcast(
       planned.select(keyCols.map(k => col(k).as(s"_cl_$k")): _*))
-    val cond = keyCols.map(k => col(k) <=> col(s"_cl_$k")).reduce(_ && _)
-    val untouched = b.select((keyCols ++ cols).map(col): _*)
-      .join(keys, cond, "left_anti")
+    // FRAME references, not bare names (the applyRepair convention): a
+    // payload column that happens to be named _cl_<key> would make the
+    // bare-name join condition ambiguous; resolving each side through
+    // its own frame keeps the condition exact for any column names.
+    val bsel = b.select((keyCols ++ cols).map(col): _*)
+    val cond = keyCols.map(k => bsel(k) <=> keys(s"_cl_$k")).reduce(_ && _)
+    val untouched = bsel.join(keys, cond, "left_anti")
     val newImages = planned.filter(col("verdict") =!= "delete")
       .select((keyCols ++ cols).map(col): _*)
     untouched.unionByName(newImages)
@@ -754,6 +758,29 @@ object Reconcile {
        |${rowDiffSelectSql(cols)}
        |ORDER BY 2, ${(3 to cols.length + 2).mkString(", ")}, 1""".stripMargin
 
+  /** The keyed-classification text shared — ONE definition each — by
+    * [[rowDiffByKeyOracleSql]] and [[changelogRoundtripOracleSql]]: the
+    * side-split CTEs over the drill-down `d`, the null-safe key
+    * pairing, and the verdict CASE. A verdict or pairing change must
+    * never fork between the verdict-only and roundtrip oracles (the
+    * same discipline as the Spark side's shared `classified` join). */
+  private def classifySideCtesSql(all: Seq[String]): String = {
+    val allList = all.mkString(", ")
+    s"""s_a AS (
+       |  SELECT $allList, 1 AS present FROM d WHERE side = 'a'
+       |), s_b AS (
+       |  SELECT $allList, 1 AS present FROM d WHERE side = 'b'
+       |)""".stripMargin
+  }
+
+  private def classifyKeyJoinSql(keyCols: Seq[String]): String =
+    keyCols.map(k => s"b.$k IS NOT DISTINCT FROM a.$k").mkString(" AND ")
+
+  private val VerdictCaseSql =
+    """CASE WHEN b.present IS NULL THEN 'insert'
+      |            WHEN a.present IS NULL THEN 'delete'
+      |            ELSE 'update' END""".stripMargin
+
   /** The DuckDB twin of [[rowDiffByKey]]: the [[rowDiffOracleSql]] text
     * VERBATIM as a `d` CTE (the classification must never fork from the
     * drill-down it classifies), split by side and paired on the key. */
@@ -761,28 +788,16 @@ object Reconcile {
       keyCols: Seq[String], cols: Seq[String],
       nBuckets: Int = 64): String = {
     val all = keyCols ++ cols
-    val keyList = keyCols.mkString(", ")
-    val allList = all.mkString(", ")
-    def sideCte(tag: String) =
-      s"""SELECT $allList, 1 AS present FROM d WHERE side = '$tag'"""
-    val keyJoin = keyCols
-      .map(k => s"b.$k IS NOT DISTINCT FROM a.$k").mkString(" AND ")
     val changed = cols.map(c =>
       s"CASE WHEN a.$c IS DISTINCT FROM b.$c THEN '$c' END").mkString(", ")
     s"""WITH ${rowDiffCtesSql(fromA, fromB, all, nBuckets)}, d AS (
        |${rowDiffSelectSql(all)}
-       |), s_a AS (
-       |  ${sideCte("a")}
-       |), s_b AS (
-       |  ${sideCte("b")}
-       |)
+       |), ${classifySideCtesSql(all)}
        |SELECT ${keyCols.map(k => s"COALESCE(a.$k, b.$k) AS $k").mkString(", ")},
-       |       CASE WHEN b.present IS NULL THEN 'insert'
-       |            WHEN a.present IS NULL THEN 'delete'
-       |            ELSE 'update' END AS verdict,
+       |       $VerdictCaseSql AS verdict,
        |       CASE WHEN a.present IS NOT NULL AND b.present IS NOT NULL
        |            THEN concat_ws(',', $changed) END AS changed_columns
-       |FROM s_a a FULL OUTER JOIN s_b b ON $keyJoin
+       |FROM s_a a FULL OUTER JOIN s_b b ON ${classifyKeyJoinSql(keyCols)}
        |ORDER BY ${(1 to keyCols.length + 1).mkString(", ")}""".stripMargin
   }
 
@@ -802,25 +817,15 @@ object Reconcile {
     val allList = all.mkString(", ")
     val canon = canonSql(all)
     def h(salt: String) = hashSql(salt, canon)
-    def sideCte(tag: String) =
-      s"""SELECT $allList, 1 AS present FROM d WHERE side = '$tag'"""
-    val keyJoin = keyCols
-      .map(k => s"b.$k IS NOT DISTINCT FROM a.$k").mkString(" AND ")
     val clKeyJoin = keyCols
       .map(k => s"cl.$k IS NOT DISTINCT FROM rb.$k").mkString(" AND ")
     s"""WITH ${rowDiffCtesSql(fromA, fromB, all, nBuckets)}, d AS (
        |${rowDiffSelectSql(all)}
-       |), s_a AS (
-       |  ${sideCte("a")}
-       |), s_b AS (
-       |  ${sideCte("b")}
-       |), cl AS (
+       |), ${classifySideCtesSql(all)}, cl AS (
        |  SELECT ${keyCols.map(k => s"COALESCE(a.$k, b.$k) AS $k").mkString(", ")},
-       |         CASE WHEN b.present IS NULL THEN 'insert'
-       |              WHEN a.present IS NULL THEN 'delete'
-       |              ELSE 'update' END AS verdict,
+       |         $VerdictCaseSql AS verdict,
        |         ${cols.map(c => s"a.$c AS $c").mkString(", ")}
-       |  FROM s_a a FULL OUTER JOIN s_b b ON $keyJoin
+       |  FROM s_a a FULL OUTER JOIN s_b b ON ${classifyKeyJoinSql(keyCols)}
        |), applied AS (
        |  SELECT $allList FROM rb
        |   WHERE NOT EXISTS (SELECT 1 FROM cl WHERE $clKeyJoin)
@@ -832,10 +837,8 @@ object Reconcile {
        |  ${fpSelectSql("rap", nBuckets)}
        |), cmp AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       |         CAST(COALESCE(SUM(CASE WHEN a.n_rows IS NOT NULL
-       |                AND r.n_rows IS NOT NULL AND a.n_rows = r.n_rows
-       |                AND a.xor1 = r.xor1 AND a.xor2 = r.xor2
-       |                AND a.sum1 = r.sum1 THEN 1 ELSE 0 END), 0)
+       |         CAST(COALESCE(SUM(CASE WHEN ${matchPredSql("a", "r")}
+       |                THEN 1 ELSE 0 END), 0)
        |              AS BIGINT) AS n_matched
        |  FROM fa a FULL OUTER JOIN fap r ON r.bucket = a.bucket
        |), acts AS (
@@ -916,10 +919,8 @@ object Reconcile {
        |  ${fpCte("rep")}
        |), cmp AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       |         CAST(COALESCE(SUM(CASE WHEN a.n_rows IS NOT NULL
-       |                AND r.n_rows IS NOT NULL AND a.n_rows = r.n_rows
-       |                AND a.xor1 = r.xor1 AND a.xor2 = r.xor2
-       |                AND a.sum1 = r.sum1 THEN 1 ELSE 0 END), 0)
+       |         CAST(COALESCE(SUM(CASE WHEN ${matchPredSql("a", "r")}
+       |                THEN 1 ELSE 0 END), 0)
        |              AS BIGINT) AS n_matched
        |  FROM fa a FULL OUTER JOIN fr r ON r.bucket = a.bucket
        |), acts AS (

@@ -1119,21 +1119,28 @@ object Streams {
         // None here would re-fold an already-committed batch (silent
         // double-count) — the one outcome the marker exists to prevent.
         // EVERY malformed shape routes through the same operator
-        // message — including a non-numeric or Long-overflowing batch
-        // id, which would otherwise throw a bare NumberFormatException
-        // from toLong and lose the repair-or-remove guidance.
-        def fail(tokens: Array[String]): Nothing =
+        // message — a non-numeric or Long-overflowing batch id (which
+        // would otherwise throw a bare NumberFormatException from
+        // toLong and lose the repair-or-remove guidance), and a
+        // null/blank line: a zero-byte marker file (e.g. a crash
+        // between create and write) is an EXISTING marker whose content
+        // is gone, and reading it as "no marker" would re-fold an
+        // already-committed batch — the silent double-count the marker
+        // exists to prevent.
+        def fail(content: String): Nothing =
           throw new IllegalStateException(
             s"unparseable _last_batch marker in $tableDir: " +
-              s"'${tokens.mkString(" ")}' — refusing to guess the replay " +
+              s"'$content' — refusing to guess the replay " +
               "state; repair or remove the fold table")
         def idOf(tokens: Array[String]): Long =
           try tokens.head.toLong
-          catch { case _: NumberFormatException => fail(tokens) }
-        Option(s).map(_.trim.split("\\s+")).map {
+          catch { case _: NumberFormatException =>
+            fail(tokens.mkString(" ")) }
+        if (s == null || s.trim.isEmpty) fail("<empty marker file>")
+        Some(s.trim.split("\\s+")).map {
           case t @ Array(_)    => (idOf(t), None)
           case t @ Array(_, q) => (idOf(t), Some(q))
-          case other           => fail(other)
+          case other           => fail(other.mkString(" "))
         }
       } finally in.close()
     }

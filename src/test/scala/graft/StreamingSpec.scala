@@ -1106,9 +1106,12 @@ class StreamingSpec extends SparkSuite {
     // A single-token NON-NUMERIC marker (and a Long-overflowing id)
     // must route through the SAME operator message — not a bare
     // NumberFormatException from toLong that loses the guidance.
-    for (junk <- Seq("garbage", "99999999999999999999 some-qid")) {
+    // ...including a ZERO-BYTE marker file (a crash between create and
+    // write): the marker EXISTS, so "no marker" would re-fold a
+    // committed batch — it must fail like any other unparseable shape.
+    for (junk <- Seq("garbage", "99999999999999999999 some-qid", "")) {
       val o2 = fs.create(p, true)
-      o2.write(s"$junk\n".getBytes("UTF-8")); o2.close()
+      o2.write(junk.getBytes("UTF-8")); o2.close()
       val e4 = intercept[IllegalStateException] {
         Streams.checksumFold(spark, df(rows), 9L, tablePath, cols, 8)
       }

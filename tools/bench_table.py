@@ -180,36 +180,55 @@ def merge_lower(b: dict, old_path: str, new_rows: list) -> None:
                 rebased.add(name)
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
-    if rebased:
-        print(f"<!-- auto-rebased rows (breach streak >= {REBASE_SESSIONS} "
-              f"sessions): {', '.join(sorted(rebased))} -->")
-    # Round-17 instrument rule: every reprice (auto-rebase or an
-    # adjudicated --new-rows move) is RECORDED in the state file and
-    # RESETS the row's breach streak — the committed value is now
-    # current-host by construction, so (a) the next sessions read it
-    # ~1x and the old streak must not linger into a spurious cascade,
-    # and (b) --movers can tell a current-era row (a credible GENUINE
-    # flag) from a golden-era row (an instrument gap: QueryProbe +
-    # reprice, never a streak wait) when a canary in its magnitude
-    # class stops measuring the band after its own rebase.
+    # Round-17 instrument rule: every reprice (auto-rebase, adjudicated
+    # --new-rows move, or a brand-new first-priced row) is RECORDED in
+    # the state file and RESETS the row's breach streak — the committed
+    # value is now current-host by construction, so (a) the next
+    # sessions read it ~1x and the old streak must not linger into a
+    # spurious cascade, and (b) --movers can tell a current-era row (a
+    # credible GENUINE flag) from a golden-era row (an instrument gap:
+    # QueryProbe + reprice, never a streak wait) when a canary in its
+    # magnitude class stops measuring the band after its own rebase.
+    # NOTE this makes --merge-lower STATEFUL: render only tables you
+    # intend to commit. Re-rendering the SAME bench.json is idempotent
+    # — the record carries the session's first-sample timestamp, and a
+    # rebase decision recorded for this session re-applies even though
+    # the first render already reset the streak.
     if state is not None:
         today = date.today().isoformat()
+        samples = b.get("samples", {})
+        t0 = min((ss[0][0] for ss in samples.values() if ss), default=None)
         repriced = state.setdefault("repriced", {})
-        for name in sorted(rebased):
-            repriced[name] = {"t": today, "kind": "auto-rebase"}
-        for name in list(b["queries"]):
-            if name.startswith("_"):
+        for name, rec in repriced.items():
+            if (rec.get("kind") == "auto-rebase" and t0 is not None
+                    and rec.get("t0") == t0):
+                rebased.add(name)
+        # ONE membership rule for record + reset, with kind precedence:
+        # an auto-rebase is never relabeled by an overlapping --new-rows
+        # prefix, and a row absent from the old table is "first-priced"
+        # (it IS current-host, so the era note must treat it as such).
+        moved = {name: "auto-rebase" for name in rebased}
+        for name in b["queries"]:
+            if name.startswith("_") or name in moved:
                 continue
-            if name in old and new_rows and name.startswith(changed):
-                repriced[name] = {"t": today, "kind": "new-rows"}
-        for name in rebased | {n for n in b["queries"]
-                               if new_rows and n.startswith(changed)}:
+            if changed and name.startswith(changed):
+                moved[name] = "new-rows" if name in old else "first-priced"
+            elif name not in old:
+                # Absent from the committed table: merge_lower takes the
+                # session's values outright, so the row is current-host
+                # priced whether or not a --new-rows prefix names it.
+                moved[name] = "first-priced"
+        for name, kind in sorted(moved.items()):
+            repriced[name] = {"t": today, "kind": kind, "t0": t0}
             row = state.get("rows", {}).get(name)
             if row is not None:
                 row.update(streak=0, breach_medians=[], stale=False,
                            rebased=None)
         with open(spath, "w") as f:
             json.dump(state, f, indent=1, sort_keys=True)
+    if rebased:
+        print(f"<!-- auto-rebased rows (breach streak >= {REBASE_SESSIONS} "
+              f"sessions): {', '.join(sorted(rebased))} -->")
     for name in list(b["queries"]):
         if name.startswith("_") or name not in old:
             continue
