@@ -939,6 +939,20 @@ class PlanSpec extends SparkSuite {
       s"the apply path must not window anything:\n$plan")
   }
 
+  test("x249/x250 schema parity: pure METADATA operators — the plans " +
+    "contain ZERO data scans (a schema check on a 100 TB table must " +
+    "never read the table)") {
+    for (name <- Seq("x249_schema_parity", "x250_schema_drift")) {
+      val df = queries.Registry.queryMap(name)(spark, Sf)
+      val fileScans = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(fileScans.isEmpty,
+        s"$name reads data for a metadata question:\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
     "the verdict join touches only (group x bucket)-bounded tables") {
     val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)
