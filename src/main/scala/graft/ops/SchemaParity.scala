@@ -53,11 +53,17 @@ object SchemaParity {
 
   /** The DuckDB twin of [[canonicalType]] over a SQL expression holding
     * a DuckDB type name (e.g. information_schema's `data_type`).
-    * Containers nest `depth` levels (DuckDB spells arrays `T[]`);
-    * beyond that — and for types outside the vocabulary — the value
-    * lands as `unmapped:` + the engine spelling, which can never equal
-    * the other engine's unmapped spelling by accident. */
-  def canonicalTypeSql(expr: String, depth: Int = 2): String = {
+    * Coverage is the parquet SCALAR + ARRAY surface (arrays nest
+    * `depth` levels — DuckDB spells them `T[]`); MAP/STRUCT spellings
+    * (`MAP(K, V)`, `STRUCT(...)`) are not parsed by this CASE, so a
+    * map/struct column — even one structurally identical on both
+    * engines — lands as `unmapped:` + the engine spelling and reports
+    * LOUD FALSE DRIFT at a cross-engine gate, never silent equality
+    * (extend the CASE before pointing the oracle at such a schema; the
+    * Spark-side [[schemaDiff]], where BOTH frames canonicalize through
+    * [[canonicalType]], handles every type). Unmapped spellings can
+    * never equal the other engine's unmapped spelling by accident. */
+  def canonicalTypeSql(expr: String, depth: Int = 3): String = {
     val inner =
       if (depth > 0)
         "'array<' || " +
@@ -89,11 +95,15 @@ object SchemaParity {
     * the DuckDB twin is a projection of information_schema through
     * [[canonicalTypeSql]]. */
   def schemaTable(df: DataFrame): DataFrame = {
-    val rows = df.schema.fields.toIndexedSeq.zipWithIndex.map {
-      case (f, i) => Row((i + 1).toLong, f.name, canonicalType(f.dataType))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      rows.add(Row((i + 1).toLong, f.name, canonicalType(f.dataType)))
     }
-    df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(rows, 1),
+    // createDataFrame over a java List lands as a LocalRelation —
+    // Catalyst folds/broadcasts it and schemaDiff's join never
+    // launches a shuffle for a driver-held metadata question (an
+    // RDD-backed frame would plan a sort-merge full-outer).
+    df.sparkSession.createDataFrame(rows,
       StructType(Seq(
         StructField("ordinal", LongType, nullable = false),
         StructField("col_name", StringType, nullable = false),
@@ -110,6 +120,19 @@ object SchemaParity {
     * case-insensitive by default, but a cross-engine parity check must
     * flag a case change — DuckDB quotes preserve it). */
   def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    // Duplicate column NAMES (legal in a Spark schema after a raw
+    // select) would cross-product the name pairing below into a wrong
+    // changelog — including a non-empty self-diff. Same discipline as
+    // rowDiffByKey's primary-key guard: fail fast, never misclassify.
+    // The schema is driver-held, so the guard is a plain require.
+    for ((df, side) <- Seq((a, "a"), (b, "b"))) {
+      val dup = df.schema.fieldNames.groupBy(identity)
+        .collect { case (n, occ) if occ.length > 1 => n }
+      require(dup.isEmpty,
+        s"SchemaParity.schemaDiff: side $side has duplicate column " +
+          s"name(s) ${dup.mkString(", ")} — name-keyed drift " +
+          "classification is ambiguous; alias them first")
+    }
     val sa = schemaTable(a).select(col("col_name"),
       col("canonical_type").as("a_type"), col("ordinal").as("a_ordinal"))
     val sb = schemaTable(b).select(col("col_name"),
@@ -132,7 +155,8 @@ object SchemaParity {
     s"""SELECT CAST(ordinal_position AS BIGINT) AS ordinal,
        |       column_name AS col_name,
        |       ${canonicalTypeSql("data_type")} AS canonical_type
-       |FROM information_schema.columns WHERE table_name = '$table'
+       |FROM information_schema.columns
+       |WHERE table_name = '$table' AND table_schema = current_schema()
        |ORDER BY 1""".stripMargin
 
   /** The [[schemaTable]] CTE body for an arbitrary SELECT (the
@@ -152,7 +176,8 @@ object SchemaParity {
        |  SELECT CAST(ordinal_position AS BIGINT) AS ordinal,
        |         column_name AS col_name,
        |         ${canonicalTypeSql("data_type")} AS t
-       |  FROM information_schema.columns WHERE table_name = '$refTable'
+       |  FROM information_schema.columns
+       |  WHERE table_name = '$refTable' AND table_schema = current_schema()
        |), sb AS (
        |  ${describeCteSql(divergentSelect)}
        |)

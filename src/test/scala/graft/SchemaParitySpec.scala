@@ -63,5 +63,12 @@ class SchemaParitySpec extends SparkSuite {
     val caseGot = SchemaParity.schemaDiff(a, c).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(caseGot === Map("src" -> "missing", "SRC" -> "extra"))
+    // Duplicate column names (legal after a raw select) would
+    // cross-product the name pairing into a wrong changelog — even a
+    // non-empty SELF-diff — so the guard refuses, naming the column.
+    val dup = a.select(col("id"), col("id"))
+    val e = intercept[IllegalArgumentException](
+      SchemaParity.schemaDiff(dup, dup))
+    assert(e.getMessage.contains("id") && e.getMessage.contains("alias"))
   }
 }
