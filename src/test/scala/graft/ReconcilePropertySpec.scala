@@ -332,6 +332,41 @@ class ReconcilePropertySpec extends SparkSuite {
     assert(multiset(idApplied) === multiset(a))
   }
 
+  test("applyChangelog generative law: for ANY pair of random KEYED " +
+    "tables, executing the changelog reproduces the reference exactly " +
+    "and converges with the applyRepair write path") {
+    // Keyed variant of randomRows: unique keys per side (the
+    // changelog's contract), random missing keys, random payload
+    // mutations incl. NULL flips, random extra keys.
+    def keyedRows(seed: Int): Seq[(Long, String, String)] = {
+      val rnd = new scala.util.Random(seed)
+      (0L until 40L).flatMap { k =>
+        if (rnd.nextInt(6) == 0) Nil // this side lacks the key
+        else Seq((k,
+          if (rnd.nextInt(8) == 0) null else s"g${rnd.nextInt(4)}",
+          if (rnd.nextInt(8) == 0) null else s"v${rnd.nextInt(20)}"))
+      } ++ (0 until rnd.nextInt(4)).map(i =>
+        (1000L + seed * 10 + i, s"gx$i", s"vx$i"))
+    }
+    def multiset(d: DataFrame) =
+      d.collect().map(r => (r.getAs[java.lang.Long]("id"),
+        r.getAs[String]("grp"), r.getAs[String]("v")))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    for (seed <- 21 to 24) {
+      val a = df(keyedRows(seed))
+      val b = df(keyedRows(seed + 100))
+      val cl = Reconcile.changelog(a, b, Seq("id"), Seq("grp", "v"),
+        nBuckets = 8)
+      val applied = Reconcile.applyChangelog(b, cl, Seq("id"), Seq("grp", "v"))
+      assert(multiset(applied) === multiset(a),
+        s"seed $seed: applyChangelog(b, changelog(a, b)) != a")
+      val repaired = Reconcile.applyRepair(b,
+        Reconcile.rowDiff(a, b, Cols, 8), Cols)
+      assert(multiset(applied) === multiset(repaired),
+        s"seed $seed: keyed and multiset write paths diverge")
+    }
+  }
+
   test("rowDiffByKey law: a key holding more than one differing row on " +
     "a side is a primary-key violation — loud failure, never a wrong " +
     "changelog") {
