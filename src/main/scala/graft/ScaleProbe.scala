@@ -151,7 +151,18 @@ object ScaleProbe {
     // anti-joins the divergent side's single scan and re-fingerprints.
     // Every step is keyed aggregation/broadcast join over surplus or
     // corpus-linear rows; must probe linear like x244.
-    "x248_changelog_roundtrip")
+    "x248_changelog_roundtrip",
+    // x251 (round 17): incremental LSH dedup — replicas re-key doc_id,
+    // so the salted split re-deals every replica (~25% of the N×
+    // corpus lands in delta) and byte-identical replicas collide on
+    // every band: each original bucket's width grows N×, crossing the
+    // cap (w·N > 16 for w ≥ 2 at 10×, for ALL w at 30×). The cap is
+    // the point: the N²-candidate blow-up the hot buckets would cause
+    // collapses to zero instead, so the probe isolates the linear
+    // signature scans plus the (band_idx, band_key)-partitioned width
+    // window — the same saturating worst case x66 pins for the full
+    // recompute, here with the probe-side split riding on top.
+    "x251_incremental_lsh_dedup")
 
   /** Embedding-family probes (embeddings.parquet). */
   val embProbeNames: Seq[String] = Seq("x174_semantic_dedup",

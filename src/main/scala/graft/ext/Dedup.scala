@@ -120,6 +120,8 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long), DataFrame]
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long, Double, Int), DataFrame]
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long, Long, Int), DataFrame]
 
   /** LSH candidate pairs verified by exact Jaccard: docs sharing any band
     * bucket are candidates (equi-join on the band key — the whole point of
@@ -148,15 +150,27 @@ object Dedup {
       graft.ops.Ckpt.registerCached(
         lshDedupPairsUncached(docs, threshold, bucketCap).cache(), "Dedup.pairCache"))
 
+  /** The LSH band index: one (doc_id, band_idx, band_key) row per band
+    * per document — the shape a production pipeline PERSISTS (partitioned
+    * by band_key prefix) so tomorrow's delta batch can probe yesterday's
+    * corpus without re-signaturing it. Pure per-document function of the
+    * signature, so the persisted index is maintained by plain append of
+    * the new batch's rows; [[incrementalLshDedup]] consumes it.
+    */
+  def bandIndex(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map(b => col(s"band$b"))
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
   /** Banded LSH candidate pairs BEFORE exact verification — (doc_a, doc_b)
     * with doc_a < doc_b, distinct. Shared by the dedup path and the
     * blocking-quality evaluation (x162), which needs the raw candidate set
     * the verifier never sees. */
   private[graft] def bandedCandidates(docs: DataFrame,
       bucketCap: Int = 0): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bandCols = (0 until NumBands).map(b => col(s"band$b"))
-    val exploded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val exploded = bandIndex(docs)
     val kept =
       if (bucketCap <= 0) exploded
       else exploded
@@ -188,6 +202,258 @@ object Dedup {
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The incremental candidate probe, uncached (PlanSpec pins THIS plan —
+    * the cache in [[incrementalLshDedup]] would hide it inside an
+    * InMemoryRelation): union the sided band rows, apply the hot-bucket
+    * cap over the UNION's widths (same semantics as the full recompute),
+    * and equi-join the delta-filtered probe side against the whole index
+    * — corpus-corpus collisions never form. */
+  private[graft] def incrementalCandidates(ci: DataFrame, di: DataFrame,
+      bucketCap: Int): DataFrame = {
+    val all = ci.unionByName(di)
+    val kept =
+      if (bucketCap <= 0) all
+      else all
+        .withColumn("_bucket_width",
+          count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+        .filter(col("_bucket_width") <= bucketCap)
+        .drop("_bucket_width")
+    val probe = kept.filter(col("is_delta"))
+      .select(col("doc_id").as("delta_id"), col("band_idx"), col("band_key"))
+    val index = kept.select(col("doc_id").as("match_id"), col("band_idx"),
+      col("band_key"), col("is_delta").as("m_is_delta"))
+    probe.join(index, Seq("band_idx", "band_key"))
+      .filter(!col("m_is_delta") || col("match_id") < col("delta_id"))
+      .select(col("delta_id"), col("match_id"),
+        (!col("m_is_delta")).as("is_corpus"))
+      .distinct()
+  }
+
+  /** Incremental LSH dedup: verdict a DELTA batch against an existing
+    * CORPUS without ever pairing the corpus with itself — the production
+    * daily-ingest shape. At 100 TB a full-corpus re-dedup per batch is
+    * O(corpus) signature work plus an O(corpus)-wide self-join every day;
+    * this operator is O(delta) signature work plus an index probe whose
+    * candidate volume is bounded by |delta bands| x bucketCap.
+    *
+    * Scale shape, stage by stage:
+    *   1. The corpus participates ONLY through its band index
+    *      ([[bandIndex]] rows — pass the PERSISTED table as `corpusIndex`;
+    *      at the gate it is derived, one corpus pass, and that derivation
+    *      is exactly the index-build a production pipeline amortizes).
+    *   2. Delta docs are signatured and banded (delta-sized work), then
+    *      equi-join the index on (band_idx, band_key). The hot-bucket cap
+    *      is computed over the UNION's bucket widths — same semantics as
+    *      [[lshDedupPairs]] over corpus ∪ delta, so the incremental run
+    *      is provably equal to the full recompute (law in Batch17Spec) —
+    *      and the width window rides the same hash partitioning the probe
+    *      join needs. Corpus-corpus collisions never form: the probe side
+    *      is filtered to delta rows BEFORE the join.
+    *   3. Exact-Jaccard verification re-reads corpus TEXT only for the
+    *      matched candidate ids (broadcast left-semi; bounded by
+    *      |delta| x cap), never the whole corpus.
+    *   4. Verdict per delta doc: `dup_corpus` if any verified corpus
+    *      match (corpus canon always wins, however weak, over a
+    *      same-batch match — the corpus is the canonical set), else
+    *      `dup_delta` if a verified match with a LOWER-id delta doc
+    *      (first-occurrence-wins within the batch; deliberately pair-
+    *      level, not transitive — a doc matching only a rejected earlier
+    *      doc is still dropped, the conservative hygiene choice), else
+    *      `kept`. best_match_id/best_jaccard name the winning match
+    *      (ties: higher jaccard, then lower id); n_matches audits the
+    *      verified fan-in. Kept docs then extend the persisted index by
+    *      appending their [[bandIndex]] rows — plain append, step 1.
+    *
+    * Precondition: delta doc_ids are disjoint from corpus doc_ids (new
+    * ingest gets new ids). Violations raise in-plan via a broadcast
+    * overlap count — an id on both sides would silently alias two
+    * different documents in the verdict join.
+    */
+  /** Verified delta-involving near-dup pairs — the shared kernel behind
+    * [[incrementalLshDedup]]'s verdicts and [[incrementalClusters]]'s
+    * label maintenance (one definition: a verdict and the cluster it
+    * implies can never disagree about which pairs exist). Returns
+    * (delta_id, match_id, is_corpus, jaccard), memoized per
+    * (index, delta, threshold, cap). */
+  private[graft] def incrementalVerifiedPairs(corpus: DataFrame,
+      delta: DataFrame, threshold: Double, bucketCap: Int,
+      corpusIndex: Option[DataFrame]): DataFrame = {
+    val ci = corpusIndex.getOrElse(bandIndex(corpus))
+      .withColumn("is_delta", lit(false))
+    val di = bandIndex(delta).withColumn("is_delta", lit(true))
+    // Two consumers (the corpus-id semi filter and the verify join) —
+    // cached so the band probe runs ONCE (5.93 → 5.50 s isolated at
+    // sf0.1 together with the single-window verdict below; the
+    // remaining cost over x66 is stage latency, not asymptotics —
+    // production amortizes the index build away entirely). The cache
+    // hides the probe join inside an InMemoryRelation, so PlanSpec
+    // pins the split-out [[incrementalCandidates]] builder directly.
+    val cand = graft.ops.Ckpt.memo(candCache,
+      (corpus.sparkSession, PlanKeys.fingerprint(ci),
+        PlanKeys.fingerprint(di), bucketCap),
+      graft.ops.Ckpt.registerCached(
+        incrementalCandidates(ci, di, bucketCap).cache(),
+        "Dedup.candCache"))
+
+    // Corpus text re-enters ONLY for matched candidates: the candidate
+    // corpus-id set (delta-bounded) broadcasts as a left-semi filter.
+    val candCorpusIds = cand.filter(col("is_corpus"))
+      .select(col("match_id").as("doc_id")).distinct()
+    val corpusSets = shingles(
+        corpus.join(broadcast(candCorpusIds), Seq("doc_id"), "left_semi"))
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    val deltaSets = shingles(delta)
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    // Delta ids are disjoint from corpus ids (guarded by the verdict
+    // assembly), so the match side resolves by a plain union of the
+    // two set tables.
+    val matchSets = corpusSets.unionByName(deltaSets)
+
+    cand
+      .join(deltaSets.select(col("doc_id").as("delta_id"),
+        col("sh").as("sh_d")), Seq("delta_id"))
+      .join(matchSets.select(col("doc_id").as("match_id"),
+        col("sh").as("sh_m")), Seq("match_id"))
+      .withColumn("inter", size(array_intersect(col("sh_d"), col("sh_m"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_d")) + size(col("sh_m")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "match_id", "is_corpus", "jaccard")
+  }
+
+  def incrementalLshDedup(corpus: DataFrame, delta: DataFrame,
+      threshold: Double = 0.3, bucketCap: Int = 0,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val ci = corpusIndex.getOrElse(bandIndex(corpus))
+      .withColumn("is_delta", lit(false))
+    val verified = incrementalVerifiedPairs(corpus, delta, threshold,
+      bucketCap, corpusIndex)
+
+    // One window pass yields both the top-1 match and the match count —
+    // same partitioning, so best and the n_matches audit never fork
+    // `verified` into two subtrees.
+    val w = Window.partitionBy("delta_id")
+      .orderBy(col("is_corpus").desc, col("jaccard").desc, col("match_id"))
+    val best = verified
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("delta_id")))
+      .filter(col("rn") === 1)
+      .select(col("delta_id").as("doc_id"), col("is_corpus"),
+        col("match_id").as("best_match_id"),
+        col("jaccard").as("best_jaccard"), col("n_matches"))
+
+    // No distinct on the index side: the guard only tests === 0, and a
+    // colliding id matches whether it appears once or NumBands times.
+    val overlap = ci.select("doc_id")
+      .join(broadcast(delta.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("_n_overlap"))
+
+    delta.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .crossJoin(broadcast(overlap))
+      .filter(assert_true(col("_n_overlap") === 0L,
+        lit("incrementalLshDedup: delta doc_ids collide with corpus " +
+          "doc_ids — new ingest must mint fresh ids")).isNull)
+      .select(col("doc_id"),
+        when(col("is_corpus"), lit("dup_corpus"))
+          .when(col("is_corpus").isNotNull, lit("dup_delta"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("best_match_id"), col("best_jaccard"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
+  /** Incremental duplicate-cluster maintenance: fold a DELTA batch into
+    * an existing cluster-label table WITHOUT re-running connected
+    * components over the corpus — the companion to [[incrementalLshDedup]]
+    * for pipelines that keep cluster ids (x22's shape) rather than
+    * verdicts. At 100 TB the corpus-wide label-propagation loop is the
+    * single most expensive dedup step; this operator re-runs it only on
+    * a CONTRACTED graph whose nodes are the delta docs plus the touched
+    * clusters' representative labels — bounded by |delta| x matches,
+    * never by the corpus.
+    *
+    * Mechanics: delta-involving verified pairs come from the shared
+    * [[incrementalVerifiedPairs]] kernel; each corpus endpoint contracts
+    * to its cluster label (x22's invariant — the label IS the component's
+    * min doc_id — is what makes the contracted min equal the true union
+    * min); [[componentsFromEdges]] then resolves the tiny contracted
+    * graph. Output is the label CHANGELOG a downstream writer applies to
+    * the persisted table: every delta doc with its final label (an
+    * unmatched doc labels itself — the INSERT rows), plus every corpus
+    * doc whose label changed because a delta doc bridged its cluster
+    * into another (the UPDATE rows, reached via a broadcast of the
+    * relabeled representatives onto the label table — untouched
+    * clusters are never read). Columns: (doc_id, side 'delta'|'corpus',
+    * cluster, old_cluster NULL on the delta side, is_canonical).
+    *
+    * `corpusLabels` is the PERSISTED (doc_id, cluster) table in
+    * production (pass it); at the gate it derives from
+    * [[duplicateClusters]] on the corpus. A corpus match with no label
+    * row raises in-plan — a stale label table would otherwise silently
+    * mis-root the contracted component. Like the verdict operator, the
+    * hot-bucket cap for DELTA candidates is computed over the union's
+    * widths, while the corpus-side pairs baked into `corpusLabels` were
+    * capped at index-build time over corpus-only widths — the
+    * production reality (yesterday's cap decisions are immutable); with
+    * `bucketCap = 0` the composition is provably equal to
+    * duplicateClusters(corpus ∪ delta) (law in Batch17Spec).
+    */
+  def incrementalClusters(corpus: DataFrame, delta: DataFrame,
+      threshold: Double = 0.3, bucketCap: Int = 0,
+      corpusLabels: Option[DataFrame] = None,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val labels = corpusLabels.getOrElse(
+      duplicateClusters(corpus, threshold, bucketCap = bucketCap))
+      .select(col("doc_id"), col("cluster"))
+    val pairs = incrementalVerifiedPairs(corpus, delta, threshold,
+      bucketCap, corpusIndex)
+
+    // Contract corpus endpoints to their cluster representative. A
+    // corpus match missing from the label table raises: the contracted
+    // component would root at the wrong min.
+    val edges = pairs
+      .join(labels.select(col("doc_id").as("match_id"),
+        col("cluster").as("m_cluster")), Seq("match_id"), "left")
+      .filter(assert_true(!col("is_corpus") || col("m_cluster").isNotNull,
+        lit("incrementalClusters: corpus match without a label row — " +
+          "corpusLabels is stale or incomplete")).isNull)
+      .select(col("delta_id").as("doc_a"),
+        when(col("is_corpus"), col("m_cluster"))
+          .otherwise(col("match_id")).as("doc_b"))
+
+    val touched = edges.select(col("doc_b").as("doc_id"))
+      .join(labels.select(col("cluster").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi").distinct()
+    val nodes = delta.select(col("doc_id")).unionByName(touched)
+    val (contracted, _) = componentsFromEdges(edges, nodes)
+
+    // Delta side: every delta doc, final label (self-labeled = INSERT
+    // of a new singleton cluster).
+    val deltaIds = delta.select(col("doc_id"))
+    val deltaSide = contracted
+      .join(deltaIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("delta").as("side"), col("cluster"),
+        lit(null).cast("long").as("old_cluster"),
+        (col("doc_id") === col("cluster")).as("is_canonical"))
+
+    // Corpus side: representatives whose component min moved broadcast
+    // onto the label table — every member of a merged cluster
+    // relabels; untouched clusters never appear.
+    val moved = contracted
+      .join(touched, Seq("doc_id"), "left_semi")
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id").as("old_cluster"), col("cluster").as("new_cluster"))
+    val corpusSide = labels
+      .join(broadcast(moved), labels("cluster") === moved("old_cluster"))
+      .select(col("doc_id"), lit("corpus").as("side"),
+        col("new_cluster").as("cluster"), col("old_cluster"),
+        (col("doc_id") === col("new_cluster")).as("is_canonical"))
+
+    deltaSide.unionByName(corpusSide)
   }
 
   /** Number of 4-bit SimHash blocking bands (16 bits / 4 bands). By the
@@ -1262,6 +1528,12 @@ object Dedup {
     pairCache.keys.filter(_._1 == spark).foreach { k =>
       pairCache.remove(k).foreach { df =>
         graft.ops.Ckpt.unregisterCached(df, "Dedup.pairCache")
+        df.unpersist(blocking = false)
+      }
+    }
+    candCache.keys.filter(_._1 == spark).foreach { k =>
+      candCache.remove(k).foreach { df =>
+        graft.ops.Ckpt.unregisterCached(df, "Dedup.candCache")
         df.unpersist(blocking = false)
       }
     }

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Batch17 {
 
+  /** The x43-convention salted-uniform corpus/delta split shared by the
+    * x251/x252 oracles — ONE definition of which documents are "the
+    * batch" (~25% delta), so the verdict and cluster twins can never
+    * disagree about the split. Mirrors
+    * `Pipeline.saltedUniform(doc_id, "incr|") < 0.25`. */
+  private val SplitCte =
+    """, split AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substring(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |           / 4294967296.0 < 0.25 AS is_delta
+      |  FROM documents
+      |)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Changelog roundtrip (Reconcile.changelog + applyChangelog): the
@@ -124,6 +137,187 @@ object Batch17 {
       },
       Some(graft.ops.SchemaParity.schemaDiffOracleSql("documents",
         """SELECT doc_id, source, CAST(n_chars AS INTEGER) AS n_chars,
-          |       text, true AS extra_flag FROM documents""".stripMargin)))
+          |       text, true AS extra_flag FROM documents""".stripMargin))),
+
+    // Incremental LSH dedup (Dedup.incrementalLshDedup): the production
+    // daily-ingest shape — a ~25% delta slice (salted-hash split, the
+    // x43 uniform) verdicts against the other ~75% acting as the
+    // already-indexed corpus. The corpus never self-pairs; its text is
+    // re-read only for matched candidate ids. Verdict policy: corpus
+    // canon wins over same-batch matches; within the batch, first
+    // occurrence (lower id) wins. Hot-bucket cap = x66's LshBucketCap
+    // over the UNION's bucket widths, so the run is provably equal to
+    // the lshDedupPairs full recompute (law in Batch17Spec). The DuckDB
+    // twin replays the whole chain from the shared shingle/signature/
+    // band kernels (one definition with x06/x07/x66).
+    QueryDef(
+      "x251_incremental_lsh_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val u = graft.ext.Pipeline.saltedUniform(col("doc_id"), "incr|")
+        graft.ext.Dedup.incrementalLshDedup(
+          docs.filter(u >= 0.25), docs.filter(u < 0.25),
+          threshold = 0.3, bucketCap = Extensions.LshBucketCap)
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""${Extensions.ShingleCtes} ${Extensions.SigCte}$SplitCte, bands AS (
+           |  ${Extensions.MinHashBandUnionSql}
+           |), roled AS (
+           |  SELECT b.doc_id, b.band_idx, b.band_key, s.is_delta
+           |  FROM bands b JOIN split s USING (doc_id)
+           |), kept AS (
+           |  SELECT * FROM roled
+           |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key)
+           |            <= ${Extensions.LshBucketCap}
+           |), cand AS (
+           |  SELECT DISTINCT d.doc_id AS delta_id, m.doc_id AS match_id,
+           |                  NOT m.is_delta AS is_corpus
+           |  FROM kept d JOIN kept m
+           |    ON d.band_idx = m.band_idx AND d.band_key = m.band_key
+           |  WHERE d.is_delta AND (NOT m.is_delta OR m.doc_id < d.doc_id)
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+           |), inter AS (
+           |  SELECT c.delta_id, c.match_id, c.is_corpus, COUNT(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.delta_id
+           |  JOIN sh sb ON sb.doc_id = c.match_id AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2, 3
+           |), verified AS (
+           |  SELECT delta_id, match_id, is_corpus, jaccard FROM (
+           |    SELECT delta_id, match_id, is_corpus,
+           |           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           |    FROM inter
+           |    JOIN sizes na ON na.doc_id = delta_id
+           |    JOIN sizes nb ON nb.doc_id = match_id) v
+           |  WHERE jaccard >= 0.3
+           |), best AS (
+           |  SELECT delta_id, match_id, is_corpus, jaccard,
+           |         row_number() OVER (PARTITION BY delta_id
+           |           ORDER BY is_corpus DESC, jaccard DESC, match_id) AS rn
+           |  FROM verified
+           |), n_m AS (
+           |  SELECT delta_id, COUNT(*) AS n_matches FROM verified GROUP BY 1
+           |)
+           |SELECT s.doc_id,
+           |       CASE WHEN b.is_corpus THEN 'dup_corpus'
+           |            WHEN b.is_corpus IS NOT NULL THEN 'dup_delta'
+           |            ELSE 'kept' END AS verdict,
+           |       b.match_id AS best_match_id, b.jaccard AS best_jaccard,
+           |       COALESCE(n_m.n_matches, 0) AS n_matches
+           |FROM split s
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.delta_id = s.doc_id
+           |LEFT JOIN n_m ON n_m.delta_id = s.doc_id
+           |WHERE s.is_delta
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Incremental duplicate-cluster maintenance (Dedup.incrementalClusters):
+    // the label-table changelog for the same ~25% batch — delta docs get
+    // their final cluster id (self-labeled singletons are the INSERT
+    // rows) and corpus docs relabel ONLY when a delta doc bridged their
+    // cluster into another (the UPDATE rows); untouched clusters never
+    // appear. Spark resolves a CONTRACTED graph (delta docs + touched
+    // cluster representatives — never the corpus-wide loop); the DuckDB
+    // twin recomputes both closures honestly: the union closure over
+    // corpus pairs capped at INDEX-BUILD widths (kept_c — yesterday's
+    // cap decisions are immutable) plus delta-involving pairs capped at
+    // union widths (kept_u, the x251 set), against the corpus-only
+    // closure for old labels. bench=false per the x22 precedent: the
+    // gate derives corpusLabels via the driver-synced corpus loop
+    // (production passes the persisted table).
+    QueryDef(
+      "x252_incremental_clusters",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val u = graft.ext.Pipeline.saltedUniform(col("doc_id"), "incr|")
+        graft.ext.Dedup.incrementalClusters(
+          docs.filter(u >= 0.25), docs.filter(u < 0.25),
+          threshold = 0.3, bucketCap = Extensions.LshBucketCap)
+          .orderBy("doc_id")
+      },
+      Some {
+        val base =
+          s"""${Extensions.ShingleCtes} ${Extensions.SigCte}$SplitCte, bands AS (
+             |  ${Extensions.MinHashBandUnionSql}
+             |), roled AS (
+             |  SELECT b.doc_id, b.band_idx, b.band_key, s.is_delta
+             |  FROM bands b JOIN split s USING (doc_id)
+             |), kept_u AS (
+             |  SELECT * FROM roled
+             |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key)
+             |            <= ${Extensions.LshBucketCap}
+             |), kept_c AS (
+             |  SELECT * FROM roled WHERE NOT is_delta
+             |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key)
+             |            <= ${Extensions.LshBucketCap}
+             |), cand AS (
+             |  SELECT DISTINCT d.doc_id AS doc_a, m.doc_id AS doc_b
+             |  FROM kept_u d JOIN kept_u m
+             |    ON d.band_idx = m.band_idx AND d.band_key = m.band_key
+             |  WHERE d.is_delta AND (NOT m.is_delta OR m.doc_id < d.doc_id)
+             |  UNION
+             |  SELECT DISTINCT a.doc_id, b.doc_id
+             |  FROM kept_c a JOIN kept_c b
+             |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |      AND a.doc_id < b.doc_id
+             |), sizes AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+             |), inter AS (
+             |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.doc_a
+             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+             |  GROUP BY 1, 2
+             |), dup_pairs AS (
+             |  SELECT doc_a, doc_b FROM (
+             |    SELECT doc_a, doc_b,
+             |           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+             |    FROM inter
+             |    JOIN sizes na ON na.doc_id = doc_a
+             |    JOIN sizes nb ON nb.doc_id = doc_b) j
+             |  WHERE jaccard >= 0.3
+             |), sym AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM dup_pairs
+             |), reach(a, b) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+             |), labels_new AS (
+             |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1
+             |), dup_c AS (
+             |  SELECT dp.doc_a, dp.doc_b FROM dup_pairs dp
+             |  JOIN split s1 ON s1.doc_id = dp.doc_a AND NOT s1.is_delta
+             |  JOIN split s2 ON s2.doc_id = dp.doc_b AND NOT s2.is_delta
+             |), sym_c AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM dup_c
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM dup_c
+             |), reach_c(a, b) AS (
+             |  SELECT doc_id, doc_id FROM split WHERE NOT is_delta
+             |  UNION
+             |  SELECT r.a, s.dst FROM reach_c r JOIN sym_c s ON r.b = s.src
+             |), labels_old AS (
+             |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach_c GROUP BY 1
+             |)
+             |SELECT s.doc_id, 'delta' AS side, n.cluster,
+             |       CAST(NULL AS BIGINT) AS old_cluster,
+             |       n.cluster = s.doc_id AS is_canonical
+             |FROM split s JOIN labels_new n ON n.doc_id = s.doc_id
+             |WHERE s.is_delta
+             |UNION ALL
+             |SELECT s.doc_id, 'corpus', n.cluster, o.cluster,
+             |       n.cluster = s.doc_id
+             |FROM split s
+             |JOIN labels_new n ON n.doc_id = s.doc_id
+             |JOIN labels_old o ON o.doc_id = s.doc_id
+             |WHERE NOT s.is_delta AND n.cluster <> o.cluster
+             |ORDER BY doc_id""".stripMargin
+        "WITH RECURSIVE" + base.stripPrefix("WITH")
+      },
+      bench = false) // iterative driver-synced loop derives corpusLabels
   )
 }

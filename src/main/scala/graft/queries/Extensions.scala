@@ -29,8 +29,10 @@ object Extensions {
          |)""".stripMargin
 
   /** Oracle CTE for MinHash signatures (mirrors Dedup.minhashSignatures:
-    * Kirsch-Mitzenmacher h_j = (h1 + j*h2) mod 2^32 from one md5). */
-  private val SigCte = {
+    * Kirsch-Mitzenmacher h_j = (h1 + j*h2) mod 2^32 from one md5).
+    * `private[queries]`: Batch17's incremental-dedup oracle replays the
+    * same signature kernel — one definition. */
+  private[queries] val SigCte = {
     val mins = (0 until Dedup.MinHashK)
       .map(j => s"min((h1 + $j * h2) % 4294967296) AS mh$j").mkString(",\n         ")
     s""", hashed AS (
@@ -54,8 +56,9 @@ object Extensions {
     * to the band scheme or the verify join previously had to be
     * replicated by hand per oracle, the drift class the x213/x188
     * multi-site fixes showed is real. */
-  /** The MinHash band-key union over `sig` — one SELECT per band. */
-  private lazy val MinHashBandUnionSql: String = (0 until Dedup.NumBands)
+  /** The MinHash band-key union over `sig` — one SELECT per band.
+    * `private[queries]`: shared with Batch17's incremental-dedup oracle. */
+  private[queries] lazy val MinHashBandUnionSql: String = (0 until Dedup.NumBands)
     .map(b => s"SELECT doc_id, $b AS band_idx, ${bandExpr(b)} AS band_key FROM sig")
     .mkString("\n  UNION ALL ")
 

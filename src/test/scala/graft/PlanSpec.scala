@@ -953,6 +953,95 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("x251 incremental dedup: corpus text re-enters only through " +
+    "broadcast left-semi joins, every window is key-partitioned, and " +
+    "the only nested-loop is the 1-row overlap guard (the candidate " +
+    "probe itself is cached — its plan is pinned separately below)") {
+    val df = queries.Registry.queryMap("x251_incremental_lsh_dedup")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x251 degenerated to all-pairs:\n$plan")
+    // The only nested-loop join allowed is the 1-row broadcast overlap
+    // guard (the in-plan id-collision raise).
+    val bnlj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size <= 1,
+      s"only the overlap-guard cross may nested-loop:\n$plan")
+    // Corpus TEXT re-enters verification only candidate-bounded: every
+    // left-semi join broadcasts its filter set.
+    val semis = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty &&
+      semis.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"corpus re-reads must semi-join a broadcast candidate set:\n$plan")
+    // No corpus-sized single-partition funnel: the verdict windows
+    // (top-1 + n_matches, one pass) partition by delta_id — never an
+    // empty partition spec.
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"every window must be key-partitioned:\n$plan")
+  }
+
+  test("x251 candidate probe (the cached subtree, pinned uncached): the " +
+    "corpus never self-pairs — the band join's probe side is " +
+    "delta-filtered — and the width window partitions by the band key") {
+    val docs = io.Tables(spark, Sf).documents
+    // A split fraction the gate does NOT use (0.3): the gate's run
+    // cache()s the candidate table, and Spark's CacheManager would
+    // silently swap an identical plan for the InMemoryRelation —
+    // pinning the cache instead of the probe shape.
+    val u = ext.Pipeline.saltedUniform(
+      org.apache.spark.sql.functions.col("doc_id"), "incr|")
+    val ci = ext.Dedup.bandIndex(docs.filter(u >= 0.3))
+      .withColumn("is_delta", org.apache.spark.sql.functions.lit(false))
+    val di = ext.Dedup.bandIndex(docs.filter(u < 0.3))
+      .withColumn("is_delta", org.apache.spark.sql.functions.lit(true))
+    val df = ext.Dedup.incrementalCandidates(ci, di,
+      queries.Extensions.LshBucketCap)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate probe degenerated to all-pairs:\n$plan")
+    val bandJoins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.condition.exists(_.sql.contains("m_is_delta")) => j
+    }
+    assert(bandJoins.nonEmpty, s"band probe join missing:\n$plan")
+    assert(bandJoins.forall(j =>
+      j.left.toString.contains("is_delta") ||
+        j.right.toString.contains("is_delta")),
+      s"the band join must probe with the delta-filtered side:\n$plan")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(
+      _.partitionSpec.map(_.sql).exists(_.contains("band"))),
+      s"the width window must partition by the band key:\n$plan")
+  }
+
+  test("x252 incremental clusters: the relabel reaches the label table " +
+    "through a BROADCAST of the moved representatives (untouched " +
+    "clusters are never shuffled), and nothing degenerates to " +
+    "all-pairs — the contracted loop itself runs eagerly behind " +
+    "checkpoints, so this pins the changelog-assembly plan") {
+    val df = queries.Registry.queryMap("x252_incremental_clusters")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x252 degenerated to all-pairs:\n$plan")
+    val bhjs = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhjs.exists(j => (j.leftKeys ++ j.rightKeys)
+      .exists(_.sql.contains("old_cluster"))),
+      s"the relabel join must broadcast the moved reps:\n$plan")
+  }
+
   test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
     "the verdict join touches only (group x bucket)-bounded tables") {
     val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)
