@@ -551,6 +551,129 @@ object Streams {
       dhash: Long, matched_keeper: Long, matched_dhash: Long, hamming: Int,
       admitted: Boolean)
 
+  /** Bounded per-LSH-bucket screen state: keeper ids in admission order
+    * plus their FULL MinHash signatures flattened keeper-major
+    * (sigs.length == MinHashK * keepers.length) — flat primitive arrays
+    * for the state-encoder codegen, like [[BucketState]]. */
+  final case class LshBucketState(sigs: Array[Long], keepers: Array[Long])
+
+  /** One per-band screening decision for an arriving document.
+    * `matched_keeper`/`agree` are −1 when no stored signature in this
+    * bucket agreed on >= minAgree components; `admitted` says whether
+    * the arrival's signature was recorded as a NEW first-arrival. */
+  final case class LshScreenDecision(doc_id: Long, band_idx: Int,
+      band_key: String, matched_keeper: Long, agree: Int, admitted: Boolean)
+
+  /** The per-document MinHash kernel, computed LOCALLY for the streaming
+    * screen: word-bigram shingles → one md5 per shingle → k
+    * Kirsch-Mitzenmacher min-hashes → banded keys. Must stay
+    * bit-identical to the DataFrame kernel (Dedup.shingles /
+    * rawSignatures / bandKey) — the StreamingSpec anchor test derives
+    * its expectation FROM Dedup.minhashSignatures, so any drift between
+    * the two spellings fails the fold law, not just a doc comment. */
+  private[graft] def minhashLocal(text: String): (Array[Long], Array[String]) = {
+    import graft.ext.Dedup.{MinHashK, NumBands}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    val ts = text.trim.split("\\s+")
+    val n = math.max(ts.length - 1, 1)
+    val hs = (1 to n).map(i => ts.slice(i - 1, i + 1).mkString(" "))
+      .distinct.map { s =>
+        val hex = md5hex(s)
+        (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+          java.lang.Long.parseLong(hex.substring(8, 16), 16))
+      }
+    val mh = Array.tabulate(MinHashK) { j =>
+      hs.iterator.map { case (h1, h2) =>
+        (h1 + j.toLong * h2) % 4294967296L }.min
+    }
+    val bands = Array.tabulate(NumBands)(b => md5hex(s"${mh(2 * b)}|${mh(2 * b + 1)}"))
+    (mh, bands)
+  }
+
+  /** Streaming MinHash-LSH near-duplicate screen — the TEXT member of
+    * the ingest-screen trio ([[perceptualScreenStream]] for images,
+    * [[exactSubstrScreenStream]] for spans), and the streaming
+    * counterpart of the batch x251 incremental dedup: new documents are
+    * screened at the door against everything already admitted, with the
+    * accumulated corpus living as bounded per-bucket executor state
+    * rather than a persisted parquet index.
+    *
+    * Shape: the per-doc signature rides a stateless map (the LOCAL
+    * [[minhashLocal]] kernel, anchor-pinned equal to the batch
+    * DataFrame kernel), explodes into NumBands (band_idx, band_key)
+    * rows, and each bucket keeps at most `bucketCap` first-arrival
+    * (signature, keeper) entries in flatMapGroupsWithState state. An
+    * arrival compares against its bucket's stored signatures by exact
+    * component agreement — `agree`/MinHashK is the standard unbiased
+    * Jaccard estimate (the x119 calibration family), an INTEGER
+    * compare, engine-free — and every stored signature agreeing on
+    * >= `minAgree` components emits a decision row (best = max agree,
+    * then min keeper; −1 sentinel otherwise). The doc-level verdict is
+    * the consumer's one-line aggregate: near-dup iff ANY band row
+    * matched a keeper other than the doc itself. minAgree = 5 of 16 ≈
+    * the batch family's 0.3 Jaccard threshold; the screen trades the
+    * batch operators' exact-Jaccard verification for signature
+    * agreement because state must stay bounded — 16 longs per admitted
+    * doc, never a shingle set (that exactness lives in x251, which
+    * re-reads matched corpus text; this is the at-the-door screen).
+    *
+    * Determinism & safety: per-bucket arrivals process in doc_id order
+    * (a pure fold over arrival order — StreamingSpec pins the fold law
+    * against the batch kernel's signatures); a REDELIVERED doc matches
+    * its own stored signature (agree = MinHashK, keeper = itself) and
+    * is not re-admitted, so the screen is idempotent under
+    * at-least-once delivery once consumers filter self-matches. A full
+    * bucket stops admitting — the hot-bucket discipline of x66: the
+    * screen degrades to pass-through for that signature region, never
+    * to unbounded state.
+    */
+  def lshScreenStream(spark: SparkSession, docs: DataFrame,
+      minAgree: Int = 5, bucketCap: Int = 64): Dataset[LshScreenDecision] = {
+    import spark.implicits._
+    val k = graft.ext.Dedup.MinHashK
+    require(minAgree >= 1 && minAgree <= k, s"minAgree in [1, $k]; got $minAgree")
+    require(bucketCap >= 1, "bucketCap must be positive")
+    val exploded = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val (mh, bands) = minhashLocal(text)
+        bands.iterator.zipWithIndex.map { case (bk, bi) => (bi, bk, id, mh) }
+      }
+    exploded
+      .groupByKey { case (bi, bk, _, _) => (bi, bk) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), batch: Iterator[(Int, String, Long, Array[Long])],
+         state: GroupState[LshBucketState]) =>
+          var keepers: Vector[Long] = state.getOption
+            .map(_.keepers.toVector).getOrElse(Vector.empty)
+          var sigs: Vector[Array[Long]] = state.getOption
+            .map(s => s.sigs.grouped(k).toVector).getOrElse(Vector.empty)
+          val out = batch.toSeq.sortBy(_._3).map { case (bi, bk, id, mh) =>
+            val best = sigs.iterator.zip(keepers.iterator)
+              .map { case (s, kp) =>
+                var a = 0; var j = 0
+                while (j < k) { if (s(j) == mh(j)) a += 1; j += 1 }
+                (a, kp)
+              }
+              .filter(_._1 >= minAgree)
+              .reduceOption { (x, y) =>
+                if (x._1 > y._1 || (x._1 == y._1 && x._2 <= y._2)) x else y
+              }
+            val already = sigs.exists(_.sameElements(mh))
+            val admitted = !already && keepers.size < bucketCap
+            if (admitted) { keepers = keepers :+ id; sigs = sigs :+ mh }
+            LshScreenDecision(id, bi, bk,
+              best.map(_._2).getOrElse(-1L), best.map(_._1).getOrElse(-1),
+              admitted)
+          }
+          state.update(LshBucketState(sigs.flatten.toArray, keepers.toArray))
+          out.iterator
+      }
+  }
+
   /** Streaming perceptual near-duplicate screen — the ingest-time twin
     * of the batch x212 operator (ext.Multimodal.perceptualNearDedup),
     * and the image-space sibling of the Bloom ingest screen (x158):
