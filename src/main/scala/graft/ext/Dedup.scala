@@ -168,16 +168,21 @@ object Dedup {
     * with doc_a < doc_b, distinct. Shared by the dedup path and the
     * blocking-quality evaluation (x162), which needs the raw candidate set
     * the verifier never sees. */
+  /** The hot-bucket guard, ONE definition (the x213/x188 multi-site
+    * drift lesson): drop every (band_idx, band_key) bucket wider than
+    * the cap. The width window rides the same hash partitioning the
+    * downstream band join needs. */
+  private def capBuckets(bandRows: DataFrame, bucketCap: Int): DataFrame =
+    if (bucketCap <= 0) bandRows
+    else bandRows
+      .withColumn("_bucket_width",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+      .filter(col("_bucket_width") <= bucketCap)
+      .drop("_bucket_width")
+
   private[graft] def bandedCandidates(docs: DataFrame,
       bucketCap: Int = 0): DataFrame = {
-    val exploded = bandIndex(docs)
-    val kept =
-      if (bucketCap <= 0) exploded
-      else exploded
-        .withColumn("_bucket_width",
-          count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
-        .filter(col("_bucket_width") <= bucketCap)
-        .drop("_bucket_width")
+    val kept = capBuckets(bandIndex(docs), bucketCap)
     val a = kept.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
     val b = kept.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))
@@ -212,14 +217,7 @@ object Dedup {
     * — corpus-corpus collisions never form. */
   private[graft] def incrementalCandidates(ci: DataFrame, di: DataFrame,
       bucketCap: Int): DataFrame = {
-    val all = ci.unionByName(di)
-    val kept =
-      if (bucketCap <= 0) all
-      else all
-        .withColumn("_bucket_width",
-          count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
-        .filter(col("_bucket_width") <= bucketCap)
-        .drop("_bucket_width")
+    val kept = capBuckets(ci.unionByName(di), bucketCap)
     val probe = kept.filter(col("is_delta"))
       .select(col("doc_id").as("delta_id"), col("band_idx"), col("band_key"))
     val index = kept.select(col("doc_id").as("match_id"), col("band_idx"),
@@ -275,8 +273,12 @@ object Dedup {
     * [[incrementalLshDedup]]'s verdicts and [[incrementalClusters]]'s
     * label maintenance (one definition: a verdict and the cluster it
     * implies can never disagree about which pairs exist). Returns
-    * (delta_id, match_id, is_corpus, jaccard), memoized per
-    * (index, delta, threshold, cap). */
+    * (delta_id, match_id, is_corpus, jaccard). The CANDIDATE table is
+    * what's memoized, per (index, delta, cap) — threshold is
+    * deliberately NOT in the key because it applies downstream of the
+    * cache; nothing threshold-dependent may move inside the cached
+    * builder. Precondition (delta ids disjoint from corpus ids) is
+    * raised in-plan by BOTH public entry points, not here. */
   private[graft] def incrementalVerifiedPairs(corpus: DataFrame,
       delta: DataFrame, threshold: Double, bucketCap: Int,
       corpusIndex: Option[DataFrame]): DataFrame = {
@@ -306,9 +308,9 @@ object Dedup {
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
     val deltaSets = shingles(delta)
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
-    // Delta ids are disjoint from corpus ids (guarded by the verdict
-    // assembly), so the match side resolves by a plain union of the
-    // two set tables.
+    // Delta ids are disjoint from corpus ids (raised in-plan by both
+    // public entry points), so the match side resolves by a plain
+    // union of the two set tables.
     val matchSets = corpusSets.unionByName(deltaSets)
 
     cand
@@ -453,7 +455,21 @@ object Dedup {
         col("new_cluster").as("cluster"), col("old_cluster"),
         (col("doc_id") === col("new_cluster")).as("is_canonical"))
 
+    // The same id-collision raise as the verdict operator — a delta id
+    // already present in the corpus would alias two documents through
+    // the matchSets union and silently mis-root the contracted
+    // component. Index-rows scan + broadcast, like the sibling guard.
+    val overlap = corpusIndex.getOrElse(bandIndex(corpus)).select("doc_id")
+      .join(broadcast(delta.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("_n_overlap"))
+
     deltaSide.unionByName(corpusSide)
+      .crossJoin(broadcast(overlap))
+      .filter(assert_true(col("_n_overlap") === 0L,
+        lit("incrementalClusters: delta doc_ids collide with corpus " +
+          "doc_ids — new ingest must mint fresh ids")).isNull)
+      .drop("_n_overlap")
   }
 
   /** Number of 4-bit SimHash blocking bands (16 bits / 4 bands). By the

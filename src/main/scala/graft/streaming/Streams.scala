@@ -571,13 +571,35 @@ object Streams {
     * rawSignatures / bandKey) — the StreamingSpec anchor test derives
     * its expectation FROM Dedup.minhashSignatures, so any drift between
     * the two spellings fails the fold law, not just a doc comment. */
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   private[graft] def minhashLocal(text: String): (Array[Long], Array[String]) = {
     import graft.ext.Dedup.{MinHashK, NumBands}
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
-    val ts = text.trim.split("\\s+")
+    // One digest per call (MessageDigest.digest resets it), hex via a
+    // lookup table — the hoisting convention of the sibling local
+    // kernels (Similarity/Multimodal), not per-shingle allocation.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = HexDigits(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+    // Mirror the batch kernel EXACTLY: Spark's trim() strips only the
+    // ASCII space character (never tabs/newlines — those become leading
+    // empty tokens through the \s+ split, which keeps trailing empties
+    // via limit -1), so a text like "\thello" must tokenize to
+    // ["", "hello"] on both paths.
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val ts = text.substring(lo, hi).split("\\s+", -1)
     val n = math.max(ts.length - 1, 1)
     val hs = (1 to n).map(i => ts.slice(i - 1, i + 1).mkString(" "))
       .distinct.map { s =>
@@ -639,8 +661,14 @@ object Streams {
     val exploded = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val (mh, bands) = minhashLocal(text)
-        bands.iterator.zipWithIndex.map { case (bk, bi) => (bi, bk, id, mh) }
+        // NULL text drops, matching the batch kernel (shingleRows'
+        // size(NULL)-driven explode emits nothing) — a poison row must
+        // not kill the query on every at-least-once redelivery.
+        if (text == null) Iterator.empty
+        else {
+          val (mh, bands) = minhashLocal(text)
+          bands.iterator.zipWithIndex.map { case (bk, bi) => (bi, bk, id, mh) }
+        }
       }
     exploded
       .groupByKey { case (bi, bk, _, _) => (bi, bk) }

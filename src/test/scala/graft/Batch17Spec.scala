@@ -193,16 +193,22 @@ class Batch17Spec extends SparkSuite {
   }
 
   test("id-collision guard: a delta id already present in the corpus " +
-    "raises in-plan instead of silently aliasing two documents") {
+    "raises in-plan on BOTH entry points instead of silently aliasing " +
+    "two documents") {
     val corpus = d(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta")
     val delta = d(2L -> "totally different text here")
-    val ex = intercept[Exception] {
-      Dedup.incrementalLshDedup(corpus, delta, 0.3).collect()
-    }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(ex).exists(_.contains("collide")),
-      s"wrong failure: $ex")
+    val ex1 = intercept[Exception] {
+      Dedup.incrementalLshDedup(corpus, delta, 0.3).collect()
+    }
+    assert(messages(ex1).exists(_.contains("collide")),
+      s"wrong verdict-path failure: $ex1")
+    val ex2 = intercept[Exception] {
+      Dedup.incrementalClusters(corpus, delta, 0.3).collect()
+    }
+    assert(messages(ex2).exists(_.contains("collide")),
+      s"wrong cluster-path failure: $ex2")
   }
 }

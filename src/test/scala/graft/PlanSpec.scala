@@ -1031,9 +1031,14 @@ class PlanSpec extends SparkSuite {
     "checkpoints, so this pins the changelog-assembly plan") {
     val df = queries.Registry.queryMap("x252_incremental_clusters")(spark, Sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       s"x252 degenerated to all-pairs:\n$plan")
+    // The only nested-loop is the 1-row broadcast overlap guard.
+    val bnlj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size <= 1,
+      s"only the overlap-guard cross may nested-loop:\n$plan")
     val bhjs = df.queryExecution.sparkPlan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }

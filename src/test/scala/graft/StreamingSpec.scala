@@ -540,10 +540,27 @@ class StreamingSpec extends SparkSuite {
       assert(Streams.minhashLocal(text)._2.toSeq == batchBands(id),
         s"local kernel drifted from the batch kernel at doc $id")
     }
+    // ...including on hostile whitespace, where Java trim/split and
+    // Spark trim/split genuinely differ (tabs/newlines survive Spark's
+    // space-only trim as empty tokens; trailing empties are kept).
+    val hostile = Seq("\thello world", "hello world\n", "  padded  doc  ",
+      "one", " ", "a b")
+    val hostileBands = graft.ext.Dedup.minhashSignatures(
+        hostile.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until graft.ext.Dedup.NumBands).map(b => r.getAs[String](s"band$b")))
+      .toMap
+    hostile.zipWithIndex.foreach { case (t, i) =>
+      assert(Streams.minhashLocal(t)._2.toSeq == hostileBands(i.toLong),
+        s"local kernel drifted on hostile whitespace: ${t.map(_.toInt)}")
+    }
 
-    // Two ascending micro-batches + a redelivery of the first doc.
+    // Two ascending micro-batches + a redelivery of the first doc, plus
+    // a NULL-text poison row that must drop (the batch kernel's
+    // semantics) rather than kill the query.
     val (b1, b2raw) = docs.splitAt(docs.length / 2)
-    val b2 = b2raw :+ b1.head
+    val b2 = b2raw :+ b1.head :+ ((999999L, null: String))
     val src = MemoryStream[(Long, String)]
     val q = Streams.lshScreenStream(spark,
         src.toDF().toDF("doc_id", "text"))
@@ -562,7 +579,8 @@ class StreamingSpec extends SparkSuite {
     val expected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Int, String, Long, Int, Boolean)]
     Seq(b1, b2).foreach { b =>
-      b.sortBy(_._1).foreach { case (id, _) =>
+      b.sortBy(_._1).foreach { case (id, t) =>
+        if (t != null) {
         val (mh, bands) = sigOf(id)
         bands.zipWithIndex.foreach { case (bk, bi) =>
           val bucket = stored.getOrElse((bi, bk), Nil)
@@ -575,12 +593,15 @@ class StreamingSpec extends SparkSuite {
           expected += ((id, bi, bk, best.map(_._2).getOrElse(-1L),
             best.map(_._1).getOrElse(-1), admitted))
         }
+        }
       }
     }
     val got = rows.map(r => (r.doc_id, r.band_idx, r.band_key,
       r.matched_keeper, r.agree, r.admitted)).toSeq
     assert(got.sorted == expected.toSeq.sorted,
       "streaming decisions must equal the arrival-order batch fold")
+    assert(!rows.exists(_.doc_id == 999999L),
+      "the NULL-text poison row must drop, not emit")
 
     // Non-degeneracy: the corpus has exact duplicates (x05), so the
     // screen must flag real near-dups (agree = k vs a distinct keeper).
