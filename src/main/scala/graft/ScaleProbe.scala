@@ -172,7 +172,15 @@ object ScaleProbe {
     // corpus size, and all pair algebra runs on them — the probe must
     // isolate the linear moment scan. x229 is the same kernel split
     // base/append: two moment scans instead of one, identical shape.
-    "x227_mmd_matrix", "x229_mmd_incremental")
+    "x227_mmd_matrix", "x229_mmd_incremental",
+    // x253 (round 17): embedding replicas land in the SAME LSH cell, so
+    // each original cell's width grows N× and the within-cell
+    // delta-vs-(corpus ∪ lower-delta) join grows ~N² per cell — the
+    // x174 worst case with the probe split riding on top — until the
+    // union-width cellCap (256) trips and the cell drops to 'overcap'
+    // verdicts. The cap bounds per-cell work at 256² regardless of
+    // replica count; the probe times the pre-saturation regime.
+    "x253_incremental_semantic_dedup")
 
   /** Event-family probes (events.parquet) — the window-heavy temporal
     * shapes (round-10 directive): sessionization's per-user gap windows,

@@ -227,6 +227,105 @@ object Curation {
     * broadcast; the exact-Jaccard side is two aggregates and one
     * equi-join on the trigram.
     */
+  /** Incremental semantic dedup: verdict a DELTA batch of embeddings
+    * against an existing CORPUS through its persisted LSH cell index —
+    * the embedding-space member of the incremental-dedup family
+    * (Dedup.incrementalLshDedup is the text twin; x174 semanticDedup is
+    * the full-recompute this maintains). At 100 TB the corpus
+    * participates ONLY through its (vec_id, bucket) cell table
+    * (`corpusCells` — pass the PERSISTED index; at the gate it derives,
+    * and that derivation is the index build production amortizes);
+    * corpus EMBEDDINGS are re-read only for cells the delta actually
+    * touches, under-cap ones at that (broadcast-bounded by
+    * |delta cells| × cellCap).
+    *
+    * Cell-cap semantics mirror x174 exactly, on the UNION's widths: an
+    * over-cap cell is never pair-scored, so its delta members verdict
+    * `overcap` (explicitly unknown — pass-through with a flag, never a
+    * silent "kept"). Verdict policy is the family's: `dup_corpus` if
+    * ANY under-cap corpus partner reaches tau (corpus canon wins,
+    * regardless of id), else `dup_delta` for a LOWER-id delta partner
+    * (first-occurrence-wins), else `kept`. When delta ids are all
+    * higher than corpus ids — the production reality for fresh ingest —
+    * this coincides exactly with the full recompute's min-id-wins drop
+    * set (law in Batch17Spec, which also pins the ONE divergence on
+    * interleaved ids: the full recompute would drop the older corpus
+    * vec, the incremental path keeps corpus immutable and drops the
+    * newcomer). Delta/corpus vec_id collisions raise in-plan.
+    */
+  def incrementalSemanticDedup(corpus: DataFrame, delta: DataFrame,
+      tau: Double = 0.4, cellCap: Int = 256,
+      corpusCells: Option[DataFrame] = None): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val ci = corpusCells.getOrElse(Similarity.lshBuckets(corpus))
+    val di = Similarity.lshBuckets(delta)
+    val widths = ci.select("bucket").unionByName(di.select("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+    val okCells = widths.filter(col("n_vecs") <= cellCap).select("bucket")
+    // Under-cap cells the delta touches — the only cells whose corpus
+    // embeddings are read at all.
+    val touchedOk = okCells
+      .join(broadcast(di.select("bucket").distinct()), Seq("bucket"),
+        "left_semi")
+    val deltaE = delta.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val dOk = di.join(broadcast(touchedOk), Seq("bucket"), "left_semi")
+      .join(deltaE, Seq("vec_id"))
+    val cRows = corpus
+      .join(broadcast(ci.join(broadcast(touchedOk), Seq("bucket"), "left_semi")
+        .withColumnRenamed("bucket", "_b")),
+        Seq("vec_id"))
+      .select(col("_b").as("bucket"), col("vec_id").as("match_id"),
+        Similarity.asDouble(col("embedding")).as("m_emb"),
+        lit(true).as("is_corpus"))
+    val matchSide = cRows.unionByName(
+      dOk.select(col("bucket"), col("vec_id").as("match_id"),
+        col("emb").as("m_emb"), lit(false).as("is_corpus")))
+
+    val verified = dOk.select(col("bucket"), col("vec_id"), col("emb"))
+      .join(matchSide, Seq("bucket"))
+      .filter(col("is_corpus") || col("match_id") < col("vec_id"))
+      .withColumn("cos", Similarity.dot(col("emb"), col("m_emb")))
+      .filter(col("cos") >= tau)
+      .select("vec_id", "match_id", "is_corpus", "cos")
+
+    // One window pass for top-1 + fan-in, like the text twin.
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("is_corpus").desc, col("cos").desc, col("match_id"))
+    val best = verified
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("vec_id")))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("is_corpus"),
+        col("match_id").as("best_match_id"), col("cos").as("best_cos"),
+        col("n_matches"))
+
+    val overlap = ci.select("vec_id")
+      .join(broadcast(delta.select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("_n_overlap"))
+
+    val inOk = di.join(broadcast(widths), Seq("bucket"))
+      .select(col("vec_id"), (col("n_vecs") <= cellCap).as("in_ok"))
+    delta.select("vec_id")
+      .join(inOk, Seq("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .crossJoin(broadcast(overlap))
+      .filter(assert_true(col("_n_overlap") === 0L,
+        lit("incrementalSemanticDedup: delta vec_ids collide with " +
+          "corpus vec_ids — new ingest must mint fresh ids")).isNull)
+      .select(col("vec_id"),
+        when(!col("in_ok"), lit("overcap"))
+          .when(col("is_corpus"), lit("dup_corpus"))
+          .when(col("is_corpus").isNotNull, lit("dup_delta"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("in_ok"), col("best_match_id")).as("best_match_id"),
+        when(col("in_ok"), col("best_cos")).as("best_cos"),
+        when(col("in_ok"), coalesce(col("n_matches"), lit(0L)))
+          .as("n_matches"))
+  }
+
   def minhashMergeAudit(docs: DataFrame, numShards: Int = 4): DataFrame = {
     val k = Dedup.MinHashK
     val tri = docs

@@ -318,6 +318,73 @@ object Batch17 {
              |ORDER BY doc_id""".stripMargin
         "WITH RECURSIVE" + base.stripPrefix("WITH")
       },
-      bench = false) // iterative driver-synced loop derives corpusLabels
+      bench = false), // iterative driver-synced loop derives corpusLabels
+
+    // Incremental semantic dedup (Curation.incrementalSemanticDedup):
+    // the embedding-space member of the incremental family — a 25%
+    // delta slice (vec_id % 4 == 3: scale-stable, trivially mirrored
+    // in SQL) verdicts against the other 75% acting as the
+    // already-indexed corpus. Corpus embeddings are read only for
+    // under-cap cells the delta touches; over-cap cells verdict
+    // 'overcap' (x174's explicitly-unknown semantics on the UNION's
+    // widths); corpus canon wins, lower-id delta otherwise. tau = 0.1
+    // at the gate (the 31-token-vocabulary lesson: the synthetic
+    // embeddings' one within-cell cross pair sits at cos 0.144, so a
+    // 0.4 gate would never exercise the verdict machinery). The DuckDB
+    // twin replays the shared 16-plane cell kernel (BucketSql, one
+    // definition with x174) and the same window policy.
+    QueryDef(
+      "x253_incremental_semantic_dedup",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        graft.ext.Curation.incrementalSemanticDedup(
+          e.filter(col("vec_id") % 4 =!= 3), e.filter(col("vec_id") % 4 === 3),
+          tau = 0.1, cellCap = 256)
+          .orderBy("vec_id")
+      },
+      Some(
+        raw"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), bk AS (
+             |  SELECT vec_id, emb, ${Frontier.BucketSql} AS bucket,
+             |         vec_id % 4 = 3 AS is_delta
+             |  FROM e
+             |), nv AS (
+             |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+             |  FROM bk GROUP BY 1
+             |), cand AS (
+             |  SELECT d.vec_id, m.vec_id AS match_id,
+             |         NOT m.is_delta AS is_corpus,
+             |         list_dot_product(d.emb, m.emb) AS cos
+             |  FROM bk d
+             |  JOIN nv ON nv.bucket = d.bucket AND nv.n_vecs <= 256
+             |  JOIN bk m ON m.bucket = d.bucket
+             |  WHERE d.is_delta AND (NOT m.is_delta OR m.vec_id < d.vec_id)
+             |    AND list_dot_product(d.emb, m.emb) >= 0.1
+             |), best AS (
+             |  SELECT vec_id, match_id, is_corpus, cos,
+             |         row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY is_corpus DESC, cos DESC, match_id) AS rn
+             |  FROM cand
+             |), nm AS (
+             |  SELECT vec_id, COUNT(*) AS n_matches FROM cand GROUP BY 1
+             |)
+             |SELECT d.vec_id,
+             |       CASE WHEN nv.n_vecs > 256 THEN 'overcap'
+             |            WHEN b.is_corpus THEN 'dup_corpus'
+             |            WHEN b.is_corpus IS NOT NULL THEN 'dup_delta'
+             |            ELSE 'kept' END AS verdict,
+             |       CASE WHEN nv.n_vecs > 256 THEN NULL
+             |            ELSE b.match_id END AS best_match_id,
+             |       CASE WHEN nv.n_vecs > 256 THEN NULL
+             |            ELSE b.cos END AS best_cos,
+             |       CASE WHEN nv.n_vecs > 256 THEN NULL
+             |            ELSE COALESCE(nm.n_matches, 0) END AS n_matches
+             |FROM bk d
+             |JOIN nv ON nv.bucket = d.bucket
+             |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vec_id = d.vec_id
+             |LEFT JOIN nm ON nm.vec_id = d.vec_id
+             |WHERE d.is_delta
+             |ORDER BY d.vec_id""".stripMargin))
   )
 }

@@ -14,8 +14,9 @@ object Frontier {
 
   /** The 16-plane bucket expression as DuckDB SQL (mirrors
     * Similarity.lshBuckets: Σ_p 2^p·[plane_p·emb > 0]).
-    */
-  private lazy val BucketSql: String =
+    * `private[queries]`: Batch17's incremental semantic dedup oracle
+    * replays the same cell kernel — one definition. */
+  private[queries] lazy val BucketSql: String =
     (0 until Similarity.NumPlanes).map { p =>
       s"CASE WHEN list_dot_product(emb, ${Similarity.planesSqlLiteral(p)}) > 0" +
         s" THEN ${1L << p} ELSE 0 END"

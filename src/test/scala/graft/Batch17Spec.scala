@@ -192,6 +192,113 @@ class Batch17Spec extends SparkSuite {
     assert(messages(ex).exists(_.contains("stale")), s"wrong failure: $ex")
   }
 
+  // ---- x253: incremental semantic dedup -----------------------------
+
+  private def embTables() = io.Tables(spark, Sf).embeddings
+
+  test("incremental semantic dedup law (ordered ids): delta verdicts " +
+    "equal the x174 full recompute's drop set when corpus ids precede " +
+    "delta ids — same matches, same cell-cap exclusions") {
+    val e = embTables()
+    val corpus = e.filter(col("vec_id") < 250)
+    val delta = e.filter(col("vec_id") >= 250)
+    val tau = 0.1
+    // Ground truth via a pure Scala fold over the real cells/vectors.
+    val cells = ext.Similarity.lshBuckets(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val widths = cells.values.groupBy(identity).map { case (b, v) => b -> v.size }
+    val got = ext.Curation.incrementalSemanticDedup(corpus, delta, tau)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("best_match_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("n_matches")).map(_.toLong))))
+      .toMap
+    var nDup = 0
+    vecs.keys.filter(_ >= 250).foreach { d =>
+      val cell = cells(d)
+      if (widths(cell) > 256) assert(got(d)._1 == "overcap")
+      else {
+        // Under ordered ids every corpus partner has a lower id, so the
+        // full recompute's min-id-wins drop rule and the operator's
+        // corpus-wins policy pick the same drop set.
+        val ms = vecs.keys
+          .filter(m => m != d && cells(m) == cell &&
+            (m < 250 || m < d) && dot(vecs(m), vecs(d)) >= tau).toSeq
+        if (ms.isEmpty) assert(got(d) == (("kept", None, Some(0L))), s"vec $d")
+        else {
+          nDup += 1
+          val best = ms.map(m => (m >= 250, -dot(vecs(m), vecs(d)), m)).min
+          val cls = if (best._1) "dup_delta" else "dup_corpus"
+          assert(got(d)._1 == cls && got(d)._2 == Some(best._3) &&
+            got(d)._3 == Some(ms.size.toLong), s"vec $d: ${got(d)} vs $best")
+        }
+      }
+    }
+    assert(nDup > 0, "degenerate law: no dup verdicts exercised")
+  }
+
+  private def emb(rows: (Long, Array[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("incremental semantic dedup policy: corpus wins on interleaved " +
+    "ids (the documented divergence from min-id-wins: the corpus is " +
+    "immutable, so the NEWCOMER drops); over-cap cells verdict " +
+    "'overcap' with NULL matches; colliding ids raise") {
+    val v = embTables().filter(col("vec_id") === 93)
+      .collect()(0).getSeq[Float](1).toArray
+    // Interleaved ids: delta 5 < corpus 30, identical vectors.
+    val out = ext.Curation.incrementalSemanticDedup(
+      emb(30L -> v), emb(5L -> v), tau = 0.4).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("verdict") == "dup_corpus" &&
+      out(0).getAs[Long]("best_match_id") == 30L,
+      "the corpus vec is canon even at a higher id — the newcomer drops")
+    // cellCap = 1: the shared cell has union width 2 -> overcap.
+    val oc = ext.Curation.incrementalSemanticDedup(
+      emb(10L -> v), emb(20L -> v), tau = 0.4, cellCap = 1).collect()
+    assert(oc.length == 1 && oc(0).getAs[String]("verdict") == "overcap" &&
+      oc(0).isNullAt(oc(0).fieldIndex("best_match_id")) &&
+      oc(0).isNullAt(oc(0).fieldIndex("n_matches")))
+    // Same vec_id on both sides raises in-plan.
+    val ex = intercept[Exception] {
+      ext.Curation.incrementalSemanticDedup(
+        emb(10L -> v), emb(10L -> v), tau = 0.4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("collide")), s"wrong failure: $ex")
+  }
+
+  test("incremental semantic dedup: the persisted-cell-index entry " +
+    "point is the same operator, and a delta twin of a corpus vec " +
+    "classifies dup_corpus over its identical delta twin") {
+    val v = embTables().filter(col("vec_id") === 93)
+      .collect()(0).getSeq[Float](1).toArray
+    val corpus = emb(10L -> v)
+    val delta = emb(20L -> v, 21L -> v)
+    val out = ext.Curation.incrementalSemanticDedup(corpus, delta, 0.4)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_match_id"),
+          r.getAs[Long]("n_matches"))))
+      .toMap
+    assert(out(20L) == (("dup_corpus", 10L, 1L)))
+    assert(out(21L) == (("dup_corpus", 10L, 2L)),
+      "corpus canon outranks the identical delta twin; both audited")
+    val viaIndex = ext.Curation.incrementalSemanticDedup(corpus, delta, 0.4,
+      corpusCells = Some(ext.Similarity.lshBuckets(corpus))).collect().toSet
+    assert(viaIndex == ext.Curation.incrementalSemanticDedup(
+      corpus, delta, 0.4).collect().toSet)
+  }
+
   test("id-collision guard: a delta id already present in the corpus " +
     "raises in-plan on BOTH entry points instead of silently aliasing " +
     "two documents") {

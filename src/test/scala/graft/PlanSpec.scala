@@ -1047,6 +1047,36 @@ class PlanSpec extends SparkSuite {
       s"the relabel join must broadcast the moved reps:\n$plan")
   }
 
+  test("x253 incremental semantic dedup: corpus embeddings re-enter " +
+    "only through broadcast joins on touched under-cap cells, every " +
+    "left-semi broadcasts, windows partition by vec_id, and the only " +
+    "nested-loop is the 1-row overlap guard") {
+    val df = queries.Registry.queryMap(
+      "x253_incremental_semantic_dedup")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"x253 degenerated to all-pairs:\n$plan")
+    val bnlj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size <= 1,
+      s"only the overlap-guard cross may nested-loop:\n$plan")
+    val semis = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty &&
+      semis.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"cell filters must broadcast, never shuffle the index:\n$plan")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(
+      _.partitionSpec.map(_.sql).exists(_.contains("vec_id"))),
+      s"verdict windows must partition by vec_id:\n$plan")
+  }
+
   test("x241 grouped checksum diff: fingerprints are pure aggregations; " +
     "the verdict join touches only (group x bucket)-bounded tables") {
     val df = queries.Registry.queryMap("x241_checksum_diff_by_group")(spark, Sf)
