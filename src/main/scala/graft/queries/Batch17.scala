@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * classifies as a column-grain changelog (missing/extra/retyped/
   * moved) — pure metadata operators whose plans contain zero data
   * scans (PlanSpec-pinned).
+  *
+  * x251–x253 add the INCREMENTAL dedup family — the production
+  * daily-ingest shapes, where the corpus participates only through a
+  * persisted index and is never re-paired with itself: x251 verdicts a
+  * delta batch through the MinHash band index (provably equal to the
+  * lshDedupPairs full recompute), x252 folds the batch into the
+  * cluster-label table via a contracted component graph (the
+  * corpus-wide label loop never re-runs), and x253 is the
+  * embedding-space twin through the LSH cell index (x174's
+  * full-recompute maintained). One verdict policy across the family:
+  * corpus canon wins, first occurrence wins within the batch, id
+  * collisions raise in-plan.
   */
 object Batch17 {
 
