@@ -176,6 +176,7 @@ object Bench {
       graft.ext.Dedup.clearCaches(spark)
       graft.ext.TextAnalysis.clearCaches(spark)
       graft.ext.Similarity.clearCaches(spark)
+      graft.ext.Curation.clearCaches(spark)
       graft.queries.Report.clearCaches(spark)
       graft.ops.Kmv.clearCaches(spark)
       try timed(Registry.queryMap(name)(spark, sfDir)
@@ -434,6 +435,7 @@ object Bench {
     graft.ext.Dedup.clearCaches(spark)
     graft.ext.TextAnalysis.clearCaches(spark)
     graft.ext.Similarity.clearCaches(spark)
+    graft.ext.Curation.clearCaches(spark)
     graft.queries.Report.clearCaches(spark)
     graft.ops.Kmv.clearCaches(spark)
     spark.stop()

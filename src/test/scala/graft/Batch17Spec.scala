@@ -277,6 +277,27 @@ class Batch17Spec extends SparkSuite {
     assert(messages(ex).exists(_.contains("collide")), s"wrong failure: $ex")
   }
 
+  test("incremental semantic dedup: a STALE cell index (phantom vec_id " +
+    "with no corpus embedding row) raises in-plan instead of silently " +
+    "false-keeping the phantom's delta near-dups") {
+    val v = embTables().filter(col("vec_id") === 93)
+      .collect()(0).getSeq[Float](1).toArray
+    val corpus = emb(10L -> v)
+    val delta = emb(20L -> v)
+    // Index claims vec 99 is in the same cell, but 99 has no embedding
+    // row (deleted/compacted after the index was written).
+    val stale = ext.Similarity.lshBuckets(corpus)
+      .unionByName(ext.Similarity.lshBuckets(emb(99L -> v)))
+    val ex = intercept[Exception] {
+      ext.Curation.incrementalSemanticDedup(corpus, delta, tau = 0.4,
+        corpusCells = Some(stale)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("stale")), s"wrong failure: $ex")
+  }
+
   test("incremental semantic dedup: the persisted-cell-index entry " +
     "point is the same operator, and a delta twin of a corpus vec " +
     "classifies dup_corpus over its identical delta twin") {
