@@ -1122,17 +1122,22 @@ object Curation {
     * parts, excluding what they already own. Similarities snap to the
     * 1e-9 grid so per-candidate score sums are exact integers.
     *
-    * Scale: pair generation is per-customer quadratic in BASKET size,
-    * and `maxBasket` is what makes that a BOUND rather than a hope: each
-    * customer contributes at most their `maxBasket` most-popular parts
-    * (global co-purchase frequency rank, part-id tiebreak — the hot-key
-    * cap pattern of x66/x174), so a whale customer with 10⁵ distinct
-    * parts emits C(maxBasket, 2) pairs, not 5·10⁹. Support counts and
-    * similarities are computed over the SAME capped matrix (a
-    * self-consistent model); only the already-owned exclusion uses the
-    * uncapped ownership set, so a capped-out part is never recommended
-    * back to its owner. Everything after pair generation is keyed
-    * aggregates and the bounded query join.
+    * Scale: pair generation is bounded twice over. `maxBasket` caps each
+    * customer at their `maxBasket` most-popular parts (global co-purchase
+    * frequency rank, part-id tiebreak — the hot-key cap pattern of
+    * x66/x174), so a whale customer with 10⁵ distinct parts contributes
+    * bounded pair rows, not 5·10⁹; and pair COUNTING is restricted to the
+    * pairs the recommendation join can actually read — those touching the
+    * pinned customers' owned parts (≤ |custIds|·maxBasket part ids, a
+    * broadcast semi-join onto the matrix) — so per customer the join
+    * emits at most |basket ∩ S|·maxBasket rows, never C(basket, 2) for
+    * the whole corpus (round-18: the full-matrix pair aggregate was the
+    * bench's heaviest stage and 99.7% of its groups were discarded).
+    * Support counts and similarities are still computed over the SAME
+    * capped matrix across ALL customers (the same n_ab/√(n_a·n_b) the
+    * full model yields for those pairs — a self-consistent model); only
+    * the already-owned exclusion uses the uncapped ownership set, so a
+    * capped-out part is never recommended back to its owner.
     */
   def itemItemCf(orders: DataFrame, lineitem: DataFrame,
       custIds: Seq[Long], k: Int = 5, minSupport: Long = 2,
@@ -1155,24 +1160,55 @@ object Curation {
     val cp0 = rawPurchaseMatrix(orders, lineitem).localCheckpoint()
     val cp = cappedPurchaseMatrix(cp0, maxBasket).localCheckpoint()
     val partCnt = cp.groupBy("part").agg(count(lit(1)).as("np"))
-    val pairs = cp.as("a").join(cp.as("b"), Seq("cust"))
-      .filter(col("a.part") < col("b.part"))
-      .select(col("a.part").as("pa"), col("b.part").as("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+    // Round-18 restructure (guide §1.2 "don't compute things you throw
+    // away"): the recommendation join only ever reads similarity rows
+    // whose OWNED endpoint is one of the pinned customers' capped parts —
+    // a set bounded by |custIds|·maxBasket BY CONSTRUCTION — yet the old
+    // shape first counted co-occurrence for EVERY part pair in the corpus
+    // (measured at sf0.1: 17M generated pairs hash-aggregated into 12.3M
+    // groups, of which the query consumed the ~0.3% touching the 5 query
+    // customers' parts; the two halves of that aggregate were the two
+    // heaviest stages of the whole bench). Instead, count exactly the
+    // DIRECTED pairs the recommender reads: one row per (customer, owned
+    // s ∈ S, other part o in the same capped basket), counted by (s, o).
+    // For a pair with both endpoints in S this yields both directions —
+    // exactly what the old sims→undirected union emitted; n_ab, the
+    // support filter, and sim_fp over partCnt are computed identically
+    // (count over ALL customers, restricted to the pairs that can reach
+    // the output), so results are bit-identical — the x205 oracle, which
+    // still models the full pair matrix, keeps passing unchanged.
+    //
+    // Scale shape: S-side rows (cpS) are the corpus rows owning an
+    // S-part; the cust-keyed join back to the capped matrix emits at most
+    // |basket ∩ S| · maxBasket rows per customer — query-bounded, never
+    // corpus². The S part-set itself broadcasts (≤ |custIds|·maxBasket
+    // ids) onto the matrix as a semi-join, so the only shuffle left is
+    // the cust-keyed join the matrix is already partitioned for.
+    val sPartIds = broadcast(
+      cp.filter(col("cust").isin(custIds: _*)).select("part").distinct())
+    val cpS = cp.join(sPartIds, Seq("part"), "left_semi")
+      .select(col("cust"), col("part").as("owned"))
+    val directed = cpS
+      .join(cp.select(col("cust"), col("part").as("cand")), Seq("cust"))
+      .filter(col("owned") =!= col("cand"))
+      .groupBy("owned", "cand").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    val sims = pairs
-      .join(partCnt.select(col("part").as("pa"), col("np").as("na")), Seq("pa"))
-      .join(partCnt.select(col("part").as("pb"), col("np").as("nb")), Seq("pb"))
-      .select(col("pa"), col("pb"),
+    val undirected = directed
+      .join(partCnt.select(col("part").as("owned"), col("np").as("na")),
+        Seq("owned"))
+      .join(partCnt.select(col("part").as("cand"), col("np").as("nb")),
+        Seq("cand"))
+      .select(col("owned"), col("cand"),
         floor(col("n_ab").cast("double")
           / sqrt(col("na").cast("double") * col("nb").cast("double"))
           * lit(1e9) + lit(0.5)).cast("long").as("sim_fp"))
-    val undirected = sims.select(col("pa").as("owned"), col("pb").as("cand"),
-        col("sim_fp"))
-      .unionByName(sims.select(col("pb").as("owned"), col("pa").as("cand"),
-        col("sim_fp")))
-    val owned = cp.filter(col("cust").isin(custIds: _*))
-    val ownedAll = cp0.filter(col("cust").isin(custIds: _*))
+    // Both query-side tables are bounded by the pinned custIds set
+    // (≤ maxBasket parts per query customer on the capped side), so they
+    // broadcast honestly at any corpus scale; without the hint the
+    // checkpointed lineage hides their size and the planner SMJ'd the
+    // similarity table against a handful of rows.
+    val owned = broadcast(cp.filter(col("cust").isin(custIds: _*)))
+    val ownedAll = broadcast(cp0.filter(col("cust").isin(custIds: _*)))
     val scored = owned.select(col("cust"), col("part").as("owned"))
       .join(undirected, Seq("owned"))
       .join(ownedAll.select(col("cust"), col("part").as("cand"),

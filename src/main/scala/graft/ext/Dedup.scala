@@ -96,17 +96,26 @@ object Dedup {
     * definition of the signature math, consumed by the banded cache
     * above and by [[minhashCalibration]]'s estimate columns (a re-spell
     * would silently desynchronize the calibration curve from the sketch
-    * it calibrates). */
-  private def rawSignatures(docs: DataFrame): DataFrame = {
-    val h = md5(col("shingle").cast("binary"))
-    val withH = shingles(docs).select(col("doc_id"),
-      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
-    val mhs = (0 until MinHashK).map { j =>
-      min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"mh$j")
-    }
-    withH.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
-  }
+    * it calibrates). Memoized + cached per (session, source plan) like
+    * the shingle frames (round-18): the calibration consumes it through
+    * TWO broadcast sides (sa/sb) on top of the banded cache's own read,
+    * and broadcast builds do not share work across differing projections
+    * — uncached, one x114 run paid the md5+conv signature pass three
+    * times. */
+  private def rawSignatures(docs: DataFrame): DataFrame =
+    graft.ops.Ckpt.memo(rawSigCache,
+      (docs.sparkSession, PlanKeys.fingerprint(docs)), {
+        val h = md5(col("shingle").cast("binary"))
+        val withH = shingles(docs).select(col("doc_id"),
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+        val mhs = (0 until MinHashK).map { j =>
+          min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"mh$j")
+        }
+        graft.ops.Ckpt.registerCached(
+          withH.groupBy("doc_id").agg(mhs.head, mhs.tail: _*).cache(),
+          "Dedup.rawSigCache")
+      })
 
   /** Band b's LSH key over the raw signature columns — the other half
     * of the one-definition kernel. */
@@ -114,6 +123,8 @@ object Dedup {
     md5(concat(col(s"mh${2 * b}").cast("string"), lit("|"),
       col(s"mh${2 * b + 1}").cast("string")).cast("binary"))
 
+  private val rawSigCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long), DataFrame]
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Long), DataFrame]
   private val setCache =
@@ -190,15 +201,22 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  private def lshDedupPairsUncached(docs: DataFrame, threshold: Double,
-      bucketCap: Int): DataFrame = {
-    val candidates = bandedCandidates(docs, bucketCap)
-
-    val sets = graft.ops.Ckpt.memo(setCache,
+  /** Per-doc distinct shingle SET frame (doc_id, sh ARRAY) — the exact-
+    * Jaccard verify side, memoized per (session, source plan) like the
+    * shingle rows themselves. ONE definition shared by the dedup verify
+    * paths and the calibration (x114). */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    graft.ops.Ckpt.memo(setCache,
       (docs.sparkSession, PlanKeys.fingerprint(docs)),
       graft.ops.Ckpt.registerCached(
         shingles(docs).groupBy("doc_id").agg(collect_set(col("shingle")).as("sh")).cache(),
         "Dedup.setCache"))
+
+  private def lshDedupPairsUncached(docs: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
+    val candidates = bandedCandidates(docs, bucketCap)
+
+    val sets = shingleSets(docs)
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -800,7 +818,6 @@ object Dedup {
     * candidate the sketch generates.
     */
   def minhashCalibration(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
     // The signature math and the banded candidate join are the SHARED
     // kernels (rawSignatures / bandedCandidates through the signature
     // cache) — the calibration measures the exact sketch it would
@@ -817,21 +834,24 @@ object Dedup {
       .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
       .reduce(_ + _)
 
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    // Exact Jaccard per candidate via the SAME per-doc shingle-set frame
+    // the lshDedupPairs verify path reads (setCache — one memoized
+    // collect_set shared with the dedup family). Round-18: the previous
+    // calibration-private inverted index exploded every candidate pair by
+    // its shingle count (a candidates×shingles shuffle + re-aggregate)
+    // and then joined per-doc sizes back on BOTH sides; the set frame
+    // carries its size as size(sh) and array_intersect counts the same
+    // distinct common shingles, so jaccard_fp is bit-identical with four
+    // fewer corpus-grain joins and no pair×shingle intermediate.
+    val sets = shingleSets(docs)
 
     cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("i"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .select(est.as("est_matches"),
-        expr("(1000000000L * i) div (na + nb - i)").as("jaccard_fp"))
+        expr("(1000000000L * i) div (size(sh_a) + size(sh_b) - i)").as("jaccard_fp"))
       .groupBy(col("est_matches"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("jaccard_fp")).as("sum_jaccard_fp"))
       .withColumn("mean_jaccard",
@@ -1107,12 +1127,18 @@ object Dedup {
     // unbounded-memory one; only the EDIT below (per-doc sort windows)
     // is restricted to sub-cap docs.
     val grams = gramOccurrences(tl0, gramLen).localCheckpoint()
+    // ONE aggregate yields the first owner AND its first position:
+    // min(struct(doc_id, pos)) is the lexicographic minimum — the lowest
+    // doc_id, then the lowest pos within that doc — exactly the
+    // (fdoc, fpos) pair the former two-step (owner agg, then a
+    // grams⋈owner join + second agg) computed, at the cost of one gram-
+    // table pass instead of two plus a join (round-18; the gram table is
+    // the corpus-scale frame here).
     val owner = grams.groupBy("g").agg(
-      min(col("doc_id")).as("fdoc"), count(lit(1)).as("occ"))
-    val firstPos = grams.join(owner, Seq("g"))
-      .filter(col("doc_id") === col("fdoc"))
-      .groupBy("g").agg(min(col("pos")).as("fpos"))
-    val marked = grams.join(owner, Seq("g")).join(firstPos, Seq("g"))
+      min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("occ"))
+      .select(col("g"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"),
+        col("occ"))
+    val marked = grams.join(owner, Seq("g"))
       .filter(col("occ") >= 2 && col("n") < maxDocTokens &&
         !(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"), col("pos").as("s"),
@@ -1533,6 +1559,7 @@ object Dedup {
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(shingleCache -> "Dedup.shingleCache", sigCache -> "Dedup.sigCache",
+      rawSigCache -> "Dedup.rawSigCache",
       setCache -> "Dedup.setCache").foreach { case (c, owner) =>
       c.keys.filter(_._1 == spark).foreach { k =>
         c.remove(k).foreach { df =>

@@ -199,14 +199,21 @@ object Frequent {
     // across keys — the property the tug-of-war guarantee needs — is
     // the digest's, same as the salted spelling.
     def counters(counts: DataFrame, out: String): DataFrame = {
-      val digit = (j: Int) =>
-        conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      // The 24 hex digits are hoisted to ONE projection (round-18): each
+      // digit feeds four of the 96 sign-sums, and aggregate expressions
+      // get no common-subexpression elimination — the inline spelling
+      // parsed the same hex digit four times per key (96 conv+substring
+      // per row instead of 24; measured ~2× on the counter pass at
+      // 150K keys). Same digits, same signs, bit-identical sums.
+      val digits = (0 until AmsD / 4).map(d =>
+        conv(substring(col("h"), d + 1, 1), 16, 10).cast("int").as(s"d$d"))
       val sums = (0 until AmsD).map { j =>
-        val sign = (shiftright(digit(j), j % 4).bitwiseAND(lit(1)) * lit(2)
+        val sign = (shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1)) * lit(2)
           - lit(1)).cast("long")
         sum(sign * col("c")).as(s"s_$j")
       }
       counts.withColumn("h", md5(col("tok")))
+        .select(col("c") +: digits: _*)
         .agg(sums.head, sums.tail: _*)
         .selectExpr(s"stack($AmsD, ${(0 until AmsD)
           .map(j => s"$j, s_$j").mkString(", ")}) as (j, $out)")
