@@ -77,38 +77,49 @@ object Curation {
         explode(TextAnalysis.tokens(col("text"))).as("w"))
       .select(col("doc_id"), col("source"),
         (hash32(col("w")) % buckets).as("bucket"))
-    val raw = tok.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("source") === targetSource)
-      .groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val rawTot = raw.agg(sum(col("cr")).as("tr"))
-    val tgtTot = tgt.agg(sum(col("ct")).as("tt"))
+    // ONE aggregate yields both count columns (round-18): the raw and
+    // target histograms previously aggregated the token stream twice,
+    // and their two separate totals re-evaluated each histogram's whole
+    // subtree once more — five tokenize+hash passes per run for a
+    // 64-row model. count(when(...)) restricted to the target source is
+    // the same ct the filtered aggregate produced (0 instead of NULL for
+    // absent buckets, which the +coalesce formula already treated as 0);
+    // totals are sums OVER the 64-row model table, not new corpus scans.
+    val counts = tok.groupBy("bucket").agg(count(lit(1)).as("cr"),
+      count(when(col("source") === targetSource, lit(1))).as("ct"))
+    val tots = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val b = lit(buckets.toDouble)
-    val lr = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+    val lr = counts
+      .crossJoin(broadcast(tots))
       // Fail FAST (plan-level assert, no eager job) when targetSource
-      // matches nothing: tt would be NULL, every log-ratio NULL, and
-      // the rank join would silently return ZERO rows — a typo'd source
-      // name must be a diagnosable error, not an empty selection.
-      .filter(assert_true(col("tt").isNotNull,
+      // matches nothing: tt = 0 would make every log-ratio a constant
+      // shift and the selection meaningless — a typo'd source name must
+      // be a diagnosable error, not an empty selection. (tt = 0 is the
+      // single-pass spelling of the old NULL-total condition.)
+      .filter(assert_true(col("tt") > 0L,
         lit(s"dsirWeights: targetSource '$targetSource' matched no " +
           "documents")).isNull)
       .select(col("bucket"),
         snapFp(log(
-          (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))
+          (col("ct").cast("double") + lit(1.0))
             * (col("tr").cast("double") + b)
             / ((col("cr").cast("double") + lit(1.0))
               * (col("tt").cast("double") + b)))).as("lr_fp"))
     val perDoc = tok.join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr_fp")).as("logw_fp"))
-    val nDocs = perDoc.agg(count(lit(1)).as("nd"))
     // Exact top-fraction rank over (logw_fp desc, doc_id asc) via the
     // partitioned exactAscRank construction — every doc needs a selected
     // bit, so this is a full ranking, not a top-k, and a global window
     // would funnel the doc grain through one task.
-    perDoc
+    val ranked = perDoc
       .transform(df => withExactRank(df, "logw_fp", desc = true, "doc_id",
         1L << 32, "rk"))
+    // nd counts the RANKED frame (which reads exactAscRank's checkpoint)
+    // rather than perDoc, whose separate reference would re-run the
+    // whole scoring pass just to count docs.
+    val nDocs = ranked.agg(count(lit(1)).as("nd"))
+    ranked
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("n_tokens"), col("logw_fp"),
         round(col("logw_fp").cast("double") / lit(1e9)
@@ -2006,7 +2017,16 @@ object Curation {
     val t = col(tieCol).cast("long")
     val tieBucket = ((t - pmod(t, lit(tieBucketWidth))) / lit(tieBucketWidth))
       .cast("long")
+    // The bucketed frame feeds FOUR consumers (three histograms + the
+    // final join spine), and every caller hands this operator an
+    // already-aggregated metadata-grain table (per-doc weights, per-user
+    // RFM rows) sitting on an arbitrarily expensive lineage — uncached,
+    // each consumer re-evaluated that lineage end to end (measured on
+    // x172: the upstream tokenize+hash pass ran once per consumer).
+    // localCheckpoint materializes the ranked rows once; the blocks are
+    // the operator's own input grain, never raw-corpus-sized.
     val withB = df.withColumn("_b", bucket).withColumn("_tb", tieBucket)
+      .localCheckpoint()
     val bucketHist = withB.groupBy("_b").agg(count(lit(1)).as("_bn"))
     val bucketOff = bucketHist
       .withColumn("_boff", coalesce(
@@ -2191,7 +2211,12 @@ object Curation {
       .filter(col("rn") <= k)
     val qAdj = adj.filter(col("src").isin(queryIds: _*))
       .select(col("src").as("qid"), col("dst").as("nid")).distinct()
-    val baseTop = rankTop(qAdj)
+    // baseTop feeds THREE consumers (the hop-2 expansion and both sides
+    // of the recall comparison); truth feeds two. Both are ≤ |queries|·k
+    // rows — checkpointing them costs a row-handful of block storage and
+    // stops each consumer from re-running the candidate-join + window
+    // subtree (round-18; the x205 union-duplication lesson applied here).
+    val baseTop = rankTop(qAdj).localCheckpoint()
     val adjCapped = adj
       .withColumn("drn", row_number().over(
         Window.partitionBy("src").orderBy(col("dst").asc)))
@@ -2211,6 +2236,7 @@ object Curation {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)))
       .filter(col("rn") <= k)
+      .localCheckpoint()
     def hits(top: DataFrame, name: String): DataFrame =
       truth.select(col("qid"), col("nid"))
         .join(top.select(col("qid"), col("nid"), lit(1).as("hit")),

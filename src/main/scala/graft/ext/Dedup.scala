@@ -319,13 +319,29 @@ object Dedup {
 
     // Corpus text re-enters ONLY for matched candidates: the candidate
     // corpus-id set (delta-bounded) broadcasts as a left-semi filter.
+    // Which side of the filter the shingle explode runs on depends on
+    // whether the index was DERIVED here (round-18): at the gate
+    // (corpusIndex = None) the signature pass above has already shingled
+    // and cached the WHOLE corpus, so re-tokenizing the matched docs
+    // would pay the explode twice — filter the cached shingle rows
+    // instead (identical rows: shingles() is per-doc distinct either
+    // way). In production (corpusIndex passed) no corpus-wide shingle
+    // frame exists, and tokenizing ONLY the matched text is exactly the
+    // operator's O(|delta|·cap) contract.
     val candCorpusIds = cand.filter(col("is_corpus"))
       .select(col("match_id").as("doc_id")).distinct()
-    val corpusSets = shingles(
+    val corpusShingleRows = corpusIndex match {
+      case None => shingles(corpus)
+        .join(broadcast(candCorpusIds), Seq("doc_id"), "left_semi")
+      case Some(_) => shingles(
         corpus.join(broadcast(candCorpusIds), Seq("doc_id"), "left_semi"))
+    }
+    val corpusSets = corpusShingleRows
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
-    val deltaSets = shingles(delta)
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    // The delta SET frame feeds two joins below (sh_d and the matchSets
+    // union) — read it through the memoized set cache so the
+    // collect_set aggregate runs once, not once per consumer.
+    val deltaSets = shingleSets(delta)
     // Delta ids are disjoint from corpus ids (raised in-plan by both
     // public entry points), so the match side resolves by a plain
     // union of the two set tables.
