@@ -193,6 +193,12 @@ object Dedup {
 
   private[graft] def bandedCandidates(docs: DataFrame,
       bucketCap: Int = 0): DataFrame = {
+    // No proxy-repartition here, deliberately (round-18): unlike the
+    // cosine side's 2^bandBits-bounded key space (see
+    // Similarity.candidatePairs), MinHash band keys are md5 values with
+    // O(N·bands) cardinality, so bucket widths — and the self-join's
+    // fan-out — stay near 1 except for true near-dup clusters, and a
+    // pinned pre-join exchange measurably cost more than it saved.
     val kept = capBuckets(bandIndex(docs), bucketCap)
     val a = kept.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
     val b = kept.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))

@@ -225,7 +225,23 @@ object Similarity {
     graft.ops.Ckpt.memo(candCache,
       (embeddings.sparkSession, PlanKeys.fingerprint(embeddings),
         bands, bandBits, bucketCap), {
-        val banded = annBands(embeddings, bands, bandBits)
+        // UNCAPPED presets only: the band table is the lightweight PROXY
+        // (a few longs per vector·band) and the self-join below fans it
+        // out by the full bucket width — repartition it on the join key
+        // at the session's configured shuffle parallelism (round-18):
+        // byte-based AQE coalescing sizes the exchange for the proxy's
+        // KBs, blind to the fan-out, and the dense preset's pair stage
+        // ran as ONE task (measured 1.9 s serial inside x27). The window
+        // and the join reuse this one exchange, so no shuffle is added.
+        // CAPPED presets skip it: the cap bounds the fan-out to ≤ cap
+        // per row by construction, and the pinned exchange measurably
+        // cost more than the bounded fan-out saved.
+        val banded0 = annBands(embeddings, bands, bandBits)
+        val banded =
+          if (bucketCap > 0) banded0
+          else banded0.repartition(
+            embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+            col("band_idx"), col("band_key"))
         // One pass: the bucket width rides a window over the band table
         // (the Dedup.bandedCandidates discipline) — the aggregate-then-
         // rejoin first cut scanned the corpus-wide banding projection
@@ -306,13 +322,20 @@ object Similarity {
       bands: Int = AnnBands, bandBits: Int = AnnBandBits, bucketCap: Int = 0): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val und = candidatePairs(embeddings, bands, bandBits, bucketCap)
-    val directed = und.select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"))
-      .union(und.select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id")))
+    // Score the UNDIRECTED pair once and mirror (round-18): the dot is
+    // the same sequential fold in both directions bit-for-bit (the
+    // mutualKnn contract), so scoring after the direction union did 2×
+    // the dot work and ran both embedding joins over twice the rows.
+    val scored = und
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), dot(col("ea"), col("eb")).as("score"))
+    val directed = scored
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("score"))
+      .union(scored
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("score")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     directed
-      .join(e, Seq("vec_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("nemb")), Seq("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), dot(col("emb"), col("nemb")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("vec_id", "rank", "neighbor_id", "score")
@@ -337,18 +360,28 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"),
       col("label"))
     val und = candidatePairs(embeddings, bands, bandBits, bucketCap)
-    val directed = und.select(col("vec_a").as("vec_id"), col("vec_b").as("neg_id"))
-      .union(und.select(col("vec_b").as("vec_id"), col("vec_a").as("neg_id")))
+    // The label-inequality prune and the dot are both SYMMETRIC, so the
+    // pair is filtered and scored once undirected and then mirrored
+    // (round-18, the annTopK argument): half the dot work, and the
+    // embedding joins run over the undirected pair set instead of twice
+    // its rows.
+    val scored = und
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea"),
+        col("label").as("la")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb"),
+        col("label").as("lb")), Seq("vec_b"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("vec_a"), col("vec_b"), col("la"), col("lb"),
+        dot(col("ea"), col("eb")).as("score"))
+    val directed = scored
+      .select(col("vec_a").as("vec_id"), col("la").as("anchor_label"),
+        col("vec_b").as("neg_id"), col("lb").as("neg_label"), col("score"))
+      .union(scored
+        .select(col("vec_b").as("vec_id"), col("lb").as("anchor_label"),
+          col("vec_a").as("neg_id"), col("la").as("neg_label"), col("score")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("neg_id").asc)
     directed
-      .join(e.select(col("vec_id"), col("emb"), col("label").as("anchor_label")),
-        Seq("vec_id"))
-      .join(e.select(col("vec_id").as("neg_id"), col("emb").as("nemb"),
-        col("label").as("neg_label")), Seq("neg_id"))
-      .filter(col("anchor_label") =!= col("neg_label"))
-      .select(col("vec_id"), col("anchor_label"), col("neg_id"), col("neg_label"),
-        dot(col("emb"), col("nemb")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("vec_id", "anchor_label", "rank", "neg_id", "neg_label", "score")
