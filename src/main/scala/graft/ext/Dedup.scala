@@ -220,7 +220,18 @@ object Dedup {
 
   private def lshDedupPairsUncached(docs: DataFrame, threshold: Double,
       bucketCap: Int): DataFrame = {
+    // The exact-Jaccard verify below is the HEAVY per-row stage (a
+    // ~shingle-count set intersection per candidate), and its joins are
+    // broadcast-side — so it runs in the candidate table's partitioning.
+    // Spread the candidates at the configured shuffle parallelism first
+    // (round-18): with AQE re-optimizing cached plans, the candidate
+    // cache's bytes coalesce to one/few partitions and the verify ran
+    // serial (measured: x66's verify stage 1 task, 1.65 s). The
+    // repartition is one linear shuffle of (doc_a, doc_b) pairs — cheap
+    // at any scale next to the verify it parallelizes.
     val candidates = bandedCandidates(docs, bucketCap)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"))
 
     val sets = shingleSets(docs)
     candidates
@@ -354,6 +365,11 @@ object Dedup {
     val matchSets = corpusSets.unionByName(deltaSets)
 
     cand
+      // Verify-parallelism spread (the lshDedupPairsUncached argument):
+      // the intersect below is the heavy per-row stage and must not
+      // inherit the byte-coalesced candidate cache's partitioning.
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("delta_id"))
       .join(deltaSets.select(col("doc_id").as("delta_id"),
         col("sh").as("sh_d")), Seq("delta_id"))
       .join(matchSets.select(col("doc_id").as("match_id"),
@@ -868,6 +884,11 @@ object Dedup {
     val sets = shingleSets(docs)
 
     cand
+      // Same verify-parallelism spread as lshDedupPairsUncached (the
+      // broadcast-joined intersect runs in cand's partitioning, which
+      // cached-plan AQE coalesces by bytes).
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"))
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
