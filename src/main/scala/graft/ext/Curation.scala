@@ -385,7 +385,15 @@ object Curation {
         explode(sequence(lit(1), size(col("ts")) - 2)).as("i"))
       .select(col("doc_id"), col("source"),
         array_join(slice(col("ts"), col("i"), lit(3)), " ").as("g"))
-    val st = tri.select(col("source"), col("g")).distinct()
+    // One tokenize+explode pass (round-18): the sharded distinct
+    // materializes once, and the corpus-wide distinct DERIVES from it
+    // (distinct (source, g) of distinct (source, shard, g) is the same
+    // set) — previously the trigram explode ran once per distinct and
+    // the corpus-wide set re-evaluated once per consumer (direct sigs,
+    // sizes, both sides of the intersection self-join).
+    val sst = tri.select(col("source"), (col("doc_id") % numShards).as("shard"), col("g"))
+      .distinct().localCheckpoint()
+    val st = sst.select(col("source"), col("g")).distinct().localCheckpoint()
     def hashed(d: DataFrame): DataFrame = {
       val h = md5(col("g").cast("binary"))
       d.withColumn("h1", conv(substring(h, 1, 8), 16, 10).cast("long"))
@@ -396,8 +404,6 @@ object Curation {
       min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L))
         .as(s"$prefix$j"))
     val direct = hashed(st).groupBy("source").agg(sigAggs("s").head, sigAggs("s").tail: _*)
-    val sst = tri.select(col("source"), (col("doc_id") % numShards).as("shard"), col("g"))
-      .distinct()
     val perShard = hashed(sst).groupBy("source", "shard")
       .agg(sigAggs("s").head, sigAggs("s").tail: _*)
     val merged = perShard.groupBy("source")
@@ -1619,7 +1625,12 @@ object Curation {
     */
   def marketBasket(lineitem: DataFrame, minSupport: Long = 3,
       top: Int = 10): DataFrame = {
+    // The distinct'd basket matrix feeds FOUR consumers (order count,
+    // part counts, both self-join sides) on different keys — checkpoint
+    // it once (round-18, the itemItemCf cp0 discipline) instead of
+    // re-running the fact-table distinct per consumer.
     val basket = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val nOrders = basket.agg(count_distinct(col("l_orderkey")).as("n_orders"))
     val partCnt = basket.groupBy("l_partkey").agg(count(lit(1)).as("np"))
     val pairs = basket.as("a")
