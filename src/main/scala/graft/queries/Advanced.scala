@@ -2255,9 +2255,13 @@ object Advanced {
       "x90_robust_outliers",
       (s, dir) => {
         val t = Tables(s, dir)
+        // Three consumers (median, MAD, the scored output) otherwise
+        // each re-run the orders⋈customer join (round-18); the
+        // checkpointed frame is the projected fact grain.
         val o = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
           .select(col("c_nationkey").as("nation"), col("o_orderkey"),
             col("o_totalprice"))
+          .localCheckpoint()
         val med = o.groupBy("nation")
           .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
         val mad = o.join(broadcast(med), Seq("nation"))
