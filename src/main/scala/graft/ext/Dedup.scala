@@ -1036,16 +1036,16 @@ object Dedup {
     val sampleKey =
       conv(substring(md5(concat(lit("bqs_"), col("doc_id").cast("string"))
         .cast("binary")), 1, 8), 16, 10).cast("long")
-    // ≤ perSourceCap·|sources| rows by construction; checkpointed
-    // because THREE consumers (truth pairs, the banded candidates, the
-    // sampled-doc count) otherwise each re-run the corpus scan + sample
-    // window (round-18).
+    // NOT checkpointed, deliberately (round-18): the three consumers do
+    // re-run this cheap corpus scan + sample window, but an eager
+    // checkpoint would erase the window from the returned plan — and the
+    // per-source partitioning of THIS window is exactly what PlanSpec
+    // pins against the single-task global-rank funnel.
     val sampled = docs
       .withColumn("_srn", row_number().over(
         Window.partitionBy("source").orderBy(sampleKey, col("doc_id"))))
       .filter(col("_srn") <= perSourceCap)
       .drop("_srn")
-      .localCheckpoint()
     val truePairs = trueJaccardPairs(sampled, tNum, tDen)
     // The candidate pair set feeds two consumers (its count and the
     // caught left join) on different shapes; it is tiny (sampled-pair
